@@ -1,0 +1,66 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is materialized via the noop sink so timing covers the full
+distributed plan (scan → shuffle → agg) without driver collect cost.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from aws_datalake_spark.session import get_spark  # noqa: E402
+from aws_datalake_spark.queries import all_queries  # noqa: E402
+
+# Headline set: covers scan-agg, multi-join, window, set-op, and (as
+# they land) LLM-pipeline ops. Keep keys stable across rounds.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_region_revenue",
+    "q_join_broadcast_dim",
+    "q_window_topk_per_group",
+    "q_set_union_all",
+]
+
+
+def materialize(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+    queries = all_queries()
+    names = [n for n in HEADLINE if n in queries]
+    # Warm the JVM/session so per-query numbers measure the plan, not startup.
+    materialize(queries[names[0]](spark, sf_dir))
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        materialize(queries[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else sf_dir,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
