@@ -36,7 +36,18 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one lake table. Parquet scan → column pruning and filter
     pushdown are automatic once downstream operators are declarative."""
-    return spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        # set defensively for sessions not built by get_spark()
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS); with nanosAsLong it
+        # arrives as ns-since-epoch — truncate to µs exactly
+        # (integer div; float division would lose precision > 2^53).
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:

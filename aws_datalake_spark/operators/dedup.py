@@ -1,0 +1,250 @@
+"""Deduplication operators for LLM data pipelines (north star,
+BASELINE.json): exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+100 TB design notes:
+* Exact dedup groups on a 60-bit content hash, not the raw text —
+  the shuffle moves 8-byte keys instead of documents.
+* MinHash signatures are computed per-partition with array
+  expressions (no UDF, no shuffle); only the banded bucket join
+  shuffles, and it shuffles (band_id, band_hash) pairs — tiny.
+* Candidate verification joins only within buckets; the quadratic
+  blow-up is bounded per bucket, and AQE's skew-join handles hot
+  buckets (e.g. boilerplate documents).
+* SimHash reduces each doc to one int64; near-dup candidates come
+  from banding the bits, verification is a popcount — no text moves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from aws_datalake_spark.operators.text import hash60, tokens_ws
+
+
+# --- exact -------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative per identical text. The group
+    key is hash60(text); the (tiny) collision risk is acceptable for
+    train-data dedup — swap in sha2-256 grouping for exactness."""
+    return (
+        df.withColumn("__h", hash60(F.col(text_col)))
+        .groupBy("__h")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+        .drop("__h")
+    )
+
+
+# --- shingles / minhash -------------------------------------------------------
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles (distinct)."""
+    toks = tokens_ws(col) if isinstance(col, str) else tokens_ws(col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)])
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def minhash_signature(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_hashes: int = 8, shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signature: per seed k, min over shingles of
+    hash60('<k>|' + shingle). Empty shingle sets get NULL sigs.
+    Pure array expressions — computed in a single projection."""
+    sh = shingles(F.col(text_col), shingle_n)
+    cols = [
+        F.array_min(F.transform(sh, lambda s: hash60(s, seed=f"{k}|"))).alias(f"sig_{k}")
+        for k in range(num_hashes)
+    ]
+    return df.select(id_col, *cols)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs.
+
+    signature → band (rows_per_band sigs md5-combined) →
+    self-join on (band_id, band_hash) → distinct candidate pairs →
+    exact Jaccard verification on shingle sets.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b and
+    jaccard >= threshold.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.md5(F.concat_ws("|", *[p.cast("string") for p in parts])).alias(f"band_{b}")
+        )
+    banded = sig.select(id_col, *band_cols)
+    melted = banded.select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_id"), F.col(f"band_{b}").alias("band_hash"))
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select(id_col, "bb.band_id", "bb.band_hash")
+    a = melted.select(F.col(id_col).alias("id_a"), "band_id", "band_hash")
+    b = melted.select(F.col(id_col).alias("id_b"), "band_id", "band_hash")
+    cand = (
+        a.join(b, on=["band_id", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sh = df.select(F.col(id_col).alias("__id"), shingles(F.col(text_col), shingle_n).alias("__sh"))
+    cand = (
+        cand.join(sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b")), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        cand.withColumn("jaccard", F.round(inter / F.greatest(union, F.lit(1.0)), 6))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --- n-gram jaccard (exact all-pairs via inverted index) ----------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact Jaccard near-dup pairs via an inverted shingle index:
+    explode shingles → self-join on shingle → count common shingles
+    per pair → jaccard = common / (|a| + |b| − common).
+
+    The join shuffles (shingle, id) pairs — linear in corpus shingle
+    volume, never materializing the n² pair space; only pairs that
+    actually share a shingle appear."""
+    sh = df.select(
+        F.col(id_col).alias("__id"), F.explode(shingles(F.col(text_col), shingle_n)).alias("s")
+    )
+    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("__id").alias("id_a"), "s")
+    b = sh.select(F.col("__id").alias("id_b"), "s")
+    common = (
+        a.join(b, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        common.join(sizes.select(F.col("__id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("__id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", "jaccard")
+
+
+# --- simhash ------------------------------------------------------------------
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """Count-weighted SimHash over whitespace tokens: bit j of the
+    output is 1 iff sum over tokens of count * (±1 per token-hash
+    bit j) is positive. Computed set-based (explode → two groupBys)
+    so the oracle can replicate it in SQL exactly."""
+    toks = df.select(F.col(id_col).alias("__id"), F.explode(tokens_ws(F.col(text_col))).alias("w"))
+    tok_counts = toks.groupBy("__id", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    hashed = tok_counts.withColumn("h", hash60(F.col("w")))
+    bit_ids = F.sequence(F.lit(0), F.lit(bits - 1))
+    per_bit = hashed.select(
+        "__id",
+        "cnt",
+        "h",
+        F.explode(bit_ids).alias("bit"),
+    ).withColumn(
+        # shiftright's Python signature wants an int literal; the SQL
+        # form takes a column shift amount
+        "contrib",
+        F.when(F.expr("(h >> bit) & 1") == 1, F.col("cnt")).otherwise(-F.col("cnt")),
+    )
+    bit_vals = (
+        per_bit.groupBy("__id", "bit")
+        .agg(F.sum("contrib").alias("s"))
+        .withColumn(
+            "bit_val",
+            F.when(F.col("s") > 0, F.expr("shiftleft(1L, bit)")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        )
+    )
+    return (
+        bit_vals.groupBy("__id")
+        .agg(F.sum("bit_val").alias("simhash"))
+        .select(F.col("__id").alias(id_col), "simhash")
+    )
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Popcount of XOR — bit_count is a Spark built-in."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    bits: int = 32, max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, candidate-limited
+    by banding the hash into 4 bit-slices (two docs within hamming d
+    share at least one identical slice when d < 4)."""
+    sh = simhash(df, text_col, id_col, bits)
+    slice_bits = bits // 4
+    mask = (1 << slice_bits) - 1
+    slices = sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("slice_id"),
+                    F.shiftright(F.col("simhash"), i * slice_bits)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("slice_val"),
+                )
+                for i in range(4)
+            ])
+        ).alias("sl"),
+    ).select(id_col, "simhash", "sl.slice_id", "sl.slice_val")
+    a = slices.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "slice_id", "slice_val")
+    b = slices.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "slice_id", "slice_val")
+    return (
+        a.join(b, ["slice_id", "slice_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming64(F.col("sh_a"), F.col("sh_b")).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

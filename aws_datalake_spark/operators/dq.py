@@ -1,0 +1,140 @@
+"""Data-quality expectations engine (SURVEY.md A2/A4-A6, ST2/ST3).
+
+Re-expresses the reference's Great-Expectations-on-Spark notebooks
+(/root/reference/great_expectations.py:238-340,
+great_expectation_microbatch.py:16-104) as a tiny config-compiled
+predicate engine:
+
+* a rule = (column, expectation_type, kwargs), built from a config
+  table the way streaming_dq_config rows are
+  (great_expectations.py:208-217);
+* evaluation computes element_count / unexpected_count per rule in
+  ONE aggregation pass over the batch (conditional counts — no
+  per-rule scans, no collect);
+* results append to an audit sink with the reference's result schema
+  (file_identifier, batchID, column_name, expectation_type, success,
+  element_count, unexpected_count — great_expectations.py:318-338).
+
+The streaming form wraps :func:`evaluate` in foreachBatch
+(streaming/microbatch.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Expectation:
+    column: str
+    kind: str  # not_null | unique | in_set | matches_regex | between
+    kwargs: dict = field(default_factory=dict)
+
+    @property
+    def expectation_type(self) -> str:
+        return {
+            "not_null": "expect_column_values_to_not_be_null",
+            "unique": "expect_column_values_to_be_unique",
+            "in_set": "expect_column_values_to_be_in_set",
+            "matches_regex": "expect_column_values_to_match_regex",
+            "between": "expect_column_values_to_be_between",
+        }[self.kind]
+
+    def violation(self) -> Column:
+        """Predicate that is true for UNEXPECTED (violating) rows.
+        ``unique`` is handled separately (needs a grouped count)."""
+        c = F.col(self.column)
+        if self.kind == "not_null":
+            return c.isNull()
+        if self.kind == "in_set":
+            return ~c.isin(*self.kwargs["values"]) | c.isNull()
+        if self.kind == "matches_regex":
+            return ~c.rlike(self.kwargs["regex"]) | c.isNull()
+        if self.kind == "between":
+            lo, hi = self.kwargs["min"], self.kwargs["max"]
+            return ~c.between(lo, hi) | c.isNull()
+        raise ValueError(self.kind)
+
+
+def expectations_from_config(rows: list[dict]) -> list[Expectation]:
+    """Config rows shaped like streaming_dq_config
+    (great_expectations.py:208-217): {'col_name', 'rule', 'Active',
+    'kwargs'}; inactive rows are skipped."""
+    out = []
+    for r in rows:
+        if str(r.get("Active", "y")).lower() != "y":
+            continue
+        out.append(Expectation(column=r["col_name"], kind=r["rule"], kwargs=r.get("kwargs", {})))
+    return out
+
+
+def evaluate(
+    df: DataFrame,
+    expectations: list[Expectation],
+    file_identifier: str = "batch",
+    batch_id: int = 0,
+) -> DataFrame:
+    """Run every expectation in one aggregation pass; return audit
+    rows (one per expectation) in the reference's result schema."""
+    spark = df.sparkSession
+    scalar = [e for e in expectations if e.kind != "unique"]
+    uniques = [e for e in expectations if e.kind == "unique"]
+
+    aggs = [F.count(F.lit(1)).alias("__element_count")]
+    for i, e in enumerate(scalar):
+        aggs.append(F.count(F.when(e.violation(), 1)).alias(f"__unexpected_{i}"))
+    row = df.agg(*aggs).collect()[0] if (scalar or uniques) else None
+    element_count = int(row["__element_count"]) if row else 0
+
+    results = []
+    for i, e in enumerate(scalar):
+        unexpected = int(row[f"__unexpected_{i}"])
+        results.append((e, unexpected))
+    for e in uniques:
+        # rows participating in a duplicated key value are unexpected
+        # (Great Expectations counts every row of a dup group)
+        dup = (
+            df.groupBy(e.column)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > 1)
+            .agg(F.coalesce(F.sum("__n"), F.lit(0)).alias("__dup_rows"))
+            .collect()[0]["__dup_rows"]
+        )
+        results.append((e, int(dup)))
+
+    audit_rows = [
+        {
+            "file_identifier": file_identifier,
+            "batchID": int(batch_id),
+            "column_name": e.column,
+            "expectation_type": e.expectation_type,
+            "success": unexpected == 0,
+            "element_count": element_count,
+            "unexpected_count": unexpected,
+        }
+        for e, unexpected in results
+    ]
+    schema = (
+        "file_identifier string, batchID long, column_name string, "
+        "expectation_type string, success boolean, element_count long, "
+        "unexpected_count long"
+    )
+    return spark.createDataFrame(audit_rows, schema=schema)
+
+
+def evaluate_to_sink(
+    df: DataFrame,
+    expectations: list[Expectation],
+    sink_path: str,
+    file_identifier: str = "batch",
+    batch_id: int = 0,
+) -> DataFrame:
+    """Evaluate and append the audit rows to a parquet sink — the
+    great_expectations_results Delta-append pattern
+    (great_expectations.py:337-338)."""
+    audit = evaluate(df, expectations, file_identifier, batch_id)
+    audit.write.mode("append").parquet(sink_path)
+    return audit

@@ -1,0 +1,108 @@
+"""Multimodal column conventions + decode plumbing (north star,
+BASELINE.json).
+
+Images/audio/video live in the lake as opaque ``binary`` columns
+with typed metadata (media_type, byte length, source id). Decode /
+feature-extract / resize / frame-sample run as Arrow-batched
+``mapInPandas`` stages: the Spark-side plumbing — schema contract,
+partition sizing, batch shape — is real and tested; the actual
+codec call is stubbed behind ``DECODERS`` because the image/audio
+libraries are not in this container (a real deployment registers
+PIL/ffmpeg-backed decoders with the same signature).
+
+100 TB design notes:
+* Binary payloads never pass through a shuffle here — decode is a
+  narrow mapInPandas over the scan; downstream aggregations see only
+  small feature columns.
+* ``spark.sql.files.maxPartitionBytes`` bounds decoded batch memory;
+  metadata columns make size-based file pruning possible before any
+  byte is decoded.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "asset_id long, media_type string, payload binary, byte_len long, source string"
+)
+
+FEATURE_SCHEMA = (
+    "asset_id long, media_type string, byte_len long, "
+    "width int, height int, channels int, n_frames int, checksum60 long"
+)
+
+
+def _fake_decode(payload: bytes) -> dict:
+    """Deterministic stand-in for a codec: derives pseudo-dimensions
+    from the byte length. A real deployment replaces this (and ONLY
+    this) with PIL/ffmpeg; the schema and batch plumbing stay."""
+    n = len(payload)
+    return {
+        "width": 16 + (n % 1024),
+        "height": 16 + ((n * 7) % 768),
+        "channels": 3,
+        "n_frames": 1 + (n % 30),
+    }
+
+
+DECODERS = {
+    "image": _fake_decode,
+    "audio": _fake_decode,
+    "video": _fake_decode,
+}
+
+
+def make_media_table(docs: DataFrame) -> DataFrame:
+    """Build a media-shaped table from the documents fixture: text
+    bytes become the opaque payload (the plumbing doesn't care that
+    the bytes aren't a real JPEG)."""
+    mt = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        mt.alias("media_type"),
+        payload.alias("payload"),
+        F.length(payload).cast("long").alias("byte_len"),
+        "source",
+    )
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched decode → feature columns via mapInPandas."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [DECODERS[m](bytes(p)) for m, p in zip(pdf["media_type"], pdf["payload"])]
+            out = pd.DataFrame(feats)
+            out.insert(0, "asset_id", pdf["asset_id"].values)
+            out.insert(1, "media_type", pdf["media_type"].values)
+            out.insert(2, "byte_len", pdf["byte_len"].values)
+            # 60-bit payload checksum keeps lineage verifiable without
+            # shipping the payload downstream
+            out["checksum60"] = [
+                int.from_bytes(__import__("hashlib").md5(bytes(p)).digest()[:7], "big") % (1 << 60)
+                for p in pdf["payload"]
+            ]
+            yield out
+
+    return media.mapInPandas(decode_batches, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame sampling: one output row per sampled frame index.
+    Frame count comes from the (stubbed) decode; the explode is the
+    real Spark shape a frame pipeline has."""
+    feats = extract_features(media.filter(F.col("media_type") == "video"))
+    return feats.select(
+        "asset_id",
+        F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))).alias("frame_idx"),
+    )

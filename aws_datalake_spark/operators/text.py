@@ -1,0 +1,126 @@
+"""Text-analysis operators for LLM data pipelines (north star,
+BASELINE.json; SURVEY.md §7 step 8).
+
+All pure built-in column expressions — JVM-side, whole-stage codegen,
+no Python in the hot path — so they scale linearly with the scan.
+Designed for a 100 TB documents table: every function is a narrow
+projection; the only shuffles are the aggregations a caller adds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# A tiny per-language stopword table for the heuristic language ID.
+# Real pipelines plug in fastText/cld3 via mapInPandas (see
+# operators/multimodal.py for the binary-asset pattern); the
+# heuristic keeps the hot path JVM-only.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "los"],
+    "fr": ["le", "la", "les", "des", "est"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+# BPE-ish token regex: word pieces, numbers, or single non-space
+# symbols — a public approximation of GPT-2's pre-tokenizer split.
+BPE_ISH_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens_ws(col: Column | str) -> Column:
+    """Whitespace tokenization."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count_ws(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(c), r"\s+"))
+    )
+
+
+def token_count_bpe_ish(col: Column | str) -> Column:
+    """Regex-piece count approximating a BPE tokenizer's pre-split."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_REGEX), 0))
+
+
+def lang_id(col: Column | str) -> Column:
+    """Heuristic language ID: first language whose marker-word set
+    intersects the token set; 'und' otherwise. Deterministic CASE
+    chain in LANG_MARKERS insertion order."""
+    toks = tokens_ws(col)
+    expr = F.lit("und")
+    for lang in reversed(list(LANG_MARKERS)):
+        markers = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+        expr = F.when(F.arrays_overlap(toks, markers), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring features: char/token counts, mean token
+    length, punctuation ratio, stopword ratio, alpha ratio."""
+    c = F.col(text_col)
+    toks = tokens_ws(c)
+    n_tok = token_count_ws(c)
+    stop = F.array(*[F.lit(w) for ws in LANG_MARKERS.values() for w in ws])
+    return df.select(
+        "*",
+        F.length(c).alias("q_n_chars"),
+        n_tok.alias("q_n_tokens"),
+        (F.length(F.regexp_replace(c, r"\s", "")).cast("double") / F.greatest(n_tok, F.lit(1)))
+        .alias("q_mean_token_len"),
+        (
+            F.length(F.regexp_replace(c, r"[^!-/:-@\[-`{-~]", "")).cast("double")
+            / F.greatest(F.length(c), F.lit(1))
+        ).alias("q_punct_ratio"),
+        (
+            F.size(F.filter(toks, lambda w: F.array_contains(stop, w))).cast("double")
+            / F.greatest(n_tok, F.lit(1))
+        ).alias("q_stopword_ratio"),
+        (
+            F.length(F.regexp_replace(c, r"[^A-Za-z]", "")).cast("double")
+            / F.greatest(F.length(c), F.lit(1))
+        ).alias("q_alpha_ratio"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scalar quality score in [0,1]: weighted blend of the features
+    (weights chosen like public heuristic filters: favor mid-length,
+    low punctuation, some stopwords)."""
+    f = quality_features(df, text_col)
+    length_term = F.least(F.col("q_n_tokens").cast("double") / F.lit(100.0), F.lit(1.0))
+    return f.withColumn(
+        "quality_score",
+        F.round(
+            0.4 * length_term
+            + 0.3 * (1.0 - F.least(F.col("q_punct_ratio") * 5.0, F.lit(1.0)))
+            + 0.3 * F.least(F.col("q_stopword_ratio") * 4.0, F.lit(1.0)),
+            6,
+        ),
+    )
+
+
+def hash60(col: Column, seed: str = "") -> Column:
+    """Deterministic 60-bit hash shared with the DuckDB oracles:
+    first 15 hex chars of md5 → bigint. (60 bits keeps the value
+    exactly representable in both engines' int64.)"""
+    return F.conv(F.substring(F.md5(F.concat(F.lit(seed), col)), 1, 15), 16, 10).cast("long")
+
+
+def doc_fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Position-weighted document fingerprint: sum over tokens of
+    (hash60(token) % 2^31) * (pos+1), mod 2^61 — an order-sensitive
+    content fingerprint computable without a sequential fold (so it
+    is expressible both as Spark array ops and as set-based SQL).
+    """
+    toks = tokens_ws(F.col(text_col))
+    weighted = F.transform(
+        toks, lambda w, i: (hash60(w) % F.lit(2**31)) * (i.cast("long") + 1)
+    )
+    fp = F.aggregate(weighted, F.lit(0).cast("long"), lambda acc, x: acc + x) % F.lit(2**61)
+    return df.select(id_col, fp.alias("fingerprint"))

@@ -1,1 +1,237 @@
-"""Placeholder — populated in subsequent milestones."""
+"""Deduplication queries (north star): exact, MinHash signatures,
+MinHash+LSH pairs, SimHash, n-gram Jaccard — oracle-checked.
+
+Near-dup queries run over a corpus seeded with synthetic
+near-duplicates (each doc_id < 60 gets a copy at doc_id+100000 with
+one token appended) because the random-word fixture corpus contains
+no natural near-dups — both engines build the same seeded corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_datalake_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_neardup_pairs,
+)
+from aws_datalake_spark.queries._shared import t
+from aws_datalake_spark.queries.registry import query
+
+_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+_H60 = "('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+# Seeded near-dup corpus (SQL side)
+_NEARDUP_CORPUS = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text || ' neardupmarker' AS text
+  FROM documents WHERE doc_id < 60
+"""
+
+# 3-token shingles, distinct, for a corpus CTE named c.
+# (indexed list_transform instead of a lateral range() join, which
+# DuckDB's range table function does not support)
+_SHINGLES = f"""
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id,
+           unnest(list_transform(t, (x, i) ->
+             CASE WHEN i + 2 <= len(t)
+                  THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2] END)) AS s
+    FROM (SELECT doc_id, {_TOKS} AS t FROM c))
+  WHERE s IS NOT NULL
+"""
+
+
+def _neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = (
+        d.filter(F.col("doc_id") < 60)
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" neardupmarker")).alias("text"),
+        )
+    )
+    return d.unionByName(dups)
+
+
+@query(
+    "llm_exact_dedup",
+    oracle="""
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+    FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+    GROUP BY text
+    """,
+)
+def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content, min-id representative
+    (operators/dedup.py:exact_dedup). Input is the corpus doubled so
+    every group provably collapses (n_copies = 2)."""
+    d = t(spark, sf_dir, "documents")
+    return exact_dedup(d.unionByName(d))
+
+
+@query(
+    "llm_minhash_signature",
+    oracle=f"""
+    WITH c AS (SELECT doc_id, text FROM documents),
+    sh AS ({_SHINGLES})
+    SELECT doc_id,
+           MIN({_H60.format(expr="'0|' || s")}) AS sig_0,
+           MIN({_H60.format(expr="'1|' || s")}) AS sig_1,
+           MIN({_H60.format(expr="'2|' || s")}) AS sig_2,
+           MIN({_H60.format(expr="'3|' || s")}) AS sig_3
+    FROM sh GROUP BY doc_id
+    """,
+)
+def llm_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (4 hashes shown; operator supports any k)
+    over distinct word-trigram shingles — md5-derived 60-bit hashes
+    shared bit-for-bit with the oracle."""
+    d = t(spark, sf_dir, "documents")
+    return minhash_signature(d, num_hashes=4)
+
+
+_LSH_ORACLE = f"""
+WITH c AS ({_NEARDUP_CORPUS}),
+sh AS ({_SHINGLES}),
+sig AS (
+  SELECT doc_id,
+         MIN({_H60.format(expr="'0|' || s")}) AS sig_0,
+         MIN({_H60.format(expr="'1|' || s")}) AS sig_1,
+         MIN({_H60.format(expr="'2|' || s")}) AS sig_2,
+         MIN({_H60.format(expr="'3|' || s")}) AS sig_3,
+         MIN({_H60.format(expr="'4|' || s")}) AS sig_4,
+         MIN({_H60.format(expr="'5|' || s")}) AS sig_5,
+         MIN({_H60.format(expr="'6|' || s")}) AS sig_6,
+         MIN({_H60.format(expr="'7|' || s")}) AS sig_7
+  FROM sh GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, 0 AS band_id,
+         md5(sig_0::VARCHAR || '|' || sig_1::VARCHAR) AS bh FROM sig
+  UNION ALL
+  SELECT doc_id, 1, md5(sig_2::VARCHAR || '|' || sig_3::VARCHAR) FROM sig
+  UNION ALL
+  SELECT doc_id, 2, md5(sig_4::VARCHAR || '|' || sig_5::VARCHAR) FROM sig
+  UNION ALL
+  SELECT doc_id, 3, md5(sig_6::VARCHAR || '|' || sig_7::VARCHAR) FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+com AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+  JOIN cand ON cand.id_a = x.doc_id AND cand.id_b = y.doc_id
+  GROUP BY x.doc_id, y.doc_id)
+SELECT com.id_a, com.id_b,
+       ROUND(CAST(n_common AS DOUBLE)
+             / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 6) AS jaccard
+FROM com
+JOIN sizes sa ON sa.doc_id = com.id_a
+JOIN sizes sb ON sb.doc_id = com.id_b
+WHERE CAST(n_common AS DOUBLE)
+      / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
+"""
+
+
+@query("llm_minhash_lsh_pairs", oracle=_LSH_ORACLE)
+def llm_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup detection end-to-end: signature → band →
+    bucket join → candidate pairs → exact-Jaccard verification
+    (operators/dedup.py:minhash_lsh_pairs). The oracle replicates
+    the banding exactly, so even LSH's misses must match."""
+    corpus = _neardup_corpus(spark, sf_dir)
+    return minhash_lsh_pairs(corpus, num_hashes=8, bands=4, jaccard_threshold=0.5)
+
+
+@query(
+    "llm_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH c AS ({_NEARDUP_CORPUS}),
+    sh AS ({_SHINGLES}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    com AS (
+      SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS n_common
+      FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+      GROUP BY x.doc_id, y.doc_id)
+    SELECT id_a, id_b,
+           ROUND(CAST(n_common AS DOUBLE)
+                 / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 6) AS jaccard
+    FROM com JOIN sizes sa ON sa.doc_id = id_a
+             JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_common AS DOUBLE)
+          / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.2
+    """,
+)
+def llm_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs via the inverted shingle
+    index (no LSH approximation) — the ground truth the LSH variant
+    is measured against (operators/dedup.py:ngram_jaccard_pairs)."""
+    corpus = _neardup_corpus(spark, sf_dir)
+    return ngram_jaccard_pairs(corpus, threshold=0.2)
+
+
+_SIMHASH_SQL = f"""
+  SELECT doc_id, SUM(bit_val) AS simhash FROM (
+    SELECT doc_id, bit,
+           CASE WHEN SUM(contrib) > 0
+                THEN (1::BIGINT << bit) ELSE 0::BIGINT END AS bit_val
+    FROM (
+      SELECT tc.doc_id, gs.bit,
+             CASE WHEN ((('0x' || substr(md5(tc.w), 1, 15))::BIGINT >> gs.bit) & 1) = 1
+                  THEN tc.cnt ELSE -tc.cnt END AS contrib
+      FROM (SELECT doc_id, w, COUNT(*) AS cnt FROM
+              (SELECT doc_id, unnest({_TOKS}) AS w FROM c)
+            GROUP BY doc_id, w) tc,
+           (SELECT unnest(range(0, 32)) AS bit) gs)
+    GROUP BY doc_id, bit)
+  GROUP BY doc_id
+"""
+
+
+@query(
+    "llm_simhash",
+    oracle=f"""
+    WITH c AS (SELECT doc_id, text FROM documents)
+    {_SIMHASH_SQL}
+    """,
+)
+def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-weighted 32-bit SimHash per document
+    (operators/dedup.py:simhash)."""
+    return simhash(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "llm_simhash_neardup",
+    oracle=f"""
+    WITH c AS ({_NEARDUP_CORPUS}),
+    sh AS ({_SIMHASH_SQL}),
+    sliced AS (
+      SELECT doc_id, simhash, sl AS slice_id,
+             (simhash >> (sl * 8)) & 255 AS slice_val
+      FROM sh, (SELECT unnest(range(0, 4)) AS sl)),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS sh_a, b.simhash AS sh_b
+      FROM sliced a JOIN sliced b
+        ON a.slice_id = b.slice_id AND a.slice_val = b.slice_val
+       AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+    FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 3
+    """,
+)
+def llm_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 8-bit slice banding for candidates,
+    popcount-of-XOR verification ≤ 3 bits
+    (operators/dedup.py:simhash_neardup_pairs)."""
+    corpus = _neardup_corpus(spark, sf_dir)
+    out = simhash_neardup_pairs(corpus, bits=32, max_hamming=3)
+    return out.select("id_a", "id_b", F.col("hamming").cast("int"))

@@ -1,1 +1,159 @@
-"""Placeholder — populated in subsequent milestones."""
+"""Similarity-search + multimodal queries (north star).
+
+Embedding math is done in DOUBLE on both engines (the fixture stores
+float32; widening is exact) with an identical left-to-right fold, so
+cosine values hash-match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_datalake_spark.operators.multimodal import (
+    extract_features,
+    frame_sample,
+    make_media_table,
+)
+from aws_datalake_spark.operators.similarity import (
+    ann_lsh_topk,
+    cosine_neardup_pairs,
+    cosine_topk,
+)
+from aws_datalake_spark.queries._shared import t
+from aws_datalake_spark.queries.registry import query
+
+# Ordered (left-to-right) dot product in DuckDB: element products via
+# an indexed lambda, then list_reduce's sequential fold — the same
+# op order as Spark's F.aggregate, so doubles match exactly.
+_DOT = "list_reduce(list_transform({a}, (x, i) -> x * ({b})[i]), (p, q) -> p + q)"
+
+
+def _cos(a: str, b: str) -> str:
+    return (
+        f"({_DOT.format(a=a, b=b)}) / "
+        f"(sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)}))"
+    )
+
+
+def _emb_double(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+
+
+@query(
+    "llm_cosine_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_cos('q.v', 'c.v')} AS cos
+      FROM e q JOIN e c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 10),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank,
+             ROUND(cos, 6) AS cosine
+      FROM scored)
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 for 10 query vectors against
+    the whole corpus (operators/similarity.py:cosine_topk) — the
+    recall baseline for the ANN variant."""
+    e = _emb_double(spark, sf_dir)
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk(e, queries, k=5, query_id_col="query_id")
+    return out.select("query_id", "neighbor_id", F.col("rank").cast("int"), "cosine")
+
+
+@query(
+    "llm_embedding_neardup",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000, label, embedding::DOUBLE[] FROM embeddings
+      WHERE vec_id < 40)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({_cos('a.v', 'b.v')}, 6) AS cosine
+    FROM base a JOIN base b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND({_cos('a.v', 'b.v')}, 6) >= 0.95
+    """,
+)
+def llm_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, label-bucketed (the scale
+    path restricts the self-join to buckets). Corpus seeded with
+    exact copies at vec_id+100000 so the threshold provably fires
+    (random fixture vectors top out near cosine 0.48)."""
+    e = _emb_double(spark, sf_dir)
+    seeded = e.unionByName(
+        e.filter(F.col("vec_id") < 40).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "label", "embedding"
+        )
+    )
+    return cosine_neardup_pairs(seeded, threshold=0.95, bucket_col=F.col("label"))
+
+
+@query("llm_ann_lsh_topk")
+def llm_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via deterministic random-hyperplane LSH
+    bucketing (operators/similarity.py:ann_lsh_topk). Rows-only for
+    the driver (sign-of-dot depends on FP fold order, which plain
+    SQL SUM can't pin down); tests/test_llm_ops.py asserts recall
+    against llm_cosine_topk instead."""
+    e = _emb_double(spark, sf_dir)
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann_lsh_topk(e, queries, dim=64, k=5, num_planes=6)
+
+
+@query(
+    "llm_multimodal_features",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+           CAST(strlen(text) AS BIGINT) AS byte_len,
+           CAST(16 + (strlen(text) % 1024) AS INT) AS width,
+           CAST(16 + ((strlen(text) * 7) % 768) AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           CAST(1 + (strlen(text) % 30) AS INT) AS n_frames,
+           ('0x' || substr(md5(text), 1, 14))::BIGINT AS checksum60
+    FROM documents
+    """,
+)
+def llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode plumbing: documents → opaque payloads →
+    Arrow-batched mapInPandas feature extraction (decode itself is a
+    deterministic stub; operators/multimodal.py). The oracle
+    recomputes the stub's arithmetic from the source text."""
+    media = make_media_table(t(spark, sf_dir, "documents"))
+    return extract_features(media)
+
+
+@query(
+    "llm_frame_sample",
+    oracle="""
+    SELECT doc_id AS asset_id, CAST(unnest(range(0, 1 + (strlen(text) % 30), 10)) AS INT) AS frame_idx
+    FROM documents WHERE doc_id % 3 = 2
+    """,
+)
+def llm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling shape: every-10th frame index per video asset
+    (operators/multimodal.py:frame_sample)."""
+    media = make_media_table(t(spark, sf_dir, "documents"))
+    return frame_sample(media, every_n=10).select(
+        "asset_id", F.col("frame_idx").cast("int")
+    )

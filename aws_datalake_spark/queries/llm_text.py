@@ -1,1 +1,141 @@
-"""Placeholder — populated in subsequent milestones."""
+"""Text-analysis queries (north star): token counting, language ID,
+quality scoring, fingerprinting — each oracle-checked against the
+same deterministic formulas in DuckDB SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_datalake_spark.operators.text import (
+    BPE_ISH_REGEX,
+    LANG_MARKERS,
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    token_count_bpe_ish,
+    token_count_ws,
+)
+from aws_datalake_spark.queries._shared import t
+from aws_datalake_spark.queries.registry import query
+
+_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+
+
+@query(
+    "llm_token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_TOKS}) AS INT) AS n_ws,
+           CAST(len(regexp_extract_all(text,
+                '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_bpe
+    FROM documents
+    """,
+)
+def llm_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish-regex token counting; pure JVM regex —
+    the canonical 'how many tokens is this corpus' scan."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count_ws("text").cast("int").alias("n_ws"),
+        token_count_bpe_ish("text").cast("int").alias("n_bpe"),
+    )
+
+
+def _lang_case_sql() -> str:
+    branches = []
+    for lang, words in LANG_MARKERS.items():
+        arr = ", ".join(f"'{w}'" for w in words)
+        branches.append(f"WHEN list_has_any({_TOKS}, [{arr}]) THEN '{lang}'")
+    return "CASE " + " ".join(branches) + " ELSE 'und' END"
+
+
+@query(
+    "llm_lang_id",
+    oracle=f"""
+    SELECT predicted_lang, COUNT(*) AS n FROM (
+      SELECT {_lang_case_sql()} AS predicted_lang FROM documents)
+    GROUP BY predicted_lang
+    """,
+)
+def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID (heuristic n-gram stand-in; a model-
+    backed ID would ride the multimodal mapInPandas path)."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(lang_id("text").alias("predicted_lang"))
+        .groupBy("predicted_lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+_STOPWORDS_SQL = ", ".join(
+    f"'{w}'" for ws in LANG_MARKERS.values() for w in ws
+)
+
+
+@query(
+    "llm_quality_scores",
+    oracle=f"""
+    SELECT doc_id, q_n_tokens, quality_score FROM (
+      SELECT doc_id,
+             CAST(len({_TOKS}) AS INT) AS q_n_tokens,
+             ROUND(
+               0.4 * LEAST(CAST(len({_TOKS}) AS DOUBLE) / 100.0, 1.0)
+             + 0.3 * (1.0 - LEAST(
+                 (CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE)
+                  / GREATEST(length(text), 1)) * 5.0, 1.0))
+             + 0.3 * LEAST(
+                 (CAST(len(list_filter({_TOKS},
+                      w -> list_contains([{_STOPWORDS_SQL}], w))) AS DOUBLE)
+                  / GREATEST(len({_TOKS}), 1)) * 4.0, 1.0),
+             6) AS quality_score
+      FROM documents)
+    """,
+)
+def llm_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score: length + punctuation + stopword
+    blend (public filter style), rounded for cross-engine hashing."""
+    d = quality_score(t(spark, sf_dir, "documents"))
+    return d.select("doc_id", F.col("q_n_tokens").cast("int"), "quality_score")
+
+
+@query(
+    "llm_fingerprint",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS w,
+             CAST(generate_subscripts({_TOKS}, 1) AS BIGINT) AS pos
+      FROM documents)
+    SELECT doc_id,
+           SUM((('0x' || substr(md5(w), 1, 15))::BIGINT % 2147483648) * pos)
+             % 2305843009213693952 AS fingerprint
+    FROM toks GROUP BY doc_id
+    """,
+)
+def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-weighted rolling-style content fingerprint
+    (operators/text.py:doc_fingerprint)."""
+    return doc_fingerprint(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "llm_corpus_stats",
+    oracle="""
+    SELECT lang, source, COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+    FROM documents GROUP BY ROLLUP (lang, source)
+    """,
+)
+def llm_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rollup by (lang, source) — the reporting query a data
+    curator runs before/after filtering."""
+    d = t(spark, sf_dir, "documents")
+    return d.rollup("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+    )

@@ -1,1 +1,677 @@
-"""Placeholder — populated in subsequent milestones."""
+"""Reference-operator parity queries (SURVEY.md §2) over the lake
+tables, each with a DuckDB oracle twin.
+
+Inputs are deterministic derivations of the test-lake tables (the
+lake has no GAM-shaped raw files), so every operator's semantics —
+rule projection, flatten, explode-drops-empty, SCD2 close-out incl.
+the column-wise-IN quirk, cumulative→delta state, DQ counts, crypto
+round-trip — is checked end-to-end against plain SQL.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_datalake_spark.functions.crypto import generate_key, make_crypto_udfs, sha224_hash
+from aws_datalake_spark.functions.datetime_parts import decompose_ts, recompose_ts
+from aws_datalake_spark.operators.dq import Expectation, evaluate
+from aws_datalake_spark.operators.drift import reconcile_schema
+from aws_datalake_spark.operators.nested import (
+    explode_child,
+    first_element,
+    flatten_rows,
+    flatten_struct,
+)
+from aws_datalake_spark.operators.rules import Rule, compile_rules
+from aws_datalake_spark.operators.scalar import (
+    add_audit_ts,
+    add_generic_padding,
+    floats_to_int,
+    mask_columns,
+    project_final,
+    replace_null_sentinel,
+)
+from aws_datalake_spark.operators.scd2 import scd2_merge
+from aws_datalake_spark.operators.state_delta import (
+    compute_deltas,
+    deltas_over_history,
+    upsert_state,
+)
+from aws_datalake_spark.queries._shared import t
+from aws_datalake_spark.queries.registry import query
+from aws_datalake_spark.sources.readers import read_pipe_staging
+from aws_datalake_spark.sources.writers import write_pipe_csv
+
+
+# --- P1/P2 rule-driven projection --------------------------------------------
+
+@query(
+    "ref_rules_projection",
+    oracle="""
+    SELECT event_id AS evt_id, event_type AS etype,
+           CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INT) AS prop_k
+    FROM events
+    """,
+)
+def ref_rules_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 plain rename + P2 JSON-column nested extraction
+    (transformation.py:259-283) compiled to one select."""
+    ev = t(spark, sf_dir, "events")
+    rules = [
+        Rule(old="event_id", final="evt_id"),
+        Rule(old="props.k", final="prop_k", kind="json", json_schema="k int"),
+    ]
+    ev2 = compile_rules(ev, rules + [Rule(old="event_type", final="etype")])
+    return ev2.select("evt_id", "etype", "prop_k")
+
+
+@query(
+    "ref_rules_nested_missing",
+    oracle="""
+    SELECT user_id, event_type AS etype, CAST(NULL AS INT) AS absent
+    FROM events
+    """,
+)
+def ref_rules_nested_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2's missing-field branch: a nested rule over a path absent
+    from the schema materializes NULL (transformation.py:275-280)."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.struct("event_type", "value").alias("info")
+    )
+    rules = [
+        Rule(old="user_id", final="user_id"),
+        Rule(old="info.event_type", final="etype", kind="nested"),
+        Rule(old="info.no_such_field", final="absent", kind="nested"),
+    ]
+    return compile_rules(ev, rules).withColumn("absent", F.col("absent").cast("int"))
+
+
+# --- E2 flatten ---------------------------------------------------------------
+
+@query(
+    "ref_flatten_struct",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(YEAR(o_orderdate) AS INT) AS odate_date_year,
+           CAST(MONTH(o_orderdate) AS INT) AS odate_date_month,
+           CAST(DAY(o_orderdate) AS INT) AS odate_date_day,
+           o_orderstatus AS meta_status, o_orderpriority AS meta_priority
+    FROM orders
+    """,
+)
+def ref_flatten_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 — recursive struct flatten with underscore-joined names
+    (cleansing.py:32-33), on a GAM-decomposed-datetime-shaped nest
+    (loading.py:65-71)."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.struct(
+            F.struct(
+                F.year("o_orderdate").alias("year"),
+                F.month("o_orderdate").alias("month"),
+                F.dayofmonth("o_orderdate").alias("day"),
+            ).alias("date")
+        ).alias("odate"),
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+        ).alias("meta"),
+    )
+    flat = flatten_struct(o)
+    return flat.select(
+        "o_orderkey",
+        F.col("odate_date_year"),
+        F.col("odate_date_month"),
+        F.col("odate_date_day"),
+        "meta_status",
+        "meta_priority",
+    )
+
+
+@query(
+    "ref_flatten_rows",
+    oracle="""
+    SELECT doc_id,
+           CAST(generate_subscripts(l, 1) - 1 AS INT) AS words_pos,
+           unnest(l) AS words
+    FROM (SELECT doc_id, string_split(text, ' ') AS l
+          FROM documents WHERE doc_id < 50)
+    """,
+)
+def ref_flatten_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 arrays→rows with position index (flatten_json list parity,
+    normalized to rows — see operators/nested.py docstring)."""
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", F.split("text", " ").alias("words"))
+    )
+    return flatten_rows(d)
+
+
+# --- E1/E4 explode child tables ----------------------------------------------
+
+@query(
+    "ref_explode_drops_empty",
+    oracle="""
+    SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                      w -> LENGTH(w) > 8)) AS word
+    FROM documents
+    """,
+)
+def ref_explode_drops_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 — extend_columns_in_rows drops parents with empty arrays
+    (transformation.py:45-56); plain explode matches exactly."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda w: F.length(w) > 8).alias("arr"),
+    )
+    return explode_child(d, "arr", ["doc_id"]).withColumnRenamed("elem", "word")
+
+
+@query(
+    "ref_explode_child_fields",
+    oracle="""
+    SELECT doc_id, lang,
+           unnest(string_split(text, ' ')) AS word,
+           'targetted' AS targetting_type
+    FROM documents WHERE doc_id < 30
+    """,
+)
+def ref_explode_child_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 — array-of-struct → child table with per-element field
+    extraction + literal column (transformation.py:321-370)."""
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 30)
+        .select(
+            "doc_id",
+            "lang",
+            F.transform(
+                F.split("text", " "), lambda w: F.struct(w.alias("w"), F.length(w).alias("n"))
+            ).alias("elems"),
+        )
+    )
+    child = explode_child(
+        d, "elems", ["doc_id", "lang"], element_fields={"w": "word", "missing": "gone"}
+    )
+    return child.select(
+        "doc_id", "lang", "word", F.lit("targetted").alias("targetting_type")
+    )
+
+
+@query(
+    "ref_first_element",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(string_split(o_orderpriority, '-')[1] AS INT) AS prio_rank
+    FROM orders
+    """,
+)
+def ref_first_element(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P16 — types[0] first-element (transformation.py:392-393)."""
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        first_element(F.split("o_orderpriority", "-")).cast("int").alias("prio_rank"),
+    )
+
+
+# --- scalar hygiene -----------------------------------------------------------
+
+@query(
+    "ref_null_sentinel",
+    oracle="""
+    SELECT NULLIF(c_mktsegment, 'BUILDING') AS segment, COUNT(*) AS n
+    FROM customer GROUP BY 1
+    """,
+)
+def ref_null_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 — sentinel→NULL (ingestion.py:83), sentinel parameterized."""
+    c = replace_null_sentinel(
+        t(spark, sf_dir, "customer"), sentinel="BUILDING", cols=["c_mktsegment"]
+    )
+    return (
+        c.select(F.col("c_mktsegment").alias("segment"))
+        .groupBy("segment")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "ref_floats_to_int",
+    oracle="""
+    SELECT l_returnflag,
+           SUM(CAST(TRUNC(l_quantity) AS BIGINT)) AS sum_qty,
+           SUM(CAST(TRUNC(l_extendedprice) AS BIGINT)) AS sum_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def ref_floats_to_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10 — float→int coercion of every float column
+    (ingestion.py:38-43). Spark's long cast truncates; oracle TRUNCs
+    explicitly because DuckDB's cast rounds."""
+    l = floats_to_int(
+        t(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity", "l_extendedprice")
+    )
+    return l.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.sum("l_extendedprice").alias("sum_price"),
+    )
+
+
+@query(
+    "ref_padding_audit_ts",
+    oracle="""
+    SELECT r_regionkey, r_name,
+           CAST(NULL AS VARCHAR) AS generic1, CAST(NULL AS VARCHAR) AS generic2,
+           CAST(NULL AS VARCHAR) AS generic3, CAST(NULL AS VARCHAR) AS generic4,
+           CAST(NULL AS VARCHAR) AS generic5,
+           TIMESTAMP '2024-01-15 00:00:01' AS insrt_ts
+    FROM region
+    """,
+)
+def ref_padding_audit_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12 generic padding + P13 historical audit ts (date + 1s,
+    ingestion.py:24-36)."""
+    r = add_generic_padding(t(spark, sf_dir, "region"), n=5)
+    return add_audit_ts(r, historical_date="2024-01-15 00:00:00")
+
+
+@query(
+    "ref_mask_and_project",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment, CAST(NULL AS VARCHAR) AS c_phone
+    FROM customer
+    """,
+)
+def ref_mask_and_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P17 masking drop (partitioning.py:62-69) + P6 final-list
+    projection with NULL-fill (transformation.py:395)."""
+    c = mask_columns(t(spark, sf_dir, "customer"), ["c_acctbal", "not_a_column"])
+    return project_final(c, ["c_custkey", "c_name", "c_mktsegment", "c_phone"])
+
+
+@query(
+    "ref_schema_reconcile",
+    oracle="""
+    SELECT n_nationkey AS nationkey, n_name AS name,
+           CAST(NULL AS VARCHAR) AS comment_col, n_regionkey AS regionkey
+    FROM nation
+    """,
+)
+def ref_schema_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P15 — drift reconciliation (ingestion.py:84-123): messy
+    incoming names normalized, expected-but-missing column NULL-
+    filled, newly-seen column appended after the config order."""
+    n = t(spark, sf_dir, "nation").toDF("Nation.NationKey", "Nation.Name", "Region Key")
+    res = reconcile_schema(n, ["nationkey", "name", "comment_col"])
+    assert res.added_to_config == ["region_key"]
+    assert res.filled_null == ["comment_col"]
+    return res.df.withColumnRenamed("region_key", "regionkey")
+
+
+# --- decomposed datetime ------------------------------------------------------
+
+@query(
+    "ref_decompose_datetime",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(DAY(o_orderdate) AS INT) AS o_orderdate_date_day,
+           CAST(MONTH(o_orderdate) AS INT) AS o_orderdate_date_month,
+           CAST(YEAR(o_orderdate) AS INT) AS o_orderdate_date_year,
+           CAST(HOUR(o_orderdate) AS INT) AS o_orderdate_hour,
+           CAST(MINUTE(o_orderdate) AS INT) AS o_orderdate_minute,
+           CAST(SECOND(o_orderdate) AS INT) AS o_orderdate_second,
+           'UTC' AS o_orderdate_timezoneid
+    FROM orders
+    """,
+)
+def ref_decompose_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/§1.2 — GAM 7-column decomposed datetime (loading.py:65-71)."""
+    o = decompose_ts(t(spark, sf_dir, "orders"), "o_orderdate")
+    return o.select("o_orderkey", *[c for c in o.columns if c.startswith("o_orderdate_")])
+
+
+@query(
+    "ref_recompose_datetime",
+    oracle="SELECT o_orderkey, o_orderdate AS rebuilt FROM orders",
+)
+def ref_recompose_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """make_timestamp reconstruction round-trip (SURVEY §1.2)."""
+    o = decompose_ts(t(spark, sf_dir, "orders"), "o_orderdate")
+    return o.select("o_orderkey", recompose_ts("o_orderdate").alias("rebuilt"))
+
+
+# --- SCD2 merge ---------------------------------------------------------------
+
+_SCD2_ORACLE = """
+WITH target AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus,
+         CASE WHEN o_orderkey % 5 = 0 THEN 'N' ELSE 'Y' END AS actv_flg,
+         CASE WHEN o_orderkey % 5 = 0 THEN TIMESTAMP '2020-01-01 00:00:00' END AS record_to
+  FROM orders WHERE o_orderkey % 2 = 0),
+staging AS (
+  SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey % 3 = 0)
+SELECT o_orderkey, o_totalprice, o_orderstatus,
+       CASE WHEN actv_flg = 'Y'
+             AND o_orderkey IN (SELECT o_orderkey FROM staging)
+            THEN 'N' ELSE actv_flg END AS actv_flg,
+       CASE WHEN actv_flg = 'Y'
+             AND o_orderkey IN (SELECT o_orderkey FROM staging)
+            THEN TIMESTAMP '2024-06-01 00:00:00' ELSE record_to END AS record_to
+FROM target
+UNION ALL
+SELECT o_orderkey, o_totalprice, o_orderstatus, 'Y', NULL FROM staging
+"""
+
+
+@query("ref_scd2_merge", oracle=_SCD2_ORACLE)
+def ref_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 — SCD2 close-out + unconditional re-insert
+    (loading.py:25-133): staged keys close active target rows; every
+    staging row lands as a new 'Y' version; already-inactive rows
+    keep their original record_to."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice", "o_orderstatus")
+    target = (
+        o.filter(F.col("o_orderkey") % 2 == 0)
+        .withColumn(
+            "actv_flg", F.when(F.col("o_orderkey") % 5 == 0, "N").otherwise("Y")
+        )
+        .withColumn(
+            "record_to",
+            F.when(
+                F.col("o_orderkey") % 5 == 0, F.lit("2020-01-01 00:00:00")
+            ).cast("timestamp"),
+        )
+    )
+    staging = o.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    return scd2_merge(
+        target,
+        staging,
+        keys=["o_orderkey"],
+        close_ts=F.lit("2024-06-01 00:00:00").cast("timestamp"),
+    )
+
+
+_SCD2_CW_ORACLE = """
+WITH target AS (
+  SELECT l_orderkey, l_partkey, l_suppkey, l_quantity, 'Y' AS actv_flg,
+         CAST(NULL AS TIMESTAMP) AS record_to
+  FROM lineitem WHERE l_orderkey % 7 = 0),
+staging AS (
+  SELECT l_orderkey, l_partkey, l_suppkey, l_quantity
+  FROM lineitem WHERE l_orderkey % 11 = 0)
+SELECT l_orderkey, l_partkey, l_suppkey, l_quantity,
+       CASE WHEN l_partkey IN (SELECT l_partkey FROM staging)
+             AND l_suppkey IN (SELECT l_suppkey FROM staging)
+            THEN 'N' ELSE 'Y' END AS actv_flg,
+       CASE WHEN l_partkey IN (SELECT l_partkey FROM staging)
+             AND l_suppkey IN (SELECT l_suppkey FROM staging)
+            THEN TIMESTAMP '2024-06-01 00:00:00' END AS record_to
+FROM target
+UNION ALL
+SELECT l_orderkey, l_partkey, l_suppkey, l_quantity, 'Y', NULL FROM staging
+"""
+
+
+@query("ref_scd2_columnwise_in", oracle=_SCD2_CW_ORACLE)
+def ref_scd2_columnwise_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 — the composite-key COLUMN-WISE IN quirk
+    (loading.py:934-938): close when creative_id matches ANY staged
+    creative AND line_item_id matches ANY staged line item — not the
+    pair. Reproduced here on (l_partkey, l_suppkey)."""
+    l = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    target = (
+        l.filter(F.col("l_orderkey") % 7 == 0)
+        .withColumn("actv_flg", F.lit("Y"))
+        .withColumn("record_to", F.lit(None).cast("timestamp"))
+    )
+    staging = l.filter(F.col("l_orderkey") % 11 == 0)
+    return scd2_merge(
+        target,
+        staging,
+        keys=["l_partkey", "l_suppkey"],
+        close_ts=F.lit("2024-06-01 00:00:00").cast("timestamp"),
+        columnwise_keys=True,
+    )
+
+
+# --- cumulative→delta state ---------------------------------------------------
+
+_STATE_DELTA_ORACLE = """
+WITH state AS (
+  SELECT o_custkey, COUNT(*) AS n_orders_value,
+         SUM(CAST(TRUNC(o_totalprice) AS BIGINT)) AS spend_value
+  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY o_custkey),
+snapshot AS (
+  SELECT o_custkey, COUNT(*) AS n_orders,
+         SUM(CAST(TRUNC(o_totalprice) AS BIGINT)) AS spend
+  FROM orders GROUP BY o_custkey)
+SELECT s.o_custkey,
+       s.n_orders - COALESCE(st.n_orders_value, 0) AS n_orders,
+       s.spend - COALESCE(st.spend_value, 0) AS spend
+FROM snapshot s LEFT JOIN state st ON s.o_custkey = st.o_custkey
+"""
+
+
+@query("ref_state_delta", oracle=_STATE_DELTA_ORACLE)
+def ref_state_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/J1 — delta = current cumulative − stored cumulative with
+    0 defaults (transformation.py:87-98), set-based instead of the
+    reference's per-row DynamoDB RPC (transformation.py:407)."""
+    o = t(spark, sf_dir, "orders")
+    spend = F.sum(F.floor("o_totalprice").cast("long")).alias("spend")
+    state = (
+        o.filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders_value"),
+            spend.alias("spend_value"),
+        )
+    )
+    snapshot = o.groupBy("o_custkey").agg(F.count("*").alias("n_orders"), spend)
+    return compute_deltas(snapshot, state, keys=["o_custkey"], metrics=["n_orders", "spend"])
+
+
+_STATE_UPSERT_ORACLE = """
+WITH state AS (
+  SELECT o_custkey, COUNT(*) AS n_orders_value
+  FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey),
+snapshot AS (
+  SELECT o_custkey, COUNT(*) AS n_orders
+  FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey)
+SELECT o_custkey, n_orders_value FROM state
+WHERE o_custkey NOT IN (SELECT o_custkey FROM snapshot)
+UNION ALL
+SELECT o_custkey, n_orders AS n_orders_value FROM snapshot
+"""
+
+
+@query("ref_state_upsert", oracle=_STATE_UPSERT_ORACLE)
+def ref_state_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S21 — state upsert: snapshot keys overwrite, unseen state keys
+    survive (transformation.py:100-118)."""
+    o = t(spark, sf_dir, "orders")
+    state = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders_value"))
+        .withColumn("time_stamp", F.lit("2024-01-01 00:00:00"))
+    )
+    snapshot = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    new_state = upsert_state(snapshot, state, keys=["o_custkey"], metrics=["n_orders"])
+    return new_state.select("o_custkey", "n_orders_value")
+
+
+_DELTA_HISTORY_ORACLE = """
+SELECT o_custkey, yr,
+       cum - COALESCE(LAG(cum) OVER (PARTITION BY o_custkey ORDER BY yr), 0) AS n_orders
+FROM (
+  SELECT o_custkey, CAST(YEAR(o_orderdate) AS INT) AS yr,
+         CAST(SUM(COUNT(*)) OVER (PARTITION BY o_custkey
+                                  ORDER BY CAST(YEAR(o_orderdate) AS INT)) AS BIGINT) AS cum
+  FROM orders GROUP BY o_custkey, YEAR(o_orderdate))
+"""
+
+
+@query("ref_state_delta_history", oracle=_DELTA_HISTORY_ORACLE)
+def ref_state_delta_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 temporal form — lag-window deltas over an in-lake snapshot
+    history recover the per-period values (SURVEY §2.5 A3)."""
+    o = t(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    yearly = o.groupBy(
+        "o_custkey", F.year("o_orderdate").alias("yr")
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("o_custkey").orderBy("yr")
+    history = yearly.select(
+        "o_custkey", "yr", F.sum("n").over(w).cast("long").alias("cum")
+    )
+    out = deltas_over_history(history, keys=["o_custkey"], order_col="yr", metrics=["cum"])
+    return out.withColumnRenamed("cum", "n_orders")
+
+
+# --- DQ expectations ----------------------------------------------------------
+
+_DQ_ORACLE = """
+SELECT 'orders' AS file_identifier, CAST(7 AS BIGINT) AS batchID,
+       'o_custkey' AS column_name,
+       'expect_column_values_to_not_be_null' AS expectation_type,
+       COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) = 0 AS success,
+       COUNT(*) AS element_count,
+       COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS unexpected_count
+FROM orders
+UNION ALL
+SELECT 'orders', 7, 'o_orderstatus', 'expect_column_values_to_be_in_set',
+       COUNT(CASE WHEN o_orderstatus NOT IN ('F','O') OR o_orderstatus IS NULL THEN 1 END) = 0,
+       COUNT(*),
+       COUNT(CASE WHEN o_orderstatus NOT IN ('F','O') OR o_orderstatus IS NULL THEN 1 END)
+FROM orders
+UNION ALL
+SELECT 'orders', 7, 'o_orderpriority', 'expect_column_values_to_match_regex',
+       COUNT(CASE WHEN NOT regexp_matches(o_orderpriority, '^[0-9]-') THEN 1 END) = 0,
+       COUNT(*),
+       COUNT(CASE WHEN NOT regexp_matches(o_orderpriority, '^[0-9]-') THEN 1 END)
+FROM orders
+UNION ALL
+SELECT 'orders', 7, 'o_totalprice', 'expect_column_values_to_be_between',
+       COUNT(CASE WHEN o_totalprice < 0 OR o_totalprice > 100000 THEN 1 END) = 0,
+       COUNT(*),
+       COUNT(CASE WHEN o_totalprice < 0 OR o_totalprice > 100000 THEN 1 END)
+FROM orders
+UNION ALL
+SELECT 'orders', 7, 'o_custkey', 'expect_column_values_to_be_unique',
+       (SELECT COALESCE(SUM(n), 0) FROM (
+          SELECT COUNT(*) n FROM orders GROUP BY o_custkey HAVING COUNT(*) > 1)) = 0,
+       COUNT(*),
+       (SELECT COALESCE(SUM(n), 0) FROM (
+          SELECT COUNT(*) n FROM orders GROUP BY o_custkey HAVING COUNT(*) > 1))
+FROM orders
+"""
+
+
+@query("ref_dq_expectations", oracle=_DQ_ORACLE)
+def ref_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A4/A5/ST2-ST3 — config-compiled expectation suite in one
+    aggregation pass; audit schema per great_expectations.py:318-338."""
+    o = t(spark, sf_dir, "orders")
+    exps = [
+        Expectation("o_custkey", "not_null"),
+        Expectation("o_orderstatus", "in_set", {"values": ["F", "O"]}),
+        Expectation("o_orderpriority", "matches_regex", {"regex": "^[0-9]-"}),
+        Expectation("o_totalprice", "between", {"min": 0, "max": 100000}),
+        Expectation("o_custkey", "unique"),
+    ]
+    return evaluate(o, exps, file_identifier="orders", batch_id=7)
+
+
+# --- crypto -------------------------------------------------------------------
+
+@query(
+    "ref_crypto_roundtrip",
+    oracle="""
+    SELECT COUNT(*) AS n, COUNT(*) AS n_roundtrip_ok, COUNT(*) AS n_distinct_tokens
+    FROM customer WHERE c_custkey <= 200
+    """,
+)
+def ref_crypto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1/U2/U4/U6 — Fernet encrypt→decrypt round-trip with a
+    broadcast key via Arrow-batched pandas_udfs (createKey.py:107-140,
+    ccrypto.py:15-46). The oracle asserts every row round-trips and
+    every token is unique (Fernet IVs are random per value)."""
+    encrypt_col, decrypt_col = make_crypto_udfs(spark, generate_key())
+    c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    enc = c.select(
+        "c_name", encrypt_col(F.col("c_name")).alias("token")
+    ).select("c_name", "token", decrypt_col(F.col("token")).alias("back"))
+    return enc.agg(
+        F.count("*").alias("n"),
+        F.count(F.when(F.col("back") == F.col("c_name"), 1)).alias("n_roundtrip_ok"),
+        F.countDistinct("token").alias("n_distinct_tokens"),
+    )
+
+
+@query(
+    "ref_sha224_pseudonymize",
+    oracle="""
+    SELECT COUNT(*) AS n, COUNT(DISTINCT c_custkey) AS n_distinct_hash,
+           CAST(56 AS INT) AS len_min, CAST(56 AS INT) AS len_max
+    FROM customer
+    """,
+)
+def ref_sha224_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3 — sha2(col, 224) JVM-side pseudonymization (ccrypto.py:48-52).
+    DuckDB lacks SHA-224, so the oracle checks distinctness + digest
+    length; the fixed golden digests live in tests/test_crypto.py."""
+    c = t(spark, sf_dir, "customer").select(sha224_hash("c_custkey").alias("h"))
+    return c.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("h").alias("n_distinct_hash"),
+        F.min(F.length("h")).cast("int").alias("len_min"),
+        F.max(F.length("h")).cast("int").alias("len_max"),
+    )
+
+
+# --- sinks/sources round-trip -------------------------------------------------
+
+@query(
+    "ref_pipe_csv_roundtrip",
+    oracle="""
+    SELECT COUNT(*) AS n,
+           SUM(CAST(o_orderkey AS BIGINT)) AS sum_key,
+           MIN(o_orderdate) AS min_date, MAX(o_orderdate) AS max_date
+    FROM orders
+    """,
+)
+def ref_pipe_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 + S15 — pipe-CSV sink (transformation.py:410-412) read
+    back under the warehouse COPY contract (loading.py:26-30),
+    including the 'yyyy-MM-dd HH:mm:ss' timestamp format."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    tmp = tempfile.mkdtemp(prefix="pipe_csv_")
+    path = f"{tmp}/orders_pipe"
+    write_pipe_csv(o, path)
+    back = read_pipe_staging(
+        spark, path, schema="o_orderkey long, o_orderdate timestamp, o_orderpriority string"
+    )
+    return back.agg(
+        F.count("*").alias("n"),
+        F.sum("o_orderkey").alias("sum_key"),
+        F.min("o_orderdate").alias("min_date"),
+        F.max("o_orderdate").alias("max_date"),
+    )

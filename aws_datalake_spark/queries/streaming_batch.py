@@ -1,1 +1,108 @@
-"""Placeholder — populated in subsequent milestones."""
+"""Event-time window queries over the events table (SURVEY.md §2.6).
+
+The window builders are shared with the true streaming path
+(streaming/windows.py); running them on the batch events table makes
+them oracle-checkable. The genuinely streaming behaviors (watermark
+late-drop, foreachBatch DQ, applyInPandasWithState) are exercised in
+tests/test_streaming.py with real readStream/writeStream runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_datalake_spark.queries._shared import t
+from aws_datalake_spark.queries.registry import query
+from aws_datalake_spark.streaming.windows import (
+    session_counts,
+    sliding_counts,
+    tumbling_counts,
+)
+
+
+@query(
+    "st_tumbling_window",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def st_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST — 1-hour tumbling event-time windows per event_type."""
+    ev = t(spark, sf_dir, "events")
+    return tumbling_counts(ev, duration="1 hour", keys=["event_type"])
+
+
+@query(
+    "st_sliding_window",
+    oracle="""
+    WITH starts AS (
+      SELECT event_id,
+             unnest([time_bucket(INTERVAL '30 minutes', ts),
+                     time_bucket(INTERVAL '30 minutes', ts) - INTERVAL 30 MINUTE])
+               AS window_start
+      FROM events)
+    SELECT CAST(window_start AS TIMESTAMP) AS window_start,
+           CAST(window_start + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,
+           COUNT(*) AS n_events
+    FROM starts GROUP BY 1, 2
+    """,
+)
+def st_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST — 1-hour windows sliding every 30 minutes (each event in
+    exactly two windows)."""
+    ev = t(spark, sf_dir, "events")
+    return sliding_counts(ev, duration="1 hour", slide="30 minutes")
+
+
+@query(
+    "st_session_window",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 5 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked)
+    SELECT CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           CAST(MAX(ts) + INTERVAL 5 MINUTE AS TIMESTAMP) AS session_end,
+           user_id, COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, session_no
+    """,
+)
+def st_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST — 5-minute-gap session windows per user (gaps-and-islands
+    twin in the oracle; session end = last event + gap)."""
+    ev = t(spark, sf_dir, "events")
+    return session_counts(ev, gap="5 minutes", keys=["user_id"])
+
+
+@query(
+    "st_json_props_extract",
+    oracle="""
+    SELECT CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INT) AS k,
+           COUNT(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def st_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2/E2 on the stream fixture: parse the props JSON column and
+    aggregate on an extracted field (from_json, JVM-side)."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.select(F.from_json("props", "k int").alias("p"))
+        .select(F.col("p.k").alias("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("n"))
+    )

@@ -1,0 +1,70 @@
+"""Readers (SURVEY.md S4-S9, S15).
+
+Thin, explicit wrappers over ``spark.read`` that pin the reference's
+exact parse semantics. All distributed scans — filter pushdown and
+column pruning reach the format runtime automatically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_report_csv(spark: SparkSession, path: str, schema: StructType | str | None = None) -> DataFrame:
+    """S4 — gzip CSV report, malformed rows dropped
+    (ingestion.py:82: pd.read_csv(compression='gzip',
+    error_bad_lines=False); gzip is auto-detected by extension)."""
+    r = spark.read.option("header", True).option("mode", "DROPMALFORMED")
+    r = r.schema(schema) if schema is not None else r.option("inferSchema", True)
+    return r.csv(path)
+
+
+def read_json_docs(spark: SparkSession, path: str, schema: StructType | str | None = None,
+                   multi_line: bool = True) -> DataFrame:
+    """S5 — JSON documents; multiLine=True because the reference
+    writes pretty-printed arrays (ingestion.py:274-275 indent=4)."""
+    r = spark.read.option("multiLine", multi_line)
+    if schema is not None:
+        r = r.schema(schema)
+    return r.json(path)
+
+
+def read_csv_inferred(spark: SparkSession, path: str) -> DataFrame:
+    """S6 — header + inferSchema CSV (great_expectations.py:60-63)."""
+    return spark.read.option("header", True).option("inferSchema", True).csv(path)
+
+
+def read_tsv(spark: SparkSession, path: str) -> DataFrame:
+    """S7 — tab-delimited (Great Expectation PoC.py:13-14)."""
+    return (
+        spark.read.option("header", True)
+        .option("delimiter", "\t")
+        .option("inferSchema", True)
+        .csv(path)
+    )
+
+
+def read_text(spark: SparkSession, path: str) -> DataFrame:
+    """S9 — text-file read (createKey.py:62-69)."""
+    return spark.read.format("text").load(path)
+
+
+def read_pipe_staging(spark: SparkSession, path: str, schema: StructType | str | None = None) -> DataFrame:
+    """S15 — the warehouse COPY parse contract (loading.py:26-30):
+    pipe delimiter, double-quote quoting, header skipped,
+    'YYYY-MM-DD HH:MI:SS' timestamps."""
+    r = (
+        spark.read.option("sep", "|")
+        .option("header", True)
+        .option("quote", '"')
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+        .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss")
+    )
+    r = r.schema(schema) if schema is not None else r.option("inferSchema", True)
+    return r.csv(path)
+
+
+def read_table(spark: SparkSession, name: str) -> DataFrame:
+    """S8 — catalog table read (Great Expectation PoC.py:12)."""
+    return spark.table(name)

@@ -1,0 +1,51 @@
+"""Writers (SURVEY.md S10-S12, S16-S17).
+
+Distributed sinks. ``partitionBy('year','month','day')`` reproduces
+the reference's hive-style zone layout (ingestion.py:247) — partition
+pruning then comes free on read.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_pipe_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S11 — pipe-delimited CSV with header
+    (transformation.py:410-412: to_csv(sep='|', index=False))."""
+    (
+        df.write.mode(mode)
+        .option("sep", "|")
+        .option("header", True)
+        .option("quote", '"')
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+        .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss")
+        .csv(path)
+    )
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S10 — JSON sink (ingestion.py:273-279; line-delimited rather
+    than indent=4 pretty arrays: at scale a JSON file per record
+    array doesn't parallelize, JSONL does)."""
+    df.write.mode(mode).json(path)
+
+
+def write_date_partitioned(df: DataFrame, path: str, ts_col: str, mode: str = "overwrite") -> None:
+    """S12 — hive-style year=/month=/day= layout with zero-padded
+    month/day (ingestion.py:230-247 key templating)."""
+    (
+        df.withColumn("year", F.date_format(ts_col, "yyyy"))
+        .withColumn("month", F.date_format(ts_col, "MM"))
+        .withColumn("day", F.date_format(ts_col, "dd"))
+        .write.mode(mode)
+        .partitionBy("year", "month", "day")
+        .parquet(path)
+    )
+
+
+def append_report(df: DataFrame, path: str) -> None:
+    """S16 — append-only report sink (loading.py:1937-1956: COPY into
+    final table, no SCD)."""
+    df.write.mode("append").parquet(path)

@@ -1,0 +1,50 @@
+"""Micro-batch hooks (SURVEY.md ST1/ST2).
+
+Reference: validation invoked once per micro-batch with
+(batchID, batchDf) (/root/reference/great_expectations.py:238,
+great_expectation_microbatch.py:16) — the foreachBatch pattern.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from aws_datalake_spark.operators.dq import Expectation, evaluate
+
+
+def dq_foreach_batch(
+    expectations: list[Expectation],
+    audit_sink_path: str,
+    file_identifier: str = "stream",
+) -> Callable[[DataFrame, int], None]:
+    """Build the foreachBatch body: evaluate the expectation suite on
+    the batch and append audit rows to the results sink
+    (great_expectations.py:312-338)."""
+
+    def _body(batch_df: DataFrame, batch_id: int) -> None:
+        audit = evaluate(batch_df, expectations, file_identifier, batch_id)
+        audit.write.mode("append").parquet(audit_sink_path)
+
+    return _body
+
+
+def run_stream_with_dq(
+    stream_df: DataFrame,
+    expectations: list[Expectation],
+    audit_sink_path: str,
+    checkpoint_path: str,
+    query_name: str = "dq_stream",
+    file_identifier: str = "stream",
+) -> StreamingQuery:
+    """writeStream.foreachBatch wiring with checkpointing — the
+    reference's checkpointed validation run
+    (great_expectations.py:302-310)."""
+    return (
+        stream_df.writeStream.queryName(query_name)
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(dq_foreach_batch(expectations, audit_sink_path, file_identifier))
+        .start()
+    )

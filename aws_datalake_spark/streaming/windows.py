@@ -1,0 +1,76 @@
+"""Event-time windowed aggregations with watermarks (SURVEY.md §2.6).
+
+The same builders serve batch DataFrames (watermark is a no-op in
+batch — useful for oracle checking) and streaming DataFrames (where
+the watermark bounds state and late data).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_watermark(df: DataFrame, ts_col: str = "ts", delay: str = "10 minutes") -> DataFrame:
+    return df.withWatermark(ts_col, delay)
+
+
+def tumbling_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    duration: str = "1 hour",
+    keys: list[str] | None = None,
+    value_col: str | None = "value",
+) -> DataFrame:
+    """Tumbling event-time window: count + decimal-exact sum."""
+    group = [F.window(ts_col, duration).alias("w")] + [F.col(k) for k in (keys or [])]
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_col:
+        aggs.append(
+            F.sum(F.col(value_col).cast("decimal(30,6)")).cast("double").alias("sum_value")
+        )
+    out = df.groupBy(*group).agg(*aggs)
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        *(keys or []),
+        *[c for c in ["n_events", "sum_value"] if value_col or c == "n_events"],
+    )
+
+
+def sliding_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    duration: str = "1 hour",
+    slide: str = "30 minutes",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Sliding window: each event lands in duration/slide windows."""
+    group = [F.window(ts_col, duration, slide).alias("w")] + [
+        F.col(k) for k in (keys or [])
+    ]
+    out = df.groupBy(*group).agg(F.count(F.lit(1)).alias("n_events"))
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        *(keys or []),
+        "n_events",
+    )
+
+
+def session_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "5 minutes",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Session window: sessions close after ``gap`` of inactivity;
+    session end = last event + gap (Spark session_window contract)."""
+    group = [F.session_window(ts_col, gap).alias("w")] + [F.col(k) for k in (keys or [])]
+    out = df.groupBy(*group).agg(F.count(F.lit(1)).alias("n_events"))
+    return out.select(
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        *(keys or []),
+        "n_events",
+    )

@@ -28,6 +28,15 @@ HEADLINE = [
     "q_join_broadcast_dim",
     "q_window_topk_per_group",
     "q_set_union_all",
+    "ref_scd2_merge",
+    "ref_state_delta",
+    "ref_dq_expectations",
+    "st_session_window",
+    "llm_exact_dedup",
+    "llm_minhash_lsh_pairs",
+    "llm_simhash",
+    "llm_cosine_topk",
+    "llm_multimodal_features",
 ]
 
 

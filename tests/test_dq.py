@@ -1,0 +1,60 @@
+"""DQ expectations engine (SURVEY B4; great_expectations.py parity)."""
+
+from __future__ import annotations
+
+from aws_datalake_spark.operators.dq import Expectation, evaluate, expectations_from_config
+
+
+def _dirty_batch(spark):
+    # nulls + duplicate order_ids, per the B4 fixture
+    rows = [
+        ("o1", "delivered", "2021-01-01 10:00:00"),
+        ("o1", "delivered", "2021-01-01 11:00:00"),
+        ("o2", None, "2021-01-02 10:00:00"),
+        (None, "shipped", "bad-ts"),
+        ("o3", "UNKNOWN_STATE", "2021-01-03 10:00:00"),
+    ]
+    return spark.createDataFrame(
+        rows, "order_id string, order_status string, order_purchase_timestamp string"
+    )
+
+
+def test_counts_per_expectation(spark):
+    df = _dirty_batch(spark)
+    exps = [
+        Expectation("order_id", "not_null"),
+        Expectation("order_status", "not_null"),
+        Expectation("order_status", "in_set", {"values": ["delivered", "shipped"]}),
+        Expectation("order_purchase_timestamp", "matches_regex", {"regex": r"^\d{4}-\d{2}-\d{2} "}),
+        Expectation("order_id", "unique"),
+    ]
+    audit = {
+        (r.column_name, r.expectation_type): r
+        for r in evaluate(df, exps, file_identifier="dirty", batch_id=3).collect()
+    }
+    a = audit[("order_id", "expect_column_values_to_not_be_null")]
+    assert (a.element_count, a.unexpected_count, a.success) == (5, 1, False)
+    b = audit[("order_status", "expect_column_values_to_be_in_set")]
+    assert (b.unexpected_count, b.success) == (2, False)  # NULL + UNKNOWN_STATE
+    c = audit[("order_purchase_timestamp", "expect_column_values_to_match_regex")]
+    assert c.unexpected_count == 1
+    d = audit[("order_id", "expect_column_values_to_be_unique")]
+    assert (d.unexpected_count, d.success) == (2, False)  # both o1 rows
+    assert all(r.file_identifier == "dirty" and r.batchID == 3 for r in audit.values())
+
+
+def test_clean_batch_succeeds(spark):
+    df = _dirty_batch(spark).filter("order_id = 'o3'")
+    exps = [Expectation("order_id", "not_null"), Expectation("order_id", "unique")]
+    audit = evaluate(df, exps).collect()
+    assert all(r.success and r.unexpected_count == 0 for r in audit)
+
+
+def test_config_compilation_skips_inactive():
+    rows = [
+        {"col_name": "a", "rule": "not_null", "Active": "y"},
+        {"col_name": "b", "rule": "unique", "Active": "n"},
+        {"col_name": "c", "rule": "between", "Active": "Y", "kwargs": {"min": 0, "max": 1}},
+    ]
+    exps = expectations_from_config(rows)
+    assert [(e.column, e.kind) for e in exps] == [("a", "not_null"), ("c", "between")]

@@ -1,0 +1,114 @@
+"""LLM-pipeline operators: dedup collapse, LSH recall, ANN recall,
+text heuristics edge cases."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_datalake_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash,
+)
+from aws_datalake_spark.operators.similarity import ann_lsh_topk, cosine_topk
+from aws_datalake_spark.operators.text import lang_id, token_count_bpe_ish, token_count_ws
+from tests.conftest import SF_SMOKE
+
+
+def test_exact_dedup_collapses_copies(spark):
+    df = spark.createDataFrame(
+        [(1, "same text here"), (2, "same text here"), (3, "different")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.n_copies for r in exact_dedup(df).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_shingles_short_doc_empty(spark):
+    df = spark.createDataFrame([(1, "one two")], "doc_id long, text string")
+    out = df.select(shingles(F.col("text")).alias("s")).collect()
+    assert out[0].s == []
+
+
+def test_minhash_lsh_finds_near_duplicate(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " extra"), (3, "totally different words entirely here now ok yes")],
+        "doc_id long, text string",
+    )
+    pairs = minhash_lsh_pairs(df, num_hashes=8, bands=4, jaccard_threshold=0.4).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+    assert pairs[0].jaccard > 0.6
+
+
+def test_lsh_recall_vs_exact_on_fixture(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat("text", F.lit(" tail")).alias("text"),
+    )
+    corpus = docs.unionByName(dups)
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(corpus, threshold=0.5).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(corpus, num_hashes=8, bands=4, jaccard_threshold=0.5).collect()
+    }
+    assert exact, "fixture should contain seeded near-dups"
+    # banding with r=2 on jaccard≥0.5 pairs: recall must be high
+    assert len(lsh & exact) / len(exact) >= 0.9
+    assert lsh <= exact  # verification step removes false positives
+
+
+def test_simhash_identical_docs_equal(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "x y z w v")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.simhash for r in simhash(df).collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+
+
+def test_ann_recall_vs_brute_force(spark):
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_lsh_topk(emb, queries, dim=64, k=5, num_planes=4).collect()
+    }
+    # 4 planes → 16 buckets over 500 vectors: candidates ~30 per query;
+    # recall is approximate by design but must be non-degenerate
+    assert len(approx & exact) / len(exact) >= 0.2
+    assert all(q in {a for a, _ in approx} for q in range(5))
+
+
+def test_token_counts_edge_cases(spark):
+    df = spark.createDataFrame([("",), ("  ",), ("a b  c",), ("don't stop!",)], "t string")
+    out = df.select(
+        token_count_ws("t").alias("ws"), token_count_bpe_ish("t").alias("bpe")
+    ).collect()
+    assert [r.ws for r in out] == [0, 0, 3, 2]
+    # "don't stop!": don + ' + t + stop + ! = 5 pieces
+    assert out[3].bpe == 5
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick fox"), (2, "el perro de la casa"), (3, "qqq www zzz")],
+        "id long, t string",
+    )
+    out = {r.id: r.l for r in df.select("id", lang_id("t").alias("l")).collect()}
+    assert out == {1: "en", 2: "es", 3: "und"}

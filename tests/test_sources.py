@@ -1,0 +1,78 @@
+"""Sources & sinks: format contracts, zones, config store."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from aws_datalake_spark.sources.readers import (
+    read_csv_inferred,
+    read_json_docs,
+    read_pipe_staging,
+    read_tsv,
+)
+from aws_datalake_spark.sources.writers import (
+    write_date_partitioned,
+    write_json,
+    write_pipe_csv,
+)
+from aws_datalake_spark.sources.zones import ZonePaths, copy_zone, discover_datasets
+
+
+def _sample(spark):
+    return spark.createDataFrame(
+        [(1, "a|b", datetime.datetime(2024, 1, 2, 3, 4, 5)), (2, None, datetime.datetime(2024, 1, 3, 0, 0, 0))],
+        "id long, name string, ts timestamp",
+    )
+
+
+def test_pipe_csv_roundtrip_quoting_and_ts(spark, tmp_path):
+    df = _sample(spark)
+    path = str(tmp_path / "pipe")
+    write_pipe_csv(df, path)
+    back = read_pipe_staging(spark, path, schema="id long, name string, ts timestamp")
+    rows = {r.id: r for r in back.collect()}
+    assert rows[1].name == "a|b"  # quoted despite pipe in value
+    assert rows[1].ts == datetime.datetime(2024, 1, 2, 3, 4, 5)
+    assert rows[2].name is None
+
+
+def test_json_roundtrip(spark, tmp_path):
+    df = _sample(spark).drop("ts")
+    path = str(tmp_path / "json")
+    write_json(df, path)
+    back = read_json_docs(spark, path, schema="id long, name string", multi_line=False)
+    assert {r.id for r in back.collect()} == {1, 2}
+
+
+def test_date_partitioned_layout_and_pruning(spark, tmp_path):
+    df = _sample(spark)
+    path = str(tmp_path / "part")
+    write_date_partitioned(df, path, "ts")
+    import os
+
+    assert os.path.isdir(f"{path}/year=2024/month=01/day=02")  # zero-padded
+    back = spark.read.parquet(path).filter("day = '02'")
+    assert back.count() == 1
+
+
+def test_tsv_and_inferred_csv(spark, tmp_path):
+    p1 = tmp_path / "x.tsv"
+    p1.write_text("a\tb\n1\t2\n")
+    out = read_tsv(spark, str(p1)).collect()
+    assert out[0].a == 1 and out[0].b == 2
+    p2 = tmp_path / "y.csv"
+    p2.write_text("a,b\n1,z\n")
+    out2 = read_csv_inferred(spark, str(p2)).collect()
+    assert out2[0].a == 1 and out2[0].b == "z"
+
+
+def test_zone_paths_and_copy(spark, tmp_path):
+    zp = ZonePaths(str(tmp_path))
+    src, dst = zp.promote("raw", "orders")
+    assert src.endswith("raw/orders") and dst.endswith("cleansed/orders")
+    _sample(spark).write.parquet(src)
+    copy_zone(spark, src, dst)
+    assert spark.read.parquet(dst).count() == 2
+    assert "orders" in discover_datasets(zp.path("raw", ""))

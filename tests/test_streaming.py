@@ -1,0 +1,119 @@
+"""True Structured Streaming runs: file source → windowed agg with
+watermark, foreachBatch DQ audit, applyInPandasWithState deltas."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_datalake_spark.operators.dq import Expectation
+from aws_datalake_spark.streaming.microbatch import run_stream_with_dq
+from aws_datalake_spark.streaming.stateful import delta_stateful_stream
+from aws_datalake_spark.streaming.windows import tumbling_counts, with_watermark
+
+EVENTS_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+
+ROWS_BATCH1 = [
+    (1, "2024-01-01 10:05:00", 1, "view", 1.0),
+    (2, "2024-01-01 10:20:00", 1, "view", 2.0),
+    (3, "2024-01-01 11:05:00", 2, "click", 3.0),
+    (4, "2024-01-01 11:45:00", 2, "click", 4.0),
+]
+# batch 2 pushes the watermark past 11:00+1h so earlier windows close
+ROWS_BATCH2 = [(5, "2024-01-01 13:30:00", 3, "view", 5.0)]
+
+
+def _write_events_json(spark, path, rows=ROWS_BATCH1, mode="overwrite"):
+    df = spark.createDataFrame(rows, "event_id long, ts string, user_id long, event_type string, value double")
+    df.coalesce(1).withColumn("ts", F.to_timestamp("ts")).write.mode(mode).json(path)
+
+
+def _await(query, seconds=30):
+    query.processAllAvailable()
+    query.stop()
+    query.awaitTermination(seconds)
+
+
+def test_stream_tumbling_window_with_watermark(spark, tmp_path):
+    src = str(tmp_path / "events_json")
+    _write_events_json(spark, src)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).json(src)
+    agg = tumbling_counts(with_watermark(stream, "ts", "10 minutes"), duration="1 hour")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("win_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    # append mode emits a window only once the watermark passes its
+    # end; the watermark advances BETWEEN batches, so feed a later
+    # batch to close the 10:00 and 11:00 windows
+    _write_events_json(spark, src, rows=ROWS_BATCH2, mode="append")
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+    rows = {r.window_start.hour: r for r in spark.table("win_out").collect()}
+    assert rows[10].n_events == 2 and rows[10].sum_value == 3.0
+    assert rows[11].n_events == 2 and rows[11].sum_value == 7.0
+    assert 13 not in rows  # still open — watermark hasn't passed it
+
+
+def test_foreachbatch_dq_audit(spark, tmp_path):
+    src = str(tmp_path / "events_json")
+    _write_events_json(spark, src)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).json(src)
+    sink = str(tmp_path / "audit")
+    q = run_stream_with_dq(
+        stream,
+        [
+            Expectation("event_id", "not_null"),
+            Expectation("event_type", "in_set", {"values": ["view", "click"]}),
+        ],
+        audit_sink_path=sink,
+        checkpoint_path=str(tmp_path / "ckpt2"),
+        file_identifier="events",
+    )
+    _await(q)
+    audit = spark.read.parquet(sink).collect()
+    by_type = {r.expectation_type: r for r in audit}
+    assert by_type["expect_column_values_to_not_be_null"].element_count == 4
+    assert by_type["expect_column_values_to_be_in_set"].success
+    assert all(r.file_identifier == "events" for r in audit)
+
+
+def test_stateful_delta_stream_two_batches(spark, tmp_path):
+    src = tmp_path / "snaps"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt3")
+
+    def snap(day, rows):
+        df = spark.createDataFrame(rows, "_id long, m1 long")
+        df.coalesce(1).write.mode("append").parquet(str(src))
+
+    # batch 1: first sight → delta = raw cumulative
+    snap(1, [(1, 10), (2, 5)])
+    stream = spark.readStream.schema("_id long, m1 long").parquet(str(src))
+    out = delta_stateful_stream(stream, keys=["_id"], metrics=["m1"])
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("delta_out")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    first = {(r._id): r.m1 for r in spark.table("delta_out").collect()}
+    assert first == {1: 10, 2: 5}
+
+    # batch 2: cumulative grew → delta vs stored state
+    snap(2, [(1, 25), (2, 5)])
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+    all_rows = [(r._id, r.m1) for r in spark.table("delta_out").collect()]
+    assert sorted(all_rows) == [(1, 10), (1, 15), (2, 0), (2, 5)]
