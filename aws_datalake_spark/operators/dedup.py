@@ -22,6 +22,21 @@ from pyspark.sql import functions as F
 
 from aws_datalake_spark.operators.text import hash60, tokens_ws
 
+# Mersenne prime 2^31-1: the affine-rehash modulus. a_k*h + b_k stays
+# below 2^62, so the arithmetic is exact in int64 on both Spark and
+# the DuckDB oracle.
+M31 = (1 << 31) - 1
+
+
+def affine_params(k: int) -> tuple[int, int]:
+    """Deterministic per-hash affine coefficients (a_k, b_k) for the
+    universal-hash family h_k(x) = (a_k*x + b_k) mod 2^31-1. Shared
+    with the DuckDB oracles (queries/llm_dedup.py builds the same
+    constants), so signatures match bit-for-bit."""
+    a = (k * 2654435761 + 1) % M31 or 1
+    b = (k * 40503 + 17) % M31
+    return a, b
+
 
 # --- exact -------------------------------------------------------------------
 
@@ -40,8 +55,12 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 # --- shingles / minhash -------------------------------------------------------
 
 def shingles(col: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles (distinct)."""
-    toks = tokens_ws(col) if isinstance(col, str) else tokens_ws(col)
+    """Word n-gram shingles (distinct) over a BOUND tokens-array
+    attribute. IMPORTANT: pass a materialized column (see
+    with_shingles), not an inline split expression — higher-order
+    functions evaluate interpreted, and an inlined split would be
+    re-evaluated per element (O(tokens²) regexp work per row)."""
+    toks = F.col(col) if isinstance(col, str) else col
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
     grams = F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)])
@@ -51,19 +70,43 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     )
 
 
+def with_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n: int = 3, out: str = "__sh",
+) -> DataFrame:
+    """(id, shingle-array) in two staged projections so the tokens
+    array is an attribute when the shingle lambda indexes it. The
+    multi-reference of each non-cheap alias stops CollapseProject
+    from re-inlining, keeping evaluation O(tokens) per row."""
+    toks_df = df.select(id_col, tokens_ws(F.col(text_col)).alias("__toks"))
+    return toks_df.select(id_col, shingles("__toks", n).alias(out))
+
+
 def minhash_signature(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     num_hashes: int = 8, shingle_n: int = 3,
 ) -> DataFrame:
-    """MinHash signature: per seed k, min over shingles of
-    hash60('<k>|' + shingle). Empty shingle sets get NULL sigs.
-    Pure array expressions — computed in a single projection."""
-    sh = shingles(F.col(text_col), shingle_n)
-    cols = [
-        F.array_min(F.transform(sh, lambda s: hash60(s, seed=f"{k}|"))).alias(f"sig_{k}")
-        for k in range(num_hashes)
-    ]
-    return df.select(id_col, *cols)
+    """MinHash signature via one base hash per shingle plus an affine
+    universal-hash family: sig_k = min over shingles of
+    (a_k * (hash60(s) mod 2^31-1) + b_k) mod 2^31-1.
+
+    One md5 per shingle regardless of num_hashes — adding signature
+    width costs only integer multiply-adds, so 128-hash signatures at
+    100 TB stay scan-bound. Empty shingle sets get NULL sigs
+    (array_min of an empty array)."""
+    sh_df = with_shingles(df, text_col, id_col, shingle_n)
+    base = sh_df.select(
+        id_col, F.transform(F.col("__sh"), lambda s: hash60(s) % F.lit(M31)).alias("__hs")
+    )
+    cols = []
+    for k in range(num_hashes):
+        a, b = affine_params(k)
+        cols.append(
+            F.array_min(
+                F.transform(F.col("__hs"), lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(M31))
+            ).alias(f"sig_{k}")
+        )
+    return base.select(id_col, *cols)
 
 
 def minhash_lsh_pairs(
@@ -110,7 +153,7 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    sh = df.select(F.col(id_col).alias("__id"), shingles(F.col(text_col), shingle_n).alias("__sh"))
+    sh = with_shingles(df, text_col, id_col, shingle_n).withColumnRenamed(id_col, "__id")
     cand = (
         cand.join(sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")), "id_a")
         .join(sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b")), "id_b")
@@ -140,8 +183,9 @@ def ngram_jaccard_pairs(
     The join shuffles (shingle, id) pairs — linear in corpus shingle
     volume, never materializing the n² pair space; only pairs that
     actually share a shingle appear."""
-    sh = df.select(
-        F.col(id_col).alias("__id"), F.explode(shingles(F.col(text_col), shingle_n)).alias("s")
+    sh = (
+        with_shingles(df, text_col, id_col, shingle_n)
+        .select(F.col(id_col).alias("__id"), F.explode("__sh").alias("s"))
     )
     sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("__id").alias("id_a"), "s")

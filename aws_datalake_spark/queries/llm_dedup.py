@@ -13,6 +13,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aws_datalake_spark.operators.dedup import (
+    M31,
+    affine_params,
     exact_dedup,
     minhash_lsh_pairs,
     minhash_signature,
@@ -46,6 +48,19 @@ _SHINGLES = f"""
     FROM (SELECT doc_id, {_TOKS} AS t FROM c))
   WHERE s IS NOT NULL
 """
+
+
+def _sig_select(num_hashes: int) -> str:
+    """SQL twin of operators/dedup.py:minhash_signature — one base
+    60-bit md5 hash per shingle, then the affine family
+    (a_k*h + b_k) mod 2^31-1, MIN per doc. Same affine_params, so
+    values match Spark bit-for-bit."""
+    base = f"({_H60.format(expr='s')}) % {M31}"
+    parts = []
+    for k in range(num_hashes):
+        a, b = affine_params(k)
+        parts.append(f"MIN(({a} * ({base}) + {b}) % {M31}) AS sig_{k}")
+    return ",\n           ".join(parts)
 
 
 def _neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -82,17 +97,15 @@ def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH c AS (SELECT doc_id, text FROM documents),
     sh AS ({_SHINGLES})
     SELECT doc_id,
-           MIN({_H60.format(expr="'0|' || s")}) AS sig_0,
-           MIN({_H60.format(expr="'1|' || s")}) AS sig_1,
-           MIN({_H60.format(expr="'2|' || s")}) AS sig_2,
-           MIN({_H60.format(expr="'3|' || s")}) AS sig_3
+           {_sig_select(4)}
     FROM sh GROUP BY doc_id
     """,
 )
 def llm_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (4 hashes shown; operator supports any k)
-    over distinct word-trigram shingles — md5-derived 60-bit hashes
-    shared bit-for-bit with the oracle."""
+    over distinct word-trigram shingles — one md5 base hash per
+    shingle + affine rehash family, shared bit-for-bit with the
+    oracle."""
     d = t(spark, sf_dir, "documents")
     return minhash_signature(d, num_hashes=4)
 
@@ -102,14 +115,7 @@ WITH c AS ({_NEARDUP_CORPUS}),
 sh AS ({_SHINGLES}),
 sig AS (
   SELECT doc_id,
-         MIN({_H60.format(expr="'0|' || s")}) AS sig_0,
-         MIN({_H60.format(expr="'1|' || s")}) AS sig_1,
-         MIN({_H60.format(expr="'2|' || s")}) AS sig_2,
-         MIN({_H60.format(expr="'3|' || s")}) AS sig_3,
-         MIN({_H60.format(expr="'4|' || s")}) AS sig_4,
-         MIN({_H60.format(expr="'5|' || s")}) AS sig_5,
-         MIN({_H60.format(expr="'6|' || s")}) AS sig_6,
-         MIN({_H60.format(expr="'7|' || s")}) AS sig_7
+           {_sig_select(8)}
   FROM sh GROUP BY doc_id),
 banded AS (
   SELECT doc_id, 0 AS band_id,

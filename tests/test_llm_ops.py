@@ -9,8 +9,8 @@ from aws_datalake_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
-    shingles,
     simhash,
+    with_shingles,
 )
 from aws_datalake_spark.operators.similarity import ann_lsh_topk, cosine_topk
 from aws_datalake_spark.operators.text import lang_id, token_count_bpe_ish, token_count_ws
@@ -28,8 +28,8 @@ def test_exact_dedup_collapses_copies(spark):
 
 def test_shingles_short_doc_empty(spark):
     df = spark.createDataFrame([(1, "one two")], "doc_id long, text string")
-    out = df.select(shingles(F.col("text")).alias("s")).collect()
-    assert out[0].s == []
+    out = with_shingles(df, "text", "doc_id").collect()
+    assert out[0]["__sh"] == []
 
 
 def test_minhash_lsh_finds_near_duplicate(spark):
