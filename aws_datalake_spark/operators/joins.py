@@ -1,0 +1,109 @@
+"""Temporal join operators Spark lacks as built-ins: as-of join and
+bucketed range join.
+
+The reference has no general join surface (SURVEY.md §2.3 — its joins
+are keyed lookups, `/root/reference/transformation.py:85-98`, and
+merge predicates, `/root/reference/loading.py:32-35`); these operators
+supply the time-series capabilities a lake engine needs, composed
+from shuffles Spark already does well.
+
+100 TB design notes:
+* asof_join is ONE hash shuffle of each side on the `by` key plus a
+  per-key sort — the same cost as a sort-merge join. No point-lookup
+  loop, no broadcast of the big side, no range explosion.
+* bucketed_range_join converts an inequality join (which Spark would
+  execute as BroadcastNestedLoop — quadratic) into an equi-join on a
+  time bucket plus an exact residual filter. Interval sides explode
+  into ceil(span/width) bucket rows; pick `bucket_width` near the
+  typical interval span so the blow-up stays O(1) per interval.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: Sequence[str] = ("user_id",),
+    right_suffix: str = "_r",
+) -> DataFrame:
+    """Backward as-of join: for every left row, attach the right row
+    with the greatest ``on`` value <= the left row's (inclusive),
+    within the same ``by`` group; NULLs when no prior right row.
+
+    Union-and-carry-forward formulation: tag rows, sort each ``by``
+    group by (ts, right-before-left-on-ties), and `last(ignorenulls)`
+    carries the most recent right payload onto each left row. Ties
+    among right rows at the same ts resolve to the max payload tuple
+    (column order), deterministically.
+    """
+    by = list(by)
+    rpay = [c for c in right.columns if c not in by]
+    l2 = left.withColumn("__r", F.lit(0)).withColumn("__t", F.col(on))
+    # Payload travels as ONE struct so the carried values always come
+    # from the same right row — per-column last(ignorenulls) could
+    # otherwise mix rows when a payload field is legitimately NULL.
+    r2 = right.select(
+        *by,
+        F.struct(*rpay).alias("__pay"),
+        F.lit(1).alias("__r"),
+        F.col(on).alias("__t"),
+    )
+    u = l2.unionByName(r2, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*by)
+        .orderBy("__t", F.desc("__r"), "__pay")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        *left.columns,
+        "__r",
+        F.last("__pay", ignorenulls=True).over(w).alias("__pay"),
+    )
+    return filled.filter(F.col("__r") == 0).select(
+        *left.columns,
+        *[F.col(f"__pay.{c}").alias(c + right_suffix) for c in rpay],
+    )
+
+
+def bucketed_range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    by: Sequence[str] = (),
+    bucket_width_s: int = 3600,
+) -> DataFrame:
+    """Join points to intervals with ``start <= ts <= end`` (plus
+    optional ``by`` equi-keys) WITHOUT a nested-loop join: both sides
+    map to epoch-time buckets of ``bucket_width_s`` seconds (an
+    interval explodes into every bucket it overlaps), equi-join on
+    (by..., bucket), then apply the exact range predicate.
+
+    The physical plan is a plain shuffled hash join on the bucket key
+    — linear in input + overlap size at any scale.
+    """
+    by = list(by)
+    pb = points.withColumn(
+        "__bucket", F.floor(F.unix_timestamp(F.col(point_ts)) / bucket_width_s)
+    )
+    ib = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(start_col)) / bucket_width_s),
+                F.floor(F.unix_timestamp(F.col(end_col)) / bucket_width_s),
+            )
+        ),
+    )
+    joined = pb.join(ib, on=by + ["__bucket"]).filter(
+        (F.col(point_ts) >= F.col(start_col)) & (F.col(point_ts) <= F.col(end_col))
+    )
+    return joined.drop("__bucket")

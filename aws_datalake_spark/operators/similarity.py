@@ -20,8 +20,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
-from aws_datalake_spark.operators.text import hash60
-
 
 def dot(a: Column, b: Column) -> Column:
     """Sequential left-to-right fold — same op order as a scalar
@@ -98,27 +96,100 @@ def cosine_neardup_pairs(
     )
 
 
+def assign_cells(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "cvec",
+) -> DataFrame:
+    """IVF cell assignment: each vector gets its ``n_probe`` nearest
+    centroids by cosine (deterministic centroid_id tiebreak).
+    Centroids broadcast — the vector side never shuffles for
+    assignment."""
+    c = centroids.select(centroid_id_col, centroid_vec_col)
+    scored = vectors.join(F.broadcast(c)).select(
+        id_col,
+        vec_col,
+        centroid_id_col,
+        cosine(F.col(vec_col), F.col(centroid_vec_col)).alias("__ccos"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__ccos"), centroid_id_col)
+    return (
+        scored.withColumn("__crank", F.row_number().over(w))
+        .filter(F.col("__crank") <= n_probe)
+        .drop("__ccos", "__crank")
+    )
+
+
+def ann_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in their single
+    nearest-centroid cell; each query probes its ``n_probe`` nearest
+    cells and scores only those vectors. At 100 TB the corpus is
+    written partitioned by cell, so a probe is a partition-pruned
+    scan; centroids come from driver-side k-means on a sample and
+    broadcast (here any small (centroid_id, cvec) table works)."""
+    c_cells = assign_cells(corpus, centroids, 1, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"), "centroid_id"
+    )
+    q_cells = assign_cells(queries, centroids, n_probe, query_id_col, vec_col).select(
+        query_id_col, F.col(vec_col).alias("__qvec"), "centroid_id"
+    )
+    scored = c_cells.join(F.broadcast(q_cells), "centroid_id").filter(
+        F.col("neighbor_id") != F.col(query_id_col)
+    ).select(
+        query_id_col,
+        "neighbor_id",
+        cosine(F.col("__qvec"), F.col("__cvec")).alias("cos"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "rank", F.round("cos", 6).alias("cosine"))
+    )
+
+
+def make_planes(dim: int, num_planes: int, seed: str = "lsh") -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes: component (p, i) is
+    md5-derived, mapped to [-1, 1]. Computed ONCE driver-side (planes
+    are row-independent) and embedded as literal arrays — never
+    re-derived per row, and exactly reproducible by the SQL oracle
+    (same decimal literals parse to the same doubles)."""
+    import hashlib
+
+    planes = []
+    for p in range(num_planes):
+        comps = []
+        for i in range(dim):
+            h = int(hashlib.md5(f"{seed}|{p}|{i}".encode()).hexdigest()[:15], 16)
+            comps.append((h % 2001 - 1000) / 1000.0)
+        planes.append(comps)
+    return planes
+
+
 def hyperplane_signature(
     vec_col: Column, dim: int, num_planes: int = 16, seed: str = "lsh"
 ) -> Column:
     """Random-hyperplane LSH signature as an int: bit p = 1 iff
-    dot(v, h_p) > 0, with h_p components derived deterministically
-    from hash60 — reproducible across engines and runs (no RNG
-    state, no collect)."""
-    def plane_component(p: int, i: Column) -> Column:
-        h = hash60(F.concat(F.lit(f"{seed}|{p}|"), i.cast("string")))
-        return (h % F.lit(2001) - F.lit(1000)).cast("double") / F.lit(1000.0)
-
-    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+    dot(v, h_p) > 0 over literal plane arrays (see make_planes)."""
     bits = []
-    for p in range(num_planes):
-        plane = F.transform(idx, lambda i: plane_component(p, i))
-        s = F.aggregate(
-            F.zip_with(vec_col, plane, lambda x, y: x * y),
-            F.lit(0.0).cast("double"),
-            lambda acc, v: acc + v,
+    for p, plane in enumerate(make_planes(dim, num_planes, seed)):
+        s = dot(vec_col, F.array(*[F.lit(v) for v in plane]))
+        bits.append(
+            F.when(s > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0).cast("long"))
         )
-        bits.append(F.when(s > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0).cast("long")))
     out = bits[0]
     for b in bits[1:]:
         out = out + b

@@ -16,6 +16,7 @@ from aws_datalake_spark.operators.multimodal import (
     make_media_table,
 )
 from aws_datalake_spark.operators.similarity import (
+    ann_ivf_topk,
     ann_lsh_topk,
     cosine_neardup_pairs,
     cosine_topk,
@@ -105,18 +106,99 @@ def llm_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_neardup_pairs(seeded, threshold=0.95, bucket_col=F.col("label"))
 
 
-@query("llm_ann_lsh_topk")
+def _ann_oracle(dim: int = 64, num_planes: int = 6, k: int = 5) -> str:
+    """SQL twin of ann_lsh_topk: the same literal hyperplanes (from
+    make_planes) with the same left-to-right dot-product fold, so
+    bucket signatures — and therefore the candidate sets — match
+    Spark exactly."""
+    from aws_datalake_spark.operators.similarity import make_planes
+
+    bit_terms = []
+    for p, plane in enumerate(make_planes(dim, num_planes)):
+        lit = "[" + ", ".join(repr(v) for v in plane) + "]::DOUBLE[]"
+        d = _DOT.format(a="v", b=lit)
+        bit_terms.append(f"CASE WHEN ({d}) > 0 THEN {1 << p} ELSE 0 END")
+    sig = " + ".join(bit_terms)
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sig AS (SELECT vec_id, v, {sig} AS s FROM e),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_cos('q.v', 'c.v')} AS cos
+      FROM sig q JOIN sig c ON c.s = q.s AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < 10),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank,
+             ROUND(cos, 6) AS cosine
+      FROM scored)
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@query("llm_ann_lsh_topk", oracle=_ann_oracle())
 def llm_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via deterministic random-hyperplane LSH
-    bucketing (operators/similarity.py:ann_lsh_topk). Rows-only for
-    the driver (sign-of-dot depends on FP fold order, which plain
-    SQL SUM can't pin down); tests/test_llm_ops.py asserts recall
-    against llm_cosine_topk instead."""
+    bucketing (operators/similarity.py:ann_lsh_topk). The oracle
+    re-derives the same literal planes, so even the bucket
+    assignments must match."""
     e = _emb_double(spark, sf_dir)
     queries = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ann_lsh_topk(e, queries, dim=64, k=5, num_planes=6)
+    out = ann_lsh_topk(e, queries, dim=64, k=5, num_planes=6)
+    return out.select("query_id", "neighbor_id", F.col("rank").cast("int"), "cosine")
+
+
+_IVF_ASSIGN = """
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT e.vec_id, e.v, cent.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos} DESC, cent.centroid_id) AS rn
+    FROM ({src}) e CROSS JOIN cent)
+  WHERE rn <= {n_probe}
+"""
+
+
+@query(
+    "llm_ann_ivf_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 50 = 0),
+    cor AS ({_IVF_ASSIGN.format(cos=_cos('e.v', 'cent.cv'), src='SELECT * FROM e', n_probe=1)}),
+    qc AS ({_IVF_ASSIGN.format(cos=_cos('e.v', 'cent.cv'), src='SELECT * FROM e WHERE vec_id < 10', n_probe=2)}),
+    scored AS (
+      SELECT qc.vec_id AS query_id, cor.vec_id AS neighbor_id,
+             {_cos('qc.v', 'cor.v')} AS cos
+      FROM qc JOIN cor ON cor.centroid_id = qc.centroid_id
+                      AND cor.vec_id <> qc.vec_id),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank,
+             ROUND(cos, 6) AS cosine
+      FROM scored)
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def llm_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (operators/similarity.py:ann_ivf_topk):
+    corpus partitioned into nearest-centroid cells, queries probe
+    their 2 nearest cells. Centroids here are every-50th vector;
+    at scale they come from sampled k-means and the corpus is
+    written partitionBy(cell) so probes prune partitions."""
+    e = _emb_double(spark, sf_dir)
+    centroids = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ann_ivf_topk(e, queries, centroids, k=5, n_probe=2)
+    return out.select("query_id", "neighbor_id", F.col("rank").cast("int"), "cosine")
 
 
 @query(

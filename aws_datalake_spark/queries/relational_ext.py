@@ -1,0 +1,305 @@
+"""Extended relational surface: temporal joins (as-of, range), outer
+join modes, pivot/unpivot, percentiles, grouping sets, deterministic
+hash sampling, and the union-based duplicate check (SURVEY.md J4).
+
+These close the general-capability gaps SURVEY.md §2.5 notes the
+reference never exercises but any lake engine must offer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_datalake_spark.operators.joins import asof_join, bucketed_range_join
+from aws_datalake_spark.operators.text import hash60
+from aws_datalake_spark.queries._shared import dsum, o_dsum, t
+from aws_datalake_spark.queries.registry import query
+
+
+# --- temporal joins -----------------------------------------------------------
+
+@query(
+    "q_asof_join",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts, value FROM events
+               WHERE event_type = 'purchase'),
+    v AS (SELECT event_id, ts, value, user_id FROM events
+          WHERE event_type = 'view'),
+    j AS (
+      SELECT p.event_id, p.user_id, p.ts, p.value,
+             v.event_id AS view_event_id, v.ts AS view_ts, v.value AS view_value,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.event_id
+               ORDER BY v.ts DESC, v.event_id DESC) AS rn
+      FROM p LEFT JOIN v ON v.user_id = p.user_id AND v.ts <= p.ts)
+    SELECT event_id, user_id, ts, value,
+           view_event_id, view_ts, view_value
+    FROM j WHERE rn = 1
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (operators/joins.py:asof_join): each
+    purchase event picks up the latest prior view by the same user —
+    one shuffle per side on user_id, sort-merge within groups; no
+    nested-loop, no per-row lookup."""
+    e = t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_event_id"),
+        F.col("value").alias("view_value"),
+    )
+    out = asof_join(purchases, views, on="ts", by=["user_id"], right_suffix="_r")
+    return out.select(
+        "event_id", "user_id", "ts", "value",
+        F.col("view_event_id_r").alias("view_event_id"),
+        F.col("ts_r").alias("view_ts"),
+        F.col("view_value_r").alias("view_value"),
+    )
+
+
+@query(
+    "q_range_join",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    v AS (SELECT event_id AS view_event_id, user_id, ts AS view_ts FROM events
+          WHERE event_type = 'view')
+    SELECT p.event_id, p.user_id, v.view_event_id,
+           CAST(date_diff('second', v.view_ts, p.ts) AS BIGINT) AS lag_s
+    FROM p JOIN v
+      ON v.user_id = p.user_id
+     AND v.view_ts >= p.ts - INTERVAL 1 HOUR
+     AND v.view_ts <= p.ts
+    """,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution range join (operators/joins.py:
+    bucketed_range_join): views within the hour before each purchase,
+    executed as a bucketed EQUI-join + residual filter — never a
+    BroadcastNestedLoop."""
+    e = t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts",
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("w_start"),
+        F.col("ts").alias("w_end"),
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_event_id"), "user_id", F.col("ts").alias("view_ts")
+    )
+    joined = bucketed_range_join(
+        views, purchases, point_ts="view_ts", start_col="w_start", end_col="w_end",
+        by=["user_id"], bucket_width_s=3600,
+    )
+    return joined.select(
+        "event_id", "user_id", "view_event_id",
+        (F.unix_timestamp("ts") - F.unix_timestamp("view_ts")).alias("lag_s"),
+    )
+
+
+# --- join modes not yet covered ----------------------------------------------
+
+@query(
+    "q_join_right_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM (SELECT * FROM orders WHERE o_totalprice > 400000) o
+    RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def q_join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    c = t(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "right").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "q_join_full_outer",
+    oracle="""
+    WITH cn AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+                FROM customer GROUP BY c_nationkey),
+    sn AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp
+           FROM supplier WHERE s_acctbal > 3000 GROUP BY s_nationkey)
+    SELECT COALESCE(cn.nk, sn.nk) AS nationkey, cn.n_cust, sn.n_supp
+    FROM cn FULL OUTER JOIN sn ON cn.nk = sn.nk
+    """,
+)
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cn = (
+        t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    sn = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 3000)
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return cn.join(sn, "nk", "full_outer").select(
+        F.coalesce(cn["nk"], sn["nk"]).alias("nationkey"), "n_cust", "n_supp"
+    )
+
+
+@query(
+    "q_join_cross",
+    oracle="""
+    SELECT r.r_name, s.o_orderstatus
+    FROM region r CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    """,
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = t(spark, sf_dir, "region").select("r_name")
+    s = t(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return r.crossJoin(s)
+
+
+# --- pivot / unpivot ----------------------------------------------------------
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+@query(
+    "q_pivot",
+    oracle=f"""
+    SELECT o_orderstatus,
+           {", ".join(
+               f'''COUNT(CASE WHEN o_orderpriority = '{p}' THEN 1 END) AS "{p}"'''
+               for p in _PRIORITIES
+           )}
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().pivot() with an explicit value list — explicit
+    values keep the pivot single-pass (no extra distinct job) and
+    the output schema stable."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .count()
+        .na.fill(0, _PRIORITIES)
+    )
+
+
+@query(
+    "q_unpivot",
+    oracle=f"""
+    WITH agg AS (
+      SELECT l_returnflag,
+             {o_dsum('l_quantity')} AS sum_qty,
+             {o_dsum('l_extendedprice')} AS sum_price
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM agg
+    UNION ALL
+    SELECT l_returnflag, 'sum_price', sum_price FROM agg
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(dsum("l_quantity", "sum_qty"), dsum("l_extendedprice", "sum_price"))
+    )
+    return agg.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price"], "metric", "value"
+    )
+
+
+# --- percentiles / grouping sets ---------------------------------------------
+
+@query(
+    "q_percentiles",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           ROUND(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+           ROUND(quantile_cont(o_totalprice, 0.95), 4) AS p95
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles. Note for 100 TB: exact
+    percentile sorts each group's values — switch to
+    approx_percentile (t-digest, mergeable partials) when the group
+    cardinality is unbounded."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        *[
+            F.round(F.expr(f"percentile(o_totalprice, {q})"), 4).alias(f"p{int(q * 100)}")
+            for q in (0.25, 0.50, 0.75, 0.95)
+        ]
+    )
+
+
+@query(
+    "q_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+# --- deterministic sampling ---------------------------------------------------
+
+@query(
+    "q_sample_hash",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 15))::BIGINT % 20 = 0
+    """,
+)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~5% sample by key hash — reproducible across
+    engines, runs, and cluster sizes (unlike TABLESAMPLE, whose RNG
+    is engine-local), and stable under repartitioning, which makes
+    it the right primitive for train/eval splits."""
+    o = t(spark, sf_dir, "orders")
+    return o.filter(hash60(F.col("o_orderkey").cast("string")) % 20 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+# --- union-based duplicate check (SURVEY J4) ---------------------------------
+
+@query(
+    "q_union_dup_check",
+    oracle="""
+    SELECT o_custkey AS key, COUNT(*) AS n
+    FROM (SELECT o_custkey FROM orders WHERE o_orderkey % 2 = 0
+          UNION ALL
+          SELECT o_custkey FROM orders WHERE o_orderkey % 2 = 1)
+    GROUP BY o_custkey HAVING COUNT(*) > 1
+    """,
+)
+def q_union_dup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-free duplicate detection across two datasets (SURVEY.md
+    J4, /root/reference/Great Expectation PoC.py:21,57): union the
+    key columns and flag keys seen more than once."""
+    o = t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") % 2 == 0).select(F.col("o_custkey").alias("key"))
+    b = o.filter(F.col("o_orderkey") % 2 == 1).select(F.col("o_custkey").alias("key"))
+    return (
+        a.unionAll(b)
+        .groupBy("key")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+    )

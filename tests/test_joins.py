@@ -1,0 +1,100 @@
+"""asof_join / bucketed_range_join edge cases."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from aws_datalake_spark.operators.joins import asof_join, bucketed_range_join
+
+
+def _ts(s: str) -> datetime.datetime:
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_asof_backward_inclusive_and_null(spark):
+    left = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-01 10:00:00")),
+         (2, 10, _ts("2024-01-01 12:00:00")),
+         (3, 20, _ts("2024-01-01 09:00:00"))],
+        "id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, _ts("2024-01-01 10:00:00"), 100.0),   # tie: inclusive
+         (10, _ts("2024-01-01 11:00:00"), 200.0),
+         (20, _ts("2024-01-01 11:00:00"), 300.0)],  # after left's ts
+        "user_id long, ts timestamp, price double",
+    )
+    out = {r.id: (r.ts_r, r.price_r) for r in asof_join(left, right).collect()}
+    assert out[1] == (_ts("2024-01-01 10:00:00"), 100.0)  # same-ts match
+    assert out[2] == (_ts("2024-01-01 11:00:00"), 200.0)  # latest prior
+    assert out[3] == (None, None)                         # nothing prior
+
+
+def test_asof_payload_not_mixed_across_rows(spark):
+    # Most recent right row has a NULL field — it must NOT be
+    # backfilled from an older right row.
+    left = spark.createDataFrame(
+        [(1, 1, _ts("2024-01-01 12:00:00"))], "id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), 7.0), (1, _ts("2024-01-01 11:00:00"), None)],
+        "user_id long, ts timestamp, price double",
+    )
+    row = asof_join(left, right).collect()[0]
+    assert row.ts_r == _ts("2024-01-01 11:00:00")
+    assert row.price_r is None
+
+
+def test_asof_tie_picks_max_payload(spark):
+    left = spark.createDataFrame(
+        [(1, 1, _ts("2024-01-01 12:00:00"))], "id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 11:00:00"), 5.0), (1, _ts("2024-01-01 11:00:00"), 9.0)],
+        "user_id long, ts timestamp, price double",
+    )
+    assert asof_join(left, right).collect()[0].price_r == 9.0
+
+
+def test_bucketed_range_join_boundaries(spark):
+    points = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00")),
+         (2, _ts("2024-01-01 11:30:00")),
+         (3, _ts("2024-01-01 13:00:00"))],
+        "pid long, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [(100, _ts("2024-01-01 10:00:00"), _ts("2024-01-01 11:30:00"))],
+        "iid long, s timestamp, e timestamp",
+    )
+    out = bucketed_range_join(
+        points, intervals, point_ts="ts", start_col="s", end_col="e",
+        bucket_width_s=900,
+    )
+    assert sorted(r.pid for r in out.collect()) == [1, 2]  # both ends inclusive
+
+
+def test_bucketed_range_join_matches_naive(spark):
+    from aws_datalake_spark.catalog import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    p = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("pid"), "ts",
+        (F.col("ts") - F.expr("INTERVAL 2 HOURS")).alias("s"),
+        F.col("ts").alias("e"),
+    )
+    v = events.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("vid"), F.col("ts").alias("vts")
+    )
+    fast = bucketed_range_join(
+        v, p.drop("ts"), point_ts="vts", start_col="s", end_col="e",
+        by=["user_id"], bucket_width_s=1800,
+    ).select("pid", "vid")
+    naive = v.join(p, "user_id").filter(
+        (F.col("vts") >= F.col("s")) & (F.col("vts") <= F.col("e"))
+    ).select("pid", "vid")
+    assert fast.exceptAll(naive).count() == 0
+    assert naive.exceptAll(fast).count() == 0
+    assert naive.count() > 0
