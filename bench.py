@@ -28,6 +28,8 @@ HEADLINE = [
     "q_join_broadcast_dim",
     "q_window_topk_per_group",
     "q_set_union_all",
+    "q_asof_join",
+    "q_range_join",
     "ref_scd2_merge",
     "ref_state_delta",
     "ref_dq_expectations",
@@ -36,6 +38,7 @@ HEADLINE = [
     "llm_minhash_lsh_pairs",
     "llm_simhash",
     "llm_cosine_topk",
+    "llm_ann_ivf_topk",
     "llm_multimodal_features",
 ]
 

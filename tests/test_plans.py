@@ -1,0 +1,80 @@
+"""Physical-plan quality gates (100 TB posture): filter pushdown,
+column pruning, broadcast dimension joins, whole-stage codegen.
+
+These assert the plan SHAPE, not timings — the properties that keep
+the same code fast at 1000× the data.
+"""
+
+from __future__ import annotations
+
+from tests.conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_q01_filter_pushdown_and_pruning(spark):
+    from aws_datalake_spark.queries.relational import q01_pricing_summary
+
+    plan = _formatted(q01_pricing_summary(spark, SF_SMOKE))
+    # predicate reaches the parquet scan
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # scan reads only the 7 referenced columns, not all 11
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in read_schema and "l_suppkey" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_q05_broadcasts_all_dimensions(spark):
+    from aws_datalake_spark.queries.relational import q05_region_revenue
+
+    plan = _plan(q05_region_revenue(spark, SF_SMOKE))
+    # 4 dimension joins (customer/orders path may shuffle; region,
+    # nation, supplier must broadcast — they are tiny at any SF)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_exact_dedup_shuffles_hash_not_text(spark):
+    from aws_datalake_spark.operators.dedup import exact_dedup
+    from aws_datalake_spark.queries._shared import t
+
+    plan = _plan(exact_dedup(t(spark, SF_SMOKE, "documents")))
+    # the exchange key is the 60-bit hash; document text must be
+    # projected away before the shuffle (partial agg on __h)
+    exchange = next(l for l in plan.splitlines() if "Exchange hashpartitioning" in l)
+    assert "__h" in exchange and "text" not in exchange
+
+
+def test_range_join_is_not_nested_loop(spark):
+    from aws_datalake_spark.queries.relational_ext import q_range_join
+
+    plan = _plan(q_range_join(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_join_single_shuffle_per_side(spark):
+    from aws_datalake_spark.queries.relational_ext import q_asof_join
+
+    plan = _plan(q_asof_join(spark, SF_SMOKE))
+    # union-and-carry-forward: both sides shuffle once on user_id for
+    # the window sort; no join node at all
+    assert "Join" not in plan or "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_whole_stage_codegen_on_scan_agg(spark):
+    from aws_datalake_spark.queries.relational import q01_pricing_summary
+
+    df = q01_pricing_summary(spark, SF_SMOKE)
+    df.collect()  # materialize so AQE finalizes the plan
+    plan = _plan(df)
+    assert "WholeStageCodegen" in plan or "*(" in plan

@@ -76,3 +76,33 @@ def test_zone_paths_and_copy(spark, tmp_path):
     copy_zone(spark, src, dst)
     assert spark.read.parquet(dst).count() == 2
     assert "orders" in discover_datasets(zp.path("raw", ""))
+
+
+def test_paginated_api_datasource(spark):
+    from aws_datalake_spark.sources.paginated import register
+
+    register(spark)
+    df = (
+        spark.read.format("paged_api")
+        .option("total_rows", 250)
+        .option("page_size", 40)
+        .load()
+    )
+    assert df.count() == 250
+    assert df.rdd.getNumPartitions() == 7  # ceil(250/40) page partitions
+    # S2: server-side predicate — PAUSED rows never leave the source
+    active = (
+        spark.read.format("paged_api")
+        .option("total_rows", 250)
+        .option("active_only", "true")
+        .load()
+    )
+    assert active.count() == 250 - len([i for i in range(250) if i % 3 == 0])
+    # S3: keyed scan
+    keyed = (
+        spark.read.format("paged_api")
+        .option("total_rows", 250)
+        .option("keys", "1,5,7")
+        .load()
+    )
+    assert sorted(r.id for r in keyed.collect()) == [1, 5, 7]
