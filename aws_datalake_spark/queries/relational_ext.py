@@ -303,3 +303,47 @@ def q_union_dup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") > 1)
     )
+
+
+# --- skew-safe aggregation (operators/skew.py) -------------------------------
+
+@query(
+    "q_skew_distinct_count",
+    oracle="""
+    SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_distinct
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_skew_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct count via the explicit two-shuffle rewrite
+    (operators/skew.py:skew_safe_distinct_count) — a hot key's values
+    spread across the cluster in shuffle 1."""
+    from aws_datalake_spark.operators.skew import skew_safe_distinct_count
+
+    return skew_safe_distinct_count(
+        t(spark, sf_dir, "orders"), ["o_orderstatus"], "o_custkey"
+    )
+
+
+@query(
+    "q_salted_agg",
+    oracle=f"""
+    SELECT l_returnflag, {o_dsum('l_extendedprice')} AS sum_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted sum (operators/skew.py:salted_agg_sum) over a
+    deterministic salt; decimal accumulation keeps the result exactly
+    equal to the single-phase plan the oracle runs."""
+    from aws_datalake_spark.operators.skew import salted_agg_sum
+
+    l = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_orderkey",
+        F.col("l_extendedprice").cast("decimal(30,6)").alias("sum_price"),
+    )
+    out = salted_agg_sum(
+        l, ["l_returnflag"], ["sum_price"], salt_from="l_orderkey", salt_factor=16
+    )
+    return out.select("l_returnflag", F.col("sum_price").cast("double"))

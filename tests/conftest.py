@@ -22,3 +22,11 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_SMOKE
+
+
+@pytest.fixture(scope="session")
+def spark_global():
+    # function-scoped hypothesis tests need a session-scoped handle
+    # under a different name (hypothesis forbids function-scoped
+    # fixtures but allows session-scoped ones)
+    return get_spark("tests", master="local[8]", extra_conf={"spark.sql.shuffle.partitions": "8"})

@@ -1,0 +1,84 @@
+"""Property-based equivalence: optimized operators vs naive
+formulations on randomized inputs (hypothesis; reference test style
+upgraded per SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import datetime
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from aws_datalake_spark.operators.joins import asof_join, bucketed_range_join
+
+_BASE = datetime.datetime(2024, 1, 1)
+
+
+def _t(minutes: int) -> datetime.datetime:
+    return _BASE + datetime.timedelta(minutes=minutes)
+
+
+events = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 500)),  # (user, minute)
+    min_size=0, max_size=25,
+)
+
+
+@given(left=events, right=events)
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+def test_asof_join_matches_naive(spark_global, left, right):
+    spark = spark_global
+    ldf = spark.createDataFrame(
+        [(i, u, _t(m)) for i, (u, m) in enumerate(left)] or [(0, 0, _t(0))],
+        "id long, user_id long, ts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(1000 + i, u, _t(m)) for i, (u, m) in enumerate(right)] or [(999, 99, _t(0))],
+        "rid long, user_id long, ts timestamp",
+    )
+    got = {
+        r.id: r.rid_r
+        for r in asof_join(ldf, rdf, on="ts", by=["user_id"]).collect()
+    }
+    rows_l = ldf.collect()
+    rows_r = rdf.collect()
+    for lr in rows_l:
+        cands = [
+            rr for rr in rows_r if rr.user_id == lr.user_id and rr.ts <= lr.ts
+        ]
+        # operator tiebreak: max payload tuple — rid is first payload field
+        want = max(cands, key=lambda rr: (rr.ts, rr.rid)).rid if cands else None
+        assert got[lr.id] == want
+
+
+@given(points=events, intervals=st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 500), st.integers(0, 180)),
+    min_size=0, max_size=15,
+))
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+def test_bucketed_range_join_matches_naive(spark_global, points, intervals):
+    spark = spark_global
+    pdf = spark.createDataFrame(
+        [(i, u, _t(m)) for i, (u, m) in enumerate(points)] or [(0, 0, _t(0))],
+        "pid long, user_id long, ts timestamp",
+    )
+    idf = spark.createDataFrame(
+        [(100 + i, u, _t(m), _t(m + w)) for i, (u, m, w) in enumerate(intervals)]
+        or [(99, 99, _t(0), _t(1))],
+        "iid long, user_id long, s timestamp, e timestamp",
+    )
+    got = sorted(
+        (r.pid, r.iid)
+        for r in bucketed_range_join(
+            pdf, idf, point_ts="ts", start_col="s", end_col="e",
+            by=["user_id"], bucket_width_s=1800,
+        ).collect()
+    )
+    want = sorted(
+        (p.pid, i.iid)
+        for p in pdf.collect()
+        for i in idf.collect()
+        if p.user_id == i.user_id and i.s <= p.ts <= i.e
+    )
+    assert got == want

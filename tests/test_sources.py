@@ -106,3 +106,15 @@ def test_paginated_api_datasource(spark):
         .load()
     )
     assert sorted(r.id for r in keyed.collect()) == [1, 5, 7]
+
+
+def test_delta_io_upsert_parquet_fallback(spark, tmp_path):
+    from aws_datalake_spark.sources.delta_io import read_table, upsert, write_table
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    write_table(base, path)
+    upd = spark.createDataFrame([(2, "B"), (3, "c")], "id long, v string")
+    upsert(spark, path, upd, ["id"])
+    out = {r.id: r.v for r in read_table(spark, path).collect()}
+    assert out == {1: "a", 2: "B", 3: "c"}
