@@ -93,17 +93,32 @@ def evaluate(
     for i, e in enumerate(scalar):
         unexpected = int(row[f"__unexpected_{i}"])
         results.append((e, unexpected))
-    for e in uniques:
+    if uniques:
         # rows participating in a duplicated key value are unexpected
-        # (Great Expectations counts every row of a dup group)
-        dup = (
-            df.groupBy(e.column)
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n") > 1)
-            .agg(F.coalesce(F.sum("__n"), F.lit(0)).alias("__dup_rows"))
-            .collect()[0]["__dup_rows"]
-        )
-        results.append((e, int(dup)))
+        # (Great Expectations counts every row of a dup group). All
+        # unique-expectation columns melt into (col_name, value)
+        # pairs checked in ONE shuffle/job, not one job per column —
+        # at scale the suite cost is constant in expectation count.
+        pairs = None
+        for e in uniques:
+            p = df.select(
+                F.lit(e.column).alias("__col"),
+                F.col(e.column).cast("string").alias("__val"),
+            )
+            pairs = p if pairs is None else pairs.unionAll(p)
+        dup_rows = {
+            r["__col"]: int(r["__dups"])
+            for r in (
+                pairs.groupBy("__col", "__val")
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .filter(F.col("__n") > 1)
+                .groupBy("__col")
+                .agg(F.sum("__n").alias("__dups"))
+                .collect()
+            )
+        }
+        for e in uniques:
+            results.append((e, dup_rows.get(e.column, 0)))
 
     audit_rows = [
         {

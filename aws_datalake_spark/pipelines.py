@@ -1,0 +1,138 @@
+"""End-to-end pipeline composition (SURVEY.md §3 lifecycle parity).
+
+The reference's stages communicate through S3 zone files:
+raw JSON → (rules/explode/pad/state) → pipe-CSV → (COPY + SCD2) →
+warehouse (/root/reference/transformation.py:246-416,
+loading.py:25-133). These builders chain the same operators over
+ZonePaths directories; each stage is a handful of narrow Spark jobs,
+and the per-row DynamoDB RPC of the reference
+(transformation.py:407) is two set-based operations.
+
+All state lives in tables (parquet locally, Delta in production via
+sources/delta_io.py) — reruns are idempotent per zone overwrite.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_datalake_spark.operators.nested import explode_child
+from aws_datalake_spark.operators.rules import Rule, compile_rules
+from aws_datalake_spark.operators.scalar import (
+    add_audit_ts,
+    add_generic_padding,
+    project_final,
+)
+from aws_datalake_spark.operators.scd2 import scd2_merge
+from aws_datalake_spark.operators.state_delta import compute_deltas, upsert_state
+from aws_datalake_spark.sources.readers import read_json_docs, read_pipe_staging
+from aws_datalake_spark.sources.writers import write_pipe_csv
+
+
+@dataclass
+class TransformationJob:
+    """§3.2 transformation stage config (the DynamoDB rule items,
+    transformation.py:457-462, as plain data)."""
+
+    rules: list[Rule]
+    final_columns: list[str]
+    key_cols: list[str] = field(default_factory=lambda: ["_id", "reference_id"])
+    metric_cols: list[str] = field(default_factory=list)
+    child_arrays: dict[str, str] = field(default_factory=dict)  # out-name -> array path
+    generic_padding: int = 10
+
+
+def run_transformation(
+    spark: SparkSession,
+    raw_path: str,
+    out_path: str,
+    job: TransformationJob,
+    state_path: str | None = None,
+    schema=None,
+) -> dict[str, DataFrame]:
+    """raw JSON → rule projection → child-table explodes → padding +
+    audit ts → stateful delta (join + state upsert, NOT per-row RPC)
+    → pipe-CSV zone write. Returns the written frames by name."""
+    raw = read_json_docs(spark, raw_path, schema=schema)
+    main = compile_rules(raw, job.rules)
+
+    outputs: dict[str, DataFrame] = {}
+    for name, array_path in job.child_arrays.items():
+        child = explode_child(raw, array_path, parent_keys=job.key_cols[:1])
+        outputs[name] = child
+
+    main = add_generic_padding(main, n=job.generic_padding)
+    main = add_audit_ts(main)
+
+    if job.metric_cols:
+        if state_path is not None:
+            try:
+                state = spark.read.parquet(state_path)
+            except Exception:
+                state = None
+        else:
+            state = None
+        main = compute_deltas(main, state, job.key_cols, job.metric_cols)
+        main = project_final(main, [c for c in job.final_columns if c in main.columns])
+        write_pipe_csv(main, out_path)
+        if state_path is not None:
+            # Both consumers of the OLD state (deltas above, upsert
+            # below) must materialize before the state table is
+            # overwritten — lazy plans hold file references, and
+            # parquet has no transaction log to protect readers
+            # (Delta MERGE replaces this stage-then-swap wholesale
+            # in production, sources/delta_io.py).
+            new_state = upsert_state(
+                raw.select(
+                    *[r.to_column(raw) for r in job.rules],
+                ).select(*job.key_cols, *job.metric_cols),
+                state,
+                job.key_cols,
+                job.metric_cols,
+            )
+            tmp = state_path.rstrip("/") + "__stage"
+            new_state.write.mode("overwrite").parquet(tmp)
+            spark.read.parquet(tmp).write.mode("overwrite").parquet(state_path)
+    else:
+        main = project_final(main, [c for c in job.final_columns if c in main.columns])
+        write_pipe_csv(main, out_path)
+
+    outputs["main"] = spark.read.option("sep", "|").option("header", True).schema(
+        main.schema
+    ).csv(out_path)
+    return outputs
+
+
+def run_loading(
+    spark: SparkSession,
+    staging_path: str,
+    target_path: str,
+    keys: list[str],
+    staging_schema: str,
+    columnwise_keys: bool = False,
+) -> DataFrame:
+    """§3.3 loading stage: pipe-CSV staging read (the COPY twin,
+    loading.py:26-30) → SCD2 close-out + unconditional re-insert
+    (loading.py:32-130) → target overwrite. Returns the post-merge
+    table."""
+    staging = read_pipe_staging(spark, staging_path, schema=staging_schema)
+    try:
+        target = spark.read.parquet(target_path)
+        first_load = False
+    except Exception:
+        first_load = True
+
+    if first_load:
+        merged = staging.withColumn("actv_flg", F.lit("Y")).withColumn(
+            "record_to", F.lit(None).cast("timestamp")
+        )
+    else:
+        merged = scd2_merge(target, staging, keys, columnwise_keys=columnwise_keys)
+
+    tmp = target_path.rstrip("/") + "__stage"
+    merged.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(target_path)
+    return spark.read.parquet(target_path)

@@ -1,0 +1,109 @@
+"""End-to-end lifecycle: raw JSON → transformation zone → SCD2
+warehouse table over two daily runs (SURVEY.md §3 parity)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from aws_datalake_spark.operators.rules import Rule
+from aws_datalake_spark.pipelines import TransformationJob, run_loading, run_transformation
+
+_DAY1 = [
+    {
+        "_id": 1, "reference_id": "r1", "name": "alpha",
+        "startDateTime": {"date": {"year": 2024, "month": 1, "day": 2}},
+        "stats": {"impressions": 100, "clicks": 10},
+        "locations": [{"id": 11, "type": "CITY"}, {"id": 12, "type": "STATE"}],
+    },
+    {
+        "_id": 2, "reference_id": "r2", "name": "beta",
+        "startDateTime": {"date": {"year": 2024, "month": 2, "day": 3}},
+        "stats": {"impressions": 50, "clicks": 5},
+        "locations": [],
+    },
+]
+# day 2: cumulative metrics advanced; entity 1 renamed
+_DAY2 = [
+    {
+        "_id": 1, "reference_id": "r1", "name": "alpha2",
+        "startDateTime": {"date": {"year": 2024, "month": 1, "day": 2}},
+        "stats": {"impressions": 160, "clicks": 13},
+        "locations": [{"id": 11, "type": "CITY"}],
+    },
+    {
+        "_id": 2, "reference_id": "r2", "name": "beta",
+        "startDateTime": {"date": {"year": 2024, "month": 2, "day": 3}},
+        "stats": {"impressions": 75, "clicks": 9},
+        "locations": [],
+    },
+]
+
+_JOB = TransformationJob(
+    rules=[
+        Rule("_id", "_id"),
+        Rule("reference_id", "reference_id"),
+        Rule("name", "entity_name"),
+        Rule("startDateTime.date.year", "start_year", kind="nested"),
+        Rule("stats.impressions", "impressions", kind="nested"),
+        Rule("stats.clicks", "clicks", kind="nested"),
+    ],
+    final_columns=["_id", "reference_id", "entity_name", "start_year",
+                   "impressions", "clicks", "generic1", "insrt_ts"],
+    metric_cols=["impressions", "clicks"],
+    child_arrays={"locations": "locations"},
+)
+
+_STG_SCHEMA = (
+    "_id long, reference_id string, entity_name string, start_year long, "
+    "impressions long, clicks long, generic1 string, insrt_ts timestamp"
+)
+
+
+def _write_raw(tmp_path, name, records):
+    p = tmp_path / name
+    p.mkdir()
+    # the reference serializes pretty-printed JSON arrays
+    # (ingestion.py:274-275 indent=4) — multiLine read path
+    (p / "data.json").write_text(json.dumps(records, indent=4))
+    return str(p)
+
+
+def test_two_day_lifecycle(spark, tmp_path):
+    raw1 = _write_raw(tmp_path, "raw1", _DAY1)
+    raw2 = _write_raw(tmp_path, "raw2", _DAY2)
+    state = str(tmp_path / "state")
+    zone1 = str(tmp_path / "transformed1")
+    zone2 = str(tmp_path / "transformed2")
+    target = str(tmp_path / "warehouse_entity")
+
+    # --- day 1 transformation: first sight → deltas = raw cumulative
+    out1 = run_transformation(spark, raw1, zone1, _JOB, state_path=state)
+    m1 = {r._id: r for r in out1["main"].collect()}
+    assert m1[1].impressions == 100 and m1[1].clicks == 10
+    # child explode drops the empty-array parent (E1 semantics)
+    assert [r._id for r in out1["locations"].collect()] == [1, 1]
+
+    # --- day 1 load: first load → all rows active
+    t1 = run_loading(spark, zone1, target, keys=["_id"], staging_schema=_STG_SCHEMA)
+    assert t1.filter(F.col("actv_flg") == "Y").count() == 2
+
+    # --- day 2 transformation: deltas vs stored cumulative
+    out2 = run_transformation(spark, raw2, zone2, _JOB, state_path=state)
+    m2 = {r._id: r for r in out2["main"].collect()}
+    assert m2[1].impressions == 60 and m2[1].clicks == 3   # 160-100, 13-10
+    assert m2[2].impressions == 25 and m2[2].clicks == 4   # 75-50, 9-5
+
+    # --- day 2 load: SCD2 close-out + unconditional re-insert
+    t2 = run_loading(spark, zone2, target, keys=["_id"], staging_schema=_STG_SCHEMA)
+    assert t2.count() == 4
+    active = {r._id: r for r in t2.filter(F.col("actv_flg") == "Y").collect()}
+    assert active[1].entity_name == "alpha2"
+    closed = t2.filter(F.col("actv_flg") == "N")
+    assert closed.count() == 2  # even unchanged beta re-versioned (reference parity)
+    assert all(r.record_to is not None for r in closed.collect())
+
+    # state now holds day-2 cumulative
+    st = {r._id: r for r in spark.read.parquet(state).collect()}
+    assert st[1].impressions_value == 160 and st[2].clicks_value == 9
