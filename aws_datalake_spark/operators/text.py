@@ -124,3 +124,45 @@ def doc_fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
     )
     fp = F.aggregate(weighted, F.lit(0).cast("long"), lambda acc, x: acc + x) % F.lit(2**61)
     return df.select(id_col, fp.alias("fingerprint"))
+
+
+# --- scrubbing / normalization ------------------------------------------------
+
+# Simple-dialect regexes (no lookaround) so Spark's Java regex and
+# the oracle's RE2 agree character-for-character.
+EMAIL_REGEX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_REGEX = r"https?://[^\s]+"
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Training-data scrub: redact emails and URLs, count what was
+    removed. Pure regexp_replace/size — JVM-side, scan-bound."""
+    c = F.col(text_col)
+    return df.select(
+        id_col,
+        F.regexp_replace(
+            F.regexp_replace(c, EMAIL_REGEX, "<EMAIL>"), URL_REGEX, "<URL>"
+        ).alias("scrubbed"),
+        F.size(F.regexp_extract_all(c, F.lit(EMAIL_REGEX), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(c, F.lit(URL_REGEX), 0)).alias("n_urls"),
+    )
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical text form for dedup keys: lowercase, trim, collapse
+    internal whitespace runs."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def split_sentences(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Sentence segmentation: split on [.!?]+ runs, trim, drop
+    empties — explode(split()) keeps it in the JVM (the Python UDTF
+    twin in functions/udtf.py is the §2.7 escape hatch for logic
+    regex can't express)."""
+    pieces = F.split(F.col(text_col), r"[.!?]+")
+    return (
+        df.select(F.col(id_col), F.explode(pieces).alias("__raw"))
+        .select(F.col(id_col), F.trim(F.col("__raw")).alias("sentence"))
+        .filter(F.col("sentence") != "")
+    )

@@ -139,3 +139,74 @@ def llm_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
     )
+
+
+@query(
+    "llm_pii_scrub",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                            '<EMAIL>', 'g'),
+             'https?://[^ \\t\\n]+', '<URL>', 'g') AS scrubbed,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(text, 'https?://[^ \\t\\n]+')) AS INT) AS n_urls
+    FROM (SELECT doc_id,
+                 text || CASE WHEN doc_id % 7 = 0
+                              THEN ' contact bob@example.com or https://ex.org/x'
+                              ELSE '' END AS text
+          FROM documents)
+    """,
+)
+def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (operators/text.py:scrub_pii): emails/URLs redacted
+    and counted. Corpus seeded with synthetic PII on every 7th doc so
+    the redaction provably fires."""
+    from aws_datalake_spark.operators.text import scrub_pii
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" contact bob@example.com or https://ex.org/x")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return scrub_pii(d)
+
+
+@query(
+    "llm_text_normalize",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS normalized
+    FROM documents
+    """,
+)
+def llm_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text form for dedup keys
+    (operators/text.py:normalize_text)."""
+    from aws_datalake_spark.operators.text import normalize_text
+
+    return t(spark, sf_dir, "documents").select(
+        "doc_id", normalize_text("text").alias("normalized")
+    )
+
+
+@query(
+    "llm_sentence_split",
+    oracle="""
+    SELECT doc_id, sentence FROM (
+      SELECT doc_id,
+             trim(unnest(string_split_regex(text, '[.!?]+'))) AS sentence
+      FROM documents)
+    WHERE sentence <> ''
+    """,
+)
+def llm_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation via JVM explode(split)
+    (operators/text.py:split_sentences); the Python-UDTF twin is
+    functions/udtf.py:SentenceSplit (equivalence tested)."""
+    from aws_datalake_spark.operators.text import split_sentences
+
+    return split_sentences(t(spark, sf_dir, "documents"))

@@ -112,3 +112,36 @@ def test_lang_id_markers(spark):
     )
     out = {r.id: r.l for r in df.select("id", lang_id("t").alias("l")).collect()}
     assert out == {1: "en", 2: "es", 3: "und"}
+
+
+def test_udtf_matches_builtin_sentence_split(spark):
+    from aws_datalake_spark.functions.udtf import register
+    from aws_datalake_spark.operators.text import split_sentences
+
+    register(spark)
+    df = spark.createDataFrame(
+        [(1, "One. Two!  Three? "), (2, "no terminator"), (3, None)],
+        "doc_id long, text string",
+    )
+    df.createOrReplaceTempView("__udtf_docs")
+    via_udtf = spark.sql(
+        "SELECT doc_id, s.sentence FROM __udtf_docs, "
+        "LATERAL sentence_split(text) s"
+    )
+    builtin = split_sentences(df)
+    assert sorted((r.doc_id, r.sentence) for r in via_udtf.collect()) == sorted(
+        (r.doc_id, r.sentence) for r in builtin.collect()
+    )
+
+
+def test_scrub_pii_counts(spark):
+    from aws_datalake_spark.operators.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail a@b.co and http://x.io/y now"), (2, "clean")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in scrub_pii(df).collect()}
+    assert out[1].scrubbed == "mail <EMAIL> and <URL> now"
+    assert out[1].n_emails == 1 and out[1].n_urls == 1
+    assert out[2].n_emails == 0 and out[2].scrubbed == "clean"
