@@ -106,3 +106,38 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
         "asset_id",
         F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))).alias("frame_idx"),
     )
+
+
+RESIZED_SCHEMA = (
+    "asset_id long, media_type string, payload binary, "
+    "width int, height int, channels int"
+)
+
+
+def resize_images(media: DataFrame, target_w: int = 64, target_h: int = 64) -> DataFrame:
+    """Image resize plumbing: Arrow-batched mapInPandas in, resized
+    payload + dims out. The pixel work is a deterministic fake
+    (byte stream truncated/padded to w*h*3 — a real deployment swaps
+    in PIL's resize and nothing else changes); the batch contract,
+    binary round-trip, and output schema are the real thing."""
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        size = target_w * target_h * 3
+        for pdf in batches:
+            pdf = pdf[pdf["media_type"] == "image"]
+            resized = [
+                (bytes(p) * (size // max(len(bytes(p)), 1) + 1))[:size]
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"].values,
+                    "media_type": pdf["media_type"].values,
+                    "payload": resized,
+                    "width": target_w,
+                    "height": target_h,
+                    "channels": 3,
+                }
+            )
+
+    return media.mapInPandas(resize_batches, schema=RESIZED_SCHEMA)

@@ -145,3 +145,14 @@ def test_scrub_pii_counts(spark):
     assert out[1].scrubbed == "mail <EMAIL> and <URL> now"
     assert out[1].n_emails == 1 and out[1].n_urls == 1
     assert out[2].n_emails == 0 and out[2].scrubbed == "clean"
+
+
+def test_resize_images_batch_contract(spark):
+    from aws_datalake_spark.operators.multimodal import make_media_table, resize_images
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(30)
+    out = resize_images(make_media_table(docs), target_w=8, target_h=8).collect()
+    assert out, "image assets present"
+    assert all(len(r.payload) == 8 * 8 * 3 for r in out)
+    assert all(r.media_type == "image" for r in out)
+    assert {r.width for r in out} == {8}

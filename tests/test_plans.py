@@ -78,3 +78,16 @@ def test_whole_stage_codegen_on_scan_agg(spark):
     df.collect()  # materialize so AQE finalizes the plan
     plan = _plan(df)
     assert "WholeStageCodegen" in plan or "*(" in plan
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    fact = spark.createDataFrame(
+        [(i, i % 5, float(i)) for i in range(1000)], "id long, part int, v double"
+    )
+    path = str(tmp_path / "fact_part")
+    fact.write.partitionBy("part").parquet(path)
+    f = spark.read.parquet(path)
+    dim = spark.createDataFrame([(1, "keep"), (2, "also")], "part int, name string")
+    joined = f.join(dim, "part")
+    plan = _plan(joined).lower()
+    assert "dynamicpruning" in plan or "partitionfilters: [isnotnull(part" in plan

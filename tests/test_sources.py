@@ -118,3 +118,34 @@ def test_delta_io_upsert_parquet_fallback(spark, tmp_path):
     upsert(spark, path, upd, ["id"])
     out = {r.id: r.v for r in read_table(spark, path).collect()}
     assert out == {1: "a", 2: "B", 3: "c"}
+
+
+def test_compaction_reduces_files(spark, tmp_path):
+    from aws_datalake_spark.sources.compaction import compact
+
+    path = str(tmp_path / "many")
+    spark.range(10000).repartition(64).write.parquet(path)
+    import glob
+
+    before = len(glob.glob(f"{path}/part-*"))
+    compact(spark, path, target_file_mb=128, sort_cols=["id"])
+    after = len(glob.glob(f"{path}/part-*"))
+    assert before == 64 and after <= 2
+    assert spark.read.parquet(path).count() == 10000
+
+
+def test_clustered_write_layout(spark, tmp_path):
+    from aws_datalake_spark.sources.compaction import clustered_write
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b", i * 10) for i in range(100)],
+        "id long, k string, v long",
+    )
+    path = str(tmp_path / "clustered")
+    clustered_write(df, path, partition_cols=["k"], cluster_cols=["id"])
+    import glob, os
+
+    assert os.path.isdir(f"{path}/k=a") and os.path.isdir(f"{path}/k=b")
+    # one writer task per partition value -> one file each
+    assert len(glob.glob(f"{path}/k=a/part-*")) == 1
+    assert spark.read.parquet(path).filter("k = 'a'").count() == 50
