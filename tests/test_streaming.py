@@ -117,3 +117,70 @@ def test_stateful_delta_stream_two_batches(spark, tmp_path):
     q.awaitTermination(30)
     all_rows = [(r._id, r.m1) for r in spark.table("delta_out").collect()]
     assert sorted(all_rows) == [(1, 10), (1, 15), (2, 0), (2, 5)]
+
+
+def test_stream_session_window_per_user(spark, tmp_path):
+    src = str(tmp_path / "sess_json")
+    _write_events_json(
+        spark, src,
+        rows=[
+            (1, "2024-01-01 10:00:00", 1, "view", 1.0),
+            (2, "2024-01-01 10:03:00", 1, "view", 1.0),   # same session (gap 5m)
+            (3, "2024-01-01 10:30:00", 1, "view", 1.0),   # new session
+        ],
+    )
+    from aws_datalake_spark.streaming.windows import session_counts
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).json(src)
+    agg = session_counts(with_watermark(stream, "ts", "10 minutes"), gap="5 minutes",
+                         keys=["user_id"])
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .start()
+    )
+    q.processAllAvailable()
+    # push the watermark far forward so both sessions close
+    _write_events_json(spark, src, rows=[(9, "2024-01-01 12:00:00", 9, "view", 0.0)],
+                       mode="append")
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+    sessions = sorted(
+        (r.session_start.minute, r.n_events)
+        for r in spark.table("sess_out").filter("user_id = 1").collect()
+    )
+    assert sessions == [(0, 2), (30, 1)]  # 10:00-10:08 (2 events), 10:30 session
+
+
+def test_stream_late_data_dropped_past_watermark(spark, tmp_path):
+    src = str(tmp_path / "late_json")
+    _write_events_json(spark, src, rows=[(1, "2024-01-01 10:05:00", 1, "view", 1.0)])
+    stream = spark.readStream.schema(EVENTS_SCHEMA).json(src)
+    agg = tumbling_counts(with_watermark(stream, "ts", "10 minutes"), duration="1 hour")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_late"))
+        .start()
+    )
+    q.processAllAvailable()
+    # advance the watermark to 13:50, closing the 10:00 window...
+    _write_events_json(spark, src, rows=[(2, "2024-01-01 14:00:00", 2, "view", 1.0)],
+                       mode="append")
+    q.processAllAvailable()
+    # ...then send an event for the CLOSED 10:00 window: must be dropped
+    _write_events_json(spark, src, rows=[(3, "2024-01-01 10:10:00", 3, "view", 1.0)],
+                       mode="append")
+    q.processAllAvailable()
+    # and one more advance so emitted state is flushed deterministically
+    _write_events_json(spark, src, rows=[(4, "2024-01-01 16:00:00", 4, "view", 1.0)],
+                       mode="append")
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+    ten = [r for r in spark.table("late_out").collect() if r.window_start.hour == 10]
+    assert len(ten) == 1 and ten[0].n_events == 1  # late event 3 never counted
