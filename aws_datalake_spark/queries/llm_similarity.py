@@ -239,3 +239,19 @@ def llm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(media, every_n=10).select(
         "asset_id", F.col("frame_idx").cast("int")
     )
+
+
+@query("llm_kmeans_cells")
+def llm_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means cell assignment
+    (operators/clustering.py) — the iterative-algorithm class the
+    contract marks non-SQL-expressible (5 Lloyd iterations; a DuckDB
+    twin would need a 5-deep recursive CTE over array math).
+    Deterministic: fixed init (lowest-id vectors), fixed iteration
+    count, decimal-exact sums — rows-only check is still stable.
+    Purity/determinism asserted in tests/test_clustering.py."""
+    from aws_datalake_spark.operators.clustering import kmeans_assign, kmeans_fit
+
+    e = _emb_double(spark, sf_dir).select("vec_id", "embedding")
+    cents = kmeans_fit(e, k=8, max_iter=3)
+    return kmeans_assign(e, cents)
