@@ -347,3 +347,97 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         l, ["l_returnflag"], ["sum_price"], salt_from="l_orderkey", salt_factor=16
     )
     return out.select("l_returnflag", F.col("sum_price").cast("double"))
+
+
+# --- array / map / correlated-subquery function surface ----------------------
+
+@query(
+    "q_array_functions",
+    oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey,
+             list_sort(list(l_linenumber)) AS nums,
+             list_sort(list(DISTINCT l_returnflag)) AS flags
+      FROM lineitem GROUP BY l_orderkey)
+    SELECT l_orderkey,
+           CAST(len(nums) AS INT) AS n_lines,
+           CAST(nums[1] AS INT) AS first_line,
+           CAST(nums[-1] AS INT) AS last_line,
+           CAST(list_sum(nums) AS BIGINT) AS line_sum,
+           CAST(list_contains(flags, 'R') AS BOOLEAN) AS has_returns
+    FROM per_order WHERE l_orderkey % 100 = 0
+    """,
+)
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function surface: collect → sort → size/element_at/
+    aggregate/contains. collect_list alone is order-nondeterministic
+    across tasks; array_sort restores determinism (the pattern any
+    reproducible pipeline needs)."""
+    l = t(spark, sf_dir, "lineitem")
+    per_order = l.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("l_linenumber")).alias("nums"),
+        F.array_sort(F.collect_set("l_returnflag")).alias("flags"),
+    )
+    return per_order.filter(F.col("l_orderkey") % 100 == 0).select(
+        "l_orderkey",
+        F.size("nums").alias("n_lines"),
+        F.element_at("nums", 1).cast("int").alias("first_line"),
+        F.element_at("nums", -1).cast("int").alias("last_line"),
+        F.aggregate("nums", F.lit(0).cast("long"), lambda a, x: a + x).alias("line_sum"),
+        F.array_contains("flags", "R").alias("has_returns"),
+    )
+
+
+@query(
+    "q_map_functions",
+    oracle="""
+    SELECT o_custkey,
+           CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS n_open,
+           CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS n_filled
+    FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15
+    """,
+)
+def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map function surface: per-customer status→count map built with
+    map_from_entries(collect_list(struct)), read back via
+    element_at — the map is constructed and consumed in-plan; the
+    oracle checks the extracted scalars."""
+    o = t(spark, sf_dir, "orders")
+    counts = o.groupBy("o_custkey", "o_orderstatus").agg(F.count("*").alias("n"))
+    mapped = counts.groupBy("o_custkey").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("o_orderstatus", "n")))
+        ).alias("m"),
+        F.sum("n").alias("total"),
+    )
+    return mapped.filter(F.col("total") >= 15).select(
+        "o_custkey",
+        F.coalesce(F.element_at("m", "O"), F.lit(0)).alias("n_open"),
+        F.coalesce(F.element_at("m", "F"), F.lit(0)).alias("n_filled"),
+    )
+
+
+@query(
+    "q_exists_correlated",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT'
+                    AND o.o_totalprice > 300000)
+    """,
+)
+def q_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS via spark.sql — Catalyst decorrelates it
+    into the same semi-join q_join_semi writes by hand."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("__c_ex")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("__o_ex")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM __c_ex c
+        WHERE EXISTS (SELECT 1 FROM __o_ex o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT'
+                        AND o.o_totalprice > 300000)
+        """
+    )
