@@ -441,3 +441,43 @@ def q_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
                         AND o.o_totalprice > 300000)
         """
     )
+
+
+# --- window frames / distribution functions ----------------------------------
+
+@query(
+    "q_window_frames",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(ntile(4) OVER w_price AS INT) AS price_quartile,
+           ROUND(percent_rank() OVER w_price, 6) AS price_pct_rank,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS moving_sum3,
+           FIRST_VALUE(o_orderkey) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS first_order
+    FROM orders
+    WINDOW w_price AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frame + distribution surface: ntile, percent_rank,
+    ROWS-frame moving sum (decimal-exact), first_value. Unique
+    (orderdate, orderkey) tiebreaks keep every function
+    deterministic."""
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    w_price = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    w_time = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_mov = w_time.rowsBetween(-2, Window.currentRow)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.ntile(4).over(w_price).alias("price_quartile"),
+        F.round(F.percent_rank().over(w_price), 6).alias("price_pct_rank"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,6)")).over(w_mov)
+        .cast("double").alias("moving_sum3"),
+        F.first("o_orderkey").over(w_time).alias("first_order"),
+    )
