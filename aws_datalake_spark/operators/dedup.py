@@ -219,38 +219,43 @@ def simhash(
 ) -> DataFrame:
     """Count-weighted SimHash over whitespace tokens: bit j of the
     output is 1 iff sum over tokens of count * (±1 per token-hash
-    bit j) is positive. Computed set-based (explode → two groupBys)
-    so the oracle can replicate it in SQL exactly."""
+    bit j) is positive.
+
+    Per-token bit votes travel as ONE ``bits``-long int array summed
+    element-wise in the doc aggregation — no bits× row explosion and
+    only two shuffles (token counts, doc fold). Integer addition is
+    order-independent, so the collect_list fold is exact and the SQL
+    oracle (which uses the equivalent per-bit formulation) matches
+    bit-for-bit."""
     toks = df.select(F.col(id_col).alias("__id"), F.explode(tokens_ws(F.col(text_col))).alias("w"))
     tok_counts = toks.groupBy("__id", "w").agg(F.count(F.lit(1)).alias("cnt"))
-    hashed = tok_counts.withColumn("h", hash60(F.col("w")))
-    bit_ids = F.sequence(F.lit(0), F.lit(bits - 1))
-    per_bit = hashed.select(
+    hashed = tok_counts.select(
+        "__id", "cnt", hash60(F.col("w")).alias("__h")
+    )
+    contrib = hashed.select(
         "__id",
-        "cnt",
-        "h",
-        F.explode(bit_ids).alias("bit"),
-    ).withColumn(
-        # shiftright's Python signature wants an int literal; the SQL
-        # form takes a column shift amount
-        "contrib",
-        F.when(F.expr("(h >> bit) & 1") == 1, F.col("cnt")).otherwise(-F.col("cnt")),
+        F.array(*[
+            F.when(
+                F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, F.col("cnt")
+            ).otherwise(-F.col("cnt")).cast("long")
+            for b in range(bits)
+        ]).alias("__votes"),
     )
-    bit_vals = (
-        per_bit.groupBy("__id", "bit")
-        .agg(F.sum("contrib").alias("s"))
-        .withColumn(
-            "bit_val",
-            F.when(F.col("s") > 0, F.expr("shiftleft(1L, bit)")).otherwise(
-                F.lit(0).cast("long")
-            ),
-        )
+    zero = F.array(*[F.lit(0).cast("long") for _ in range(bits)])
+    summed = contrib.groupBy("__id").agg(
+        F.aggregate(
+            F.collect_list("__votes"),
+            zero,
+            lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
+        ).alias("__sums")
     )
-    return (
-        bit_vals.groupBy("__id")
-        .agg(F.sum("bit_val").alias("simhash"))
-        .select(F.col("__id").alias(id_col), "simhash")
-    )
+    sim = None
+    for b in range(bits):
+        term = F.when(
+            F.element_at(F.col("__sums"), b + 1) > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    return summed.select(F.col("__id").alias(id_col), sim.alias("simhash"))
 
 
 def hamming64(a: Column, b: Column) -> Column:

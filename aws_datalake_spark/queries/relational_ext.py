@@ -328,7 +328,8 @@ def q_skew_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_salted_agg",
     oracle=f"""
-    SELECT l_returnflag, {o_dsum('l_extendedprice')} AS sum_price
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
     FROM lineitem GROUP BY l_returnflag
     """,
 )
