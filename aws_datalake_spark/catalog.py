@@ -36,8 +36,11 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one lake table. Parquet scan → column pruning and filter
     pushdown are automatic once downstream operators are declarative."""
+    # set defensively for sessions not built by get_spark() (the
+    # driver builds its own): timestamps must render in UTC to match
+    # the DuckDB oracle's naive timestamps
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # set defensively for sessions not built by get_spark()
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":

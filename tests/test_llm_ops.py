@@ -156,3 +156,66 @@ def test_resize_images_batch_contract(spark):
     assert all(len(r.payload) == 8 * 8 * 3 for r in out)
     assert all(r.media_type == "image" for r in out)
     assert {r.width for r in out} == {8}
+
+
+def test_quality_features_and_score(spark):
+    from aws_datalake_spark.operators.text import quality_features, quality_score
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "!!! ??? ..."), (3, "")],
+        "doc_id long, text string",
+    )
+    feats = {r.doc_id: r for r in quality_features(df).collect()}
+    assert feats[1].q_n_tokens == 6
+    assert feats[1].q_stopword_ratio > 0.2      # two 'the'
+    assert feats[2].q_punct_ratio > 0.5
+    assert feats[3].q_n_tokens == 0
+    scores = {r.doc_id: r.quality_score for r in quality_score(df).collect()}
+    assert scores[1] > scores[2]                 # prose beats punctuation soup
+    assert 0.0 <= min(scores.values()) and max(scores.values()) <= 1.0
+
+
+def test_doc_fingerprint_order_sensitive(spark):
+    from aws_datalake_spark.operators.text import doc_fingerprint
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "c b a")], "doc_id long, text string"
+    )
+    fp = {r.doc_id: r.fingerprint for r in doc_fingerprint(df).collect()}
+    assert fp[1] == fp[2]      # identical content → identical fingerprint
+    assert fp[1] != fp[3]      # same tokens, different order → different
+
+
+def test_embedding_neardup_finds_planted_copy(spark):
+    from aws_datalake_spark.operators.similarity import cosine_neardup_pairs
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
+        "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    seeded = emb.unionByName(
+        emb.filter(F.col("vec_id") == 7).select(
+            (F.col("vec_id") + 5000).alias("vec_id"), "label", "embedding"
+        )
+    )
+    pairs = cosine_neardup_pairs(seeded, threshold=0.99, bucket_col=F.col("label")).collect()
+    assert any({p.id_a, p.id_b} == {7, 5007} for p in pairs)
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    from aws_datalake_spark.operators.similarity import ann_ivf_topk, cosine_topk
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    centroids = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(emb, queries, k=5).collect()}
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_ivf_topk(emb, queries, centroids, k=5, n_probe=3).collect()
+    }
+    assert len(approx & exact) / len(exact) >= 0.2
