@@ -48,3 +48,35 @@ def run_stream_with_dq(
         .foreachBatch(dq_foreach_batch(expectations, audit_sink_path, file_identifier))
         .start()
     )
+
+
+def idempotent_batch_sink(
+    out_path: str,
+) -> Callable[[DataFrame, int], None]:
+    """Exactly-once foreachBatch sink on an at-least-once substrate:
+    every batch writes to its own ``batch_id=N`` hive partition with
+    dynamic partition overwrite, so a replayed batch (restart between
+    sink write and checkpoint commit) REPLACES its own partition
+    instead of appending duplicates. Readers see the union of
+    partitions — each batch exactly once.
+
+    This is the parquet twin of Delta's txn-log dedup; same contract,
+    coarser granularity (partition vs file)."""
+
+    def _body(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        spark = batch_df.sparkSession
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                batch_df.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(out_path)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    return _body

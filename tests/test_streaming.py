@@ -184,3 +184,17 @@ def test_stream_late_data_dropped_past_watermark(spark, tmp_path):
     q.awaitTermination(30)
     ten = [r for r in spark.table("late_out").collect() if r.window_start.hour == 10]
     assert len(ten) == 1 and ten[0].n_events == 1  # late event 3 never counted
+
+
+def test_idempotent_batch_sink_replay_safe(spark, tmp_path):
+    from aws_datalake_spark.streaming.microbatch import idempotent_batch_sink
+
+    sink = str(tmp_path / "eo_sink")
+    body = idempotent_batch_sink(sink)
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    b1 = spark.createDataFrame([(3, "c")], "id long, v string")
+    body(b0, 0)
+    body(b1, 1)
+    body(b0, 0)  # replay of batch 0 (restart before checkpoint commit)
+    out = spark.read.parquet(sink)
+    assert sorted((r.id, r.batch_id) for r in out.collect()) == [(1, 0), (2, 0), (3, 1)]
