@@ -153,6 +153,12 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+    # Verification recomputes shingles for the whole corpus in one
+    # pass. (A candidate-id semi-join prune before tokenizing was
+    # measured SLOWER here: without persisting, the candidate lineage
+    # — signature + band join — executes twice. At 100 TB, persist
+    # the candidate table first and prune; with a single-pass plan,
+    # full-corpus tokenization is the cheaper trade.)
     sh = with_shingles(df, text_col, id_col, shingle_n).withColumnRenamed(id_col, "__id")
     cand = (
         cand.join(sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")), "id_a")
