@@ -136,3 +136,24 @@ def run_loading(
     merged.write.mode("overwrite").parquet(tmp)
     spark.read.parquet(tmp).write.mode("overwrite").parquet(target_path)
     return spark.read.parquet(target_path)
+
+
+def run_masking(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    masking_cols: list[str],
+    fmt: str = "parquet",
+) -> DataFrame:
+    """§ masking/zone-copy stage (/root/reference/partitioning.py:
+    54-69): copy a dataset between zones with the configured columns
+    dropped. A distributed read→drop→write, not the reference's
+    per-object driver loop; missing mask columns are ignored like the
+    reference's dict.pop(col, None)."""
+    from aws_datalake_spark.operators.scalar import mask_columns
+
+    df = spark.read.format(fmt).load(in_path)
+    present = [c for c in masking_cols if c in df.columns]
+    masked = mask_columns(df, present)
+    masked.write.mode("overwrite").format(fmt).save(out_path)
+    return spark.read.format(fmt).load(out_path)

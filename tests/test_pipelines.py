@@ -107,3 +107,16 @@ def test_two_day_lifecycle(spark, tmp_path):
     # state now holds day-2 cumulative
     st = {r._id: r for r in spark.read.parquet(state).collect()}
     assert st[1].impressions_value == 160 and st[2].clicks_value == 9
+
+
+def test_masking_zone_copy(spark, tmp_path):
+    from aws_datalake_spark.pipelines import run_masking
+
+    src = str(tmp_path / "raw_zone")
+    dst = str(tmp_path / "masked_zone")
+    spark.createDataFrame(
+        [(1, "alice", "a@x.io", 9.5)], "id long, name string, email string, score double"
+    ).write.parquet(src)
+    out = run_masking(spark, src, dst, ["email", "ssn_not_present"])
+    assert out.columns == ["id", "name", "score"]
+    assert out.count() == 1
