@@ -219,3 +219,12 @@ def test_ivf_recall_vs_brute_force(spark):
         for r in ann_ivf_topk(emb, queries, centroids, k=5, n_probe=3).collect()
     }
     assert len(approx & exact) / len(exact) >= 0.2
+
+
+def test_approx_distinct_sketch_tolerance(spark):
+    # HLL-based approx_count_distinct: mergeable sketch (the 100 TB
+    # path for cardinality); assert within its advertised error
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    exact = docs.select(F.countDistinct("text")).collect()[0][0]
+    approx = docs.select(F.approx_count_distinct("text", rsd=0.05)).collect()[0][0]
+    assert abs(approx - exact) / exact <= 0.15

@@ -198,3 +198,65 @@ def test_idempotent_batch_sink_replay_safe(spark, tmp_path):
     body(b0, 0)  # replay of batch 0 (restart before checkpoint commit)
     out = spark.read.parquet(sink)
     assert sorted((r.id, r.batch_id) for r in out.collect()) == [(1, 0), (2, 0), (3, 1)]
+
+
+def test_stream_static_enrichment_join(spark, tmp_path):
+    src = str(tmp_path / "enrich_json")
+    _write_events_json(spark, src)
+    static_dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id long, tier string"
+    )
+    stream = spark.readStream.schema(EVENTS_SCHEMA).json(src)
+    q = (
+        stream.join(static_dim, "user_id", "left")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enrich_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_enrich"))
+        .start()
+    )
+    _await(q)
+    rows = {r.event_id: r.tier for r in spark.table("enrich_out").collect()}
+    assert rows[1] == "gold" and rows[3] == "silver"
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    psrc = str(tmp_path / "p_json")
+    vsrc = str(tmp_path / "v_json")
+    _write_events_json(
+        spark, psrc,
+        rows=[(10, "2024-01-01 10:30:00", 1, "purchase", 50.0)],
+    )
+    _write_events_json(
+        spark, vsrc,
+        rows=[
+            (20, "2024-01-01 10:00:00", 1, "view", 0.0),   # within 1h before
+            (21, "2024-01-01 08:00:00", 1, "view", 0.0),   # too early
+        ],
+    )
+    purchases = (
+        spark.readStream.schema(EVENTS_SCHEMA).json(psrc)
+        .selectExpr("event_id AS p_id", "user_id", "ts AS p_ts")
+        .withWatermark("p_ts", "2 hours")
+    )
+    views = (
+        spark.readStream.schema(EVENTS_SCHEMA).json(vsrc)
+        .selectExpr("event_id AS v_id", "user_id AS v_user", "ts AS v_ts")
+        .withWatermark("v_ts", "2 hours")
+    )
+    joined = purchases.join(
+        views,
+        F.expr(
+            "user_id = v_user AND v_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"
+        ),
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_join_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ss"))
+        .start()
+    )
+    _await(q)
+    out = [(r.p_id, r.v_id) for r in spark.table("ss_join_out").collect()]
+    assert out == [(10, 20)]  # in-window view matched; early view excluded
