@@ -9,7 +9,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aws_datalake_spark.operators.text import (
-    BPE_ISH_REGEX,
     LANG_MARKERS,
     doc_fingerprint,
     lang_id,

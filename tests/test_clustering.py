@@ -2,8 +2,6 @@
 
 from __future__ import annotations
 
-import math
-
 from aws_datalake_spark.operators.clustering import kmeans_assign, kmeans_fit
 
 

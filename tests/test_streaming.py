@@ -5,7 +5,6 @@ from __future__ import annotations
 
 import time
 
-import pytest
 from pyspark.sql import functions as F
 
 from aws_datalake_spark.operators.dq import Expectation
