@@ -7,9 +7,9 @@ approximate variant as the scale path.
   shuffles for brute force — each partition scores its slice and
   TakeOrdered/top-k-per-group aggregates partials.
 * Dot products run as JVM array expressions (zip_with + aggregate):
-  no Python, no UDF. For very wide vectors a Pandas-UDF matmul
-  (numpy BLAS) path exists in bench comparisons — flip
-  ``use_pandas=True``.
+  no Python, no UDF. For very wide vectors flip
+  ``cosine_topk(..., use_pandas=True)`` — an Arrow-batched numpy
+  scorer (BLAS) with the same ranking semantics.
 * The LSH variant buckets by random-hyperplane signs: candidates
   collide in at least one band; only buckets shuffle.
 """
@@ -39,6 +39,27 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def _cosine_pandas() -> Column:
+    """Arrow-batched numpy cosine over (qvec, cvec) pairs — the
+    Pandas-UDF escape hatch for very wide vectors where BLAS beats
+    the JVM fold. NOT bit-identical to :func:`cosine` (numpy sums
+    pairwise, the fold is sequential) — use the JVM path when an
+    oracle must hash-match."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    def _cos(q, c):
+        qm = np.asarray(q.tolist(), dtype="float64")
+        cm = np.asarray(c.tolist(), dtype="float64")
+        num = (qm * cm).sum(axis=1)
+        den = np.linalg.norm(qm, axis=1) * np.linalg.norm(cm, axis=1)
+        return pd.Series(num / den)
+
+    return pandas_udf(_cos, DoubleType())
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -46,17 +67,26 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    use_pandas: bool = False,
 ) -> DataFrame:
     """Brute-force exact top-k by cosine. ``queries`` broadcasts;
-    ranking uses row_number with id tiebreak for determinism."""
+    ranking uses row_number with id tiebreak for determinism.
+    ``use_pandas=True`` scores through an Arrow-batched numpy UDF
+    (faster for wide vectors; same neighbors, last-ulp cosine
+    differences possible)."""
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("__qvec")
     )
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
+    score = (
+        _cosine_pandas()(F.col("__qvec"), F.col("__cvec"))
+        if use_pandas
+        else cosine(F.col("__qvec"), F.col("__cvec"))
+    )
     scored = c.join(F.broadcast(q)).filter(F.col("neighbor_id") != F.col(query_id_col)).select(
         query_id_col,
         "neighbor_id",
-        cosine(F.col("__qvec"), F.col("__cvec")).alias("cos"),
+        score.alias("cos"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), "neighbor_id")
     return (

@@ -228,3 +228,19 @@ def test_approx_distinct_sketch_tolerance(spark):
     exact = docs.select(F.countDistinct("text")).collect()[0][0]
     approx = docs.select(F.approx_count_distinct("text", rsd=0.05)).collect()[0][0]
     assert abs(approx - exact) / exact <= 0.15
+
+
+def test_cosine_topk_pandas_path_same_ranking(spark):
+    from aws_datalake_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    jvm = [(r.query_id, r.neighbor_id, r.rank)
+           for r in cosine_topk(emb, queries, k=5).collect()]
+    pdf = [(r.query_id, r.neighbor_id, r.rank)
+           for r in cosine_topk(emb, queries, k=5, use_pandas=True).collect()]
+    assert sorted(jvm) == sorted(pdf)
