@@ -62,3 +62,25 @@ def clustered_write(
         .partitionBy(*partition_cols)
         .parquet(path)
     )
+
+
+def zorder_key(col_a, col_b, bits: int = 21):
+    """Morton (Z-order) key interleaving the low ``bits`` of two
+    non-negative int columns — sortWithinPartitions on this key
+    clusters files for BOTH dimensions, so min/max row-group stats
+    prune range predicates on either column (the open-source
+    equivalent of Delta's OPTIMIZE ZORDER BY (a, b)).
+
+    Columns must be pre-scaled to [0, 2^bits); 21+21 bits fit a
+    BIGINT with headroom."""
+    from pyspark.sql import functions as F
+
+    a = F.col(col_a) if isinstance(col_a, str) else col_a
+    b = F.col(col_b) if isinstance(col_b, str) else col_b
+    key = None
+    for i in range(bits):
+        abit = F.shiftright(a, i).bitwiseAND(F.lit(1)).cast("long")
+        bbit = F.shiftright(b, i).bitwiseAND(F.lit(1)).cast("long")
+        term = F.shiftleft(abit, 2 * i) + F.shiftleft(bbit, 2 * i + 1)
+        key = term if key is None else key + term
+    return key

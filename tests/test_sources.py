@@ -149,3 +149,20 @@ def test_clustered_write_layout(spark, tmp_path):
     # one writer task per partition value -> one file each
     assert len(glob.glob(f"{path}/k=a/part-*")) == 1
     assert spark.read.parquet(path).filter("k = 'a'").count() == 50
+
+
+def test_zorder_key_locality(spark):
+    from aws_datalake_spark.sources.compaction import zorder_key
+
+    df = spark.createDataFrame(
+        [(x, y) for x in range(8) for y in range(8)], "x long, y long"
+    ).select("x", "y", zorder_key("x", "y", bits=3).alias("z"))
+    rows = {(r.x, r.y): r.z for r in df.collect()}
+    # bijective over the grid
+    assert len(set(rows.values())) == 64
+    # interleave identity checks: (1,0)->1, (0,1)->2, (1,1)->3, (2,2)->12
+    assert rows[(1, 0)] == 1 and rows[(0, 1)] == 2
+    assert rows[(1, 1)] == 3 and rows[(2, 2)] == 12
+    # locality: quadrant [0,4)x[0,4) occupies exactly keys [0,16)
+    quad = [z for (x, y), z in rows.items() if x < 4 and y < 4]
+    assert max(quad) < 16 and len(quad) == 16
