@@ -44,3 +44,38 @@ def reconcile_schema(df: DataFrame, expected_columns: list[str]) -> DriftResult:
         ]
     )
     return DriftResult(df=out, columns=final_order, added_to_config=added, filled_null=missing)
+
+
+# numeric widening lattice: a column may only promote upward
+_WIDENING: dict[str, list[str]] = {
+    "byte": ["short", "integer", "long", "double"],
+    "short": ["integer", "long", "double"],
+    "integer": ["long", "double"],
+    "long": ["double"],
+    "float": ["double"],
+}
+
+
+def widen_types(df: DataFrame, target_schema: dict[str, str]) -> DataFrame:
+    """Additive type evolution: cast columns UP the numeric lattice
+    (int→long→double, float→double) toward ``target_schema``
+    ({col: spark type name}); narrowing or incompatible changes
+    raise. This is the cast half of Delta's mergeSchema type
+    evolution, usable on plain parquet."""
+    casts = []
+    for f in df.schema.fields:
+        want = target_schema.get(f.name)
+        have = f.dataType.simpleString()
+        # normalize simpleString names (int → integer)
+        have = {"int": "integer"}.get(have, have)
+        if want is None or want == have:
+            casts.append(F.col(f.name))
+            continue
+        want_n = {"int": "integer"}.get(want, want)
+        if want_n in _WIDENING.get(have, []):
+            casts.append(F.col(f.name).cast(want_n).alias(f.name))
+        else:
+            raise ValueError(
+                f"refusing non-widening cast {f.name}: {have} -> {want_n}"
+            )
+    return df.select(*casts)

@@ -55,3 +55,23 @@ def test_config_store_write_back(tmp_path):
     doc = store.append_to_list("report_job_columns", "line_item", "columns", ["extra", "id"])
     assert doc["columns"] == ["id", "name", "extra"]  # dedup, append order
     assert store.get("report_job_columns", "line_item")["columns"] == ["id", "name", "extra"]
+
+
+def test_widen_types_promotes_numeric(spark):
+    from aws_datalake_spark.operators.drift import widen_types
+
+    df = spark.createDataFrame([(1, 2.5)], "a int, b float")
+    out = widen_types(df, {"a": "long", "b": "double"})
+    assert dict((f.name, f.dataType.simpleString()) for f in out.schema.fields) == {
+        "a": "bigint", "b": "double"
+    }
+
+
+def test_widen_types_refuses_narrowing(spark):
+    import pytest
+
+    from aws_datalake_spark.operators.drift import widen_types
+
+    df = spark.createDataFrame([(1,)], "a long")
+    with pytest.raises(ValueError, match="non-widening"):
+        widen_types(df, {"a": "integer"})

@@ -98,3 +98,23 @@ def test_bucketed_range_join_matches_naive(spark):
     assert fast.exceptAll(naive).count() == 0
     assert naive.exceptAll(fast).count() == 0
     assert naive.count() > 0
+
+
+def test_asof_join_empty_right(spark):
+    left = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-01 10:00:00"))], "id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame([], "user_id long, ts timestamp, price double")
+    out = asof_join(left, right).collect()
+    assert len(out) == 1 and out[0].price_r is None
+
+
+def test_scd2_empty_staging_noop(spark):
+    from aws_datalake_spark.operators.scd2 import scd2_merge
+
+    target = spark.createDataFrame(
+        [(1, "x", "Y", None)], "entity_id long, v string, actv_flg string, record_to timestamp"
+    )
+    staging = spark.createDataFrame([], "entity_id long, v string")
+    out = scd2_merge(target, staging, ["entity_id"]).collect()
+    assert len(out) == 1 and out[0].actv_flg == "Y"
