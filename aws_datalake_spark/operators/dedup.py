@@ -227,12 +227,14 @@ def simhash(
     output is 1 iff sum over tokens of count * (±1 per token-hash
     bit j) is positive.
 
-    Per-token bit votes travel as ONE ``bits``-long int array summed
-    element-wise in the doc aggregation — no bits× row explosion and
-    only two shuffles (token counts, doc fold). Integer addition is
-    order-independent, so the collect_list fold is exact and the SQL
-    oracle (which uses the equivalent per-bit formulation) matches
-    bit-for-bit."""
+    Per-token bit votes are ``bits`` narrow long columns summed by an
+    ordinary grouped aggregation — partial (map-side) combine keeps
+    per-group state at ``bits`` longs regardless of how many tokens a
+    document has (a collect_list fold would materialize every
+    token's votes per doc — unbounded memory on token-heavy docs),
+    and the whole plan stays in codegen. Two shuffles total (token
+    counts, doc vote sums); integer sums are order-independent so the
+    SQL oracle's per-bit formulation matches bit-for-bit."""
     toks = df.select(F.col(id_col).alias("__id"), F.explode(tokens_ws(F.col(text_col))).alias("w"))
     tok_counts = toks.groupBy("__id", "w").agg(F.count(F.lit(1)).alias("cnt"))
     hashed = tok_counts.select(
@@ -240,25 +242,20 @@ def simhash(
     )
     contrib = hashed.select(
         "__id",
-        F.array(*[
+        *[
             F.when(
                 F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, F.col("cnt")
-            ).otherwise(-F.col("cnt")).cast("long")
+            ).otherwise(-F.col("cnt")).cast("long").alias(f"__v{b}")
             for b in range(bits)
-        ]).alias("__votes"),
+        ],
     )
-    zero = F.array(*[F.lit(0).cast("long") for _ in range(bits)])
     summed = contrib.groupBy("__id").agg(
-        F.aggregate(
-            F.collect_list("__votes"),
-            zero,
-            lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
-        ).alias("__sums")
+        *[F.sum(f"__v{b}").alias(f"__s{b}") for b in range(bits)]
     )
     sim = None
     for b in range(bits):
         term = F.when(
-            F.element_at(F.col("__sums"), b + 1) > 0, F.lit(1 << b).cast("long")
+            F.col(f"__s{b}") > 0, F.lit(1 << b).cast("long")
         ).otherwise(F.lit(0).cast("long"))
         sim = term if sim is None else sim + term
     return summed.select(F.col("__id").alias(id_col), sim.alias("simhash"))
