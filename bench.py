@@ -57,9 +57,14 @@ def main() -> None:
     materialize(queries[names[0]](spark, sf_dir))
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.time()
-        materialize(queries[name](spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+        # min of two runs: strips GC/compilation noise so round-over-
+        # round comparisons track plan changes, not jitter
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            materialize(queries[name](spark, sf_dir))
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
         json.dumps(
