@@ -22,6 +22,10 @@ from aws_datalake_spark.operators.dedup import (
     simhash,
     simhash_neardup_pairs,
 )
+from aws_datalake_spark.operators.dedup_cluster import (
+    connected_components,
+    dedup_representatives,
+)
 from aws_datalake_spark.queries._shared import t
 from aws_datalake_spark.queries.registry import query
 
@@ -241,3 +245,91 @@ def llm_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _neardup_corpus(spark, sf_dir)
     out = simhash_neardup_pairs(corpus, bits=32, max_hamming=3)
     return out.select("id_a", "id_b", F.col("hamming").cast("int"))
+
+
+# --- dedup-cluster resolution (connected components) ----------------
+# Corpus seeded with TWO near-copies per doc_id < 40 so components
+# have >= 3 nodes and min-label must actually propagate.
+
+_CLUSTER_CORPUS = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text || ' neardupmarker'
+  FROM documents WHERE doc_id < 40
+  UNION ALL
+  SELECT doc_id + 200000, text || ' neardupmarker neardupmarker'
+  FROM documents WHERE doc_id < 40
+"""
+
+_CLUSTER_PAIRS = f"""
+sh AS ({_SHINGLES}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+com AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id),
+pairs AS (
+  SELECT id_a, id_b FROM com
+  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(n_common AS DOUBLE)
+        / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+walk(node, label) AS (
+  SELECT DISTINCT s, s FROM edges
+  UNION
+  SELECT e.d, w.label FROM walk w JOIN edges e ON e.s = w.node),
+comp AS (SELECT node, MIN(label) AS cluster_id FROM walk GROUP BY node)
+"""
+
+
+def _cluster_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    parts = [d]
+    for i, marker in ((1, " neardupmarker"), (2, " neardupmarker neardupmarker")):
+        parts.append(
+            d.filter(F.col("doc_id") < 40).select(
+                (F.col("doc_id") + 100000 * i).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(marker)).alias("text"),
+            )
+        )
+    return parts[0].unionByName(parts[1]).unionByName(parts[2])
+
+
+@query(
+    "llm_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE c AS ({_CLUSTER_CORPUS}),
+    {_CLUSTER_PAIRS}
+    SELECT node AS doc_id, cluster_id FROM comp
+    """,
+)
+def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-dedup cluster resolution: exact-Jaccard near-dup pairs
+    become edges; iterative min-label propagation groups transitive
+    near-dups into components (operators/dedup_cluster.py). Oracle
+    twin is a recursive CTE over the identical edge set."""
+    pairs = ngram_jaccard_pairs(_cluster_corpus(spark, sf_dir), threshold=0.5)
+    comp = connected_components(pairs)
+    return comp.select(F.col("node").alias("doc_id"), "cluster_id")
+
+
+@query(
+    "llm_dedup_keep",
+    oracle=f"""
+    WITH RECURSIVE c AS ({_CLUSTER_CORPUS}),
+    {_CLUSTER_PAIRS}
+    SELECT doc_id, text FROM c
+    WHERE doc_id NOT IN (SELECT node FROM comp WHERE node != cluster_id)
+    """,
+)
+def llm_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end fuzzy dedup: pairs → components → keep every
+    unclustered doc plus each cluster's min-id representative via a
+    broadcast anti-join, so the full corpus is never shuffled
+    (operators/dedup_cluster.py:dedup_representatives)."""
+    corpus = _cluster_corpus(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(corpus, threshold=0.5)
+    comp = connected_components(pairs)
+    return dedup_representatives(corpus, comp)
