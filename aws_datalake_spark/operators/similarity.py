@@ -263,3 +263,35 @@ def ann_lsh_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "rank", F.round("cos", 6).alias("cosine"))
     )
+
+
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """L2-normalize + symmetric int8 quantization: q_i =
+    round(127 * x_i / ||x||). Shrinks an embedding store 4x (and 8x
+    vs float64) before ANN indexing — at 100 TB the scan-time win is
+    what makes brute-force re-ranking affordable. Returns (id, norm,
+    q_int8 csv-string); zero vectors quantize to all-zero.
+
+    Staged projections keep the norm an attribute: referenced three
+    times (output + guard + per-element lambda), so CollapseProject
+    cannot re-inline the O(dim) fold into the element loop (which
+    would make quantization O(dim^2) per row — see
+    operators/dedup.py:shingles for the same trap)."""
+    staged = df.select(id_col, F.col(vec_col).alias("__v")).withColumn(
+        "__nrm", l2_norm(F.col("__v"))
+    )
+    q = F.when(
+        F.col("__nrm") == 0.0, F.transform("__v", lambda x: F.lit("0"))
+    ).otherwise(
+        F.transform(
+            "__v",
+            lambda x: F.round(x * 127.0 / F.col("__nrm"), 0).cast("int").cast("string"),
+        )
+    )
+    return staged.select(
+        id_col,
+        F.round("__nrm", 6).alias("norm"),
+        F.array_join(q, ",").alias("q_int8"),
+    )

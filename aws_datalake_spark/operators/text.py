@@ -166,3 +166,68 @@ def split_sentences(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
         .select(F.col(id_col), F.trim(F.col("__raw")).alias("sentence"))
         .filter(F.col("sentence") != "")
     )
+
+
+def ngrams(col: Column | str, n: int) -> Column:
+    """Word n-grams WITH duplicates (shingles() is distinct — wrong
+    for repetition stats, where multiplicity IS the signal). Same
+    staged-projection contract: bind the tokens array first."""
+    toks = F.col(col) if isinstance(col, str) else col
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)])
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1, public):
+    top_bigram_frac = occurrences of the most frequent word bigram /
+    total bigrams; dup_trigram_frac = fraction of trigram occurrences
+    whose trigram appears more than once. High values flag boilerplate
+    and spam for corpus filtering.
+
+    Plan: explode n-grams -> count per (doc, gram) -> per-doc
+    aggregate. Both shuffles get map-side partial aggregation, and
+    only (id, gram, count) rows move — never the text. Docs shorter
+    than n tokens come back with zero fractions via the left join.
+    """
+
+    def per_doc(n: int, top: str | None, dup: str | None, total: str) -> DataFrame:
+        grams = (
+            df.select(id_col, tokens_ws(F.col(text_col)).alias("__toks"))
+            .select(id_col, F.explode(ngrams("__toks", n)).alias("g"))
+            .groupBy(id_col, "g")
+            .count()
+        )
+        aggs = [F.sum("count").alias(total)]
+        if top:
+            aggs.append(
+                F.round(
+                    F.max("count").cast("double") / F.sum("count").cast("double"), 6
+                ).alias(top)
+            )
+        if dup:
+            aggs.append(
+                F.round(
+                    F.coalesce(
+                        F.sum(F.when(F.col("count") > 1, F.col("count"))), F.lit(0)
+                    ).cast("double")
+                    / F.sum("count").cast("double"),
+                    6,
+                ).alias(dup)
+            )
+        return grams.groupBy(id_col).agg(*aggs)
+
+    bi = per_doc(2, "top_bigram_frac", None, "n_bigrams")
+    tri = per_doc(3, None, "dup_trigram_frac", "n_trigrams")
+    out = df.select(id_col).join(bi, id_col, "left").join(tri, id_col, "left")
+    return out.select(
+        id_col,
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+        F.coalesce("n_trigrams", F.lit(0)).alias("n_trigrams"),
+        F.coalesce("dup_trigram_frac", F.lit(0.0)).alias("dup_trigram_frac"),
+    )

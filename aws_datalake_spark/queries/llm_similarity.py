@@ -255,3 +255,26 @@ def llm_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb_double(spark, sf_dir).select("vec_id", "embedding")
     cents = kmeans_fit(e, k=8, max_iter=3)
     return kmeans_assign(e, cents)
+
+
+@query(
+    "llm_embedding_quantize",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt({_DOT.format(a='v', b='v')}) AS nrm FROM e)
+    SELECT vec_id, ROUND(nrm, 6) AS norm,
+           CASE WHEN nrm = 0
+                THEN array_to_string(list_transform(v, x -> '0'), ',')
+                ELSE array_to_string(list_transform(v, x ->
+                  CAST(CAST(ROUND(x * 127.0 / nrm, 0) AS INT) AS VARCHAR)), ',')
+           END AS q_int8
+    FROM n
+    """,
+)
+def llm_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalize + symmetric int8 quantization of the embedding
+    store (operators/similarity.py:quantize_int8); the storage-
+    compression step before ANN indexing."""
+    from aws_datalake_spark.operators.similarity import quantize_int8
+
+    return quantize_int8(_emb_double(spark, sf_dir))

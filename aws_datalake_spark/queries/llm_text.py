@@ -209,3 +209,48 @@ def llm_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_datalake_spark.operators.text import split_sentences
 
     return split_sentences(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "llm_repetition_filters",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    g2 AS (
+      SELECT doc_id, g FROM (
+        SELECT doc_id, unnest(list_transform(t, (x, i) ->
+          CASE WHEN i + 1 <= len(t) THEN t[i] || ' ' || t[i+1] END)) AS g
+        FROM tok) WHERE g IS NOT NULL),
+    g3 AS (
+      SELECT doc_id, g FROM (
+        SELECT doc_id, unnest(list_transform(t, (x, i) ->
+          CASE WHEN i + 2 <= len(t)
+               THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2] END)) AS g
+        FROM tok) WHERE g IS NOT NULL),
+    c2 AS (SELECT doc_id, g, COUNT(*) AS cnt FROM g2 GROUP BY doc_id, g),
+    c3 AS (SELECT doc_id, g, COUNT(*) AS cnt FROM g3 GROUP BY doc_id, g),
+    a2 AS (
+      SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+             ROUND(CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 6)
+               AS top_bigram_frac
+      FROM c2 GROUP BY doc_id),
+    a3 AS (
+      SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_trigrams,
+             ROUND(CAST(COALESCE(SUM(CASE WHEN cnt > 1 THEN cnt END), 0) AS DOUBLE)
+                   / CAST(SUM(cnt) AS DOUBLE), 6) AS dup_trigram_frac
+      FROM c3 GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(n_bigrams, 0) AS n_bigrams,
+           COALESCE(top_bigram_frac, 0.0) AS top_bigram_frac,
+           COALESCE(n_trigrams, 0) AS n_trigrams,
+           COALESCE(dup_trigram_frac, 0.0) AS dup_trigram_frac
+    FROM documents d LEFT JOIN a2 ON a2.doc_id = d.doc_id
+                     LEFT JOIN a3 ON a3.doc_id = d.doc_id
+    """,
+)
+def llm_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filters: most-frequent-bigram
+    fraction and duplicated-trigram fraction per doc
+    (operators/text.py:repetition_features)."""
+    from aws_datalake_spark.operators.text import repetition_features
+
+    return repetition_features(t(spark, sf_dir, "documents"))

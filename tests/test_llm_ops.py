@@ -244,3 +244,33 @@ def test_cosine_topk_pandas_path_same_ranking(spark):
     pdf = [(r.query_id, r.neighbor_id, r.rank)
            for r in cosine_topk(emb, queries, k=5, use_pandas=True).collect()]
     assert sorted(jvm) == sorted(pdf)
+
+
+def test_repetition_features_known_counts(spark):
+    from aws_datalake_spark.operators.text import repetition_features
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),        # bigrams: ab,ba,ab,ba,ab -> top 3/5; all dup
+            (2, "v w x y z"),          # all bigrams/trigrams unique
+            (3, "one"),                # too short: zero grams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_features(df).collect()}
+    assert got[1].n_bigrams == 5 and got[1].top_bigram_frac == 0.6
+    assert got[1].dup_trigram_frac == 1.0  # aba/bab each appear twice
+    assert got[2].top_bigram_frac == 0.25 and got[2].dup_trigram_frac == 0.0
+    assert got[3].n_bigrams == 0 and got[3].top_bigram_frac == 0.0
+
+
+def test_quantize_int8_norm_and_zero_vector(spark):
+    from aws_datalake_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    got = {r.vec_id: r for r in quantize_int8(df).collect()}
+    assert got[1].norm == 5.0
+    assert got[1].q_int8 == "76,102"  # round(127*3/5)=76, round(127*4/5)=102
+    assert got[2].norm == 0.0 and got[2].q_int8 == "0,0"
