@@ -114,8 +114,10 @@ def llm_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signature(d, num_hashes=4)
 
 
-_LSH_ORACLE = f"""
-WITH c AS ({_NEARDUP_CORPUS}),
+def _lsh_ctes(threshold: float) -> str:
+    """LSH candidate->verified pair CTE chain over a corpus CTE
+    named c; terminal CTE is lsh_pairs(id_a, id_b, jaccard)."""
+    return f"""
 sh AS ({_SHINGLES}),
 sig AS (
   SELECT doc_id,
@@ -139,15 +141,23 @@ com AS (
   SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS n_common
   FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
   JOIN cand ON cand.id_a = x.doc_id AND cand.id_b = y.doc_id
-  GROUP BY x.doc_id, y.doc_id)
-SELECT com.id_a, com.id_b,
-       ROUND(CAST(n_common AS DOUBLE)
-             / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 6) AS jaccard
-FROM com
-JOIN sizes sa ON sa.doc_id = com.id_a
-JOIN sizes sb ON sb.doc_id = com.id_b
-WHERE CAST(n_common AS DOUBLE)
-      / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
+  GROUP BY x.doc_id, y.doc_id),
+lsh_pairs AS (
+  SELECT com.id_a, com.id_b,
+         ROUND(CAST(n_common AS DOUBLE)
+               / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 6) AS jaccard
+  FROM com
+  JOIN sizes sa ON sa.doc_id = com.id_a
+  JOIN sizes sb ON sb.doc_id = com.id_b
+  WHERE CAST(n_common AS DOUBLE)
+        / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= {threshold})
+"""
+
+
+_LSH_ORACLE = f"""
+WITH c AS ({_NEARDUP_CORPUS}),
+{_lsh_ctes(0.5)}
+SELECT id_a, id_b, jaccard FROM lsh_pairs
 """
 
 
@@ -262,27 +272,16 @@ _CLUSTER_CORPUS = """
 """
 
 _CLUSTER_PAIRS = f"""
-sh AS ({_SHINGLES}),
-sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-com AS (
-  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS n_common
-  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
-  GROUP BY x.doc_id, y.doc_id),
-pairs AS (
-  SELECT id_a, id_b FROM com
-  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
-  WHERE CAST(n_common AS DOUBLE)
-        / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5),
+{_lsh_ctes(0.5)},
 edges AS (
-  SELECT id_a AS s, id_b AS d FROM pairs
-  UNION SELECT id_b, id_a FROM pairs),
+  SELECT id_a AS s, id_b AS d FROM lsh_pairs
+  UNION SELECT id_b, id_a FROM lsh_pairs),
 walk(node, label) AS (
   SELECT DISTINCT s, s FROM edges
   UNION
   SELECT e.d, w.label FROM walk w JOIN edges e ON e.s = w.node),
 comp AS (SELECT node, MIN(label) AS cluster_id FROM walk GROUP BY node)
 """
-
 
 def _cluster_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -306,11 +305,15 @@ def _cluster_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy-dedup cluster resolution: exact-Jaccard near-dup pairs
-    become edges; iterative min-label propagation groups transitive
+    """Fuzzy-dedup cluster resolution: MinHash+LSH near-dup pairs
+    become edges (the 100 TB path: candidates are band-pruned, never
+    all-pairs); iterative min-label propagation groups transitive
     near-dups into components (operators/dedup_cluster.py). Oracle
-    twin is a recursive CTE over the identical edge set."""
-    pairs = ngram_jaccard_pairs(_cluster_corpus(spark, sf_dir), threshold=0.5)
+    twin replicates the banding and runs a recursive CTE over the
+    identical edge set."""
+    pairs = minhash_lsh_pairs(
+        _cluster_corpus(spark, sf_dir), num_hashes=8, bands=4, jaccard_threshold=0.5
+    )
     comp = connected_components(pairs)
     return comp.select(F.col("node").alias("doc_id"), "cluster_id")
 
@@ -330,6 +333,6 @@ def llm_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast anti-join, so the full corpus is never shuffled
     (operators/dedup_cluster.py:dedup_representatives)."""
     corpus = _cluster_corpus(spark, sf_dir)
-    pairs = ngram_jaccard_pairs(corpus, threshold=0.5)
+    pairs = minhash_lsh_pairs(corpus, num_hashes=8, bands=4, jaccard_threshold=0.5)
     comp = connected_components(pairs)
     return dedup_representatives(corpus, comp)

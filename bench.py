@@ -40,6 +40,9 @@ HEADLINE = [
     "llm_cosine_topk",
     "llm_ann_ivf_topk",
     "llm_multimodal_features",
+    "llm_dedup_clusters",
+    "llm_repetition_filters",
+    "llm_embedding_quantize",
 ]
 
 
