@@ -91,3 +91,21 @@ def test_dynamic_partition_pruning(spark, tmp_path):
     joined = f.join(dim, "part")
     plan = _plan(joined).lower()
     assert "dynamicpruning" in plan or "partitionfilters: [isnotnull(part" in plan
+
+
+def test_dedup_representatives_broadcast_anti_join(spark):
+    from aws_datalake_spark.operators.dedup_cluster import (
+        connected_components,
+        dedup_representatives,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 20)], "doc_id long, text string"
+    )
+    comp = connected_components(
+        spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    )
+    plan = _plan(dedup_representatives(corpus, comp))
+    # the non-representative set broadcasts; the corpus never shuffles
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
