@@ -189,45 +189,51 @@ def repetition_features(
     whose trigram appears more than once. High values flag boilerplate
     and spam for corpus filtering.
 
-    Plan: explode n-grams -> count per (doc, gram) -> per-doc
-    aggregate. Both shuffles get map-side partial aggregation, and
-    only (id, gram, count) rows move — never the text. Docs shorter
-    than n tokens come back with zero fractions via the left join.
+    Single-scan plan: the text column is read ONCE; bigrams and
+    trigrams are emitted from the same tokens attribute as tagged
+    (n, gram) structs through one explode, so there is one
+    (id, n, gram) count shuffle and one per-doc aggregate instead of
+    a scan+shuffle pair per n. The only second touch of the input is
+    a doc_id-pruned scan to resurface docs shorter than n tokens with
+    zero fractions.
     """
-
-    def per_doc(n: int, top: str | None, dup: str | None, total: str) -> DataFrame:
-        grams = (
-            df.select(id_col, tokens_ws(F.col(text_col)).alias("__toks"))
-            .select(id_col, F.explode(ngrams("__toks", n)).alias("g"))
-            .groupBy(id_col, "g")
-            .count()
-        )
-        aggs = [F.sum("count").alias(total)]
-        if top:
-            aggs.append(
-                F.round(
-                    F.max("count").cast("double") / F.sum("count").cast("double"), 6
-                ).alias(top)
-            )
-        if dup:
-            aggs.append(
-                F.round(
-                    F.coalesce(
-                        F.sum(F.when(F.col("count") > 1, F.col("count"))), F.lit(0)
-                    ).cast("double")
-                    / F.sum("count").cast("double"),
-                    6,
-                ).alias(dup)
-            )
-        return grams.groupBy(id_col).agg(*aggs)
-
-    bi = per_doc(2, "top_bigram_frac", None, "n_bigrams")
-    tri = per_doc(3, None, "dup_trigram_frac", "n_trigrams")
-    out = df.select(id_col).join(bi, id_col, "left").join(tri, id_col, "left")
+    tagged = F.concat(
+        F.transform(
+            ngrams("__toks", 2),
+            lambda g: F.struct(F.lit(2).alias("n"), g.alias("g")),
+        ),
+        F.transform(
+            ngrams("__toks", 3),
+            lambda g: F.struct(F.lit(3).alias("n"), g.alias("g")),
+        ),
+    )
+    counts = (
+        df.select(id_col, tokens_ws(F.col(text_col)).alias("__toks"))
+        .select(id_col, F.explode(tagged).alias("ng"))
+        .select(id_col, F.col("ng.n").alias("n"), F.col("ng.g").alias("g"))
+        .groupBy(id_col, "n", "g")
+        .count()
+    )
+    is2 = F.col("n") == 2
+    is3 = F.col("n") == 3
+    agg = counts.groupBy(id_col).agg(
+        F.sum(F.when(is2, F.col("count"))).alias("__sum2"),
+        F.max(F.when(is2, F.col("count"))).alias("__max2"),
+        F.sum(F.when(is3, F.col("count"))).alias("__sum3"),
+        F.sum(F.when(is3 & (F.col("count") > 1), F.col("count"))).alias("__dup3"),
+    )
+    out = df.select(id_col).join(agg, id_col, "left")
+    frac = lambda num, den: F.round(  # noqa: E731
+        F.coalesce(num, F.lit(0)).cast("double") / den.cast("double"), 6
+    )
     return out.select(
         id_col,
-        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
-        F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
-        F.coalesce("n_trigrams", F.lit(0)).alias("n_trigrams"),
-        F.coalesce("dup_trigram_frac", F.lit(0.0)).alias("dup_trigram_frac"),
+        F.coalesce("__sum2", F.lit(0)).alias("n_bigrams"),
+        F.coalesce(frac(F.col("__max2"), F.col("__sum2")), F.lit(0.0)).alias(
+            "top_bigram_frac"
+        ),
+        F.coalesce("__sum3", F.lit(0)).alias("n_trigrams"),
+        F.coalesce(frac(F.col("__dup3"), F.col("__sum3")), F.lit(0.0)).alias(
+            "dup_trigram_frac"
+        ),
     )

@@ -254,6 +254,7 @@ def test_repetition_features_known_counts(spark):
             (1, "a b a b a b"),        # bigrams: ab,ba,ab,ba,ab -> top 3/5; all dup
             (2, "v w x y z"),          # all bigrams/trigrams unique
             (3, "one"),                # too short: zero grams
+            (4, "a b"),                # bigram but no trigram
         ],
         "doc_id long, text string",
     )
@@ -262,6 +263,8 @@ def test_repetition_features_known_counts(spark):
     assert got[1].dup_trigram_frac == 1.0  # aba/bab each appear twice
     assert got[2].top_bigram_frac == 0.25 and got[2].dup_trigram_frac == 0.0
     assert got[3].n_bigrams == 0 and got[3].top_bigram_frac == 0.0
+    assert got[4].n_bigrams == 1 and got[4].n_trigrams == 0
+    assert got[4].dup_trigram_frac == 0.0
 
 
 def test_quantize_int8_norm_and_zero_vector(spark):
