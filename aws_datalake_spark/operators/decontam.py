@@ -1,0 +1,115 @@
+"""Benchmark/eval-set decontamination and exact duplicate-chunk
+detection for LLM training corpora (north star, BASELINE.json).
+
+Public method background: n-gram-overlap decontamination is the
+standard published recipe (GPT-3 appendix C / PaLM §6 style — flag a
+training document when too many of its n-grams appear in an eval
+set); duplicate-chunk detection is the bounded-memory stand-in for
+exact substring dedup (Lee et al. 2021, "Deduplicating Training Data
+Makes Language Models Better") — rolling k-token chunks instead of a
+distributed suffix array.
+
+100 TB design notes:
+* The eval-set n-gram table is small by construction (eval sets are
+  thousands of docs, not billions) → broadcast it; the corpus side is
+  a single scan + one tiny (doc_id, counts) shuffle. No corpus text
+  ever moves.
+* duplicate_chunks shuffles (gram, doc_id) pairs — at 100 TB you
+  would map grams to hash60 first so the shuffle sorts on 8-byte
+  keys, and drop the gram string (keep min(gram) only when a human-
+  readable report is needed). The group-by-string form here keeps the
+  DuckDB oracle byte-identical; the hash-keyed form is the same plan
+  shape with a narrower shuffle row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from aws_datalake_spark.operators.dedup import with_shingles
+from aws_datalake_spark.operators.text import ngrams, tokens_ws
+
+
+def eval_ngram_set(
+    eval_df: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """DISTINCT word n-grams of the eval set: one column ``__g``.
+    Small by construction — callers broadcast it."""
+    sh = with_shingles(eval_df, text_col=text_col, id_col=eval_df.columns[0], n=n)
+    return sh.select(F.explode("__sh").alias("__g")).distinct()
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Per-document eval-set n-gram overlap:
+    ``(id, n_shingles, n_overlap, overlap_frac, contaminated)``.
+
+    ``overlap_frac`` = |distinct doc n-grams ∩ eval n-grams| /
+    |distinct doc n-grams|; ``contaminated`` = 1 when the fraction
+    reaches ``threshold``. Docs with fewer than ``n`` tokens have
+    zero shingles and are never flagged.
+
+    Plan: one corpus scan → explode_outer shingles (keeps short docs)
+    → broadcast-hash left join against the eval n-gram set (marker
+    column) → one (id, n_shingles) count shuffle. The broadcast join
+    means contamination checking is scan-bound at any corpus size.
+    """
+    ev = F.broadcast(eval_ngram_set(eval_df, text_col, n).withColumn("__hit", F.lit(1)))
+    sh = with_shingles(corpus, text_col=text_col, id_col=id_col, n=n)
+    exploded = sh.select(
+        id_col,
+        F.size("__sh").alias("n_shingles"),
+        F.explode_outer("__sh").alias("__g"),
+    )
+    counted = (
+        exploded.join(ev, "__g", "left")
+        .groupBy(id_col, "n_shingles")
+        .agg(F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_overlap"))
+    )
+    frac = F.round(
+        F.col("n_overlap").cast("double")
+        / F.greatest(F.col("n_shingles"), F.lit(1)).cast("double"),
+        6,
+    )
+    return counted.select(
+        id_col,
+        F.col("n_shingles").cast("int").alias("n_shingles"),
+        F.col("n_overlap").cast("int").alias("n_overlap"),
+        frac.alias("overlap_frac"),
+        F.when(frac >= F.lit(threshold), F.lit(1)).otherwise(F.lit(0)).alias("contaminated"),
+    )
+
+
+def duplicate_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact k-token chunks appearing in ≥ ``min_docs`` DISTINCT
+    documents: ``(chunk, n_docs, n_occurrences)``.
+
+    Rolling (positional, WITH duplicates) k-grams approximate
+    suffix-array substring dedup with bounded state: a duplicated
+    passage of length L ≥ k surfaces as L−k+1 duplicated chunks.
+    One scan → explode → one (gram, id) shuffle → group. See module
+    docstring for the hash-keyed 100 TB variant.
+    """
+    toks = df.select(id_col, tokens_ws(F.col(text_col)).alias("__toks"))
+    grams = toks.select(id_col, F.explode(ngrams("__toks", k)).alias("chunk"))
+    return (
+        grams.groupBy("chunk")
+        .agg(
+            F.countDistinct(id_col).cast("int").alias("n_docs"),
+            F.count(F.lit(1)).cast("int").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )

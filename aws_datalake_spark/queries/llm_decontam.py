@@ -1,0 +1,90 @@
+"""Decontamination + duplicate-chunk queries (north star surface).
+
+Eval-set convention for the fixture: ``doc_id % 41 = 0`` is the held-
+out eval slice; the remaining documents are the training corpus. The
+DuckDB oracles rebuild the identical n-gram pipelines set-based.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_datalake_spark.operators.decontam import decontaminate, duplicate_chunks
+from aws_datalake_spark.queries._shared import t
+from aws_datalake_spark.queries.registry import query
+
+_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+
+
+def _shingles_sql(src: str) -> str:
+    """Distinct 3-token shingles of CTE ``src`` (same construction as
+    queries/llm_dedup.py — indexed list_transform, 1-based)."""
+    return f"""
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id,
+           unnest(list_transform(t, (x, i) ->
+             CASE WHEN i + 2 <= len(t)
+                  THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2] END)) AS s
+    FROM (SELECT doc_id, {_TOKS} AS t FROM {src}))
+  WHERE s IS NOT NULL
+"""
+
+
+@query(
+    "llm_decontaminate",
+    oracle=f"""
+    WITH ev_docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 41 = 0),
+    corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 41 <> 0),
+    ev AS (SELECT DISTINCT s FROM ({_shingles_sql('ev_docs')})),
+    sh AS ({_shingles_sql('corpus')}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    hits AS (SELECT sh.doc_id, COUNT(*) AS n_ov
+             FROM sh JOIN ev USING (s) GROUP BY sh.doc_id)
+    SELECT c.doc_id,
+           CAST(COALESCE(z.n_sh, 0) AS INT) AS n_shingles,
+           CAST(COALESCE(h.n_ov, 0) AS INT) AS n_overlap,
+           ROUND(CAST(COALESCE(h.n_ov, 0) AS DOUBLE)
+                 / CAST(GREATEST(COALESCE(z.n_sh, 0), 1) AS DOUBLE), 6)
+             AS overlap_frac,
+           CASE WHEN ROUND(CAST(COALESCE(h.n_ov, 0) AS DOUBLE)
+                     / CAST(GREATEST(COALESCE(z.n_sh, 0), 1) AS DOUBLE), 6)
+                     >= 0.1
+                THEN 1 ELSE 0 END AS contaminated
+    FROM corpus c
+    LEFT JOIN sizes z ON z.doc_id = c.doc_id
+    LEFT JOIN hits h ON h.doc_id = c.doc_id
+    """,
+)
+def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set n-gram-overlap decontamination (GPT-3 appendix-C
+    style): flag training docs whose distinct 3-gram overlap with the
+    eval slice reaches 10% (operators/decontam.py:decontaminate)."""
+    d = t(spark, sf_dir, "documents")
+    eval_df = d.filter(F.col("doc_id") % 41 == 0).select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 41 != 0).select("doc_id", "text")
+    return decontaminate(corpus, eval_df, n=3, threshold=0.1)
+
+
+@query(
+    "llm_duplicate_chunks",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id,
+             unnest(list_transform(t, (x, i) ->
+               CASE WHEN i + 4 <= len(t)
+                    THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                         || ' ' || t[i+3] || ' ' || t[i+4] END)) AS g
+      FROM (SELECT doc_id, {_TOKS} AS t FROM documents))
+    SELECT g AS chunk,
+           CAST(COUNT(DISTINCT doc_id) AS INT) AS n_docs,
+           CAST(COUNT(*) AS INT) AS n_occurrences
+    FROM g WHERE g IS NOT NULL
+    GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+)
+def llm_duplicate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated 5-token chunks across the corpus — the
+    bounded-state stand-in for suffix-array substring dedup
+    (operators/decontam.py:duplicate_chunks)."""
+    return duplicate_chunks(t(spark, sf_dir, "documents"), k=5, min_docs=2)
