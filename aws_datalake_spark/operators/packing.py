@@ -1,0 +1,96 @@
+"""Sequence packing for LLM pretraining: concatenate documents in a
+deterministic order and split the token stream into fixed-budget
+contexts (the standard concat-and-chunk recipe — every pack is full;
+documents may span pack boundaries).
+
+The core is a GLOBAL exclusive prefix sum of per-doc token counts.
+A naive `Window.orderBy(id)` with no partition key collapses to ONE
+task — the classic global-window scale trap. Instead, the two-pass
+distributed prefix sum:
+
+1. bucket docs by id range (``bucket = id div bucket_width`` — fixed
+   width, so bucketing is a projection, no sampling, deterministic);
+2. within-bucket exclusive cumsum via a PARTITIONED window (parallel
+   across buckets, each bucket ≤ bucket_width rows);
+3. per-bucket totals (tiny: N/bucket_width rows) get their own
+   exclusive cumsum to become bucket offsets, then broadcast-join
+   back. ``begin = bucket_offset + within_bucket_cumsum``.
+
+100 TB notes: pass 3's offset table is N/bucket_width rows — at 1e11
+docs and width 2^20 that is ~1e5 rows, fine for a single-task window
++ broadcast. If ids are sparse/clustered, empty buckets cost nothing
+(absent groups) and skewed buckets are bounded by width. All integer
+arithmetic is int64; ``div``/``%`` keep exactness where a double
+floor() would lose precision past 2^53 (a real concern for a 100 TB
+token stream: ~1e13 tokens > 2^43, products and sums stay < 2^63).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from aws_datalake_spark.operators.text import token_count_ws
+
+
+def global_exclusive_cumsum(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    out: str = "begin",
+    bucket_width: int = 1 << 20,
+) -> DataFrame:
+    """Exclusive running sum of ``value_col`` over global
+    ``order_col`` order, computed with the two-pass bucketed prefix
+    sum above (no single-task global window). ``order_col`` must be
+    a non-negative integral id."""
+    b = df.withColumn("__b", F.expr(f"{order_col} div {bucket_width}"))
+    within = Window.partitionBy("__b").orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    local = b.withColumn("__local", F.coalesce(F.sum(value_col).over(within), F.lit(0)))
+    totals = b.groupBy("__b").agg(F.sum(value_col).alias("__bt"))
+    over_buckets = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__b", F.coalesce(F.sum("__bt").over(over_buckets), F.lit(0)).alias("__off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "__b")
+        .withColumn(out, (F.col("__off") + F.col("__local")).cast("long"))
+        .drop("__b", "__local", "__off")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 128,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_width: int = 1 << 20,
+) -> DataFrame:
+    """Assign each document its place in the packed token stream:
+    ``(id, n_tokens, pack_id, offset_in_pack, n_packs)``.
+
+    ``pack_id`` is the context the document STARTS in,
+    ``offset_in_pack`` its token offset there, ``n_packs`` how many
+    contexts it spans (0 for empty docs). Deterministic given the
+    id order — re-runs and backfills produce identical packing,
+    which is what makes checkpoint-resume of tokenization jobs safe.
+    """
+    w = df.select(id_col, token_count_ws(F.col(text_col)).cast("long").alias("n_tokens"))
+    cum = global_exclusive_cumsum(
+        w, "n_tokens", id_col, out="__begin", bucket_width=bucket_width
+    )
+    return cum.select(
+        id_col,
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.expr(f"__begin div {budget}").alias("pack_id"),
+        (F.col("__begin") % budget).cast("long").alias("offset_in_pack"),
+        F.when(F.col("n_tokens") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.expr(f"(__begin + n_tokens - 1) div {budget}")
+            - F.expr(f"__begin div {budget}")
+            + 1
+        )
+        .alias("n_packs"),
+    )

@@ -1,0 +1,75 @@
+"""Deterministic corpus sampling and training-order assignment.
+
+Random sampling via an RNG is a rerun hazard in a data pipeline: a
+retried task would draw different rows. Everything here derives
+randomness from a content-stable hash (seeded md5 → uniform in
+[0, 1)), so sampling decisions are a pure function of (seed, id) —
+reproducible across retries, engines, and scales, and pushable to
+the scan (a sampling filter is just a projection predicate).
+
+100 TB notes:
+* stratified_sample is filter-only: no shuffle, scan-bound, and the
+  predicate survives column pruning (only id + stratum are read
+  when the text is not selected downstream).
+* training_order shuffles once on shard id; within-shard positions
+  come from a PARTITIONED row_number (one task per shard). Pick
+  n_shards ≈ a few × cluster cores so shards stay task-sized; for
+  mega-shards, compose with packing.global_exclusive_cumsum instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from aws_datalake_spark.operators.text import hash60
+
+#: denominator for the hash→uniform map; 1e6 keeps u exactly
+#: representable and identically rounded in every engine.
+U_BUCKETS = 1_000_000
+
+
+def hash_uniform(col: Column, seed: str = "s42") -> Column:
+    """Deterministic uniform in [0,1): (hash60(seed‖id) mod 1e6)/1e6."""
+    return (hash60(col.cast("string"), seed=seed) % U_BUCKETS).cast("double") / F.lit(
+        float(U_BUCKETS)
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    seed: str = "s42",
+) -> DataFrame:
+    """Keep each row with its stratum's probability, decided by the
+    content-stable uniform — the corpus-mixing primitive (sample
+    high-quality sources up, boilerplate down)."""
+    rate = F.lit(float(default_rate))
+    for k in sorted(rates):  # deterministic CASE order
+        rate = F.when(F.col(stratum_col) == k, F.lit(float(rates[k]))).otherwise(rate)
+    return df.withColumn("__u", F.round(hash_uniform(F.col(id_col), seed), 6)).filter(
+        F.col("__u") < rate
+    )
+
+
+def training_order(
+    df: DataFrame,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    seed: str = "s42",
+) -> DataFrame:
+    """Deterministic global shuffle for training: shard by hash, order
+    within shard by (hash, id): ``(id, shard, pos)``. Equivalent to a
+    seeded permutation, but reproducible and restartable — the
+    property pretraining dataloaders need for mid-epoch resume."""
+    h = df.select(
+        id_col,
+        hash60(F.col(id_col).cast("string"), seed=seed).alias("__h"),
+    ).withColumn("shard", (F.col("__h") % n_shards).cast("int"))
+    win = Window.partitionBy("shard").orderBy("__h", id_col)
+    return h.select(
+        id_col, "shard", F.row_number().over(win).cast("long").alias("pos")
+    )

@@ -23,5 +23,6 @@ from aws_datalake_spark.queries import reference_ops  # noqa: F401,E402
 from aws_datalake_spark.queries import llm_text  # noqa: F401,E402
 from aws_datalake_spark.queries import llm_dedup  # noqa: F401,E402
 from aws_datalake_spark.queries import llm_decontam  # noqa: F401,E402
+from aws_datalake_spark.queries import llm_packing  # noqa: F401,E402
 from aws_datalake_spark.queries import llm_similarity  # noqa: F401,E402
 from aws_datalake_spark.queries import streaming_batch  # noqa: F401,E402

@@ -1,0 +1,96 @@
+"""Sequence-packing + corpus-sampling + training-order queries.
+
+The DuckDB oracles use a single global window (fine at oracle scale);
+the Spark side uses the scalable forms (bucketed prefix sum,
+hash-partitioned shard numbering) — same values, different plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pyspark.sql import functions as F
+
+from aws_datalake_spark.operators.packing import pack_sequences
+from aws_datalake_spark.operators.sampling import stratified_sample, training_order
+from aws_datalake_spark.queries._shared import t
+from aws_datalake_spark.queries.registry import query
+
+_NTOK = (
+    "CASE WHEN length(trim(text)) = 0 THEN 0 "
+    "ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) END"
+)
+
+
+@query(
+    "llm_sequence_packing",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_NTOK} AS n_tokens FROM documents),
+    cum AS (
+      SELECT doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b
+      FROM w)
+    SELECT doc_id,
+           CAST(n_tokens AS INT) AS n_tokens,
+           b // 128 AS pack_id,
+           b % 128 AS offset_in_pack,
+           CASE WHEN n_tokens = 0 THEN 0
+                ELSE (b + n_tokens - 1) // 128 - b // 128 + 1
+           END AS n_packs
+    FROM cum
+    """,
+)
+def llm_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing into 128-token contexts via the
+    two-pass bucketed prefix sum (operators/packing.py) — no
+    single-task global window."""
+    return pack_sequences(t(spark, sf_dir, "documents"), budget=128)
+
+
+_H60_ID = "('0x' || substr(md5('s42' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+
+_RATES = {"src0": 0.9, "src1": 0.6, "src2": 0.3, "src3": 0.15}
+_DEFAULT_RATE = 0.05
+
+_RATE_CASE = "CASE source " + " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in sorted(_RATES.items())
+) + f" ELSE {_DEFAULT_RATE} END"
+
+
+@query(
+    "llm_stratified_sample",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, source,
+             ROUND(CAST({_H60_ID} % 1000000 AS DOUBLE) / 1000000.0, 6) AS u
+      FROM documents)
+    SELECT doc_id, source, u FROM h WHERE u < {_RATE_CASE}
+    """,
+)
+def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus mixing with content-stable sampling: each
+    row's keep/drop is a pure function of (seed, doc_id), so retries
+    and backfills are reproducible (operators/sampling.py)."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "source")
+    return stratified_sample(d, _RATES, default_rate=_DEFAULT_RATE).select(
+        "doc_id", "source", F.col("__u").alias("u")
+    )
+
+
+@query(
+    "llm_training_order",
+    oracle=f"""
+    WITH h AS (SELECT doc_id, {_H60_ID} AS hh FROM documents)
+    SELECT doc_id,
+           CAST(hh % 8 AS INT) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY hh % 8
+                                   ORDER BY hh, doc_id) AS BIGINT) AS pos
+    FROM h
+    """,
+)
+def llm_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle → (shard, position) for training
+    dataloaders; reproducible mid-epoch resume
+    (operators/sampling.py:training_order)."""
+    return training_order(t(spark, sf_dir, "documents"), n_shards=8)

@@ -1,0 +1,67 @@
+"""Sequence packing + deterministic sampling/training order."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_datalake_spark.operators.packing import global_exclusive_cumsum, pack_sequences
+from aws_datalake_spark.operators.sampling import stratified_sample, training_order
+
+
+def test_bucketed_cumsum_matches_naive(spark):
+    rows = [(i, (i * 7) % 13) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    # bucket_width 8 → 13 buckets: the two-pass path is exercised
+    out = {
+        r.id: r.begin
+        for r in global_exclusive_cumsum(df, "v", "id", bucket_width=8).collect()
+    }
+    acc = 0
+    for i, v in rows:
+        assert out[i] == acc
+        acc += v
+
+
+def test_pack_sequences_contiguity_and_spanning(spark):
+    df = spark.createDataFrame(
+        [(0, "a b c"), (1, ""), (2, "d e f g h i j"), (3, "k l")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in pack_sequences(df, budget=4).collect()}
+    # stream: doc0 tokens [0,3) pack0; doc1 empty; doc2 [3,10) spans packs 0-2
+    assert (rows[0].pack_id, rows[0].offset_in_pack, rows[0].n_packs) == (0, 0, 1)
+    assert rows[1].n_tokens == 0 and rows[1].n_packs == 0
+    assert (rows[2].pack_id, rows[2].offset_in_pack, rows[2].n_packs) == (0, 3, 3)
+    assert (rows[3].pack_id, rows[3].offset_in_pack, rows[3].n_packs) == (2, 2, 1)
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(i, "hot" if i % 2 else "cold") for i in range(2000)],
+        "doc_id long, source string",
+    )
+    kept = stratified_sample(df, {"hot": 0.8, "cold": 0.1}, id_col="doc_id")
+    counts = {r.source: r.n for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert 650 < counts["hot"] < 950 and 40 < counts["cold"] < 160
+    # deterministic: second run keeps the identical row set
+    a = sorted(r.doc_id for r in kept.collect())
+    b = sorted(r.doc_id for r in stratified_sample(
+        df, {"hot": 0.8, "cold": 0.1}, id_col="doc_id").collect())
+    assert a == b
+
+
+def test_training_order_is_dense_permutation(spark):
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    out = training_order(df, n_shards=4).collect()
+    assert len(out) == 500 and len({r.doc_id for r in out}) == 500
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) == {0, 1, 2, 3}
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # different seed → different permutation
+    other = training_order(df, n_shards=4, seed="other").collect()
+    assert {(r.doc_id, r.shard, r.pos) for r in other} != {
+        (r.doc_id, r.shard, r.pos) for r in out
+    }
