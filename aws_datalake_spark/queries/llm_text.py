@@ -75,11 +75,11 @@ _STOPWORDS_SQL = ", ".join(
 )
 
 
-@query(
-    "llm_quality_scores",
-    oracle=f"""
-    SELECT doc_id, q_n_tokens, quality_score FROM (
-      SELECT doc_id,
+# Shared quality-score subquery (doc_id, source, q_n_tokens,
+# quality_score) — the SQL twin of operators/text.py:quality_score,
+# reused by the UDAF query below.
+_QUALITY_SQL = f"""
+      SELECT doc_id, source,
              CAST(len({_TOKS}) AS INT) AS q_n_tokens,
              ROUND(
                0.4 * LEAST(CAST(len({_TOKS}) AS DOUBLE) / 100.0, 1.0)
@@ -91,7 +91,13 @@ _STOPWORDS_SQL = ", ".join(
                       w -> list_contains([{_STOPWORDS_SQL}], w))) AS DOUBLE)
                   / GREATEST(len({_TOKS}), 1)) * 4.0, 1.0),
              6) AS quality_score
-      FROM documents)
+      FROM documents"""
+
+
+@query(
+    "llm_quality_scores",
+    oracle=f"""
+    SELECT doc_id, q_n_tokens, quality_score FROM ({_QUALITY_SQL})
     """,
 )
 def llm_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -99,6 +105,36 @@ def llm_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     blend (public filter style), rounded for cross-engine hashing."""
     d = quality_score(t(spark, sf_dir, "documents"))
     return d.select("doc_id", F.col("q_n_tokens").cast("int"), "quality_score")
+
+
+@query(
+    "llm_weighted_quality_by_source",
+    oracle=f"""
+    WITH q AS ({_QUALITY_SQL})
+    SELECT source,
+           ROUND(CAST(SUM(CAST(ROUND(quality_score * 1000000.0) AS BIGINT)
+                          * CAST(q_n_tokens AS BIGINT)) AS DOUBLE)
+                 / CAST(SUM(CAST(q_n_tokens AS BIGINT)) AS DOUBLE)
+                 / 1000000.0, 6) AS wq
+    FROM q GROUP BY source
+    """,
+)
+def llm_weighted_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted mean quality per source via the Arrow-batched
+    GROUPED_AGG pandas UDAF (functions/udaf.py) — the §2.7 UDAF
+    surface. Inputs are projected to two int64 columns before the
+    shuffle (no partial agg on this path; see udaf.py docstring)."""
+    from aws_datalake_spark.functions.udaf import weighted_mean_q6
+
+    q = quality_score(t(spark, sf_dir, "documents"))
+    pre = q.select(
+        "source",
+        F.round(F.col("quality_score") * 1e6, 0).cast("long").alias("q6"),
+        F.col("q_n_tokens").cast("long").alias("w"),
+    )
+    return pre.groupBy("source").agg(
+        F.round(weighted_mean_q6("q6", "w"), 6).alias("wq")
+    )
 
 
 @query(

@@ -277,3 +277,16 @@ def test_quantize_int8_norm_and_zero_vector(spark):
     assert got[1].norm == 5.0
     assert got[1].q_int8 == "76,102"  # round(127*3/5)=76, round(127*4/5)=102
     assert got[2].norm == 0.0 and got[2].q_int8 == "0,0"
+
+
+def test_grouped_agg_udaf_weighted_mean(spark):
+    from aws_datalake_spark.functions.udaf import weighted_mean_q6
+
+    df = spark.createDataFrame(
+        [("a", 500000, 1), ("a", 1000000, 3), ("b", 250000, 2), ("c", 900000, 0)],
+        "g string, q6 long, w long",
+    )
+    out = {r.g: r.wq for r in df.groupBy("g").agg(
+        F.round(weighted_mean_q6("q6", "w"), 6).alias("wq")).collect()}
+    # a: (0.5*1 + 1.0*3)/4 = 0.875; b: 0.25; c: zero total weight -> 0.0
+    assert out == {"a": 0.875, "b": 0.25, "c": 0.0}
