@@ -106,3 +106,29 @@ def st_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k")
         .agg(F.count("*").alias("n"))
     )
+
+
+@query(
+    "st_first_event_per_key",
+    oracle="""
+    SELECT user_id, event_type, ts, event_id FROM (
+      SELECT user_id, event_type, ts, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events) WHERE rn = 1
+    """,
+)
+def st_first_event_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic first-arrival-per-key — the batch twin of
+    streaming/windows.py:stream_dedup (whose streaming form drops
+    within-watermark re-deliveries with bounded, expiring state)."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    win = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.select("user_id", "event_type", "ts", "event_id",
+                 F.row_number().over(win).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

@@ -15,6 +15,22 @@ def with_watermark(df: DataFrame, ts_col: str = "ts", delay: str = "10 minutes")
     return df.withWatermark(ts_col, delay)
 
 
+def stream_dedup(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming deduplication with BOUNDED state: keep the first
+    arrival per key, drop re-deliveries that arrive within the
+    watermark delay, and expire key state once the watermark passes
+    (``dropDuplicatesWithinWatermark``). The unbounded-state
+    ``dropDuplicates`` is a leak at 100 TB/day — state must expire.
+    Batch twin: first-row-per-key (queries/streaming_batch.py:
+    st_first_event_per_key)."""
+    return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(keys)
+
+
 def tumbling_counts(
     df: DataFrame,
     ts_col: str = "ts",

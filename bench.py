@@ -43,6 +43,9 @@ HEADLINE = [
     "llm_dedup_clusters",
     "llm_repetition_filters",
     "llm_embedding_quantize",
+    "llm_decontaminate",
+    "llm_duplicate_chunks",
+    "llm_sequence_packing",
 ]
 
 

@@ -109,3 +109,16 @@ def test_dedup_representatives_broadcast_anti_join(spark):
     # the non-representative set broadcasts; the corpus never shuffles
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_pack_sequences_window_is_partitioned(spark):
+    """The doc-level cumsum window must run partitioned by bucket —
+    a single-task global window would serialize the whole corpus.
+    SinglePartition may appear only for the tiny bucket-offsets
+    aggregate, which is then broadcast back."""
+    from aws_datalake_spark.operators.packing import pack_sequences
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = pack_sequences(df, budget=128)._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(__b" in plan
+    assert "BroadcastExchange" in plan

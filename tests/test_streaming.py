@@ -259,3 +259,27 @@ def test_stream_stream_interval_join(spark, tmp_path):
     _await(q)
     out = [(r.p_id, r.v_id) for r in spark.table("ss_join_out").collect()]
     assert out == [(10, 20)]  # in-window view matched; early view excluded
+
+
+def test_stream_dedup_drops_redelivery_within_watermark(spark, tmp_path):
+    from aws_datalake_spark.streaming.windows import stream_dedup
+
+    src = str(tmp_path / "events_json")
+    _write_events_json(spark, src)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).json(src)
+    dedup = stream_dedup(stream, ["event_id"], "ts", "2 hours")
+    q = (
+        dedup.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    # re-deliver event_id 1 (same ts, within watermark) + one new event
+    redelivery = [ROWS_BATCH1[0], (6, "2024-01-01 11:50:00", 9, "view", 9.0)]
+    _write_events_json(spark, src, rows=redelivery, mode="append")
+    _await(q)
+    rows = spark.table("dedup_out").collect()
+    ids = sorted(r.event_id for r in rows)
+    assert ids == [1, 2, 3, 4, 6]  # no duplicate row for event 1
