@@ -73,3 +73,33 @@ def training_order(
     return h.select(
         id_col, "shard", F.row_number().over(win).cast("long").alias("pos")
     )
+
+
+def median_threshold_filter(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+    cut_col: str = "cut",
+) -> DataFrame:
+    """Keep rows whose ``value_col`` is ≥ their group's lower median
+    — the adaptive-threshold corpus filter ("drop the worse half of
+    every source"). The cut is an exact ORDER STATISTIC (element at
+    position ⌈n/2⌉ under (value, id) order), not an interpolated
+    percentile: deterministic, engine-portable, tie-stable.
+
+    SCALE: one row_number window per group (a task per group —
+    groups are sources/domains, small cardinality); the cut table is
+    |groups| rows and broadcasts back. For millions of groups swap
+    in approx_percentile and give up cross-engine exactness."""
+    win = Window.partitionBy(group_col).orderBy(value_col, id_col)
+    r = (
+        df.withColumn("__rn", F.row_number().over(win))
+        .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy(group_col)))
+    )
+    cuts = r.filter(F.col("__rn") == F.expr("(__n + 1) div 2")).select(
+        group_col, F.col(value_col).alias(cut_col)
+    )
+    return df.join(F.broadcast(cuts), group_col).filter(
+        F.col(value_col) >= F.col(cut_col)
+    )

@@ -94,3 +94,37 @@ def llm_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     dataloaders; reproducible mid-epoch resume
     (operators/sampling.py:training_order)."""
     return training_order(t(spark, sf_dir, "documents"), n_shards=8)
+
+
+@query(
+    "llm_adaptive_quality_filter",
+    oracle="""
+    WITH q AS (
+      SELECT d.doc_id, d.source,
+             CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+                  % 1000 AS DOUBLE) AS score
+      FROM documents d),
+    r AS (SELECT source, score,
+                 ROW_NUMBER() OVER (PARTITION BY source ORDER BY score, doc_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY source) AS n
+          FROM q),
+    cut AS (SELECT source, score AS cut FROM r WHERE rn = (n + 1) // 2)
+    SELECT q.doc_id, q.source, q.score, cut.cut
+    FROM q JOIN cut USING (source) WHERE q.score >= cut.cut
+    """,
+)
+def llm_adaptive_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source adaptive threshold: drop the worse half of every
+    source by an exact order-statistic median cut
+    (operators/sampling.py:median_threshold_filter). The score here
+    is a deterministic hash surrogate so the oracle is simple; the
+    production form feeds operators/text.py:quality_score in."""
+    from aws_datalake_spark.operators.sampling import median_threshold_filter
+    from aws_datalake_spark.operators.text import hash60
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        (hash60(F.col("doc_id").cast("string")) % 1000).cast("double").alias("score"),
+    )
+    return median_threshold_filter(d, "score", "source", "doc_id")

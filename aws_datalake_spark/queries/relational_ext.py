@@ -482,3 +482,51 @@ def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double").alias("moving_sum3"),
         F.first("o_orderkey").over(w_time).alias("first_order"),
     )
+
+
+@query(
+    "q_small_quantity_revenue",
+    oracle="""
+    WITH pa AS (
+      SELECT l_partkey,
+             0.2 * (CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+                    / CAST(COUNT(*) AS DOUBLE)) AS qty_cut
+      FROM lineitem GROUP BY l_partkey)
+    SELECT ROUND(CAST(SUM(CAST(ROUND(l.l_extendedprice * 100.0, 0) AS BIGINT)) AS DOUBLE)
+                 / 100.0 / 7.0, 6) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_size < 15
+    JOIN pa ON pa.l_partkey = l.l_partkey
+    WHERE l.l_quantity < pa.qty_cut
+    """,
+)
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q17 shape: correlated scalar subquery (per-part average
+    quantity) decorrelated into an aggregate self-join; the part
+    dimension broadcasts. Quantities are integral doubles, so the
+    per-part mean is exact and the 20%-threshold comparison is
+    deterministic in both engines."""
+    li = t(spark, sf_dir, "lineitem")
+    pa = li.groupBy("l_partkey").agg(
+        (
+            0.2
+            * (
+                F.sum(F.col("l_quantity").cast("long")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            )
+        ).alias("qty_cut")
+    )
+    p = t(spark, sf_dir, "part").filter(F.col("p_size") < 15).select("p_partkey")
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(pa, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+    )
+    return joined.agg(
+        F.round(
+            F.sum(F.round(F.col("l_extendedprice") * 100.0, 0).cast("long")).cast("double")
+            / 100.0
+            / 7.0,
+            6,
+        ).alias("avg_yearly")
+    )

@@ -65,3 +65,20 @@ def test_training_order_is_dense_permutation(spark):
     assert {(r.doc_id, r.shard, r.pos) for r in other} != {
         (r.doc_id, r.shard, r.pos) for r in out
     }
+
+
+def test_median_threshold_filter_odd_even_ties(spark):
+    from aws_datalake_spark.operators.sampling import median_threshold_filter
+
+    df = spark.createDataFrame(
+        # group a (odd n=3): cut = 2nd smallest = 20 → keeps 20, 30
+        # group b (even n=4, ties): order (10,1),(10,2),(20,3),(30,4);
+        #   cut = element 2 = 10 → keeps all
+        [("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 30.0),
+         ("b", 1, 10.0), ("b", 2, 10.0), ("b", 3, 20.0), ("b", 4, 30.0)],
+        "g string, id long, v double",
+    )
+    out = median_threshold_filter(df, "v", "g", "id")
+    kept = {(r.g, r.id) for r in out.collect()}
+    assert kept == {("a", 2), ("a", 3), ("b", 1), ("b", 2), ("b", 3), ("b", 4)}
+    assert {r.cut for r in out.filter(F.col("g") == "a").collect()} == {20.0}
