@@ -153,3 +153,34 @@ def evaluate_to_sink(
     audit = evaluate(df, expectations, file_identifier, batch_id)
     audit.write.mode("append").parquet(sink_path)
     return audit
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Column profile in ONE table scan: for each column —
+    ``(col_name, n_rows, n_null, n_distinct, min_s, max_s)`` with
+    min/max as strings (typed min/max taken first, cast after, so
+    numeric order is preserved).
+
+    Plan shape: a single wide aggregate computes every per-column
+    metric map-side-combined, then a `stack` unpivots the one result
+    row into |cols| rows — profiling N columns costs one scan, not N
+    (the naive per-column loop re-reads the table each time).
+    countDistinct compiles to expand+two-phase agg; for very-high-
+    cardinality columns at 100 TB swap in approx_count_distinct."""
+    aggs: list[Column] = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"__n_{c}"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nn_{c}"),
+            F.countDistinct(F.col(c)).alias(f"__nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __n_{c}, __nn_{c}, __nd_{c}, __mn_{c}, __mx_{c}" for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_args}) as "
+        "(col_name, n_rows, n_null, n_distinct, min_s, max_s)"
+    )

@@ -9,7 +9,7 @@ projection; the only shuffles are the aggregations a caller adds.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # A tiny per-language stopword table for the heuristic language ID.
@@ -236,4 +236,79 @@ def repetition_features(
         F.coalesce(frac(F.col("__dup3"), F.col("__sum3")), F.lit(0.0)).alias(
             "dup_trigram_frac"
         ),
+    )
+
+
+def build_vocab(
+    df: DataFrame, text_col: str = "text", top_k: int = 100
+) -> DataFrame:
+    """Frequency-ranked token vocabulary: ``(token, n, token_id)``,
+    ids dense from 1 by (count desc, token) — the tokenizer-training
+    precursor (BPE et al. start from exactly this table).
+
+    SCALE: the count shuffle moves (token, 1) pairs with map-side
+    combine; the ranking window runs over the DISTINCT-token table
+    (vocabulary-sized, ≪ corpus — millions of rows at web scale, one
+    task is fine; pre-filter `n >= min_count` first if not)."""
+    win = Window.orderBy(F.desc("n"), "token")
+    return (
+        df.select(F.explode(tokens_ws(F.col(text_col))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("token_id", F.row_number().over(win).cast("int"))
+        .filter(F.col("token_id") <= top_k)
+    )
+
+
+def collocation_lift(
+    df: DataFrame, text_col: str = "text", min_count: int = 5
+) -> DataFrame:
+    """Bigram collocation strength as LIFT = N·c(ab)/(c(a)·c(b)) —
+    the log-free core of PMI (PMI = log2(lift)), kept log-free so
+    every value is an exact integer ratio (deterministic across
+    engines; no libm variance). High lift = words that co-occur far
+    more than chance ("new york") — phrase-mining / tokenizer-merge
+    signal.
+
+    All counts are exact int64; products stay < 2^63 for corpora to
+    ~1e9 tokens per distinct word pair — beyond that, scale counts
+    down before multiplying. One scan emits unigrams and bigrams
+    together (tagged structs, same single-pass trick as
+    repetition_features); one count shuffle; the unigram table
+    broadcasts back onto bigrams twice."""
+    toks_df = df.select(tokens_ws(F.col(text_col)).alias("__toks"))
+    tagged = F.concat(
+        F.transform(F.col("__toks"), lambda w: F.struct(F.lit(1).alias("k"), w.alias("g"))),
+        F.transform(
+            ngrams("__toks", 2), lambda g: F.struct(F.lit(2).alias("k"), g.alias("g"))
+        ),
+    )
+    counts = (
+        toks_df.select(F.explode(tagged).alias("t"))
+        .select(F.col("t.k").alias("k"), F.col("t.g").alias("g"))
+        .groupBy("k", "g")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    uni = counts.filter(F.col("k") == 1).select(F.col("g").alias("w"), F.col("n").alias("c_w"))
+    n_tok = uni.agg(F.sum("c_w").alias("n_total"))
+    bi = (
+        counts.filter((F.col("k") == 2) & (F.col("n") >= min_count))
+        .select(F.col("g").alias("bigram"), F.col("n").alias("c_ab"))
+        .withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+        .withColumn("w2", F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)))
+    )
+    out = (
+        bi.join(F.broadcast(uni.withColumnRenamed("w", "w1").withColumnRenamed("c_w", "c_a")), "w1")
+        .join(F.broadcast(uni.withColumnRenamed("w", "w2").withColumnRenamed("c_w", "c_b")), "w2")
+        .crossJoin(F.broadcast(n_tok))
+    )
+    return out.select(
+        "bigram",
+        F.col("c_ab").cast("int").alias("c_ab"),
+        F.round(
+            (F.col("c_ab") * F.col("n_total")).cast("double")
+            / (F.col("c_a") * F.col("c_b")).cast("double"),
+            6,
+        ).alias("lift"),
     )

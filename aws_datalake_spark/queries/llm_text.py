@@ -290,3 +290,52 @@ def llm_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_datalake_spark.operators.text import repetition_features
 
     return repetition_features(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "llm_build_vocab",
+    oracle=f"""
+    WITH tok AS (SELECT unnest({_TOKS}) AS token FROM documents)
+    SELECT token, n, token_id FROM (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS INT)
+               AS token_id
+      FROM tok WHERE token <> '' GROUP BY token)
+    WHERE token_id <= 100
+    """,
+)
+def llm_build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 frequency-ranked vocabulary with dense token ids —
+    the tokenizer-training precursor (operators/text.py:build_vocab)."""
+    from aws_datalake_spark.operators.text import build_vocab
+
+    return build_vocab(t(spark, sf_dir, "documents"), top_k=100)
+
+
+@query(
+    "llm_collocation_lift",
+    oracle=f"""
+    WITH tt AS (SELECT {_TOKS} AS t FROM documents),
+    uni AS (SELECT unnest(t) AS w FROM tt),
+    ucnt AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+    ntot AS (SELECT SUM(c) AS n_total FROM ucnt),
+    big AS (SELECT unnest(list_transform(t, (x, i) ->
+              CASE WHEN i + 1 <= len(t) THEN t[i] || ' ' || t[i+1] END)) AS g
+            FROM tt),
+    bcnt AS (SELECT g, COUNT(*) AS c_ab FROM big WHERE g IS NOT NULL
+             GROUP BY g HAVING COUNT(*) >= 5)
+    SELECT g AS bigram, CAST(c_ab AS INT) AS c_ab,
+           ROUND(CAST(c_ab * n_total AS DOUBLE)
+                 / CAST(ca.c * cb.c AS DOUBLE), 6) AS lift
+    FROM bcnt
+    JOIN ucnt ca ON ca.w = split_part(g, ' ', 1)
+    JOIN ucnt cb ON cb.w = split_part(g, ' ', 2)
+    CROSS JOIN ntot
+    """,
+)
+def llm_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram collocation lift (log-free PMI core) for phrase mining
+    (operators/text.py:collocation_lift)."""
+    from aws_datalake_spark.operators.text import collocation_lift
+
+    return collocation_lift(t(spark, sf_dir, "documents"), min_count=5)

@@ -675,3 +675,38 @@ def ref_pipe_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderdate").alias("min_date"),
         F.max("o_orderdate").alias("max_date"),
     )
+
+
+@query(
+    "ref_profile_columns",
+    oracle="""
+    SELECT 'l_orderkey' AS col_name, COUNT(*) AS n_rows,
+           SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS n_null,
+           COUNT(DISTINCT l_orderkey) AS n_distinct,
+           CAST(MIN(l_orderkey) AS VARCHAR) AS min_s,
+           CAST(MAX(l_orderkey) AS VARCHAR) AS max_s
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_linenumber', COUNT(*),
+           SUM(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END),
+           COUNT(DISTINCT l_linenumber),
+           CAST(MIN(l_linenumber) AS VARCHAR), CAST(MAX(l_linenumber) AS VARCHAR)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag', COUNT(*),
+           SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END),
+           COUNT(DISTINCT l_returnflag),
+           CAST(MIN(l_returnflag) AS VARCHAR), CAST(MAX(l_returnflag) AS VARCHAR)
+    FROM lineitem
+    """,
+)
+def ref_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-scan column profiler (operators/dq.py:profile_columns)
+    — the table-level DQ summary feeding expectation thresholds; the
+    oracle's UNION-ALL-of-aggregates form is the N-scan shape the
+    one-scan stack plan replaces."""
+    from aws_datalake_spark.operators.dq import profile_columns
+
+    return profile_columns(
+        t(spark, sf_dir, "lineitem"), ["l_orderkey", "l_linenumber", "l_returnflag"]
+    )

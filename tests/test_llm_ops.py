@@ -290,3 +290,42 @@ def test_grouped_agg_udaf_weighted_mean(spark):
         F.round(weighted_mean_q6("q6", "w"), 6).alias("wq")).collect()}
     # a: (0.5*1 + 1.0*3)/4 = 0.875; b: 0.25; c: zero total weight -> 0.0
     assert out == {"a": 0.875, "b": 0.25, "c": 0.0}
+
+
+def test_build_vocab_ranking_and_ties(spark):
+    from aws_datalake_spark.operators.text import build_vocab
+
+    df = spark.createDataFrame(
+        [(1, "b a a"), (2, "a c b")], "doc_id long, text string"
+    )
+    out = [(r.token, r.n, r.token_id) for r in
+           build_vocab(df, top_k=2).orderBy("token_id").collect()]
+    # a×3 first; b and c tie at... b×2 beats c×1; ties break lexically
+    assert out == [("a", 3, 1), ("b", 2, 2)]
+
+
+def test_collocation_lift_known_value(spark):
+    from aws_datalake_spark.operators.text import collocation_lift
+
+    # "x y" always adjacent: c_xy=3, c_x=3, c_y=3, N=9 → lift = 3*9/9 = 3.0
+    df = spark.createDataFrame(
+        [(1, "x y z"), (2, "x y z"), (3, "x y z")], "doc_id long, text string"
+    )
+    out = {r.bigram: (r.c_ab, r.lift) for r in
+           collocation_lift(df, min_count=3).collect()}
+    assert out == {"x y": (3, 3.0), "y z": (3, 3.0)}
+
+
+def test_profile_columns_single_scan_and_nulls(spark):
+    from aws_datalake_spark.operators.dq import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "b"), (2, "a")], "k long, s string"
+    )
+    out = {r.col_name: r for r in profile_columns(df, ["k", "s"]).collect()}
+    assert (out["k"].n_rows, out["k"].n_null, out["k"].n_distinct) == (3, 0, 2)
+    assert (out["k"].min_s, out["k"].max_s) == ("1", "2")
+    assert (out["s"].n_null, out["s"].n_distinct, out["s"].min_s) == (1, 2, "a")
+    # one scan: a single aggregate node feeds the stack projection
+    plan = profile_columns(df, ["k", "s"])._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") <= 1
