@@ -128,3 +128,65 @@ def llm_adaptive_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         (hash60(F.col("doc_id").cast("string")) % 1000).cast("double").alias("score"),
     )
     return median_threshold_filter(d, "score", "source", "doc_id")
+
+
+@query(
+    "llm_corpus_pipeline",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, text,
+             ROUND(
+               0.4 * LEAST(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) / 100.0, 1.0)
+             + 0.3 * (1.0 - LEAST(
+                 (CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE)
+                  / GREATEST(length(text), 1)) * 5.0, 1.0))
+             + 0.3 * LEAST(
+                 (CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                      w -> list_contains(['the','and','of','to','is','el','la','de','que','los',
+                                          'le','les','des','est','der','die','das','und','ist',
+                                          '的','是','了','在','我'], w))) AS DOUBLE)
+                  / GREATEST(len(regexp_split_to_array(trim(text), '\\s+')), 1)) * 4.0, 1.0),
+             6) AS qs
+      FROM documents),
+    survivors AS (SELECT doc_id, text FROM q WHERE qs >= 0.3),
+    reps AS (SELECT MIN(doc_id) AS doc_id FROM survivors GROUP BY text),
+    kept AS (SELECT s.doc_id, s.text FROM survivors s JOIN reps USING (doc_id)),
+    samp AS (
+      SELECT doc_id, text FROM kept
+      WHERE ROUND(CAST(('0x' || substr(md5('s42' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                       % 1000000 AS DOUBLE) / 1000000.0, 6) < 0.5),
+    w AS (SELECT doc_id,
+                 CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+                 END AS n_tokens
+          FROM samp),
+    cum AS (
+      SELECT doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b
+      FROM w)
+    SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+           b // 128 AS pack_id, b % 128 AS offset_in_pack,
+           CASE WHEN n_tokens = 0 THEN 0
+                ELSE (b + n_tokens - 1) // 128 - b // 128 + 1 END AS n_packs
+    FROM cum
+    """,
+)
+def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship end-to-end training-data pipeline: quality filter
+    (score ≥ 0.3) → exact dedup (min-id representative) →
+    deterministic 50% sample → sequence packing. Every stage is the
+    already-tested operator; this query is their composition in one
+    DAG — the shape a real 100 TB curation run takes (filter and
+    sample are scan-side projections; dedup is the only text-keyed
+    shuffle; packing shuffles 16-byte rows)."""
+    from aws_datalake_spark.operators.dedup import exact_dedup
+    from aws_datalake_spark.operators.sampling import hash_uniform
+    from aws_datalake_spark.operators.text import quality_score
+
+    d = quality_score(t(spark, sf_dir, "documents"))
+    survivors = d.filter(F.col("quality_score") >= 0.3).select("doc_id", "text")
+    reps = exact_dedup(survivors).select("doc_id")
+    kept = survivors.join(reps, "doc_id", "left_semi")
+    sampled = kept.filter(F.round(hash_uniform(F.col("doc_id")), 6) < 0.5)
+    return pack_sequences(sampled, budget=128)

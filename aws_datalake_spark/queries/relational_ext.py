@@ -530,3 +530,63 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_yearly")
     )
+
+
+@query(
+    "q_event_funnel",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view
+      FROM events GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS first_click
+      FROM events e JOIN u ON u.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > u.first_view
+      GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS first_purchase
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.first_click
+      GROUP BY e.user_id)
+    SELECT COUNT(*) AS n_users,
+           COUNT(u.first_view) AS n_viewed,
+           COUNT(c.first_click) AS n_clicked_after_view,
+           COUNT(p.first_purchase) AS n_purchased_after_click
+    FROM u
+    LEFT JOIN c ON c.user_id = u.user_id
+    LEFT JOIN p ON p.user_id = u.user_id
+    """,
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-stage funnel (view → later click → later
+    purchase) — per-user conditional-min aggregation chained twice;
+    each stage is one groupBy on user_id so the three stages reuse
+    the same hash partitioning (one real shuffle, then co-located
+    joins under AQE)."""
+    e = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    u = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view")
+    )
+    c = (
+        e.join(u, "user_id")
+        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("first_view")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    p = (
+        e.join(c, "user_id")
+        .filter((F.col("event_type") == "purchase") & (F.col("ts") > F.col("first_click")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    return (
+        u.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.count("first_view").alias("n_viewed"),
+            F.count("first_click").alias("n_clicked_after_view"),
+            F.count("first_purchase").alias("n_purchased_after_click"),
+        )
+    )

@@ -46,6 +46,8 @@ HEADLINE = [
     "llm_decontaminate",
     "llm_duplicate_chunks",
     "llm_sequence_packing",
+    "llm_corpus_pipeline",
+    "q_event_funnel",
 ]
 
 
