@@ -300,3 +300,36 @@ def simhash_neardup_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def edit_distance_verify(
+    pairs: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_ratio: float = 0.2,
+) -> DataFrame:
+    """Verify near-dup candidate pairs with EXACT Levenshtein
+    distance: ``(id_a, id_b, edit_distance, edit_ratio)`` where
+    edit_ratio = lev / max(len_a, len_b). Integer edit distance is
+    engine-portable bit-for-bit (no float/hash approximation), making
+    it the gold verification after a probabilistic candidate stage
+    (MinHash/SimHash).
+
+    SCALE: runs on the LSH-bounded candidate set only — never
+    all-pairs. The two joins ship text just for candidate ids
+    (left-semi-sized); O(len_a·len_b) DP cost per pair is the
+    verification budget, so cap document length upstream (truncate
+    or compare fingerprint windows) for very long docs."""
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb"))
+    j = pairs.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
+    dist = F.levenshtein("__ta", "__tb")
+    ratio = F.round(
+        dist.cast("double")
+        / F.greatest(F.length("__ta"), F.length("__tb"), F.lit(1)).cast("double"),
+        6,
+    )
+    return j.select(
+        "id_a", "id_b", dist.alias("edit_distance"), ratio.alias("edit_ratio")
+    ).filter(F.col("edit_ratio") <= max_ratio)

@@ -336,3 +336,33 @@ def llm_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_pairs(corpus, num_hashes=8, bands=4, jaccard_threshold=0.5)
     comp = connected_components(pairs)
     return dedup_representatives(corpus, comp)
+
+
+@query(
+    "llm_edit_distance_verify",
+    oracle=f"""
+    WITH c AS ({_NEARDUP_CORPUS}),
+    {_lsh_ctes(0.5)}
+    SELECT p.id_a, p.id_b,
+           levenshtein(a.text, b.text) AS edit_distance,
+           ROUND(CAST(levenshtein(a.text, b.text) AS DOUBLE)
+                 / CAST(GREATEST(length(a.text), length(b.text), 1) AS DOUBLE), 6)
+             AS edit_ratio
+    FROM lsh_pairs p
+    JOIN c a ON a.doc_id = p.id_a
+    JOIN c b ON b.doc_id = p.id_b
+    WHERE CAST(levenshtein(a.text, b.text) AS DOUBLE)
+          / CAST(GREATEST(length(a.text), length(b.text), 1) AS DOUBLE) <= 0.2
+    """,
+)
+def llm_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic→exact two-stage dedup: MinHash+LSH proposes
+    candidates, exact Levenshtein confirms (integer edit distance —
+    no approximation in the final verdict). The standard production
+    shape: cheap recall stage, expensive precision stage on the
+    candidate set only (operators/dedup.py:edit_distance_verify)."""
+    from aws_datalake_spark.operators.dedup import edit_distance_verify
+
+    corpus = _neardup_corpus(spark, sf_dir)
+    pairs = minhash_lsh_pairs(corpus, num_hashes=8, bands=4, jaccard_threshold=0.5)
+    return edit_distance_verify(pairs, corpus, max_ratio=0.2)

@@ -329,3 +329,19 @@ def test_profile_columns_single_scan_and_nulls(spark):
     # one scan: a single aggregate node feeds the stack projection
     plan = profile_columns(df, ["k", "s"])._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan ExistingRDD") <= 1
+
+
+def test_edit_distance_verify_confirms_and_rejects(spark):
+    from aws_datalake_spark.operators.dedup import edit_distance_verify
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delt"),
+         (3, "completely different words")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+    out = {(r.id_a, r.id_b): (r.edit_distance, r.edit_ratio)
+           for r in edit_distance_verify(pairs, corpus, max_ratio=0.2).collect()}
+    # (1,2): one deleted char -> distance 1, ratio 1/22; (1,3) rejected
+    assert set(out) == {(1, 2)}
+    assert out[(1, 2)][0] == 1
