@@ -590,3 +590,68 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("first_purchase").alias("n_purchased_after_click"),
         )
     )
+
+
+@query(
+    "q_string_functions",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand) AS brand_u,
+           lower(p_type) AS type_l,
+           lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS pk_pad,
+           reverse(p_name) AS name_rev,
+           substr(p_name, 3, 5) AS name_mid,
+           CAST(strpos(p_name, 'a') AS INT) AS pos_a,
+           translate(p_brand, '#', '_') AS brand_tr,
+           concat_ws('|', p_brand, p_type) AS brand_type
+    FROM part
+    """,
+)
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface (upper/lower/lpad/reverse/substr/
+    instr/translate/concat_ws) — all JVM built-ins inside whole-stage
+    codegen; cross-engine parity pins the exact semantics (1-based
+    substr/instr, 0 on no-match)."""
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.lower("p_type").alias("type_l"),
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("pk_pad"),
+        F.reverse("p_name").alias("name_rev"),
+        F.substring("p_name", 3, 5).alias("name_mid"),
+        F.instr("p_name", "a").cast("int").alias("pos_a"),
+        F.translate("p_brand", "#", "_").alias("brand_tr"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+@query(
+    "q_datetime_functions",
+    oracle="""
+    SELECT event_id,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_ts,
+           CAST(EXTRACT(year FROM ts) AS INT) AS y,
+           CAST(EXTRACT(month FROM ts) AS INT) AS m,
+           CAST(EXTRACT(day FROM ts) AS INT) AS d,
+           CAST(EXTRACT(hour FROM ts) AS INT) AS h,
+           CAST(dayofweek(ts) + 1 AS INT) AS dow,
+           CAST(ts + INTERVAL 7 DAY AS TIMESTAMP) AS ts_plus7
+    FROM events
+    """,
+)
+def q_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime-function surface (trunc/extract/dow/interval math)
+    over microsecond-precision event times; dow aligned to Spark's
+    Sunday=1 convention."""
+    e = t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.date_trunc("day", "ts").alias("day_ts"),
+        F.year("ts").cast("int").alias("y"),
+        F.month("ts").cast("int").alias("m"),
+        F.dayofmonth("ts").cast("int").alias("d"),
+        F.hour("ts").cast("int").alias("h"),
+        F.dayofweek("ts").cast("int").alias("dow"),
+        (F.col("ts") + F.expr("INTERVAL 7 DAY")).alias("ts_plus7"),
+    )
