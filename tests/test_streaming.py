@@ -283,3 +283,28 @@ def test_stream_dedup_drops_redelivery_within_watermark(spark, tmp_path):
     rows = spark.table("dedup_out").collect()
     ids = sorted(r.event_id for r in rows)
     assert ids == [1, 2, 3, 4, 6]  # no duplicate row for event 1
+
+
+def test_paginated_api_streaming_source_exactly_once(spark, tmp_path):
+    from aws_datalake_spark.sources.paginated import register
+
+    register(spark)
+    stream = (
+        spark.readStream.format("paged_api")
+        .option("total_rows", "30")
+        .option("rows_per_batch", "10")
+        .load()
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("paged_stream_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    _await(q)
+    rows = spark.table("paged_stream_out").collect()
+    # cursor drained the full "API" exactly once: 30 rows, all distinct
+    assert len(rows) == 30
+    assert len({r.id for r in rows}) == 30
+    assert all(r.status in ("ACTIVE", "PAUSED") for r in rows)
