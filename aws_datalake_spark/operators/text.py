@@ -312,3 +312,103 @@ def collocation_lift(
             6,
         ).alias("lift"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    top_k: int = 5,
+) -> DataFrame:
+    """Characteristic terms per group by log-free TF-IDF:
+    ``score(term, g) = tf(term, g) · N_docs / docfreq(term)`` —
+    the idf kept as a plain ratio rather than ``log(N/df)`` so every
+    score is an exact integer ratio evaluated with one IEEE divide
+    (deterministic across engines; ranking is order-isomorphic to
+    true TF-IDF within a fixed term's scores, and for ranking we
+    only need a consistent, monotone-in-(tf, 1/df) weight).
+
+    SCALE: one exploded shuffle keyed (group, doc, term) with
+    map-side combine; both downstream aggregates are vocabulary-
+    sized, and docfreq broadcasts back. The ranking window runs per
+    group over vocabulary-sized input — no corpus-sized window.
+    """
+    per_doc = (
+        df.select(group_col, id_col, F.explode(tokens_ws(F.col(text_col))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy(group_col, id_col, "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    grp = per_doc.groupBy(group_col, "token").agg(F.sum("n").alias("tf"))
+    # one row per (doc, token) ⇒ row count per token IS doc frequency
+    dfreq = per_doc.groupBy("token").agg(F.count(F.lit(1)).alias("docfreq"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        grp.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            (F.col("tf") * F.col("n_docs")).cast("double")
+            / F.col("docfreq").cast("double"),
+        )
+    )
+    win = Window.partitionBy(group_col).orderBy(F.desc("score"), "token")
+    return (
+        scored.withColumn("rnk", F.row_number().over(win).cast("int"))
+        .filter(F.col("rnk") <= top_k)
+        .select(
+            group_col,
+            "token",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("docfreq").cast("long").alias("docfreq"),
+            F.round("score", 6).alias("score"),
+            "rnk",
+        )
+    )
+
+
+def rarity_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document mean inverse unigram frequency — a log-free
+    surprisal/perplexity proxy (documents made of rare words score
+    high; boilerplate scores ~1·N/max_count). Real pipelines swap in
+    a KenLM scorer via mapInPandas; this keeps the corpus-statistics
+    plumbing (global counts → broadcast → per-doc fold) JVM-only.
+
+    Determinism: each token's inverse frequency is one IEEE divide;
+    the per-doc sum uses the scaled-long trick (round(x·10⁶)→BIGINT)
+    so partial-aggregation order can't change the result.
+
+    SCALE: token-count aggregate is vocabulary-sized and broadcasts
+    back onto the token stream; the only corpus-sized shuffle is the
+    per-doc fold, keyed by doc id with map-side combine.
+    """
+    toks = (
+        df.select(id_col, F.explode(tokens_ws(F.col(text_col))).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c_t"))
+    total = counts.agg(F.sum("c_t").alias("n_total"))
+    inv = (
+        toks.join(F.broadcast(counts), "token")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "__s",
+            F.round(
+                F.col("n_total").cast("double") / F.col("c_t").cast("double")
+                * F.lit(1000000.0),
+                0,
+            ).cast("long"),
+        )
+    )
+    return inv.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(
+            F.sum("__s").cast("double")
+            / F.lit(1000000.0)
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mean_inv_freq"),
+    )

@@ -339,3 +339,72 @@ def llm_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_datalake_spark.operators.text import collocation_lift
 
     return collocation_lift(t(spark, sf_dir, "documents"), min_count=5)
+
+
+@query(
+    "llm_tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, doc_id, unnest({_TOKS}) AS token FROM documents
+    ), per_doc AS (
+      SELECT source, doc_id, token, COUNT(*) AS n
+      FROM toks WHERE token <> '' GROUP BY 1, 2, 3
+    ), grp AS (
+      SELECT source, token, SUM(n) AS tf FROM per_doc GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT token, COUNT(*) AS docfreq FROM per_doc GROUP BY 1
+    ), nd AS (
+      SELECT COUNT(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT source, token, tf, docfreq,
+             CAST(tf * n_docs AS DOUBLE) / CAST(docfreq AS DOUBLE) AS score
+      FROM grp JOIN dfreq USING (token) CROSS JOIN nd
+    ), ranked AS (
+      SELECT source, token, tf, docfreq, score,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY score DESC, token) AS INT) AS rnk
+      FROM scored
+    )
+    SELECT source, token, CAST(tf AS BIGINT) AS tf,
+           CAST(docfreq AS BIGINT) AS docfreq,
+           ROUND(score, 6) AS score, rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+)
+def llm_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Characteristic terms per source via log-free TF-IDF
+    (tf · N/df as an exact ratio — see operators/text.py)."""
+    from aws_datalake_spark.operators.text import tfidf_top_terms
+
+    return tfidf_top_terms(t(spark, sf_dir, "documents"), top_k=5)
+
+
+@query(
+    "llm_rarity_scores",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+    ), t2 AS (
+      SELECT doc_id, token FROM toks WHERE token <> ''
+    ), counts AS (
+      SELECT token, COUNT(*) AS c_t FROM t2 GROUP BY 1
+    ), tot AS (
+      SELECT SUM(c_t) AS n_total FROM counts
+    ), inv AS (
+      SELECT doc_id,
+             CAST(ROUND(CAST(n_total AS DOUBLE) / CAST(c_t AS DOUBLE)
+                        * 1000000.0) AS BIGINT) AS s
+      FROM t2 JOIN counts USING (token) CROSS JOIN tot
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           ROUND(CAST(SUM(s) AS DOUBLE) / 1000000.0
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS mean_inv_freq
+    FROM inv GROUP BY 1
+    """,
+)
+def llm_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean inverse unigram frequency — log-free surprisal
+    proxy for quality filtering (operators/text.py:rarity_scores)."""
+    from aws_datalake_spark.operators.text import rarity_scores
+
+    return rarity_scores(t(spark, sf_dir, "documents"))

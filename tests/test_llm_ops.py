@@ -345,3 +345,44 @@ def test_edit_distance_verify_confirms_and_rejects(spark):
     # (1,2): one deleted char -> distance 1, ratio 1/22; (1,3) rejected
     assert set(out) == {(1, 2)}
     assert out[(1, 2)][0] == 1
+
+
+def test_tfidf_top_terms_known_scores(spark):
+    from aws_datalake_spark.operators.text import tfidf_top_terms
+
+    # 4 docs, 2 sources. "rare" appears only in doc 1 (source s1):
+    # tf=1, docfreq=1, N=4 → score 4.0 — the s1 top term. "common"
+    # is in every doc: score = tf·4/4 = tf.
+    df = spark.createDataFrame(
+        [
+            (1, "s1", "rare common"),
+            (2, "s1", "common"),
+            (3, "s2", "common common"),
+            (4, "s2", "common"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {
+        (r.source, r.rnk): (r.token, r.tf, r.docfreq, r.score)
+        for r in tfidf_top_terms(df, top_k=2).collect()
+    }
+    assert out[("s1", 1)] == ("rare", 1, 1, 4.0)
+    # s1 "common": tf=2, docfreq=4 → 2·4/4 = 2.0
+    assert out[("s1", 2)] == ("common", 2, 4, 2.0)
+    # s2 "common": tf=3, docfreq=4 → 3.0; only term in s2
+    assert out[("s2", 1)] == ("common", 3, 4, 3.0)
+    assert ("s2", 2) not in out
+
+
+def test_rarity_scores_known_value(spark):
+    from aws_datalake_spark.operators.text import rarity_scores
+
+    # corpus: a a a b → n_total=4, c_a=3, c_b=1.
+    # doc 1 = "a b": mean(4/3, 4/1) = (1.333333 + 4)/2 = 2.666667
+    # doc 2 = "a a": mean(4/3, 4/3) = 1.333333
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a a")], "doc_id long, text string"
+    )
+    out = {r.doc_id: (r.n_tokens, r.mean_inv_freq) for r in rarity_scores(df).collect()}
+    assert out[1] == (2, 2.666667)
+    assert out[2] == (2, 1.333333)
