@@ -42,8 +42,8 @@ from aws_datalake_spark.operators.state_delta import (
 )
 from aws_datalake_spark.queries._shared import t
 from aws_datalake_spark.queries.registry import query
-from aws_datalake_spark.sources.readers import read_pipe_staging
-from aws_datalake_spark.sources.writers import write_pipe_csv
+from aws_datalake_spark.sources.readers import read_orc, read_pipe_staging
+from aws_datalake_spark.sources.writers import write_orc, write_pipe_csv
 
 
 # --- P1/P2 rule-driven projection --------------------------------------------
@@ -709,4 +709,29 @@ def ref_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return profile_columns(
         t(spark, sf_dir, "lineitem"), ["l_orderkey", "l_linenumber", "l_returnflag"]
+    )
+
+
+@query(
+    "ref_orc_roundtrip",
+    oracle="""
+    SELECT COUNT(*) AS n, SUM(CAST(p_partkey AS BIGINT)) AS sum_key,
+           MIN(p_type) AS min_type, MAX(p_type) AS max_type
+    FROM part
+    """,
+)
+def ref_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format-parity check for the ORC source/sink pair: write a
+    projection out as ORC, read it back, aggregate. Widens the S4-S17
+    source surface beyond csv/json/parquet/text."""
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    tmp = tempfile.mkdtemp(prefix="orc_roundtrip_")
+    path = f"{tmp}/part_orc"
+    write_orc(p, path)
+    back = read_orc(spark, path)
+    return back.agg(
+        F.count("*").alias("n"),
+        F.sum("p_partkey").alias("sum_key"),
+        F.min("p_type").alias("min_type"),
+        F.max("p_type").alias("max_type"),
     )

@@ -655,3 +655,27 @@ def q_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofweek("ts").cast("int").alias("dow"),
         (F.col("ts") + F.expr("INTERVAL 7 DAY")).alias("ts_plus7"),
     )
+
+
+@query(
+    "q_join_shuffle_hash",
+    oracle=f"""
+    SELECT o_orderpriority, COUNT(*) AS n,
+           {o_dsum('l_extendedprice', 2)} AS sum_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1
+    """,
+)
+def q_join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy surface: SHUFFLE_HASH hint for a build side too
+    big to broadcast but small enough to hash per partition — skips
+    both sort phases of sort-merge. At 100 TB this is the right
+    strategy for mid-sized dimensions (orders vs lineitem here);
+    plan gate in tests/test_plans.py asserts ShuffledHashJoin."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = li.join(o.hint("SHUFFLE_HASH"), li.l_orderkey == o.o_orderkey)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_extendedprice", "sum_price", 2),
+    )

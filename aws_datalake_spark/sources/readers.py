@@ -68,3 +68,9 @@ def read_pipe_staging(spark: SparkSession, path: str, schema: StructType | str |
 def read_table(spark: SparkSession, name: str) -> DataFrame:
     """S8 — catalog table read (Great Expectation PoC.py:12)."""
     return spark.table(name)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — vectorized, with filter pushdown and column
+    pruning like the parquet path (twin of write_orc)."""
+    return spark.read.orc(path)

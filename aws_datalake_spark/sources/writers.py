@@ -49,3 +49,10 @@ def append_report(df: DataFrame, path: str) -> None:
     """S16 — append-only report sink (loading.py:1937-1956: COPY into
     final table, no SCD)."""
     df.write.mode("append").parquet(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Columnar-format parity beyond parquet: ORC sink (built-in
+    vectorized reader/writer; same predicate-pushdown and pruning
+    contract as parquet on read)."""
+    df.write.mode(mode).orc(path)

@@ -122,3 +122,34 @@ def test_pack_sequences_window_is_partitioned(spark):
     plan = pack_sequences(df, budget=128)._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning(__b" in plan
     assert "BroadcastExchange" in plan
+
+
+def test_shuffle_hash_hint_is_respected(spark):
+    from aws_datalake_spark.queries.relational_ext import q_join_shuffle_hash
+
+    plan = _plan(q_join_shuffle_hash(spark, SF_SMOKE))
+    assert "ShuffledHashJoin" in plan
+
+
+def test_daily_rollup_reaggregates_hourly_exactly(spark):
+    from aws_datalake_spark.queries._shared import t
+    from aws_datalake_spark.queries.streaming_batch import st_hourly_daily_rollup
+    from pyspark.sql import functions as F
+
+    daily = st_hourly_daily_rollup(spark, SF_SMOKE)
+    # re-aggregating the hourly partials must equal a daily agg
+    # straight off the raw table (scaled-long exactness end to end)
+    raw = (
+        t(spark, SF_SMOKE, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(F.round(F.col("value") * F.lit(1000000.0), 0).cast("long")).cast("double")
+                / F.lit(1000000.0)
+            ).alias("sum_value"),
+        )
+    )
+    got = {r.day: (r.n_events, r.sum_value) for r in daily.collect()}
+    want = {r.day: (r.n_events, r.sum_value) for r in raw.collect()}
+    assert got == want

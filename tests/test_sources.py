@@ -166,3 +166,17 @@ def test_zorder_key_locality(spark):
     # locality: quadrant [0,4)x[0,4) occupies exactly keys [0,16)
     quad = [z for (x, y), z in rows.items() if x < 4 and y < 4]
     assert max(quad) < 16 and len(quad) == 16
+
+
+def test_orc_roundtrip_identity(spark, tmp_path):
+    from aws_datalake_spark.sources.readers import read_orc
+    from aws_datalake_spark.sources.writers import write_orc
+
+    df = _sample(spark)
+    path = str(tmp_path / "orc")
+    write_orc(df, path)
+    back = read_orc(spark, path)
+    assert back.schema == df.schema
+    assert sorted((r.id, r.name) for r in back.collect()) == sorted(
+        (r.id, r.name) for r in df.collect()
+    )
