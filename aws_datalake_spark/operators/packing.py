@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from aws_datalake_spark.operators.text import token_count_ws
+from aws_datalake_spark.operators.text import token_count_ws, tokens_ws
 
 
 def global_exclusive_cumsum(
@@ -93,4 +93,55 @@ def pack_sequences(
             + 1
         )
         .alias("n_packs"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fixed-size overlapping token chunks per document — the RAG /
+    long-context splitter (each window advances by
+    ``chunk_tokens - overlap``; the final chunk may be short; an
+    empty document yields no chunks, matching explode semantics).
+
+    All integer arithmetic (no float ceil) so chunk counts are exact
+    in any engine. One narrow projection + one explode — embarrassingly
+    parallel, no shuffle at all; at 100 TB this is scan-bound and the
+    output inherits the input partitioning.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.filter(tokens_ws(F.col(text_col)), lambda x: x != "")
+    n = F.size(toks)
+    # ceil((n - chunk)/stride) + 1 as floor((n - chunk + stride-1)/stride) + 1;
+    # the double quotient is ≫ one ulp away from any integer unless the
+    # division is exact, so floor() matches integer division in any engine
+    n_chunks = F.when(n <= F.lit(chunk_tokens), F.lit(1)).otherwise(
+        F.floor(
+            (n - F.lit(chunk_tokens) + F.lit(stride - 1)).cast("double")
+            / F.lit(float(stride))
+        )
+        + F.lit(1)
+    ).cast("int")
+    base = df.select(
+        id_col, toks.alias("__toks"), n_chunks.alias("__nc"), n.alias("__n")
+    ).filter(F.col("__n") > 0)
+    exploded = base.select(
+        id_col,
+        "__toks",
+        F.explode(F.sequence(F.lit(0), F.col("__nc") - 1)).alias("chunk_id"),
+    )
+    piece = F.slice(
+        F.col("__toks"), F.col("chunk_id") * F.lit(stride) + 1, F.lit(chunk_tokens)
+    )
+    return exploded.select(
+        id_col,
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).alias("n_chunk_tokens"),
     )

@@ -103,3 +103,43 @@ def median_threshold_filter(
     return df.join(F.broadcast(cuts), group_col).filter(
         F.col(value_col) >= F.col(cut_col)
     )
+
+
+def mixing_weights(
+    df: DataFrame,
+    group_col: str = "source",
+    weight_col: str = "n_tokens",
+) -> DataFrame:
+    """Per-group corpus mixing weights ∝ sqrt(group size) — the
+    standard square-root temperature rebalancing for multi-source
+    pretraining mixes (large sources damped, small sources boosted).
+
+    Determinism: sqrt is one correctly-rounded IEEE op; each group's
+    sqrt is scaled to a BIGINT (round(·10⁶)) before the global sum,
+    so the weight is an exact integer ratio — no float-sum order
+    sensitivity anywhere.
+
+    SCALE: group aggregate shuffles once; the normalization total is
+    groups-sized (tiny) and broadcast back via crossJoin.
+    """
+    grp = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col(weight_col)).alias("n_weight"),
+    )
+    scaled = grp.withColumn(
+        "__s",
+        F.round(F.sqrt(F.col("n_weight").cast("double")) * F.lit(1000000.0), 0)
+        .cast("long"),
+    )
+    total = scaled.agg(F.sum("__s").alias("__t"))
+    return (
+        scaled.crossJoin(F.broadcast(total))
+        .select(
+            group_col,
+            "n_docs",
+            F.col("n_weight").cast("long").alias("n_weight"),
+            F.round(
+                F.col("__s").cast("double") / F.col("__t").cast("double"), 6
+            ).alias("weight"),
+        )
+    )

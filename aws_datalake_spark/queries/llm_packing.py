@@ -190,3 +190,74 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = survivors.join(reps, "doc_id", "left_semi")
     sampled = kept.filter(F.round(hash_uniform(F.col("doc_id")), 6) < 0.5)
     return pack_sequences(sampled, budget=128)
+
+
+@query(
+    "llm_chunk_documents",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), base AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             CASE WHEN len(toks) <= 64 THEN 1
+                  ELSE CAST(FLOOR(CAST(len(toks) - 64 + 47 AS DOUBLE) / 48.0)
+                            AS BIGINT) + 1 END AS nc
+      FROM toks WHERE len(toks) > 0
+    ), ex AS (
+      SELECT doc_id, CAST(unnest(range(nc)) AS INT) AS chunk_id, toks
+      FROM base
+    )
+    SELECT doc_id, chunk_id,
+           array_to_string(
+             list_slice(toks, chunk_id * 48 + 1, chunk_id * 48 + 64), ' '
+           ) AS chunk_text,
+           CAST(len(list_slice(toks, chunk_id * 48 + 1, chunk_id * 48 + 64))
+                AS INT) AS n_chunk_tokens
+    FROM ex
+    """,
+)
+def llm_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style overlapping token chunking (64-token windows,
+    16-token overlap) — operators/packing.py:chunk_documents."""
+    from aws_datalake_spark.operators.packing import chunk_documents
+
+    return chunk_documents(
+        t(spark, sf_dir, "documents"), chunk_tokens=64, overlap=16
+    )
+
+
+@query(
+    "llm_mixing_weights",
+    oracle=f"""
+    WITH d AS (
+      SELECT source, {_NTOK} AS nt FROM documents
+    ), grp AS (
+      SELECT source, COUNT(*) AS n_docs, SUM(nt) AS n_weight
+      FROM d GROUP BY 1
+    ), scaled AS (
+      SELECT source, n_docs, n_weight,
+             CAST(ROUND(SQRT(CAST(n_weight AS DOUBLE)) * 1000000.0) AS BIGINT)
+               AS s
+      FROM grp
+    ), tot AS (
+      SELECT SUM(s) AS t FROM scaled
+    )
+    SELECT source, n_docs, CAST(n_weight AS BIGINT) AS n_weight,
+           ROUND(CAST(s AS DOUBLE) / CAST(t AS DOUBLE), 6) AS weight
+    FROM scaled CROSS JOIN tot
+    """,
+)
+def llm_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Square-root temperature mixing weights per source
+    (operators/sampling.py:mixing_weights) over whitespace token
+    counts."""
+    from aws_datalake_spark.operators.sampling import mixing_weights
+    from aws_datalake_spark.operators.text import token_count_ws
+
+    docs = t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", token_count_ws("text").cast("long")
+    )
+    return mixing_weights(docs, group_col="source", weight_col="n_tokens")

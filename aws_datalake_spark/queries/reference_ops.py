@@ -735,3 +735,55 @@ def ref_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("p_type").alias("min_type"),
         F.max("p_type").alias("max_type"),
     )
+
+
+@query(
+    "ref_snapshot_diff",
+    oracle="""
+    WITH oldt AS (SELECT * FROM customer),
+    newt AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100.0
+                  ELSE c_acctbal END AS c_acctbal,
+             c_mktsegment
+      FROM customer WHERE c_custkey % 13 <> 0
+      UNION ALL
+      SELECT c_custkey + 10000000, c_name, c_nationkey, c_acctbal,
+             c_mktsegment
+      FROM customer WHERE c_custkey % 17 = 0
+    ), j AS (
+      SELECT o.c_custkey AS ok, n.c_custkey AS nk,
+             CASE WHEN o.c_custkey IS NULL THEN 'insert'
+                  WHEN n.c_custkey IS NULL THEN 'delete'
+                  WHEN (o.c_name IS DISTINCT FROM n.c_name)
+                       OR (o.c_nationkey IS DISTINCT FROM n.c_nationkey)
+                       OR (o.c_acctbal IS DISTINCT FROM n.c_acctbal)
+                       OR (o.c_mktsegment IS DISTINCT FROM n.c_mktsegment)
+                  THEN 'update' END AS change_type
+      FROM oldt o FULL OUTER JOIN newt n ON o.c_custkey = n.c_custkey
+    )
+    SELECT COALESCE(ok, nk) AS c_custkey, change_type
+    FROM j WHERE change_type IS NOT NULL
+    """,
+)
+def ref_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC between two daily snapshots (operators/cdc.py): the change
+    set the reference's SCD2 load (loading.py:32-130) should have
+    merged instead of re-versioning every row. New snapshot is
+    synthesized deterministically from customer: ~1/13 deleted,
+    ~1/10 updated (acctbal +100), ~1/17 re-inserted under new keys."""
+    from aws_datalake_spark.operators.cdc import snapshot_diff
+
+    cust = t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    updated = cust.filter(k % 13 != 0).withColumn(
+        "c_acctbal",
+        F.when(k % 10 == 0, F.col("c_acctbal") + F.lit(100.0)).otherwise(
+            F.col("c_acctbal")
+        ),
+    )
+    inserted = cust.filter(k % 17 == 0).withColumn(
+        "c_custkey", k + F.lit(10000000)
+    )
+    new = updated.unionByName(inserted)
+    return snapshot_diff(cust, new, ["c_custkey"])

@@ -48,6 +48,11 @@ HEADLINE = [
     "llm_sequence_packing",
     "llm_corpus_pipeline",
     "q_event_funnel",
+    "llm_tfidf_top_terms",
+    "llm_rarity_scores",
+    "st_hourly_daily_rollup",
+    "llm_chunk_documents",
+    "ref_snapshot_diff",
 ]
 
 

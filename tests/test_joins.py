@@ -118,3 +118,21 @@ def test_scd2_empty_staging_noop(spark):
     staging = spark.createDataFrame([], "entity_id long, v string")
     out = scd2_merge(target, staging, ["entity_id"]).collect()
     assert len(out) == 1 and out[0].actv_flg == "Y"
+
+
+def test_snapshot_diff_classifies_all_change_types(spark):
+    from aws_datalake_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0), (4, "d", 40.0)],
+        "k long, name string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0),    # unchanged -> dropped
+         (2, "b", None),    # NULL == NULL -> unchanged
+         (3, "c", None),    # value -> NULL: update
+         (5, "e", 50.0)],   # insert; 4 deleted
+        "k long, name string, v double",
+    )
+    out = {r.k: r.change_type for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert out == {3: "update", 4: "delete", 5: "insert"}

@@ -82,3 +82,36 @@ def test_median_threshold_filter_odd_even_ties(spark):
     kept = {(r.g, r.id) for r in out.collect()}
     assert kept == {("a", 2), ("a", 3), ("b", 1), ("b", 2), ("b", 3), ("b", 4)}
     assert {r.cut for r in out.filter(F.col("g") == "a").collect()} == {20.0}
+
+
+def test_chunk_documents_windows_and_edges(spark):
+    from aws_datalake_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e"),   # 5 tokens, chunk 3 stride 2 -> 2 chunks
+            (2, "x y"),         # short doc -> 1 chunk
+            (3, "   "),         # empty after trim -> no chunks
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.doc_id, r.chunk_id): (r.chunk_text, r.n_chunk_tokens)
+        for r in chunk_documents(df, chunk_tokens=3, overlap=1).collect()
+    }
+    assert out == {
+        (1, 0): ("a b c", 3),
+        (1, 1): ("c d e", 3),
+        (2, 0): ("x y", 2),
+    }
+
+
+def test_mixing_weights_sqrt_ratio(spark):
+    from aws_datalake_spark.operators.sampling import mixing_weights
+
+    df = spark.createDataFrame(
+        [("s1", 9), ("s1", 0), ("s2", 1)], "source string, n_tokens long"
+    )
+    out = {r.source: (r.n_docs, r.n_weight, r.weight) for r in mixing_weights(df).collect()}
+    # sqrt(9)=3, sqrt(1)=1 -> weights 0.75 / 0.25
+    assert out == {"s1": (2, 9, 0.75), "s2": (1, 1, 0.25)}
