@@ -80,3 +80,73 @@ def idempotent_batch_sink(
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
     return _body
+
+
+def incremental_rollup_sink(
+    rollup_path: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    scale: int = 6,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch body that incrementally maintains an hourly
+    rollup table: per batch, aggregate only the batch's rows, union
+    with the stored partials FOR THE TOUCHED HOURS, re-aggregate, and
+    dynamic-partition-overwrite just those hour partitions.
+
+    This is the streaming half of st_hourly_daily_rollup (queries/
+    streaming_batch.py): the hourly table stays exact under
+    micro-batch appends because partial sums are scaled BIGINTs
+    (integer addition is associative/commutative), and each batch
+    touches O(batch hours) partitions, never the full table. Replayed
+    batches are NOT idempotent under plain parquet (the re-agg adds
+    the batch twice) — production pairs this with Delta MERGE keyed
+    on hour, or the batch_id-partition dedup of idempotent_batch_sink;
+    with exactly-once foreachBatch delivery (checkpointed) it is
+    correct as written.
+    """
+    from pyspark.sql import functions as F
+
+    def _body(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        m = float(10**scale)
+        partial = batch_df.groupBy(
+            F.date_trunc("hour", ts_col).alias("hour")
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col(value_col) * F.lit(m), 0).cast("long")).alias(
+                "sum_s"
+            ),
+        )
+        try:
+            existing = spark.read.parquet(rollup_path).select(
+                "hour", "n_events", "sum_s"
+            )
+            have_existing = True
+        except Exception:
+            have_existing = False
+        if have_existing:
+            touched = [r.hour for r in partial.select("hour").distinct().collect()]
+            overlap = existing.filter(F.col("hour").isin(touched))
+            merged = (
+                overlap.unionByName(partial)
+                .groupBy("hour")
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("sum_s").alias("sum_s"),
+                )
+            )
+        else:
+            merged = partial
+        # materialize before the write: the merged plan reads the same
+        # path it is about to overwrite (self-overwrite is rejected at
+        # analysis time otherwise). Delta MERGE removes this dance.
+        merged = merged.localCheckpoint(eager=True)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            merged.withColumn("hour_part", F.date_format("hour", "yyyyMMddHH"))
+            .write.mode("overwrite")
+            .partitionBy("hour_part")
+            .parquet(rollup_path)
+        )
+
+    return _body

@@ -308,3 +308,39 @@ def test_paginated_api_streaming_source_exactly_once(spark, tmp_path):
     assert len(rows) == 30
     assert len({r.id for r in rows}) == 30
     assert all(r.status in ("ACTIVE", "PAUSED") for r in rows)
+
+
+def test_incremental_rollup_sink_two_batches_matches_recompute(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from aws_datalake_spark.streaming.microbatch import incremental_rollup_sink
+
+    rollup = str(tmp_path / "hourly")
+    body = incremental_rollup_sink(rollup)
+    b1 = spark.createDataFrame(
+        [
+            ("2024-01-01 10:05:00", 1.5),
+            ("2024-01-01 10:55:00", 2.25),
+            ("2024-01-01 11:10:00", 4.0),
+        ],
+        "ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    # batch 2 overlaps hour 11 and opens hour 12
+    b2 = spark.createDataFrame(
+        [
+            ("2024-01-01 11:59:00", 0.5),
+            ("2024-01-01 12:00:00", 10.0),
+        ],
+        "ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    body(b1, 0)
+    body(b2, 1)
+    got = {
+        r.hour.strftime("%H"): (r.n_events, r.sum_s)
+        for r in spark.read.parquet(rollup).collect()
+    }
+    assert got == {
+        "10": (2, 3_750_000),
+        "11": (2, 4_500_000),
+        "12": (1, 10_000_000),
+    }
