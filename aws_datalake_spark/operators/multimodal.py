@@ -141,3 +141,51 @@ def resize_images(media: DataFrame, target_w: int = 64, target_h: int = 64) -> D
             )
 
     return media.mapInPandas(resize_batches, schema=RESIZED_SCHEMA)
+
+
+def embed_documents(
+    df: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus → embedding stage: Arrow-batched ``mapInPandas``
+    encoder producing unit-norm ``array<float>`` vectors.
+
+    The encoder itself is a deterministic hashing stub (signed
+    token-hash bag, L2-normalized) because no model runtime ships in
+    this container; a real deployment swaps the inner loop for a
+    sentence-transformer/ONNX call with the SAME batch iterator,
+    schema contract, and partition inheritance — which is what this
+    function actually tests.
+
+    SCALE: narrow map over the scan, no shuffle; batch size is
+    bounded by spark.sql.execution.arrow.maxRecordsPerBatch, which is
+    the knob that caps encoder memory (activation footprint) per
+    task. Output vectors feed operators/similarity.py unchanged.
+    """
+    import hashlib
+
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            embs = []
+            for text in pdf[text_col].astype(str):
+                v = np.zeros(dim, dtype=np.float64)
+                for tok in text.split():
+                    h = int.from_bytes(
+                        hashlib.md5(tok.encode("utf-8")).digest()[:8], "little"
+                    )
+                    sign = 1.0 if (h >> 8) & 1 else -1.0
+                    v[h % dim] += sign
+                n = float(np.linalg.norm(v))
+                if n == 0.0:
+                    v[0] = 1.0
+                    n = 1.0
+                embs.append((v / n).astype(np.float32))
+            yield pd.DataFrame({id_col: pdf[id_col], "embedding": embs})
+
+    return df.select(id_col, text_col).mapInPandas(
+        batches, f"{id_col} long, embedding array<float>"
+    )

@@ -278,3 +278,30 @@ def llm_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_datalake_spark.operators.similarity import quantize_int8
 
     return quantize_int8(_emb_double(spark, sf_dir))
+
+
+@query(
+    "llm_embed_documents",
+    oracle="""
+    SELECT doc_id, 64 AS n_dims, TRUE AS unit_norm FROM documents
+    """,
+)
+def llm_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus embedding stage (operators/multimodal.py:
+    embed_documents). The oracle checks the verifiable contract —
+    one vector per document, correct dimensionality, unit L2 norm —
+    while vector VALUES are covered by the determinism unit test
+    (they are a model stub, not SQL-expressible)."""
+    from aws_datalake_spark.operators.multimodal import embed_documents
+
+    emb = embed_documents(t(spark, sf_dir, "documents"), dim=64)
+    norm2 = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return emb.select(
+        "doc_id",
+        F.size("embedding").alias("n_dims"),
+        (F.abs(F.sqrt(norm2) - F.lit(1.0)) < F.lit(1e-3)).alias("unit_norm"),
+    )

@@ -386,3 +386,24 @@ def test_rarity_scores_known_value(spark):
     out = {r.doc_id: (r.n_tokens, r.mean_inv_freq) for r in rarity_scores(df).collect()}
     assert out[1] == (2, 2.666667)
     assert out[2] == (2, 1.333333)
+
+
+def test_embed_documents_deterministic_unit_norm(spark):
+    import math
+
+    from aws_datalake_spark.operators.multimodal import embed_documents
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello world"), (3, ""), (4, "spark")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.embedding for r in embed_documents(df, dim=8).collect()}
+    # identical text -> identical vector; different text -> different
+    assert out[1] == out[2] and out[1] != out[4]
+    # empty doc still yields a valid unit vector
+    for v in out.values():
+        assert len(v) == 8
+        assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-3
+    # feeds the similarity stack: re-running gives the same vectors
+    again = {r.doc_id: r.embedding for r in embed_documents(df, dim=8).collect()}
+    assert again == out
