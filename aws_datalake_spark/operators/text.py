@@ -412,3 +412,45 @@ def rarity_scores(
             6,
         ).alias("mean_inv_freq"),
     )
+
+
+def bigram_conditional(
+    df: DataFrame, text_col: str = "text", min_count: int = 5
+) -> DataFrame:
+    """Bigram-LM estimation: P(w2|w1) = c(w1 w2) / c(w1) as an exact
+    integer ratio (the MLE a count-based n-gram LM trains on; KN
+    smoothing adds only more count tables of the same shape).
+
+    Same single-scan tagged uni+bigram emission as collocation_lift;
+    the unigram table broadcasts back onto the bigram table.
+    """
+    toks_df = df.select(tokens_ws(F.col(text_col)).alias("__toks"))
+    tagged = F.concat(
+        F.transform(F.col("__toks"), lambda w: F.struct(F.lit(1).alias("k"), w.alias("g"))),
+        F.transform(
+            ngrams("__toks", 2), lambda g: F.struct(F.lit(2).alias("k"), g.alias("g"))
+        ),
+    )
+    counts = (
+        toks_df.select(F.explode(tagged).alias("t"))
+        .select(F.col("t.k").alias("k"), F.col("t.g").alias("g"))
+        .groupBy("k", "g")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    uni = counts.filter(F.col("k") == 1).select(
+        F.col("g").alias("w1"), F.col("n").alias("c_w1")
+    )
+    bi = (
+        counts.filter((F.col("k") == 2) & (F.col("n") >= min_count))
+        .select(F.col("g").alias("bigram"), F.col("n").alias("c_ab"))
+        .withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+    )
+    return bi.join(F.broadcast(uni), "w1").select(
+        "bigram",
+        "w1",
+        F.col("c_ab").cast("long").alias("c_ab"),
+        F.col("c_w1").cast("long").alias("c_w1"),
+        F.round(
+            F.col("c_ab").cast("double") / F.col("c_w1").cast("double"), 6
+        ).alias("p_cond"),
+    )

@@ -408,3 +408,30 @@ def llm_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_datalake_spark.operators.text import rarity_scores
 
     return rarity_scores(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "llm_bigram_lm",
+    oracle=f"""
+    WITH toks AS (
+      SELECT {_TOKS} AS t FROM documents
+    ), uni AS (
+      SELECT w, COUNT(*) AS c
+      FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1
+    ), bi AS (
+      SELECT t[i] || ' ' || t[i+1] AS bigram, t[i] AS w1, COUNT(*) AS c_ab
+      FROM toks, UNNEST(range(1, len(t))) AS u(i)
+      GROUP BY 1, 2 HAVING COUNT(*) >= 5
+    )
+    SELECT bigram, w1, CAST(c_ab AS BIGINT) AS c_ab,
+           CAST(uni.c AS BIGINT) AS c_w1,
+           ROUND(CAST(c_ab AS DOUBLE) / CAST(uni.c AS DOUBLE), 6) AS p_cond
+    FROM bi JOIN uni ON bi.w1 = uni.w
+    """,
+)
+def llm_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based bigram LM estimation P(w2|w1)
+    (operators/text.py:bigram_conditional)."""
+    from aws_datalake_spark.operators.text import bigram_conditional
+
+    return bigram_conditional(t(spark, sf_dir, "documents"), min_count=5)

@@ -679,3 +679,41 @@ def q_join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         dsum("l_extendedprice", "sum_price", 2),
     )
+
+
+@query(
+    "q_gaps_islands",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id,
+             event_id - ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY event_id) AS grp
+      FROM events
+    ), runs AS (
+      SELECT user_id, grp, COUNT(*) AS run_len FROM seq GROUP BY 1, 2
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(MAX(run_len) AS BIGINT) AS max_run,
+           CAST(SUM(run_len) AS BIGINT) AS n_events
+    FROM runs GROUP BY 1
+    """,
+)
+def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: runs of consecutive event ids per user via
+    the id-minus-row_number trick — sequence-continuity analysis
+    (session stitching, missing-data detection) with windows
+    partitioned per user, so the work parallelizes across keys and
+    no global window collapses to one task."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").select("user_id", "event_id")
+    win = Window.partitionBy("user_id").orderBy("event_id")
+    seq = ev.withColumn(
+        "grp", F.col("event_id") - F.row_number().over(win).cast("long")
+    )
+    runs = seq.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("run_len"))
+    return runs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.max("run_len").alias("max_run"),
+        F.sum("run_len").alias("n_events"),
+    )

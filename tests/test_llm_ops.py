@@ -407,3 +407,15 @@ def test_embed_documents_deterministic_unit_norm(spark):
     # feeds the similarity stack: re-running gives the same vectors
     again = {r.doc_id: r.embedding for r in embed_documents(df, dim=8).collect()}
     assert again == out
+
+
+def test_bigram_conditional_probabilities(spark):
+    from aws_datalake_spark.operators.text import bigram_conditional
+
+    # c("x y")=2, c(x)=3 (one trailing x has no y) -> P(y|x)=0.666667
+    df = spark.createDataFrame(
+        [(1, "x y"), (2, "x y x")], "doc_id long, text string"
+    )
+    out = {r.bigram: (r.c_ab, r.c_w1, r.p_cond) for r in
+           bigram_conditional(df, min_count=2).collect()}
+    assert out == {"x y": (2, 3, 0.666667)}
