@@ -138,8 +138,51 @@ def mixing_weights(
             group_col,
             "n_docs",
             F.col("n_weight").cast("long").alias("n_weight"),
-            F.round(
-                F.col("__s").cast("double") / F.col("__t").cast("double"), 6
+            # raw integer-ratio double; no round (engine-exact as is)
+            (
+                F.col("__s").cast("double") / F.col("__t").cast("double")
             ).alias("weight"),
         )
+    )
+
+
+def budgeted_sample(
+    df: DataFrame,
+    token_budget: int,
+    group_col: str = "source",
+    weight_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    seed: str = "s42",
+) -> DataFrame:
+    """Sample the corpus down to ~``token_budget`` tokens, allocating
+    the budget across groups by sqrt-temperature mixing weights
+    (:func:`mixing_weights`) — the full data-mixing recipe in one
+    operator: rate_g = min(1, round(w_g·budget) / tokens_g), each row
+    kept iff its content-stable uniform < rate_g.
+
+    Every arithmetic step is a rounded IEEE op mirrored by the SQL
+    oracle, so the sampled id set is engine-exact and reproducible
+    across retries/backfills.
+
+    SCALE: the rates table is groups-sized and broadcast; the corpus
+    is filtered in place — no shuffle of the big side at all.
+    """
+    w = mixing_weights(df, group_col=group_col, weight_col=weight_col)
+    rates = w.select(
+        group_col,
+        F.when(
+            F.col("n_weight") > 0,
+            F.least(
+                F.lit(1.0),
+                F.round(F.col("weight") * F.lit(float(token_budget)), 0)
+                / F.col("n_weight").cast("double"),
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("rate"),
+    )
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .withColumn("__u", F.round(hash_uniform(F.col(id_col), seed), 6))
+        .filter(F.col("__u") < F.col("rate"))
     )

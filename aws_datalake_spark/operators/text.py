@@ -362,7 +362,9 @@ def tfidf_top_terms(
             "token",
             F.col("tf").cast("long").alias("tf"),
             F.col("docfreq").cast("long").alias("docfreq"),
-            F.round("score", 6).alias("score"),
+            # raw double: one exact int product + one IEEE divide is
+            # engine-exact; rounding would add midpoint divergence
+            F.col("score").alias("score"),
             "rnk",
         )
     )
@@ -403,13 +405,16 @@ def rarity_scores(
             ).cast("long"),
         )
     )
+    # no final round: every op above is the identical IEEE op in any
+    # engine, so the raw double is already engine-exact — a round(x, 6)
+    # here would REINTRODUCE divergence (decimal-exact HALF_UP vs
+    # multiply-then-round differ by 1 ulp near midpoints)
     return inv.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_tokens"),
-        F.round(
+        (
             F.sum("__s").cast("double")
             / F.lit(1000000.0)
-            / F.count(F.lit(1)).cast("double"),
-            6,
+            / F.count(F.lit(1)).cast("double")
         ).alias("mean_inv_freq"),
     )
 

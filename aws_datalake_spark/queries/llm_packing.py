@@ -246,7 +246,7 @@ def llm_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT SUM(s) AS t FROM scaled
     )
     SELECT source, n_docs, CAST(n_weight AS BIGINT) AS n_weight,
-           ROUND(CAST(s AS DOUBLE) / CAST(t AS DOUBLE), 6) AS weight
+           CAST(s AS DOUBLE) / CAST(t AS DOUBLE) AS weight
     FROM scaled CROSS JOIN tot
     """,
 )

@@ -367,7 +367,7 @@ def llm_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source, token, CAST(tf AS BIGINT) AS tf,
            CAST(docfreq AS BIGINT) AS docfreq,
-           ROUND(score, 6) AS score, rnk
+           score, rnk
     FROM ranked WHERE rnk <= 5
     """,
 )
@@ -397,8 +397,8 @@ def llm_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM t2 JOIN counts USING (token) CROSS JOIN tot
     )
     SELECT doc_id, COUNT(*) AS n_tokens,
-           ROUND(CAST(SUM(s) AS DOUBLE) / 1000000.0
-                 / CAST(COUNT(*) AS DOUBLE), 6) AS mean_inv_freq
+           CAST(SUM(s) AS DOUBLE) / 1000000.0
+             / CAST(COUNT(*) AS DOUBLE) AS mean_inv_freq
     FROM inv GROUP BY 1
     """,
 )

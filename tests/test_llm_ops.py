@@ -384,8 +384,8 @@ def test_rarity_scores_known_value(spark):
         [(1, "a b"), (2, "a a")], "doc_id long, text string"
     )
     out = {r.doc_id: (r.n_tokens, r.mean_inv_freq) for r in rarity_scores(df).collect()}
-    assert out[1] == (2, 2.666667)
-    assert out[2] == (2, 1.333333)
+    assert out[1][0] == 2 and abs(out[1][1] - 2.6666665) < 1e-9
+    assert out[2][0] == 2 and abs(out[2][1] - 1.333333) < 1e-9
 
 
 def test_embed_documents_deterministic_unit_norm(spark):
