@@ -261,3 +261,47 @@ def llm_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens", token_count_ws("text").cast("long")
     )
     return mixing_weights(docs, group_col="source", weight_col="n_tokens")
+
+
+@query(
+    "llm_budgeted_sample",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source, {_NTOK} AS nt FROM documents
+    ), grp AS (
+      SELECT source, SUM(nt) AS n_weight FROM d GROUP BY 1
+    ), scaled AS (
+      SELECT source, n_weight,
+             CAST(ROUND(SQRT(CAST(n_weight AS DOUBLE)) * 1000000.0) AS BIGINT)
+               AS s
+      FROM grp
+    ), tot AS (
+      SELECT SUM(s) AS t FROM scaled
+    ), rates AS (
+      SELECT source,
+             CASE WHEN n_weight > 0 THEN
+               LEAST(1.0,
+                     ROUND(CAST(s AS DOUBLE) / CAST(t AS DOUBLE) * 10000.0)
+                     / CAST(n_weight AS DOUBLE))
+             ELSE 0.0 END AS rate
+      FROM scaled CROSS JOIN tot
+    )
+    SELECT doc_id, d.source, rate
+    FROM d JOIN rates USING (source)
+    WHERE ROUND(CAST({_H60_ID} % 1000000 AS DOUBLE) / 1000000.0, 6) < rate
+    """,
+)
+def llm_budgeted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full data-mixing recipe: sqrt-temperature weights allocate a
+    10k-token budget across sources; each doc kept iff its
+    content-stable uniform clears its source's rate
+    (operators/sampling.py:budgeted_sample)."""
+    from aws_datalake_spark.operators.sampling import budgeted_sample
+    from aws_datalake_spark.operators.text import token_count_ws
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count_ws("text").cast("long").alias("n_tokens")
+    )
+    return budgeted_sample(docs, token_budget=10000).select(
+        "doc_id", "source", "rate"
+    )

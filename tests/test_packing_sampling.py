@@ -115,3 +115,20 @@ def test_mixing_weights_sqrt_ratio(spark):
     out = {r.source: (r.n_docs, r.n_weight, r.weight) for r in mixing_weights(df).collect()}
     # sqrt(9)=3, sqrt(1)=1 -> weights 0.75 / 0.25
     assert out == {"s1": (2, 9, 0.75), "s2": (1, 1, 0.25)}
+
+
+def test_budgeted_sample_respects_budget_and_determinism(spark):
+    from aws_datalake_spark.operators.sampling import budgeted_sample
+
+    rows = [(i, "big" if i < 90 else "small", 10) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    out = budgeted_sample(df, token_budget=300).select("doc_id", "source", "rate")
+    got = out.collect()
+    rates = {r.source: r.rate for r in got}
+    # sqrt weights: sqrt(900):sqrt(100) = 3:1 -> budgets 225/75 ->
+    # rates 225/900=0.25, 75/100=0.75: small source boosted
+    assert abs(rates["big"] - 0.25) < 1e-9
+    assert abs(rates["small"] - 0.75) < 1e-9
+    # deterministic: same call -> same kept set
+    again = {r.doc_id for r in budgeted_sample(df, token_budget=300).collect()}
+    assert {r.doc_id for r in got} == again
