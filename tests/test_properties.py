@@ -82,3 +82,71 @@ def test_bucketed_range_join_matches_naive(spark_global, points, intervals):
         if p.user_id == i.user_id and i.s <= p.ts <= i.e
     )
     assert got == want
+
+
+texts = st.lists(
+    st.text(alphabet="ab c", min_size=0, max_size=40),
+    min_size=1, max_size=8,
+)
+
+
+@given(docs=texts, chunk=st.integers(2, 10), overlap=st.integers(0, 5))
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+def test_chunk_documents_covers_every_token(spark_global, docs, chunk, overlap):
+    from aws_datalake_spark.operators.packing import chunk_documents
+
+    if overlap >= chunk:
+        overlap = chunk - 1
+    stride = chunk - overlap
+    df = spark_global.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    out = chunk_documents(df, chunk_tokens=chunk, overlap=overlap).collect()
+    by_doc: dict[int, dict[int, list[str]]] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, {})[r.chunk_id] = r.chunk_text.split(" ")
+    for doc_id, text in enumerate(docs):
+        toks = text.split()
+        chunks = by_doc.get(doc_id, {})
+        if not toks:
+            assert chunks == {}
+            continue
+        # chunk ids dense from 0; every chunk matches its slice of the
+        # token list; the final chunk reaches the last token
+        assert sorted(chunks) == list(range(len(chunks)))
+        for cid, ctoks in chunks.items():
+            start = cid * stride
+            assert ctoks == toks[start : start + chunk]
+        last_start = (len(chunks) - 1) * stride
+        assert last_start + len(chunks[len(chunks) - 1]) == len(toks)
+        # no earlier chunking would have covered: one more full stride
+        # would start past the end
+        assert len(chunks) == 1 or last_start < len(toks)
+
+
+rows_kv = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 3)),  # (key, value)
+    min_size=0, max_size=12, unique_by=lambda t: t[0],
+)
+
+
+@given(old=rows_kv, new=rows_kv)
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+def test_snapshot_diff_matches_set_algebra(spark_global, old, new):
+    from aws_datalake_spark.operators.cdc import snapshot_diff
+
+    spark = spark_global
+    odf = spark.createDataFrame(old or [(99, 0)], "k long, v long")
+    ndf = spark.createDataFrame(new or [(99, 0)], "k long, v long")
+    old_m = dict(old or [(99, 0)])
+    new_m = dict(new or [(99, 0)])
+    got = {r.k: r.change_type for r in snapshot_diff(odf, ndf, ["k"]).collect()}
+    want = {}
+    for k in new_m.keys() - old_m.keys():
+        want[k] = "insert"
+    for k in old_m.keys() - new_m.keys():
+        want[k] = "delete"
+    for k in old_m.keys() & new_m.keys():
+        if old_m[k] != new_m[k]:
+            want[k] = "update"
+    assert got == want
