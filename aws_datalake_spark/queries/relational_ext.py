@@ -717,3 +717,38 @@ def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("run_len").alias("max_run"),
         F.sum("run_len").alias("n_events"),
     )
+
+
+@query(
+    "q_cohort_retention",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+      FROM events
+    ), first AS (
+      SELECT user_id, MIN(day) AS cohort_day FROM act GROUP BY 1
+    )
+    SELECT cohort_day,
+           CAST(date_diff('day', cohort_day, day) AS INT) AS day_offset,
+           CAST(COUNT(DISTINCT act.user_id) AS BIGINT) AS n_users
+    FROM act JOIN first ON act.user_id = first.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by first-active day, counted
+    per day offset. Both the first-touch aggregate and the activity
+    set shuffle on user_id, so the join reuses one partitioning; the
+    distinct-user count is two-phase (partial sets per partition)."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(first, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("day", "cohort_day").alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )

@@ -74,3 +74,21 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC scan — vectorized, with filter pushdown and column
     pruning like the parquet path (twin of write_orc)."""
     return spark.read.orc(path)
+
+
+def read_csv_permissive(
+    spark: SparkSession, path: str, schema: str
+) -> DataFrame:
+    """Production twin of read_report_csv's DROPMALFORMED
+    (ingestion.py:82 drops bad report lines silently): PERMISSIVE
+    parse that CAPTURES malformed lines in a ``_corrupt_record``
+    column instead of losing them, so a DQ gate can quarantine and
+    count them (operators/dq.py) rather than guess at loss."""
+    full = schema.rstrip() + ", _corrupt_record string"
+    return (
+        spark.read.option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(full)
+        .csv(path)
+    )

@@ -180,3 +180,16 @@ def test_orc_roundtrip_identity(spark, tmp_path):
     assert sorted((r.id, r.name) for r in back.collect()) == sorted(
         (r.id, r.name) for r in df.collect()
     )
+
+
+def test_permissive_csv_captures_corrupt_records(spark, tmp_path):
+    from aws_datalake_spark.sources.readers import read_csv_permissive
+
+    p = tmp_path / "bad.csv"
+    p.write_text("id,qty\n1,10\n2,not_a_number\n3,30\n")
+    df = read_csv_permissive(spark, str(p), "id long, qty long")
+    rows = df.collect()
+    good = {r.id: r.qty for r in rows if r._corrupt_record is None}
+    bad = [r._corrupt_record for r in rows if r._corrupt_record is not None]
+    assert good == {1: 10, 3: 30}
+    assert bad == ["2,not_a_number"]
