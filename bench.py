@@ -53,6 +53,11 @@ HEADLINE = [
     "st_hourly_daily_rollup",
     "llm_chunk_documents",
     "ref_snapshot_diff",
+    "llm_bigram_lm",
+    "llm_budgeted_sample",
+    "llm_embed_documents",
+    "q_gaps_islands",
+    "q_cohort_retention",
 ]
 
 
