@@ -120,7 +120,11 @@ def mixing_weights(
     sensitivity anywhere.
 
     SCALE: group aggregate shuffles once; the normalization total is
-    groups-sized (tiny) and broadcast back via crossJoin.
+    an unpartitioned window over the GROUPS-SIZED frame (one task,
+    bounded by the number of groups — fine to millions). An agg +
+    crossJoin would re-execute the corpus scan for the total branch:
+    Spark plans DAG subtrees independently, so the tiny total would
+    cost a second full pass over the input.
     """
     grp = df.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -131,9 +135,10 @@ def mixing_weights(
         F.round(F.sqrt(F.col("n_weight").cast("double")) * F.lit(1000000.0), 0)
         .cast("long"),
     )
-    total = scaled.agg(F.sum("__s").alias("__t"))
     return (
-        scaled.crossJoin(F.broadcast(total))
+        scaled.withColumn(
+            "__t", F.sum("__s").over(Window.partitionBy(F.lit(1)))
+        )
         .select(
             group_col,
             "n_docs",

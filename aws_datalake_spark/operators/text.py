@@ -290,25 +290,33 @@ def collocation_lift(
         .groupBy("k", "g")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    uni = counts.filter(F.col("k") == 1).select(F.col("g").alias("w"), F.col("n").alias("c_w"))
-    n_tok = uni.agg(F.sum("c_w").alias("n_total"))
+    # n_total rides on uni as an unpartitioned window over the
+    # vocabulary-sized frame (a separate agg+crossJoin branch would
+    # re-run the tokenize scan + count shuffle a third time); both
+    # broadcast sides are the IDENTICAL uni plan, so ReuseExchange
+    # builds the broadcast once instead of re-executing per side
+    uni = (
+        counts.filter(F.col("k") == 1)
+        .select(F.col("g").alias("w"), F.col("n").alias("c_w"))
+        .withColumn("n_total", F.sum("c_w").over(Window.partitionBy(F.lit(1))))
+    )
     bi = (
         counts.filter((F.col("k") == 2) & (F.col("n") >= min_count))
         .select(F.col("g").alias("bigram"), F.col("n").alias("c_ab"))
         .withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
         .withColumn("w2", F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)))
     )
+    u1, u2 = uni.alias("u1"), uni.alias("u2")
     out = (
-        bi.join(F.broadcast(uni.withColumnRenamed("w", "w1").withColumnRenamed("c_w", "c_a")), "w1")
-        .join(F.broadcast(uni.withColumnRenamed("w", "w2").withColumnRenamed("c_w", "c_b")), "w2")
-        .crossJoin(F.broadcast(n_tok))
+        bi.join(F.broadcast(u1), F.col("w1") == F.col("u1.w"))
+        .join(F.broadcast(u2), F.col("w2") == F.col("u2.w"))
     )
     return out.select(
         "bigram",
         F.col("c_ab").cast("int").alias("c_ab"),
         F.round(
-            (F.col("c_ab") * F.col("n_total")).cast("double")
-            / (F.col("c_a") * F.col("c_b")).cast("double"),
+            (F.col("c_ab") * F.col("u1.n_total")).cast("double")
+            / (F.col("u1.c_w") * F.col("u2.c_w")).cast("double"),
             6,
         ).alias("lift"),
     )
@@ -392,10 +400,14 @@ def rarity_scores(
         .filter(F.col("token") != "")
     )
     counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c_t"))
-    total = counts.agg(F.sum("c_t").alias("n_total"))
+    # attach the corpus total as a window over the VOCABULARY-sized
+    # count table — an agg+crossJoin would plan a second subtree that
+    # re-executes the corpus scan just to sum ~vocab rows
+    counts = counts.withColumn(
+        "n_total", F.sum("c_t").over(Window.partitionBy(F.lit(1)))
+    )
     inv = (
         toks.join(F.broadcast(counts), "token")
-        .crossJoin(F.broadcast(total))
         .withColumn(
             "__s",
             F.round(
