@@ -153,3 +153,24 @@ def test_daily_rollup_reaggregates_hourly_exactly(spark):
     got = {r.day: (r.n_events, r.sum_value) for r in daily.collect()}
     want = {r.day: (r.n_events, r.sum_value) for r in raw.collect()}
     assert got == want
+
+
+def test_budgeted_sample_single_shuffle_broadcast_rates(spark):
+    from aws_datalake_spark.queries.llm_packing import llm_budgeted_sample
+
+    plan = _plan(llm_budgeted_sample(spark, SF_SMOKE))
+    # one shuffle total (the per-source weights aggregate); the corpus
+    # side is filtered via a broadcast of the tiny rates table — no
+    # second corpus pass for the normalization total
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BroadcastHashJoin" in plan
+
+
+def test_collocation_no_extra_total_branch(spark):
+    from aws_datalake_spark.queries.llm_text import llm_collocation_lift
+
+    plan = _plan(llm_collocation_lift(spark, SF_SMOKE))
+    # the corpus-total normalizer rides on the unigram window — a
+    # separate agg+crossJoin branch would add a 4th exchange (and a
+    # third execution of the tokenize scan)
+    assert plan.count("Exchange hashpartitioning") <= 3
