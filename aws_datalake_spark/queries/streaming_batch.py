@@ -169,3 +169,27 @@ def st_hourly_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_hours"),
         (F.sum("sum_s").cast("double") / F.lit(1000000.0)).alias("sum_value"),
     )
+
+
+@query(
+    "st_json_path_functions",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+             AS sum_k,
+           CAST(COUNT(CASE WHEN json_extract_string(props, '$.missing')
+                           IS NULL THEN 1 END) AS BIGINT) AS n_no_field
+    FROM events GROUP BY 1
+    """,
+)
+def st_json_path_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-path function surface (get_json_object) as the untyped
+    twin of st_json_props_extract's schema-full from_json: path
+    extraction stays JVM-side, absent paths yield NULL."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("int")).alias("sum_k"),
+        F.count(
+            F.when(F.get_json_object("props", "$.missing").isNull(), F.lit(1))
+        ).alias("n_no_field"),
+    )
