@@ -51,3 +51,30 @@ def snapshot_diff(
         j.select(*out_keys, change_type.alias("change_type"))
         .filter(F.col("change_type").isNotNull())
     )
+
+
+def apply_changes(
+    target: DataFrame,
+    upserts: DataFrame,
+    delete_keys: DataFrame,
+    keys: Sequence[str],
+) -> DataFrame:
+    """Apply a change set to a snapshot: rows matching ``delete_keys``
+    or an upsert key are dropped, then ``upserts`` (full rows) are
+    appended — the parquet-era form of ``MERGE WHEN MATCHED UPDATE /
+    WHEN NOT MATCHED INSERT / WHEN MATCHED DELETE``; with Delta
+    present this becomes one DeltaTable.merge (sources/delta_io.py).
+
+    SCALE: one left_anti join keyed on the natural key. The removal
+    key set (upsert keys ∪ delete keys) is change-sized, so it
+    broadcasts; the target is never shuffled.
+    """
+    remove = (
+        upserts.select(*[F.col(k) for k in keys])
+        .unionByName(delete_keys.select(*[F.col(k) for k in keys]))
+        .distinct()
+    )
+    from pyspark.sql.functions import broadcast
+
+    kept = target.join(broadcast(remove), on=list(keys), how="left_anti")
+    return kept.unionByName(upserts.select(*target.columns))

@@ -787,3 +787,65 @@ def ref_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     new = updated.unionByName(inserted)
     return snapshot_diff(cust, new, ["c_custkey"])
+
+
+@query(
+    "ref_apply_changes",
+    oracle="""
+    WITH newt AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100.0
+                  ELSE c_acctbal END AS c_acctbal,
+             c_mktsegment
+      FROM customer WHERE c_custkey % 13 <> 0
+      UNION ALL
+      SELECT c_custkey + 10000000, c_name, c_nationkey, c_acctbal,
+             c_mktsegment
+      FROM customer WHERE c_custkey % 17 = 0
+    )
+    SELECT COUNT(*) AS n, SUM(CAST(c_custkey AS BIGINT)) AS sum_key,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100.0) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS sum_bal
+    FROM newt
+    """,
+)
+def ref_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply (operators/cdc.py:apply_changes): replays the
+    ref_snapshot_diff change set onto the old snapshot and aggregates
+    the result — which must equal the new snapshot exactly, proving
+    diff→apply round-trips."""
+    from aws_datalake_spark.operators.cdc import apply_changes
+
+    cust = t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    updated = cust.filter(k % 13 != 0).withColumn(
+        "c_acctbal",
+        F.when(k % 10 == 0, F.col("c_acctbal") + F.lit(100.0)).otherwise(
+            F.col("c_acctbal")
+        ),
+    )
+    inserted = cust.filter(k % 17 == 0).withColumn(
+        "c_custkey", k + F.lit(10000000)
+    )
+    new = updated.unionByName(inserted)
+    # change set: upserts = new-side rows that differ or are new;
+    # deletes = keys present only in old
+    from aws_datalake_spark.operators.cdc import snapshot_diff
+
+    diff = snapshot_diff(cust, new, ["c_custkey"])
+    upserts = new.join(
+        diff.filter(F.col("change_type") != "delete").select("c_custkey"),
+        "c_custkey",
+        "left_semi",
+    )
+    deletes = diff.filter(F.col("change_type") == "delete").select("c_custkey")
+    applied = apply_changes(cust, upserts, deletes, ["c_custkey"])
+    return applied.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c_custkey").alias("sum_key"),
+        (
+            F.sum(F.round(F.col("c_acctbal") * F.lit(100.0), 0).cast("long"))
+            .cast("double")
+            / F.lit(100.0)
+        ).alias("sum_bal"),
+    )

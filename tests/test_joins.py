@@ -136,3 +136,23 @@ def test_snapshot_diff_classifies_all_change_types(spark):
     )
     out = {r.k: r.change_type for r in snapshot_diff(old, new, ["k"]).collect()}
     assert out == {3: "update", 4: "delete", 5: "insert"}
+
+
+def test_apply_changes_roundtrips_snapshot_diff(spark):
+    from aws_datalake_spark.operators.cdc import apply_changes, snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d")], "k long, v string"
+    )
+    diff = snapshot_diff(old, new, ["k"])
+    upserts = new.join(
+        diff.filter("change_type != 'delete'").select("k"), "k", "left_semi"
+    )
+    deletes = diff.filter("change_type = 'delete'").select("k")
+    applied = apply_changes(old, upserts, deletes, ["k"])
+    assert sorted((r.k, r.v) for r in applied.collect()) == sorted(
+        (r.k, r.v) for r in new.collect()
+    )
