@@ -366,3 +366,34 @@ def llm_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _neardup_corpus(spark, sf_dir)
     pairs = minhash_lsh_pairs(corpus, num_hashes=8, bands=4, jaccard_threshold=0.5)
     return edit_distance_verify(pairs, corpus, max_ratio=0.2)
+
+
+@query(
+    "llm_incremental_dedup",
+    oracle="""
+    WITH existing AS (
+      SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 2 = 0
+    ), incoming AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 2 = 1
+    )
+    SELECT doc_id FROM incoming
+    WHERE h NOT IN (SELECT h FROM existing)
+    """,
+)
+def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: new documents are kept only if
+    their content hash is absent from the already-ingested corpus's
+    fingerprint table — an anti-join against a hash-only frame, so
+    the existing corpus contributes 16 bytes/doc and the incoming
+    text never shuffles (hash computed in place, join on the hash).
+    Here the even/odd doc_id split stands in for corpus/new-batch."""
+    docs = t(spark, sf_dir, "documents")
+    existing = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+    )
+    incoming = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    return incoming.join(existing, "h", "left_anti").select("doc_id")

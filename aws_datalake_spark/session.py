@@ -63,3 +63,39 @@ def get_spark(
     for k, v in conf.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def object_store_conf() -> dict[str, str]:
+    """Conf preset for running the same code over S3/object storage
+    (the deployment the reference targets with boto3 puts; here it is
+    the S3A connector + zero-rename committers). Not applied by
+    default: the cloud committer classes (hadoop-cloud module) are
+    not on the local test classpath — pass to
+    ``get_spark(extra_conf=object_store_conf())`` on a cluster.
+
+    Why each matters at 100 TB:
+    * magic committer — task commit is an S3 multipart-complete, not
+      a rename (S3 has no rename; copy-based commit is O(bytes)).
+    * directory markers kept — avoids O(files) DELETE storms on deep
+      trees (safe when all readers are marker-aware).
+    * bounded connection pool / fast upload — steady-state PUT
+      throughput from wide executors.
+    * no parquet summary metadata — writing _metadata serializes the
+      job commit on one task at large file counts.
+    """
+    return {
+        "spark.hadoop.fs.s3a.committer.name": "magic",
+        "spark.hadoop.mapreduce.outputcommitter.factory.scheme.s3a": (
+            "org.apache.hadoop.fs.s3a.commit.S3ACommitterFactory"
+        ),
+        "spark.sql.sources.commitProtocolClass": (
+            "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol"
+        ),
+        "spark.sql.parquet.output.committer.class": (
+            "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter"
+        ),
+        "spark.hadoop.fs.s3a.connection.maximum": "96",
+        "spark.hadoop.fs.s3a.fast.upload": "true",
+        "spark.hadoop.fs.s3a.directory.marker.retention": "keep",
+        "spark.hadoop.parquet.enable.summary-metadata": "false",
+    }
