@@ -785,3 +785,44 @@ def q_sql_entrypoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+@query(
+    "q_recursive_calendar",
+    oracle="""
+    WITH RECURSIVE days(n) AS (
+      SELECT 0 UNION ALL SELECT n + 1 FROM days WHERE n < 89
+    ), cal AS (
+      SELECT DATE '1995-01-01' + n AS day FROM days
+    ), daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             COUNT(*) AS c
+      FROM orders GROUP BY 1
+    )
+    SELECT cal.day, CAST(COALESCE(daily.c, 0) AS BIGINT) AS n_orders
+    FROM cal LEFT JOIN daily ON cal.day = daily.day
+    """,
+)
+def q_recursive_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (new in Spark 4) building a 90-day calendar
+    scaffold, zero-filling days with no orders — the gap-filling
+    shape reporting pipelines need; the recursion is driver-bounded
+    (90 rows) while the fact-side aggregate stays distributed."""
+    from aws_datalake_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE days(n) AS (
+          SELECT 0 UNION ALL SELECT n + 1 FROM days WHERE n < 89
+        ), cal AS (
+          SELECT date_add(DATE '1995-01-01', n) AS day FROM days
+        ), daily AS (
+          SELECT CAST(date_trunc('DAY', o_orderdate) AS DATE) AS day,
+                 COUNT(*) AS c
+          FROM orders GROUP BY 1
+        )
+        SELECT cal.day, CAST(COALESCE(daily.c, 0) AS BIGINT) AS n_orders
+        FROM cal LEFT JOIN daily ON cal.day = daily.day
+        """
+    )
