@@ -826,3 +826,58 @@ def q_recursive_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM cal LEFT JOIN daily ON cal.day = daily.day
         """
     )
+
+
+@query(
+    "q_sql_scalar_udf",
+    oracle=f"""
+    SELECT l_returnflag, COUNT(*) AS n,
+           {o_dsum('l_extendedprice * (1.0 - l_discount)', 4)} AS revenue
+    FROM lineitem GROUP BY 1
+    """,
+)
+def q_sql_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative SQL scalar UDF (Spark 4 CREATE FUNCTION … RETURN):
+    the body is inlined by Catalyst, so unlike a Python UDF it stays
+    inside whole-stage codegen — the right way to package reusable
+    business expressions."""
+    from aws_datalake_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1.0 - d)"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag, COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(disc_price(l_extendedprice, l_discount)
+                                   * 10000.0, 0) AS BIGINT)) AS DOUBLE)
+                 / 10000.0 AS revenue
+        FROM lineitem GROUP BY l_returnflag
+        """
+    )
+
+
+@query(
+    "st_variant_extract",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
+           COUNT(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def st_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT type (Spark 4): parse_json once into
+    the binary variant encoding, then typed path extraction — the
+    schema-on-read path for heterogeneous event payloads (cheaper
+    than re-parsing JSON text per field access)."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.select(F.parse_json("props").alias("v"))
+        .select(
+            (F.try_variant_get("v", "$.k", "int") % 10).alias("k_mod")
+        )
+        .groupBy("k_mod")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
