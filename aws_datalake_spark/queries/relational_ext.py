@@ -881,3 +881,61 @@ def st_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k_mod")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "q_null_semantics",
+    oracle=f"""
+    WITH d AS (
+      SELECT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal,
+             c_mktsegment AS seg
+      FROM customer
+    )
+    SELECT seg, COUNT(*) AS n_rows,
+           CAST(COUNT(bal) AS BIGINT) AS n_nonnull,
+           CAST(SUM(CASE WHEN bal IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null,
+           {o_dsum('bal', 2)} AS sum_bal
+    FROM d GROUP BY 1
+    """,
+)
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL NULL-semantics parity: COUNT(*) vs COUNT(col), conditional
+    null counting, and aggregates skipping NULLs — the semantics every
+    ANSI engine must agree on, checked value-for-value."""
+    c = t(spark, sf_dir, "customer").select(
+        F.when(F.col("c_acctbal") < 0, F.lit(None))
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    return c.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("bal").alias("n_nonnull"),
+        F.sum(F.when(F.col("bal").isNull(), 1).otherwise(0)).alias("n_null"),
+        dsum("bal", "sum_bal", 2),
+    )
+
+
+@query(
+    "q_decimal_exact_sum",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+                     AS DECIMAL(38,2)) AS VARCHAR) AS total_s
+    FROM lineitem GROUP BY 1
+    """,
+)
+def q_decimal_exact_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DECIMAL arithmetic surface: money accumulated as
+    DECIMAL(12,2) (BigDecimal path — slower than the scaled-long
+    trick in queries/_shared.py but unbounded), emitted as a plain
+    decimal string so both engines' precision widening compares
+    equal."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+        .cast("decimal(38,2)")
+        .cast("string")
+        .alias("total_s")
+    )
