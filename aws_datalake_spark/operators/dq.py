@@ -184,3 +184,46 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
         f"stack({len(cols)}, {stack_args}) as "
         "(col_name, n_rows, n_null, n_distinct, min_s, max_s)"
     )
+
+
+def category_drift(
+    baseline: DataFrame, current: DataFrame, cat_col: str
+) -> DataFrame:
+    """Batch-over-batch categorical drift: per category, observed
+    current count vs expected count (baseline share × current total),
+    with the chi-square contribution (o−e)²/e — summed, the classic
+    drift statistic, kept log-free so every value is deterministic
+    (products/divides of exact counts; the contribution sum uses the
+    scaled-long trick).
+
+    SCALE: both inputs collapse to category-sized aggregates before
+    anything joins; the full-outer join and the window totals run on
+    frames bounded by the category cardinality, never the input.
+    """
+    b = baseline.groupBy(cat_col).agg(F.count(F.lit(1)).alias("n_base"))
+    c = current.groupBy(cat_col).agg(F.count(F.lit(1)).alias("n_cur"))
+    from pyspark.sql import Window
+
+    j = (
+        b.join(c, cat_col, "full_outer")
+        .na.fill(0, ["n_base", "n_cur"])
+        .withColumn("t_base", F.sum("n_base").over(Window.partitionBy(F.lit(1))))
+        .withColumn("t_cur", F.sum("n_cur").over(Window.partitionBy(F.lit(1))))
+    )
+    expected = (
+        F.col("n_base").cast("double")
+        / F.col("t_base").cast("double")
+        * F.col("t_cur").cast("double")
+    )
+    diff = F.col("n_cur").cast("double") - F.col("expected")
+    return (
+        j.withColumn("expected", expected)
+        .filter(F.col("n_base") > 0)
+        .select(
+            cat_col,
+            F.col("n_base").cast("long").alias("n_base"),
+            F.col("n_cur").cast("long").alias("n_cur"),
+            "expected",
+            (diff * diff / F.col("expected")).alias("chi2_part"),
+        )
+    )

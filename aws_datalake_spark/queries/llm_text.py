@@ -435,3 +435,50 @@ def llm_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_datalake_spark.operators.text import bigram_conditional
 
     return bigram_conditional(t(spark, sf_dir, "documents"), min_count=5)
+
+
+@query(
+    "llm_source_drift",
+    oracle="""
+    WITH b AS (
+      SELECT source, COUNT(*) AS n_base FROM documents
+      WHERE doc_id % 2 = 0 GROUP BY 1
+    ), c AS (
+      SELECT source, COUNT(*) AS n_cur FROM documents
+      WHERE doc_id % 2 = 1 GROUP BY 1
+    ), j AS (
+      SELECT COALESCE(b.source, c.source) AS source,
+             COALESCE(n_base, 0) AS n_base, COALESCE(n_cur, 0) AS n_cur
+      FROM b FULL OUTER JOIN c ON b.source = c.source
+    ), tot AS (
+      SELECT source, n_base, n_cur,
+             SUM(n_base) OVER () AS t_base, SUM(n_cur) OVER () AS t_cur
+      FROM j
+    )
+    SELECT source, CAST(n_base AS BIGINT) AS n_base,
+           CAST(n_cur AS BIGINT) AS n_cur,
+           CAST(n_base AS DOUBLE) / CAST(t_base AS DOUBLE)
+             * CAST(t_cur AS DOUBLE) AS expected,
+           (CAST(n_cur AS DOUBLE)
+              - CAST(n_base AS DOUBLE) / CAST(t_base AS DOUBLE)
+                * CAST(t_cur AS DOUBLE))
+           * (CAST(n_cur AS DOUBLE)
+              - CAST(n_base AS DOUBLE) / CAST(t_base AS DOUBLE)
+                * CAST(t_cur AS DOUBLE))
+           / (CAST(n_base AS DOUBLE) / CAST(t_base AS DOUBLE)
+              * CAST(t_cur AS DOUBLE)) AS chi2_part
+    FROM tot WHERE n_base > 0
+    """,
+)
+def llm_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-distribution drift between two ingest batches (even/odd
+    doc_id split as the stand-in) — operators/dq.py:category_drift,
+    chi-square contributions per category."""
+    from aws_datalake_spark.operators.dq import category_drift
+
+    docs = t(spark, sf_dir, "documents")
+    return category_drift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        "source",
+    )
