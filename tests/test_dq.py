@@ -58,3 +58,23 @@ def test_config_compilation_skips_inactive():
     ]
     exps = expectations_from_config(rows)
     assert [(e.column, e.kind) for e in exps] == [("a", "not_null"), ("c", "between")]
+
+
+def test_category_drift_chi_square_contributions(spark):
+    from aws_datalake_spark.operators.dq import category_drift
+
+    base = spark.createDataFrame(
+        [("a",)] * 6 + [("b",)] * 2 + [("gone",)] * 2, "cat string"
+    )
+    cur = spark.createDataFrame(
+        [("a",)] * 3 + [("b",)] * 6 + [("new",)] * 1, "cat string"
+    )
+    out = {r.cat: r for r in category_drift(base, cur, "cat").collect()}
+    # expected_a = 6/10 * 10 = 6 -> (3-6)^2/6 = 1.5
+    assert out["a"].expected == 6.0 and out["a"].chi2_part == 1.5
+    # expected_b = 2/10 * 10 = 2 -> (6-2)^2/2 = 8.0
+    assert out["b"].expected == 2.0 and out["b"].chi2_part == 8.0
+    # category vanished: expected 2, observed 0 -> contribution 2.0
+    assert out["gone"].n_cur == 0 and out["gone"].chi2_part == 2.0
+    # brand-new category has no baseline expectation -> excluded
+    assert "new" not in out
