@@ -1,0 +1,91 @@
+"""Distributed BPE tokenizer training (merge-table learning).
+
+The tokenizer-training step of an LLM data pipeline: learn the
+byte-pair-encoding merge table from corpus statistics. The expensive
+part — word frequency counting — touches the corpus ONCE; every
+merge iteration then runs over the VOCABULARY table (distinct words ×
+their symbol sequences), which is orders of magnitude smaller than
+the corpus at web scale. That asymmetry is what makes BPE training
+tractable at 100 TB: one corpus scan + K vocab-sized iterations.
+
+Semantics notes (documented divergences from canonical BPE):
+* no end-of-word marker symbol (merges never cross words anyway
+  because pairs are counted within the per-word symbol sequence);
+* within one apply step, repeated overlapping pairs merge
+  left-to-right non-overlapping (Java regex replaceAll), matching
+  the greedy left-to-right application of standard BPE.
+
+Ties break deterministically by (count desc, pair asc), so the merge
+table is reproducible across runs and cluster layouts.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_datalake_spark.operators.text import ngrams, tokens_ws
+
+
+def _java_replacement(s: str) -> str:
+    """Escape a literal for the replacement slot of regexp_replace
+    (Java Matcher semantics: backslash and dollar are special)."""
+    return s.replace("\\", "\\\\").replace("$", "\\$")
+
+
+def bpe_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Learn a BPE merge table: ``(merge_rank, pair, new_symbol,
+    pair_count)``, one row per learned merge in order.
+
+    Driver-side loop, data-side work: each iteration is one
+    vocab-sized aggregation (pair counts weighted by word frequency)
+    plus one narrow projection applying the winning merge. The word
+    table's lineage is truncated per round (localCheckpoint) so plan
+    depth stays O(1) across merges.
+    """
+    spark = df.sparkSession
+    words = (
+        df.select(F.explode(tokens_ws(F.col(text_col))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        # seed symbol sequence: space-joined single characters
+        .withColumn("syms", F.array_join(F.split(F.col("w"), ""), " "))
+        .select("syms", "n")
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, num_merges + 1):
+        pair_counts = (
+            words.select(
+                F.explode(ngrams(F.split(F.col("syms"), " "), 2)).alias("pair"),
+                F.col("n"),
+            )
+            .groupBy("pair")
+            .agg(F.sum("n").alias("c"))
+            .filter(F.col("c") >= min_count)
+        )
+        top = pair_counts.orderBy(F.desc("c"), "pair").limit(1).collect()
+        if not top:
+            break
+        pair, count = top[0].pair, int(top[0].c)
+        new_symbol = pair.replace(" ", "")
+        merges.append((rank, pair, new_symbol, count))
+        # merge the winning pair wherever it appears as whole symbols
+        pattern = f"(?<=^|[ ]){re.escape(pair)}(?=[ ]|$)"
+        words = words.select(
+            F.regexp_replace(
+                F.col("syms"), pattern, _java_replacement(new_symbol)
+            ).alias("syms"),
+            "n",
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "merge_rank int, pair string, new_symbol string, pair_count long"
+    )

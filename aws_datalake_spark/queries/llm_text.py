@@ -482,3 +482,16 @@ def llm_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 2 == 1),
         "source",
     )
+
+
+@query("llm_bpe_merges")  # rows-only by design: iterative, data-dependent loop
+def llm_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (operators/bpe.py): the
+    corpus is scanned once for word frequencies; each merge iteration
+    aggregates over the vocabulary table only. No SQL twin — the
+    merge chosen at step k depends on all k−1 prior merges — so the
+    driver records a rows-only check; determinism and parity with a
+    pure-Python reference BPE are unit-tested (tests/test_bpe.py)."""
+    from aws_datalake_spark.operators.bpe import bpe_merges
+
+    return bpe_merges(t(spark, sf_dir, "documents"), num_merges=8)

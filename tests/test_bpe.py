@@ -1,0 +1,73 @@
+"""Distributed BPE vs a pure-Python reference implementation."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+
+def _merge_tokens(toks, a, b, new):
+    # left-to-right non-overlapping, same as Java replaceAll
+    out, i = [], 0
+    while i < len(toks):
+        if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+            out.append(new)
+            i += 2
+        else:
+            out.append(toks[i])
+            i += 1
+    return out
+
+
+def _reference_bpe(texts, num_merges, min_count=2):
+    words = Counter(w for t in texts for w in t.split())
+    vocab = {tuple(w): n for w, n in words.items()}
+    merges = []
+    for rank in range(1, num_merges + 1):
+        pairs: Counter = Counter()
+        for syms, n in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[f"{a} {b}"] += n
+        pairs = Counter({p: c for p, c in pairs.items() if c >= min_count})
+        if not pairs:
+            break
+        # (count desc, pair asc) — same deterministic tie-break
+        pair, count = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        a, b = pair.split(" ")
+        new = a + b
+        merges.append((rank, pair, new, count))
+        folded: Counter = Counter()
+        for syms, n in vocab.items():
+            folded[tuple(_merge_tokens(list(syms), a, b, new))] += n
+        vocab = dict(folded)
+    return merges
+
+
+def test_bpe_matches_reference_implementation(spark):
+    from aws_datalake_spark.operators.bpe import bpe_merges
+
+    texts = [
+        "low low low low low lower lower",
+        "newest newest newest newest newest newest",
+        "widest widest widest",
+        "a-b a-b a-b c$d c$d",   # regex metacharacters as symbols
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = [
+        (r.merge_rank, r.pair, r.new_symbol, r.pair_count)
+        for r in bpe_merges(df, num_merges=10).orderBy("merge_rank").collect()
+    ]
+    assert got == _reference_bpe(texts, 10)
+
+
+def test_bpe_deterministic_and_min_count_stops(spark):
+    from aws_datalake_spark.operators.bpe import bpe_merges
+
+    df = spark.createDataFrame(
+        [(1, "ab ab xy")], "doc_id long, text string"
+    )
+    out1 = [(r.merge_rank, r.pair) for r in bpe_merges(df, num_merges=5).collect()]
+    out2 = [(r.merge_rank, r.pair) for r in bpe_merges(df, num_merges=5).collect()]
+    # only "a b" (count 2) clears min_count=2; "x y" has count 1
+    assert out1 == out2 == [(1, "a b")]
