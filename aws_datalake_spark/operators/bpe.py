@@ -89,3 +89,37 @@ def bpe_merges(
     return spark.createDataFrame(
         merges, "merge_rank int, pair string, new_symbol string, pair_count long"
     )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a learned merge table: one row per (doc, token) with the
+    token's BPE piece array and piece count.
+
+    With the merge list fixed (literals baked into the plan), this is
+    a PURE projection — a chain of K regexp_replace ops over the
+    symbol string, then one split — so encoding parallelizes with the
+    scan and shuffles nothing. This is the shape a production encoder
+    takes after training: merges broadcast as plan literals (or a
+    pandas UDF holding a trie for very large merge tables).
+    """
+    toks = (
+        df.select(id_col, F.explode(tokens_ws(F.col(text_col))).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    syms = F.array_join(F.split(F.col("token"), ""), " ")
+    for a, b in merges:
+        pair = f"{a} {b}"
+        pattern = f"(?<=^|[ ]){re.escape(pair)}(?=[ ]|$)"
+        syms = F.regexp_replace(syms, pattern, _java_replacement(a + b))
+    pieces = F.split(syms, " ")
+    return toks.select(
+        id_col,
+        "token",
+        pieces.alias("pieces"),
+        F.size(pieces).alias("n_pieces"),
+    )

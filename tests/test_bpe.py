@@ -71,3 +71,26 @@ def test_bpe_deterministic_and_min_count_stops(spark):
     out2 = [(r.merge_rank, r.pair) for r in bpe_merges(df, num_merges=5).collect()]
     # only "a b" (count 2) clears min_count=2; "x y" has count 1
     assert out1 == out2 == [(1, "a b")]
+
+
+def test_bpe_encode_applies_merges_in_order(spark):
+    from aws_datalake_spark.operators.bpe import bpe_encode, bpe_merges
+
+    train = spark.createDataFrame(
+        [(1, "low low low low low lower lower "
+             "newest newest newest newest newest newest widest widest widest")],
+        "doc_id long, text string",
+    )
+    merges = [
+        (r.pair.split(" ")[0], r.pair.split(" ")[1])
+        for r in bpe_merges(train, num_merges=6).orderBy("merge_rank").collect()
+    ]
+    test_df = spark.createDataFrame(
+        [(1, "lowest low newest")], "doc_id long, text string"
+    )
+    out = {r.token: (list(r.pieces), r.n_pieces)
+           for r in bpe_encode(test_df, merges).collect()}
+    # learned merges: es, est, lo, low, ew, ewest
+    assert out["low"] == (["low"], 1)
+    assert out["lowest"] == (["low", "est"], 2)
+    assert out["newest"] == (["n", "ewest"], 2)
