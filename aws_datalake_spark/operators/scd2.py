@@ -110,3 +110,21 @@ def close_out_only(
             close_ts_col, F.when(active, close_ts).otherwise(F.col(close_ts_col))
         ).withColumn(flag_col, F.when(active, F.lit(INACTIVE)).otherwise(F.col(flag_col)))
     )
+
+
+def scd2_asof(
+    table: DataFrame,
+    ts,
+    from_col: str = "record_from",
+    to_col: str = "record_to",
+) -> DataFrame:
+    """Read an SCD2 dimension AS OF a past instant: the version whose
+    validity interval covers ``ts`` (``record_from <= ts < record_to``,
+    open interval = NULL record_to). This is the query-side payoff of
+    versioning — point-in-time joins against facts — and a plain
+    filter, so partition/file pruning on record_from applies."""
+    c = F.lit(ts).cast("timestamp") if isinstance(ts, str) else ts
+    return table.filter(
+        (F.col(from_col) <= c)
+        & (F.col(to_col).isNull() | (F.col(to_col) > c))
+    )

@@ -849,3 +849,62 @@ def ref_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(100.0)
         ).alias("sum_bal"),
     )
+
+
+_SCD2_ASOF_ORACLE = """
+WITH v1 AS (
+  SELECT o_orderkey, o_totalprice,
+         TIMESTAMP '2019-01-01 00:00:00' AS record_from,
+         CASE WHEN o_orderkey % 3 = 0
+              THEN TIMESTAMP '2024-06-01 00:00:00' END AS record_to
+  FROM orders WHERE o_orderkey % 2 = 0),
+v2 AS (
+  SELECT o_orderkey, o_totalprice * 2 AS o_totalprice,
+         TIMESTAMP '2024-06-01 00:00:00' AS record_from,
+         CAST(NULL AS TIMESTAMP) AS record_to
+  FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 = 0),
+dim AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+SELECT o_orderkey, o_totalprice, '2022' AS as_of FROM dim
+WHERE record_from <= TIMESTAMP '2022-07-01 00:00:00'
+  AND (record_to IS NULL OR record_to > TIMESTAMP '2022-07-01 00:00:00')
+UNION ALL
+SELECT o_orderkey, o_totalprice, '2025' AS as_of FROM dim
+WHERE record_from <= TIMESTAMP '2025-01-01 00:00:00'
+  AND (record_to IS NULL OR record_to > TIMESTAMP '2025-01-01 00:00:00')
+"""
+
+
+@query("ref_scd2_asof_read", oracle=_SCD2_ASOF_ORACLE)
+def ref_scd2_asof_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time read over a versioned dimension
+    (operators/scd2.py:scd2_asof): as of 2022 every key shows its v1
+    price; as of 2025 re-priced keys show v2 — the time-travel
+    semantics the reference's actv_flg/record_to columns exist for
+    (loading.py:32-130) but that it never exposes as a query."""
+    from aws_datalake_spark.operators.scd2 import scd2_asof
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    even = o.filter(F.col("o_orderkey") % 2 == 0)
+    v1 = even.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.lit("2019-01-01 00:00:00").cast("timestamp").alias("record_from"),
+        F.when(
+            F.col("o_orderkey") % 3 == 0,
+            F.lit("2024-06-01 00:00:00").cast("timestamp"),
+        ).alias("record_to"),
+    )
+    v2 = even.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        F.lit("2024-06-01 00:00:00").cast("timestamp").alias("record_from"),
+        F.lit(None).cast("timestamp").alias("record_to"),
+    )
+    dim = v1.unionByName(v2)
+    early = scd2_asof(dim, "2022-07-01 00:00:00").select(
+        "o_orderkey", "o_totalprice", F.lit("2022").alias("as_of")
+    )
+    late = scd2_asof(dim, "2025-01-01 00:00:00").select(
+        "o_orderkey", "o_totalprice", F.lit("2025").alias("as_of")
+    )
+    return early.unionByName(late)

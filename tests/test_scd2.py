@@ -115,3 +115,27 @@ def test_columnwise_in_quirk_closes_cross_pair(spark):
     ).collect()
     closed = [r for r in out if r.attr == "cross"]
     assert closed[0].actv_flg == "N"  # column-wise match fires
+
+
+def test_scd2_asof_selects_covering_version(spark):
+    from aws_datalake_spark.operators.scd2 import scd2_asof
+
+    dim = spark.createDataFrame(
+        [
+            (1, "old", "2019-01-01 00:00:00", "2024-06-01 00:00:00"),
+            (1, "new", "2024-06-01 00:00:00", None),
+            (2, "only", "2019-01-01 00:00:00", None),
+        ],
+        "k long, v string, record_from string, record_to string",
+    ).selectExpr(
+        "k", "v",
+        "CAST(record_from AS TIMESTAMP) AS record_from",
+        "CAST(record_to AS TIMESTAMP) AS record_to",
+    )
+    asof_2022 = {(r.k, r.v) for r in scd2_asof(dim, "2022-01-01 00:00:00").collect()}
+    asof_2025 = {(r.k, r.v) for r in scd2_asof(dim, "2025-01-01 00:00:00").collect()}
+    assert asof_2022 == {(1, "old"), (2, "only")}
+    assert asof_2025 == {(1, "new"), (2, "only")}
+    # boundary instant belongs to the NEW version (from <= ts < to)
+    boundary = {(r.k, r.v) for r in scd2_asof(dim, "2024-06-01 00:00:00").collect()}
+    assert boundary == {(1, "new"), (2, "only")}
