@@ -908,3 +908,57 @@ def ref_scd2_asof_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_totalprice", F.lit("2025").alias("as_of")
     )
     return early.unionByName(late)
+
+
+@query(
+    "ref_temporal_dim_join",
+    oracle="""
+    WITH v1 AS (
+      SELECT o_orderkey AS k, o_totalprice AS price,
+             TIMESTAMP '1990-01-01 00:00:00' AS record_from,
+             CASE WHEN o_orderkey % 3 = 0
+                  THEN TIMESTAMP '1996-01-01 00:00:00' END AS record_to
+      FROM orders WHERE o_orderkey % 2 = 0),
+    v2 AS (
+      SELECT o_orderkey AS k, o_totalprice * 2 AS price,
+             TIMESTAMP '1996-01-01 00:00:00' AS record_from,
+             CAST(NULL AS TIMESTAMP) AS record_to
+      FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 = 0),
+    dim AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+    SELECT o.o_orderkey, o.o_orderdate, dim.price AS price_at_order
+    FROM orders o JOIN dim ON o.o_orderkey = dim.k
+    WHERE dim.record_from <= o.o_orderdate
+      AND (dim.record_to IS NULL OR dim.record_to > o.o_orderdate)
+    """,
+)
+def ref_temporal_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal fact→dimension join: each order picks the dimension
+    VERSION valid at its own order date (re-priced keys flip at
+    1996-01-01). The equi key drives a hash join; the validity
+    interval is a post-join filter, so no nested-loop plan appears —
+    the standard point-in-time-correct feature-join shape (training
+    pipelines call this preventing feature leakage)."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    base = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    even = base.filter(F.col("o_orderkey") % 2 == 0)
+    v1 = even.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+        F.lit("1990-01-01 00:00:00").cast("timestamp").alias("record_from"),
+        F.when(
+            F.col("o_orderkey") % 3 == 0,
+            F.lit("1996-01-01 00:00:00").cast("timestamp"),
+        ).alias("record_to"),
+    )
+    v2 = even.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice") * 2).alias("price"),
+        F.lit("1996-01-01 00:00:00").cast("timestamp").alias("record_from"),
+        F.lit(None).cast("timestamp").alias("record_to"),
+    )
+    dim = v1.unionByName(v2)
+    j = o.join(dim, o.o_orderkey == dim.k)
+    return j.filter(
+        (F.col("record_from") <= F.col("o_orderdate"))
+        & (F.col("record_to").isNull() | (F.col("record_to") > F.col("o_orderdate")))
+    ).select("o_orderkey", "o_orderdate", F.col("price").alias("price_at_order"))
