@@ -150,3 +150,20 @@ def incremental_rollup_sink(
         )
 
     return _body
+
+
+def run_incremental_rollup(
+    stream_df: DataFrame,
+    rollup_path: str,
+    checkpoint_path: str,
+    query_name: str = "rollup_stream",
+) -> StreamingQuery:
+    """writeStream wiring for incremental_rollup_sink: checkpointed
+    foreachBatch, so batch delivery is exactly-once and the hourly
+    table stays consistent across restarts."""
+    return (
+        stream_df.writeStream.queryName(query_name)
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(incremental_rollup_sink(rollup_path))
+        .start()
+    )

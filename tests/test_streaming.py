@@ -344,3 +344,28 @@ def test_incremental_rollup_sink_two_batches_matches_recompute(spark, tmp_path):
         "11": (2, 4_500_000),
         "12": (1, 10_000_000),
     }
+
+
+def test_incremental_rollup_stream_end_to_end(spark, tmp_path):
+    from aws_datalake_spark.streaming.microbatch import run_incremental_rollup
+
+    src = str(tmp_path / "roll_src")
+    rollup = str(tmp_path / "roll_out")
+
+    def feed(rows, mode):
+        df = spark.createDataFrame(rows, "ts string, value double")
+        df.coalesce(1).withColumn("ts", F.to_timestamp("ts")).write.mode(mode).json(src)
+
+    feed([("2024-01-01 10:05:00", 1.5), ("2024-01-01 11:10:00", 4.0)], "overwrite")
+    stream = spark.readStream.schema("ts timestamp, value double").json(src)
+    q = run_incremental_rollup(stream, rollup, str(tmp_path / "roll_ckpt"))
+    q.processAllAvailable()
+    feed([("2024-01-01 11:59:00", 0.5)], "append")
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+    got = {
+        r.hour.strftime("%H"): (r.n_events, r.sum_s)
+        for r in spark.read.parquet(rollup).collect()
+    }
+    assert got == {"10": (1, 1_500_000), "11": (2, 4_500_000)}
