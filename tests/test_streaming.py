@@ -369,3 +369,58 @@ def test_incremental_rollup_stream_end_to_end(spark, tmp_path):
         for r in spark.read.parquet(rollup).collect()
     }
     assert got == {"10": (1, 1_500_000), "11": (2, 4_500_000)}
+
+
+def test_rocksdb_state_store_backs_stateful_stream(spark, tmp_path):
+    # RocksDB provider: state spills off-heap/disk instead of growing
+    # the JVM heap — the 100 TB-stream posture for big keyspaces
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        src = str(tmp_path / "rocks_src")
+        _write_events_json(spark, src)
+        stream = spark.readStream.schema(EVENTS_SCHEMA).json(src)
+        agg = tumbling_counts(with_watermark(stream, "ts", "10 minutes"), duration="1 hour")
+        q = (
+            agg.writeStream.outputMode("update")
+            .format("memory")
+            .queryName("rocks_win")
+            .option("checkpointLocation", str(tmp_path / "rocks_ckpt"))
+            .start()
+        )
+        _await(q)
+        rows = {r.window_start.hour: r.n_events for r in spark.table("rocks_win").collect()}
+        assert rows == {10: 2, 11: 2}
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_stream_restart_from_checkpoint_no_reprocess(spark, tmp_path):
+    src = str(tmp_path / "restart_src")
+    sink = str(tmp_path / "restart_sink")
+    ckpt = str(tmp_path / "restart_ckpt")
+    _write_events_json(spark, src)
+
+    def start():
+        stream = spark.readStream.schema(EVENTS_SCHEMA).json(src)
+        return (
+            stream.select("event_id")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    _await(q)
+    assert sorted(r.event_id for r in spark.read.parquet(sink).collect()) == [1, 2, 3, 4]
+    # restart from the same checkpoint; feed one new batch — the old
+    # files must NOT be reprocessed (source offsets recovered)
+    _write_events_json(spark, src, rows=ROWS_BATCH2, mode="append")
+    q2 = start()
+    _await(q2)
+    out = sorted(r.event_id for r in spark.read.parquet(sink).collect())
+    assert out == [1, 2, 3, 4, 5]  # each event exactly once across the restart
