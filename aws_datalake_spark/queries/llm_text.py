@@ -22,6 +22,12 @@ from aws_datalake_spark.queries.registry import query
 _TOKS = "regexp_split_to_array(trim(text), '\\s+')"
 
 
+def tokens_ws_col():
+    from aws_datalake_spark.operators.text import tokens_ws
+
+    return tokens_ws(F.col("text"))
+
+
 @query(
     "llm_token_counts",
     oracle=f"""
@@ -495,3 +501,53 @@ def llm_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_datalake_spark.operators.bpe import bpe_merges
 
     return bpe_merges(t(spark, sf_dir, "documents"), num_merges=8)
+
+
+@query(
+    "llm_vocab_coverage",
+    oracle=f"""
+    WITH toks AS (
+      SELECT t.token FROM (
+        SELECT unnest({_TOKS}) AS token FROM documents
+      ) t WHERE t.token <> ''
+    ), counts AS (
+      SELECT token, COUNT(*) AS n FROM toks GROUP BY 1
+    ), ranked AS (
+      SELECT token, n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rnk,
+             SUM(n) OVER () AS total
+      FROM counts
+    )
+    SELECT 10 AS top_k,
+           CAST(SUM(CASE WHEN rnk <= 10 THEN n END) AS BIGINT) AS covered,
+           CAST(MAX(total) AS BIGINT) AS total,
+           CAST(SUM(CASE WHEN rnk <= 10 THEN n END) AS DOUBLE)
+             / CAST(MAX(total) AS DOUBLE) AS coverage
+    FROM ranked
+    """,
+)
+def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage point: what fraction of all corpus tokens
+    the top-10 vocabulary entries cover — the curve that sizes a
+    tokenizer vocab. Ranking and totals run on the VOCABULARY-sized
+    count table; the ratio is an exact integer quotient."""
+    from pyspark.sql import Window
+
+    toks = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(tokens_ws_col()).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    ranked = counts.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.desc("n"), "token"))
+    ).withColumn("total", F.sum("n").over(Window.partitionBy(F.lit(1))))
+    return ranked.agg(
+        F.lit(10).alias("top_k"),
+        F.sum(F.when(F.col("rnk") <= 10, F.col("n"))).alias("covered"),
+        F.max("total").alias("total"),
+        (
+            F.sum(F.when(F.col("rnk") <= 10, F.col("n"))).cast("double")
+            / F.max("total").cast("double")
+        ).alias("coverage"),
+    )

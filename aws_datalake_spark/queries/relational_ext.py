@@ -939,3 +939,43 @@ def q_decimal_exact_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("string")
         .alias("total_s")
     )
+
+
+@query(
+    "q_yoy_growth",
+    oracle=f"""
+    WITH yearly AS (
+      SELECT c_mktsegment AS seg,
+             CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+             {o_dsum('o_totalprice', 2)} AS revenue
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    )
+    SELECT seg, yr, revenue,
+           revenue - LAG(revenue) OVER (PARTITION BY seg ORDER BY yr)
+             AS yoy_delta
+    FROM yearly
+    """,
+)
+def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year growth per market segment: two-level time
+    aggregate + lag window over the YEARS-sized frame (the window
+    never sees fact rows; at 100 TB the lag input is |segments|×|years|).
+    The delta is a single IEEE subtract of two exact dsum outputs."""
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    yearly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.year("o_orderdate").alias("yr"),
+        )
+        .agg(dsum("o_totalprice", "revenue", 2))
+    )
+    win = Window.partitionBy("seg").orderBy("yr")
+    return yearly.select(
+        "seg", "yr", "revenue",
+        (F.col("revenue") - F.lag("revenue").over(win)).alias("yoy_delta"),
+    )
