@@ -305,3 +305,44 @@ def llm_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("embedding").alias("n_dims"),
         (F.abs(F.sqrt(norm2) - F.lit(1.0)) < F.lit(1e-3)).alias("unit_norm"),
     )
+
+
+@query(
+    "llm_semantic_dedup_keep",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), prs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE ROUND({_cos('a.v', 'b.v')}, 6) >= 0.95
+    ), edges AS (
+      SELECT id_a AS s, id_b AS d FROM prs
+      UNION SELECT id_b, id_a FROM prs
+    ), walk(node, label) AS (
+      SELECT DISTINCT s, s FROM edges
+      UNION
+      SELECT e2.d, w.label FROM walk w JOIN edges e2 ON e2.s = w.node
+    ), comp AS (
+      SELECT node, MIN(label) AS cluster_id FROM walk GROUP BY node
+    )
+    SELECT vec_id FROM embeddings
+    WHERE vec_id NOT IN (SELECT node FROM comp WHERE node != cluster_id)
+    """,
+)
+def llm_semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup end-to-end: embedding-cosine
+    near-dup pairs become edges, transitive groups resolve via
+    min-label components, and one representative per semantic cluster
+    survives. The corpus side is a broadcast anti-join, so at 100 TB
+    only the (near-dup-density-sized) drop set moves."""
+    from aws_datalake_spark.operators.dedup_cluster import (
+        connected_components,
+        dedup_representatives,
+    )
+    from aws_datalake_spark.operators.similarity import cosine_neardup_pairs
+
+    pairs = cosine_neardup_pairs(_emb_double(spark, sf_dir), threshold=0.95)
+    comp = connected_components(pairs, a="id_a", b="id_b")
+    corpus = t(spark, sf_dir, "embeddings").select("vec_id")
+    return dedup_representatives(corpus, comp, id_col="vec_id")
