@@ -108,20 +108,34 @@ def cosine_neardup_pairs(
     is restricted to same-bucket pairs — the scale path; without it,
     a full cross self-join (only for small corpora / verification).
     """
+    # each vector's norm is folded ONCE on its input side, below the
+    # join — not re-folded per pair. Same fold, same value, so results
+    # stay bit-identical to the naive form, but the O(n²) pair loop
+    # evaluates one dot product instead of three (3× less interpreted
+    # HOF work; the join boundary keeps the projection per-row).
     if bucket_col is not None:
         base = corpus.withColumn("__bucket", bucket_col).select(
             F.col(id_col), F.col(vec_col), "__bucket"
         )
-        a = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "__bucket")
-        b = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "__bucket")
+        a = base.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "__bucket"
+        ).withColumn("__na", l2_norm(F.col("va")))
+        b = base.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "__bucket"
+        ).withColumn("__nb", l2_norm(F.col("vb")))
         pairs = a.join(b, "__bucket").filter(F.col("id_a") < F.col("id_b"))
     else:
         base = corpus.select(F.col(id_col), F.col(vec_col))
-        a = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-        b = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+        a = base.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+        ).withColumn("__na", l2_norm(F.col("va")))
+        b = base.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+        ).withColumn("__nb", l2_norm(F.col("vb")))
         pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("__na") * F.col("__nb"))
     return (
-        pairs.select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine"))
+        pairs.select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
 

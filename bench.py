@@ -58,7 +58,6 @@ HEADLINE = [
     "llm_embed_documents",
     "q_gaps_islands",
     "q_cohort_retention",
-    "llm_semantic_dedup_keep",
     "ref_temporal_dim_join",
 ]
 
