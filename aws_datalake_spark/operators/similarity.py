@@ -74,14 +74,18 @@ def cosine_topk(
     ``use_pandas=True`` scores through an Arrow-batched numpy UDF
     (faster for wide vectors; same neighbors, last-ulp cosine
     differences possible)."""
+    # norms fold once per input row below the join (bit-identical to
+    # folding per pair; see cosine_neardup_pairs)
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("__qvec")
-    )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
+    ).withColumn("__nq", l2_norm(F.col("__qvec")))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+    ).withColumn("__nc", l2_norm(F.col("__cvec")))
     score = (
         _cosine_pandas()(F.col("__qvec"), F.col("__cvec"))
         if use_pandas
-        else cosine(F.col("__qvec"), F.col("__cvec"))
+        else dot(F.col("__qvec"), F.col("__cvec")) / (F.col("__nq") * F.col("__nc"))
     )
     scored = c.join(F.broadcast(q)).filter(F.col("neighbor_id") != F.col(query_id_col)).select(
         query_id_col,
@@ -161,12 +165,18 @@ def assign_cells(
     assignment is an Arrow-batched numpy matmul via mapInPandas +
     corpus stored partitionBy(cell); the broadcast-join form keeps
     the oracle bit-exact at test scale."""
-    c = centroids.select(centroid_id_col, centroid_vec_col)
-    scored = vectors.join(F.broadcast(c)).select(
+    c = centroids.select(centroid_id_col, centroid_vec_col).withColumn(
+        "__cn", l2_norm(F.col(centroid_vec_col))
+    )
+    v = vectors.withColumn("__vn", l2_norm(F.col(vec_col)))
+    scored = v.join(F.broadcast(c)).select(
         id_col,
         vec_col,
         centroid_id_col,
-        cosine(F.col(vec_col), F.col(centroid_vec_col)).alias("__ccos"),
+        (
+            dot(F.col(vec_col), F.col(centroid_vec_col))
+            / (F.col("__vn") * F.col("__cn"))
+        ).alias("__ccos"),
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("__ccos"), centroid_id_col)
     return (
@@ -198,12 +208,17 @@ def ann_ivf_topk(
     q_cells = assign_cells(queries, centroids, n_probe, query_id_col, vec_col).select(
         query_id_col, F.col(vec_col).alias("__qvec"), "centroid_id"
     )
+    c_cells = c_cells.withColumn("__nc", l2_norm(F.col("__cvec")))
+    q_cells = q_cells.withColumn("__nq", l2_norm(F.col("__qvec")))
     scored = c_cells.join(F.broadcast(q_cells), "centroid_id").filter(
         F.col("neighbor_id") != F.col(query_id_col)
     ).select(
         query_id_col,
         "neighbor_id",
-        cosine(F.col("__qvec"), F.col("__cvec")).alias("cos"),
+        (
+            dot(F.col("__qvec"), F.col("__cvec"))
+            / (F.col("__nq") * F.col("__nc"))
+        ).alias("cos"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), "neighbor_id")
     return (
@@ -264,12 +279,17 @@ def ann_lsh_topk(
     sig = hyperplane_signature(F.col(vec_col), dim, num_planes)
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"), sig.alias("__sig"))
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"), sig.alias("__sig"))
+    c = c.withColumn("__nc", l2_norm(F.col("__cvec")))
+    q = q.withColumn("__nq", l2_norm(F.col("__qvec")))
     scored = c.join(F.broadcast(q), "__sig").filter(
         F.col("neighbor_id") != F.col(query_id_col)
     ).select(
         query_id_col,
         "neighbor_id",
-        cosine(F.col("__qvec"), F.col("__cvec")).alias("cos"),
+        (
+            dot(F.col("__qvec"), F.col("__cvec"))
+            / (F.col("__nq") * F.col("__nc"))
+        ).alias("cos"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), "neighbor_id")
     return (
