@@ -305,3 +305,57 @@ def llm_budgeted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return budgeted_sample(docs, token_budget=10000).select(
         "doc_id", "source", "rate"
     )
+
+
+@query(
+    "llm_rag_index",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), base AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             CASE WHEN len(toks) <= 64 THEN 1
+                  ELSE CAST(FLOOR(CAST(len(toks) - 64 + 47 AS DOUBLE) / 48.0)
+                            AS BIGINT) + 1 END AS nc
+      FROM toks WHERE len(toks) > 0
+    )
+    SELECT doc_id, CAST(unnest(range(nc)) AS INT) AS chunk_id,
+           64 AS n_dims, TRUE AS unit_norm
+    FROM base
+    """,
+)
+def llm_rag_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end RAG indexing DAG: overlapping chunking → per-chunk
+    embedding (Arrow-batched encoder stub) — all narrow stages, so
+    indexing 100 TB is scan-bound with zero shuffles. The oracle
+    checks the verifiable contract (every chunk present, one unit-norm
+    64-dim vector each); vector values are the stub's, covered by
+    unit tests."""
+    from aws_datalake_spark.operators.multimodal import embed_documents
+    from aws_datalake_spark.operators.packing import chunk_documents
+
+    chunks = chunk_documents(
+        t(spark, sf_dir, "documents"), chunk_tokens=64, overlap=16
+    ).withColumn(
+        "chunk_key",
+        F.col("doc_id") * F.lit(1_000_000) + F.col("chunk_id"),
+    )
+    emb = embed_documents(
+        chunks.select("chunk_key", F.col("chunk_text").alias("text")),
+        dim=64,
+        id_col="chunk_key",
+    )
+    norm2 = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return emb.select(
+        (F.col("chunk_key") / F.lit(1_000_000)).cast("long").alias("doc_id"),
+        (F.col("chunk_key") % F.lit(1_000_000)).cast("int").alias("chunk_id"),
+        F.size("embedding").alias("n_dims"),
+        (F.abs(F.sqrt(norm2) - F.lit(1.0)) < F.lit(1e-3)).alias("unit_norm"),
+    )
