@@ -44,12 +44,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS); with nanosAsLong it
-        # arrives as ns-since-epoch — truncate to µs exactly
-        # (integer div; float division would lose precision > 2^53).
+        # events.ts arrives either as parquet TIMESTAMP(NANOS) (read as
+        # ns-since-epoch via nanosAsLong — truncate to µs with integer
+        # div; float division would lose precision > 2^53) or, when the
+        # fixture writer emits µs precision, as TIMESTAMP_NTZ — align
+        # both to session-TZ TimestampType (session TZ is UTC above, so
+        # the wall-clock values are identical).
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -1,0 +1,524 @@
+"""Remaining classic TPC-H query shapes, adapted to the fixture schema.
+
+The reference has no general query engine (SURVEY.md §2.5 note);
+``relational.py`` covers Q1/Q3/Q5/Q6/Q4/Q17 shapes. This module adds
+the rest of the canonical decision-support patterns the lake schema
+can express (no partsupp/shipmode/commitdate columns exist, so Q2/Q9/
+Q11/Q16/Q20 have no faithful mapping and Q12/Q21/Q22 are adapted):
+
+* Q7  volume shipping — bidirectional nation-pair trade by year
+* Q8  market share — conditional-sum ratio per year
+* Q10 returned items — fact-side filter + 4-way join + top-k
+* Q12 priority classes — conditional counts (adapted: returnflag
+  stands in for shipmode)
+* Q13 customer distribution — left outer join + count-of-counts
+* Q14 promo revenue — conditional-sum percentage over one month
+* Q15 top supplier — agg + global-max scalar equality
+* Q18 large orders — HAVING over a fact rollup joined back to dims
+* Q19 disjunctive predicates — OR-of-ANDs pushed into one scan
+* Q21 blame supplier — multi-supplier orders where exactly one
+  supplier returned lines (adapted: returnflag = lateness marker)
+* Q22 dormant customers — scalar-subquery threshold + windowed
+  anti-join (adapted: nationkey stands in for phone country code)
+
+Scale notes (100 TB posture): every query keeps the lineitem fact
+table on one side of at most one shuffle; dims (nation, supplier,
+part at fixture scale) broadcast; conditional aggregation replaces
+multi-pass scans; the Q15 global max rides an unpartitioned window
+over the already-aggregated 100-row supplier frame (PERF.md case 4),
+never a re-executed subtree.
+
+Numeric determinism: all money sums use the scaled-long exact
+accumulation from ``_shared`` (see its module docstring); ratios
+divide two exactly-reproducible doubles in a fixed order, so the
+IEEE result is identical in Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aws_datalake_spark.queries._shared import davg, dsum, o_davg, o_dsum, t
+from aws_datalake_spark.queries.registry import query
+
+def _rev():
+    # Built lazily: creating a Column at import time requires an active
+    # SparkContext (pyspark classic asserts one in F.col).
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+_O_REV = "l_extendedprice * (1 - l_discount)"
+
+
+# --- Q7: volume shipping between two nations ----------------------------------
+
+@query(
+    "q07_volume_shipping",
+    oracle=f"""
+    SELECT sn.n_name AS supp_nation,
+           cn.n_name AS cust_nation,
+           EXTRACT(YEAR FROM l.l_shipdate) AS l_year,
+           {o_dsum(_O_REV)} AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+    JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+    WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(dsum(_rev(), "revenue"))
+    )
+
+
+# --- Q8: market share of one supplier nation inside a region ------------------
+
+@query(
+    "q08_market_share",
+    oracle=f"""
+    SELECT EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+           ({o_dsum("CASE WHEN sn.n_name = 'NATION_3' THEN " + _O_REV + " ELSE 0.0 END")})
+             / ({o_dsum(_O_REV)}) AS mkt_share
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+    JOIN region r   ON cn.n_regionkey = r.r_regionkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY o_year
+    """,
+)
+def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    nation_rev = F.when(F.col("supp_nation") == "NATION_3", _rev()).otherwise(F.lit(0.0))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == F.col("r_regionkey"))
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (dsum(nation_rev, "_num") / dsum(_rev(), "_den")).alias("mkt_share")
+        )
+    )
+
+
+# --- Q10: returned-item ranking -----------------------------------------------
+
+@query(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           {o_dsum(_O_REV)} AS revenue,
+           c.c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(_rev(), "revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+# --- Q12 (adapted): priority classes per return flag --------------------------
+
+@query(
+    "q12_priority_classes",
+    oracle="""
+    SELECT l.l_returnflag,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY l.l_returnflag
+    """,
+)
+def q12_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    o = t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# --- Q13: customer order-count distribution -----------------------------------
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT OUTER JOIN orders o
+        ON c.c_custkey = o.o_custkey
+       AND o.o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+# --- Q14: promotion revenue percentage ----------------------------------------
+
+@query(
+    "q14_promo_revenue",
+    oracle=f"""
+    SELECT 100.0 * ({o_dsum("CASE WHEN p.p_type = 'ECONOMY' THEN " + _O_REV + " ELSE 0.0 END")})
+             / ({o_dsum(_O_REV)}) AS promo_revenue
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1998-03-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-04-01 00:00:00'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-04-01").cast("timestamp"))
+    )
+    p = t(spark, sf_dir, "part")
+    promo = F.when(F.col("p_type") == "ECONOMY", _rev()).otherwise(F.lit(0.0))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            (F.lit(100.0) * dsum(promo, "_num") / dsum(_rev(), "_den")).alias(
+                "promo_revenue"
+            )
+        )
+    )
+
+
+# --- Q15: top supplier (global-max scalar equality) ---------------------------
+
+@query(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             {o_dsum(_O_REV)} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-04-01").cast("timestamp"))
+    )
+    s = t(spark, sf_dir, "supplier")
+    revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(_rev(), "total_revenue")
+    )
+    # Global max rides an unpartitioned window over the supplier-sized
+    # aggregate (PERF.md case 4) — no re-executed subtree, no second
+    # scan of lineitem.
+    w = Window.partitionBy(F.lit(1))
+    top = revenue.withColumn("_max_rev", F.max("total_revenue").over(w)).filter(
+        F.col("total_revenue") == F.col("_max_rev")
+    )
+    return (
+        F.broadcast(top)
+        .join(s, F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# --- Q18: large-volume orders -------------------------------------------------
+
+@query(
+    "q18_large_orders",
+    oracle="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           SUM(l.l_quantity) AS sum_qty
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING SUM(l_quantity) > 300.0
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # l_quantity is integer-valued (FIXTURES.md) so a double SUM is
+    # exact and order-independent — no scaled accumulation needed.
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .filter(F.col("_qty") > 300.0)
+        .select("l_orderkey")
+    )
+    return (
+        l.join(big.withColumnRenamed("l_orderkey", "_big_key"),
+               F.col("l_orderkey") == F.col("_big_key"), "left_semi")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+# --- Q19: disjunctive pushdown ------------------------------------------------
+
+@query(
+    "q19_disjunctive_predicates",
+    oracle=f"""
+    SELECT {o_dsum(_O_REV)} AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+    """,
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    branch = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & (q >= qlo)
+        & (q <= qhi)
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(
+            branch("Brand#1", 15, 1, 11)
+            | branch("Brand#2", 25, 10, 20)
+            | branch("Brand#3", 35, 20, 30)
+        )
+        .agg(dsum(_rev(), "revenue"))
+    )
+
+
+# --- Q21 (adapted): sole returning supplier on multi-supplier orders ----------
+
+@query(
+    "q21_blame_supplier",
+    oracle="""
+    WITH per_supp AS (
+      SELECT l_orderkey, l_suppkey,
+             MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_r
+      FROM lineitem
+      GROUP BY l_orderkey, l_suppkey
+    ),
+    blamed AS (
+      SELECT l_orderkey,
+             MAX(CASE WHEN has_r = 1 THEN l_suppkey END) AS blame_key
+      FROM per_supp
+      GROUP BY l_orderkey
+      HAVING COUNT(*) > 1 AND SUM(has_r) = 1
+    )
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM blamed b
+    JOIN supplier s ON s.s_suppkey = b.blame_key
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q21_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: find the one supplier 'to blame' per order.
+
+    The fixture lacks commit/receipt dates, so ``l_returnflag = 'R'``
+    marks the failing lineitems (reference's lateness predicate).
+    Two-level aggregation replaces the EXISTS / NOT EXISTS self-joins
+    of textbook Q21: one shuffle on (orderkey, suppkey), one map-side
+    combinable rollup to orderkey — no O(n²) self-join of lineitem.
+    """
+    l = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    per_supp = l.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("has_r")
+    )
+    blamed = (
+        per_supp.groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("_n_supp"),
+            F.sum("has_r").alias("_n_r"),
+            F.max(F.when(F.col("has_r") == 1, F.col("l_suppkey"))).alias("blame_key"),
+        )
+        .filter((F.col("_n_supp") > 1) & (F.col("_n_r") == 1))
+    )
+    return (
+        blamed.join(F.broadcast(s), F.col("blame_key") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+# --- Q22 (adapted): dormant high-balance customers ----------------------------
+
+@query(
+    "q22_dormant_customers",
+    oracle=f"""
+    SELECT c.c_nationkey, COUNT(*) AS numcust,
+           {o_dsum('c.c_acctbal', 2)} AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (
+        SELECT {o_davg('c_acctbal', 2)} FROM customer WHERE c_acctbal > 0.0
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+      )
+    GROUP BY c.c_nationkey
+    """,
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: high-balance customers with no recent orders.
+
+    The scalar average-balance threshold is computed once (customer is
+    dim-sized; the unpartitioned window keeps it a single subtree, no
+    re-scan), then the anti-join against recent orders prunes with a
+    broadcast of the distinct recent custkeys.
+    """
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
+    w = Window.partitionBy(F.lit(1))
+    avg_pos = (
+        F.sum(
+            F.when(
+                F.col("c_acctbal") > 0.0,
+                F.round(F.col("c_acctbal") * F.lit(100.0), 0).cast("long"),
+            )
+        ).over(w).cast("double")
+        / F.lit(100.0)
+        / F.sum(F.when(F.col("c_acctbal") > 0.0, 1).otherwise(0)).over(w).cast("double")
+    )
+    rich = c.withColumn("_avg_pos", avg_pos).filter(
+        F.col("c_acctbal") > F.col("_avg_pos")
+    )
+    return (
+        rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            dsum("c_acctbal", "totacctbal", scale=2),
+        )
+    )
