@@ -20,6 +20,7 @@ from aws_datalake_spark.queries.registry import (  # noqa: F401
 from aws_datalake_spark.queries import relational  # noqa: F401,E402
 from aws_datalake_spark.queries import relational_ext  # noqa: F401,E402
 from aws_datalake_spark.queries import relational_tpch  # noqa: F401,E402
+from aws_datalake_spark.queries import sketches  # noqa: F401,E402
 from aws_datalake_spark.queries import reference_ops  # noqa: F401,E402
 from aws_datalake_spark.queries import llm_text  # noqa: F401,E402
 from aws_datalake_spark.queries import llm_dedup  # noqa: F401,E402

@@ -174,3 +174,14 @@ def test_collocation_no_extra_total_branch(spark):
     # separate agg+crossJoin branch would add a 4th exchange (and a
     # third execution of the tokenize scan)
     assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_bloom_pruned_join_all_broadcast_no_smj(spark):
+    from aws_datalake_spark.queries.sketches import q_bloom_pruned_join
+
+    plan = _plan(q_bloom_pruned_join(spark, SF_SMOKE))
+    # 3 word-table probes + the verifying join: all broadcast-hash;
+    # the fact table is never sort-merge-shuffled pre-verification
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
