@@ -59,6 +59,13 @@ HEADLINE = [
     "q_gaps_islands",
     "q_cohort_retention",
     "ref_temporal_dim_join",
+    "q07_volume_shipping",
+    "q10_returned_items",
+    "q18_large_orders",
+    "q21_blame_supplier",
+    "llm_heavy_hitters",
+    "q_bloom_pruned_join",
+    "st_distinct_users_hll",
 ]
 
 
