@@ -193,3 +193,177 @@ def st_json_path_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.get_json_object("props", "$.missing").isNull(), F.lit(1))
         ).alias("n_no_field"),
     )
+
+
+@query(
+    "st_gap_fill_locf",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+             CAST(SUM(CAST(ROUND(value * 1000000.0) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 AS hourly_value
+      FROM events WHERE user_id % 5 = 0
+      GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1 FROM hourly GROUP BY 1
+    ),
+    grid AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS TIMESTAMP)
+               AS hour
+      FROM span
+    )
+    SELECT g.user_id, g.hour,
+           last_value(h.hourly_value IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS value_filled,
+           CAST(h.hourly_value IS NOT NULL AS BOOLEAN) AS observed
+    FROM grid g LEFT JOIN hourly h
+      ON g.user_id = h.user_id AND g.hour = h.hour
+    """,
+)
+def st_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill with last-observation-carried-forward (the
+    hypertable `time_bucket_gapfill` + `locf` pattern): densify each
+    user's hourly series over its own active span (`sequence` +
+    `explode` — per-key bounded, no global calendar cross join), then
+    carry the last non-null hourly value forward with an
+    ignore-nulls `last()` window.
+
+    Scale: the grid is generated FROM the per-user span aggregate
+    (150 rows here; |keys| rows in general), so no shuffle ever
+    carries more than keys x span_hours rows, partitioned by the same
+    user_id key as the window that follows — one exchange feeds both
+    the join and the fill.
+    """
+    from aws_datalake_spark.queries._shared import dsum
+
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") % 5 == 0)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(dsum("value", "hourly_value"))
+    span = hourly.groupBy("user_id").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("hour"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["user_id", "hour"], "left")
+        .withColumn("value_filled", F.last("hourly_value", ignorenulls=True).over(w))
+        .withColumn("observed", F.col("hourly_value").isNotNull())
+        .select("user_id", "hour", "value_filled", "observed")
+    )
+
+
+@query(
+    "st_gap_fill_interp",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+             CAST(SUM(CAST(ROUND(value * 1000000.0) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 AS hourly_value
+      FROM events WHERE user_id % 7 = 0
+      GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1 FROM hourly GROUP BY 1
+    ),
+    grid AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS TIMESTAMP)
+               AS hour
+      FROM span
+    ),
+    j AS (
+      SELECT g.user_id, g.hour, h.hourly_value,
+             epoch(g.hour) AS sec
+      FROM grid g LEFT JOIN hourly h
+        ON g.user_id = h.user_id AND g.hour = h.hour
+    ),
+    w AS (
+      SELECT user_id, hour, hourly_value, sec,
+             last_value(hourly_value IGNORE NULLS) OVER back  AS pv,
+             last_value(CASE WHEN hourly_value IS NOT NULL THEN sec END
+                        IGNORE NULLS) OVER back               AS ps,
+             first_value(hourly_value IGNORE NULLS) OVER fwd  AS nv,
+             first_value(CASE WHEN hourly_value IS NOT NULL THEN sec END
+                         IGNORE NULLS) OVER fwd               AS ns
+      FROM j
+      WINDOW back AS (PARTITION BY user_id ORDER BY hour
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             fwd  AS (PARTITION BY user_id ORDER BY hour
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, hour,
+           CASE WHEN ns = ps THEN pv
+                ELSE pv + (nv - pv) * (CAST(sec - ps AS DOUBLE)
+                                       / CAST(ns - ps AS DOUBLE))
+           END AS value_interp
+    FROM w
+    """,
+)
+def st_gap_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap fill by linear interpolation between the surrounding
+    observations (the hypertable `interpolate` companion to
+    st_gap_fill_locf): bracket each grid hour with ignore-nulls
+    last()/first() windows (value and observation time), then lerp
+    in epoch seconds. Observed hours fall out exactly (fraction 0).
+
+    Scale: same single user_id exchange as LOCF — both directional
+    windows and the join reuse one partitioning; state per key is
+    the span's hour count, never the raw events.
+    """
+    from pyspark.sql import Window
+
+    from aws_datalake_spark.queries._shared import dsum
+
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") % 7 == 0)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(dsum("value", "hourly_value"))
+    span = hourly.groupBy("user_id").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("hour"),
+    )
+    j = (
+        grid.join(hourly, ["user_id", "hour"], "left")
+        .withColumn("sec", F.unix_timestamp("hour"))
+    )
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_sec = F.when(F.col("hourly_value").isNotNull(), F.col("sec"))
+    w = (
+        j.withColumn("pv", F.last("hourly_value", ignorenulls=True).over(back))
+        .withColumn("ps", F.last(obs_sec, ignorenulls=True).over(back))
+        .withColumn("nv", F.first("hourly_value", ignorenulls=True).over(fwd))
+        .withColumn("ns", F.first(obs_sec, ignorenulls=True).over(fwd))
+    )
+    frac = (F.col("sec") - F.col("ps")).cast("double") / (
+        F.col("ns") - F.col("ps")
+    ).cast("double")
+    interp = F.when(F.col("ns") == F.col("ps"), F.col("pv")).otherwise(
+        F.col("pv") + (F.col("nv") - F.col("pv")) * frac
+    )
+    return w.select("user_id", "hour", interp.alias("value_interp"))
