@@ -979,3 +979,65 @@ def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seg", "yr", "revenue",
         (F.col("revenue") - F.lag("revenue").over(win)).alias("yoy_delta"),
     )
+
+
+@query(
+    "q_window_rank_stats",
+    oracle="""
+    SELECT c_custkey, n_name,
+           PERCENT_RANK() OVER w AS pr,
+           CUME_DIST()    OVER w AS cd,
+           NTILE(4)       OVER w AS quartile
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WINDOW w AS (PARTITION BY n_name ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def q_window_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank window surface: percent_rank, cume_dist,
+    ntile over per-nation balance order (total order via the custkey
+    tiebreak, so ranks are deterministic in both engines)."""
+    from pyspark.sql import Window
+
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy("c_acctbal", "c_custkey")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "c_custkey",
+            "n_name",
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+    )
+
+
+@query(
+    "q_lateral_topn",
+    oracle="""
+    SELECT n.n_name, c.c_name, c.c_acctbal
+    FROM nation n, LATERAL (
+      SELECT c_name, c_acctbal FROM customer
+      WHERE c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+    ) c
+    """,
+)
+def q_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated-subquery surface: top-2 customers per
+    nation via a per-row subquery, parsed and decorrelated by
+    Catalyst (physically a ranked window, not a nested loop)."""
+    from aws_datalake_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name, c.c_name, c.c_acctbal
+        FROM nation n, LATERAL (
+          SELECT c_name, c_acctbal FROM customer
+          WHERE c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+        ) c
+        """
+    )
