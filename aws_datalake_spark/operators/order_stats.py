@@ -1,0 +1,98 @@
+"""Exact order statistics without a global sort.
+
+``approx_percentile`` trades accuracy for one pass; a global
+``orderBy`` pays a full-data shuffle. This operator gets the EXACT
+k-th order statistic in O(log_bins(range)) cheap passes: each round
+histograms the surviving value range into ``n_bins`` buckets (a
+map-side-combinable groupBy on a 4096-key space — a few KiB of
+aggregation state per task regardless of input size), locates the
+bucket containing the k-th element, and recurses into it. When the
+surviving population fits comfortably in one task, a bounded
+``sort → take`` finishes exactly.
+
+At 100 TB: every round is a full scan with a pushed-down range
+filter but only ~4096 aggregation groups — no shuffle of data rows
+ever happens, and the scan count is tiny (doubles with 4096 bins
+cut the range 4096× per round; 2-3 rounds typical). The reference
+has no quantile surface at all (SURVEY.md §2.5); this is the
+idiomatic-Spark scale path, with ``approx_percentile`` as the
+one-pass fallback when exactness is negotiable.
+
+Determinism: bucket edges are fixed arithmetic on (lo, hi); counts
+are exact; the final take is an exact k-th select — the result is
+the unique k-th smallest value, hash-matching a ROW_NUMBER oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_quantile(
+    df: DataFrame,
+    col: str,
+    q: float,
+    n_bins: int = 4096,
+    direct_threshold: int = 100_000,
+    max_rounds: int = 8,
+) -> float:
+    """Exact lower-discrete quantile of ``df[col]`` (the value at
+    0-indexed position ``floor(q * (n-1))`` in sorted order).
+
+    Raises on an empty input. NULLs are excluded (SQL aggregate
+    semantics).
+    """
+    base = df.select(F.col(col).alias("v")).where(F.col("v").isNotNull())
+    lo, hi, n = base.agg(
+        F.min("v"), F.max("v"), F.count("v")
+    ).collect()[0]
+    if n == 0:
+        raise ValueError("exact_quantile: empty input")
+    k = int(q * (n - 1))  # 0-indexed rank wanted within [lo, hi]
+    cur = base
+    for _ in range(max_rounds):
+        if n <= direct_threshold or lo == hi:
+            break
+        width = (float(hi) - float(lo)) / n_bins
+        bin_col = F.least(
+            F.lit(n_bins - 1),
+            F.floor((F.col("v") - F.lit(float(lo))) / F.lit(width)).cast("int"),
+        )
+        hist = (
+            cur.groupBy(bin_col.alias("b"))
+            .agg(F.count("*").alias("c"))
+            .collect()
+        )
+        counts = {r["b"]: r["c"] for r in hist}
+        acc = 0
+        target_bin = n_bins - 1
+        for b in range(n_bins):
+            c = counts.get(b, 0)
+            if acc + c > k:
+                target_bin = b
+                break
+            acc += c
+        # recurse into the target bucket: k becomes rank within it
+        k -= acc
+        b_lo = float(lo) + target_bin * width
+        b_hi = float(lo) + (target_bin + 1) * width
+        # survivors: by the same floor() the histogram used, so the
+        # bucket's count matches exactly (no boundary drift)
+        cur = cur.where(
+            (
+                F.least(
+                    F.lit(n_bins - 1),
+                    F.floor((F.col("v") - F.lit(float(lo))) / F.lit(width)).cast(
+                        "int"
+                    ),
+                )
+                == target_bin
+            )
+        )
+        lo, hi, n = cur.agg(F.min("v"), F.max("v"), F.count("v")).collect()[0]
+        if n == 0:  # cannot happen: k-th element is inside the bucket
+            raise RuntimeError("exact_quantile: lost the target bucket")
+    # exact finish on the (small) surviving population
+    row = cur.orderBy("v").limit(k + 1).orderBy(F.desc("v")).limit(1).collect()
+    return row[0]["v"]

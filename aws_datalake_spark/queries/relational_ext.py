@@ -1041,3 +1041,26 @@ def q_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) c
         """
     )
+
+
+@query(
+    "q_exact_median_histogram",
+    oracle="""
+    SELECT v AS median_extprice FROM (
+      SELECT l_extendedprice AS v,
+             ROW_NUMBER() OVER (ORDER BY l_extendedprice) AS rn,
+             COUNT(*) OVER () AS n
+      FROM lineitem
+    ) WHERE rn = CAST(FLOOR(0.5 * (n - 1)) AS BIGINT) + 1
+    """,
+)
+def q_exact_median_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT median of l_extendedprice with no global sort: iterative
+    histogram narrowing (operators/order_stats.py) — each pass is a
+    scan with ~4096 aggregation groups, never a shuffle of data rows;
+    2-3 passes then an exact bounded finish."""
+    from aws_datalake_spark.operators.order_stats import exact_quantile
+
+    l = t(spark, sf_dir, "lineitem")
+    med = exact_quantile(l, "l_extendedprice", 0.5, direct_threshold=10_000)
+    return spark.createDataFrame([(float(med),)], "median_extprice double")
