@@ -191,3 +191,56 @@ def budgeted_sample(
         .withColumn("__u", F.round(hash_uniform(F.col(id_col), seed), 6))
         .filter(F.col("__u") < F.col("rate"))
     )
+
+
+def priority_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    seed: str = "s42",
+) -> DataFrame:
+    """Priority sampling (Duffield-Lund-Thorup): k items weighted
+    without replacement, with the unbiased per-item weight estimator
+    ``w_est = max(w, tau)`` (tau = the (k+1)-th smallest priority) —
+    sums over the sample estimate sums over the population with
+    provably near-optimal variance.
+
+    Each item's priority is ``u / w`` with ``u`` the content-stable
+    uniform (:func:`hash_uniform`); taking the k smallest priorities
+    is a weighted draw. Everything is a single IEEE division plus a
+    distributed top-(k+1) (``orderBy().limit()`` = per-partition
+    partial top-k, no global sort shuffle), so the selected set and
+    estimators are engine-exact and reproducible.
+
+    Returns ``(id_col, w, priority, w_est)`` for the k kept items.
+    """
+    pri = (
+        df.where(F.col(weight_col) > 0)
+        .select(
+            F.col(id_col),
+            F.col(weight_col).cast("double").alias("w"),
+            (hash_uniform(F.col(id_col), seed) / F.col(weight_col).cast("double")).alias(
+                "priority"
+            ),
+        )
+    )
+    top = pri.orderBy("priority", id_col).limit(k + 1)
+    w_all = Window.partitionBy(F.lit(1))
+    w_ord = Window.partitionBy(F.lit(1)).orderBy("priority", id_col)
+    return (
+        top.withColumn("_rn", F.row_number().over(w_ord))
+        .withColumn("_tau", F.max("priority").over(w_all))
+        .withColumn("_cnt", F.count("*").over(w_all))
+        .filter(F.col("_rn") <= k)
+        .select(
+            id_col,
+            "w",
+            "priority",
+            F.when(
+                F.col("_cnt") == k + 1, F.greatest(F.col("w"), F.col("_tau"))
+            )
+            .otherwise(F.col("w"))
+            .alias("w_est"),
+        )
+    )

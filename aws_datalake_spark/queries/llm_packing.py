@@ -359,3 +359,43 @@ def llm_rag_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("embedding").alias("n_dims"),
         (F.abs(F.sqrt(norm2) - F.lit(1.0)) < F.lit(1e-3)).alias("unit_norm"),
     )
+
+
+@query(
+    "llm_priority_sample",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, CAST({_NTOK} AS DOUBLE) AS w,
+             CAST(({_H60_ID} % 1000000) AS DOUBLE) / 1000000.0 AS u
+      FROM documents
+      WHERE {_NTOK} > 0
+    ), p AS (
+      SELECT doc_id, w, u / w AS priority FROM d
+    ), top AS (
+      SELECT doc_id, w, priority FROM p
+      ORDER BY priority, doc_id LIMIT 201
+    ), win AS (
+      SELECT doc_id, w, priority,
+             ROW_NUMBER() OVER (ORDER BY priority, doc_id) AS rn,
+             MAX(priority) OVER () AS tau,
+             COUNT(*) OVER () AS cnt
+      FROM top
+    )
+    SELECT doc_id, w, priority,
+           CASE WHEN cnt = 201 THEN GREATEST(w, tau) ELSE w END AS w_est
+    FROM win WHERE rn <= 200
+    """,
+)
+def llm_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted 200-doc sample without replacement (priority
+    sampling, operators/sampling.py:priority_sample): long documents
+    are proportionally more likely to be kept, and summing w_est over
+    the sample unbiasedly estimates the corpus token total — the
+    principled way to subsample a corpus for pilot training runs."""
+    from aws_datalake_spark.operators.sampling import priority_sample
+    from aws_datalake_spark.operators.text import token_count_ws
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", token_count_ws("text").alias("n_ws")
+    )
+    return priority_sample(docs, 200, weight_col="n_ws", id_col="doc_id")

@@ -132,3 +132,36 @@ def test_budgeted_sample_respects_budget_and_determinism(spark):
     # deterministic: same call -> same kept set
     again = {r.doc_id for r in budgeted_sample(df, token_budget=300).collect()}
     assert {r.doc_id for r in got} == again
+
+
+def test_priority_sample_selection_and_estimator(spark):
+    from aws_datalake_spark.operators.sampling import hash_uniform, priority_sample
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, float(1 + (i * 13) % 50)) for i in range(100)], "doc_id long, w double"
+    )
+    # brute-force expectation: priorities u/w, k smallest, tau = (k+1)-th
+    pri = {
+        r["doc_id"]: (r["u"] / r["w"], r["w"])
+        for r in df.withColumn("u", hash_uniform(F.col("doc_id"))).collect()
+    }
+    ranked = sorted(pri.items(), key=lambda kv: (kv[1][0], kv[0]))
+    k = 10
+    expect_ids = [i for i, _ in ranked[:k]]
+    tau = ranked[k][1][0]
+    got = {r["doc_id"]: r for r in priority_sample(df, k, "w", "doc_id").collect()}
+    assert sorted(got) == sorted(expect_ids)
+    for i in expect_ids:
+        assert got[i]["w_est"] == max(pri[i][1], tau)
+
+
+def test_priority_sample_exhaustive_when_k_exceeds_n(spark):
+    from aws_datalake_spark.operators.sampling import priority_sample
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 1.0), (3, 0.0)], "doc_id long, w double"
+    )
+    out = priority_sample(df, 10, "w", "doc_id").collect()
+    # zero-weight rows excluded; all positive rows kept with w_est = w
+    assert sorted((r["doc_id"], r["w_est"]) for r in out) == [(1, 5.0), (2, 1.0)]
