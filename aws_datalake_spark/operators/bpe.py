@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from aws_datalake_spark.operators.text import ngrams, tokens_ws

@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from aws_datalake_spark.queries._shared import davg, dsum, o_davg, o_dsum, t
+from aws_datalake_spark.queries._shared import dsum, o_davg, o_dsum, t
 from aws_datalake_spark.queries.registry import query
 
 def _rev():

@@ -3,7 +3,6 @@ histogram narrowing)."""
 
 from __future__ import annotations
 
-import math
 
 import pytest
 from pyspark.sql import functions as F
