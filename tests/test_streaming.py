@@ -424,3 +424,64 @@ def test_stream_restart_from_checkpoint_no_reprocess(spark, tmp_path):
     _await(q2)
     out = sorted(r.event_id for r in spark.read.parquet(sink).collect())
     assert out == [1, 2, 3, 4, 5]  # each event exactly once across the restart
+
+
+def test_stream_stream_left_outer_join_emits_null_on_watermark(spark, tmp_path):
+    """Left-outer stream-stream join: the unmatched left row is held
+    in state until the watermark passes the join window, then emitted
+    with NULL right columns — the completeness contract that the
+    inner-join test cannot show."""
+    psrc = str(tmp_path / "lp_json")
+    vsrc = str(tmp_path / "lv_json")
+    _write_events_json(
+        spark, psrc,
+        rows=[
+            (10, "2024-01-01 10:30:00", 1, "purchase", 50.0),  # has a view
+            (11, "2024-01-01 10:40:00", 2, "purchase", 9.0),   # never matched
+        ],
+    )
+    _write_events_json(
+        spark, vsrc,
+        rows=[(20, "2024-01-01 10:00:00", 1, "view", 0.0)],
+    )
+    purchases = (
+        spark.readStream.schema(EVENTS_SCHEMA).json(psrc)
+        .selectExpr("event_id AS p_id", "user_id", "ts AS p_ts")
+        .withWatermark("p_ts", "10 minutes")
+    )
+    views = (
+        spark.readStream.schema(EVENTS_SCHEMA).json(vsrc)
+        .selectExpr("event_id AS v_id", "user_id AS v_user", "ts AS v_ts")
+        .withWatermark("v_ts", "10 minutes")
+    )
+    joined = purchases.join(
+        views,
+        F.expr("user_id = v_user AND v_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"),
+        "leftOuter",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_lojoin_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_lo"))
+        .start()
+    )
+    q.processAllAvailable()
+    # advance BOTH sides' watermarks far past the window (the global
+    # watermark is the min across inputs) so held state flushes
+    _write_events_json(
+        spark, vsrc,
+        rows=[(99, "2024-01-01 23:00:00", 9, "view", 0.0)],
+        mode="append",
+    )
+    _write_events_json(
+        spark, psrc,
+        rows=[(98, "2024-01-01 23:00:00", 9, "purchase", 1.0)],
+        mode="append",
+    )
+    q.processAllAvailable()
+    _await(q)
+    out = {(r.p_id, r.v_id) for r in spark.table("ss_lojoin_out").collect()}
+    # (98, 99) is the watermark-advancing pair itself; the load-bearing
+    # row is (11, None): unmatched left emitted with NULL right.
+    assert out == {(10, 20), (11, None), (98, 99)}
