@@ -66,6 +66,9 @@ HEADLINE = [
     "llm_heavy_hitters",
     "q_bloom_pruned_join",
     "st_distinct_users_hll",
+    "st_gap_fill_locf",
+    "llm_priority_sample",
+    "q_exact_median_histogram",
 ]
 
 
