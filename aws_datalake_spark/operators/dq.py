@@ -227,3 +227,66 @@ def category_drift(
             (diff * diff / F.col("expected")).alias("chi2_part"),
         )
     )
+
+
+def observe_expectations(
+    df: DataFrame,
+    expectations: list[Expectation],
+    name: str = "dq",
+):
+    """Attach the scalar expectation counters to ``df`` as an
+    ``Observation`` — the metrics ride the NEXT action on the
+    returned frame (accumulator-style, collected by the driver at
+    job end), so the write-then-validate pattern costs ZERO extra
+    scans: write the batch, then read the counters.
+
+    This is the scale path for ST2's per-batch gate: :func:`evaluate`
+    re-aggregates the batch (fine when validation is the only
+    action); this rides the sink write it was going to do anyway.
+    Unique-key expectations need a shuffle and cannot ride an
+    observation — route those through :func:`evaluate`.
+
+    Returns ``(observed_df, observation, scalar_expectations)``;
+    after an action, pass the triple to
+    :func:`audit_from_observation`.
+    """
+    from pyspark.sql import Observation
+
+    scalar = [e for e in expectations if e.kind != "unique"]
+    obs = Observation(name)
+    metrics = [F.count(F.lit(1)).alias("element_count")]
+    for i, e in enumerate(scalar):
+        metrics.append(F.count(F.when(e.violation(), 1)).alias(f"unexpected_{i}"))
+    return df.observe(obs, *metrics), obs, scalar
+
+
+def audit_from_observation(
+    spark,
+    obs,
+    scalar: list[Expectation],
+    file_identifier: str = "batch",
+    batch_id: int = 0,
+) -> DataFrame:
+    """Audit rows (reference result schema) from a completed
+    observation — call only after an action ran on the observed
+    frame."""
+    got = obs.get
+    element_count = int(got["element_count"])
+    audit_rows = [
+        {
+            "file_identifier": file_identifier,
+            "batchID": int(batch_id),
+            "column_name": e.column,
+            "expectation_type": e.expectation_type,
+            "success": int(got[f"unexpected_{i}"]) == 0,
+            "element_count": element_count,
+            "unexpected_count": int(got[f"unexpected_{i}"]),
+        }
+        for i, e in enumerate(scalar)
+    ]
+    schema = (
+        "file_identifier string, batchID long, column_name string, "
+        "expectation_type string, success boolean, element_count long, "
+        "unexpected_count long"
+    )
+    return spark.createDataFrame(audit_rows, schema=schema)

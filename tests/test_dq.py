@@ -78,3 +78,35 @@ def test_category_drift_chi_square_contributions(spark):
     assert out["gone"].n_cur == 0 and out["gone"].chi2_part == 2.0
     # brand-new category has no baseline expectation -> excluded
     assert "new" not in out
+
+
+def test_observed_expectations_match_evaluate_zero_extra_scan(spark, tmp_path):
+    from aws_datalake_spark.operators.dq import (
+        Expectation,
+        audit_from_observation,
+        evaluate,
+        observe_expectations,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, None, -1.0), (3, "c", 2.0), (4, None, 50.0)],
+        "id long, name string, score double",
+    )
+    exps = [
+        Expectation("name", "not_null"),
+        Expectation("score", "between", {"min": 0.0, "max": 10.0}),
+    ]
+    observed, obs, scalar = observe_expectations(df, exps)
+    # the metrics ride this write — no separate validation scan
+    observed.write.mode("overwrite").parquet(str(tmp_path / "sink"))
+    audit = audit_from_observation(spark, obs, scalar).collect()
+    baseline = {
+        (r["column_name"], r["expectation_type"]): r
+        for r in evaluate(df, exps).collect()
+    }
+    assert len(audit) == 2
+    for r in audit:
+        b = baseline[(r["column_name"], r["expectation_type"])]
+        assert (r["element_count"], r["unexpected_count"], r["success"]) == (
+            b["element_count"], b["unexpected_count"], b["success"]
+        )
