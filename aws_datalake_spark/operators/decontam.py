@@ -100,13 +100,31 @@ def duplicate_chunks(
     Rolling (positional, WITH duplicates) k-grams approximate
     suffix-array substring dedup with bounded state: a duplicated
     passage of length L ≥ k surfaces as L−k+1 duplicated chunks.
-    One scan → explode → one (gram, id) shuffle → group. See module
-    docstring for the hash-keyed 100 TB variant.
+
+    Hash-first plan: the wide chunk TEXT never rides the main
+    shuffle — pass 1 shuffles only ``(xxhash64(chunk), id)`` (8-byte
+    keys, ~5× smaller; SHUFFLE.md) to find duplicated hashes; pass 2
+    re-emits grams, keeps only those whose hash is duplicated
+    (broadcast semi-filter), and re-counts the survivors BY TEXT —
+    so a hash collision can only add a candidate that the exact
+    final count then filters out, never corrupt a count. Duplicate
+    chunks are rare by mass at any scale, so pass 2's shuffle is
+    tiny and the result stays exact.
     """
     toks = df.select(id_col, tokens_ws(F.col(text_col)).alias("__toks"))
     grams = toks.select(id_col, F.explode(ngrams("__toks", k)).alias("chunk"))
+    dup_hashes = (
+        grams.select(id_col, F.xxhash64("chunk").alias("__h"))
+        .groupBy("__h")
+        .agg(F.countDistinct(id_col).cast("int").alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__h")
+    )
+    candidates = grams.join(
+        F.broadcast(dup_hashes), F.xxhash64("chunk") == F.col("__h")
+    )
     return (
-        grams.groupBy("chunk")
+        candidates.groupBy("chunk")
         .agg(
             F.countDistinct(id_col).cast("int").alias("n_docs"),
             F.count(F.lit(1)).cast("int").alias("n_occurrences"),

@@ -189,51 +189,68 @@ def repetition_features(
     whose trigram appears more than once. High values flag boilerplate
     and spam for corpus filtering.
 
-    Single-scan plan: the text column is read ONCE; bigrams and
-    trigrams are emitted from the same tokens attribute as tagged
-    (n, gram) structs through one explode, so there is one
-    (id, n, gram) count shuffle and one per-doc aggregate instead of
-    a scan+shuffle pair per n. The only second touch of the input is
-    a doc_id-pruned scan to resurface docs shorter than n tokens with
-    zero fractions.
+    ZERO-shuffle plan: the n-gram counts are per-document, so no
+    rows ever need to meet — sort each doc's gram array and run-
+    length encode it per row (JVM higher-order functions over bound
+    attributes, staged projections per the `with_shingles` contract
+    so no expression re-evaluates). The most-frequent-gram count is
+    the max run length; duplicated-occurrence mass is the sum of
+    runs longer than 1. At any scale this is a mapper-only pass —
+    the previous (id, n, gram) count shuffle moved ~17× the source
+    bytes (SHUFFLE.md) for per-doc math.
     """
-    tagged = F.concat(
-        F.transform(
-            ngrams("__toks", 2),
-            lambda g: F.struct(F.lit(2).alias("n"), g.alias("g")),
-        ),
-        F.transform(
-            ngrams("__toks", 3),
-            lambda g: F.struct(F.lit(3).alias("n"), g.alias("g")),
-        ),
+    starts = (
+        "case when size({b}) = 0 then array()"
+        " else filter(sequence(1, size({b})),"
+        "      i -> i = 1 or element_at({b}, i) != element_at({b}, i - 1)) end"
     )
-    counts = (
+    staged = (
         df.select(id_col, tokens_ws(F.col(text_col)).alias("__toks"))
-        .select(id_col, F.explode(tagged).alias("ng"))
-        .select(id_col, F.col("ng.n").alias("n"), F.col("ng.g").alias("g"))
-        .groupBy(id_col, "n", "g")
-        .count()
+        .select(
+            id_col,
+            F.array_sort(ngrams("__toks", 2)).alias("__b2"),
+            F.array_sort(ngrams("__toks", 3)).alias("__b3"),
+        )
+        .select(
+            id_col,
+            F.size("__b2").alias("__n2"),
+            F.size("__b3").alias("__n3"),
+            F.expr(starts.format(b="__b2")).alias("__s2"),
+            F.expr(starts.format(b="__b3")).alias("__s3"),
+        )
+        .select(
+            id_col,
+            "__n2",
+            "__n3",
+            F.expr(
+                "transform(sequence(1, size(__s2)),"
+                " j -> (if(j < size(__s2), element_at(__s2, j + 1), __n2 + 1))"
+                "      - element_at(__s2, j))"
+            ).alias("__l2"),
+            F.expr(
+                "transform(sequence(1, size(__s3)),"
+                " j -> (if(j < size(__s3), element_at(__s3, j + 1), __n3 + 1))"
+                "      - element_at(__s3, j))"
+            ).alias("__l3"),
+        )
     )
-    is2 = F.col("n") == 2
-    is3 = F.col("n") == 3
-    agg = counts.groupBy(id_col).agg(
-        F.sum(F.when(is2, F.col("count"))).alias("__sum2"),
-        F.max(F.when(is2, F.col("count"))).alias("__max2"),
-        F.sum(F.when(is3, F.col("count"))).alias("__sum3"),
-        F.sum(F.when(is3 & (F.col("count") > 1), F.col("count"))).alias("__dup3"),
+    frac2 = F.round(
+        F.array_max("__l2").cast("double") / F.col("__n2").cast("double"), 6
     )
-    out = df.select(id_col).join(agg, id_col, "left")
-    frac = lambda num, den: F.round(  # noqa: E731
-        F.coalesce(num, F.lit(0)).cast("double") / den.cast("double"), 6
+    dup3 = F.aggregate(
+        F.col("__l3"),
+        F.lit(0).cast("long"),
+        lambda a, l: a + F.when(l > 1, l.cast("long")).otherwise(F.lit(0).cast("long")),
     )
-    return out.select(
+    frac3 = F.round(dup3.cast("double") / F.col("__n3").cast("double"), 6)
+    return staged.select(
         id_col,
-        F.coalesce("__sum2", F.lit(0)).alias("n_bigrams"),
-        F.coalesce(frac(F.col("__max2"), F.col("__sum2")), F.lit(0.0)).alias(
+        F.col("__n2").cast("long").alias("n_bigrams"),
+        F.when(F.col("__n2") > 0, frac2).otherwise(F.lit(0.0)).alias(
             "top_bigram_frac"
         ),
-        F.coalesce("__sum3", F.lit(0)).alias("n_trigrams"),
-        F.coalesce(frac(F.col("__dup3"), F.col("__sum3")), F.lit(0.0)).alias(
+        F.col("__n3").cast("long").alias("n_trigrams"),
+        F.when(F.col("__n3") > 0, frac3).otherwise(F.lit(0.0)).alias(
             "dup_trigram_frac"
         ),
     )
