@@ -158,3 +158,59 @@ def rollup_hll_daily(hourly: DataFrame) -> DataFrame:
             F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("uniques_est")
         )
     )
+
+
+def heavy_hitters_by_group(
+    df: DataFrame, group_col: str, col: str, support: float
+) -> DataFrame:
+    """Per-group heavy hitters with EXACT counts: items whose
+    frequency within their group exceeds ``support`` of that group's
+    rows — ``(group_col, col, cnt)``.
+
+    Same detect-then-verify contract as :func:`heavy_hitters`, lifted
+    to groups without per-group passes: candidates come from ONE
+    global sketch over the combined ``group␁item`` key, detected at
+    threshold ``support · min_group_share / 2``. Any item with
+    within-group frequency > support has combined global frequency
+    > support · (group rows / total rows) ≥ the detection threshold,
+    so the candidate set provably covers every answer; the exact
+    counting pass (pruned to candidates before its shuffle) then
+    applies each group's own threshold. Candidate count is bounded by
+    2 / (support · min_share) — fine when groups are balanced (the
+    common corpus-by-language case); for pathologically skewed group
+    sizes run the small groups through :func:`heavy_hitters`
+    per-group instead.
+    """
+    totals = df.groupBy(group_col).count().collect()
+    n_total = sum(r["count"] for r in totals)
+    if n_total == 0:
+        return (
+            df.select(group_col, col).limit(0)
+            .withColumn("cnt", F.lit(0).cast("long"))
+        )
+    min_share = min(r["count"] for r in totals) / n_total
+    combined = df.withColumn(
+        "__gk", F.concat_ws("\x01", F.col(group_col), F.col(col))
+    )
+    cand_row = combined.stat.freqItems(["__gk"], support * min_share / 2.0).collect()[
+        0
+    ][0]
+    candidates = [c for c in cand_row if c is not None]
+    if not candidates:
+        return (
+            df.select(group_col, col).limit(0)
+            .withColumn("cnt", F.lit(0).cast("long"))
+        )
+    group_totals = {r[group_col]: r["count"] for r in totals}
+    thresholds = [
+        (g, float(support) * float(n)) for g, n in group_totals.items()
+    ]
+    thr = F.create_map(
+        *[x for g, t in thresholds for x in (F.lit(g), F.lit(t))]
+    )
+    return (
+        combined.filter(F.col("__gk").isin(candidates))
+        .groupBy(group_col, col)
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > thr[F.col(group_col)])
+    )

@@ -106,3 +106,32 @@ def st_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     daily = rollup_hll_daily(hourly_hll_partials(ev, "ts", "user_id"))
     return daily.select(F.col("day"), F.col("uniques_est"))
+
+
+@query(
+    "llm_heavy_hitters_by_lang",
+    oracle=f"""
+    WITH tok AS (SELECT lang, unnest({_TOKS}) AS token FROM documents
+                 WHERE trim(text) <> ''),
+    tot AS (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n FROM tok
+            WHERE token <> '' GROUP BY lang)
+    SELECT t.lang, t.token, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM tok t JOIN tot ON t.lang = tot.lang
+    WHERE t.token <> ''
+    GROUP BY t.lang, t.token, tot.n
+    HAVING COUNT(*) > 0.01 * tot.n
+    """,
+)
+def llm_heavy_hitters_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokens above 1% frequency WITHIN their language, exact counts,
+    one global candidate sketch over the combined (lang, token) key
+    (operators/sketches.py:heavy_hitters_by_group)."""
+    from aws_datalake_spark.operators.sketches import heavy_hitters_by_group
+    from aws_datalake_spark.operators.text import tokens_ws
+
+    toks = (
+        t(spark, sf_dir, "documents")
+        .select("lang", F.explode(tokens_ws(F.col("text"))).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    return heavy_hitters_by_group(toks, "lang", "token", 0.01)

@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from aws_datalake_spark.operators.sketches import (
+    heavy_hitters_by_group,
     bloom_filter_table,
     bloom_prune,
     heavy_hitters,
@@ -124,3 +125,24 @@ def test_hll_estimate_close_to_exact(spark):
     assert set(est) == set(exact)
     for day, n in exact.items():
         assert abs(est[day] - n) / n < 0.05, (day, est[day], n)
+
+
+def test_heavy_hitters_by_group_per_group_thresholds(spark):
+    # group A: 40 rows ('x'×20, 'y'×10, 10 singletons)
+    # group B: 10 rows ('x'×2, 8 singletons) — 'x' is 20% of B but
+    # only 2 occurrences; thresholds must be PER GROUP.
+    rows = (
+        [("A", "x")] * 20 + [("A", "y")] * 10 + [("A", f"a{i}") for i in range(10)]
+        + [("B", "x")] * 2 + [("B", f"b{i}") for i in range(8)]
+    )
+    df = spark.createDataFrame(rows, "g string, tok string")
+    got = {
+        (r["g"], r["tok"]): r["cnt"]
+        for r in heavy_hitters_by_group(df, "g", "tok", 0.15).collect()
+    }
+    assert got == {("A", "x"): 20, ("A", "y"): 10, ("B", "x"): 2}
+
+
+def test_heavy_hitters_by_group_empty(spark):
+    df = spark.createDataFrame([], "g string, tok string")
+    assert heavy_hitters_by_group(df, "g", "tok", 0.5).count() == 0
