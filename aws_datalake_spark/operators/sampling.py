@@ -244,3 +244,39 @@ def priority_sample(
             .alias("w_est"),
         )
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    seed: str = "s42",
+) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10) that cannot leak
+    near-duplicates across splits: every doc in a near-dup cluster
+    (connected component of ``pairs``) is assigned by its CLUSTER
+    representative's hash, so the whole cluster lands in one split;
+    singletons hash on their own id. Returns ``(id_col, split)``.
+
+    Naive per-doc random splits leak: a train doc's near-copy in the
+    test set inflates eval. Component resolution is the same bounded
+    iterative operator as dedup (operators/dedup_cluster.py); the
+    split itself is a content-stable hash — reproducible across
+    backfills, no stored split table needed.
+    """
+    from aws_datalake_spark.operators.dedup_cluster import connected_components
+
+    comp = connected_components(pairs)
+    joined = df.join(
+        comp.withColumnRenamed("node", "__node"),
+        F.col(id_col) == F.col("__node"),
+        "left",
+    )
+    key = F.coalesce(F.col("cluster_id"), F.col(id_col)).cast("string")
+    bucket = F.floor(hash_uniform(key, seed) * 10)
+    split = (
+        F.when(bucket < 8, F.lit("train"))
+        .when(bucket < 9, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return joined.select(F.col(id_col), split.alias("split"))

@@ -397,3 +397,40 @@ def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.md5("text").alias("h")
     )
     return incoming.join(existing, "h", "left_anti").select("doc_id")
+
+
+@query(
+    "llm_train_test_split",
+    oracle=f"""
+    WITH RECURSIVE c AS ({_CLUSTER_CORPUS}),
+    {_CLUSTER_PAIRS},
+    keyed AS (
+      SELECT c.doc_id,
+             CAST(COALESCE(comp.cluster_id, c.doc_id) AS VARCHAR) AS k
+      FROM c LEFT JOIN comp ON c.doc_id = comp.node
+    ),
+    bucketed AS (
+      SELECT doc_id,
+             FLOOR((CAST(('0x' || substr(md5('s42' || k), 1, 15))::BIGINT
+                    % 1000000 AS DOUBLE) / 1000000.0) * 10) AS b
+      FROM keyed
+    )
+    SELECT doc_id,
+           CASE WHEN b < 8 THEN 'train'
+                WHEN b < 9 THEN 'val'
+                ELSE 'test' END AS split
+    FROM bucketed
+    """,
+)
+def llm_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe 80/10/10 split: near-dup clusters (same LSH edge
+    set as llm_dedup_clusters) are split by their cluster
+    representative so no near-copy straddles train and test
+    (operators/sampling.py:leakage_safe_split)."""
+    from aws_datalake_spark.operators.sampling import leakage_safe_split
+
+    docs = _cluster_corpus(spark, sf_dir)
+    pairs = minhash_lsh_pairs(
+        docs, num_hashes=8, bands=4, jaccard_threshold=0.5
+    )
+    return leakage_safe_split(docs.select("doc_id"), pairs)

@@ -165,3 +165,21 @@ def test_priority_sample_exhaustive_when_k_exceeds_n(spark):
     out = priority_sample(df, 10, "w", "doc_id").collect()
     # zero-weight rows excluded; all positive rows kept with w_est = w
     assert sorted((r["doc_id"], r["w_est"]) for r in out) == [(1, 5.0), (2, 1.0)]
+
+
+def test_leakage_safe_split_clusters_stay_together(spark):
+    from aws_datalake_spark.operators.sampling import leakage_safe_split
+
+    docs = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+    # two clusters: {1,2,3} and {10,11}; rest singletons
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    out = {r["doc_id"]: r["split"] for r in leakage_safe_split(docs, pairs).collect()}
+    assert len(out) == 50
+    assert out[1] == out[2] == out[3], "cluster {1,2,3} split apart"
+    assert out[10] == out[11], "cluster {10,11} split apart"
+    assert set(out.values()) <= {"train", "val", "test"}
+    # deterministic on rerun
+    again = {r["doc_id"]: r["split"] for r in leakage_safe_split(docs, pairs).collect()}
+    assert out == again
