@@ -107,3 +107,71 @@ def bucketed_range_join(
         (F.col(point_ts) >= F.col(start_col)) & (F.col(point_ts) <= F.col(end_col))
     )
     return joined.drop("__bucket")
+
+
+def cogroup_asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: Sequence[str] = ("user_id",),
+    right_suffix: str = "_r",
+) -> DataFrame:
+    """Backward as-of join via ``cogroup().applyInPandas`` — the
+    Python-side twin of :func:`asof_join` (same semantics, verified
+    equal in tests) and the template for per-key logic that outgrows
+    SQL: both inputs arrive per ``by``-group as pandas frames in one
+    Arrow batch, ``pandas.merge_asof`` does the backward scan.
+
+    Prefer :func:`asof_join` (JVM, codegen) when the union-window
+    form can express the logic; use THIS shape when the per-group
+    computation needs real Python (model scoring, scipy, custom
+    matching). Scale: one shuffle per side on ``by``; each task sees
+    whole groups — skewed groups are the limit, exactly as with any
+    grouped-map op.
+    """
+    import pandas as pd
+
+    by = list(by)
+    rpay = [c for c in right.columns if c not in by]
+    out_fields = (
+        [left.schema[c] for c in left.columns]
+        + [
+            (lambda f, n: type(f)(n, f.dataType, True))(right.schema[c], c + right_suffix)
+            for c in rpay
+        ]
+    )
+    from pyspark.sql.types import StructType
+
+    out_schema = StructType(out_fields)
+    lcols = list(left.columns)
+
+    def merge(key, ldf: "pd.DataFrame", rdf: "pd.DataFrame") -> "pd.DataFrame":
+        if ldf.empty:
+            return pd.DataFrame(columns=[f.name for f in out_fields])
+        ldf = ldf.sort_values(on, kind="mergesort")
+        rdf = rdf.sort_values(on, kind="mergesort")
+        # ties at equal ts resolve to the max payload tuple, matching
+        # asof_join — merge_asof takes the LAST right row at each ts,
+        # so pre-sort right by (ts, payload)
+        rdf = rdf.sort_values([on] + rpay, kind="mergesort")
+        # payload keeps its own copy of every right column (incl. the
+        # ts, as <col><suffix>) next to the bare join key
+        rsel = rdf[[on]].copy()
+        for c in rpay:
+            rsel[c + right_suffix] = rdf[c].values
+        merged = pd.merge_asof(
+            ldf,
+            rsel,
+            left_on=on,
+            right_on=on,
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        return merged[[f.name for f in out_fields]]
+
+    return (
+        left.groupBy(*by)
+        .cogroup(right.groupBy(*by))
+        .applyInPandas(merge, out_schema)
+        .select(*lcols, *[c + right_suffix for c in rpay])
+    )

@@ -156,3 +156,37 @@ def test_apply_changes_roundtrips_snapshot_diff(spark):
     assert sorted((r.k, r.v) for r in applied.collect()) == sorted(
         (r.k, r.v) for r in new.collect()
     )
+
+
+def test_cogroup_asof_join_matches_native(spark):
+    from aws_datalake_spark.operators.joins import asof_join, cogroup_asof_join
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 5, "c"), (2, 7, "d"), (3, 9, "e")],
+        "user_id long, ts long, ev string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 15, 150.0), (1, 1, 10.0), (2, 8, 80.0)],
+        "user_id long, ts long, px double",
+    )
+    native = asof_join(left, right, on="ts", by=("user_id",))
+    cg = cogroup_asof_join(left, right, on="ts", by=("user_id",))
+    assert sorted(map(tuple, native.select(*cg.columns).collect())) == sorted(
+        map(tuple, cg.collect())
+    )
+
+
+def test_cogroup_asof_join_tie_resolution_matches_native(spark):
+    from aws_datalake_spark.operators.joins import asof_join, cogroup_asof_join
+
+    left = spark.createDataFrame([(1, 10, "a")], "user_id long, ts long, ev string")
+    # two right rows at the SAME ts — both impls must pick the max payload
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 10, 200.0)], "user_id long, ts long, px double"
+    )
+    native = asof_join(left, right, on="ts", by=("user_id",))
+    cg = cogroup_asof_join(left, right, on="ts", by=("user_id",))
+    assert [tuple(r) for r in native.select(*cg.columns).collect()] == [
+        tuple(r) for r in cg.collect()
+    ]
