@@ -68,12 +68,16 @@ def cosine_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     use_pandas: bool = False,
+    band: tuple[float, float] | None = None,
 ) -> DataFrame:
     """Brute-force exact top-k by cosine. ``queries`` broadcasts;
     ranking uses row_number with id tiebreak for determinism.
     ``use_pandas=True`` scores through an Arrow-batched numpy UDF
     (faster for wide vectors; same neighbors, last-ulp cosine
-    differences possible)."""
+    differences possible). ``band=(lo, hi)`` restricts candidates to
+    lo < round(cos, 6) < hi BEFORE ranking — the hard-negative-mining
+    shape: similar enough to be informative, below the near-dup
+    ceiling (rounded so the band edges are engine-exact)."""
     # norms fold once per input row below the join (bit-identical to
     # folding per pair; see cosine_neardup_pairs)
     q = queries.select(
@@ -92,6 +96,12 @@ def cosine_topk(
         "neighbor_id",
         score.alias("cos"),
     )
+    if band is not None:
+        lo, hi = band
+        scored = scored.filter(
+            (F.round("cos", 6) > F.lit(float(lo)))
+            & (F.round("cos", 6) < F.lit(float(hi)))
+        )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), "neighbor_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -220,6 +230,12 @@ def ann_ivf_topk(
             / (F.col("__nq") * F.col("__nc"))
         ).alias("cos"),
     )
+    if band is not None:
+        lo, hi = band
+        scored = scored.filter(
+            (F.round("cos", 6) > F.lit(float(lo)))
+            & (F.round("cos", 6) < F.lit(float(hi)))
+        )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), "neighbor_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -291,6 +307,12 @@ def ann_lsh_topk(
             / (F.col("__nq") * F.col("__nc"))
         ).alias("cos"),
     )
+    if band is not None:
+        lo, hi = band
+        scored = scored.filter(
+            (F.round("cos", 6) > F.lit(float(lo)))
+            & (F.round("cos", 6) < F.lit(float(hi)))
+        )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), "neighbor_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -346,3 +346,38 @@ def llm_semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = connected_components(pairs, a="id_a", b="id_b")
     corpus = t(spark, sf_dir, "embeddings").select("vec_id")
     return dedup_representatives(corpus, comp, id_col="vec_id")
+
+
+@query(
+    "llm_hard_negatives",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_cos('q.v', 'c.v')} AS cos
+      FROM e q JOIN e c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 10),
+    banded AS (
+      SELECT query_id, neighbor_id, cos FROM scored
+      WHERE ROUND(cos, 6) > 0.5 AND ROUND(cos, 6) < 0.95),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank,
+             ROUND(cos, 6) AS cosine
+      FROM banded)
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    top-5 neighbors inside the (0.5, 0.95) cosine band — similar
+    enough to be informative, below the near-dup ceiling so true
+    positives can't leak in as negatives (cosine_topk band option)."""
+    e = _emb_double(spark, sf_dir)
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk(e, queries, k=5, query_id_col="query_id", band=(0.5, 0.95))
+    return out.select("query_id", "neighbor_id", F.col("rank").cast("int"), "cosine")

@@ -8,6 +8,8 @@ reference never exercises but any lake engine must offer.
 
 from __future__ import annotations
 
+import datetime
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1064,3 +1066,44 @@ def q_exact_median_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = t(spark, sf_dir, "lineitem")
     med = exact_quantile(l, "l_extendedprice", 0.5, direct_threshold=10_000)
     return spark.createDataFrame([(float(med),)], "median_extprice double")
+
+
+@query(
+    "q_sql_parameterized",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS total_price
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY o_orderpriority
+    """,
+)
+def q_sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized-SQL surface: named parameter markers bound via
+    spark.sql(..., args=...) — values are injected as typed literals
+    by the parser (no string splicing, no injection surface), then
+    optimized exactly like inline constants (the IN-list still prunes
+    and pushes down)."""
+    from aws_datalake_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS DOUBLE)
+                 / 100.0 AS total_price
+        FROM orders
+        WHERE o_orderdate >= :cutoff
+          AND o_orderpriority IN (:p1, :p2)
+        GROUP BY o_orderpriority
+        """,
+        args={
+            "cutoff": datetime.datetime(1997, 1, 1),
+            "p1": "1-URGENT",
+            "p2": "2-HIGH",
+        },
+    )
