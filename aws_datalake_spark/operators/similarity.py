@@ -230,12 +230,6 @@ def ann_ivf_topk(
             / (F.col("__nq") * F.col("__nc"))
         ).alias("cos"),
     )
-    if band is not None:
-        lo, hi = band
-        scored = scored.filter(
-            (F.round("cos", 6) > F.lit(float(lo)))
-            & (F.round("cos", 6) < F.lit(float(hi)))
-        )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), "neighbor_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -307,12 +301,6 @@ def ann_lsh_topk(
             / (F.col("__nq") * F.col("__nc"))
         ).alias("cos"),
     )
-    if band is not None:
-        lo, hi = band
-        scored = scored.filter(
-            (F.round("cos", 6) > F.lit(float(lo)))
-            & (F.round("cos", 6) < F.lit(float(hi)))
-        )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), "neighbor_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -359,7 +359,7 @@ def llm_semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE q.vec_id < 10),
     banded AS (
       SELECT query_id, neighbor_id, cos FROM scored
-      WHERE ROUND(cos, 6) > 0.5 AND ROUND(cos, 6) < 0.95),
+      WHERE ROUND(cos, 6) > 0.15 AND ROUND(cos, 6) < 0.95),
     ranked AS (
       SELECT query_id, neighbor_id,
              ROW_NUMBER() OVER (PARTITION BY query_id
@@ -372,12 +372,12 @@ def llm_semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining for contrastive training: per query, the
-    top-5 neighbors inside the (0.5, 0.95) cosine band — similar
+    top-5 neighbors inside the (0.15, 0.95) cosine band — similar
     enough to be informative, below the near-dup ceiling so true
     positives can't leak in as negatives (cosine_topk band option)."""
     e = _emb_double(spark, sf_dir)
     queries = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = cosine_topk(e, queries, k=5, query_id_col="query_id", band=(0.5, 0.95))
+    out = cosine_topk(e, queries, k=5, query_id_col="query_id", band=(0.15, 0.95))
     return out.select("query_id", "neighbor_id", F.col("rank").cast("int"), "cosine")
