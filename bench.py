@@ -69,6 +69,10 @@ HEADLINE = [
     "st_gap_fill_locf",
     "llm_priority_sample",
     "q_exact_median_histogram",
+    "llm_heavy_hitters_by_lang",
+    "llm_train_test_split",
+    "llm_hard_negatives",
+    "q_window_rank_stats",
 ]
 
 
