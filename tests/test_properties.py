@@ -150,3 +150,41 @@ def test_snapshot_diff_matches_set_algebra(spark_global, old, new):
         if old_m[k] != new_m[k]:
             want[k] = "update"
     assert got == want
+
+
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=300,
+    ),
+    q=st.sampled_from([0.0, 0.1, 0.5, 0.9, 1.0]),
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_exact_quantile_matches_sorted_list(spark_global, vals, q):
+    from aws_datalake_spark.operators.order_stats import exact_quantile
+
+    spark = spark_global
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = exact_quantile(df, "x", q, n_bins=8, direct_threshold=10)
+    assert got == sorted(vals)[int(q * (len(vals) - 1))]
+
+
+@given(
+    rows=st.lists(st.integers(0, 8), min_size=1, max_size=200),
+    support=st.sampled_from([0.1, 0.25, 0.4]),
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_heavy_hitters_matches_exact_groupby(spark_global, rows, support):
+    from collections import Counter
+
+    from aws_datalake_spark.operators.sketches import heavy_hitters
+
+    spark = spark_global
+    df = spark.createDataFrame([(f"k{v}",) for v in rows], "token string")
+    got = {r["token"]: r["cnt"] for r in heavy_hitters(df, "token", support).collect()}
+    counts = Counter(f"k{v}" for v in rows)
+    expect = {k: c for k, c in counts.items() if c > support * len(rows)}
+    assert got == expect
