@@ -181,40 +181,120 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.2,
+    prefix_filter: bool = False,
 ) -> DataFrame:
-    """Exact Jaccard near-dup pairs via an inverted shingle index:
-    explode shingles → self-join on shingle → count common shingles
-    per pair → jaccard = common / (|a| + |b| − common).
+    """Exact Jaccard near-dup pairs: jaccard = common / (|a| + |b| −
+    common) for every pair with jaccard ≥ threshold.
 
-    The join shuffles (shingle, id) pairs — linear in corpus shingle
-    volume, never materializing the n² pair space; only pairs that
-    actually share a shingle appear."""
-    sh = (
-        with_shingles(df, text_col, id_col, shingle_n)
-        .select(F.col(id_col).alias("__id"), F.explode("__sh").alias("s"))
+    Default path: plain inverted-index join — explode shingles,
+    self-join on shingle, count common per pair. Linear in corpus
+    shingle volume; only pairs that actually share a shingle appear.
+
+    ``prefix_filter=True`` switches to the classic set-similarity-
+    join bound: order each doc's shingles by ascending global
+    frequency; a pair with Jaccard ≥ t must share ≥ ⌈t·|A|⌉
+    shingles, so it must share one inside each side's first
+    |A| − ⌈t·|A|⌉ + 1 rarest shingles — only those prefix postings
+    enter the candidate self-join, and candidates are re-verified
+    exactly with array_intersect (output identical to the naive
+    index, asserted in tests). WHEN TO FLIP IT: corpora whose
+    posting lists are skewed (stopword-like shingles indexing huge
+    lists) and thresholds high enough to shrink the prefix —
+    measured on this uniform fixture at t=0.2 it is ~13% SLOWER
+    (PERF.md anti-case 3): the prefix keeps 80% of postings while
+    adding a frequency join and a per-doc sort. The bound's win is
+    skew-dependent, not universal.
+    """
+    sh_arr = with_shingles(df, text_col, id_col, shingle_n).select(
+        F.col(id_col).alias("__id"), F.col("__sh")
     )
-    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("__id").alias("id_a"), "s")
-    b = sh.select(F.col("__id").alias("id_b"), "s")
-    common = (
-        a.join(b, "s")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    out = (
-        common.join(sizes.select(F.col("__id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
-        .join(sizes.select(F.col("__id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_common").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
-                6,
-            ),
+    if not prefix_filter:
+        sh = sh_arr.select("__id", F.explode("__sh").alias("s"))
+        sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("n_sh"))
+        a = sh.select(F.col("__id").alias("id_a"), "s")
+        b = sh.select(F.col("__id").alias("id_b"), "s")
+        common = (
+            a.join(b, "s")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
         )
-        .filter(F.col("jaccard") >= threshold)
+        out = (
+            common.join(
+                sizes.select(F.col("__id").alias("id_a"), F.col("n_sh").alias("n_a")),
+                "id_a",
+            )
+            .join(
+                sizes.select(F.col("__id").alias("id_b"), F.col("n_sh").alias("n_b")),
+                "id_b",
+            )
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("n_common").cast("double")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+                    6,
+                ),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
+        return out.select("id_a", "id_b", "jaccard")
+
+    sh = sh_arr.select("__id", F.explode("__sh").alias("s"))
+    freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("__f"))
+    # per-doc shingles in ascending global-frequency order (shingle
+    # tiebreak → total order, same order for every doc)
+    ordered = (
+        sh.join(freq, "s")
+        .groupBy("__id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__f"), F.col("s")))
+            ).alias("__ord"),
+            F.count(F.lit(1)).alias("n_sh"),
+        )
+        .select(
+            "__id",
+            F.expr("transform(__ord, x -> x.s)").alias("__set"),
+            "n_sh",
+        )
+        .select(
+            "__id",
+            "__set",
+            "n_sh",
+            F.expr(
+                "slice(__set, 1, cast(n_sh - ceil(cast(n_sh as double) * "
+                f"{float(threshold)}) + 1 as int))"
+            ).alias("__prefix"),
+        )
     )
+    # postings carry IDs ONLY — the wide set arrays would otherwise be
+    # replicated once per prefix shingle through the join; they rejoin
+    # per CANDIDATE PAIR after dedup, which is the small side
+    pa = ordered.select(F.col("__id").alias("id_a"), F.explode("__prefix").alias("s"))
+    pb = ordered.select(F.col("__id").alias("id_b"), F.explode("__prefix").alias("s"))
+    cand = (
+        pa.join(pb, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sets_a = ordered.select(
+        F.col("__id").alias("id_a"), F.col("__set").alias("__sa"), F.col("n_sh").alias("n_a")
+    )
+    sets_b = ordered.select(
+        F.col("__id").alias("id_b"), F.col("__set").alias("__sb"), F.col("n_sh").alias("n_b")
+    )
+    cand = cand.join(sets_a, "id_a").join(sets_b, "id_b")
+    n_common = F.size(F.array_intersect("__sa", "__sb"))
+    out = cand.withColumn(
+        "jaccard",
+        F.round(
+            n_common.cast("double")
+            / (F.col("n_a") + F.col("n_b") - n_common).cast("double"),
+            6,
+        ),
+    ).filter(F.col("jaccard") >= threshold)
     return out.select("id_a", "id_b", "jaccard")
 
 

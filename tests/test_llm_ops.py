@@ -419,3 +419,25 @@ def test_bigram_conditional_probabilities(spark):
     out = {r.bigram: (r.c_ab, r.c_w1, r.p_cond) for r in
            bigram_conditional(df, min_count=2).collect()}
     assert out == {"x y": (2, 3, 0.666667)}
+
+
+def test_prefix_filtered_jaccard_matches_naive_index(spark):
+    from aws_datalake_spark.operators.dedup import ngram_jaccard_pairs
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",
+        "a completely different sentence with other words entirely",
+        "the quick brown fox jumps over the lazy dog today",
+        "another unrelated line of text goes right here now",
+        "the quick brown fox leaps over the lazy dog",
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    for t in (0.2, 0.5, 0.8):
+        fast = sorted(
+            map(tuple, ngram_jaccard_pairs(df, threshold=t, prefix_filter=True).collect())
+        )
+        naive = sorted(
+            map(tuple, ngram_jaccard_pairs(df, threshold=t, prefix_filter=False).collect())
+        )
+        assert fast == naive, f"threshold {t}"
