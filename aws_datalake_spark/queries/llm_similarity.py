@@ -381,3 +381,33 @@ def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = cosine_topk(e, queries, k=5, query_id_col="query_id", band=(0.15, 0.95))
     return out.select("query_id", "neighbor_id", F.col("rank").cast("int"), "cosine")
+
+
+@query(
+    "llm_media_dedup",
+    oracle="""
+    SELECT MIN(doc_id) AS asset_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           MIN(CAST(strlen(text) AS BIGINT)) AS byte_len
+    FROM documents
+    GROUP BY text
+    """,
+)
+def llm_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload exact dedup for multimodal assets: group on
+    sha2-256 of the payload BYTES, so the shuffle moves a 32-byte
+    digest per asset, never the media itself — the only viable exact
+    dedup at image/video sizes (oracle groups by the identical
+    source text; byte-identical payloads <=> identical text here)."""
+    from aws_datalake_spark.operators.multimodal import make_media_table
+
+    media = make_media_table(t(spark, sf_dir, "documents"))
+    return (
+        media.groupBy(F.sha2(F.col("payload"), 256).alias("__d"))
+        .agg(
+            F.min("asset_id").alias("asset_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("byte_len").alias("byte_len"),
+        )
+        .drop("__d")
+    )
