@@ -193,3 +193,64 @@ def test_permissive_csv_captures_corrupt_records(spark, tmp_path):
     bad = [r._corrupt_record for r in rows if r._corrupt_record is not None]
     assert good == {1: 10, 3: 30}
     assert bad == ["2,not_a_number"]
+
+
+# --- cross-table atomic publish (loading.py:2137 single-commit parity) --------
+
+
+def test_publish_all_or_nothing_across_tables(spark, tmp_path):
+    from aws_datalake_spark.sources.publish import (
+        current_manifest,
+        publish,
+        read_published,
+        rollback,
+        stage_table,
+    )
+
+    root = str(tmp_path / "lake")
+    a1 = spark.createDataFrame([(1, "a")], "id long, v string")
+    b1 = spark.createDataFrame([(10, "x")], "id long, v string")
+    stage_table(a1, root, "ta", "b1")
+    stage_table(b1, root, "tb", "b1")
+    # nothing visible before the first publish
+    assert current_manifest(root)["tables"] == {}
+    v1 = publish(root, {"ta": "b1", "tb": "b1"})
+    assert read_published(spark, root, "ta").collect() == a1.collect()
+    assert read_published(spark, root, "tb").collect() == b1.collect()
+
+    # stage batch 2 for BOTH tables, publish NOTHING yet: readers
+    # still see batch 1 of both (no intermediate state)
+    a2 = spark.createDataFrame([(2, "a2")], "id long, v string")
+    b2 = spark.createDataFrame([(20, "x2")], "id long, v string")
+    stage_table(a2, root, "ta", "b2")
+    stage_table(b2, root, "tb", "b2")
+    assert read_published(spark, root, "ta").collect() == a1.collect()
+    assert read_published(spark, root, "tb").collect() == b1.collect()
+
+    # one flip makes both visible together
+    v2 = publish(root, {"ta": "b2", "tb": "b2"})
+    assert read_published(spark, root, "ta").collect() == a2.collect()
+    assert read_published(spark, root, "tb").collect() == b2.collect()
+
+    # rollback reverts every table at once; history stays linear
+    v3 = rollback(root, v1)
+    assert v3 > v2
+    assert read_published(spark, root, "ta").collect() == a1.collect()
+    assert read_published(spark, root, "tb").collect() == b1.collect()
+    # time travel to v2 still works after rollback
+    assert read_published(spark, root, "ta", version=v2).collect() == a2.collect()
+
+
+def test_publish_partial_batch_crash_leaves_readers_unaffected(spark, tmp_path):
+    from aws_datalake_spark.sources.publish import publish, read_published, stage_table
+
+    root = str(tmp_path / "lake2")
+    a1 = spark.createDataFrame([(1,)], "id long")
+    b1 = spark.createDataFrame([(2,)], "id long")
+    stage_table(a1, root, "ta", "b1")
+    stage_table(b1, root, "tb", "b1")
+    publish(root, {"ta": "b1", "tb": "b1"})
+    # simulated crash mid-batch: only ta's batch 2 got staged, no publish
+    stage_table(spark.createDataFrame([(9,)], "id long"), root, "ta", "b2")
+    assert read_published(spark, root, "ta").collect() == a1.collect()
+    assert read_published(spark, root, "tb").collect() == b1.collect()
