@@ -157,3 +157,54 @@ def run_masking(
     masked = mask_columns(df, present)
     masked.write.mode("overwrite").format(fmt).save(out_path)
     return spark.read.format(fmt).load(out_path)
+
+
+@dataclass
+class EntityLoad:
+    """One entity's loading config (a load_<entity> branch,
+    loading.py:2012-2135, as plain data)."""
+
+    staging_path: str
+    keys: list[str]
+    staging_schema: str
+    columnwise_keys: bool = False
+
+
+def run_batch_load(
+    spark: SparkSession,
+    root: str,
+    batch_id: str,
+    entities: dict[str, EntityLoad],
+) -> int:
+    """§3.3 full-batch loading with the reference's single-commit
+    visibility (loading.py:2137): every entity's SCD2 merge is staged
+    under ``batch=<id>`` paths (invisible), then ONE manifest flip
+    publishes the whole batch — readers see all 19 entities' new
+    versions or none. Returns the manifest version.
+
+    Each entity merges against its currently-PUBLISHED version, so a
+    crashed half-staged batch can simply be re-run: staging writes
+    are per-batch paths (idempotent overwrite), and nothing was
+    visible.
+    """
+    from aws_datalake_spark.sources.publish import (
+        publish,
+        read_published,
+        stage_table,
+    )
+
+    staged: dict[str, str] = {}
+    for name, cfg in entities.items():
+        staging = read_pipe_staging(spark, cfg.staging_path, schema=cfg.staging_schema)
+        try:
+            target = read_published(spark, root, name)
+            merged = scd2_merge(
+                target, staging, cfg.keys, columnwise_keys=cfg.columnwise_keys
+            )
+        except KeyError:
+            merged = staging.withColumn("actv_flg", F.lit("Y")).withColumn(
+                "record_to", F.lit(None).cast("timestamp")
+            )
+        stage_table(merged, root, name, batch_id)
+        staged[name] = batch_id
+    return publish(root, staged)

@@ -120,3 +120,51 @@ def test_masking_zone_copy(spark, tmp_path):
     out = run_masking(spark, src, dst, ["email", "ssn_not_present"])
     assert out.columns == ["id", "name", "score"]
     assert out.count() == 1
+
+
+def test_batch_load_single_commit_scd2_across_entities(spark, tmp_path):
+    from aws_datalake_spark.pipelines import EntityLoad, run_batch_load
+    from aws_datalake_spark.sources.publish import read_published
+    from aws_datalake_spark.sources.writers import write_pipe_csv
+
+    root = str(tmp_path / "warehouse")
+    schema = "k long, v string, insrt_ts timestamp"
+
+    def stage(day, rows):
+        paths = {}
+        for name, data in rows.items():
+            p = str(tmp_path / f"stg_{name}_{day}")
+            write_pipe_csv(
+                spark.createDataFrame(data, schema).coalesce(1), p
+            )
+            paths[name] = p
+        return {
+            name: EntityLoad(staging_path=p, keys=["k"], staging_schema=schema)
+            for name, p in paths.items()
+        }
+
+    import datetime
+
+    t1 = datetime.datetime(2024, 1, 1)
+    v1 = run_batch_load(
+        spark, root, "d1",
+        stage("d1", {"ad_unit": [(1, "a", t1)], "creative": [(7, "x", t1)]}),
+    )
+    assert v1 == 1
+    assert read_published(spark, root, "ad_unit").count() == 1
+
+    # batch 2 updates ad_unit row 1 and inserts creative row 8;
+    # after ONE publish both entities show the new state
+    t2 = datetime.datetime(2024, 1, 2)
+    v2 = run_batch_load(
+        spark, root, "d2",
+        stage("d2", {"ad_unit": [(1, "a2", t2)], "creative": [(8, "y", t2)]}),
+    )
+    assert v2 == 2
+    au = read_published(spark, root, "ad_unit").orderBy("insrt_ts").collect()
+    # SCD2: old version closed out, new version active
+    assert [(r.v, r.actv_flg) for r in au] == [("a", "N"), ("a2", "Y")]
+    cr = read_published(spark, root, "creative")
+    assert cr.filter("actv_flg = 'Y'").count() == 2
+    # time travel: at v1 creative had one row
+    assert read_published(spark, root, "creative", version=1).count() == 1
