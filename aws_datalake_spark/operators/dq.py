@@ -290,3 +290,70 @@ def audit_from_observation(
         "unexpected_count long"
     )
     return spark.createDataFrame(audit_rows, schema=schema)
+
+
+def numeric_drift(
+    baseline: DataFrame,
+    current: DataFrame,
+    col: str,
+    n_bins: int = 20,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Batch-over-batch numeric drift as total-variation distance
+    over a fixed histogram: ``tvd = 0.5 * Σ_bins |p_i − q_i|`` with
+    p/q the per-bin probability masses of baseline/current.
+
+    TVD is chosen over PSI/KL deliberately: it is log-free, so every
+    step (bin = floor((x−lo)/w) clamp, count, count/n, |p−q| sum) is
+    exact or correctly-rounded IEEE arithmetic that a SQL oracle
+    reproduces bit-for-bit, and it is bounded in [0,1] (0 = same
+    distribution, 1 = disjoint) which makes thresholds portable
+    across columns. Bin range defaults to the BASELINE's min/max —
+    current values outside it clamp to the edge bins, so new mass
+    beyond the old range still registers as drift.
+
+    SCALE: each input collapses to an ``n_bins``-sized aggregate
+    (map-side combinable) before the tiny full-outer join; nothing
+    larger than n_bins rows ever shuffles.
+    """
+    if lo is None or hi is None:
+        row = baseline.agg(F.min(col), F.max(col)).collect()[0]
+        lo = float(row[0]) if lo is None else lo
+        hi = float(row[1]) if hi is None else hi
+    if hi <= lo:
+        hi = lo + 1.0
+    width = (hi - lo) / n_bins
+
+    def binned(df: DataFrame, out: str) -> DataFrame:
+        b = F.least(
+            F.lit(n_bins - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col(col) - F.lit(lo)) / F.lit(width)).cast("int"),
+            ),
+        )
+        return (
+            df.where(F.col(col).isNotNull())
+            .groupBy(b.alias("bin"))
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.lit(1))
+    j = (
+        binned(baseline, "n_base")
+        .join(binned(current, "n_cur"), "bin", "full_outer")
+        .na.fill(0, ["n_base", "n_cur"])
+    )
+    p = F.col("n_base").cast("double") / F.sum("n_base").over(w).cast("double")
+    q = F.col("n_cur").cast("double") / F.sum("n_cur").over(w).cast("double")
+    return (
+        j.withColumn("__d", F.abs(p - q))
+        .agg(
+            (F.lit(0.5) * F.sum(F.round(F.col("__d") * 1e9).cast("long")).cast("double") / F.lit(1e9)).alias("tvd"),
+            F.sum("n_base").alias("n_base"),
+            F.sum("n_cur").alias("n_cur"),
+        )
+    )

@@ -962,3 +962,52 @@ def ref_temporal_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("record_from") <= F.col("o_orderdate"))
         & (F.col("record_to").isNull() | (F.col("record_to") > F.col("o_orderdate")))
     ).select("o_orderkey", "o_orderdate", F.col("price").alias("price_at_order"))
+
+
+@query(
+    "ref_numeric_drift",
+    oracle="""
+    WITH base AS (SELECT value FROM events
+                  WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+                    AND value IS NOT NULL),
+    cur AS (SELECT value FROM events
+            WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+              AND value IS NOT NULL),
+    bounds AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM base),
+    pb AS (SELECT LEAST(19, GREATEST(0,
+              CAST(FLOOR((value - lo) / ((hi - lo) / 20.0)) AS INT))) AS bin,
+              COUNT(*) AS n_base
+           FROM base, bounds GROUP BY 1),
+    pc AS (SELECT LEAST(19, GREATEST(0,
+              CAST(FLOOR((value - lo) / ((hi - lo) / 20.0)) AS INT))) AS bin,
+              COUNT(*) AS n_cur
+           FROM cur, bounds GROUP BY 1),
+    j AS (SELECT COALESCE(pb.bin, pc.bin) AS bin,
+                 COALESCE(n_base, 0) AS n_base,
+                 COALESCE(n_cur, 0) AS n_cur
+          FROM pb FULL OUTER JOIN pc ON pb.bin = pc.bin),
+    t AS (SELECT n_base, n_cur,
+                 CAST(n_base AS DOUBLE) / CAST(SUM(n_base) OVER () AS DOUBLE) AS p,
+                 CAST(n_cur AS DOUBLE) / CAST(SUM(n_cur) OVER () AS DOUBLE) AS q
+          FROM j)
+    SELECT 0.5 * CAST(SUM(CAST(ROUND(ABS(p - q) * 1000000000.0) AS BIGINT))
+                      AS DOUBLE) / 1000000000.0 AS tvd,
+           CAST(SUM(n_base) AS BIGINT) AS n_base,
+           CAST(SUM(n_cur) AS BIGINT) AS n_cur
+    FROM t
+    """,
+)
+def ref_numeric_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric distribution drift between ingest batches (first vs
+    second half of the month) as total-variation distance over a
+    20-bin histogram — the log-free companion to ref_category_drift
+    (operators/dq.py:numeric_drift)."""
+    from aws_datalake_spark.operators.dq import numeric_drift
+
+    ev = t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    return numeric_drift(
+        ev.filter(F.col("ts") < cut),
+        ev.filter(F.col("ts") >= cut),
+        "value",
+    )

@@ -110,3 +110,19 @@ def test_observed_expectations_match_evaluate_zero_extra_scan(spark, tmp_path):
         assert (r["element_count"], r["unexpected_count"], r["success"]) == (
             b["element_count"], b["unexpected_count"], b["success"]
         )
+
+
+def test_numeric_drift_identical_zero_shifted_positive(spark):
+    from aws_datalake_spark.operators.dq import numeric_drift
+
+    a = spark.createDataFrame([(float(i % 10),) for i in range(100)], "x double")
+    b = spark.createDataFrame([(float(i % 10) + 3.0,) for i in range(100)], "x double")
+    same = numeric_drift(a, a, "x").collect()[0]
+    assert same["tvd"] == 0.0 and same["n_base"] == 100
+    moved = numeric_drift(a, b, "x").collect()[0]
+    # 3/10 of current mass clamps past the baseline range → drift
+    assert moved["tvd"] > 0.25
+    # far-out-of-range current mass clamps to the top bin, which also
+    # holds the baseline's max (p=0.1) → tvd = 1 − overlap = 0.9
+    c = spark.createDataFrame([(1000.0,)] * 50, "x double")
+    assert numeric_drift(a, c, "x").collect()[0]["tvd"] == 0.9
