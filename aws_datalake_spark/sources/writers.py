@@ -56,3 +56,26 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     vectorized reader/writer; same predicate-pushdown and pruning
     contract as parquet on read)."""
     df.write.mode(mode).orc(path)
+
+
+def write_ordered_shards(
+    df: DataFrame, path: str, order_col: str, n_shards: int
+) -> None:
+    """Export a globally-ORDERED dataset as ``n_shards`` files whose
+    filename-order concatenation reproduces the order — the training-
+    shard last mile after ``training_order`` assigns positions.
+
+    ``repartitionByRange`` samples the order column to cut balanced
+    range boundaries (ascending ranges land in ascending partition
+    ids, i.e. ascending part-file numbers) and
+    ``sortWithinPartitions`` orders inside each shard — so the global
+    order materializes WITHOUT a single-task global sort: every shard
+    sorts its own slice in parallel, and no task ever holds more than
+    ~rows/n_shards rows.
+    """
+    (
+        df.repartitionByRange(n_shards, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

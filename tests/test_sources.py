@@ -254,3 +254,31 @@ def test_publish_partial_batch_crash_leaves_readers_unaffected(spark, tmp_path):
     stage_table(spark.createDataFrame([(9,)], "id long"), root, "ta", "b2")
     assert read_published(spark, root, "ta").collect() == a1.collect()
     assert read_published(spark, root, "tb").collect() == b1.collect()
+
+
+def test_ordered_shards_concatenate_to_global_order(spark, tmp_path):
+    import glob
+    import os
+
+    from aws_datalake_spark.sources.writers import write_ordered_shards
+
+    # positions deliberately scrambled across input partitions
+    df = (
+        spark.createDataFrame(
+            [((i * 37) % 1000, f"doc{i}") for i in range(1000)],
+            "pos long, payload string",
+        )
+        .repartition(8)
+    )
+    path = str(tmp_path / "shards")
+    write_ordered_shards(df, path, "pos", 4)
+    files = sorted(glob.glob(os.path.join(path, "part-*")))
+    assert len(files) == 4
+    seen = []
+    for f in files:
+        rows = [r["pos"] for r in spark.read.parquet(f).collect()]
+        assert rows == sorted(rows), "shard not internally sorted"
+        if seen and rows:
+            assert rows[0] >= seen[-1], "shard ranges overlap"
+        seen.extend(rows)
+    assert seen == sorted(seen) and len(seen) == 1000
