@@ -73,6 +73,9 @@ HEADLINE = [
     "llm_train_test_split",
     "llm_hard_negatives",
     "q_window_rank_stats",
+    "ref_numeric_drift",
+    "llm_media_dedup",
+    "st_gap_fill_interp",
 ]
 
 
