@@ -96,3 +96,107 @@ def exact_quantile(
     # exact finish on the (small) surviving population
     row = cur.orderBy("v").limit(k + 1).orderBy(F.desc("v")).limit(1).collect()
     return row[0]["v"]
+
+
+def exact_quantile_by_group(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    q: float,
+    n_bins: int = 256,
+    direct_threshold: int = 50_000,
+    max_rounds: int = 8,
+) -> DataFrame:
+    """Exact lower-discrete quantile PER GROUP — ``(group_col,
+    quantile)`` — with the same no-global-sort contract as
+    :func:`exact_quantile`, lifted to all groups at once: every
+    narrowing round is ONE scan histogramming every active group
+    simultaneously (groupBy(group, bin), ≤ groups × n_bins rows to
+    the driver), groups that shrink below ``direct_threshold`` drop
+    out of later rounds, and the single finishing pass ranks each
+    group's surviving slice with a per-group window (shuffles only
+    survivors, never the input).
+
+    Groups whose mass piles onto one value stop shrinking; the round
+    cap hands them to the finish pass, which is exact regardless —
+    narrowing is purely an optimization.
+    """
+    base = df.select(
+        F.col(group_col).alias("__g"), F.col(col).alias("v")
+    ).where(F.col("v").isNotNull())
+    stats = {
+        r["__g"]: {"lo": float(r["lo"]), "hi": float(r["hi"]), "n": r["n"],
+                   "k": int(q * (r["n"] - 1))}
+        for r in base.groupBy("__g")
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"), F.count("v").alias("n"))
+        .collect()
+    }
+    if not stats:
+        return df.select(F.col(group_col), F.col(col).alias("quantile")).limit(0)
+    surv = base
+    for _ in range(max_rounds):
+        active = {
+            g: s for g, s in stats.items()
+            if s["n"] > direct_threshold and s["lo"] < s["hi"]
+        }
+        if not active:
+            break
+        lo_m = F.create_map(*[x for g, s in active.items() for x in (F.lit(g), F.lit(s["lo"]))])
+        w_m = F.create_map(*[
+            x for g, s in active.items()
+            for x in (F.lit(g), F.lit((s["hi"] - s["lo"]) / n_bins))
+        ])
+        bin_e = F.least(
+            F.lit(n_bins - 1),
+            F.floor((F.col("v") - lo_m[F.col("__g")]) / w_m[F.col("__g")]).cast("int"),
+        )
+        hist = (
+            surv.filter(F.col("__g").isin(list(active)))
+            .groupBy("__g", bin_e.alias("b"))
+            .agg(F.count("*").alias("c"))
+            .collect()
+        )
+        counts: dict = {}
+        for r in hist:
+            counts.setdefault(r["__g"], {})[r["b"]] = r["c"]
+        targets = {}
+        for g, s in active.items():
+            acc, target = 0, n_bins - 1
+            for b in range(n_bins):
+                c = counts.get(g, {}).get(b, 0)
+                if acc + c > s["k"]:
+                    target = b
+                    break
+                acc += c
+            width = (s["hi"] - s["lo"]) / n_bins
+            stats[g] = {
+                "lo": s["lo"] + target * width,
+                "hi": s["lo"] + (target + 1) * width,
+                "n": counts.get(g, {}).get(target, 0),
+                "k": s["k"] - acc,
+            }
+            targets[g] = target
+        t_m = F.create_map(*[x for g, t in targets.items() for x in (F.lit(g), F.lit(t))])
+        # survivors: SAME floor arithmetic as the histogram, so bucket
+        # membership cannot drift on boundary values
+        surv = surv.filter(
+            (~F.col("__g").isin(list(active))) | (bin_e == t_m[F.col("__g")])
+        )
+    from pyspark.sql import Window
+
+    k_tbl = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(g, s["k"]) for g, s in stats.items()], "__g string, __k long"
+        )
+        if isinstance(next(iter(stats)), str)
+        else df.sparkSession.createDataFrame(
+            [(g, s["k"]) for g, s in stats.items()], "__g long, __k long"
+        )
+    )
+    w = Window.partitionBy("__g").orderBy("v")
+    return (
+        surv.withColumn("__rn", F.row_number().over(w))
+        .join(k_tbl, "__g")
+        .filter(F.col("__rn") == F.col("__k") + 1)
+        .select(F.col("__g").alias(group_col), F.col("v").alias("quantile"))
+    )

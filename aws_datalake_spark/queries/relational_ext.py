@@ -1107,3 +1107,28 @@ def q_sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p2": "2-HIGH",
         },
     )
+
+
+@query(
+    "q_grouped_median_histogram",
+    oracle="""
+    SELECT l_returnflag, v AS median_extprice FROM (
+      SELECT l_returnflag, l_extendedprice AS v,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    ) WHERE rn = CAST(FLOOR(0.5 * (n - 1)) AS BIGINT) + 1
+    """,
+)
+def q_grouped_median_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group median with no per-group sort of the input:
+    one shared histogram pass per round narrows every group at once
+    (operators/order_stats.py:exact_quantile_by_group); only each
+    group's surviving slice is ever ranked."""
+    from aws_datalake_spark.operators.order_stats import exact_quantile_by_group
+
+    l = t(spark, sf_dir, "lineitem")
+    return exact_quantile_by_group(
+        l, "l_returnflag", "l_extendedprice", 0.5, direct_threshold=5_000
+    ).withColumnRenamed("quantile", "median_extprice")

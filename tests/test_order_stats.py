@@ -42,3 +42,41 @@ def test_exact_quantile_empty_raises(spark):
     df = spark.createDataFrame([], "x double")
     with pytest.raises(ValueError):
         exact_quantile(df, "x", 0.5)
+
+
+def test_exact_quantile_by_group_matches_per_group_sort(spark):
+    from aws_datalake_spark.operators.order_stats import exact_quantile_by_group
+
+    import random
+
+    rnd = random.Random(7)
+    rows = [(f"g{i % 3}", float(rnd.randrange(0, 1000)) / 7.0) for i in range(900)]
+    # one group dominated by a single repeated value (never shrinks)
+    rows += [("g3", 42.0)] * 200 + [("g3", 41.0), ("g3", 43.0)]
+    df = spark.createDataFrame(rows, "g string, x double").repartition(8)
+    got = {
+        r["g"]: r["quantile"]
+        for r in exact_quantile_by_group(
+            df, "g", "x", 0.5, n_bins=8, direct_threshold=20, max_rounds=4
+        ).collect()
+    }
+    import collections
+
+    byg = collections.defaultdict(list)
+    for g, x in rows:
+        byg[g].append(x)
+    for g, vals in byg.items():
+        assert got[g] == sorted(vals)[int(0.5 * (len(vals) - 1))], g
+
+
+def test_exact_quantile_by_group_long_keys(spark):
+    from aws_datalake_spark.operators.order_stats import exact_quantile_by_group
+
+    df = spark.createDataFrame(
+        [(i % 2, float(i)) for i in range(101)], "g long, x double"
+    )
+    got = {
+        r["g"]: r["quantile"]
+        for r in exact_quantile_by_group(df, "g", "x", 1.0).collect()
+    }
+    assert got == {0: 100.0, 1: 99.0}
