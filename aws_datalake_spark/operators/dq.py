@@ -357,3 +357,32 @@ def numeric_drift(
             F.sum("n_cur").alias("n_cur"),
         )
     )
+
+
+def quarantine(
+    df: DataFrame, expectations: list[Expectation]
+) -> tuple[DataFrame, DataFrame]:
+    """Split a batch into (good, quarantined): rows violating ANY
+    scalar expectation are diverted with a ``__reasons`` column
+    naming every violated expectation — the write-side complement to
+    :func:`evaluate` (which only counts): good rows continue to the
+    sink, quarantined rows land in a side table for repair/replay.
+
+    One projection computes all violation flags (no per-rule scans);
+    the split is two filters over the same tagged frame, which Spark
+    evaluates in one pass per sink. Unique-key checks need a shuffle
+    and are not row-local — handle those via :func:`evaluate`.
+    """
+    scalar = [e for e in expectations if e.kind != "unique"]
+    reasons = F.array_compact(
+        F.array(
+            *[
+                F.when(e.violation(), F.lit(f"{e.column}:{e.kind}"))
+                for e in scalar
+            ]
+        )
+    )
+    tagged = df.withColumn("__reasons", reasons)
+    good = tagged.filter(F.size("__reasons") == 0).drop("__reasons")
+    bad = tagged.filter(F.size("__reasons") > 0)
+    return good, bad

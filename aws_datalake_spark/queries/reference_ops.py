@@ -1011,3 +1011,45 @@ def ref_numeric_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("ts") >= cut),
         "value",
     )
+
+
+@query(
+    "ref_dq_quarantine",
+    oracle="""
+    WITH tagged AS (
+      SELECT list_filter([
+               CASE WHEN value < 0.0 OR value > 400.0 OR value IS NULL
+                    THEN 'value:between' END,
+               CASE WHEN event_type NOT IN ('view', 'click', 'purchase', 'signup')
+                         OR event_type IS NULL
+                    THEN 'event_type:in_set' END
+             ], x -> x IS NOT NULL) AS reasons
+      FROM events
+    )
+    SELECT array_to_string(reasons, ',') AS reason_key,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM tagged WHERE len(reasons) > 0
+    GROUP BY 1
+    """,
+)
+def ref_dq_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarantine split over the events batch: rows violating any
+    scalar expectation divert with their violation reasons
+    (operators/dq.py:quarantine); the query rolls quarantined rows
+    up by reason combination. Good-row continuation is asserted in
+    unit tests (good + bad partitions the batch)."""
+    from aws_datalake_spark.operators.dq import Expectation, quarantine
+
+    ev = t(spark, sf_dir, "events")
+    exps = [
+        Expectation("value", "between", {"min": 0.0, "max": 400.0}),
+        Expectation(
+            "event_type", "in_set",
+            {"values": ["view", "click", "purchase", "signup"]},
+        ),
+    ]
+    _good, bad = quarantine(ev, exps)
+    return (
+        bad.groupBy(F.array_join("__reasons", ",").alias("reason_key"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )

@@ -126,3 +126,26 @@ def test_numeric_drift_identical_zero_shifted_positive(spark):
     # holds the baseline's max (p=0.1) → tvd = 1 − overlap = 0.9
     c = spark.createDataFrame([(1000.0,)] * 50, "x double")
     assert numeric_drift(a, c, "x").collect()[0]["tvd"] == 0.9
+
+
+def test_quarantine_partitions_batch_with_reasons(spark):
+    from aws_datalake_spark.operators.dq import Expectation, quarantine
+
+    df = spark.createDataFrame(
+        [(1, "ok", 5.0), (2, None, 5.0), (3, "ok", -1.0), (4, None, 99.0)],
+        "id long, name string, score double",
+    )
+    exps = [
+        Expectation("name", "not_null"),
+        Expectation("score", "between", {"min": 0.0, "max": 10.0}),
+    ]
+    good, bad = quarantine(df, exps)
+    assert [r["id"] for r in good.orderBy("id").collect()] == [1]
+    got = {r["id"]: list(r["__reasons"]) for r in bad.collect()}
+    assert got == {
+        2: ["name:not_null"],
+        3: ["score:between"],
+        4: ["name:not_null", "score:between"],
+    }
+    # good ∪ bad partitions the input exactly
+    assert good.count() + bad.count() == df.count()
