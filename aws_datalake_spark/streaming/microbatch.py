@@ -167,3 +167,32 @@ def run_incremental_rollup(
         .foreachBatch(incremental_rollup_sink(rollup_path))
         .start()
     )
+
+
+def quarantine_foreach_batch(
+    expectations: list[Expectation],
+    good_sink_path: str,
+    quarantine_sink_path: str,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch body for the validate-and-divert pattern: rows
+    passing every scalar expectation append to the main sink; rows
+    violating any rule append to the quarantine sink with a
+    ``batch_id`` and their ``__reasons`` (operators/dq.py:quarantine)
+    — the stream never stops for bad data, and nothing is dropped
+    silently. Replays are safe per micro-batch: both writes are
+    append-only and keyed by batch_id for downstream dedup."""
+    from pyspark.sql import functions as F
+
+    from aws_datalake_spark.operators.dq import quarantine
+
+    def _body(batch_df: DataFrame, batch_id: int) -> None:
+        good, bad = quarantine(batch_df, expectations)
+        good.write.mode("append").parquet(good_sink_path)
+        (
+            bad.withColumn("batch_id", F.lit(int(batch_id)))
+            .withColumn("__reasons", F.array_join("__reasons", ","))
+            .write.mode("append")
+            .parquet(quarantine_sink_path)
+        )
+
+    return _body

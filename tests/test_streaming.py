@@ -485,3 +485,36 @@ def test_stream_stream_left_outer_join_emits_null_on_watermark(spark, tmp_path):
     # (98, 99) is the watermark-advancing pair itself; the load-bearing
     # row is (11, None): unmatched left emitted with NULL right.
     assert out == {(10, 20), (11, None), (98, 99)}
+
+
+def test_stream_quarantine_diverts_bad_rows(spark, tmp_path):
+    from aws_datalake_spark.operators.dq import Expectation
+    from aws_datalake_spark.streaming.microbatch import quarantine_foreach_batch
+
+    src = str(tmp_path / "q_json")
+    _write_events_json(
+        spark, src,
+        rows=[
+            (1, "2024-01-01 10:00:00", 1, "view", 5.0),
+            (2, "2024-01-01 10:01:00", 1, "bogus", 5.0),     # bad type
+            (3, "2024-01-01 10:02:00", 2, "click", -4.0),    # bad value
+        ],
+    )
+    exps = [
+        Expectation("value", "between", {"min": 0.0, "max": 100.0}),
+        Expectation("event_type", "in_set",
+                    {"values": ["view", "click", "purchase", "signup", "error"]}),
+    ]
+    good_p = str(tmp_path / "good")
+    bad_p = str(tmp_path / "quar")
+    q = (
+        spark.readStream.schema(EVENTS_SCHEMA).json(src)
+        .writeStream.queryName("quarantine_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt_q"))
+        .foreachBatch(quarantine_foreach_batch(exps, good_p, bad_p))
+        .start()
+    )
+    _await(q)
+    assert [r.event_id for r in spark.read.parquet(good_p).collect()] == [1]
+    bad = {r.event_id: r["__reasons"] for r in spark.read.parquet(bad_p).collect()}
+    assert bad == {2: "event_type:in_set", 3: "value:between"}
