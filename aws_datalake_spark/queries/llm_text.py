@@ -551,3 +551,81 @@ def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.max("total").cast("double")
         ).alias("coverage"),
     )
+
+
+@query(
+    "llm_dataset_card",
+    oracle=f"""
+    WITH q AS ({_QUALITY_SQL}),
+    base AS (
+      SELECT d.doc_id, d.source, d.text, q.q_n_tokens, q.quality_score,
+             {{LANG_CASE}} AS lang
+      FROM documents d JOIN q ON d.doc_id = q.doc_id
+    ),
+    per_source AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CAST(q_n_tokens AS BIGINT)) AS BIGINT) AS total_tokens,
+             ROUND(CAST(SUM(CAST(ROUND(quality_score * 1000000.0) AS BIGINT))
+                        AS DOUBLE) / 1000000.0
+                   / CAST(COUNT(*) AS DOUBLE), 6) AS avg_quality,
+             ROUND((CAST(COUNT(*) AS DOUBLE)
+                    - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE))
+                   / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate
+      FROM base GROUP BY source
+    ),
+    lang_rank AS (
+      SELECT source, lang,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY COUNT(*) DESC, lang) AS rn
+      FROM base GROUP BY source, lang
+    )
+    SELECT p.source, p.n_docs, p.total_tokens, p.avg_quality,
+           l.lang AS top_lang, p.dup_rate
+    FROM per_source p JOIN lang_rank l
+      ON p.source = l.source AND l.rn = 1
+    """.replace("{LANG_CASE}", _lang_case_sql()),
+)
+def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card — the summary a training-data release
+    ships: doc and token counts, mean quality, dominant language, and
+    exact-duplicate rate. One grouped pass over doc-level features
+    plus a language-mode window; duplicate detection groups 16-byte
+    digests, never text (operators: text.quality_score, lang_id,
+    dedup-style hash grouping)."""
+    from pyspark.sql import Window
+
+    from aws_datalake_spark.operators.text import lang_id, quality_score
+
+    d = quality_score(t(spark, sf_dir, "documents")).withColumn(
+        "lang", lang_id(F.col("text"))
+    )
+    per_source = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("q_n_tokens").cast("long")).alias("total_tokens"),
+        F.round(
+            F.sum(F.round(F.col("quality_score") * 1e6).cast("long")).cast("double")
+            / F.lit(1e6)
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("avg_quality"),
+        F.round(
+            (
+                F.count(F.lit(1)).cast("double")
+                - F.countDistinct(F.md5("text")).cast("double")
+            )
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_rate"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("cnt"), "lang")
+    top_lang = (
+        d.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    return per_source.join(F.broadcast(top_lang), "source").select(
+        "source", "n_docs", "total_tokens", "avg_quality", "top_lang", "dup_rate"
+    )

@@ -76,6 +76,7 @@ HEADLINE = [
     "ref_numeric_drift",
     "llm_media_dedup",
     "st_gap_fill_interp",
+    "llm_dataset_card",
 ]
 
 
