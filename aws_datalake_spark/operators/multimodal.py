@@ -143,6 +143,51 @@ def resize_images(media: DataFrame, target_w: int = 64, target_h: int = 64) -> D
     return media.mapInPandas(resize_batches, schema=RESIZED_SCHEMA)
 
 
+AUDIO_CHUNK_SCHEMA = (
+    "asset_id long, chunk_idx int, start_byte long, chunk_len int, "
+    "chunk binary"
+)
+
+
+def chunk_audio(media: DataFrame, chunk_bytes: int = 4096,
+                overlap: int = 0) -> DataFrame:
+    """Audio windowing plumbing: split each audio payload into
+    fixed-size (optionally overlapping) byte windows — one row per
+    window, ready for a per-window encoder (the audio analogue of
+    video frame_sample and image resize). Byte windows stand in for
+    PCM frames exactly like the fake decode stands in for a codec:
+    a real deployment swaps the slicer for librosa/ffmpeg framing
+    and the schema, Arrow batching, and downstream joins stay.
+
+    Scale: mapInPandas emits windows partition-locally (no shuffle);
+    window count per asset is len/stride, so output size is
+    predictable from byte_len before running.
+    """
+    stride = max(chunk_bytes - overlap, 1)
+
+    def chunk_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf["media_type"] == "audio"]
+            rows = {"asset_id": [], "chunk_idx": [], "start_byte": [],
+                    "chunk_len": [], "chunk": []}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                b = bytes(payload)
+                idx = 0
+                for start in range(0, max(len(b) - overlap, 1), stride):
+                    piece = b[start:start + chunk_bytes]
+                    if not piece:
+                        break
+                    rows["asset_id"].append(aid)
+                    rows["chunk_idx"].append(idx)
+                    rows["start_byte"].append(start)
+                    rows["chunk_len"].append(len(piece))
+                    rows["chunk"].append(piece)
+                    idx += 1
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(chunk_batches, schema=AUDIO_CHUNK_SCHEMA)
+
+
 def embed_documents(
     df: DataFrame,
     dim: int = 64,

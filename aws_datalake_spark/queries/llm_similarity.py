@@ -411,3 +411,35 @@ def llm_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("__d")
     )
+
+
+@query(
+    "llm_audio_chunks",
+    oracle="""
+    WITH audio AS (
+      SELECT doc_id AS asset_id, strlen(text) AS blen FROM documents
+      WHERE doc_id % 3 = 1
+    ),
+    idx AS (
+      SELECT asset_id, blen,
+             unnest(generate_series(0,
+               CAST(CEIL(CAST(blen AS DOUBLE) / 1024.0) AS BIGINT) - 1)) AS chunk_idx
+      FROM audio WHERE blen > 0
+    )
+    SELECT asset_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(chunk_idx * 1024 AS BIGINT) AS start_byte,
+           CAST(LEAST(1024, blen - chunk_idx * 1024) AS INT) AS chunk_len
+    FROM idx
+    """,
+)
+def llm_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio payloads windowed into 1 KiB chunks (the per-window
+    encoder feed; operators/multimodal.py:chunk_audio) — the oracle
+    checks the windowing arithmetic (index/offset/length per asset);
+    the chunk bytes themselves are asserted in unit tests."""
+    from aws_datalake_spark.operators.multimodal import chunk_audio, make_media_table
+
+    media = make_media_table(t(spark, sf_dir, "documents"))
+    return chunk_audio(media, chunk_bytes=1024).select(
+        "asset_id", "chunk_idx", "start_byte", "chunk_len"
+    )

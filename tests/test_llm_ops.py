@@ -441,3 +441,26 @@ def test_prefix_filtered_jaccard_matches_naive_index(spark):
             map(tuple, ngram_jaccard_pairs(df, threshold=t, prefix_filter=False).collect())
         )
         assert fast == naive, f"threshold {t}"
+
+
+def test_chunk_audio_windows_and_bytes(spark):
+    from aws_datalake_spark.operators.multimodal import chunk_audio
+
+    payload = bytes(range(256)) * 3  # 768 bytes
+    media = spark.createDataFrame(
+        [(1, "audio", payload, len(payload), "s"),
+         (2, "video", b"xx", 2, "s")],  # non-audio rows excluded
+        "asset_id long, media_type string, payload binary, byte_len long, source string",
+    )
+    out = sorted(
+        (r["chunk_idx"], r["start_byte"], r["chunk_len"], bytes(r["chunk"]))
+        for r in chunk_audio(media, chunk_bytes=300).collect()
+    )
+    assert [(i, s, l) for i, s, l, _ in out] == [(0, 0, 300), (1, 300, 300), (2, 600, 168)]
+    assert b"".join(c for _, _, _, c in out) == payload  # lossless cover
+    # overlapping windows share their overlap bytes
+    ov = sorted(
+        (r["start_byte"], bytes(r["chunk"]))
+        for r in chunk_audio(media, chunk_bytes=300, overlap=100).collect()
+    )
+    assert ov[0][1][-100:] == ov[1][1][:100]
