@@ -234,3 +234,45 @@ def embed_documents(
     return df.select(id_col, text_col).mapInPandas(
         batches, f"{id_col} long, embedding array<float>"
     )
+
+
+def embed_media_chunks(chunks: DataFrame, dim: int = 64) -> DataFrame:
+    """Per-chunk media encoder stage: Arrow-batched ``mapInPandas``
+    over binary windows → unit-norm ``array<float>`` vectors, keyed
+    ``(asset_id, chunk_idx)``. Encoder is a byte-4-gram hashing stub
+    (same swap-the-inner-loop contract as :func:`embed_documents` —
+    a CLAP/wav2vec call replaces the loop, nothing else moves).
+    Narrow map, no shuffle; feeds operators/similarity.py unchanged.
+    """
+    import hashlib
+
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            embs = []
+            for payload in pdf["chunk"]:
+                b = bytes(payload)
+                v = np.zeros(dim, dtype=np.float64)
+                for i in range(0, max(len(b) - 3, 1), 4):
+                    h = int.from_bytes(
+                        hashlib.md5(b[i : i + 4]).digest()[:8], "little"
+                    )
+                    sign = 1.0 if (h >> 8) & 1 else -1.0
+                    v[h % dim] += sign
+                n = float(np.linalg.norm(v))
+                if n == 0.0:
+                    v[0] = 1.0
+                    n = 1.0
+                embs.append((v / n).astype(np.float32))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "chunk_idx": pdf["chunk_idx"],
+                    "embedding": embs,
+                }
+            )
+
+    return chunks.select("asset_id", "chunk_idx", "chunk").mapInPandas(
+        batches, "asset_id long, chunk_idx int, embedding array<float>"
+    )

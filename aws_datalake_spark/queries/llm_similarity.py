@@ -443,3 +443,47 @@ def llm_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_audio(media, chunk_bytes=1024).select(
         "asset_id", "chunk_idx", "start_byte", "chunk_len"
     )
+
+
+@query(
+    "llm_audio_index",
+    oracle="""
+    WITH audio AS (
+      SELECT doc_id AS asset_id, strlen(text) AS blen FROM documents
+      WHERE doc_id % 3 = 1 AND strlen(text) > 0
+    )
+    SELECT asset_id,
+           CAST(unnest(generate_series(0,
+             CAST(CEIL(CAST(blen AS DOUBLE) / 1024.0) AS BIGINT) - 1)) AS INT)
+             AS chunk_idx,
+           64 AS n_dims, TRUE AS unit_norm
+    FROM audio
+    """,
+)
+def llm_audio_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end audio indexing DAG: byte windowing → per-chunk
+    encoder stub — the audio twin of llm_rag_index, all narrow
+    stages, zero shuffles. Oracle checks the contract (every chunk
+    embedded, one unit-norm 64-dim vector each); vector values are
+    the stub's, covered by unit tests."""
+    from aws_datalake_spark.operators.multimodal import (
+        chunk_audio,
+        embed_media_chunks,
+        make_media_table,
+    )
+
+    media = make_media_table(t(spark, sf_dir, "documents"))
+    emb = embed_media_chunks(chunk_audio(media, chunk_bytes=1024))
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: (x * x).cast("double")),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    return emb.select(
+        "asset_id",
+        "chunk_idx",
+        F.size("embedding").alias("n_dims"),
+        (F.abs(norm - 1.0) < 1e-5).alias("unit_norm"),
+    )

@@ -464,3 +464,26 @@ def test_chunk_audio_windows_and_bytes(spark):
         for r in chunk_audio(media, chunk_bytes=300, overlap=100).collect()
     )
     assert ov[0][1][-100:] == ov[1][1][:100]
+
+
+def test_embed_media_chunks_deterministic_unit_norm(spark):
+    import math
+
+    from aws_datalake_spark.operators.multimodal import chunk_audio, embed_media_chunks
+
+    media = spark.createDataFrame(
+        [(1, "audio", bytes(range(200)), 200, "s")],
+        "asset_id long, media_type string, payload binary, byte_len long, source string",
+    )
+    emb1 = {
+        (r["asset_id"], r["chunk_idx"]): list(r["embedding"])
+        for r in embed_media_chunks(chunk_audio(media, chunk_bytes=64)).collect()
+    }
+    emb2 = {
+        (r["asset_id"], r["chunk_idx"]): list(r["embedding"])
+        for r in embed_media_chunks(chunk_audio(media, chunk_bytes=64)).collect()
+    }
+    assert emb1 == emb2 and len(emb1) == 4  # ceil(200/64)
+    for v in emb1.values():
+        assert len(v) == 64
+        assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-5
