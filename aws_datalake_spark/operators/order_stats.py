@@ -146,9 +146,18 @@ def exact_quantile_by_group(
             x for g, s in active.items()
             for x in (F.lit(g), F.lit((s["hi"] - s["lo"]) / n_bins))
         ])
-        bin_e = F.least(
-            F.lit(n_bins - 1),
-            F.floor((F.col("v") - lo_m[F.col("__g")]) / w_m[F.col("__g")]).cast("int"),
+        # Clamp BOTH ends: next-round lo is a Python-float bucket edge
+        # (lo + target*width), so a survivor can sit below it by one
+        # ulp — without the lower clamp its bin would be -1 and the row
+        # would silently vanish from histogram and survivors alike.
+        bin_e = F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(n_bins - 1),
+                F.floor(
+                    (F.col("v") - lo_m[F.col("__g")]) / w_m[F.col("__g")]
+                ).cast("int"),
+            ),
         )
         hist = (
             surv.filter(F.col("__g").isin(list(active)))

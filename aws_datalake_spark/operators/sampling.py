@@ -202,9 +202,12 @@ def priority_sample(
 ) -> DataFrame:
     """Priority sampling (Duffield-Lund-Thorup): k items weighted
     without replacement, with the unbiased per-item weight estimator
-    ``w_est = max(w, tau)`` (tau = the (k+1)-th smallest priority) —
-    sums over the sample estimate sums over the population with
-    provably near-optimal variance.
+    ``w_est = max(w, 1/tau)`` (tau = the (k+1)-th smallest priority).
+    An item is kept iff its priority ``u/w < tau``, i.e. with
+    probability ``min(1, w*tau)``, so the Horvitz-Thompson estimator
+    is ``w / min(1, w*tau) = max(w, 1/tau)`` — sums over the sample
+    estimate sums over the population with provably near-optimal
+    variance.
 
     Each item's priority is ``u / w`` with ``u`` the content-stable
     uniform (:func:`hash_uniform`); taking the k smallest priorities
@@ -238,7 +241,8 @@ def priority_sample(
             "w",
             "priority",
             F.when(
-                F.col("_cnt") == k + 1, F.greatest(F.col("w"), F.col("_tau"))
+                F.col("_cnt") == k + 1,
+                F.greatest(F.col("w"), F.lit(1.0) / F.col("_tau")),
             )
             .otherwise(F.col("w"))
             .alias("w_est"),

@@ -54,16 +54,25 @@ def heavy_hitters(df: DataFrame, col: str, support: float) -> DataFrame:
     its per-partition merge order); one counting scan is pruned to the
     candidate in-list before its shuffle, so the aggregation state is
     ≤ 2/support keys no matter the input cardinality.
+
+    Spark's ``freqItems`` requires its support argument ≥ 1e-4; when
+    ``support/2`` falls below that the sketch path would throw an
+    opaque ``IllegalArgumentException``, so we fall back to the exact
+    un-pruned groupBy (correct, just a full-cardinality shuffle — at
+    support < 2e-4 the answer set is huge anyway).
     """
-    cand_row = df.stat.freqItems([col], support / 2.0).collect()[0][0]
-    candidates = [c for c in cand_row if c is not None]
     total = df.count()
-    if not candidates:
-        empty = df.select(F.col(col), F.lit(0).cast("long").alias("cnt"))
-        return empty.limit(0)
+    if support / 2.0 >= 1e-4:
+        cand_row = df.stat.freqItems([col], support / 2.0).collect()[0][0]
+        candidates = [c for c in cand_row if c is not None]
+        if not candidates:
+            empty = df.select(F.col(col), F.lit(0).cast("long").alias("cnt"))
+            return empty.limit(0)
+        pruned = df.filter(F.col(col).isin(candidates))
+    else:
+        pruned = df
     return (
-        df.filter(F.col(col).isin(candidates))
-        .groupBy(col)
+        pruned.groupBy(col)
         .agg(F.count("*").alias("cnt"))
         .filter(F.col("cnt") > F.lit(float(support)) * F.lit(float(total)))
     )
@@ -177,9 +186,14 @@ def heavy_hitters_by_group(
     counting pass (pruned to candidates before its shuffle) then
     applies each group's own threshold. Candidate count is bounded by
     2 / (support · min_share) — fine when groups are balanced (the
-    common corpus-by-language case); for pathologically skewed group
-    sizes run the small groups through :func:`heavy_hitters`
-    per-group instead.
+    common corpus-by-language case).
+
+    Spark's ``freqItems`` requires its support argument ≥ 1e-4, so the
+    sketch path is only taken when ``support · min_share / 2`` clears
+    that bar; for skewed group sizes (any group under ``2e-4/support``
+    of the rows) we fall back to the exact un-pruned groupBy — the
+    aggregate keys are then unbounded, but the answer is exact rather
+    than an opaque ``IllegalArgumentException`` from freqItems.
     """
     totals = df.groupBy(group_col).count().collect()
     n_total = sum(r["count"] for r in totals)
@@ -192,15 +206,16 @@ def heavy_hitters_by_group(
     combined = df.withColumn(
         "__gk", F.concat_ws("\x01", F.col(group_col), F.col(col))
     )
-    cand_row = combined.stat.freqItems(["__gk"], support * min_share / 2.0).collect()[
-        0
-    ][0]
-    candidates = [c for c in cand_row if c is not None]
-    if not candidates:
-        return (
-            df.select(group_col, col).limit(0)
-            .withColumn("cnt", F.lit(0).cast("long"))
-        )
+    detect = support * min_share / 2.0
+    if detect >= 1e-4:
+        cand_row = combined.stat.freqItems(["__gk"], detect).collect()[0][0]
+        candidates = [c for c in cand_row if c is not None]
+        if not candidates:
+            return (
+                df.select(group_col, col).limit(0)
+                .withColumn("cnt", F.lit(0).cast("long"))
+            )
+        combined = combined.filter(F.col("__gk").isin(candidates))
     group_totals = {r[group_col]: r["count"] for r in totals}
     thresholds = [
         (g, float(support) * float(n)) for g, n in group_totals.items()
@@ -209,8 +224,7 @@ def heavy_hitters_by_group(
         *[x for g, t in thresholds for x in (F.lit(g), F.lit(t))]
     )
     return (
-        combined.filter(F.col("__gk").isin(candidates))
-        .groupBy(group_col, col)
+        combined.groupBy(group_col, col)
         .agg(F.count("*").alias("cnt"))
         .filter(F.col("cnt") > thr[F.col(group_col)])
     )

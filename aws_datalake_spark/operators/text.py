@@ -222,15 +222,22 @@ def repetition_features(
             id_col,
             "__n2",
             "__n3",
+            # Same empty-guard as `starts`: sequence(1, 0) is the
+            # DESCENDING [1, 0], whose element_at(.., 0) / element_at of
+            # an empty array are ANSI runtime errors — today masked only
+            # by lazy CaseWhen evaluation downstream, which any plan
+            # change (CSE, cache, direct select of __l2) would defeat.
             F.expr(
-                "transform(sequence(1, size(__s2)),"
+                "case when size(__s2) = 0 then array() else"
+                " transform(sequence(1, size(__s2)),"
                 " j -> (if(j < size(__s2), element_at(__s2, j + 1), __n2 + 1))"
-                "      - element_at(__s2, j))"
+                "      - element_at(__s2, j)) end"
             ).alias("__l2"),
             F.expr(
-                "transform(sequence(1, size(__s3)),"
+                "case when size(__s3) = 0 then array() else"
+                " transform(sequence(1, size(__s3)),"
                 " j -> (if(j < size(__s3), element_at(__s3, j + 1), __n3 + 1))"
-                "      - element_at(__s3, j))"
+                "      - element_at(__s3, j)) end"
             ).alias("__l3"),
         )
     )

@@ -382,7 +382,7 @@ def llm_rag_index(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM top
     )
     SELECT doc_id, w, priority,
-           CASE WHEN cnt = 201 THEN GREATEST(w, tau) ELSE w END AS w_est
+           CASE WHEN cnt = 201 THEN GREATEST(w, 1.0 / tau) ELSE w END AS w_est
     FROM win WHERE rn <= 200
     """,
 )

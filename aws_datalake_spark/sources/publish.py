@@ -33,6 +33,7 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -71,15 +72,44 @@ def publish(root: str, tables: dict[str, str]) -> int:
     POSIX-atomic, so a concurrent reader sees either the old or the
     new manifest, never a torn one, and a crash before the replace
     publishes nothing (staged files simply sit invisible).
+
+    Concurrent WRITERS are serialized optimistically: the retained
+    ``v<N+1>.json`` is created with ``O_EXCL``, so two publishers that
+    both read version N race on the same filename and exactly one
+    wins; the loser re-reads the (now advanced) manifest and retries
+    on top of it — the lost-update where the second ``os.replace``
+    silently discards the first batch's table pointers cannot happen.
+    This is the same optimistic-concurrency protocol Delta Lake uses
+    on its ``_delta_log/<version>.json`` commit files. (On object
+    stores without atomic create-if-absent, swap the O_EXCL create
+    for a conditional PUT / DynamoDB-style lock — same protocol.)
     """
-    cur = current_manifest(root)
-    new_tables = dict(cur["tables"])
-    new_tables.update(tables)
-    version = cur["version"] + 1
-    doc = {"version": version, "tables": new_tables}
     os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
-    with open(_manifest_path(root, version), "w") as f:
-        json.dump(doc, f, indent=2, sort_keys=True)
+    for _ in range(64):
+        cur = current_manifest(root)
+        new_tables = dict(cur["tables"])
+        new_tables.update(tables)
+        version = cur["version"] + 1
+        doc = {"version": version, "tables": new_tables}
+        try:
+            fd = os.open(
+                _manifest_path(root, version),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+                0o644,
+            )
+        except FileExistsError:
+            # Lost the race. The winner's _CURRENT replace may still be
+            # in flight, so give it a beat before re-reading.
+            time.sleep(0.01)
+            continue
+        with os.fdopen(fd, "w") as f:
+            json.dump(doc, f, indent=2, sort_keys=True)
+        break
+    else:
+        raise RuntimeError(
+            f"publish: could not claim a manifest version under {root!r} "
+            "after 64 attempts (livelock or stale v*.json files)"
+        )
     fd, tmp = tempfile.mkstemp(dir=root, prefix="._current.")
     with os.fdopen(fd, "w") as f:
         json.dump(doc, f, indent=2, sort_keys=True)

@@ -153,7 +153,29 @@ def test_priority_sample_selection_and_estimator(spark):
     got = {r["doc_id"]: r for r in priority_sample(df, k, "w", "doc_id").collect()}
     assert sorted(got) == sorted(expect_ids)
     for i in expect_ids:
-        assert got[i]["w_est"] == max(pri[i][1], tau)
+        # HT estimator: inclusion prob = min(1, w*tau) -> w_est = max(w, 1/tau)
+        assert got[i]["w_est"] == max(pri[i][1], 1.0 / tau)
+
+
+def test_priority_sample_estimator_is_unbiased(spark):
+    """Averaged over seeds, sum(w_est) over the sample must estimate the
+    population total sum(w) — the DLT contract the estimator exists for."""
+    from aws_datalake_spark.operators.sampling import priority_sample
+
+    df = spark.createDataFrame(
+        [(i, float(1 + (i * 13) % 50)) for i in range(100)], "doc_id long, w double"
+    ).cache()
+    true_total = 100 + sum((i * 13) % 50 for i in range(100))
+    estimates = []
+    for s in range(12):
+        out = priority_sample(df, 10, "w", "doc_id", seed=f"seed{s}").collect()
+        estimates.append(sum(r["w_est"] for r in out))
+    mean_est = sum(estimates) / len(estimates)
+    # k=10 of n=100: per-draw variance is real, but the mean of 12 draws
+    # must land near the truth (the broken max(w, tau) formula gives ~13%
+    # of the total and fails this by an order of magnitude).
+    assert abs(mean_est - true_total) / true_total < 0.35
+    df.unpersist()
 
 
 def test_priority_sample_exhaustive_when_k_exceeds_n(spark):

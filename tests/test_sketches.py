@@ -36,6 +36,30 @@ def test_heavy_hitters_no_candidates(spark):
     assert [f.name for f in out.schema.fields] == ["token", "cnt"]
 
 
+def test_heavy_hitters_tiny_support_falls_back_exact(spark):
+    """support/2 < 1e-4 would crash Spark's freqItems; the operator
+    must fall back to the exact path and still answer correctly."""
+    rows = ["a"] * 50 + ["b"] * 30 + [f"d{i}" for i in range(20)]
+    df = spark.createDataFrame([(v,) for v in rows], "token string")
+    got = {r["token"]: r["cnt"] for r in heavy_hitters(df, "token", 1e-4).collect()}
+    assert got["a"] == 50 and got["b"] == 30
+    # every singleton clears a 1e-4 threshold on 100 rows too
+    assert len(got) == 22
+
+
+def test_heavy_hitters_by_group_skewed_groups_fall_back_exact(spark):
+    """A group holding <2% of rows at support=0.01 pushes the freqItems
+    threshold under 1e-4 — previously an IllegalArgumentException."""
+    rows = [("big", "x")] * 990 + [("small", "y")] * 8 + [("small", "z")] * 2
+    df = spark.createDataFrame(rows, "g string, tok string")
+    got = {
+        (r["g"], r["tok"]): r["cnt"]
+        for r in heavy_hitters_by_group(df, "g", "tok", 0.01).collect()
+    }
+    # per-group thresholds: big needs >9.9 rows, small needs >0.1 rows
+    assert got == {("big", "x"): 990, ("small", "y"): 8, ("small", "z"): 2}
+
+
 # --- Bloom filter ------------------------------------------------------------
 
 

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import datetime
+import os
 
 from pyspark.sql import functions as F
 
@@ -254,6 +255,55 @@ def test_publish_partial_batch_crash_leaves_readers_unaffected(spark, tmp_path):
     stage_table(spark.createDataFrame([(9,)], "id long"), root, "ta", "b2")
     assert read_published(spark, root, "ta").collect() == a1.collect()
     assert read_published(spark, root, "tb").collect() == b1.collect()
+
+
+def test_publish_concurrent_writers_lose_no_update(tmp_path):
+    """Two racing publishers must BOTH land (O_EXCL version claim):
+    the loser retries on top of the winner instead of overwriting."""
+    import threading
+
+    from aws_datalake_spark.sources.publish import current_manifest, publish
+
+    root = str(tmp_path / "lake3")
+    os.makedirs(root, exist_ok=True)
+    publish(root, {"ta": "b1", "tb": "b1"})
+    barrier = threading.Barrier(2)
+    errs = []
+
+    def worker(tables):
+        try:
+            barrier.wait()
+            publish(root, tables)
+        except Exception as e:  # pragma: no cover - surfaced via assert
+            errs.append(e)
+
+    t1 = threading.Thread(target=worker, args=({"ta": "b2"},))
+    t2 = threading.Thread(target=worker, args=({"tb": "b2"},))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs
+    cur = current_manifest(root)
+    # no lost update: both batch pointers advanced, linear history v1..v3
+    assert cur["tables"] == {"ta": "b2", "tb": "b2"}
+    assert cur["version"] == 3
+    assert os.path.exists(os.path.join(root, "_manifests", "v2.json"))
+    assert os.path.exists(os.path.join(root, "_manifests", "v3.json"))
+
+
+def test_publish_orphaned_claim_fails_loudly(tmp_path):
+    """A crashed publisher's claimed-but-uncommitted version file must
+    make the next publish raise, not silently drop a batch."""
+    import pytest
+
+    from aws_datalake_spark.sources.publish import publish
+
+    root = str(tmp_path / "lake4")
+    os.makedirs(root, exist_ok=True)
+    publish(root, {"ta": "b1"})
+    # simulate a publisher that claimed v2 then died before the commit
+    with open(os.path.join(root, "_manifests", "v2.json"), "w") as f:
+        f.write("{}")
+    with pytest.raises(RuntimeError, match="could not claim"):
+        publish(root, {"ta": "b2"})
 
 
 def test_ordered_shards_concatenate_to_global_order(spark, tmp_path):
