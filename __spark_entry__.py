@@ -19,7 +19,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from aws_datalake_spark.queries import all_oracles, all_queries  # noqa: E402
+from aws_datalake_spark.queries import (  # noqa: E402
+    all_oracles,
+    driver_ordered_queries,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -30,8 +33,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return all_queries()
+    """One entry per implemented operator from SURVEY.md §2, ordered so
+    the driver's correctness window certifies not-yet-green queries
+    first (rotates as CORRECTNESS_r*.json artifacts accumulate)."""
+    return driver_ordered_queries()
 
 
 def oracle_sql() -> dict[str, str]:
