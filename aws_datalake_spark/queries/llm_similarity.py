@@ -46,6 +46,21 @@ def _emb_double(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sig_sql(var: str, dim: int, num_planes: int, seed: str = "lsh") -> str:
+    """DuckDB twin of operators/similarity.py:hyperplane_signature:
+    the SAME literal plane arrays (make_planes) with the same
+    left-to-right dot-product fold, so bucket assignments — and
+    therefore banded candidate sets — match Spark bit-for-bit."""
+    from aws_datalake_spark.operators.similarity import make_planes
+
+    terms = []
+    for p, plane in enumerate(make_planes(dim, num_planes, seed)):
+        lit = "[" + ", ".join(repr(v) for v in plane) + "]::DOUBLE[]"
+        d = _DOT.format(a=var, b=lit)
+        terms.append(f"CASE WHEN ({d}) > 0 THEN {1 << p} ELSE 0 END")
+    return " + ".join(terms)
+
+
 @query(
     "llm_cosine_topk",
     oracle=f"""
@@ -77,33 +92,65 @@ def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", F.col("rank").cast("int"), "cosine")
 
 
+def _neardup_banded_pairs(seeded: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """Two-band hyperplane-LSH near-dup pairs: each band restricts the
+    self-join to same-signature buckets (8 planes → 256 buckets per
+    band); the union of bands recovers pairs either band catches.
+    Exact copies share every signature, so recall on true duplicates
+    is 1.0; near-misses at cosine ~0.95 collide per band with prob
+    (1 - theta/pi)^8 ≈ 0.42, ≈ 0.67 over two bands — add bands for
+    higher recall, add planes for bigger corpora (buckets should track
+    corpus_size / desired_bucket_rows). No all-pairs join anywhere."""
+    from aws_datalake_spark.operators.similarity import hyperplane_signature
+
+    bands = [
+        cosine_neardup_pairs(
+            seeded,
+            threshold=threshold,
+            bucket_col=hyperplane_signature(F.col("embedding"), 64, 8, seed=s),
+        )
+        for s in ("band1", "band2")
+    ]
+    return bands[0].unionByName(bands[1]).distinct()
+
+
+_NEARDUP_SEEDED = """
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000, embedding::DOUBLE[] FROM embeddings
+      WHERE vec_id < 40"""
+
+
 @query(
     "llm_embedding_neardup",
     oracle=f"""
-    WITH base AS (
-      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
-      UNION ALL
-      SELECT vec_id + 100000, label, embedding::DOUBLE[] FROM embeddings
-      WHERE vec_id < 40)
+    WITH base AS ({_NEARDUP_SEEDED}),
+    sig AS (
+      SELECT vec_id, v, {_sig_sql('v', 64, 8, 'band1')} AS s1,
+             {_sig_sql('v', 64, 8, 'band2')} AS s2
+      FROM base)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            ROUND({_cos('a.v', 'b.v')}, 6) AS cosine
-    FROM base a JOIN base b
-      ON a.label = b.label AND a.vec_id < b.vec_id
+    FROM sig a JOIN sig b
+      ON (a.s1 = b.s1 OR a.s2 = b.s2) AND a.vec_id < b.vec_id
     WHERE ROUND({_cos('a.v', 'b.v')}, 6) >= 0.95
     """,
 )
 def llm_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, label-bucketed (the scale
-    path restricts the self-join to buckets). Corpus seeded with
-    exact copies at vec_id+100000 so the threshold provably fires
-    (random fixture vectors top out near cosine 0.48)."""
+    """Embedding-cosine near-dup pairs, hyperplane-LSH-banded — the
+    scale path restricts the self-join to same-signature buckets (a
+    SIMILARITY bucket, unlike a data label: vectors collide because
+    they point the same way). Corpus seeded with exact copies at
+    vec_id+100000 so the threshold provably fires (random fixture
+    vectors top out near cosine 0.48). The oracle re-derives the same
+    literal planes, so the banded candidate sets match exactly."""
     e = _emb_double(spark, sf_dir)
-    seeded = e.unionByName(
+    seeded = e.select("vec_id", "embedding").unionByName(
         e.filter(F.col("vec_id") < 40).select(
-            (F.col("vec_id") + 100000).alias("vec_id"), "label", "embedding"
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
         )
     )
-    return cosine_neardup_pairs(seeded, threshold=0.95, bucket_col=F.col("label"))
+    return _neardup_banded_pairs(seeded, threshold=0.95)
 
 
 def _ann_oracle(dim: int = 64, num_planes: int = 6, k: int = 5) -> str:
@@ -111,14 +158,7 @@ def _ann_oracle(dim: int = 64, num_planes: int = 6, k: int = 5) -> str:
     make_planes) with the same left-to-right dot-product fold, so
     bucket signatures — and therefore the candidate sets — match
     Spark exactly."""
-    from aws_datalake_spark.operators.similarity import make_planes
-
-    bit_terms = []
-    for p, plane in enumerate(make_planes(dim, num_planes)):
-        lit = "[" + ", ".join(repr(v) for v in plane) + "]::DOUBLE[]"
-        d = _DOT.format(a="v", b=lit)
-        bit_terms.append(f"CASE WHEN ({d}) > 0 THEN {1 << p} ELSE 0 END")
-    sig = " + ".join(bit_terms)
+    sig = _sig_sql("v", dim, num_planes)
     return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     sig AS (SELECT vec_id, v, {sig} AS s FROM e),
@@ -310,11 +350,15 @@ def llm_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "llm_semantic_dedup_keep",
     oracle=f"""
-    WITH RECURSIVE e AS (
-      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    WITH RECURSIVE base AS ({_NEARDUP_SEEDED}),
+    sig AS (
+      SELECT vec_id, v, {_sig_sql('v', 64, 8, 'band1')} AS s1,
+             {_sig_sql('v', 64, 8, 'band2')} AS s2
+      FROM base
     ), prs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b
-      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      FROM sig a JOIN sig b
+        ON (a.s1 = b.s1 OR a.s2 = b.s2) AND a.vec_id < b.vec_id
       WHERE ROUND({_cos('a.v', 'b.v')}, 6) >= 0.95
     ), edges AS (
       SELECT id_a AS s, id_b AS d FROM prs
@@ -326,26 +370,34 @@ def llm_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), comp AS (
       SELECT node, MIN(label) AS cluster_id FROM walk GROUP BY node
     )
-    SELECT vec_id FROM embeddings
+    SELECT vec_id FROM base
     WHERE vec_id NOT IN (SELECT node FROM comp WHERE node != cluster_id)
     """,
 )
 def llm_semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup-style semantic dedup end-to-end: embedding-cosine
-    near-dup pairs become edges, transitive groups resolve via
-    min-label components, and one representative per semantic cluster
-    survives. The corpus side is a broadcast anti-join, so at 100 TB
-    only the (near-dup-density-sized) drop set moves."""
+    """SemDeDup-style semantic dedup end-to-end: hyperplane-LSH-banded
+    near-dup pairs (NO all-pairs join — each band's self-join is
+    bucket-restricted, the true SemDeDup cluster-then-pair shape)
+    become edges, transitive groups resolve via min-label components,
+    and one representative per semantic cluster survives. The corpus
+    side is a broadcast anti-join, so at 100 TB only the
+    (near-dup-density-sized) drop set moves. Corpus seeded with exact
+    copies at vec_id+100000 so the dedup provably fires: every seeded
+    copy is dropped, every original kept."""
     from aws_datalake_spark.operators.dedup_cluster import (
         connected_components,
         dedup_representatives,
     )
-    from aws_datalake_spark.operators.similarity import cosine_neardup_pairs
 
-    pairs = cosine_neardup_pairs(_emb_double(spark, sf_dir), threshold=0.95)
+    e = _emb_double(spark, sf_dir)
+    seeded = e.select("vec_id", "embedding").unionByName(
+        e.filter(F.col("vec_id") < 40).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        )
+    )
+    pairs = _neardup_banded_pairs(seeded, threshold=0.95)
     comp = connected_components(pairs, a="id_a", b="id_b")
-    corpus = t(spark, sf_dir, "embeddings").select("vec_id")
-    return dedup_representatives(corpus, comp, id_col="vec_id")
+    return dedup_representatives(seeded.select("vec_id"), comp, id_col="vec_id")
 
 
 @query(

@@ -201,6 +201,35 @@ def test_embedding_neardup_finds_planted_copy(spark):
     assert any({p.id_a, p.id_b} == {7, 5007} for p in pairs)
 
 
+def test_banded_neardup_recall_vs_exact(spark):
+    """The 2-band hyperplane-LSH near-dup path must recover every
+    exact-duplicate pair the brute-force cross join finds (identical
+    vectors share every signature → per-band recall 1.0 on true
+    copies), and never emit a pair brute force wouldn't."""
+    from aws_datalake_spark.queries.llm_similarity import _neardup_banded_pairs
+    from aws_datalake_spark.operators.similarity import cosine_neardup_pairs
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    seeded = emb.unionByName(
+        emb.filter(F.col("vec_id") < 20).select(
+            (F.col("vec_id") + 5000).alias("vec_id"), "embedding"
+        )
+    )
+    exact = {
+        (p.id_a, p.id_b)
+        for p in cosine_neardup_pairs(seeded, threshold=0.95).collect()
+    }
+    banded = {
+        (p.id_a, p.id_b) for p in _neardup_banded_pairs(seeded, 0.95).collect()
+    }
+    assert banded <= exact              # banding can only DROP pairs
+    planted = {(i, i + 5000) for i in range(20)}
+    assert planted <= exact
+    assert planted <= banded            # recall 1.0 on exact copies
+
+
 def test_ivf_recall_vs_brute_force(spark):
     from aws_datalake_spark.operators.similarity import ann_ivf_topk, cosine_topk
 

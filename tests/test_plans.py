@@ -111,6 +111,22 @@ def test_dedup_representatives_broadcast_anti_join(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_semantic_dedup_has_no_cross_join(spark):
+    """llm_semantic_dedup_keep's pair generation must stay LSH-banded:
+    an un-bucketed cosine_neardup_pairs call would put an O(n²)
+    CartesianProduct over the full embedding corpus in the plan — the
+    one shape that cannot survive a 100× scale-up."""
+    from aws_datalake_spark.queries.llm_similarity import (
+        llm_embedding_neardup,
+        llm_semantic_dedup_keep,
+    )
+
+    for q in (llm_semantic_dedup_keep, llm_embedding_neardup):
+        plan = _plan(q(spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, q.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, q.__name__
+
+
 def test_pack_sequences_window_is_partitioned(spark):
     """The doc-level cumsum window must run partitioned by bucket —
     a single-task global window would serialize the whole corpus.
