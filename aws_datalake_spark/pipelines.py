@@ -29,7 +29,7 @@ from aws_datalake_spark.operators.scalar import (
 from aws_datalake_spark.operators.scd2 import scd2_merge
 from aws_datalake_spark.operators.state_delta import compute_deltas, upsert_state
 from aws_datalake_spark.sources.readers import read_json_docs, read_pipe_staging
-from aws_datalake_spark.sources.writers import write_pipe_csv
+from aws_datalake_spark.sources.writers import cast_void_to_string, write_pipe_csv
 
 
 @dataclass
@@ -43,6 +43,9 @@ class TransformationJob:
     metric_cols: list[str] = field(default_factory=list)
     child_arrays: dict[str, str] = field(default_factory=dict)  # out-name -> array path
     generic_padding: int = 10
+    # historical backfill date (ingestion.py:28-36): insrt_ts = date+1s
+    # instead of now() — also what makes a pipeline run reproducible
+    historical_date: str | None = None
 
 
 def run_transformation(
@@ -52,11 +55,16 @@ def run_transformation(
     job: TransformationJob,
     state_path: str | None = None,
     schema=None,
+    multi_line: bool = True,
 ) -> dict[str, DataFrame]:
     """raw JSON → rule projection → child-table explodes → padding +
     audit ts → stateful delta (join + state upsert, NOT per-row RPC)
-    → pipe-CSV zone write. Returns the written frames by name."""
-    raw = read_json_docs(spark, raw_path, schema=schema)
+    → pipe-CSV zone write. Returns the written frames by name.
+
+    ``multi_line=True`` matches the reference's pretty-printed raw
+    arrays; pass False for JSONL zones (one doc per line — the layout
+    that actually splits across executors at scale)."""
+    raw = read_json_docs(spark, raw_path, schema=schema, multi_line=multi_line)
     main = compile_rules(raw, job.rules)
 
     outputs: dict[str, DataFrame] = {}
@@ -65,7 +73,7 @@ def run_transformation(
         outputs[name] = child
 
     main = add_generic_padding(main, n=job.generic_padding)
-    main = add_audit_ts(main)
+    main = add_audit_ts(main, historical_date=job.historical_date)
 
     if job.metric_cols:
         if state_path is not None:
@@ -76,7 +84,9 @@ def run_transformation(
         else:
             state = None
         main = compute_deltas(main, state, job.key_cols, job.metric_cols)
-        main = project_final(main, [c for c in job.final_columns if c in main.columns])
+        main = cast_void_to_string(
+            project_final(main, [c for c in job.final_columns if c in main.columns])
+        )
         write_pipe_csv(main, out_path)
         if state_path is not None:
             # Both consumers of the OLD state (deltas above, upsert
@@ -97,7 +107,9 @@ def run_transformation(
             new_state.write.mode("overwrite").parquet(tmp)
             spark.read.parquet(tmp).write.mode("overwrite").parquet(state_path)
     else:
-        main = project_final(main, [c for c in job.final_columns if c in main.columns])
+        main = cast_void_to_string(
+            project_final(main, [c for c in job.final_columns if c in main.columns])
+        )
         write_pipe_csv(main, out_path)
 
     outputs["main"] = spark.read.option("sep", "|").option("header", True).schema(
@@ -168,6 +180,9 @@ class EntityLoad:
     keys: list[str]
     staging_schema: str
     columnwise_keys: bool = False
+    # fixed close-out timestamp ('YYYY-MM-DD HH:MM:SS'); None = now().
+    # Batch loads that must be replayable (and oracle-checkable) pin it.
+    close_ts: str | None = None
 
 
 def run_batch_load(
@@ -199,7 +214,15 @@ def run_batch_load(
         try:
             target = read_published(spark, root, name)
             merged = scd2_merge(
-                target, staging, cfg.keys, columnwise_keys=cfg.columnwise_keys
+                target,
+                staging,
+                cfg.keys,
+                close_ts=(
+                    F.lit(cfg.close_ts).cast("timestamp")
+                    if cfg.close_ts is not None
+                    else None
+                ),
+                columnwise_keys=cfg.columnwise_keys,
             )
         except KeyError:
             merged = staging.withColumn("actv_flg", F.lit("Y")).withColumn(

@@ -11,9 +11,31 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def cast_void_to_string(df: DataFrame) -> DataFrame:
+    """Cast NullType columns to string — CSV (and several other
+    datasources) reject VOID on both write AND schema'd re-read."""
+    from pyspark.sql.types import NullType
+
+    if not any(isinstance(f.dataType, NullType) for f in df.schema.fields):
+        return df
+    return df.select(
+        *[
+            F.col(f.name).cast("string").alias(f.name)
+            if isinstance(f.dataType, NullType)
+            else F.col(f.name)
+            for f in df.schema.fields
+        ]
+    )
+
+
 def write_pipe_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """S11 — pipe-delimited CSV with header
-    (transformation.py:410-412: to_csv(sep='|', index=False))."""
+    (transformation.py:410-412: to_csv(sep='|', index=False)).
+
+    VOID-typed columns (all-NULL rule outputs, padding) are cast to
+    string: the reference writes such columns as empty CSV cells
+    (pandas NaN), while Spark's CSV sink rejects NullType outright."""
+    df = cast_void_to_string(df)
     (
         df.write.mode(mode)
         .option("sep", "|")

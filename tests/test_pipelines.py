@@ -168,3 +168,30 @@ def test_batch_load_single_commit_scd2_across_entities(spark, tmp_path):
     assert cr.filter("actv_flg = 'Y'").count() == 2
     # time travel: at v1 creative had one row
     assert read_published(spark, root, "creative", version=1).count() == 1
+
+
+def test_entity_end_to_end_scd2_history(spark):
+    """The composed GAM-entity flow (rules→explode→pad→audit→CSV
+    zones→SCD2 batch loads→publish) must leave real SCD2 history:
+    mutated keys carry a closed 'N' version with the pinned close_ts
+    plus an active re-inserted version; untouched keys stay single."""
+    from aws_datalake_spark.queries.entity_e2e import ref_entity_end_to_end
+    from tests.conftest import SF_SMOKE
+
+    out = ref_entity_end_to_end(spark, SF_SMOKE).cache()
+    mutated = out.filter("_id % 7 = 0")
+    untouched = out.filter("_id % 7 != 0")
+    # every mutated key: exactly one closed + one active version
+    per_key = {
+        (r["actv_flg"], r["record_to"] is None)
+        for r in mutated.select("actv_flg", "record_to").distinct().collect()
+    }
+    assert per_key == {("N", False), ("Y", True)}
+    assert mutated.filter("actv_flg = 'Y'").select("status").distinct().collect()[0][
+        "status"
+    ] == "X"
+    # untouched keys: single active batch-1 version
+    assert untouched.filter("actv_flg != 'Y'").count() == 0
+    # P2: schema-absent nested rule surfaced as NULL everywhere
+    assert out.filter("device_targeting IS NOT NULL").count() == 0
+    out.unpersist()
