@@ -367,3 +367,44 @@ def st_gap_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pv") + (F.col("nv") - F.col("pv")) * frac
     )
     return w.select("user_id", "hour", interp.alias("value_interp"))
+
+
+@query(
+    "st_interval_join",
+    oracle="""
+    SELECT p.event_id AS p_id, p.user_id,
+           CAST(p.ts AS TIMESTAMP) AS p_ts,
+           v.event_id AS v_id, CAST(v.ts AS TIMESTAMP) AS v_ts,
+           CAST(date_diff('second', v.ts, p.ts) AS BIGINT) AS lead_seconds
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON v.user_id = p.user_id
+     AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+    """,
+)
+def st_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST — stream-stream interval join, batch twin: each purchase
+    matched to the same user's views in the preceding hour (the
+    attribution shape). The SAME builder
+    (streaming/windows.py:interval_join) runs on watermarked streams —
+    where the time-range predicate is what lets Spark expire join
+    state — exercised with real readStream runs in
+    tests/test_streaming.py."""
+    from aws_datalake_spark.streaming.windows import interval_join
+
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("v_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    out = interval_join(
+        purchases, views, "user_id", "v_user", "p_ts", "v_ts", lookback="1 hour"
+    )
+    return out.select(
+        "p_id", "user_id", "p_ts", "v_id", "v_ts",
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("v_ts")).alias("lead_seconds"),
+    )

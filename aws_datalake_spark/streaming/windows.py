@@ -74,6 +74,48 @@ def sliding_counts(
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    lookback: str = "1 hour",
+    how: str = "inner",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Stream-stream (or batch-twin) INTERVAL join: right events for
+    the same key whose timestamp falls in ``[left_ts - lookback,
+    left_ts]`` — the attribution shape (purchase ← views in the prior
+    hour).
+
+    On STREAMING inputs pass ``watermark``: both sides get
+    ``withWatermark`` and the time-range predicate lets Spark bound
+    the join state — each side holds only rows inside
+    watermark + lookback, then drops them (without the range bound a
+    stream-stream join's state grows forever). Outer joins emit their
+    NULL-padded rows once the watermark passes the join window.
+    On batch inputs (watermark=None or not — it is a no-op in batch)
+    the same builder is the oracle-checkable twin, and Catalyst runs
+    the equi-key part as a hash join with the range as a post-filter.
+
+    Column contract: key/ts columns keep their caller names; rows
+    carry every column of both sides (right's join key dropped).
+    """
+    lt, rt = F.col(left_ts), F.col(right_ts)
+    cond = (
+        (F.col(key) == F.col(right_key))
+        & (rt >= lt - F.expr(f"INTERVAL {lookback}"))
+        & (rt <= lt)
+    )
+    lhs, rhs = left, right
+    if watermark is not None:
+        lhs = lhs.withWatermark(left_ts, watermark)
+        rhs = rhs.withWatermark(right_ts, watermark)
+    return lhs.join(rhs, cond, how).drop(right_key)
+
+
 def session_counts(
     df: DataFrame,
     ts_col: str = "ts",

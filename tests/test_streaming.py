@@ -518,3 +518,46 @@ def test_stream_quarantine_diverts_bad_rows(spark, tmp_path):
     assert [r.event_id for r in spark.read.parquet(good_p).collect()] == [1]
     bad = {r.event_id: r["__reasons"] for r in spark.read.parquet(bad_p).collect()}
     assert bad == {2: "event_type:in_set", 3: "value:between"}
+
+
+def test_interval_join_operator_on_real_streams(spark, tmp_path):
+    """The registry's st_interval_join batch twin and this streaming
+    run share ONE builder (streaming/windows.py:interval_join); on
+    streams the watermark + time-range predicate bound the join
+    state."""
+    from aws_datalake_spark.streaming.windows import interval_join
+
+    psrc, vsrc = str(tmp_path / "ij_p"), str(tmp_path / "ij_v")
+    _write_events_json(
+        spark, psrc, rows=[(10, "2024-01-01 10:30:00", 1, "purchase", 50.0)]
+    )
+    _write_events_json(
+        spark, vsrc,
+        rows=[
+            (20, "2024-01-01 10:00:00", 1, "view", 0.0),  # within 1h before
+            (21, "2024-01-01 08:00:00", 1, "view", 0.0),  # too early
+            (22, "2024-01-01 10:45:00", 1, "view", 0.0),  # after the purchase
+        ],
+    )
+    purchases = (
+        spark.readStream.schema(EVENTS_SCHEMA).json(psrc)
+        .selectExpr("event_id AS p_id", "user_id", "ts AS p_ts")
+    )
+    views = (
+        spark.readStream.schema(EVENTS_SCHEMA).json(vsrc)
+        .selectExpr("event_id AS v_id", "user_id AS v_user", "ts AS v_ts")
+    )
+    joined = interval_join(
+        purchases, views, "user_id", "v_user", "p_ts", "v_ts",
+        lookback="1 hour", watermark="2 hours",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ij_op_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ij_op"))
+        .start()
+    )
+    _await(q)
+    out = sorted((r.p_id, r.v_id) for r in spark.table("ij_op_out").collect())
+    assert out == [(10, 20)]
