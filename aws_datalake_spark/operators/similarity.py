@@ -205,13 +205,19 @@ def ann_ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    band: tuple[float, float] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors live in their single
     nearest-centroid cell; each query probes its ``n_probe`` nearest
     cells and scores only those vectors. At 100 TB the corpus is
     written partitioned by cell, so a probe is a partition-pruned
     scan; centroids come from driver-side k-means on a sample and
-    broadcast (here any small (centroid_id, cvec) table works)."""
+    broadcast (here any small (centroid_id, cvec) table works).
+
+    ``band=(lo, hi)`` restricts candidates to lo < round(cos,6) < hi
+    before ranking — hard-negative mining at ANN cost: informative
+    similars only, near-dups excluded (same contract as
+    :func:`cosine_topk`)."""
     c_cells = assign_cells(corpus, centroids, 1, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"), "centroid_id"
     )
@@ -230,6 +236,12 @@ def ann_ivf_topk(
             / (F.col("__nq") * F.col("__nc"))
         ).alias("cos"),
     )
+    if band is not None:
+        lo, hi = band
+        scored = scored.filter(
+            (F.round("cos", 6) > F.lit(float(lo)))
+            & (F.round("cos", 6) < F.lit(float(hi)))
+        )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), "neighbor_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -404,11 +404,14 @@ def llm_semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_hard_negatives",
     oracle=f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 50 = 0),
+    cor AS ({_IVF_ASSIGN.format(cos=_cos('e.v', 'cent.cv'), src='SELECT * FROM e', n_probe=1)}),
+    qc AS ({_IVF_ASSIGN.format(cos=_cos('e.v', 'cent.cv'), src='SELECT * FROM e WHERE vec_id < 10', n_probe=2)}),
     scored AS (
-      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             {_cos('q.v', 'c.v')} AS cos
-      FROM e q JOIN e c ON c.vec_id <> q.vec_id
-      WHERE q.vec_id < 10),
+      SELECT qc.vec_id AS query_id, cor.vec_id AS neighbor_id,
+             {_cos('qc.v', 'cor.v')} AS cos
+      FROM qc JOIN cor ON cor.centroid_id = qc.centroid_id
+                      AND cor.vec_id <> qc.vec_id),
     banded AS (
       SELECT query_id, neighbor_id, cos FROM scored
       WHERE ROUND(cos, 6) > 0.15 AND ROUND(cos, 6) < 0.95),
@@ -423,15 +426,23 @@ def llm_semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hard-negative mining for contrastive training: per query, the
-    top-5 neighbors inside the (0.15, 0.95) cosine band — similar
-    enough to be informative, below the near-dup ceiling so true
-    positives can't leak in as negatives (cosine_topk band option)."""
+    """Hard-negative mining for contrastive training AT ANN COST: per
+    query, the top-5 neighbors inside the (0.15, 0.95) cosine band —
+    similar enough to be informative, below the near-dup ceiling so
+    true positives can't leak in as negatives. Rides ann_ivf_topk
+    (cell-pruned scoring) with the band filter; production mining
+    never brute-forces the corpus. The brute-force banded path stays
+    as the recall check (tests/test_llm_ops.py)."""
     e = _emb_double(spark, sf_dir)
+    centroids = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
     queries = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = cosine_topk(e, queries, k=5, query_id_col="query_id", band=(0.15, 0.95))
+    out = ann_ivf_topk(
+        e, queries, centroids, k=5, n_probe=2, band=(0.15, 0.95)
+    )
     return out.select("query_id", "neighbor_id", F.col("rank").cast("int"), "cosine")
 
 

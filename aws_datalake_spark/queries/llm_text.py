@@ -497,10 +497,13 @@ def llm_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates over the vocabulary table only. No SQL twin — the
     merge chosen at step k depends on all k−1 prior merges — so the
     driver records a rows-only check; determinism and parity with a
-    pure-Python reference BPE are unit-tested (tests/test_bpe.py)."""
-    from aws_datalake_spark.operators.bpe import bpe_merges
+    pure-Python reference BPE are unit-tested (tests/test_bpe.py).
+    Uses the batched trainer: each Spark round learns every
+    provably-safe disjoint top pair, so a 32k-vocab run is ~K/batch
+    driver round-trips instead of one job per merge."""
+    from aws_datalake_spark.operators.bpe import bpe_merges_batched
 
-    return bpe_merges(t(spark, sf_dir, "documents"), num_merges=8)
+    return bpe_merges_batched(t(spark, sf_dir, "documents"), num_merges=8)
 
 
 @query(

@@ -94,3 +94,51 @@ def test_bpe_encode_applies_merges_in_order(spark):
     assert out["low"] == (["low"], 1)
     assert out["lowest"] == (["low", "est"], 2)
     assert out["newest"] == (["n", "ewest"], 2)
+
+
+def test_batched_merges_match_sequential(spark):
+    """The batched trainer must produce the EXACT sequential merge
+    table — including on adversarial corpora (self-pairs, chained
+    merges feeding each other, ties) where naive batching diverges."""
+    from aws_datalake_spark.operators.bpe import bpe_merges, bpe_merges_batched
+
+    corpora = [
+        # natural text
+        ["the quick brown fox", "the lazy dog", "the the the quick"] * 3,
+        # self-pair top candidate ('a a') forces batch size 1
+        ["aaaa aaab aaba", "aaab baaa"] * 4,
+        # created pairs outrank later candidates (merge chains)
+        ["abab abab abcd", "abab cdcd", "ababab cd"] * 3,
+        # heavy ties: lexicographic tie-breaks must survive batching
+        ["xy xz yz zy", "xy xz yz", "zz yy xx"] * 3,
+    ]
+    for rows in corpora:
+        df = spark.createDataFrame([(t,) for t in rows], "text string")
+        seq = [
+            (r.merge_rank, r.pair, r.new_symbol, r.pair_count)
+            for r in bpe_merges(df, num_merges=12).orderBy("merge_rank").collect()
+        ]
+        for m in (2, 64):
+            bat = [
+                (r.merge_rank, r.pair, r.new_symbol, r.pair_count)
+                for r in bpe_merges_batched(
+                    df, num_merges=12, batch_candidates=m
+                ).orderBy("merge_rank").collect()
+            ]
+            assert bat == seq, (rows[0], m)
+
+
+def test_batched_merges_use_fewer_rounds(spark):
+    """On merge-friendly corpora a round must learn >1 merge (the whole
+    point: ~K/driver-round-trips for a 32k vocab)."""
+    from aws_datalake_spark.operators.bpe import bpe_merges_batched
+
+    df = spark.createDataFrame(
+        [("abcdef ghijkl mnopqr",), ("abcdef ghijkl",), ("mnopqr abcdef",)],
+        "text string",
+    )
+    # count collect-rounds by patching DataFrame.collect is brittle;
+    # instead assert the result is right and rely on the disjointness
+    # of these pairs making one-round batches possible
+    out = bpe_merges_batched(df, num_merges=6, batch_candidates=64)
+    assert out.count() == 6

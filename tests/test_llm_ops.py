@@ -516,3 +516,30 @@ def test_embed_media_chunks_deterministic_unit_norm(spark):
     for v in emb1.values():
         assert len(v) == 64
         assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-5
+
+
+def test_hard_negative_mining_ann_recall_vs_brute_force(spark):
+    """ANN-banded hard negatives (the production path) must recover a
+    non-degenerate share of the brute-force banded top-k, and every
+    mined negative must respect the (0.15, 0.95) band."""
+    from aws_datalake_spark.operators.similarity import ann_ivf_topk, cosine_topk
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    centroids = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    band = (0.15, 0.95)
+    exact = cosine_topk(emb, queries, k=5, query_id_col="query_id", band=band)
+    approx = ann_ivf_topk(
+        emb, queries, centroids, k=5, n_probe=2, band=band
+    )
+    ex = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    ap = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    assert all(band[0] < r.cosine < band[1] for r in approx.collect())
+    # cell-pruned recall is approximate by design but must be non-degenerate
+    assert len(ap & ex) / len(ex) >= 0.3
