@@ -40,7 +40,7 @@ from aws_datalake_spark.operators.state_delta import (
     deltas_over_history,
     upsert_state,
 )
-from aws_datalake_spark.queries._shared import t
+from aws_datalake_spark.queries._shared import dsum, o_dsum, t
 from aws_datalake_spark.queries.registry import query
 from aws_datalake_spark.sources.readers import read_orc, read_pipe_staging
 from aws_datalake_spark.sources.writers import write_orc, write_pipe_csv
@@ -1052,4 +1052,73 @@ def ref_dq_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         bad.groupBy(F.array_join("__reasons", ",").alias("reason_key"))
         .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+# --- transaction-log table format ---------------------------------------------
+
+@query(
+    "ref_txn_merge_time_travel",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 3 <> 0
+    ), upd AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice + 1000.0 AS o_totalprice
+      FROM orders WHERE o_orderkey % 5 = 0
+    ), merged AS (
+      SELECT * FROM base
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+      UNION ALL SELECT * FROM upd
+    )
+    SELECT 'v_base' AS snap, o_orderstatus,
+           COUNT(*) AS n, {o_dsum('o_totalprice', scale=2)} AS sum_price
+    FROM base GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'v_merged', o_orderstatus,
+           COUNT(*), {o_dsum('o_totalprice', scale=2)}
+    FROM merged GROUP BY o_orderstatus
+    """,
+)
+def ref_txn_merge_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native transaction-log table (sources/txn_table.py): write a
+    base snapshot, MERGE a keyed CDC batch (matched rows replaced,
+    new keys appended, only stats-intersecting files rewritten), then
+    aggregate BOTH the merged head and the pre-merge version through
+    time travel — the single-table half of the reference's one-commit
+    batch visibility (loading.py:2137), with Delta-paper semantics
+    the image's missing delta-spark jar would otherwise provide."""
+    from aws_datalake_spark.sources import txn_table as tt
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = o.filter(F.col("o_orderkey") % 3 != 0)
+    upd = o.filter(F.col("o_orderkey") % 5 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(1000.0)
+    )
+    root = tempfile.mkdtemp(prefix="txn_tbl_") + "/orders"
+    # two range-split appends so the MERGE has disjoint files to prune
+    mid = base.agg(F.expr("percentile_approx(o_orderkey, 0.5)")).collect()[0][0]
+    tt.write(base.filter(F.col("o_orderkey") <= mid), root, mode="append")
+    tt.write(base.filter(F.col("o_orderkey") > mid), root, mode="append")
+    v_base = tt.snapshot(root)["version"]
+    tt.merge_upsert(spark, root, upd, keys=["o_orderkey"])
+
+    def snap_agg(df: DataFrame, tag: str) -> DataFrame:
+        return (
+            df.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                dsum("o_totalprice", "sum_price", scale=2),
+            )
+            .withColumn("snap", F.lit(tag))
+        )
+
+    cur = tt.read(spark, root)
+    old = tt.read(spark, root, version=v_base)
+    return (
+        snap_agg(old, "v_base")
+        .unionByName(snap_agg(cur, "v_merged"))
+        .select("snap", "o_orderstatus", "n", "sum_price")
     )

@@ -52,10 +52,17 @@ def upsert(
     updates: DataFrame,
     keys: list[str],
 ) -> None:
-    """Keyed upsert (SURVEY.md S21). Delta: one ACID MERGE. Parquet
-    fallback: anti-join + union rewrite — logically identical, but
-    full-table rewrite instead of file-pruned, which is exactly the
-    gap the Delta log closes at scale."""
+    """Keyed upsert (SURVEY.md S21). Delta: one ACID MERGE. A native
+    txn_table (sources/txn_table.py) gets the same file-pruned MERGE
+    from our own commit log. Flat-parquet fallback: anti-join + union
+    rewrite — logically identical, but full-table rewrite, which is
+    exactly the gap the transaction log closes at scale."""
+    if not HAVE_DELTA:
+        from aws_datalake_spark.sources import txn_table
+
+        if txn_table.is_txn_table(target_path):
+            txn_table.merge_upsert(spark, target_path, updates, keys)
+            return
     if HAVE_DELTA:
         tgt = DeltaTable.forPath(spark, target_path)
         cond = " AND ".join(f"t.{k} = s.{k}" for k in keys)

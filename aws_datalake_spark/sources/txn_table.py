@@ -1,0 +1,437 @@
+"""Native single-table transaction log — the Delta/Iceberg semantics
+the harness image cannot ship (no network: the vendoring attempt is
+recorded in SCALE.md §table-formats), implemented over plain parquet
+plus a JSON commit log. Public-knowledge design: this is the commit
+protocol published in the Delta Lake paper (Armbrust et al., VLDB
+2020) and Iceberg's spec — log-as-source-of-truth, files are
+immutable, commits are atomic single-file creates.
+
+Why this matters at 100 TB, not just for ACID hygiene:
+
+* **No LIST on read.** Readers resolve the live file set from the
+  log (O(commits) small JSONs), never from directory listing —
+  eventually-consistent / slow S3 LIST over millions of objects is
+  the first thing that breaks a naive parquet lake at scale.
+* **File-pruned MERGE.** Every data file carries per-column min/max
+  stats in its `add` action. A keyed upsert rewrites ONLY files
+  whose key range intersects the updates' key range; a 100 TB table
+  taking a 1 GB CDC batch touches a handful of files instead of the
+  full-table rewrite `delta_io.upsert`'s flat-parquet fallback is
+  forced into.
+* **Stats-skipped scans.** `read(..., prune={col: (lo, hi)})` drops
+  files whose stats cannot satisfy the range before Spark ever sees
+  them — the same data-skipping Delta does from its log.
+* **Atomic commit + OCC.** A commit is ONE `O_CREAT|O_EXCL` create
+  of `_txn_log/<version>.json` (same protocol as `publish.py`, and
+  as Delta's `_delta_log`); losers of the race re-read the new
+  snapshot and retry, so concurrent writers serialize instead of
+  silently clobbering each other. On S3, swap O_EXCL for a
+  conditional PUT (If-None-Match) — same protocol.
+* **Time travel.** Snapshot at version V = replay of log ≤ V;
+  `history()` exposes the commit trail; `vacuum()` reclaims files
+  no retained snapshot references.
+
+Driver-side notes (honest local-mode shortcuts, flagged for a real
+cluster): footer-stat harvesting after a write reads each NEW file's
+parquet metadata with pyarrow on the driver — O(files in this
+commit), not O(table); on a cluster this becomes stats piggybacked
+on task commit messages. Log replay is driver-side JSON — Delta
+does the same up to its checkpoint-parquet optimization, which
+`checkpoint_log()` mirrors by collapsing the prefix into one file.
+
+Reference parity: the reference stages warehouse loads and flips
+visibility in one commit (`/root/reference/loading.py:2137`); this
+module is the single-table half of that discipline (cross-table is
+`publish.py`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_LOG_DIR = "_txn_log"
+_CHECKPOINT = "_checkpoint.json"
+
+
+# ---------------------------------------------------------------- log I/O
+
+
+def _log_dir(root: str) -> str:
+    return os.path.join(root, _LOG_DIR)
+
+
+def _commit_path(root: str, version: int) -> str:
+    return os.path.join(_log_dir(root), f"{version:020d}.json")
+
+
+def is_txn_table(root: str) -> bool:
+    return os.path.isdir(_log_dir(root))
+
+
+def _list_versions(root: str) -> list[int]:
+    d = _log_dir(root)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        int(f[:-5]) for f in os.listdir(d)
+        if f.endswith(".json") and f[:-5].isdigit()
+    )
+
+
+def _read_commit(root: str, version: int) -> dict:
+    with open(_commit_path(root, version)) as f:
+        return json.load(f)
+
+
+def _checkpoint_doc(root: str) -> dict | None:
+    p = os.path.join(_log_dir(root), _CHECKPOINT)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def snapshot(root: str, version: int | None = None) -> dict:
+    """Replay the log up to ``version`` (default: latest). Returns
+    ``{"version": V, "files": {relpath: add_action}}``. Starts from
+    the collapsed checkpoint when one covers a usable prefix."""
+    versions = _list_versions(root)
+    if version is None:
+        version = versions[-1] if versions else 0
+    files: dict[str, dict] = {}
+    start = 1
+    cp = _checkpoint_doc(root)
+    if cp is not None and cp["version"] <= version:
+        files = dict(cp["files"])
+        start = cp["version"] + 1
+    for v in versions:
+        if v < start or v > version:
+            continue
+        commit = _read_commit(root, v)
+        for rm in commit.get("remove", []):
+            files.pop(rm, None)
+        for add in commit.get("add", []):
+            files[add["path"]] = add
+    return {"version": version, "files": files}
+
+
+def history(root: str) -> list[dict]:
+    """The commit trail, oldest first: version, op, timestamp, and
+    file-count deltas — the audit surface Delta's DESCRIBE HISTORY
+    exposes."""
+    out = []
+    for v in _list_versions(root):
+        c = _read_commit(root, v)
+        out.append(
+            {
+                "version": v,
+                "op": c.get("op", "?"),
+                "ts": c.get("ts"),
+                "added": len(c.get("add", [])),
+                "removed": len(c.get("remove", [])),
+            }
+        )
+    return out
+
+
+def checkpoint_log(root: str) -> int:
+    """Collapse the log prefix into one checkpoint doc so snapshot
+    replay is O(1) + O(commits since checkpoint) — Delta's
+    checkpoint-parquet, minus the parquet."""
+    snap = snapshot(root)
+    doc = {"version": snap["version"], "files": snap["files"]}
+    tmp = os.path.join(_log_dir(root), f"._cp.{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        json.dump(doc, f, sort_keys=True)
+    os.replace(tmp, os.path.join(_log_dir(root), _CHECKPOINT))
+    return snap["version"]
+
+
+def _commit(root: str, op: str, add: list[dict], remove: list[str],
+            expect_version: int | None = None) -> int:
+    """Claim the next log slot with O_EXCL. If ``expect_version`` is
+    given and the table moved past it, raise ConflictError so the
+    caller re-derives its read set (serializable writers)."""
+    os.makedirs(_log_dir(root), exist_ok=True)
+    for _ in range(64):
+        versions = _list_versions(root)
+        latest = versions[-1] if versions else 0
+        if expect_version is not None and latest != expect_version:
+            raise ConflictError(
+                f"txn_table: snapshot v{expect_version} is stale "
+                f"(table is at v{latest}); re-read and retry"
+            )
+        doc = {
+            "version": latest + 1,
+            "op": op,
+            "ts": time.time(),
+            "add": add,
+            "remove": remove,
+        }
+        try:
+            fd = os.open(
+                _commit_path(root, latest + 1),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+                0o644,
+            )
+        except FileExistsError:
+            if expect_version is not None:
+                raise ConflictError(
+                    f"txn_table: lost commit race at v{latest + 1}; "
+                    "re-read and retry"
+                )
+            time.sleep(0.01)  # blind append: safe to just take next slot
+            continue
+        with os.fdopen(fd, "w") as f:
+            json.dump(doc, f, sort_keys=True)
+        return latest + 1
+    raise RuntimeError(f"txn_table: could not claim a commit slot under {root!r}")
+
+
+class ConflictError(RuntimeError):
+    """A concurrent commit invalidated this writer's snapshot."""
+
+
+# ------------------------------------------------------------- data files
+
+
+def _harvest_stats(root: str, relpaths: list[str]) -> list[dict]:
+    """Per-file add actions with min/max/null-count per primitive
+    column, read from parquet footers (driver-side, O(new files);
+    a cluster implementation harvests these from task commits)."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for rel in relpaths:
+        md = pq.ParquetFile(os.path.join(root, rel)).metadata
+        rows = md.num_rows
+        stats: dict[str, dict] = {}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                name = col.path_in_schema
+                if "." in name:  # nested: no file-level pruning
+                    continue
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                lo, hi = st.min, st.max
+                if isinstance(lo, bytes):
+                    try:
+                        lo, hi = lo.decode(), hi.decode()
+                    except UnicodeDecodeError:
+                        continue
+                if hasattr(lo, "isoformat"):
+                    lo, hi = lo.isoformat(), hi.isoformat()
+                cur = stats.get(name)
+                if cur is None:
+                    stats[name] = {
+                        "min": lo,
+                        "max": hi,
+                        "nulls": st.null_count or 0,
+                    }
+                else:
+                    cur["min"] = min(cur["min"], lo)
+                    cur["max"] = max(cur["max"], hi)
+                    cur["nulls"] += st.null_count or 0
+        out.append({"path": rel, "rows": rows, "stats": stats})
+    return out
+
+
+def _write_data(df: DataFrame, root: str) -> list[dict]:
+    """Write one commit's data under a unique subdir (invisible until
+    the log references it) and return stat-carrying add actions."""
+    sub = os.path.join("data", uuid.uuid4().hex)
+    df.write.mode("overwrite").parquet(os.path.join(root, sub))
+    rels = sorted(
+        os.path.join(sub, f)
+        for f in os.listdir(os.path.join(root, sub))
+        if f.endswith(".parquet")
+    )
+    return _harvest_stats(root, rels)
+
+
+# ------------------------------------------------------------ public API
+
+
+def write(df: DataFrame, root: str, mode: str = "append") -> int:
+    """Append or overwrite; either way data lands invisibly first and
+    ONE log create makes it live. Returns the committed version."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    add = _write_data(df, root)
+    remove: list[str] = []
+    if mode == "overwrite":
+        remove = list(snapshot(root)["files"]) if is_txn_table(root) else []
+    return _commit(root, mode, add, remove)
+
+
+def _stats_overlap(add: dict, col: str, lo, hi) -> bool:
+    """May this file contain a value of ``col`` in [lo, hi]? Missing
+    stats ⇒ conservatively yes."""
+    st = add.get("stats", {}).get(col)
+    if st is None:
+        return True
+    if lo is not None and st["max"] < lo:
+        return False
+    if hi is not None and st["min"] > hi:
+        return False
+    return True
+
+
+def read(
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    prune: dict | None = None,
+) -> DataFrame:
+    """Snapshot read (optionally at a past ``version`` — time
+    travel), with stats-based file skipping: ``prune={col: (lo,
+    hi)}`` drops files whose footer stats cannot satisfy the range.
+    The pruning is an OPTIMIZATION only — pass the same predicate to
+    ``.filter`` too; rows inside surviving files still need it."""
+    snap = snapshot(root, version)
+    files = snap["files"]
+    if prune:
+        for col, (lo, hi) in prune.items():
+            files = {
+                p: a for p, a in files.items() if _stats_overlap(a, col, lo, hi)
+            }
+    if not files:
+        # empty snapshot: an empty frame with the table's schema if any
+        # file ever existed, else error (nothing to infer from)
+        all_snap = snapshot(root, version)
+        if not all_snap["files"]:
+            raise FileNotFoundError(f"txn table {root!r} has no live files")
+        some = next(iter(all_snap["files"]))
+        schema = spark.read.parquet(os.path.join(root, some)).schema
+        return spark.createDataFrame([], schema)
+    paths = [os.path.join(root, p) for p in sorted(files)]
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+
+def merge_upsert(
+    spark: SparkSession,
+    root: str,
+    updates: DataFrame,
+    keys: list[str],
+    max_attempts: int = 8,
+) -> dict:
+    """Keyed upsert with FILE-LEVEL pruning: only files whose key
+    ranges intersect the updates' key range are rewritten (matched
+    rows replaced, new keys appended); every other file survives the
+    commit untouched. Returns {"version", "rewritten", "untouched"}.
+
+    This is the scale gap called out in delta_io.upsert's fallback:
+    flat parquet must rewrite the world, a logged table rewrites
+    O(files containing the keys). Serializable via OCC — a concurrent
+    commit between our snapshot and our log create raises
+    ConflictError and the merge re-derives its read set.
+    """
+    from pyspark.sql import functions as F
+
+    bounds = updates.agg(
+        *[f for k in keys for f in (
+            F.min(k).alias(f"lo_{k}"), F.max(k).alias(f"hi_{k}"),
+        )]
+    ).collect()[0]
+    for _ in range(max_attempts):
+        snap = snapshot(root)
+        touched, untouched = [], []
+        for rel, add in snap["files"].items():
+            hit = all(
+                _stats_overlap(add, k, bounds[f"lo_{k}"], bounds[f"hi_{k}"])
+                for k in keys
+            )
+            (touched if hit else untouched).append(rel)
+        if touched:
+            cur = spark.read.parquet(*[os.path.join(root, p) for p in sorted(touched)])
+            kept = cur.join(updates.select(*keys), keys, "left_anti")
+            merged = kept.unionByName(updates, allowMissingColumns=True)
+        else:
+            merged = updates
+        add_actions = _write_data(merged, root)
+        try:
+            v = _commit(root, "merge", add_actions, sorted(touched),
+                        expect_version=snap["version"])
+        except ConflictError:
+            continue  # re-derive against the new snapshot
+        return {"version": v, "rewritten": len(touched), "untouched": len(untouched)}
+    raise ConflictError(
+        f"txn_table: merge on {root!r} lost {max_attempts} OCC races"
+    )
+
+
+def delete_where(
+    spark: SparkSession,
+    root: str,
+    predicate: str,
+    prune: dict | None = None,
+) -> dict:
+    """Delete rows matching a SQL predicate. Files proven clean by
+    ``prune`` stats are untouched; candidate files are rewritten
+    without the matching rows (dropped entirely when empty)."""
+    from pyspark.sql import functions as F
+
+    snap = snapshot(root)
+    files = snap["files"]
+    candidates = dict(files)
+    if prune:
+        for col, (lo, hi) in prune.items():
+            candidates = {
+                p: a for p, a in candidates.items()
+                if _stats_overlap(a, col, lo, hi)
+            }
+    if not candidates:
+        return {"version": snap["version"], "rewritten": 0,
+                "untouched": len(files)}
+    cur = spark.read.parquet(*[os.path.join(root, p) for p in sorted(candidates)])
+    kept = cur.filter(~F.expr(predicate))
+    add_actions = _write_data(kept, root) if kept.limit(1).count() else []
+    v = _commit(root, "delete", add_actions, sorted(candidates))
+    return {"version": v, "rewritten": len(candidates),
+            "untouched": len(files) - len(candidates)}
+
+
+def compact(spark: SparkSession, root: str, target_files: int = 1) -> int:
+    """Bin-pack the live files into ``target_files`` — the
+    small-files compaction every streaming-append table needs; old
+    files drop from the snapshot atomically, vacuum reclaims them."""
+    snap = snapshot(root)
+    if len(snap["files"]) <= target_files:
+        return snap["version"]
+    cur = spark.read.parquet(*[os.path.join(root, p) for p in sorted(snap["files"])])
+    add = _write_data(cur.coalesce(target_files), root)
+    return _commit(root, "compact", add, sorted(snap["files"]))
+
+
+def vacuum(root: str, retain_versions: int = 1) -> int:
+    """Physically delete data files referenced by NO snapshot within
+    the last ``retain_versions`` commits (time travel inside the
+    retention window keeps working). Returns files deleted."""
+    versions = _list_versions(root)
+    if not versions:
+        return 0
+    keep: set[str] = set()
+    for v in versions[-retain_versions:]:
+        keep.update(snapshot(root, v)["files"])
+    data_root = os.path.join(root, "data")
+    deleted = 0
+    if not os.path.isdir(data_root):
+        return 0
+    for sub in os.listdir(data_root):
+        subdir = os.path.join(data_root, sub)
+        for f in os.listdir(subdir):
+            rel = os.path.join("data", sub, f)
+            if f.endswith(".parquet") and rel not in keep:
+                os.remove(os.path.join(root, rel))
+                deleted += 1
+        if not os.listdir(subdir):
+            os.rmdir(subdir)
+    return deleted

@@ -1,0 +1,126 @@
+"""Transaction-log table format: atomic commits, time travel,
+stats-pruned reads, file-pruned MERGE, compaction, vacuum, OCC."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from aws_datalake_spark.sources import delta_io, txn_table as tt
+
+
+def _mk(spark, lo, hi, price=1.0):
+    return spark.createDataFrame(
+        [Row(k=i, price=float(price), seg=f"s{i % 3}") for i in range(lo, hi)]
+    ).coalesce(1)
+
+
+@pytest.fixture()
+def table(tmp_path, spark):
+    """Two appends with disjoint key ranges → two data files whose
+    footer stats separate cleanly on k."""
+    root = str(tmp_path / "t")
+    v1 = tt.write(_mk(spark, 0, 100), root, mode="append")
+    v2 = tt.write(_mk(spark, 1000, 1100), root, mode="append")
+    assert (v1, v2) == (1, 2)
+    return root
+
+
+def test_roundtrip_and_log(table, spark):
+    df = tt.read(spark, table)
+    assert df.count() == 200
+    snap = tt.snapshot(table)
+    assert snap["version"] == 2 and len(snap["files"]) == 2
+    for add in snap["files"].values():
+        st = add["stats"]["k"]
+        assert st["min"] in (0, 1000) and st["max"] in (99, 1099)
+    ops = [h["op"] for h in tt.history(table)]
+    assert ops == ["append", "append"]
+
+
+def test_time_travel_and_overwrite(table, spark):
+    tt.write(_mk(spark, 5000, 5010), table, mode="overwrite")
+    assert tt.read(spark, table).count() == 10
+    assert tt.read(spark, table, version=2).count() == 200  # time travel
+    assert tt.read(spark, table, version=1).count() == 100
+
+
+def test_stats_pruned_read(table, spark):
+    pruned = tt.read(spark, table, prune={"k": (0, 99)})
+    assert len(pruned.inputFiles()) == 1  # second file skipped by stats
+    assert pruned.count() == 100
+    # pruning is an optimization, not a filter: full range reads both
+    assert len(tt.read(spark, table, prune={"k": (50, 1050)}).inputFiles()) == 2
+    # fully-disjoint range → empty frame with the table schema
+    empty = tt.read(spark, table, prune={"k": (9_000_000, 9_000_001)})
+    assert empty.count() == 0 and "price" in empty.columns
+
+
+def test_merge_rewrites_only_intersecting_files(table, spark):
+    updates = spark.createDataFrame(
+        [Row(k=k, price=99.0, seg="u") for k in (1001, 1002, 2000)]
+    )
+    res = tt.merge_upsert(spark, table, updates, keys=["k"])
+    assert res["rewritten"] == 1 and res["untouched"] == 1  # file pruning
+    df = tt.read(spark, table)
+    assert df.count() == 201  # 200 + 1 brand-new key
+    assert df.filter("k = 1001").select("price").collect()[0][0] == 99.0
+    assert df.filter("k = 5").select("price").collect()[0][0] == 1.0
+    # the untouched file's add action (and its physical file) survived
+    snap = tt.snapshot(table)
+    assert any(a["stats"]["k"]["max"] == 99 for a in snap["files"].values())
+
+
+def test_merge_via_delta_io_routing(table, spark):
+    updates = spark.createDataFrame([Row(k=0, price=7.0, seg="u")])
+    delta_io.upsert(spark, table, updates, keys=["k"])
+    df = tt.read(spark, table)
+    assert df.count() == 200
+    assert df.filter("k = 0").select("price").collect()[0][0] == 7.0
+
+
+def test_delete_where_with_prune(table, spark):
+    res = tt.delete_where(spark, table, "k < 10", prune={"k": (None, 10)})
+    assert res["rewritten"] == 1 and res["untouched"] == 1
+    assert tt.read(spark, table).count() == 190
+
+
+def test_compact_and_vacuum(table, spark):
+    v = tt.compact(spark, table, target_files=1)
+    snap = tt.snapshot(table)
+    assert len(snap["files"]) == 1 and snap["version"] == v
+    # time travel still works before vacuum
+    assert tt.read(spark, table, version=2).count() == 200
+    deleted = tt.vacuum(table, retain_versions=1)
+    assert deleted == 2  # the two pre-compaction files reclaimed
+    assert tt.read(spark, table).count() == 200  # live snapshot intact
+
+
+def test_checkpoint_log_replay_equivalence(table, spark):
+    before = tt.snapshot(table)
+    cp_v = tt.checkpoint_log(table)
+    assert cp_v == before["version"]
+    tt.write(_mk(spark, 7000, 7010), table, mode="append")
+    after = tt.snapshot(table)
+    assert after["version"] == before["version"] + 1
+    assert len(after["files"]) == len(before["files"]) + 1
+    # a snapshot at a pre-checkpoint version still replays correctly
+    assert len(tt.snapshot(table, version=1)["files"]) == 1
+
+
+def test_occ_conflict_detection(table, spark):
+    with pytest.raises(tt.ConflictError):
+        tt._commit(table, "merge", [], [], expect_version=1)  # stale snapshot
+    # merge retries through a conflict transparently: bump the log
+    # between bounds-collection and commit by racing two merges serially
+    u1 = spark.createDataFrame([Row(k=1, price=3.0, seg="u")])
+    res = tt.merge_upsert(spark, table, u1, keys=["k"])
+    assert res["version"] == tt.snapshot(table)["version"]
+
+
+def test_commit_is_atomic_single_file(table):
+    log = os.path.join(table, "_txn_log")
+    names = sorted(os.listdir(log))
+    assert names == ["00000000000000000001.json", "00000000000000000002.json"]
