@@ -18,9 +18,12 @@ join. Rounds needed = graph diameter. Near-dup clusters from
 banding are dense (cliques plus short chains), so diameter is
 small and bounded rounds beat the asymptotically-better
 large-star/small-star alternation in practice at 100 TB; lineage is
-truncated every round with an eager ``localCheckpoint`` so plan
-depth stays O(1) regardless of iteration count (on a multi-tenant
-cluster with executor loss, swap for reliable ``checkpoint``).
+truncated every round so plan depth stays O(1) regardless of
+iteration count. Truncation uses reliable ``checkpoint`` whenever a
+checkpoint dir is configured (``spark.sparkContext.setCheckpointDir``
+— executor-loss-safe, the right mode on a multi-tenant cluster) and
+falls back to eager ``localCheckpoint`` otherwise (fine on
+local[*], where "losing an executor" means losing the JVM).
 
 Determinism: min-label over long ids is order-free, so results
 hash-match a recursive-CTE oracle.
@@ -30,6 +33,15 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _truncate(df: DataFrame) -> DataFrame:
+    """Cut lineage: reliable checkpoint when a checkpoint dir is set,
+    eager localCheckpoint otherwise (see module docstring)."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
 
 
 def symmetric_edges(pairs: DataFrame, a: str = "id_a", b: str = "id_b") -> DataFrame:
@@ -50,13 +62,13 @@ def connected_components(
     the component's minimum node id. Converges in diameter rounds;
     raises if ``max_iter`` rounds do not reach the fixed point
     (protects against silent wrong answers on adversarial graphs)."""
-    edges = symmetric_edges(pairs, a, b).localCheckpoint(eager=True)
+    edges = _truncate(symmetric_edges(pairs, a, b))
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
     )
+    labels = _truncate(labels)
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iter):
         # neighbor's current label flows across each edge; keep the min
@@ -70,8 +82,8 @@ def connected_components(
             labels.unionByName(incoming)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
         )
+        labels = _truncate(labels)
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
             return labels.select("node", F.col("label").alias("cluster_id"))

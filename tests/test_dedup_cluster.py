@@ -61,3 +61,31 @@ def test_dedup_representatives_keeps_min_and_singletons(spark):
     )
     # cluster {1,2,3} -> 1, cluster {7,8} -> 7, singleton 99 survives
     assert kept == [1, 7, 99]
+
+
+def test_reliable_checkpoint_mode(spark, tmp_path):
+    """With a checkpoint dir configured, lineage truncation rides
+    reliable checkpoint (executor-loss-safe) and results are
+    unchanged; the dir is restored so other tests keep the
+    localCheckpoint fast path."""
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"]
+        )
+        got = {
+            (r.node, r.cluster_id)
+            for r in connected_components(pairs).collect()
+        }
+        assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+        import os
+        assert os.listdir(str(tmp_path / "ckpt"))  # actually checkpointed
+    finally:
+        # unset so other tests keep the localCheckpoint fast path
+        # (the scala setter name needs getattr: `$` is not Python)
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            sc._jvm.scala.Option.empty()
+        )
+        assert sc.getCheckpointDir() is None
