@@ -284,3 +284,97 @@ def leakage_safe_split(
         .otherwise(F.lit("test"))
     )
     return joined.select(F.col(id_col), split.alias("split"))
+
+
+def importance_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """DSIR-inspired importance weighting (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    score every corpus doc by how target-like its hashed-unigram
+    distribution is, so a downstream sampler (budgeted_sample /
+    priority_sample) can resample raw data toward the target domain.
+
+    Published recipe adapted for engine-exact reproducibility: DSIR
+    scores with a log-likelihood ratio; transcendental ``ln`` is not
+    bit-identical across engines, so the weight here is the log-free
+    analogue  w(doc) = Σ_b c_b(doc) · r_b  with
+    r_b = ((t_b+α)/(T+αB)) / ((s_b+α)/(S+αB)) — the smoothed
+    target/source probability ratio per hash bucket, rounded to 6
+    decimals before the exact scaled-long accumulation (the
+    _shared.dsum discipline), making w a pure function of the data.
+    Ranking is monotone-equivalent to a per-token arithmetic-mean
+    ratio; docs rich in target-heavy buckets score high.
+
+    Scale shape: both histograms are one agg each (B ≤ 4096 rows);
+    the ratio table broadcasts; per-doc scoring is one explode +
+    one broadcast join + one groupBy(id) — corpus text never
+    shuffles (tokens reduce to (id, bucket) counts first).
+
+    Buckets use the md5-prefix hash (cross-engine: DuckDB
+    ``('0x'||substr(md5(w),1,15))::BIGINT``) — same family as
+    sampling's hash_uniform.
+    """
+    B = n_buckets
+
+    def bucketed(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.explode(F.split(F.col(text_col), " ")).alias("__w"),
+        ).select(
+            id_col,
+            (
+                F.conv(F.substring(F.md5("__w"), 1, 15), 16, 10).cast("long")
+                % F.lit(B)
+            ).alias("__b"),
+        )
+
+    src = bucketed(corpus)
+    tgt = bucketed(target)
+    src_hist = src.groupBy("__b").agg(F.count(F.lit(1)).alias("s_b"))
+    tgt_hist = tgt.groupBy("__b").agg(F.count(F.lit(1)).alias("t_b"))
+    s_tot = src.count()
+    t_tot = tgt.count()
+    # dense ratio table over all B buckets (unseen buckets get the
+    # smoothing mass); tiny, broadcast to the scorers
+    spark = corpus.sparkSession
+    buckets = spark.range(B).select(F.col("id").alias("__b"))
+    ratio = (
+        buckets.join(src_hist, "__b", "left")
+        .join(tgt_hist, "__b", "left")
+        .select(
+            "__b",
+            F.round(
+                (
+                    (F.coalesce("t_b", F.lit(0)) + F.lit(alpha))
+                    / F.lit(float(t_tot) + alpha * B)
+                )
+                / (
+                    (F.coalesce("s_b", F.lit(0)) + F.lit(alpha))
+                    / F.lit(float(s_tot) + alpha * B)
+                ),
+                6,
+            ).alias("__r"),
+        )
+    )
+    per_bucket = src.groupBy(id_col, "__b").agg(F.count(F.lit(1)).alias("__c"))
+    return (
+        per_bucket.join(F.broadcast(ratio), "__b")
+        .groupBy(id_col)
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col("__c") * F.col("__r") * F.lit(1e6), 0).cast(
+                        "long"
+                    )
+                ).cast("double")
+                / F.lit(1e6)
+            ).alias("imp_weight"),
+            F.sum("__c").alias("n_tokens"),
+        )
+    )

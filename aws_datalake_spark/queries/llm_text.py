@@ -632,3 +632,105 @@ def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_source.join(F.broadcast(top_lang), "source").select(
         "source", "n_docs", "total_tokens", "avg_quality", "top_lang", "dup_rate"
     )
+
+
+# --- sub-document boilerplate dedup (CCNet-style) ----------------------------
+
+@query(
+    "llm_segment_dedup",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+             generate_subscripts(string_split(text, ' '), 1) AS ord
+      FROM documents
+    ), segs AS (
+      SELECT doc_id, CAST(FLOOR((ord - 1) / 2) AS BIGINT) AS seg_idx,
+             STRING_AGG(w, ' ' ORDER BY ord) AS seg
+      FROM words GROUP BY doc_id, CAST(FLOOR((ord - 1) / 2) AS BIGINT)
+    ), boiler AS (
+      SELECT seg FROM (
+        SELECT seg, COUNT(DISTINCT doc_id) AS df FROM segs GROUP BY seg
+      ) WHERE df >= 20
+    ), kept AS (
+      SELECT * FROM segs WHERE seg NOT IN (SELECT seg FROM boiler)
+    ), regen AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             MD5(STRING_AGG(seg, ' ' ORDER BY seg_idx)) AS clean_md5
+      FROM kept GROUP BY doc_id
+    ), tot AS (
+      SELECT doc_id, COUNT(*) AS n_seg FROM segs GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_seg, COALESCE(r.n_kept, 0) AS n_kept,
+           COALESCE(r.clean_md5, MD5('')) AS clean_md5
+    FROM tot t LEFT JOIN regen r ON t.doc_id = r.doc_id
+    """,
+)
+def llm_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style sub-document boilerplate removal
+    (operators/segment_dedup.py): 2-word segments, drop any segment
+    present in ≥20 distinct docs, reassemble; emits per-doc segment
+    counts plus md5 of the cleaned text (the text itself would bloat
+    the compare). k=2/min_df=20 are fixture-tuned so the synthetic
+    corpus actually HAS boilerplate to drop (~17% of segments)."""
+    from aws_datalake_spark.operators.segment_dedup import drop_boilerplate
+
+    docs = t(spark, sf_dir, "documents")
+    out = drop_boilerplate(docs, k=2, min_df=20)
+    return out.select(
+        "doc_id", "n_seg", "n_kept", F.md5("clean_text").alias("clean_md5")
+    )
+
+
+# --- DSIR-inspired importance weighting --------------------------------------
+
+@query(
+    "llm_importance_weights",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), bucketed AS (
+      SELECT doc_id,
+             (('0x' || substr(md5(w), 1, 15))::BIGINT % 256) AS b
+      FROM toks
+    ), tgt AS (
+      SELECT b.b AS b FROM bucketed b
+      JOIN documents d ON b.doc_id = d.doc_id WHERE d.lang = 'en'
+    ), s_hist AS (SELECT b, COUNT(*) AS s_b FROM bucketed GROUP BY b),
+    t_hist AS (SELECT b, COUNT(*) AS t_b FROM tgt GROUP BY b),
+    totals AS (
+      SELECT (SELECT COUNT(*) FROM bucketed) AS s_tot,
+             (SELECT COUNT(*) FROM tgt) AS t_tot
+    ), ratio AS (
+      SELECT g.b,
+             ROUND(((COALESCE(t_hist.t_b, 0) + 0.5)
+                      / (CAST(totals.t_tot AS DOUBLE) + 0.5 * 256))
+                   / ((COALESCE(s_hist.s_b, 0) + 0.5)
+                      / (CAST(totals.s_tot AS DOUBLE) + 0.5 * 256)), 6) AS r
+      FROM (SELECT range AS b FROM range(256)) g
+      LEFT JOIN s_hist ON g.b = s_hist.b
+      LEFT JOIN t_hist ON g.b = t_hist.b
+      CROSS JOIN totals
+    ), per_bucket AS (
+      SELECT doc_id, b, COUNT(*) AS c FROM bucketed GROUP BY doc_id, b
+    )
+    SELECT doc_id,
+           CAST(SUM(CAST(ROUND(c * r * 1000000.0) AS BIGINT)) AS DOUBLE)
+             / 1000000.0 AS imp_weight,
+           SUM(c) AS n_tokens
+    FROM per_bucket JOIN ratio ON per_bucket.b = ratio.b
+    GROUP BY doc_id
+    """,
+)
+def llm_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-inspired importance weighting
+    (operators/sampling.py:importance_weights): score every doc by
+    the smoothed hashed-unigram probability ratio between the
+    English subset (target) and the full corpus (source) — the
+    resample-toward-target signal; feed imp_weight into
+    priority_sample/budgeted_sample downstream. Log-free for
+    engine-exact hashes (see operator docstring)."""
+    from aws_datalake_spark.operators.sampling import importance_weights
+
+    docs = t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    return importance_weights(docs, target, n_buckets=256)

@@ -543,3 +543,75 @@ def test_hard_negative_mining_ann_recall_vs_brute_force(spark):
     assert all(band[0] < r.cosine < band[1] for r in approx.collect())
     # cell-pruned recall is approximate by design but must be non-degenerate
     assert len(ap & ex) / len(ex) >= 0.3
+
+
+# --- segment dedup (CCNet-style) ---------------------------------------------
+
+
+def test_segment_dedup_drops_boilerplate_and_reassembles(spark):
+    from aws_datalake_spark.operators.segment_dedup import drop_boilerplate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cookie banner here unique alpha text"),
+            (2, "cookie banner here unique beta words"),
+            (3, "cookie banner here gamma content row"),
+            (4, "totally distinct document four here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r
+        for r in drop_boilerplate(docs, k=3, min_df=3).collect()
+    }
+    # 'cookie banner here' occurs in 3 docs -> boilerplate
+    assert out[1].n_seg == 2 and out[1].n_kept == 1
+    assert out[1].clean_text == "unique alpha text"
+    assert out[4].n_kept == 2  # untouched doc keeps both segments
+    assert out[4].clean_text == "totally distinct document four here now"
+
+
+def test_segment_dedup_fully_boilerplate_doc_empties(spark):
+    from aws_datalake_spark.operators.segment_dedup import drop_boilerplate
+
+    docs = spark.createDataFrame(
+        [(i, "same exact text") for i in range(5)], ["doc_id", "text"]
+    )
+    rows = drop_boilerplate(docs, k=3, min_df=2).collect()
+    assert all(r.n_kept == 0 and r.clean_text == "" for r in rows)
+    assert all(r.n_seg == 1 for r in rows)
+
+
+def test_segment_docs_short_doc_one_segment(spark):
+    from aws_datalake_spark.operators.segment_dedup import segment_docs
+
+    docs = spark.createDataFrame([(1, "ab"), (2, "x y z")], ["doc_id", "text"])
+    segs = {(r.doc_id, r.seg_idx): r.seg for r in segment_docs(docs, k=10).collect()}
+    assert segs == {(1, 0): "ab", (2, 0): "x y z"}
+
+
+# --- importance weights (DSIR-inspired) --------------------------------------
+
+
+def test_importance_weights_self_target_is_flat(spark):
+    from aws_datalake_spark.operators.sampling import importance_weights
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a a b b"), (3, "c c d d")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in importance_weights(docs, docs).collect()}
+    # target == source -> every bucket ratio is 1.0 -> weight == n_tokens
+    for r in out.values():
+        assert abs(r.imp_weight - r.n_tokens) < 1e-6
+
+
+def test_importance_weights_favors_target_tokens(spark):
+    from aws_datalake_spark.operators.sampling import importance_weights
+
+    corpus = spark.createDataFrame(
+        [(1, "tgt tgt tgt tgt"), (2, "oth oth oth oth"), (3, "tgt oth tgt oth")],
+        ["doc_id", "text"],
+    )
+    target = corpus.filter("doc_id = 1")
+    out = {r.doc_id: r.imp_weight for r in importance_weights(corpus, target).collect()}
+    assert out[1] > out[3] > out[2]
