@@ -201,3 +201,66 @@ def test_bloom_pruned_join_all_broadcast_no_smj(spark):
     assert plan.count("BroadcastHashJoin") >= 4
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_new_tpch_shapes_broadcast_only(spark):
+    """Q2/Q9/Q11/Q16/Q20 (synthetic-partsupp shapes): every dim join
+    broadcasts; no sort-merge or cartesian join anywhere (the Q11
+    1-row total rides a BroadcastNestedLoopJoin by design)."""
+    from aws_datalake_spark.queries import all_queries
+
+    qs = all_queries()
+    for name in (
+        "q02_min_cost_supplier",
+        "q09_product_type_profit",
+        "q11_important_stock",
+        "q16_supplier_part_count",
+        "q20_excess_inventory_suppliers",
+    ):
+        plan = _plan(qs[name](spark, SF_SMOKE))
+        assert "SortMergeJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
+
+
+def test_segment_dedup_boilerplate_broadcasts(spark):
+    """Boilerplate removal anti-joins the (small) boilerplate key set
+    via broadcast; the corpus text is never on the build side."""
+    from aws_datalake_spark.operators.segment_dedup import drop_boilerplate
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = _plan(drop_boilerplate(docs, k=2, min_df=20))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_importance_weights_ratio_broadcasts(spark):
+    """The B-bucket ratio table broadcasts into the per-doc scorer;
+    corpus tokens reduce to (doc, bucket) counts before any join."""
+    from aws_datalake_spark.operators.sampling import importance_weights
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    tgt = docs.filter("lang = 'en'")
+    plan = _plan(importance_weights(docs, tgt, n_buckets=64))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_txn_table_merge_prunes_scan_to_touched_files(spark, tmp_path):
+    """A txn-table MERGE's rewrite scan reads ONLY the stats-
+    intersecting files — the file-pruning contract that keeps a 100 TB
+    merge O(files containing the keys)."""
+    from pyspark.sql import Row
+    from aws_datalake_spark.sources import txn_table as tt
+
+    root = str(tmp_path / "t")
+    lo = spark.createDataFrame([Row(k=i, v=1.0) for i in range(100)]).coalesce(1)
+    hi = spark.createDataFrame(
+        [Row(k=i, v=1.0) for i in range(1000, 1100)]
+    ).coalesce(1)
+    tt.write(lo, root, mode="append")
+    tt.write(hi, root, mode="append")
+    res = tt.merge_upsert(
+        spark, root, spark.createDataFrame([Row(k=5, v=9.0)]), keys=["k"]
+    )
+    assert res == {"version": 3, "rewritten": 1, "untouched": 1}
