@@ -127,8 +127,32 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b and
     jaccard >= threshold.
     """
+    from aws_datalake_spark.operators.dedup_cluster import _truncate
+
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
+    # Materialize the shingle table ONCE: signatures, and both sides
+    # of the verification join, all read from it. Without this the
+    # tokenize+shingle lineage executes three times (once under the
+    # signature pass, once per verification side). At 100 TB the
+    # materialized shingles are corpus-sized — localCheckpoint spills
+    # to executor-local disk (or reliable checkpoint when a dir is
+    # set), the standard recompute-vs-store trade for a 3× scan win.
+    sh_base = _truncate(with_shingles(df, text_col, id_col, shingle_n))
+    base = sh_base.select(
+        id_col,
+        F.transform(F.col("__sh"), lambda s: hash60(s) % F.lit(M31)).alias("__hs"),
+    )
+    sig_cols = []
+    for k in range(num_hashes):
+        a_k, b_k = affine_params(k)
+        sig_cols.append(
+            F.array_min(
+                F.transform(
+                    F.col("__hs"), lambda h: (F.lit(a_k) * h + F.lit(b_k)) % F.lit(M31)
+                )
+            ).alias(f"sig_{k}")
+        )
+    sig = base.select(id_col, *sig_cols)
     band_cols = []
     for b in range(bands):
         parts = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -153,13 +177,9 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    # Verification recomputes shingles for the whole corpus in one
-    # pass. (A candidate-id semi-join prune before tokenizing was
-    # measured SLOWER here: without persisting, the candidate lineage
-    # — signature + band join — executes twice. At 100 TB, persist
-    # the candidate table first and prune; with a single-pass plan,
-    # full-corpus tokenization is the cheaper trade.)
-    sh = with_shingles(df, text_col, id_col, shingle_n).withColumnRenamed(id_col, "__id")
+    # Verification reads the SAME materialized shingle table — no
+    # recompute on either join side.
+    sh = sh_base.withColumnRenamed(id_col, "__id")
     cand = (
         cand.join(sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")), "id_a")
         .join(sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b")), "id_b")

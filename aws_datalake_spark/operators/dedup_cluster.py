@@ -63,10 +63,13 @@ def connected_components(
     raises if ``max_iter`` rounds do not reach the fixed point
     (protects against silent wrong answers on adversarial graphs)."""
     edges = _truncate(symmetric_edges(pairs, a, b))
+    # Seed labels with the 1-hop neighborhood minimum — one agg over
+    # the (already symmetric) edge list, NO join. LSH-band components
+    # are cliques plus short chains, so most components converge one
+    # full join round earlier than with identity initialization.
     labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.least(F.first("src"), F.min("dst")).alias("label"))
     )
     labels = _truncate(labels)
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
