@@ -53,6 +53,7 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _LOG_DIR = "_txn_log"
 _CHECKPOINT = "_checkpoint.json"
@@ -153,7 +154,8 @@ def checkpoint_log(root: str) -> int:
 
 
 def _commit(root: str, op: str, add: list[dict], remove: list[str],
-            expect_version: int | None = None) -> int:
+            expect_version: int | None = None,
+            extra: dict | None = None) -> int:
     """Claim the next log slot with O_EXCL. If ``expect_version`` is
     given and the table moved past it, raise ConflictError so the
     caller re-derives its read set (serializable writers)."""
@@ -172,6 +174,7 @@ def _commit(root: str, op: str, add: list[dict], remove: list[str],
             "ts": time.time(),
             "add": add,
             "remove": remove,
+            **(extra or {}),
         }
         try:
             fd = os.open(
@@ -334,8 +337,6 @@ def merge_upsert(
     commit between our snapshot and our log create raises
     ConflictError and the merge re-derives its read set.
     """
-    from pyspark.sql import functions as F
-
     bounds = updates.agg(
         *[f for k in keys for f in (
             F.min(k).alias(f"lo_{k}"), F.max(k).alias(f"hi_{k}"),
@@ -377,8 +378,6 @@ def delete_where(
     """Delete rows matching a SQL predicate. Files proven clean by
     ``prune`` stats are untouched; candidate files are rewritten
     without the matching rows (dropped entirely when empty)."""
-    from pyspark.sql import functions as F
-
     snap = snapshot(root)
     files = snap["files"]
     candidates = dict(files)
@@ -435,3 +434,81 @@ def vacuum(root: str, retain_versions: int = 1) -> int:
         if not os.listdir(subdir):
             os.rmdir(subdir)
     return deleted
+
+
+# ------------------------------------------------- streaming / CDC surface
+
+
+def committed_stream_batches(root: str) -> set[int]:
+    """Streaming-batch ids already durably committed to this table
+    (the idempotence ledger for exactly-once foreachBatch sinks)."""
+    out = set()
+    for v in _list_versions(root):
+        c = _read_commit(root, v)
+        if "stream_batch_id" in c:
+            out.add(c["stream_batch_id"])
+    return out
+
+
+def stream_append_sink(root: str):
+    """foreachBatch body giving EXACTLY-ONCE appends over the txn
+    log: each micro-batch lands as one atomic commit stamped with
+    its Structured Streaming batch id; a retried batch (failure
+    between sink success and checkpoint advance — the classic
+    at-least-once window) finds its id already in the log and
+    becomes a no-op. This is the same idempotent-sink discipline
+    Delta's ``txnAppId``/``txnVersion`` options implement.
+
+    Usage: ``stream.writeStream.foreachBatch(stream_append_sink(p))``
+    """
+
+    def _body(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in committed_stream_batches(root):
+            return  # replay after partial failure: already durable
+        add = _write_data(batch_df, root)
+        _commit(root, "stream-append", add, [],
+                extra={"stream_batch_id": batch_id})
+
+    return _body
+
+
+def read_changes(
+    spark: SparkSession,
+    root: str,
+    since_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """CDC feed from the log: every row ADDED by commits in
+    (since_version, to_version], tagged with ``_commit_version`` and
+    ``_commit_op``. For append/stream-append commits this is the
+    exact inserted row set; for merge/compact commits the added
+    files also contain carried-over rows from rewritten files
+    (upsert-style CDC — downstream consumers apply by key), which is
+    the documented Delta CDF-without-_change_type trade-off.
+    Incremental consumers poll ``snapshot(root)["version"]`` and read
+    forward — never a full-table diff."""
+    versions = [
+        v for v in _list_versions(root)
+        if v > since_version and (to_version is None or v <= to_version)
+    ]
+    parts = []
+    for v in versions:
+        c = _read_commit(root, v)
+        adds = c.get("add", [])
+        if not adds:
+            continue
+        df = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(root, a["path"]) for a in adds]
+        )
+        parts.append(
+            df.withColumn("_commit_version", F.lit(v))
+            .withColumn("_commit_op", F.lit(c.get("op", "?")))
+        )
+    if not parts:
+        raise FileNotFoundError(
+            f"txn table {root!r}: no commits after v{since_version}"
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out

@@ -124,3 +124,63 @@ def test_commit_is_atomic_single_file(table):
     log = os.path.join(table, "_txn_log")
     names = sorted(os.listdir(log))
     assert names == ["00000000000000000001.json", "00000000000000000002.json"]
+
+
+def test_stream_append_sink_exactly_once(tmp_path, spark):
+    """File-source stream → txn-table sink: each micro-batch is one
+    atomic stream-append commit; a replayed batch id is a no-op (the
+    at-least-once retry window closes)."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    root = str(tmp_path / "sink")
+    spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]).coalesce(
+        1
+    ).write.mode("overwrite").json(src)
+    stream = spark.readStream.schema("k long, v string").json(src)
+    q = (
+        stream.writeStream.foreachBatch(tt.stream_append_sink(root))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    spark.createDataFrame([(3, "c")], ["k", "v"]).coalesce(1).write.mode(
+        "append"
+    ).json(src)
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+
+    assert tt.read(spark, root).count() == 3
+    hist = tt.history(root)
+    assert all(h["op"] == "stream-append" for h in hist)
+    assert tt.committed_stream_batches(root) == {0, 1}
+    # simulate a sink replay of batch 0 (retry after crash before the
+    # streaming checkpoint advanced): must be a no-op
+    replay = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    tt.stream_append_sink(root)(replay, 0)
+    assert tt.read(spark, root).count() == 3
+    assert tt.snapshot(root)["version"] == len(hist)
+
+
+def test_read_changes_cdc_feed(table, spark):
+    """read_changes returns exactly the rows added after a version,
+    tagged with commit version/op."""
+    from pyspark.sql import Row
+
+    base_v = tt.snapshot(table)["version"]  # 2
+    tt.write(_mk(spark, 2000, 2010), table, mode="append")  # v3
+    tt.merge_upsert(
+        spark, table, spark.createDataFrame([Row(k=2000, price=5.0, seg="u")]),
+        keys=["k"],
+    )  # v4 rewrites the v3 file
+    ch = tt.read_changes(spark, table, since_version=base_v)
+    vs = {r["_commit_version"] for r in ch.select("_commit_version").distinct().collect()}
+    assert vs == {base_v + 1, base_v + 2}
+    appended = ch.filter(f"_commit_version = {base_v + 1}")
+    assert appended.count() == 10
+    assert set(ch.filter("_commit_op = 'merge'").select("k").toPandas()["k"]) == set(
+        range(2000, 2010)
+    )  # merge rewrote the whole touched file (upsert-style CDC)
+    with pytest.raises(FileNotFoundError):
+        tt.read_changes(spark, table, since_version=99)
