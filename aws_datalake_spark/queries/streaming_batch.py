@@ -408,3 +408,38 @@ def st_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_id", "user_id", "p_ts", "v_id", "v_ts",
         (F.unix_timestamp("p_ts") - F.unix_timestamp("v_ts")).alias("lead_seconds"),
     )
+
+
+@query(
+    "st_txn_stream_ingest",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 1000000.0) AS BIGINT)) AS DOUBLE)
+             / 1000000.0 AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def st_txn_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST — exactly-once streaming ingest into the transaction-log
+    table (sources/txn_table.py:stream_append_sink): the events
+    table arrives as three deterministic micro-batches, each one
+    atomic stream-append commit; batch 0 is then REPLAYED (the
+    at-least-once retry window) and must no-op, or the aggregate
+    double-counts and the oracle hash catches it. The aggregate runs
+    over the committed table, so the result certifies commit
+    atomicity + idempotence, not just the transformation."""
+    import tempfile
+
+    from aws_datalake_spark.queries._shared import dsum
+    from aws_datalake_spark.sources import txn_table as tt
+
+    ev = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    root = tempfile.mkdtemp(prefix="txn_stream_") + "/events_tt"
+    sink = tt.stream_append_sink(root)
+    for b in range(3):
+        sink(ev.filter(F.col("event_id") % 3 == b), b)
+    sink(ev.filter(F.col("event_id") % 3 == 0), 0)  # replay → no-op
+    table = tt.read(spark, root)
+    return table.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), dsum("value", "sum_value")
+    )

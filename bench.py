@@ -77,6 +77,16 @@ HEADLINE = [
     "llm_media_dedup",
     "st_gap_fill_interp",
     "llm_dataset_card",
+    # round-2 additions
+    "q02_min_cost_supplier",
+    "q09_product_type_profit",
+    "q11_important_stock",
+    "q16_supplier_part_count",
+    "q20_excess_inventory_suppliers",
+    "ref_txn_merge_time_travel",
+    "st_txn_stream_ingest",
+    "llm_segment_dedup",
+    "llm_importance_weights",
 ]
 
 
@@ -92,16 +102,21 @@ def main() -> None:
     names = [n for n in HEADLINE if n in queries]
     # Warm the JVM/session so per-query numbers measure the plan, not startup.
     materialize(queries[names[0]](spark, sf_dir))
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in names:
-        # min of two runs: strips GC/compilation noise so round-over-
-        # round comparisons track plan changes, not jitter
-        best = float("inf")
-        for _ in range(2):
+        # median of `runs` (default 3) strips GC/compilation noise so
+        # round-over-round comparisons track plan changes, not jitter;
+        # per-query spread (max-min) makes the noise floor visible.
+        samples = []
+        for _ in range(runs):
             t0 = time.time()
             materialize(queries[name](spark, sf_dir))
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            samples.append(time.time() - t0)
+        samples.sort()
+        timings[name] = round(samples[len(samples) // 2], 3)
+        spreads[name] = round(samples[-1] - samples[0], 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
         json.dumps(
@@ -111,6 +126,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf else sf_dir,
+                "runs_per_query": runs,
+                "stat": "median",
+                "spread_total": round(sum(spreads.values()), 3),
+                "spread_max": (
+                    max(spreads, key=spreads.get) if spreads else None
+                ),
             }
         )
     )
