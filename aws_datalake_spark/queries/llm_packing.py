@@ -399,3 +399,77 @@ def llm_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", token_count_ws("text").alias("n_ws")
     )
     return priority_sample(docs, 200, weight_col="n_ws", id_col="doc_id")
+
+
+@query(
+    "llm_dsir_resample",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), bucketed AS (
+      SELECT doc_id,
+             (('0x' || substr(md5(w), 1, 15))::BIGINT % 256) AS b
+      FROM toks
+    ), tgt AS (
+      SELECT b.b AS b FROM bucketed b
+      JOIN documents d ON b.doc_id = d.doc_id WHERE d.lang = 'en'
+    ), s_hist AS (SELECT b, COUNT(*) AS s_b FROM bucketed GROUP BY b),
+    t_hist AS (SELECT b, COUNT(*) AS t_b FROM tgt GROUP BY b),
+    totals AS (
+      SELECT (SELECT COUNT(*) FROM bucketed) AS s_tot,
+             (SELECT COUNT(*) FROM tgt) AS t_tot
+    ), ratio AS (
+      SELECT g.b,
+             ROUND(((COALESCE(t_hist.t_b, 0) + 0.5)
+                      / (CAST(totals.t_tot AS DOUBLE) + 0.5 * 256))
+                   / ((COALESCE(s_hist.s_b, 0) + 0.5)
+                      / (CAST(totals.s_tot AS DOUBLE) + 0.5 * 256)), 6) AS r
+      FROM (SELECT range AS b FROM range(256)) g
+      LEFT JOIN s_hist ON g.b = s_hist.b
+      LEFT JOIN t_hist ON g.b = t_hist.b
+      CROSS JOIN totals
+    ), per_bucket AS (
+      SELECT doc_id, b, COUNT(*) AS c FROM bucketed GROUP BY doc_id, b
+    ), iw AS (
+      SELECT doc_id,
+             CAST(SUM(CAST(ROUND(c * r * 1000000.0) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 AS imp_weight
+      FROM per_bucket JOIN ratio ON per_bucket.b = ratio.b
+      GROUP BY doc_id
+    ), d AS (
+      SELECT doc_id, imp_weight AS w,
+             CAST(({_H60_ID} % 1000000) AS DOUBLE) / 1000000.0 AS u
+      FROM iw WHERE imp_weight > 0
+    ), p AS (
+      SELECT doc_id, w, u / w AS priority FROM d
+    ), top AS (
+      SELECT doc_id, w, priority FROM p
+      ORDER BY priority, doc_id LIMIT 101
+    ), win AS (
+      SELECT doc_id, w, priority,
+             ROW_NUMBER() OVER (ORDER BY priority, doc_id) AS rn,
+             MAX(priority) OVER () AS tau,
+             COUNT(*) OVER () AS cnt
+      FROM top
+    )
+    SELECT doc_id, w, priority,
+           CASE WHEN cnt = 101 THEN GREATEST(w, 1.0 / tau) ELSE w END AS w_est
+    FROM win WHERE rn <= 100
+    """,
+)
+def llm_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full DSIR recipe end-to-end: hashed-unigram importance
+    weights toward the English target (sampling.py:
+    importance_weights), then priority sampling 100 docs WITH those
+    weights — importance RESAMPLING, not just scoring. Target-like
+    docs are proportionally more likely to survive, and w_est keeps
+    the sample's weighted totals unbiased for the corpus."""
+    from aws_datalake_spark.operators.sampling import (
+        importance_weights,
+        priority_sample,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    iw = importance_weights(docs, docs.filter(F.col("lang") == "en"),
+                            n_buckets=256)
+    return priority_sample(iw, 100, weight_col="imp_weight", id_col="doc_id")
