@@ -1122,3 +1122,43 @@ def ref_txn_merge_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(snap_agg(cur, "v_merged"))
         .select("snap", "o_orderstatus", "n", "sum_price")
     )
+
+
+@query(
+    "ref_txn_zorder_pruned_read",
+    oracle=f"""
+    SELECT l_returnflag, COUNT(*) AS n,
+           {o_dsum('l_extendedprice', scale=2)} AS sum_price
+    FROM lineitem
+    WHERE l_orderkey BETWEEN 1000 AND 2000
+      AND l_partkey BETWEEN 100 AND 400
+    GROUP BY l_returnflag
+    """,
+)
+def ref_txn_zorder_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering + stats-skipped read on the txn table
+    (sources/txn_table.py:zorder_compact): load a lineitem
+    projection, cluster on (l_orderkey, l_partkey), then answer a
+    two-column range query through ``read(prune=...)`` — files whose
+    footer stats cannot match are never opened, on EITHER column.
+    The residual filter keeps pruning an optimization, so the oracle
+    is the plain predicate aggregate."""
+    from aws_datalake_spark.sources import txn_table as tt
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_returnflag", "l_extendedprice"
+    )
+    root = tempfile.mkdtemp(prefix="txn_z_") + "/lineitem"
+    tt.write(li.repartition(4), root)
+    tt.zorder_compact(spark, root, ["l_orderkey", "l_partkey"], target_files=8)
+    out = tt.read(
+        spark, root,
+        prune={"l_orderkey": (1000, 2000), "l_partkey": (100, 400)},
+    ).filter(
+        (F.col("l_orderkey").between(1000, 2000))
+        & (F.col("l_partkey").between(100, 400))
+    )
+    return out.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_extendedprice", "sum_price", scale=2),
+    )

@@ -512,3 +512,74 @@ def read_changes(
     for p in parts[1:]:
         out = out.unionByName(p, allowMissingColumns=True)
     return out
+
+
+def zorder_compact(
+    spark: SparkSession,
+    root: str,
+    cols: list[str],
+    target_files: int = 8,
+    bits: int = 8,
+) -> int:
+    """Rewrite the live files clustered on a Z-order (Morton) curve
+    over ``cols`` — the published multi-column data-skipping layout
+    (Delta OPTIMIZE ZORDER BY; Iceberg sort orders): after the
+    rewrite, every file's min/max range is tight on EVERY listed
+    column, so ``read(..., prune=...)`` skips files for predicates on
+    any of them. A single-column sort gives tight stats on that
+    column only; interleaving bucket bits gives locality on all.
+
+    Plan shape (no global sort, no driver data): the driver collects
+    two scalars per column (min/max); rows map to 2^bits uniform
+    bucket codes via ``width_bucket`` and to one long z-value by bit
+    interleaving — pure column expressions, whole-stage codegen; the
+    clustered write is ``repartitionByRange(z)`` (sampled range
+    exchange, which also rebalances ROWS per file when bucket
+    occupancy is skewed) + ``sortWithinPartitions(z)``. Commits like
+    compact: new files added, all previous files removed, atomically.
+    """
+    snap = snapshot(root)
+    if not snap["files"]:
+        return snap["version"]
+    cur = spark.read.parquet(*[os.path.join(root, p) for p in sorted(snap["files"])])
+    n_buckets = 1 << bits
+    rng = cur.agg(
+        *[f for c in cols for f in (
+            F.min(F.col(c).cast("double")).alias(f"lo_{c}"),
+            F.max(F.col(c).cast("double")).alias(f"hi_{c}"),
+        )]
+    ).collect()[0]
+    z = None
+    for ci, c in enumerate(cols):
+        lo, hi = rng[f"lo_{c}"], rng[f"hi_{c}"]
+        if lo is None or hi is None or lo == hi:
+            continue  # constant / all-null column adds no locality
+        code = (
+            F.width_bucket(
+                F.col(c).cast("double"), F.lit(lo), F.lit(hi), F.lit(n_buckets)
+            )
+            - 1
+        )
+        code = F.least(
+            F.greatest(F.coalesce(code, F.lit(0)), F.lit(0)),
+            F.lit(n_buckets - 1),
+        ).cast("long")
+        # interleave: bit j of this column's code lands at position
+        # j*len(cols)+ci of the z-value
+        contrib = None
+        for j in range(bits):
+            piece = F.shiftleft(
+                F.shiftright(code, j).bitwiseAND(F.lit(1)), j * len(cols) + ci
+            )
+            contrib = piece if contrib is None else contrib.bitwiseOR(piece)
+        z = contrib if z is None else z.bitwiseOR(contrib)
+    if z is None:
+        return compact(spark, root, target_files)
+    clustered = (
+        cur.withColumn("__z", z)
+        .repartitionByRange(target_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    add = _write_data(clustered, root)
+    return _commit(root, "zorder", add, sorted(snap["files"]))

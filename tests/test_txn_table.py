@@ -184,3 +184,45 @@ def test_read_changes_cdc_feed(table, spark):
     )  # merge rewrote the whole touched file (upsert-style CDC)
     with pytest.raises(FileNotFoundError):
         tt.read_changes(spark, table, since_version=99)
+
+
+def test_zorder_compact_multi_column_skipping(tmp_path, spark):
+    """After Z-order clustering on (x, y), range predicates on EITHER
+    column skip most files — the multi-column data-skipping property
+    a single-column sort cannot give."""
+    import itertools
+
+    root = str(tmp_path / "z")
+    # anti-correlated grid: a y-sort would leave x stats wide open
+    rows = [
+        Row(x=i, y=1023 - i, payload=f"p{i}")
+        for i in range(1024)
+    ]
+    tt.write(spark.createDataFrame(rows).repartition(4), root)
+    v = tt.zorder_compact(spark, root, ["x", "y"], target_files=8)
+    snap = tt.snapshot(root)
+    assert snap["version"] == v and len(snap["files"]) == 8
+    assert tt.read(spark, root).count() == 1024  # lossless rewrite
+
+    def files_for(prune):
+        return len(tt.read(spark, root, prune=prune).inputFiles())
+
+    # a narrow range on either column touches a small minority of files
+    assert files_for({"x": (0, 63)}) <= 3
+    assert files_for({"y": (0, 63)}) <= 3
+    # and the data still comes back right
+    assert (
+        tt.read(spark, root, prune={"x": (0, 63)}).filter("x < 64").count()
+        == 64
+    )
+
+
+def test_zorder_constant_column_falls_back(tmp_path, spark):
+    root = str(tmp_path / "zc")
+    tt.write(
+        spark.createDataFrame([Row(x=1, y=i) for i in range(100)]).repartition(3),
+        root,
+    )
+    v = tt.zorder_compact(spark, root, ["x"], target_files=1)  # x constant
+    assert len(tt.snapshot(root)["files"]) == 1 and v == 2
+    assert tt.read(spark, root).count() == 100
