@@ -293,6 +293,7 @@ def importance_weights(
     id_col: str = "doc_id",
     n_buckets: int = 256,
     alpha: float = 0.5,
+    ngram_max: int = 1,
 ) -> DataFrame:
     """DSIR-inspired importance weighting (Xie et al. 2023,
     "Data Selection for Language Models via Importance Resampling"):
@@ -318,14 +319,23 @@ def importance_weights(
 
     Buckets use the md5-prefix hash (cross-engine: DuckDB
     ``('0x'||substr(md5(w),1,15))::BIGINT``) — same family as
-    sampling's hash_uniform.
+    sampling's hash_uniform. ``ngram_max=2`` hashes bigrams alongside
+    unigrams (the published DSIR feature set); the oracle-matched
+    query keeps unigrams, the bigram path is pytest-pinned.
     """
     B = n_buckets
 
+    from aws_datalake_spark.operators.text import ngrams
+
     def bucketed(df: DataFrame) -> DataFrame:
-        return df.select(
-            F.col(id_col),
-            F.explode(F.split(F.col(text_col), " ")).alias("__w"),
+        toks_df = df.select(
+            F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")
+        )
+        feats = F.col("__toks")
+        for n in range(2, ngram_max + 1):
+            feats = F.concat(feats, ngrams("__toks", n))
+        return toks_df.select(
+            F.col(id_col), F.explode(feats).alias("__w")
         ).select(
             id_col,
             (

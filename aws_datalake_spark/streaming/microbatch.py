@@ -196,3 +196,40 @@ def quarantine_foreach_batch(
         )
 
     return _body
+
+
+def snapshot_enrich_sink(
+    dim_root: str,
+    out_sink: Callable[[DataFrame, int], None],
+    on: list[str],
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> Callable[[DataFrame, int], None]:
+    """Stream-static enrichment where the static side is a
+    transaction-log table re-resolved EVERY micro-batch: a plain
+    stream-static join binds the dimension's file list once at query
+    start, so upstream dimension updates (SCD feeds, config pushes)
+    are invisible until restart; resolving through the txn snapshot
+    inside foreachBatch picks up each new committed version at batch
+    granularity — Delta's recommended "join the latest snapshot"
+    pattern, on our own log.
+
+    The dimension read is snapshot-ATOMIC (a mid-batch commit flips
+    the whole file set or none of it, never a torn mix), and
+    `broadcast_dim` keeps the join shuffle-free for dim tables that
+    fit the broadcast threshold — the common case for enrichment
+    dims. Compose with stream_append_sink / idempotent_batch_sink as
+    ``out_sink`` for the exactly-once write half."""
+
+    def _body(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        from aws_datalake_spark.sources import txn_table as tt
+
+        dim = tt.read(batch_df.sparkSession, dim_root)
+        if broadcast_dim:
+            dim = F.broadcast(dim)
+        enriched = batch_df.join(dim, on=on, how=how)
+        out_sink(enriched, batch_id)
+
+    return _body

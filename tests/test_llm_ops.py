@@ -615,3 +615,24 @@ def test_importance_weights_favors_target_tokens(spark):
     target = corpus.filter("doc_id = 1")
     out = {r.doc_id: r.imp_weight for r in importance_weights(corpus, target).collect()}
     assert out[1] > out[3] > out[2]
+
+
+def test_importance_weights_bigram_features_change_scores(spark):
+    from aws_datalake_spark.operators.sampling import importance_weights
+
+    # same unigram histogram, different bigram order: only ngram_max=2
+    # can tell doc 2 and doc 3 apart relative to the target
+    corpus = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b a b"), (3, "b a b a")],
+        ["doc_id", "text"],
+    )
+    target = corpus.filter("doc_id = 1")
+    uni = {r.doc_id: r.imp_weight for r in importance_weights(corpus, target).collect()}
+    bi = {r.doc_id: r.imp_weight
+          for r in importance_weights(corpus, target, ngram_max=2).collect()}
+    assert uni[2] == uni[3]          # unigrams cannot distinguish
+    assert bi[2] > bi[3]             # bigram 'a b' dominance shows
+    # n_tokens accounting includes bigram features
+    n = {r.doc_id: r.n_tokens
+         for r in importance_weights(corpus, target, ngram_max=2).collect()}
+    assert n[1] == 4 + 3

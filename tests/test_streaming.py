@@ -561,3 +561,49 @@ def test_interval_join_operator_on_real_streams(spark, tmp_path):
     _await(q)
     out = sorted((r.p_id, r.v_id) for r in spark.table("ij_op_out").collect())
     assert out == [(10, 20)]
+
+
+def test_snapshot_enrich_sink_sees_dim_updates_per_batch(spark, tmp_path):
+    """Stream-static enrichment through the txn snapshot: a dimension
+    MERGE between micro-batches is visible to the NEXT batch without
+    restarting the stream (a plain stream-static parquet join binds
+    the file list once and would miss it)."""
+    from aws_datalake_spark.sources import txn_table as tt
+    from aws_datalake_spark.streaming.microbatch import (
+        idempotent_batch_sink,
+        snapshot_enrich_sink,
+    )
+
+    dim_root = str(tmp_path / "dim")
+    out = str(tmp_path / "out")
+    src = str(tmp_path / "src")
+    tt.write(
+        spark.createDataFrame([(1, "bronze")], ["k", "tier"]).coalesce(1),
+        dim_root,
+    )
+    spark.createDataFrame([(100, 1)], ["event_id", "k"]).coalesce(1).write.mode(
+        "overwrite"
+    ).json(src)
+    stream = spark.readStream.schema("event_id long, k long").json(src)
+    q = (
+        stream.writeStream.foreachBatch(
+            snapshot_enrich_sink(dim_root, idempotent_batch_sink(out), on=["k"])
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    # dimension upsert BETWEEN batches
+    tt.merge_upsert(
+        spark, dim_root,
+        spark.createDataFrame([(1, "gold")], ["k", "tier"]), keys=["k"],
+    )
+    spark.createDataFrame([(101, 1)], ["event_id", "k"]).coalesce(1).write.mode(
+        "append"
+    ).json(src)
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+
+    got = {r.event_id: r.tier for r in spark.read.parquet(out).collect()}
+    assert got == {100: "bronze", 101: "gold"}
