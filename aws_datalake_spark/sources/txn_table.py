@@ -583,3 +583,66 @@ def zorder_compact(
     )
     add = _write_data(clustered, root)
     return _commit(root, "zorder", add, sorted(snap["files"]))
+
+
+# ---------------------------------------------------------- maintenance
+
+
+def table_stats(root: str) -> dict:
+    """Log-derived health stats (no data scan, no file LIST): live
+    file count/rows/small-file count, commits since the last log
+    checkpoint, and tombstoned files a vacuum would reclaim."""
+    snap = snapshot(root)
+    versions = _list_versions(root)
+    cp = _checkpoint_doc(root)
+    rows = sum(a.get("rows", 0) for a in snap["files"].values())
+    live = set(snap["files"])
+    removed: set[str] = set()
+    for v in versions:
+        removed.update(_read_commit(root, v).get("remove", []))
+    small = sum(1 for a in snap["files"].values() if a.get("rows", 0) < 100_000)
+    # a tombstone is reclaimable only while the file still exists —
+    # vacuumed files stay in the log's remove actions forever
+    tomb = sum(
+        1 for r in (removed - live) if os.path.exists(os.path.join(root, r))
+    )
+    return {
+        "version": snap["version"],
+        "live_files": len(snap["files"]),
+        "live_rows": rows,
+        "small_files": small,
+        "commits_since_checkpoint": snap["version"] - (cp["version"] if cp else 0),
+        "tombstoned_files": tomb,
+    }
+
+
+def plan_maintenance(
+    root: str,
+    max_small_files: int = 16,
+    max_log_tail: int = 32,
+    min_tombstones: int = 16,
+) -> list[str]:
+    """The background-optimizer decision list ('compact', 'zorder'
+    is policy — not auto-recommended, it needs column choice,
+    'checkpoint_log', 'vacuum'), derived purely from the log: on a
+    100 TB table this is the planner a maintenance cron calls — it
+    never opens a data file. Execution stays explicit (each action
+    is one function above) so operators control when rewrite IO
+    happens."""
+    st = table_stats(root)
+    actions = []
+    if st["small_files"] > max_small_files:
+        actions.append("compact")
+    if st["commits_since_checkpoint"] > max_log_tail:
+        actions.append("checkpoint_log")
+    if st["tombstoned_files"] >= min_tombstones:
+        actions.append("vacuum")
+    return actions
+
+
+def register_txn_view(
+    spark: SparkSession, root: str, name: str, version: int | None = None
+) -> None:
+    """Expose the (optionally time-travel) snapshot to spark.sql as a
+    temp view — the SQL-surface half of the table format."""
+    read(spark, root, version=version).createOrReplaceTempView(name)

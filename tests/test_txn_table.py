@@ -226,3 +226,29 @@ def test_zorder_constant_column_falls_back(tmp_path, spark):
     v = tt.zorder_compact(spark, root, ["x"], target_files=1)  # x constant
     assert len(tt.snapshot(root)["files"]) == 1 and v == 2
     assert tt.read(spark, root).count() == 100
+
+
+def test_maintenance_planner_and_sql_view(table, spark):
+    for i in range(3):
+        tt.write(_mk(spark, 3000 + i * 10, 3010 + i * 10), table, mode="append")
+    st = tt.table_stats(table)
+    assert st["live_files"] == 5 and st["small_files"] == 5
+    assert st["commits_since_checkpoint"] == 5
+    plan = tt.plan_maintenance(table, max_small_files=4, max_log_tail=4,
+                               min_tombstones=1)
+    assert plan == ["compact", "checkpoint_log"]  # nothing tombstoned yet
+    tt.compact(spark, table, target_files=1)
+    tt.checkpoint_log(table)
+    assert tt.plan_maintenance(table, max_small_files=4, max_log_tail=4,
+                               min_tombstones=1) == ["vacuum"]
+
+    # SQL surface — current and time-travel views (v1 must be read
+    # BEFORE vacuum reclaims its file: time travel is retention-bound)
+    tt.register_txn_view(spark, table, "tt_orders")
+    n = spark.sql("SELECT COUNT(*) AS n FROM tt_orders").collect()[0].n
+    assert n == 230
+    tt.register_txn_view(spark, table, "tt_orders_v1", version=1)
+    assert spark.sql("SELECT COUNT(*) FROM tt_orders_v1").collect()[0][0] == 100
+
+    tt.vacuum(table, retain_versions=1)
+    assert tt.table_stats(table)["tombstoned_files"] == 0
