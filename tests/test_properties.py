@@ -188,3 +188,69 @@ def test_heavy_hitters_matches_exact_groupby(spark_global, rows, support):
     counts = Counter(f"k{v}" for v in rows)
     expect = {k: c for k, c in counts.items() if c > support * len(rows)}
     assert got == expect
+
+
+# --- txn table vs dict model --------------------------------------------------
+
+txn_ops = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), st.integers(0, 3), st.integers(1, 5)),
+        st.tuples(st.just("merge"), st.integers(0, 3), st.integers(1, 5)),
+        st.tuples(st.just("overwrite"), st.integers(0, 3), st.integers(1, 5)),
+        st.tuples(st.just("compact"), st.just(0), st.just(0)),
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+@given(ops=txn_ops)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_txn_table_matches_dict_model(spark_global, tmp_path_factory, ops):
+    """Random append/merge/overwrite/compact sequences: the txn
+    table's live snapshot must equal a plain dict model (merge keyed
+    on k; append multiplies rows; overwrite resets; compact is a
+    no-op on content), and every historical version must still
+    replay."""
+    from pyspark.sql import Row
+    from aws_datalake_spark.sources import txn_table as tt
+
+    spark = spark_global
+    root = str(tmp_path_factory.mktemp("txnprop") / "t")
+    model: list[tuple[int, int]] = []  # (k, v) rows; merges key on k
+
+    def batch(base, n, tag):
+        return [(base * 10 + i, tag) for i in range(n)]
+
+    for step, (op, base, n) in enumerate(ops):
+        rows = batch(base, n, step)
+        df = spark.createDataFrame(
+            [Row(k=k, v=v) for k, v in rows] or [Row(k=-1, v=-1)]
+        ).coalesce(1)
+        if op == "append":
+            tt.write(df, root, mode="append")
+            model.extend(rows)
+        elif op == "overwrite":
+            tt.write(df, root, mode="overwrite")
+            model = list(rows)
+        elif op == "merge":
+            if not tt.is_txn_table(root):
+                tt.write(df, root, mode="append")
+                model.extend(rows)
+            else:
+                tt.merge_upsert(spark, root, df, keys=["k"])
+                keys = {k for k, _ in rows}
+                model = [r for r in model if r[0] not in keys] + rows
+        elif op == "compact":
+            if tt.is_txn_table(root):
+                tt.compact(spark, root, target_files=1)
+    if not tt.is_txn_table(root):
+        assert model == []  # only no-op compacts ran; nothing to read
+        return
+    got = sorted(
+        (r.k, r.v) for r in tt.read(spark, root).collect()
+    )
+    assert got == sorted(model)
+    # every version replays without error and row counts are sane
+    for h in tt.history(root):
+        assert tt.snapshot(root, h["version"])["version"] == h["version"]
