@@ -119,3 +119,57 @@ def drop_boilerplate(
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+def dedup_segments_keep_first(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+) -> DataFrame:
+    """Exact CCNet semantics: for every DISTINCT segment keep only
+    its first occurrence (global order: min (doc_id, seg_idx)) and
+    delete every later occurrence, then reassemble. Differs from
+    drop_boilerplate, which deletes ALL occurrences of
+    above-threshold segments including the first.
+
+    Shuffle shape: winner election groups (key, doc_id, seg_idx)
+    triples — 24 bytes per segment, never text; the kept (doc, idx)
+    pairs rejoin the segment table on (doc, idx), then one corpus
+    shuffle on doc for reassembly. Returns (id, n_seg, n_kept,
+    clean_text)."""
+    segs = segment_docs(df, text_col, id_col, k)
+    keyed = segs.select(
+        id_col, "seg_idx", seg_key().alias("__k")
+    )
+    winners = (
+        keyed.groupBy("__k")
+        .agg(
+            F.min(F.struct(id_col, "seg_idx")).alias("__first"),
+        )
+        .select(
+            F.col(f"__first.{id_col}").alias(id_col),
+            F.col("__first.seg_idx").alias("seg_idx"),
+        )
+    )
+    kept = (
+        segs.join(winners, [id_col, "seg_idx"], "left_semi")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                    lambda s: s["seg"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+    totals = segs.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_seg"))
+    return totals.join(kept, id_col, "left").select(
+        id_col,
+        "n_seg",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )

@@ -734,3 +734,50 @@ def llm_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     target = docs.filter(F.col("lang") == "en")
     return importance_weights(docs, target, n_buckets=256)
+
+
+@query(
+    "llm_segment_dedup_keep_first",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+             generate_subscripts(string_split(text, ' '), 1) AS ord
+      FROM documents
+    ), segs AS (
+      SELECT doc_id, CAST(FLOOR((ord - 1) / 2) AS BIGINT) AS seg_idx,
+             STRING_AGG(w, ' ' ORDER BY ord) AS seg
+      FROM words GROUP BY doc_id, CAST(FLOOR((ord - 1) / 2) AS BIGINT)
+    ), kept AS (
+      SELECT doc_id, seg_idx, seg FROM (
+        SELECT s.*, ROW_NUMBER() OVER (
+          PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+        FROM segs s
+      ) WHERE rn = 1
+    ), regen AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             MD5(STRING_AGG(seg, ' ' ORDER BY seg_idx)) AS clean_md5
+      FROM kept GROUP BY doc_id
+    ), tot AS (
+      SELECT doc_id, COUNT(*) AS n_seg FROM segs GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_seg, COALESCE(r.n_kept, 0) AS n_kept,
+           COALESCE(r.clean_md5, MD5('')) AS clean_md5
+    FROM tot t LEFT JOIN regen r ON t.doc_id = r.doc_id
+    """,
+)
+def llm_segment_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact CCNet paragraph dedup (operators/segment_dedup.py:
+    dedup_segments_keep_first): every distinct segment survives
+    exactly once corpus-wide — at its globally-first (doc_id,
+    seg_idx) occurrence — and every later occurrence is deleted;
+    reassembled text md5-matched against the oracle's row_number
+    formulation."""
+    from aws_datalake_spark.operators.segment_dedup import (
+        dedup_segments_keep_first,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    out = dedup_segments_keep_first(docs, k=2)
+    return out.select(
+        "doc_id", "n_seg", "n_kept", F.md5("clean_text").alias("clean_md5")
+    )

@@ -636,3 +636,25 @@ def test_importance_weights_bigram_features_change_scores(spark):
     n = {r.doc_id: r.n_tokens
          for r in importance_weights(corpus, target, ngram_max=2).collect()}
     assert n[1] == 4 + 3
+
+
+def test_segment_dedup_keep_first_keeps_one_occurrence(spark):
+    from aws_datalake_spark.operators.segment_dedup import (
+        dedup_segments_keep_first,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "shared seg here tail one text"),
+            (2, "shared seg here tail two words"),
+            (3, "fresh stuff only in doc three"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in dedup_segments_keep_first(docs, k=3).collect()}
+    # doc 1 is the first occurrence of 'shared seg here' -> keeps both
+    assert out[1].clean_text == "shared seg here tail one text"
+    # doc 2 loses the duplicate but keeps its unique tail
+    assert out[2].clean_text == "tail two words"
+    assert out[2].n_seg == 2 and out[2].n_kept == 1
+    assert out[3].n_kept == 2
