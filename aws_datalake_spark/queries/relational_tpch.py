@@ -571,13 +571,19 @@ def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     (best supplier per part in a region). The correlated subquery
     compiles to ONE window max over the already-joined eligible set —
     no re-scan, no self-join; ties keep all rows as in the spec."""
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    # broadcast-filter the fact to the ~0.1% matching parts BEFORE the
+    # pair-distinct: the dedup shuffle then carries only eligible pairs
+    # (SHUFFLE.md round 2: 5.77 MB -> ~0) — semantically identical, the
+    # filter and the distinct commute
     ps = (
         t(spark, sf_dir, "lineitem")
         .select("l_partkey", "l_suppkey")
+        .join(F.broadcast(p.select("p_partkey")),
+              F.col("l_partkey") == F.col("p_partkey"), "left_semi")
         .distinct()
-    )
-    p = t(spark, sf_dir, "part").filter(
-        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
     )
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation")
@@ -711,15 +717,19 @@ def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     suppliers adapted to negative account balance). The NOT IN
     compiles to a broadcast left-anti join — never a per-row
     subquery."""
-    ps = (
-        t(spark, sf_dir, "lineitem")
-        .select("l_partkey", "l_suppkey")
-        .distinct()
-    )
     p = t(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#5")
         & (~F.col("p_type").like("PROMO%"))
         & (F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+    )
+    # part filter pushed below the pair-distinct (commutes; shrinks the
+    # dedup shuffle to the eligible-part fraction of pairs)
+    ps = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(F.broadcast(p.select("p_partkey")),
+              F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .distinct()
     )
     bad = (
         t(spark, sf_dir, "supplier")
@@ -768,7 +778,14 @@ def q20_excess_inventory_suppliers(spark: SparkSession, sf_dir: str) -> DataFram
     quantity). Both aggregates group on the same l_partkey prefix,
     so AQE coalesces them onto one exchange lineage; the final IN
     is a broadcast semi-join into the 100-row supplier dim."""
-    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    # both aggregates are consumed only for 'small%' parts; the
+    # broadcast semi-join below the group-bys shrinks both agg
+    # shuffles to that fraction (filter/agg commute on the join key)
+    li = t(spark, sf_dir, "lineitem").join(
+        F.broadcast(p.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+    )
     q96 = (
         li.filter(
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -778,7 +795,6 @@ def q20_excess_inventory_suppliers(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(dsum("l_quantity", "qty_96", scale=2))
     )
     qall = li.groupBy("l_partkey").agg(dsum("l_quantity", "qty_all", scale=2))
-    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
     cand = (
         q96.join(qall, "l_partkey")
         .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
