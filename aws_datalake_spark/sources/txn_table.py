@@ -263,16 +263,74 @@ def _write_data(df: DataFrame, root: str) -> list[dict]:
 # ------------------------------------------------------------ public API
 
 
-def write(df: DataFrame, root: str, mode: str = "append") -> int:
+class SchemaEnforcementError(ValueError):
+    """An append's schema is incompatible with the table schema and
+    merge_schema was not requested."""
+
+
+def table_schema(root: str) -> list[list[str]] | None:
+    """The logged [name, type] column list as of the latest commit
+    that recorded one (None for pre-schema tables)."""
+    for v in reversed(_list_versions(root)):
+        c = _read_commit(root, v)
+        if "schema" in c:
+            return c["schema"]
+    return None
+
+
+def _schema_fields(df: DataFrame) -> list[list[str]]:
+    return [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
+
+
+def _check_schema(df: DataFrame, root: str, mode: str,
+                  merge_schema: bool) -> list[list[str]]:
+    """Delta's write contract: an append must match the table schema
+    exactly unless merge_schema is set, in which case NEW columns may
+    be added (existing columns must keep name+type); overwrite always
+    replaces the schema. Enforcement reads only the log."""
+    new = _schema_fields(df)
+    if mode == "overwrite" or not is_txn_table(root):
+        return new
+    cur = table_schema(root)
+    if cur is None:
+        return new
+    cur_d, new_d = dict(cur), dict(new)
+    changed = {
+        n for n in cur_d.keys() & new_d.keys() if cur_d[n] != new_d[n]
+    }
+    if changed:
+        raise SchemaEnforcementError(
+            f"txn_table: column type changed for {sorted(changed)} "
+            f"(table {cur_d}, write {new_d}) — type changes require "
+            "mode='overwrite'"
+        )
+    missing = cur_d.keys() - new_d.keys()
+    extra = new_d.keys() - cur_d.keys()
+    if (missing or extra) and not merge_schema:
+        raise SchemaEnforcementError(
+            f"txn_table: schema mismatch (missing={sorted(missing)}, "
+            f"new={sorted(extra)}); pass merge_schema=True to evolve"
+        )
+    # evolved schema = table order, then new columns in write order
+    return cur + [[n, t] for n, t in new if n in extra]
+
+
+def write(df: DataFrame, root: str, mode: str = "append",
+          merge_schema: bool = False) -> int:
     """Append or overwrite; either way data lands invisibly first and
-    ONE log create makes it live. Returns the committed version."""
+    ONE log create makes it live. Appends are schema-ENFORCED against
+    the logged table schema (merge_schema=True permits adding
+    columns — Delta's mergeSchema semantics; readers fill missing
+    columns with NULL via mergeSchema parquet reads). Returns the
+    committed version."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    schema = _check_schema(df, root, mode, merge_schema)
     add = _write_data(df, root)
     remove: list[str] = []
     if mode == "overwrite":
         remove = list(snapshot(root)["files"]) if is_txn_table(root) else []
-    return _commit(root, mode, add, remove)
+    return _commit(root, mode, add, remove, extra={"schema": schema})
 
 
 def _stats_overlap(add: dict, col: str, lo, hi) -> bool:

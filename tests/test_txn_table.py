@@ -252,3 +252,28 @@ def test_maintenance_planner_and_sql_view(table, spark):
 
     tt.vacuum(table, retain_versions=1)
     assert tt.table_stats(table)["tombstoned_files"] == 0
+
+
+def test_schema_enforcement_and_evolution(tmp_path, spark):
+    root = str(tmp_path / "se")
+    tt.write(_mk(spark, 0, 10), root)
+    assert tt.table_schema(root) == [
+        ["k", "bigint"], ["price", "double"], ["seg", "string"]
+    ]
+    # column type change -> rejected outright
+    bad = spark.createDataFrame([Row(k="oops", price=1.0, seg="s")])
+    with pytest.raises(tt.SchemaEnforcementError, match="type changed"):
+        tt.write(bad, root)
+    # extra column without merge_schema -> rejected
+    wide = spark.createDataFrame([Row(k=50, price=2.0, seg="s", extra=7)])
+    with pytest.raises(tt.SchemaEnforcementError, match="merge_schema"):
+        tt.write(wide, root)
+    # with merge_schema -> evolves; old rows read back with NULL extra
+    tt.write(wide, root, merge_schema=True)
+    assert tt.table_schema(root)[-1] == ["extra", "bigint"]
+    df = tt.read(spark, root)
+    assert df.count() == 11
+    assert df.filter("extra IS NULL").count() == 10
+    # overwrite always resets the schema
+    tt.write(spark.createDataFrame([Row(a=1)]), root, mode="overwrite")
+    assert tt.table_schema(root) == [["a", "bigint"]]
