@@ -277,3 +277,47 @@ def test_schema_enforcement_and_evolution(tmp_path, spark):
     # overwrite always resets the schema
     tt.write(spark.createDataFrame([Row(a=1)]), root, mode="overwrite")
     assert tt.table_schema(root) == [["a", "bigint"]]
+
+
+def test_txn_datasource_batch_and_stream(tmp_path, spark):
+    """The txn table as a registered Spark DataSource: batch snapshot
+    scan (one partition per file, time travel via option) and a
+    version-offset stream that delivers append commits exactly once
+    and skips change commits."""
+    from aws_datalake_spark.sources.txn_stream import register
+
+    register(spark)
+    root = str(tmp_path / "ds")
+    tt.write(_mk(spark, 0, 50), root)                       # v1
+    tt.write(_mk(spark, 100, 150), root)                    # v2
+
+    batch = spark.read.format("txn_table").load(root)
+    assert batch.count() == 100
+    assert set(batch.columns) == {"k", "price", "seg"}
+    v1 = spark.read.format("txn_table").option("version", "1").load(root)
+    assert v1.count() == 50  # time travel through the source
+
+    q = (
+        spark.readStream.format("txn_table")
+        .load(root)
+        .writeStream.format("memory")
+        .queryName("txn_feed")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    assert spark.table("txn_feed").count() == 100  # both commits
+    # an append between batches arrives incrementally...
+    tt.write(_mk(spark, 200, 210), root)                    # v3
+    q.processAllAvailable()
+    assert spark.table("txn_feed").count() == 110
+    # ...and a merge (data-changing) is skipped, not duplicated
+    from pyspark.sql import Row
+    tt.merge_upsert(spark, root,
+                    spark.createDataFrame([Row(k=0, price=9.9, seg="u")]),
+                    keys=["k"])                             # v4
+    tt.write(_mk(spark, 300, 305), root)                    # v5
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+    assert spark.table("txn_feed").count() == 115  # +v5 only, v4 skipped
