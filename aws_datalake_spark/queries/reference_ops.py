@@ -1162,3 +1162,36 @@ def ref_txn_zorder_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         dsum("l_extendedprice", "sum_price", scale=2),
     )
+
+
+@query(
+    "ref_txn_datasource_read",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           SUM(CAST(event_id AS BIGINT)) AS sum_id
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def ref_txn_datasource_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The txn table read back through its registered Spark
+    DataSource (sources/txn_stream.py): ingest events as two
+    stream-append commits, then `spark.read.format("txn_table")` —
+    planning from the log, one partition per file — and aggregate.
+    Certifies the DataSource path end-to-end under the oracle gate
+    (row fidelity through the pyarrow reader, schema from the logged
+    contract)."""
+    from aws_datalake_spark.sources import txn_table as tt
+    from aws_datalake_spark.sources.txn_stream import register
+
+    register(spark)
+    ev = t(spark, sf_dir, "events").select("event_id", "event_type")
+    root = tempfile.mkdtemp(prefix="txn_ds_") + "/events_tt"
+    sink = tt.stream_append_sink(root)
+    sink(ev.filter(F.col("event_id") % 2 == 0), 0)
+    sink(ev.filter(F.col("event_id") % 2 == 1), 1)
+    back = spark.read.format("txn_table").load(root)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("event_id").alias("sum_id"),
+    )

@@ -523,9 +523,10 @@ def stream_append_sink(root: str):
     def _body(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id in committed_stream_batches(root):
             return  # replay after partial failure: already durable
+        schema = _check_schema(batch_df, root, "append", merge_schema=False)
         add = _write_data(batch_df, root)
         _commit(root, "stream-append", add, [],
-                extra={"stream_batch_id": batch_id})
+                extra={"stream_batch_id": batch_id, "schema": schema})
 
     return _body
 
