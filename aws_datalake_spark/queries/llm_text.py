@@ -781,3 +781,27 @@ def llm_segment_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "n_seg", "n_kept", F.md5("clean_text").alias("clean_md5")
     )
+
+
+@query("llm_quality_classifier")  # rows-only: sigmoid has no cross-engine oracle
+def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (operators/classifier.py): the
+    GPT-3/LLaMA-lineage recipe — train a linear classifier over
+    hashed text features with the English subset as the positive
+    reference, then score every document; downstream filters keep
+    high scorers. Distributed LR: per iteration one broadcast join +
+    one exact-summed gradient shuffle; the only driver state is the
+    weight vector. Rows-only by design (iterative + transcendental),
+    like llm_kmeans_cells; separation and determinism are pinned in
+    tests/test_clustering.py."""
+    from aws_datalake_spark.operators.classifier import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    labeled = docs.withColumn(
+        "label", (F.col("lang") == "en").cast("int")
+    )
+    w = train_quality_classifier(labeled, iters=10, n_buckets=64)
+    return score_quality(docs, w, n_buckets=64)

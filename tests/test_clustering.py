@@ -39,3 +39,36 @@ def test_kmeans_deterministic(spark):
     a = kmeans_fit(df, k=3, max_iter=3)
     b = kmeans_fit(df, k=3, max_iter=3)
     assert a == b
+
+
+# --- quality classifier (fastText-style LR over hashed features) --------------
+
+
+def test_quality_classifier_separates_and_is_deterministic(spark):
+    from aws_datalake_spark.operators.classifier import (
+        sanity_auc,
+        score_quality,
+        train_quality_classifier,
+    )
+
+    rows = [(i, "good clean prose text here " * 3, 1) for i in range(40)]
+    rows += [(i, "spam junk noise garbage words " * 3, 0) for i in range(40, 80)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "label"])
+    w = train_quality_classifier(df, iters=20, lr=2.0, n_buckets=64)
+    auc = sanity_auc(score_quality(df, w), df)
+    assert auc > 0.95
+    assert w == train_quality_classifier(df, iters=20, lr=2.0, n_buckets=64)
+
+
+def test_quality_classifier_scores_bounded(spark):
+    from aws_datalake_spark.operators.classifier import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b", 1), (2, "c d", 0)], ["doc_id", "text", "label"]
+    )
+    w = train_quality_classifier(df, iters=3, n_buckets=16)
+    got = score_quality(df, w).collect()
+    assert all(0.0 < r.quality_score < 1.0 for r in got)
