@@ -1195,3 +1195,65 @@ def ref_txn_datasource_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("event_id").alias("sum_id"),
     )
+
+
+_SCD2_TXN_ORACLE = """
+WITH target AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus,
+         CASE WHEN o_orderkey % 5 = 0 THEN 'N' ELSE 'Y' END AS actv_flg,
+         CASE WHEN o_orderkey % 5 = 0 THEN TIMESTAMP '2020-01-01 00:00:00' END AS record_to
+  FROM orders WHERE o_orderkey % 2 = 0),
+staging AS (
+  SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey < 1000)
+SELECT o_orderkey, o_totalprice, o_orderstatus,
+       CASE WHEN actv_flg = 'Y'
+             AND o_orderkey IN (SELECT o_orderkey FROM staging)
+            THEN 'N' ELSE actv_flg END AS actv_flg,
+       CASE WHEN actv_flg = 'Y'
+             AND o_orderkey IN (SELECT o_orderkey FROM staging)
+            THEN TIMESTAMP '2024-06-01 00:00:00' ELSE record_to END AS record_to
+FROM target
+UNION ALL
+SELECT o_orderkey, o_totalprice, o_orderstatus, 'Y', NULL FROM staging
+"""
+
+
+@query("ref_scd2_on_txn", oracle=_SCD2_TXN_ORACLE)
+def ref_scd2_on_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 on the table format: the same SCD2 close-out+insert as
+    ref_scd2_merge, executed as ONE atomic file-pruned commit on the
+    transaction log (sources/txn_table.py:scd2_merge_txn). The target
+    dimension is written as two key-range files; staging touches only
+    keys < 1000, so the upper file survives the load untouched —
+    asserted in-query, so the driver-green row certifies the pruning,
+    not just the result."""
+    from aws_datalake_spark.sources import txn_table as tt
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    target = (
+        o.filter(F.col("o_orderkey") % 2 == 0)
+        .withColumn(
+            "actv_flg", F.when(F.col("o_orderkey") % 5 == 0, "N").otherwise("Y")
+        )
+        .withColumn(
+            "record_to",
+            F.when(
+                F.col("o_orderkey") % 5 == 0, F.lit("2020-01-01 00:00:00")
+            ).cast("timestamp"),
+        )
+    )
+    root = tempfile.mkdtemp(prefix="scd2_txn_") + "/dim_orders"
+    tt.write(target.filter(F.col("o_orderkey") < 1000), root)
+    tt.write(target.filter(F.col("o_orderkey") >= 1000), root)
+    staging = o.filter(
+        (F.col("o_orderkey") % 3 == 0) & (F.col("o_orderkey") < 1000)
+    ).withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    res = tt.scd2_merge_txn(
+        spark, root, staging, keys=["o_orderkey"],
+        close_ts=F.lit("2024-06-01 00:00:00").cast("timestamp"),
+    )
+    assert res["untouched"] >= 1, res  # file pruning must engage
+    return tt.read(spark, root)

@@ -321,3 +321,37 @@ def test_txn_datasource_batch_and_stream(tmp_path, spark):
     q.stop()
     q.awaitTermination(30)
     assert spark.table("txn_feed").count() == 115  # +v5 only, v4 skipped
+
+
+def test_scd2_merge_txn_atomic_and_pruned(table, spark):
+    """SCD2 on the log: close-out + insert in one commit; the
+    non-intersecting file is untouched; inactive rows keep their
+    original record_to."""
+    from pyspark.sql import Row
+
+    # give the fixture table SCD2 columns via overwrite
+    base = _mk(spark, 0, 100).withColumn("actv_flg", F.lit("Y")).withColumn(
+        "record_to", F.lit(None).cast("timestamp")
+    )
+    hi = _mk(spark, 1000, 1100).withColumn("actv_flg", F.lit("Y")).withColumn(
+        "record_to", F.lit(None).cast("timestamp")
+    )
+    root = table + "_scd2"
+    tt.write(base, root)
+    tt.write(hi, root)
+    staging = spark.createDataFrame(
+        [Row(k=5, price=42.0, seg="u"), Row(k=7, price=43.0, seg="u")]
+    )
+    res = tt.scd2_merge_txn(
+        spark, root, staging, keys=["k"],
+        close_ts=F.lit("2024-06-01 00:00:00").cast("timestamp"),
+    )
+    assert res["rewritten"] == 1 and res["untouched"] == 1
+    cur = tt.read(spark, root)
+    assert cur.count() == 202  # 200 + 2 new versions
+    k5 = {(r.actv_flg, r.price) for r in cur.filter("k = 5").collect()}
+    assert k5 == {("N", 1.0), ("Y", 42.0)}
+    # history: exactly one scd2-merge commit after the two appends
+    assert [h["op"] for h in tt.history(root)] == [
+        "append", "append", "scd2-merge"
+    ]
