@@ -782,3 +782,33 @@ def scd2_merge_txn(
     raise ConflictError(
         f"txn_table: scd2 merge on {root!r} lost {max_attempts} OCC races"
     )
+
+
+def restore(root: str, version: int) -> int:
+    """Delta RESTORE semantics: make the live state equal to snapshot
+    ``version`` via a NEW commit (linear history — the bad commits
+    stay in the log for audit; nothing is deleted until vacuum).
+    Requires the restored snapshot's files to still exist (i.e.
+    within the vacuum retention window)."""
+    old = snapshot(root, version)
+    cur = snapshot(root)
+    missing = [
+        p for p in old["files"] if not os.path.exists(os.path.join(root, p))
+    ]
+    if missing:
+        raise FileNotFoundError(
+            f"txn_table: cannot restore v{version}; {len(missing)} file(s) "
+            f"already vacuumed (e.g. {missing[0]!r})"
+        )
+    add = [a for p, a in old["files"].items() if p not in cur["files"]]
+    remove = sorted(set(cur["files"]) - set(old["files"]))
+    sch = None
+    for v in range(version, 0, -1):
+        c = _read_commit(root, v)
+        if "schema" in c:
+            sch = c["schema"]
+            break
+    extra = {"restored_from": version}
+    if sch:
+        extra["schema"] = sch
+    return _commit(root, "restore", add, remove, extra=extra)

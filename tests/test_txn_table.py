@@ -355,3 +355,18 @@ def test_scd2_merge_txn_atomic_and_pruned(table, spark):
     assert [h["op"] for h in tt.history(root)] == [
         "append", "append", "scd2-merge"
     ]
+
+
+def test_restore_rolls_back_linearly(table, spark):
+    tt.write(_mk(spark, 9000, 9050), table, mode="overwrite")  # v3: bad load
+    assert tt.read(spark, table).count() == 50
+    v = tt.restore(table, 2)
+    assert v == 4  # restore is a new commit, not history surgery
+    assert tt.read(spark, table).count() == 200
+    assert tt.table_schema(table) is not None
+    # time travel into the bad state still works (audit trail intact)
+    assert tt.read(spark, table, version=3).count() == 50
+    # vacuumed restore target -> loud failure
+    tt.vacuum(table, retain_versions=1)
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        tt.restore(table, 3)
