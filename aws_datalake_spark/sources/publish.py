@@ -140,4 +140,40 @@ def read_published(
     if table not in manifest["tables"]:
         raise KeyError(f"table {table!r} has no published batch (manifest v{manifest['version']})")
     batch = manifest["tables"][table]
+    if isinstance(batch, str) and batch.startswith("txn:v"):
+        # version-pinned transaction-log table (publish_txn)
+        from aws_datalake_spark.sources import txn_table as tt
+
+        return tt.read(
+            spark, os.path.join(root, table), version=int(batch[5:])
+        )
     return spark.read.parquet(os.path.join(root, table, f"batch={batch}"))
+
+
+def publish_txn(root: str, versions: dict[str, int | None]) -> int:
+    """Cross-table snapshot isolation over TRANSACTION-LOG tables:
+    atomically pin ``{table: txn version}`` (None = the table's
+    current committed version) in one manifest flip. This composes
+    the two commit layers — per-table atomicity from the txn log,
+    cross-table atomicity from the manifest — so a 19-table batch
+    (the reference's single ``con.commit()``) becomes: commit each
+    table's load to its own log, then ONE ``publish_txn`` makes every
+    new version visible together; ``read_published(...,
+    version=<manifest>)`` is cross-table-consistent time travel.
+    Tables live at ``<root>/<name>`` as txn tables."""
+    import os as _os
+
+    from aws_datalake_spark.sources import txn_table as tt
+
+    resolved: dict[str, str] = {}
+    for name, v in versions.items():
+        cur = tt.snapshot(_os.path.join(root, name))["version"]
+        if v is None:
+            v = cur
+        elif v > cur:
+            raise ValueError(
+                f"publish_txn: {name!r} has no committed version {v} "
+                f"(latest is {cur})"
+            )
+        resolved[name] = f"txn:v{v}"
+    return publish(root, resolved)

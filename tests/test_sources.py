@@ -332,3 +332,40 @@ def test_ordered_shards_concatenate_to_global_order(spark, tmp_path):
             assert rows[0] >= seen[-1], "shard ranges overlap"
         seen.extend(rows)
     assert seen == sorted(seen) and len(seen) == 1000
+
+
+def test_publish_txn_cross_table_snapshot_isolation(tmp_path, spark):
+    """Two txn tables advance independently; publish_txn pins both in
+    one manifest flip, and a past manifest version reads BOTH tables
+    at their then-pinned versions (cross-table time travel)."""
+    from pyspark.sql import Row
+
+    from aws_datalake_spark.sources import txn_table as tt
+    from aws_datalake_spark.sources.publish import (
+        publish_txn,
+        read_published,
+    )
+
+    root = str(tmp_path / "wh")
+    a, b = f"{root}/dim_a", f"{root}/dim_b"
+    tt.write(spark.createDataFrame([Row(k=1, v="a1")]).coalesce(1), a)
+    tt.write(spark.createDataFrame([Row(k=1, v="b1")]).coalesce(1), b)
+    m1 = publish_txn(root, {"dim_a": None, "dim_b": None})
+
+    # both tables load a new batch; nothing visible until the flip
+    tt.write(spark.createDataFrame([Row(k=2, v="a2")]).coalesce(1), a)
+    tt.write(spark.createDataFrame([Row(k=2, v="b2")]).coalesce(1), b)
+    assert read_published(spark, root, "dim_a").count() == 1
+    m2 = publish_txn(root, {"dim_a": None, "dim_b": None})
+    assert m2 == m1 + 1
+
+    assert read_published(spark, root, "dim_a").count() == 2
+    assert read_published(spark, root, "dim_b").count() == 2
+    # cross-table-consistent time travel through the old manifest
+    assert read_published(spark, root, "dim_a", version=m1).count() == 1
+    assert read_published(spark, root, "dim_b", version=m1).count() == 1
+    # pinning a nonexistent version fails loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no committed version"):
+        publish_txn(root, {"dim_a": 99})
