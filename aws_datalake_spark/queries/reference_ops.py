@@ -1257,3 +1257,35 @@ def ref_scd2_on_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assert res["untouched"] >= 1, res  # file pruning must engage
     return tt.read(spark, root)
+
+
+@query(
+    "ref_txn_restore",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n,
+           SUM(CAST(o_orderkey AS BIGINT)) AS sum_key
+    FROM orders WHERE o_orderkey % 2 = 0
+    GROUP BY o_orderstatus
+    """,
+)
+def ref_txn_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE on the transaction log (sources/txn_table.py:restore):
+    load a base snapshot, clobber it with a bad overwrite, roll back
+    with a NEW linear commit, and aggregate the restored head — the
+    oracle sees only the base data, so a restore that leaked bad rows
+    or lost good ones hash-mismatches. The bad commit stays readable
+    via time travel (audit), asserted in-query."""
+    from aws_datalake_spark.sources import txn_table as tt
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    root = tempfile.mkdtemp(prefix="txn_restore_") + "/orders"
+    tt.write(o.filter(F.col("o_orderkey") % 2 == 0), root)          # v1: good
+    tt.write(o.filter(F.col("o_orderkey") % 7 == 0), root,
+             mode="overwrite")                                      # v2: bad
+    tt.restore(root, 1)                                             # v3
+    assert tt.snapshot(root)["version"] == 3
+    assert tt.read(spark, root, version=2).count() > 0  # audit intact
+    return tt.read(spark, root).groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").alias("sum_key"),
+    )
