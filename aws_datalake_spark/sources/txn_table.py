@@ -812,3 +812,49 @@ def restore(root: str, version: int) -> int:
     if sch:
         extra["schema"] = sch
     return _commit(root, "restore", add, remove, extra=extra)
+
+
+def fsck(root: str, verify_stats: bool = False) -> dict:
+    """Log/storage consistency audit — the operational check a
+    maintenance cron pairs with plan_maintenance: every live file
+    must exist with > 0 bytes; add-action row counts (and, under
+    ``verify_stats``, min/max stats) must match the parquet footers;
+    version numbering must be contiguous. Returns a report dict;
+    ``report["ok"]`` is the gate. Never reads row data — footers
+    only, O(live files)."""
+    import pyarrow.parquet as pq
+
+    problems: list[str] = []
+    versions = _list_versions(root)
+    if versions and versions != list(range(1, versions[-1] + 1)):
+        missing = sorted(set(range(1, versions[-1] + 1)) - set(versions))
+        problems.append(f"log gap: missing versions {missing[:5]}")
+    snap = snapshot(root)
+    checked = 0
+    for rel, add in snap["files"].items():
+        p = os.path.join(root, rel)
+        if not os.path.exists(p):
+            problems.append(f"live file missing: {rel}")
+            continue
+        if os.path.getsize(p) == 0:
+            problems.append(f"live file empty: {rel}")
+            continue
+        md = pq.ParquetFile(p).metadata
+        if md.num_rows != add.get("rows"):
+            problems.append(
+                f"row-count drift: {rel} log={add.get('rows')} "
+                f"footer={md.num_rows}"
+            )
+        if verify_stats and add.get("stats"):
+            fresh = _harvest_stats(root, [rel])[0]["stats"]
+            for col, st in add["stats"].items():
+                got = fresh.get(col)
+                if got is None or got["min"] != st["min"] or got["max"] != st["max"]:
+                    problems.append(f"stats drift: {rel} col {col}")
+        checked += 1
+    return {
+        "ok": not problems,
+        "version": snap["version"],
+        "files_checked": checked,
+        "problems": problems,
+    }

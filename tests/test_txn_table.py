@@ -401,3 +401,14 @@ def test_occ_commit_race_no_lost_updates(tmp_path):
     assert versions == list(range(1, 201))  # contiguous, none lost
     snap = tt.snapshot(root)
     assert len(snap["files"]) == 200  # every add action survived
+
+
+def test_fsck_detects_corruption(table, spark):
+    rep = tt.fsck(table, verify_stats=True)
+    assert rep["ok"] and rep["files_checked"] == 2
+    # delete a live file behind the log's back -> loud report
+    victim = sorted(tt.snapshot(table)["files"])[0]
+    os.remove(os.path.join(table, victim))
+    rep2 = tt.fsck(table)
+    assert not rep2["ok"]
+    assert any("missing" in p for p in rep2["problems"])
