@@ -473,3 +473,107 @@ def llm_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     iw = importance_weights(docs, docs.filter(F.col("lang") == "en"),
                             n_buckets=256)
     return priority_sample(iw, 100, weight_col="imp_weight", id_col="doc_id")
+
+
+@query(
+    "llm_corpus_pipeline_v2",
+    oracle=f"""
+    WITH words0 AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+             generate_subscripts(string_split(text, ' '), 1) AS ord
+      FROM documents
+    ), segs AS (
+      SELECT doc_id, CAST(FLOOR((ord - 1) / 2) AS BIGINT) AS seg_idx,
+             STRING_AGG(w, ' ' ORDER BY ord) AS seg
+      FROM words0 GROUP BY doc_id, CAST(FLOOR((ord - 1) / 2) AS BIGINT)
+    ), boiler AS (
+      SELECT seg FROM (
+        SELECT seg, COUNT(DISTINCT doc_id) AS df FROM segs GROUP BY seg
+      ) WHERE df >= 20
+    ), kept AS (
+      SELECT * FROM segs WHERE seg NOT IN (SELECT seg FROM boiler)
+    ), clean AS (
+      SELECT k.doc_id,
+             STRING_AGG(k.seg, ' ' ORDER BY k.seg_idx) AS text,
+             ANY_VALUE(d.lang) AS lang
+      FROM kept k JOIN documents d ON k.doc_id = d.doc_id
+      GROUP BY k.doc_id
+    ), toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM clean
+    ), bucketed AS (
+      SELECT doc_id,
+             (('0x' || substr(md5(w), 1, 15))::BIGINT % 256) AS b
+      FROM toks
+    ), tgt AS (
+      SELECT b.b AS b FROM bucketed b
+      JOIN clean c ON b.doc_id = c.doc_id WHERE c.lang = 'en'
+    ), s_hist AS (SELECT b, COUNT(*) AS s_b FROM bucketed GROUP BY b),
+    t_hist AS (SELECT b, COUNT(*) AS t_b FROM tgt GROUP BY b),
+    totals AS (
+      SELECT (SELECT COUNT(*) FROM bucketed) AS s_tot,
+             (SELECT COUNT(*) FROM tgt) AS t_tot
+    ), ratio AS (
+      SELECT g.b,
+             ROUND(((COALESCE(t_hist.t_b, 0) + 0.5)
+                      / (CAST(totals.t_tot AS DOUBLE) + 0.5 * 256))
+                   / ((COALESCE(s_hist.s_b, 0) + 0.5)
+                      / (CAST(totals.s_tot AS DOUBLE) + 0.5 * 256)), 6) AS r
+      FROM (SELECT range AS b FROM range(256)) g
+      LEFT JOIN s_hist ON g.b = s_hist.b
+      LEFT JOIN t_hist ON g.b = t_hist.b
+      CROSS JOIN totals
+    ), per_bucket AS (
+      SELECT doc_id, b, COUNT(*) AS c FROM bucketed GROUP BY doc_id, b
+    ), iw AS (
+      SELECT doc_id,
+             CAST(SUM(CAST(ROUND(c * r * 1000000.0) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 AS imp_weight
+      FROM per_bucket JOIN ratio ON per_bucket.b = ratio.b
+      GROUP BY doc_id
+    ), d AS (
+      SELECT doc_id, imp_weight AS w,
+             CAST(({_H60_ID} % 1000000) AS DOUBLE) / 1000000.0 AS u
+      FROM iw WHERE imp_weight > 0
+    ), p AS (
+      SELECT doc_id, w, u / w AS priority FROM d
+    ), top AS (
+      SELECT doc_id, w, priority FROM p
+      ORDER BY priority, doc_id LIMIT 101
+    ), win AS (
+      SELECT doc_id, w, priority,
+             ROW_NUMBER() OVER (ORDER BY priority, doc_id) AS rn,
+             MAX(priority) OVER () AS tau,
+             COUNT(*) OVER () AS cnt
+      FROM top
+    )
+    SELECT doc_id, w, priority,
+           CASE WHEN cnt = 101 THEN GREATEST(w, 1.0 / tau) ELSE w END AS w_est
+    FROM win WHERE rn <= 100
+    """,
+)
+def llm_corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-2 curation chain composed end-to-end: CCNet
+    boilerplate removal (segment_dedup) → DSIR importance weighting
+    of the CLEANED text toward the English target → priority
+    resampling of 100 docs with the unbiased estimator. Each stage is
+    individually oracle-verified (llm_segment_dedup,
+    llm_importance_weights, llm_priority_sample); this query proves
+    the composition — weights computed on post-dedup text, sampling
+    driven by those weights — hash-matches the same chain in SQL."""
+    from aws_datalake_spark.operators.sampling import (
+        importance_weights,
+        priority_sample,
+    )
+    from aws_datalake_spark.operators.segment_dedup import drop_boilerplate
+
+    docs = t(spark, sf_dir, "documents")
+    cleaned = (
+        drop_boilerplate(docs, k=2, min_df=20)
+        .filter(F.col("n_kept") > 0)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", F.col("clean_text").alias("text"), "lang")
+    )
+    iw = importance_weights(
+        cleaned, cleaned.filter(F.col("lang") == "en"), n_buckets=256
+    )
+    return priority_sample(iw, 100, weight_col="imp_weight", id_col="doc_id")
