@@ -86,7 +86,6 @@ HEADLINE = [
     "ref_txn_merge_time_travel",
     "ref_txn_zorder_pruned_read",
     "ref_scd2_on_txn",
-    "ref_txn_datasource_read",
     "st_txn_stream_ingest",
     "llm_segment_dedup",
     "llm_importance_weights",
