@@ -1289,3 +1289,61 @@ def ref_txn_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("o_orderkey").alias("sum_key"),
     )
+
+
+@query(
+    "ref_txn_version_drift",
+    oracle="""
+    WITH base AS (SELECT o_totalprice AS value FROM orders
+                  WHERE o_orderkey % 2 = 0 AND o_totalprice IS NOT NULL),
+    cur AS (SELECT o_totalprice * 1.5 AS value FROM orders
+            WHERE o_orderkey % 3 = 0 AND o_totalprice IS NOT NULL),
+    bounds AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM base),
+    pb AS (SELECT LEAST(19, GREATEST(0,
+              CAST(FLOOR((value - lo) / ((hi - lo) / 20.0)) AS INT))) AS bin,
+              COUNT(*) AS n_base
+           FROM base, bounds GROUP BY 1),
+    pc AS (SELECT LEAST(19, GREATEST(0,
+              CAST(FLOOR((value - lo) / ((hi - lo) / 20.0)) AS INT))) AS bin,
+              COUNT(*) AS n_cur
+           FROM cur, bounds GROUP BY 1),
+    j AS (SELECT COALESCE(pb.bin, pc.bin) AS bin,
+                 COALESCE(n_base, 0) AS n_base,
+                 COALESCE(n_cur, 0) AS n_cur
+          FROM pb FULL OUTER JOIN pc ON pb.bin = pc.bin),
+    t AS (SELECT n_base, n_cur,
+                 CAST(n_base AS DOUBLE) / CAST(SUM(n_base) OVER () AS DOUBLE) AS p,
+                 CAST(n_cur AS DOUBLE) / CAST(SUM(n_cur) OVER () AS DOUBLE) AS q
+          FROM j)
+    SELECT 0.5 * CAST(SUM(CAST(ROUND(ABS(p - q) * 1000000000.0) AS BIGINT))
+                      AS DOUBLE) / 1000000000.0 AS tvd,
+           CAST(SUM(n_base) AS BIGINT) AS n_base,
+           CAST(SUM(n_cur) AS BIGINT) AS n_cur
+    FROM t
+    """,
+)
+def ref_txn_version_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift between two TABLE VERSIONS: overwrite a txn table with a
+    shifted batch, then run the DQ numeric-drift operator
+    (operators/dq.py:numeric_drift) across time travel — v1 as the
+    baseline, the head as current. This is the monitoring loop a
+    daily load runs for free once history is retained: no baseline
+    extracts to manage, the log IS the baseline store."""
+    from aws_datalake_spark.operators.dq import numeric_drift
+    from aws_datalake_spark.sources import txn_table as tt
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    root = tempfile.mkdtemp(prefix="txn_drift_") + "/orders"
+    tt.write(o.filter(F.col("o_orderkey") % 2 == 0), root)            # v1
+    tt.write(
+        o.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 1.5
+        ),
+        root,
+        mode="overwrite",
+    )                                                                  # v2
+    return numeric_drift(
+        tt.read(spark, root, version=1),
+        tt.read(spark, root),
+        col="o_totalprice",
+    )
