@@ -1347,3 +1347,69 @@ def ref_txn_version_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         tt.read(spark, root),
         col="o_totalprice",
     )
+
+
+@query(
+    "ref_txn_delete_vectors",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    ), post AS (
+      SELECT * FROM base
+      WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 7 = 0)
+    )
+    SELECT 'v_pre' AS snap, o_orderstatus, COUNT(*) AS n,
+           SUM(CAST(o_orderkey AS BIGINT)) AS sum_key,
+           CAST(0 AS BIGINT) AS files_rewritten
+    FROM base GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'v_post', o_orderstatus, COUNT(*),
+           SUM(CAST(o_orderkey AS BIGINT)), CAST(0 AS BIGINT)
+    FROM post GROUP BY o_orderstatus
+    """,
+)
+def ref_txn_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read row deletes via DELETION VECTORS
+    (sources/txn_table.py:delete_where_dv): a predicate delete lands
+    as (file, row-position) pairs in a small ``_dv/`` parquet — ZERO
+    data files rewritten (the ``files_rewritten`` column carries the
+    actual count into the hash, so a silent fallback to copy-on-write
+    fails the oracle). Reads anti-join the broadcast delete set;
+    time travel to the pre-delete version still sees every row
+    (both snapshots aggregated and hash-checked). At 100 TB this is
+    the difference between a GDPR erasure costing O(deleted rows)
+    bytes and one costing a table rewrite."""
+    from aws_datalake_spark.sources import txn_table as tt
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="txn_dv_") + "/orders"
+    # two range-split appends -> multiple files under the delete
+    mid = o.agg(F.expr("percentile_approx(o_orderkey, 0.5)")).collect()[0][0]
+    tt.write(o.filter(F.col("o_orderkey") <= mid), root, mode="append")
+    tt.write(o.filter(F.col("o_orderkey") > mid), root, mode="append")
+    v_pre = tt.snapshot(root)["version"]
+    res = tt.delete_where_dv(
+        spark, root, "o_orderstatus = 'F' AND o_orderkey % 7 = 0"
+    )
+
+    def agg(df: DataFrame, tag: str) -> DataFrame:
+        return (
+            df.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("o_orderkey").alias("sum_key"),
+            )
+            .select(
+                F.lit(tag).alias("snap"),
+                "o_orderstatus",
+                "n",
+                "sum_key",
+                F.lit(res["rewritten"]).cast("long").alias("files_rewritten"),
+            )
+        )
+
+    return agg(tt.read(spark, root, version=v_pre), "v_pre").unionByName(
+        agg(tt.read(spark, root), "v_post")
+    )

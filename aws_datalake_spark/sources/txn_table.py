@@ -57,6 +57,7 @@ from pyspark.sql import functions as F
 
 _LOG_DIR = "_txn_log"
 _CHECKPOINT = "_checkpoint.json"
+_DV_DIR = "_dv"
 
 
 # ---------------------------------------------------------------- log I/O
@@ -346,6 +347,59 @@ def _stats_overlap(add: dict, col: str, lo, hi) -> bool:
     return True
 
 
+def _rel_path_expr():
+    """The file's log-relative path, recovered from the hidden
+    ``_metadata.file_path`` URI — every data file lives at
+    ``data/<commit-uuid>/<part>.parquet`` so the 3-segment suffix is
+    exactly the add-action path key."""
+    return F.regexp_extract(
+        F.col("_metadata.file_path"), r"(data/[^/]+/[^/]+\.parquet)$", 1
+    )
+
+
+def _read_files(
+    spark: SparkSession, root: str, files: dict[str, dict], rels=None
+) -> DataFrame:
+    """Read the given live files applying their deletion vectors:
+    files without a ``dv`` reference stream through untouched (zero
+    overhead on the common path); files with one are anti-joined
+    against their (path, row-position) delete set — a broadcast of
+    only the DELETED positions, never a rewrite, which is the
+    Delta/Iceberg merge-on-read protocol."""
+    rels = sorted(files if rels is None else rels)
+    plain = [r for r in rels if not files[r].get("dv")]
+    dved = [r for r in rels if files[r].get("dv")]
+    parts = []
+    if plain:
+        parts.append(
+            spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(root, p) for p in plain]
+            )
+        )
+    if dved:
+        df = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*[os.path.join(root, p) for p in dved])
+            .withColumn("__rel", _rel_path_expr())
+            .withColumn("__pos", F.col("_metadata.row_index"))
+        )
+        dv_dirs = sorted({files[r]["dv"] for r in dved})
+        dv = (
+            spark.read.parquet(*[os.path.join(root, d) for d in dv_dirs])
+            .select("__rel", "__pos")
+            .dropDuplicates()
+        )
+        parts.append(
+            df.join(F.broadcast(dv), ["__rel", "__pos"], "left_anti").drop(
+                "__rel", "__pos"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
+
+
 def read(
     spark: SparkSession,
     root: str,
@@ -356,7 +410,8 @@ def read(
     travel), with stats-based file skipping: ``prune={col: (lo,
     hi)}`` drops files whose footer stats cannot satisfy the range.
     The pruning is an OPTIMIZATION only — pass the same predicate to
-    ``.filter`` too; rows inside surviving files still need it."""
+    ``.filter`` too; rows inside surviving files still need it.
+    Deletion vectors (``delete_where_dv``) are applied transparently."""
     snap = snapshot(root, version)
     files = snap["files"]
     if prune:
@@ -373,8 +428,7 @@ def read(
         some = next(iter(all_snap["files"]))
         schema = spark.read.parquet(os.path.join(root, some)).schema
         return spark.createDataFrame([], schema)
-    paths = [os.path.join(root, p) for p in sorted(files)]
-    return spark.read.option("mergeSchema", "true").parquet(*paths)
+    return _read_files(spark, root, files)
 
 
 def merge_upsert(
@@ -410,7 +464,7 @@ def merge_upsert(
             )
             (touched if hit else untouched).append(rel)
         if touched:
-            cur = spark.read.parquet(*[os.path.join(root, p) for p in sorted(touched)])
+            cur = _read_files(spark, root, snap["files"], sorted(touched))
             kept = cur.join(updates.select(*keys), keys, "left_anti")
             merged = kept.unionByName(updates, allowMissingColumns=True)
         else:
@@ -448,7 +502,7 @@ def delete_where(
     if not candidates:
         return {"version": snap["version"], "rewritten": 0,
                 "untouched": len(files)}
-    cur = spark.read.parquet(*[os.path.join(root, p) for p in sorted(candidates)])
+    cur = _read_files(spark, root, files, sorted(candidates))
     kept = cur.filter(~F.expr(predicate))
     add_actions = _write_data(kept, root) if kept.limit(1).count() else []
     v = _commit(root, "delete", add_actions, sorted(candidates))
@@ -456,14 +510,118 @@ def delete_where(
             "untouched": len(files) - len(candidates)}
 
 
+def delete_where_dv(
+    spark: SparkSession,
+    root: str,
+    predicate: str,
+    prune: dict | None = None,
+) -> dict:
+    """Row-level DELETE as a DELETION VECTOR — merge-on-read, the
+    protocol Delta deletion vectors and Iceberg positional delete
+    files publish. Matching rows are recorded as (file path, row
+    position) pairs in a small parquet delete set under ``_dv/``;
+    the commit re-adds the affected files' actions with a ``dv``
+    reference and rewrites ZERO data bytes. Readers anti-join the
+    broadcast delete set (see ``_read_files``); any later rewrite of
+    an affected file (compact / zorder / merge / purge_dv)
+    materializes the delete and drops the reference.
+
+    Why this matters at 100 TB: copy-on-write deletes (``
+    delete_where``) rewrite every candidate file to drop a handful
+    of rows — a GDPR erasure touching one row per file rewrites the
+    table. A DV commit is O(deleted rows) bytes regardless of table
+    size. The trade is a per-read anti-join on affected files, paid
+    until the next natural compaction.
+
+    Stats in the re-added actions keep their PHYSICAL file values
+    (``rows``, min/max) — still sound for pruning (over-approximate);
+    ``dv_rows`` carries the logical deletion count per file.
+    """
+    snap = snapshot(root)
+    files = snap["files"]
+    candidates = dict(files)
+    if prune:
+        for col, (lo, hi) in prune.items():
+            candidates = {
+                p: a for p, a in candidates.items()
+                if _stats_overlap(a, col, lo, hi)
+            }
+    if not candidates:
+        return {"version": snap["version"], "files_with_dv": 0,
+                "dv_rows_total": 0, "rewritten": 0}
+    raw = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*[os.path.join(root, p) for p in sorted(candidates)])
+        .withColumn("__rel", _rel_path_expr())
+        .withColumn("__pos", F.col("_metadata.row_index"))
+    )
+    matches = raw.filter(F.expr(predicate)).select("__rel", "__pos")
+    if not matches.limit(1).count():
+        return {"version": snap["version"], "files_with_dv": 0,
+                "dv_rows_total": 0, "rewritten": 0}
+    # Carry forward prior delete sets for the files we touch: each
+    # file's action points at exactly ONE dv dir, so the new dir must
+    # be the union of old positions and new matches for that file.
+    old_dirs = sorted({a["dv"] for a in candidates.values() if a.get("dv")})
+    if old_dirs:
+        old = (
+            spark.read.parquet(*[os.path.join(root, d) for d in old_dirs])
+            .select("__rel", "__pos")
+            .filter(F.col("__rel").isin(list(candidates)))
+        )
+        matches = matches.unionByName(old)
+    matches = matches.dropDuplicates()
+    sub = os.path.join(_DV_DIR, uuid.uuid4().hex)
+    matches.write.mode("overwrite").parquet(os.path.join(root, sub))
+    per_file = {
+        r["__rel"]: r["n"]
+        for r in spark.read.parquet(os.path.join(root, sub))
+        .groupBy("__rel").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    if not per_file:
+        return {"version": snap["version"], "files_with_dv": 0,
+                "dv_rows_total": 0, "rewritten": 0}
+    add = []
+    for rel, action in candidates.items():
+        if rel in per_file:
+            a2 = dict(action)
+            a2["dv"] = sub
+            a2["dv_rows"] = per_file[rel]
+            add.append(a2)
+    v = _commit(root, "delete-dv", add, [])
+    return {
+        "version": v,
+        "files_with_dv": len(per_file),
+        "dv_rows_total": sum(per_file.values()),
+        "rewritten": 0,
+    }
+
+
+def purge_dv(spark: SparkSession, root: str) -> int:
+    """Materialize every deletion vector: rewrite ONLY the files that
+    carry one (deleted rows dropped for real), leave every clean file
+    untouched, and commit atomically — Delta's ``REORG TABLE …
+    APPLY (PURGE)``. After the retention window, ``vacuum`` reclaims
+    the orphaned dv dirs and pre-purge data files."""
+    snap = snapshot(root)
+    dved = sorted(r for r, a in snap["files"].items() if a.get("dv"))
+    if not dved:
+        return snap["version"]
+    live = _read_files(spark, root, snap["files"], dved)
+    add = _write_data(live, root)
+    return _commit(root, "purge-dv", add, dved)
+
+
 def compact(spark: SparkSession, root: str, target_files: int = 1) -> int:
     """Bin-pack the live files into ``target_files`` — the
     small-files compaction every streaming-append table needs; old
     files drop from the snapshot atomically, vacuum reclaims them."""
     snap = snapshot(root)
-    if len(snap["files"]) <= target_files:
+    if len(snap["files"]) <= target_files and not any(
+        a.get("dv") for a in snap["files"].values()
+    ):
         return snap["version"]
-    cur = spark.read.parquet(*[os.path.join(root, p) for p in sorted(snap["files"])])
+    cur = _read_files(spark, root, snap["files"])
     add = _write_data(cur.coalesce(target_files), root)
     return _commit(root, "compact", add, sorted(snap["files"]))
 
@@ -476,21 +634,33 @@ def vacuum(root: str, retain_versions: int = 1) -> int:
     if not versions:
         return 0
     keep: set[str] = set()
+    dv_keep: set[str] = set()
     for v in versions[-retain_versions:]:
-        keep.update(snapshot(root, v)["files"])
+        files = snapshot(root, v)["files"]
+        keep.update(files)
+        dv_keep.update(a["dv"] for a in files.values() if a.get("dv"))
     data_root = os.path.join(root, "data")
     deleted = 0
-    if not os.path.isdir(data_root):
-        return 0
-    for sub in os.listdir(data_root):
-        subdir = os.path.join(data_root, sub)
-        for f in os.listdir(subdir):
-            rel = os.path.join("data", sub, f)
-            if f.endswith(".parquet") and rel not in keep:
-                os.remove(os.path.join(root, rel))
+    if os.path.isdir(data_root):
+        for sub in os.listdir(data_root):
+            subdir = os.path.join(data_root, sub)
+            for f in os.listdir(subdir):
+                rel = os.path.join("data", sub, f)
+                if f.endswith(".parquet") and rel not in keep:
+                    os.remove(os.path.join(root, rel))
+                    deleted += 1
+            if not os.listdir(subdir):
+                os.rmdir(subdir)
+    # deletion-vector dirs referenced by no retained snapshot
+    dv_root = os.path.join(root, _DV_DIR)
+    if os.path.isdir(dv_root):
+        import shutil
+
+        for sub in os.listdir(dv_root):
+            rel = os.path.join(_DV_DIR, sub)
+            if rel not in dv_keep:
+                shutil.rmtree(os.path.join(dv_root, sub))
                 deleted += 1
-        if not os.listdir(subdir):
-            os.rmdir(subdir)
     return deleted
 
 
@@ -554,7 +724,14 @@ def read_changes(
     for v in versions:
         c = _read_commit(root, v)
         adds = c.get("add", [])
-        if not adds:
+        if not adds or c.get("op") == "delete-dv":
+            # delete-dv commits are METADATA-ONLY re-adds (a dv
+            # reference attached to existing files): no new rows to
+            # feed the add-only CDC stream. The deletions themselves
+            # are invisible to this feed — the documented
+            # CDF-without-_change_type trade-off; consumers that must
+            # see deletes diff snapshots (cdc.snapshot_diff) or use
+            # mv_refresh's dirty-group protocol.
             continue
         df = spark.read.option("mergeSchema", "true").parquet(
             *[os.path.join(root, a["path"]) for a in adds]
@@ -600,7 +777,7 @@ def zorder_compact(
     snap = snapshot(root)
     if not snap["files"]:
         return snap["version"]
-    cur = spark.read.parquet(*[os.path.join(root, p) for p in sorted(snap["files"])])
+    cur = _read_files(spark, root, snap["files"])
     n_buckets = 1 << bits
     rng = cur.agg(
         *[f for c in cols for f in (
@@ -655,6 +832,7 @@ def table_stats(root: str) -> dict:
     versions = _list_versions(root)
     cp = _checkpoint_doc(root)
     rows = sum(a.get("rows", 0) for a in snap["files"].values())
+    dv_rows = sum(a.get("dv_rows", 0) for a in snap["files"].values())
     live = set(snap["files"])
     removed: set[str] = set()
     for v in versions:
@@ -669,6 +847,12 @@ def table_stats(root: str) -> dict:
         "version": snap["version"],
         "live_files": len(snap["files"]),
         "live_rows": rows,
+        # physical minus dv-deleted = what a scan returns
+        "logical_rows": rows - dv_rows,
+        "dv_deleted_rows": dv_rows,
+        "files_with_dv": sum(
+            1 for a in snap["files"].values() if a.get("dv")
+        ),
         "small_files": small,
         "commits_since_checkpoint": snap["version"] - (cp["version"] if cp else 0),
         "tombstoned_files": tomb,
@@ -692,6 +876,10 @@ def plan_maintenance(
     actions = []
     if st["small_files"] > max_small_files:
         actions.append("compact")
+    # > 10% of physical rows shadowed by deletion vectors: the
+    # per-read anti-join tax now outweighs a one-time rewrite
+    if st["live_rows"] and st["dv_deleted_rows"] > 0.10 * st["live_rows"]:
+        actions.append("purge_dv")
     if st["commits_since_checkpoint"] > max_log_tail:
         actions.append("checkpoint_log")
     if st["tombstoned_files"] >= min_tombstones:
@@ -746,9 +934,7 @@ def scd2_merge_txn(
             )
             (touched if hit else untouched).append(rel)
         if touched:
-            cur = spark.read.parquet(
-                *[os.path.join(root, p) for p in sorted(touched)]
-            )
+            cur = _read_files(spark, root, snap["files"], sorted(touched))
             marked = cur.join(
                 F.broadcast(staged_keys.withColumn("__m", F.lit(1))),
                 keys,
@@ -845,6 +1031,8 @@ def fsck(root: str, verify_stats: bool = False) -> dict:
                 f"row-count drift: {rel} log={add.get('rows')} "
                 f"footer={md.num_rows}"
             )
+        if add.get("dv") and not os.path.isdir(os.path.join(root, add["dv"])):
+            problems.append(f"dv dir missing: {rel} -> {add['dv']}")
         if verify_stats and add.get("stats"):
             fresh = _harvest_stats(root, [rel])[0]["stats"]
             for col, st in add["stats"].items():

@@ -412,3 +412,96 @@ def test_fsck_detects_corruption(table, spark):
     rep2 = tt.fsck(table)
     assert not rep2["ok"]
     assert any("missing" in p for p in rep2["problems"])
+
+
+# ------------------------------------------------------- deletion vectors
+
+
+def test_delete_dv_zero_rewrite_and_read(table, spark):
+    before = set(tt.snapshot(table)["files"])
+    res = tt.delete_where_dv(spark, table, "k % 10 = 0")
+    assert res["rewritten"] == 0
+    assert res["dv_rows_total"] == 20  # 10 per 100-row file
+    assert res["files_with_dv"] == 2
+    # every data file from before survives byte-identical (same paths)
+    snap = tt.snapshot(table)
+    assert set(snap["files"]) == before
+    df = tt.read(spark, table)
+    assert df.count() == 180
+    assert df.filter(F.col("k") % 10 == 0).count() == 0
+    # time travel to the pre-delete version still sees every row
+    assert tt.read(spark, table, version=res["version"] - 1).count() == 200
+
+
+def test_delete_dv_accumulates_and_respects_prune(table, spark):
+    r1 = tt.delete_where_dv(spark, table, "k = 5")
+    assert (r1["files_with_dv"], r1["dv_rows_total"]) == (1, 1)
+    # second DV on the same file carries the first forward
+    r2 = tt.delete_where_dv(spark, table, "k = 7")
+    assert r2["dv_rows_total"] == 2
+    assert tt.read(spark, table).count() == 198
+    # stats-pruned delete never touches the disjoint file
+    r3 = tt.delete_where_dv(spark, table, "k = 1000", prune={"k": (1000, 1000)})
+    assert r3["files_with_dv"] == 1
+    df = tt.read(spark, table)
+    assert df.count() == 197
+    assert df.filter(F.col("k").isin(5, 7, 1000)).count() == 0
+    # no matching rows -> no commit
+    v = tt.snapshot(table)["version"]
+    r4 = tt.delete_where_dv(spark, table, "k = -1")
+    assert r4["version"] == v and r4["files_with_dv"] == 0
+
+
+def test_dv_stats_and_maintenance_surface(table, spark):
+    tt.delete_where_dv(spark, table, "k < 30")  # 30 of 200 rows > 10%
+    st = tt.table_stats(table)
+    assert st["live_rows"] == 200 and st["dv_deleted_rows"] == 30
+    assert st["logical_rows"] == 170 and st["files_with_dv"] == 1
+    assert "purge_dv" in tt.plan_maintenance(table)
+    assert tt.fsck(table)["ok"]
+
+
+def test_purge_dv_materializes_and_vacuum_reclaims(table, spark):
+    tt.delete_where_dv(spark, table, "k % 2 = 0")
+    v = tt.purge_dv(spark, table)
+    snap = tt.snapshot(table)
+    assert snap["version"] == v
+    assert not any(a.get("dv") for a in snap["files"].values())
+    assert tt.read(spark, table).count() == 100
+    # idempotent when no DVs remain
+    assert tt.purge_dv(spark, table) == v
+    # vacuum with retention 1 reclaims the orphaned dv dir + old files
+    deleted = tt.vacuum(table, retain_versions=1)
+    assert deleted > 0
+    assert not os.path.isdir(os.path.join(table, "_dv")) or not os.listdir(
+        os.path.join(table, "_dv")
+    )
+    assert tt.read(spark, table).count() == 100
+
+
+def test_rewrites_apply_dv(table, spark):
+    """merge/compact/scd2 read THROUGH deletion vectors: a rewrite
+    must not resurrect dv-deleted rows."""
+    tt.delete_where_dv(spark, table, "k = 2")
+    # compact materializes the delete
+    tt.compact(spark, table, target_files=1)
+    df = tt.read(spark, table)
+    assert df.count() == 199 and df.filter("k = 2").count() == 0
+    # merge over a dv'd file keeps the deletion
+    tt.delete_where_dv(spark, table, "k = 4")
+    upd = spark.createDataFrame([Row(k=6, price=9.0, seg="s0")])
+    tt.merge_upsert(spark, table, upd, keys=["k"])
+    df = tt.read(spark, table)
+    assert df.count() == 198
+    assert df.filter("k = 4").count() == 0
+    assert df.filter("k = 6").select("price").first()[0] == 9.0
+
+
+def test_read_changes_skips_dv_commits(table, spark):
+    v0 = tt.snapshot(table)["version"]
+    tt.delete_where_dv(spark, table, "k = 1")
+    tt.write(_mk(spark, 2000, 2010), table, mode="append")
+    ch = tt.read_changes(spark, table, since_version=v0)
+    # only the append's rows surface; the dv metadata commit adds none
+    assert ch.count() == 10
+    assert ch.select("_commit_op").distinct().first()[0] == "append"
