@@ -1413,3 +1413,61 @@ def ref_txn_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg(tt.read(spark, root, version=v_pre), "v_pre").unionByName(
         agg(tt.read(spark, root), "v_post")
     )
+
+
+@query(
+    "ref_txn_hidden_partitioning",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n,
+           SUM(CAST(o_orderkey AS BIGINT)) AS sum_key
+    FROM orders
+    WHERE o_custkey = 7
+       OR (o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1997-01-01')
+    GROUP BY o_orderstatus
+    """,
+)
+def ref_txn_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style HIDDEN PARTITIONING on the txn table
+    (sources/txn_table.py:write_partitioned/read_partitioned): orders
+    laid out by bucket(8, o_custkey) x month(o_orderdate) — derived
+    values live in directory names only, data files keep just the
+    source columns. Queries filter on the SOURCE columns; the engine
+    converts the predicates through the transform spec (bucket:
+    equality, month: monotonic range) and opens only matching
+    partitions — asserted in-query (each branch's scan must open
+    fewer files than the table holds). The two pruned branches are
+    unioned and aggregated; the oracle recomputes from raw orders, so
+    any partition misroute (wrong bucket fn, month boundary off by
+    one) loses rows and hash-mismatches."""
+    import datetime
+
+    from aws_datalake_spark.sources import txn_table as tt
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"
+    )
+    root = tempfile.mkdtemp(prefix="txn_hp_") + "/orders"
+    tt.write_partitioned(
+        o, root, [("bucket", "o_custkey", 8), ("month", "o_orderdate")]
+    )
+    n_files = len(tt.snapshot(root)["files"])
+
+    cust = tt.read_partitioned(spark, root, eq={"o_custkey": 7}).filter(
+        F.col("o_custkey") == 7
+    )
+    assert len(cust.inputFiles()) < n_files, "bucket pruning must engage"
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1996, 12, 31, 23, 59, 59)
+    dated = tt.read_partitioned(
+        spark, root, ranges={"o_orderdate": (lo, hi)}
+    ).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    assert len(dated.inputFiles()) < n_files, "month pruning must engage"
+    both = cust.unionByName(dated).dropDuplicates(["o_orderkey"])
+    return both.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").alias("sum_key"),
+    )

@@ -349,11 +349,12 @@ def _stats_overlap(add: dict, col: str, lo, hi) -> bool:
 
 def _rel_path_expr():
     """The file's log-relative path, recovered from the hidden
-    ``_metadata.file_path`` URI — every data file lives at
-    ``data/<commit-uuid>/<part>.parquet`` so the 3-segment suffix is
-    exactly the add-action path key."""
+    ``_metadata.file_path`` URI — every data file lives under
+    ``data/<32-hex-commit-uuid>/…/<part>.parquet`` (hidden-partition
+    writes nest hive dirs below the commit dir), so the suffix from
+    the commit-uuid segment is exactly the add-action path key."""
     return F.regexp_extract(
-        F.col("_metadata.file_path"), r"(data/[^/]+/[^/]+\.parquet)$", 1
+        F.col("_metadata.file_path"), r"(data/[0-9a-f]{32}/.*\.parquet)$", 1
     )
 
 
@@ -610,6 +611,216 @@ def purge_dv(spark: SparkSession, root: str) -> int:
     live = _read_files(spark, root, snap["files"], dved)
     add = _write_data(live, root)
     return _commit(root, "purge-dv", add, dved)
+
+
+# ------------------------------------------------- hidden partitioning
+#
+# Iceberg's partition-transform model: the table declares TRANSFORMS of
+# source columns — bucket(n, col), truncate(w, col), year/month/day(ts),
+# identity(col) — and the writer derives the partition values; readers
+# filter on the SOURCE column and the engine converts the predicate to
+# partition predicates. Users never see (or mis-write) a partition
+# column, and changing the query never silently loses pruning. Derived
+# columns live only in directory names; the data files keep the source
+# columns, so any rewrite (compact/merge) that drops the layout is
+# still CORRECT — pruning degrades to footer stats, nothing else.
+
+
+def _pcol_name(tf) -> str:
+    kind = tf[0]
+    if kind in ("year", "month", "day", "identity"):
+        return f"_p_{kind}_{tf[1]}"
+    return f"_p_{kind}{tf[2]}_{tf[1]}"  # _p_bucket8_k / _p_truncate4_k
+
+
+def _transform_col(df: DataFrame, tf):
+    """The Spark expression deriving one hidden partition value."""
+    kind, col = tf[0], tf[1]
+    if kind == "bucket":
+        # crc32 over the utf8 decimal rendering: same polynomial as
+        # zlib.crc32, so the driver can bucket literals for pruning
+        return F.pmod(
+            F.crc32(F.col(col).cast("string").cast("binary")), F.lit(tf[2])
+        ).cast("int")
+    if kind == "truncate":
+        w = tf[2]
+        dt = dict(df.dtypes)[col]
+        if dt in ("tinyint", "smallint", "int", "bigint"):
+            return (F.floor(F.col(col) / w) * w).cast("long")
+        return F.substring(F.col(col), 1, w)
+    if kind in ("year", "month", "day"):
+        fmt = {"year": "yyyy", "month": "yyyy-MM", "day": "yyyy-MM-dd"}[kind]
+        return F.date_format(F.col(col), fmt)
+    if kind == "identity":
+        return F.col(col)
+    raise ValueError(f"unknown partition transform {kind!r}")
+
+
+def transform_literal(tf, v):
+    """Driver-side twin of :func:`_transform_col` — buckets/truncates
+    a Python literal so predicate-to-partition conversion needs no
+    Spark job. Monotonic transforms (truncate, year/month/day) also
+    map range endpoints."""
+    import zlib
+
+    kind = tf[0]
+    if kind == "bucket":
+        return zlib.crc32(str(v).encode()) % tf[2]
+    if kind == "truncate":
+        if isinstance(v, int):
+            return (v // tf[2]) * tf[2]
+        return str(v)[: tf[2]]
+    if kind in ("year", "month", "day"):
+        s = v.isoformat(sep=" ") if hasattr(v, "isoformat") else str(v)
+        return s[: {"year": 4, "month": 7, "day": 10}[kind]]
+    if kind == "identity":
+        return v
+    raise ValueError(f"unknown partition transform {kind!r}")
+
+
+def _partition_values_from_path(rel: str, spec) -> dict:
+    """Parse `name=value` hive segments of a data-file path back to
+    typed partition values (int for bucket / integer-truncate)."""
+    int_cols = set()
+    for tf in spec:
+        if tf[0] == "bucket" or (tf[0] == "truncate" and tf[3] == "long"):
+            int_cols.add(_pcol_name(tf))
+    out: dict = {}
+    for seg in rel.split(os.sep):
+        if "=" not in seg:
+            continue
+        name, val = seg.split("=", 1)
+        out[name] = int(val) if name in int_cols else val
+    return out
+
+
+def table_partitioning(root: str):
+    """The table's current partition-transform spec (from the latest
+    commit that declared one), or None."""
+    for v in reversed(_list_versions(root)):
+        c = _read_commit(root, v)
+        if "partitioning" in c:
+            return [tuple(tf) for tf in c["partitioning"]]
+    return None
+
+
+def write_partitioned(
+    df: DataFrame,
+    root: str,
+    transforms,
+    mode: str = "append",
+    merge_schema: bool = False,
+) -> int:
+    """Append/overwrite laying files out by PARTITION TRANSFORMS:
+    ``transforms`` is a list like ``[("bucket", "cust_id", 8),
+    ("month", "ts")]``. Derived values go to hive directory names
+    only — the data files keep just the source columns (readers never
+    see a partition column), and each add action records its typed
+    partition values so ``read_partitioned`` prunes without listing
+    or opening anything."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    schema = _check_schema(df, root, mode, merge_schema)
+    dtypes = dict(df.dtypes)
+    # normalize spec: truncate records its result type so path values
+    # parse back typed
+    spec = []
+    for tf in transforms:
+        if tf[0] == "truncate":
+            rtype = (
+                "long"
+                if dtypes[tf[1]] in ("tinyint", "smallint", "int", "bigint")
+                else "string"
+            )
+            spec.append((tf[0], tf[1], tf[2], rtype))
+        else:
+            spec.append(tuple(tf))
+    pcols = [_pcol_name(tf) for tf in spec]
+    out = df
+    for tf, name in zip(spec, pcols):
+        out = out.withColumn(name, _transform_col(df, tf))
+    sub = os.path.join("data", uuid.uuid4().hex)
+    out.write.mode("overwrite").partitionBy(*pcols).parquet(
+        os.path.join(root, sub)
+    )
+    rels = []
+    for dirpath, _dirs, fnames in os.walk(os.path.join(root, sub)):
+        for f in fnames:
+            if f.endswith(".parquet"):
+                rels.append(os.path.relpath(os.path.join(dirpath, f), root))
+    adds = _harvest_stats(root, sorted(rels))
+    for a in adds:
+        a["partition"] = _partition_values_from_path(a["path"], spec)
+    remove = (
+        list(snapshot(root)["files"])
+        if (mode == "overwrite" and is_txn_table(root))
+        else []
+    )
+    return _commit(
+        root, mode, adds, remove,
+        extra={"schema": schema, "partitioning": [list(tf) for tf in spec]},
+    )
+
+
+def read_partitioned(
+    spark: SparkSession,
+    root: str,
+    eq: dict | None = None,
+    ranges: dict | None = None,
+    version: int | None = None,
+) -> DataFrame:
+    """Hidden-partition-aware scan: ``eq``/``ranges`` filters are on
+    SOURCE columns; the engine converts them through the table's
+    transform spec to partition-value predicates (bucket: equality
+    only; truncate/year/month/day: monotonic, so ranges map to
+    transformed-endpoint ranges) and drops non-matching files from
+    the log alone. Footer min/max stats prune on top, so files
+    rewritten without the layout (compact/merge) still skip. Like
+    ``read(prune=...)`` this is an OPTIMIZATION — apply the row
+    filter too."""
+    spec = table_partitioning(root) or []
+    snap = snapshot(root, version)
+    files = snap["files"]
+    eq = eq or {}
+    ranges = ranges or {}
+
+    def keep(a: dict) -> bool:
+        part = a.get("partition")
+        if part:
+            for tf in spec:
+                name, kind, col = _pcol_name(tf), tf[0], tf[1]
+                if name not in part:
+                    continue
+                pv = part[name]
+                if col in eq and pv != transform_literal(tf, eq[col]):
+                    return False
+                if col in ranges and kind != "bucket":
+                    lo, hi = ranges[col]
+                    if pv < transform_literal(tf, lo) or pv > transform_literal(
+                        tf, hi
+                    ):
+                        return False
+        # footer-stat pruning on top; timestamps are logged as ISO
+        # strings, so normalize datetime literals before comparing
+        def _s(v):
+            return v.isoformat() if hasattr(v, "isoformat") else v
+
+        for col, v in eq.items():
+            if not _stats_overlap(a, col, _s(v), _s(v)):
+                return False
+        for col, (lo, hi) in ranges.items():
+            if not _stats_overlap(a, col, _s(lo), _s(hi)):
+                return False
+        return True
+
+    kept = {p: a for p, a in files.items() if keep(a)}
+    if not kept:
+        if not files:
+            raise FileNotFoundError(f"txn table {root!r} has no live files")
+        some = next(iter(files))
+        schema = spark.read.parquet(os.path.join(root, some)).schema
+        return spark.createDataFrame([], schema)
+    return _read_files(spark, root, kept)
 
 
 def compact(spark: SparkSession, root: str, target_files: int = 1) -> int:

@@ -505,3 +505,94 @@ def test_read_changes_skips_dv_commits(table, spark):
     # only the append's rows surface; the dv metadata commit adds none
     assert ch.count() == 10
     assert ch.select("_commit_op").distinct().first()[0] == "append"
+
+
+# ---------------------------------------------------- hidden partitioning
+
+
+def _mk_ts(spark, n=200):
+    import datetime
+
+    return spark.createDataFrame(
+        [
+            Row(
+                k=i,
+                ts=datetime.datetime(2024, 1 + (i % 6), 1 + (i % 27)),
+                v=float(i),
+            )
+            for i in range(n)
+        ]
+    ).coalesce(1)
+
+
+def test_hidden_partition_write_and_prune(tmp_path, spark):
+    import zlib
+
+    root = str(tmp_path / "hp")
+    df = _mk_ts(spark)
+    tt.write_partitioned(
+        df, root, [("bucket", "k", 4), ("month", "ts")], mode="append"
+    )
+    spec = tt.table_partitioning(root)
+    assert [tf[0] for tf in spec] == ["bucket", "month"]
+    # partition columns are HIDDEN: readers see only source columns
+    full = tt.read(spark, root)
+    assert sorted(full.columns) == ["k", "ts", "v"]
+    assert full.count() == 200
+    # bucket equality pruning: only files in bucket(42)'s partitions open
+    got = tt.read_partitioned(spark, root, eq={"k": 42})
+    n_total = len(tt.snapshot(root)["files"])
+    assert len(got.inputFiles()) <= n_total // 2
+    assert got.filter("k = 42").count() == 1
+    b = zlib.crc32(b"42") % 4
+    assert all(
+        a["partition"][f"_p_bucket4_k"] == b
+        for a in tt.snapshot(root)["files"].values()
+        if a["path"] in [f.split("hp/")[-1] for f in got.inputFiles()]
+    )
+    # month range pruning keeps only matching months, values intact
+    import datetime
+
+    lo, hi = datetime.datetime(2024, 2, 1), datetime.datetime(2024, 3, 31)
+    got2 = tt.read_partitioned(spark, root, ranges={"ts": (lo, hi)})
+    assert len(got2.inputFiles()) < n_total
+    expect = full.filter((F.col("ts") >= lo) & (F.col("ts") <= hi)).count()
+    assert got2.filter((F.col("ts") >= lo) & (F.col("ts") <= hi)).count() == expect
+
+
+def test_hidden_partition_truncate_and_identity(tmp_path, spark):
+    root = str(tmp_path / "tr")
+    df = spark.createDataFrame(
+        [Row(k=i, name=f"n{i % 7}x", v=float(i)) for i in range(100)]
+    ).coalesce(1)
+    tt.write_partitioned(
+        df, root, [("truncate", "k", 25), ("identity", "name")]
+    )
+    # integer truncate parses back typed
+    parts = {
+        a["partition"]["_p_truncate25_k"]
+        for a in tt.snapshot(root)["files"].values()
+    }
+    assert parts == {0, 25, 50, 75}
+    got = tt.read_partitioned(spark, root, ranges={"k": (30, 49)})
+    assert len(got.inputFiles()) < len(tt.snapshot(root)["files"])
+    assert got.filter("k between 30 and 49").count() == 20
+    got2 = tt.read_partitioned(spark, root, eq={"name": "n3x"})
+    assert got2.filter("name = 'n3x'").count() > 0
+    assert len(got2.inputFiles()) < len(tt.snapshot(root)["files"])
+
+
+def test_hidden_partition_survives_compact_and_dv(tmp_path, spark):
+    root = str(tmp_path / "cd")
+    tt.write_partitioned(_mk_ts(spark), root, [("bucket", "k", 4)])
+    # DVs work on nested partition paths
+    res = tt.delete_where_dv(spark, root, "k % 50 = 0")
+    assert res["rewritten"] == 0 and res["dv_rows_total"] == 4
+    assert tt.read(spark, root).count() == 196
+    pruned = tt.read_partitioned(spark, root, eq={"k": 42})
+    assert pruned.filter("k = 42").count() == 1
+    # compact drops the layout but stays CORRECT (stats pruning only)
+    tt.compact(spark, root, target_files=1)
+    assert tt.read(spark, root).count() == 196
+    after = tt.read_partitioned(spark, root, eq={"k": 42})
+    assert after.filter("k = 42").count() == 1
