@@ -1471,3 +1471,54 @@ def ref_txn_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("o_orderkey").alias("sum_key"),
     )
+
+
+@query(
+    "ref_incremental_mv",
+    oracle="""
+    WITH base AS (SELECT o_orderkey, o_custkey FROM orders),
+    appended AS (
+      SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey
+      FROM orders WHERE o_custkey < 50
+    ),
+    allr AS (SELECT * FROM base UNION ALL SELECT * FROM appended),
+    final AS (
+      SELECT * FROM allr WHERE NOT (o_custkey BETWEEN 100 AND 120)
+    )
+    SELECT o_custkey, COUNT(*) AS n,
+           SUM(CAST(o_orderkey AS BIGINT)) AS sum_key
+    FROM final GROUP BY o_custkey
+    """,
+)
+def ref_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained materialized view (sources/mv.py)
+    over the txn table: a per-customer aggregate stays current
+    through an append AND a deletion-vector delete by recomputing
+    ONLY the dirty groups found in the commits' changed files — the
+    refresh is asserted in-query to be incremental and to touch far
+    fewer groups than the table holds. The oracle rebuilds the final
+    state from scratch in SQL, so a stale group, a resurrected
+    deleted row, or a missed vanished group all hash-mismatch."""
+    from aws_datalake_spark.sources import mv
+    from aws_datalake_spark.sources import txn_table as tt
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    src = tempfile.mkdtemp(prefix="mv_src_") + "/orders"
+    root = tempfile.mkdtemp(prefix="mv_") + "/by_cust"
+    tt.write(o, src)
+    mv.mv_create(
+        spark, src, root, ["o_custkey"],
+        {"n": ("count",), "sum_key": ("sum", "o_orderkey")},
+    )
+    n_groups = o.select("o_custkey").distinct().count()
+    tt.write(
+        o.filter(F.col("o_custkey") < 50).withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(10_000_000)
+        ),
+        src, mode="append",
+    )
+    tt.delete_where_dv(spark, src, "o_custkey BETWEEN 100 AND 120")
+    r = mv.mv_refresh(spark, root)
+    assert r["mode"] == "incremental", r
+    assert 0 < r["dirty_groups"] < n_groups, r
+    return mv.mv_read(spark, root)

@@ -1,0 +1,266 @@
+"""Incrementally-maintained materialized views over the txn table.
+
+A materialized view here is a grouped aggregate of one txn table,
+stored as its own txn table of per-group rows plus the source version
+it reflects (in the MV's commit metadata). ``mv_refresh`` brings it
+up to date WITHOUT recomputing the world:
+
+1. **Dirty-group detection from the log.** Every commit in
+   ``(last_refreshed, head]`` lists the files it added and removed;
+   any group key present in those files is *dirty* — its aggregate
+   may have changed. Nothing else can have (files are immutable), so
+   clean groups are provably current. Cost: O(changed bytes), never
+   O(table).
+2. **Dirty-group recompute.** The dirty keys' aggregates are
+   recomputed from the CURRENT snapshot — a stats-pruned scan
+   (group-key min/max file skipping) semi-joined to the broadcast
+   dirty-key set. Recompute-from-source is what makes EVERY
+   aggregate maintainable — min/max and other non-subtractable aggs
+   survive deletes, where true delta maintenance (apply +/− rows)
+   breaks.
+3. **File-pruned apply.** Fresh rows merge into the MV table via
+   ``merge_upsert`` (only MV files containing dirty keys rewrite);
+   groups that vanished (all rows deleted) are deleted from the MV.
+
+This is the published incremental-view-maintenance shape (the
+"recompute affected partitions" strategy of materialized-view engines
+over immutable-file tables), chosen over algebraic delta maintenance
+for exactness under arbitrary ops: append, merge, copy-on-write
+delete, deletion-vector delete, compaction — all reduce to "these
+files changed".
+
+Caveats, stated honestly: a compaction/z-order rewrite lists every
+file, so every group goes dirty — refresh degrades to a full
+recompute (still correct). If a removed file was already vacuumed,
+dirty detection cannot read it and refresh falls back to full
+recompute (flagged in the returned stats); schedule refreshes inside
+the vacuum retention window to keep the incremental path.
+
+Reference parity: the reference maintains cumulative→delta state per
+key in DynamoDB (/root/reference/transformation.py:78-241) — the same
+"only touched keys update" discipline, here derived from the commit
+log instead of per-row RPC.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_datalake_spark.sources import txn_table as tt
+
+_AGG_FNS = {
+    "count": lambda col: F.count(F.lit(1)),
+    "sum": lambda col: F.sum(col),
+    "min": lambda col: F.min(col),
+    "max": lambda col: F.max(col),
+    "avg": lambda col: F.avg(col),
+}
+
+
+def _agg_exprs(aggs: dict) -> list:
+    out = []
+    for alias, spec in aggs.items():
+        fn = spec[0]
+        col = spec[1] if len(spec) > 1 else None
+        if fn not in _AGG_FNS:
+            raise ValueError(f"unsupported aggregate {fn!r}")
+        out.append(_AGG_FNS[fn](col).alias(alias))
+    return out
+
+
+def _compute(src_df: DataFrame, group_cols: list[str], aggs: dict) -> DataFrame:
+    return src_df.groupBy(*group_cols).agg(*_agg_exprs(aggs))
+
+
+def _mv_meta(mv_root: str) -> dict | None:
+    """Latest commit's MV metadata (spec + refreshed src version)."""
+    for v in reversed(tt._list_versions(mv_root)):
+        c = tt._read_commit(mv_root, v)
+        if "mv" in c:
+            return c["mv"]
+    return None
+
+
+def mv_create(
+    spark: SparkSession,
+    src_root: str,
+    mv_root: str,
+    group_cols: list[str],
+    aggs: dict,
+) -> dict:
+    """Define + fully materialize the view. ``aggs`` maps output
+    alias -> ("count",) | ("sum"|"min"|"max"|"avg", col)."""
+    src_version = tt.snapshot(src_root)["version"]
+    out = _compute(tt.read(spark, src_root), group_cols, aggs)
+    meta = {
+        "src_root": src_root,
+        "group_cols": group_cols,
+        "aggs": {k: list(v) for k, v in aggs.items()},
+        "src_version": src_version,
+    }
+    add = tt._write_data(out, mv_root)
+    tt._commit(mv_root, "mv-create", add, [],
+               extra={"mv": meta, "schema": tt._schema_fields(out)})
+    return {"src_version": src_version, "groups": out.count()}
+
+
+def mv_read(spark: SparkSession, mv_root: str) -> DataFrame:
+    return tt.read(spark, mv_root)
+
+
+def _dv_touched_keys(
+    spark: SparkSession, src_root: str, commit: dict, group_cols: list[str]
+):
+    """Group keys of the rows a delete-dv commit shadows: join the
+    delete set's (file, position) pairs back to the files — dirtiness
+    is O(deleted rows), not O(file). Over-approximates by including
+    carried-forward positions from earlier DVs on the same files
+    (safe: dirty is an upper bound). None when a file is vacuumed."""
+    import os
+
+    adds = commit.get("add", [])
+    dv_dirs = sorted({a["dv"] for a in adds if a.get("dv")})
+    files = sorted(a["path"] for a in adds)
+    if not dv_dirs or not files:
+        return None
+    for p in files + dv_dirs:
+        if not os.path.exists(os.path.join(src_root, p)):
+            return None
+    dv = (
+        spark.read.parquet(*[os.path.join(src_root, d) for d in dv_dirs])
+        .select("__rel", "__pos")
+    )
+    df = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*[os.path.join(src_root, p) for p in files])
+        .withColumn("__rel", tt._rel_path_expr())
+        .withColumn("__pos", F.col("_metadata.row_index"))
+    )
+    return df.join(F.broadcast(dv), ["__rel", "__pos"], "left_semi").select(
+        *group_cols
+    )
+
+
+def _dirty_keys(
+    spark: SparkSession, src_root: str, group_cols: list[str],
+    since: int, to: int,
+):
+    """Distinct group keys touched by commits in (since, to] — read
+    from the added/removed files themselves (deletion-vector commits
+    contribute only their deleted rows' keys). Returns (None, n)
+    when a needed file is already vacuumed (caller falls back to a
+    full recompute)."""
+    import os
+
+    paths: set[str] = set()
+    frames = []
+    for v in tt._list_versions(src_root):
+        if v <= since or v > to:
+            continue
+        c = tt._read_commit(src_root, v)
+        if c.get("op") == "delete-dv":
+            keys = _dv_touched_keys(spark, src_root, c, group_cols)
+            if keys is None:
+                return None, 0
+            frames.append(keys)
+            continue
+        paths.update(a["path"] for a in c.get("add", []))
+        paths.update(c.get("remove", []))
+    full = []
+    for p in sorted(paths):
+        fp = os.path.join(src_root, p)
+        if not os.path.exists(fp):
+            return None, len(paths)  # vacuumed: cannot prove dirtiness
+        full.append(fp)
+    if full:
+        frames.append(
+            spark.read.option("mergeSchema", "true")
+            .parquet(*full)
+            .select(*group_cols)
+        )
+    if not frames:
+        return (
+            spark.createDataFrame([], "x int").limit(0),
+            0,
+        )
+    keys = frames[0]
+    for f in frames[1:]:
+        keys = keys.unionByName(f)
+    return keys.dropDuplicates(), len(paths)
+
+
+def mv_refresh(spark: SparkSession, mv_root: str) -> dict:
+    """Advance the view to the source head (see module docstring).
+    Returns {"mode": "noop"|"incremental"|"full", "dirty_groups",
+    "src_version"}."""
+    meta = _mv_meta(mv_root)
+    if meta is None:
+        raise ValueError(f"{mv_root!r} is not a materialized view")
+    src_root = meta["src_root"]
+    group_cols = list(meta["group_cols"])
+    aggs = {k: tuple(v) for k, v in meta["aggs"].items()}
+    last = meta["src_version"]
+    head = tt.snapshot(src_root)["version"]
+    if head == last:
+        return {"mode": "noop", "dirty_groups": 0, "src_version": head}
+
+    dirty, n_files = _dirty_keys(spark, src_root, group_cols, last, head)
+    new_meta = dict(meta, src_version=head)
+    if dirty is None:
+        # vacuumed change files: full recompute (correct, not cheap)
+        out = _compute(tt.read(spark, src_root), group_cols, aggs)
+        add = tt._write_data(out, mv_root)
+        tt._commit(mv_root, "mv-full-refresh", add,
+                   list(tt.snapshot(mv_root)["files"]),
+                   extra={"mv": new_meta})
+        return {"mode": "full", "dirty_groups": -1, "src_version": head}
+
+    dirty = dirty.cache()
+    n_dirty = dirty.count()
+    if n_dirty == 0:
+        tt._commit(mv_root, "mv-refresh", [], [], extra={"mv": new_meta})
+        return {"mode": "incremental", "dirty_groups": 0, "src_version": head}
+
+    # stats-pruned current-snapshot scan restricted to dirty keys
+    prune = None
+    if len(group_cols) == 1:
+        b = dirty.agg(
+            F.min(group_cols[0]).alias("lo"), F.max(group_cols[0]).alias("hi")
+        ).collect()[0]
+        if b["lo"] is not None and not isinstance(b["lo"], (list, dict)):
+            lo = b["lo"].isoformat() if hasattr(b["lo"], "isoformat") else b["lo"]
+            hi = b["hi"].isoformat() if hasattr(b["hi"], "isoformat") else b["hi"]
+            prune = {group_cols[0]: (lo, hi)}
+    cur = tt.read(spark, src_root, prune=prune)
+    fresh = _compute(
+        cur.join(F.broadcast(dirty), group_cols, "left_semi"),
+        group_cols, aggs,
+    )
+    # groups whose every row vanished must leave the MV
+    gone = dirty.join(fresh.select(*group_cols), group_cols, "left_anti")
+    gone_rows = gone.collect()  # bounded by the dirty set, not the table
+    if fresh.limit(1).count():
+        tt.merge_upsert(spark, mv_root, fresh, keys=group_cols)
+    if gone_rows:
+        pred = " OR ".join(
+            "("
+            + " AND ".join(
+                f"{c} = '{r[c]}'" if isinstance(r[c], str) else f"{c} = {r[c]}"
+                for c in group_cols
+            )
+            + ")"
+            for r in gone_rows
+        )
+        tt.delete_where(spark, mv_root, pred)
+    tt._commit(mv_root, "mv-refresh", [], [], extra={"mv": new_meta})
+    dirty.unpersist()
+    return {
+        "mode": "incremental",
+        "dirty_groups": n_dirty,
+        "gone_groups": len(gone_rows),
+        "changed_files_read": n_files,
+        "src_version": head,
+    }
