@@ -1,0 +1,256 @@
+"""Product quantization (PQ) for billion-scale similarity search —
+the published IVF-ADC design (Jégou, Douze, Schmid, "Product
+Quantization for Nearest Neighbor Search", TPAMI 2011; the FAISS
+IVF-PQ index): split each vector into ``m`` contiguous subvectors,
+learn a ``k``-entry codebook per subspace, store each corpus vector
+as ``m`` small codes, and answer queries by Asymmetric Distance
+Computation (ADC) — a per-query lookup table of exact
+query-to-codeword partial distances, summed per corpus code.
+
+Why this is THE 100 TB ANN shape:
+
+* **Memory/IO.** A 64-dim float64 vector is 512 bytes; its PQ code
+  (m=8, k=16) is 8 small ints — a 64× scan-size reduction. The raw
+  embedding column is read ONCE at encode time; every query after
+  that scans only codes.
+* **Training is sample-based and driver-side** (numpy k-means per
+  subspace on a bounded deterministic sample — published practice;
+  codebooks are tiny: m·k·(dim/m) doubles) and broadcast as plain
+  literals.
+* **Encoding is the only full scan** — one Arrow-batched pandas_udf
+  doing a vectorized argmin per subspace; embarrassingly parallel,
+  no shuffle.
+* **Scoring stays JVM-side.** The per-query LUT (m·k partial
+  distances) rides a broadcast join; the ADC sum is a codegen'd
+  higher-order-function fold over the code array — no Python in the
+  corpus-side hot path, no vector bytes moving.
+* Composes with IVF (operators/similarity.py:ann_ivf_topk): probe
+  cells first, ADC-score only the probed cells' codes
+  (:func:`ann_ivf_pq_topk`).
+
+Reference parity: none (the reference has no vector search); this is
+a north-star LLM-pipeline operator per BASELINE.json.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, IntegerType
+from pyspark.sql.window import Window
+
+
+def pq_train(
+    vectors: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    sample: int = 2048,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Learn per-subspace codebooks on a deterministic sample (the
+    ``sample`` lowest ids — content-stable, so retraining on the same
+    corpus reproduces the same codebooks bit-for-bit). Returns
+    ``m × k × (dim/m)`` plain floats; k-means per subspace with
+    first-k init and ``iters`` Lloyd rounds, all driver-side numpy —
+    the corpus is never shuffled for training."""
+    rows = (
+        vectors.orderBy(id_col)
+        .limit(sample)
+        .select(F.col(vec_col).cast("array<double>"))
+        .collect()
+    )
+    X = np.asarray([r[0] for r in rows], dtype="float64")
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    ds = dim // m
+    if len(X) < k:
+        raise ValueError(f"sample {len(X)} smaller than k={k}")
+    books = []
+    for j in range(m):
+        S = X[:, j * ds:(j + 1) * ds]
+        C = S[:k].copy()
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            a = d2.argmin(1)
+            for c in range(k):
+                pts = S[a == c]
+                if len(pts):
+                    C[c] = pts.mean(0)
+        books.append(C.tolist())
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """(id, pq_code) for every vector — the one full-corpus pass.
+    Vectorized per Arrow batch: distance of every subvector to every
+    codeword via one GEMM per subspace, argmin per row. Zero
+    shuffles; output is ~m bytes/vector."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    m = len(codebooks)
+    ds = len(codebooks[0][0])
+    C = [np.asarray(b, dtype="float64") for b in codebooks]
+    c_sq = [(b * b).sum(1) for b in C]
+
+    # no type hints: `from __future__ import annotations` would turn
+    # them into strings pandas_udf cannot resolve under local imports
+    @pandas_udf(ArrayType(IntegerType()))
+    def _enc(v):
+        X = np.asarray(v.tolist(), dtype="float64")
+        codes = np.empty((len(X), m), dtype="int32")
+        for j in range(m):
+            S = X[:, j * ds:(j + 1) * ds]
+            d2 = -2.0 * (S @ C[j].T) + c_sq[j][None, :]  # + |S|² constant
+            codes[:, j] = d2.argmin(1)
+        return pd.Series([list(map(int, r)) for r in codes])
+
+    return df.select(
+        F.col(id_col), _enc(F.col(vec_col).cast("array<double>")).alias(code_col)
+    )
+
+
+def _query_luts(
+    queries: list[tuple], codebooks: list[list[list[float]]]
+) -> list[tuple]:
+    """Per query: the flattened m·k table of EXACT squared distances
+    from its subvectors to every codeword — ADC's asymmetry: the
+    query side is never quantized."""
+    m = len(codebooks)
+    k = len(codebooks[0])
+    ds = len(codebooks[0][0])
+    out = []
+    for qid, vec in queries:
+        q = np.asarray(vec, dtype="float64")
+        lut = np.empty(m * k, dtype="float64")
+        for j in range(m):
+            sub = q[j * ds:(j + 1) * ds]
+            lut[j * k:(j + 1) * k] = (
+                (np.asarray(codebooks[j]) - sub[None, :]) ** 2
+            ).sum(1)
+        out.append((qid, [float(x) for x in lut]))
+    return out
+
+
+def pq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k_neighbors: int = 5,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k: broadcast (query_id, LUT) onto the code table and
+    fold ``Σ_j LUT[j·k + code_j]`` with a codegen'd higher-order
+    function — the entire corpus-side scan is JVM arithmetic over
+    ~m-byte codes. Returns (query_id, neighbor_id, rank, adc_dist);
+    smaller distance = nearer."""
+    spark = codes.sparkSession
+    k = len(codebooks[0])
+    q_rows = [
+        (r[0], list(r[1]))
+        for r in queries.select(query_id_col, vec_col).collect()
+    ]
+    luts = spark.createDataFrame(
+        _query_luts(q_rows, codebooks), f"{query_id_col} long, __lut array<double>"
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(luts))
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            F.col(id_col).alias("neighbor_id"),
+            F.aggregate(
+                F.transform(
+                    F.col(code_col), lambda c, j: c + j * F.lit(k)
+                ),
+                F.lit(0.0).cast("double"),
+                lambda acc, i: acc + F.element_at("__lut", i + 1),
+            ).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy("adc_dist", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_neighbors)
+        .select(
+            query_id_col, "neighbor_id", "rank",
+            F.round("adc_dist", 6).alias("adc_dist"),
+        )
+    )
+
+
+def ann_ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebooks: list[list[list[float]]],
+    k_neighbors: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """The full FAISS-style IVF-PQ pipeline: corpus codes live in
+    their nearest-centroid cell (at 100 TB: a table partitioned by
+    cell holding only ~m-byte codes); a query probes ``n_probe``
+    cells and ADC-scores only those cells' codes. Both prunings
+    compose: IVF cuts the candidate count, PQ cuts bytes per
+    candidate."""
+    from aws_datalake_spark.operators.similarity import assign_cells
+
+    spark = corpus.sparkSession
+    k = len(codebooks[0])
+    cells = assign_cells(corpus, centroids, 1, id_col, vec_col).select(
+        id_col, "centroid_id", vec_col
+    )
+    codes = pq_encode(cells, codebooks, id_col, vec_col).join(
+        cells.select(id_col, "centroid_id"), id_col
+    )
+    q_cells = assign_cells(
+        queries, centroids, n_probe, query_id_col, vec_col
+    ).select(query_id_col, "centroid_id", vec_col)
+    q_rows = [
+        (r[0], list(r[1]))
+        for r in queries.select(query_id_col, vec_col).collect()
+    ]
+    luts = spark.createDataFrame(
+        _query_luts(q_rows, codebooks), f"{query_id_col} long, __lut array<double>"
+    )
+    probe = q_cells.join(luts, query_id_col).select(
+        query_id_col, "centroid_id", "__lut"
+    )
+    scored = (
+        codes.join(F.broadcast(probe), "centroid_id")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            F.col(id_col).alias("neighbor_id"),
+            F.aggregate(
+                F.transform(F.col("pq_code"), lambda c, j: c + j * F.lit(k)),
+                F.lit(0.0).cast("double"),
+                lambda acc, i: acc + F.element_at("__lut", i + 1),
+            ).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy("adc_dist", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_neighbors)
+        .select(
+            query_id_col, "neighbor_id", "rank",
+            F.round("adc_dist", 6).alias("adc_dist"),
+        )
+    )

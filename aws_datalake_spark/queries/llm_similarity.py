@@ -550,3 +550,29 @@ def llm_audio_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("embedding").alias("n_dims"),
         (F.abs(norm - 1.0) < 1e-5).alias("unit_norm"),
     )
+
+
+@query("llm_ann_pq_topk")
+def llm_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate nearest neighbors (operators/pq.py): the
+    published billion-scale index shape (Jegou et al. 2011 / FAISS
+    IVFPQ) — per-subspace codebooks trained on a deterministic
+    sample, the corpus stored as m small codes (64x smaller than the
+    raw vectors), queries answered by ADC lookup-table folds that are
+    pure JVM expressions over a broadcast join. Rows-only by design
+    (trained codebooks are an iterative numpy artifact with no
+    practical SQL twin); determinism + recall-vs-exact floors are
+    pinned in tests/test_clustering.py."""
+    from aws_datalake_spark.operators.pq import ann_ivf_pq_topk, pq_train
+
+    e = _emb_double(spark, sf_dir).select("vec_id", "embedding")
+    books = pq_train(e, m=16, k=32, sample=512, iters=10)
+    centroids = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann_ivf_pq_topk(
+        e, queries, centroids, books, k_neighbors=5, n_probe=2
+    ).select("query_id", "neighbor_id", F.col("rank").cast("int"), "adc_dist")

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from aws_datalake_spark.operators.clustering import kmeans_assign, kmeans_fit
 
 
@@ -72,3 +74,92 @@ def test_quality_classifier_scores_bounded(spark):
     w = train_quality_classifier(df, iters=3, n_buckets=16)
     got = score_quality(df, w).collect()
     assert all(0.0 < r.quality_score < 1.0 for r in got)
+
+
+# ------------------------------------------------------ product quantization
+
+
+def _emb(spark):
+    from tests.conftest import SF_SMOKE
+
+    return spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+
+
+def test_pq_train_shape_and_determinism(spark):
+    from aws_datalake_spark.operators.pq import pq_train
+
+    emb = _emb(spark)
+    b1 = pq_train(emb, m=8, k=16, sample=256, iters=5)
+    b2 = pq_train(emb, m=8, k=16, sample=256, iters=5)
+    assert b1 == b2  # content-stable sample + fixed init => bitwise repeat
+    assert len(b1) == 8 and len(b1[0]) == 16 and len(b1[0][0]) == 8
+
+
+def test_pq_encode_codes_in_range_zero_shuffle(spark):
+    from aws_datalake_spark.operators.pq import pq_encode, pq_train
+
+    emb = _emb(spark)
+    books = pq_train(emb, m=8, k=16, sample=256, iters=5)
+    codes = pq_encode(emb, books)
+    rows = codes.collect()
+    assert len(rows) == emb.count()
+    assert all(len(r.pq_code) == 8 for r in rows)
+    assert all(0 <= c < 16 for r in rows for c in r.pq_code)
+    assert "Exchange" not in codes._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pq_adc_recall_vs_exact_l2(spark):
+    from aws_datalake_spark.operators.pq import pq_encode, pq_topk, pq_train
+
+    emb = _emb(spark)
+    books = pq_train(emb, m=16, k=32, sample=512, iters=10)
+    codes = pq_encode(emb, books)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = pq_topk(codes, queries, books, k_neighbors=10)
+    assert got.groupBy("query_id").count().filter("count != 10").count() == 0
+    # exact L2 top-10 via brute force for the same queries
+    from aws_datalake_spark.operators.similarity import dot
+
+    q = queries.select(F.col("query_id"), F.col("embedding").alias("qv"))
+    pairs = emb.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
+    d2 = F.aggregate(
+        F.zip_with("embedding", "qv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    exact = (
+        pairs.select("query_id", F.col("vec_id").alias("neighbor_id"), d2.alias("d2"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter("rank <= 10")
+    )
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    g = {(r.query_id, r.neighbor_id) for r in got.collect()}
+    assert len(g & e) / len(e) >= 0.4  # m=16/k=32 books: recall floor
+
+
+def test_ivf_pq_composes_and_scoring_is_jvm_side(spark):
+    from aws_datalake_spark.operators.pq import ann_ivf_pq_topk, pq_train
+
+    emb = _emb(spark)
+    books = pq_train(emb, m=8, k=16, sample=256, iters=5)
+    centroids = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = ann_ivf_pq_topk(emb, queries, centroids, books, k_neighbors=5, n_probe=3)
+    rows = got.collect()
+    assert {r.query_id for r in rows} == {0, 1, 2}
+    assert all(1 <= r.rank <= 5 for r in rows)
+    # ADC fold must be plain JVM expressions: no python udf in scoring
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
