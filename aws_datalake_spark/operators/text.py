@@ -495,3 +495,57 @@ def bigram_conditional(
             F.col("c_ab").cast("double") / F.col("c_w1").cast("double"), 6
         ).alias("p_cond"),
     )
+
+
+def lm_doc_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Per-document language-model predictability — the
+    perplexity-style quality signal (CCNet's "LM score the corpus,
+    filter the tail") in this repo's LOG-FREE exact form: train the
+    bigram MLE on the corpus (:func:`bigram_conditional`), score each
+    document by the mean conditional probability of its bigrams, and
+    count its out-of-vocabulary bigrams (unseen under ``min_count``
+    ⇒ probability 0 in the mean — the OOV penalty). Avoiding
+    ``ln`` keeps the score an exact fixed-point ratio (p rounded to
+    1e-6, summed as int64), so engines hash-match; the ranking it
+    induces is monotone with perplexity's whenever the doc-length
+    normalization agrees (mean-p vs geometric-mean-p order flips are
+    possible for extreme mixes, which filtering at the tails
+    tolerates).
+
+    One corpus scan trains the LM, one scores; the LM table joins on
+    the bigram key (already aggregated, so its size is vocabulary-,
+    not corpus-, bounded). Docs with < 2 tokens have no bigram
+    evidence and are excluded. Returns
+    ``(id_col, n_bigrams, n_oov, mean_p)``.
+    """
+    lm = bigram_conditional(df, text_col=text_col, min_count=min_count).select(
+        "bigram", "p_cond"
+    )
+    doc_bi = df.select(
+        F.col(id_col),
+        F.explode(ngrams(tokens_ws(F.col(text_col)), 2)).alias("bigram"),
+    )
+    scored = doc_bi.join(lm, "bigram", "left").select(
+        id_col,
+        F.when(F.col("p_cond").isNull(), F.lit(1)).otherwise(F.lit(0)).alias(
+            "__oov"
+        ),
+        # fixed-point: p_cond is already rounded to 6 places
+        F.coalesce(
+            F.round(F.col("p_cond") * 1_000_000.0).cast("long"), F.lit(0)
+        ).alias("__p6"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("__oov").cast("long").alias("n_oov"),
+        F.round(
+            (F.sum("__p6").cast("double") / 1_000_000.0)
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mean_p"),
+    )

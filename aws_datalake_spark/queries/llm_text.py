@@ -805,3 +805,46 @@ def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = train_quality_classifier(labeled, iters=10, n_buckets=64)
     return score_quality(docs, w, n_buckets=64)
+
+
+@query(
+    "llm_lm_doc_scores",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ), uni AS (
+      SELECT w, COUNT(*) AS c
+      FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1
+    ), bi AS (
+      SELECT t[i] || ' ' || t[i+1] AS bigram, t[i] AS w1, COUNT(*) AS c_ab
+      FROM toks, UNNEST(range(1, len(t))) AS u(i)
+      GROUP BY 1, 2 HAVING COUNT(*) >= 5
+    ), lm AS (
+      SELECT bigram,
+             ROUND(CAST(c_ab AS DOUBLE) / CAST(uni.c AS DOUBLE), 6) AS p_cond
+      FROM bi JOIN uni ON bi.w1 = uni.w
+    ), doc_bi AS (
+      SELECT doc_id, t[i] || ' ' || t[i+1] AS bigram
+      FROM toks, UNNEST(range(1, len(t))) AS u(i)
+    ), j AS (
+      SELECT doc_id,
+             CASE WHEN p_cond IS NULL THEN 1 ELSE 0 END AS oov,
+             COALESCE(CAST(ROUND(p_cond * 1000000.0) AS BIGINT), 0) AS p6
+      FROM doc_bi LEFT JOIN lm USING (bigram)
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           CAST(SUM(oov) AS BIGINT) AS n_oov,
+           ROUND((CAST(SUM(p6) AS DOUBLE) / 1000000.0)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS mean_p
+    FROM j GROUP BY 1
+    """,
+)
+def llm_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc LM predictability + OOV counts for perplexity-style
+    corpus filtering (operators/text.py:lm_doc_scores) — train the
+    bigram MLE on the corpus, score every document by mean bigram
+    probability in exact fixed-point (log-free, so the oracle
+    hash-matches bit-for-bit)."""
+    from aws_datalake_spark.operators.text import lm_doc_scores
+
+    return lm_doc_scores(t(spark, sf_dir, "documents"))

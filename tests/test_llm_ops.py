@@ -658,3 +658,27 @@ def test_segment_dedup_keep_first_keeps_one_occurrence(spark):
     assert out[2].clean_text == "tail two words"
     assert out[2].n_seg == 2 and out[2].n_kept == 1
     assert out[3].n_kept == 2
+
+
+def test_lm_doc_scores_known_values_and_oov(spark):
+    from aws_datalake_spark.operators.text import lm_doc_scores
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    # min_count=1: LM has p(a b)=3/3=1.0, p(b a)=1/3, p(b c)=1/3
+    got = {r.doc_id: r for r in lm_doc_scores(docs, min_count=1).collect()}
+    assert got[1].n_bigrams == 3 and got[1].n_oov == 0
+    assert abs(got[1].mean_p - 0.777778) < 1e-6
+    assert got[2].n_bigrams == 2 and got[2].n_oov == 0
+    assert abs(got[2].mean_p - 0.666667) < 2e-6
+    # min_count=2 drops the singleton bigrams -> they count as OOV
+    got2 = {r.doc_id: r for r in lm_doc_scores(docs, min_count=2).collect()}
+    assert got2[1].n_oov == 1 and got2[2].n_oov == 1
+    assert abs(got2[1].mean_p - 2.0 / 3.0) < 1e-6
+    assert abs(got2[2].mean_p - 0.5) < 1e-6
+    # a one-token doc has no bigram evidence and is excluded
+    one = spark.createDataFrame([(9, "hello")], "doc_id long, text string")
+    assert lm_doc_scores(docs.unionByName(one), min_count=1).filter(
+        "doc_id = 9"
+    ).count() == 0
