@@ -1522,3 +1522,46 @@ def ref_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert r["mode"] == "incremental", r
     assert 0 < r["dirty_groups"] < n_groups, r
     return mv.mv_read(spark, root)
+
+
+@query(
+    "ref_txn_bloom_lookup",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n,
+           SUM(CAST(o_orderkey AS BIGINT)) AS sum_key
+    FROM orders WHERE o_custkey = 7
+    GROUP BY o_orderstatus
+    """,
+)
+def ref_txn_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file BLOOM INDEX point lookup on the txn table
+    (sources/txn_table.py:build_bloom_index/bloom_lookup): orders
+    land in hash-sharded files, so every file's o_custkey min/max
+    spans the whole domain — footer stats cannot prune — but each
+    file's key SET is small and its bloom is decisive. The lookup is
+    asserted in-query to open fewer files than the table holds; the
+    oracle recomputes the same point query from raw orders, so a
+    bloom that false-NEGATIVES (loses rows) hash-mismatches."""
+    from aws_datalake_spark.sources import txn_table as tt
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    root = tempfile.mkdtemp(prefix="txn_bloom_") + "/orders"
+    for shard in range(4):
+        tt.write(
+            o.filter(F.col("o_custkey") % 4 == shard), root, mode="append"
+        )
+    tt.build_bloom_index(spark, root, "o_custkey")
+    got = tt.bloom_lookup(spark, root, "o_custkey", 7)
+    assert len(got.inputFiles()) < len(tt.snapshot(root)["files"]), (
+        "bloom pruning must engage"
+    )
+    return (
+        got.filter(F.col("o_custkey") == 7)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("sum_key"),
+        )
+    )

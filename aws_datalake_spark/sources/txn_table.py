@@ -613,6 +613,146 @@ def purge_dv(spark: SparkSession, root: str) -> int:
     return _commit(root, "purge-dv", add, dved)
 
 
+# ---------------------------------------------------- bloom file index
+
+
+def build_bloom_index(
+    spark: SparkSession,
+    root: str,
+    col: str,
+    m_bits: int = 8192,
+    k: int = 4,
+) -> int:
+    """Attach a per-file Bloom filter on ``col`` to every live file's
+    add action — Delta's bloom-filter index: point lookups on keys
+    that are file-LOCALIZED but not range-clustered (user shards,
+    ingest batches, hash buckets) prune files min/max stats cannot,
+    because every file's min/max spans the whole key domain while its
+    actual key SET is small.
+
+    Build is one distributed scan: each row emits its ``k``
+    xxhash64-seeded bit positions, a per-file ``collect_set`` (≤
+    ``m_bits`` ints) folds them into a bitmap on the driver —
+    same O(files) driver-side finalize as the stats harvest, flagged
+    for task-commit piggybacking on a real cluster. The index rides a
+    metadata-only commit (op ``bloom-index``); data bytes are
+    untouched, and any later rewrite simply drops the file's bloom
+    (lookups degrade to stats pruning, stay correct).
+
+    FPR ≈ (1 − e^(−k·n/m))^k — with n≈200 distinct keys/file at the
+    default (m=8192, k=4) that is ~6e-5; size ``m_bits`` ≈ 40× the
+    expected distinct keys per file for sub-1e-4 rates.
+    """
+    import base64
+
+    snap = snapshot(root)
+    files = snap["files"]
+    todo = {r: a for r, a in files.items()
+            if col not in a.get("bloom", {})}
+    if not todo:
+        return snap["version"]
+    df = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*[os.path.join(root, p) for p in sorted(todo)])
+        .withColumn("__rel", _rel_path_expr())
+    )
+    pos = F.array(
+        *[
+            F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(m_bits))
+            for i in range(k)
+        ]
+    )
+    per_file = (
+        df.select("__rel", F.explode(pos).alias("__b"))
+        .groupBy("__rel")
+        .agg(F.collect_set("__b").alias("bits"))
+        .collect()
+    )
+    bitmaps = {}
+    for r in per_file:
+        buf = bytearray(m_bits // 8)
+        for b in r["bits"]:
+            buf[b // 8] |= 1 << (b % 8)
+        bitmaps[r["__rel"]] = base64.b64encode(bytes(buf)).decode()
+    add = []
+    for rel, action in todo.items():
+        a2 = dict(action)
+        blooms = dict(a2.get("bloom", {}))
+        blooms[col] = {
+            "m": m_bits,
+            "k": k,
+            "bits": bitmaps.get(rel, base64.b64encode(bytes(m_bits // 8)).decode()),
+        }
+        a2["bloom"] = blooms
+        add.append(a2)
+    return _commit(root, "bloom-index", add, [])
+
+
+def bloom_lookup(
+    spark: SparkSession, root: str, col: str, value
+) -> DataFrame:
+    """Point-lookup scan pruned by the per-file Bloom index: a file
+    survives only if ALL ``k`` bit positions of ``value`` are set in
+    its bloom on ``col`` (files without one conservatively survive,
+    and footer stats prune on top). Like ``read(prune=...)`` this is
+    an optimization — apply ``.filter(col = value)`` to the result.
+
+    The literal's bit positions come from one 1-row Spark job so the
+    hash is EXACTLY the engine's xxhash64 — no Python reimplementation
+    to drift."""
+    import base64
+
+    snap = snapshot(root)
+    files = snap["files"]
+    configs = sorted(
+        {
+            (a["bloom"][col]["m"], a["bloom"][col]["k"])
+            for a in files.values()
+            if col in a.get("bloom", {})
+        }
+    )
+    # xxhash64 is TYPE-sensitive: hash the literal as the table's
+    # column type or the positions will not match the build's
+    dtype = dict(table_schema(root) or [])
+    lit = F.lit(value)
+    if col in dtype:
+        lit = lit.cast(dtype[col])
+    pos_by_config = {}
+    for m, k in configs:
+        row = (
+            spark.range(1)
+            .select(
+                F.array(
+                    *[
+                        F.pmod(F.xxhash64(lit, F.lit(i)), F.lit(m))
+                        for i in range(k)
+                    ]
+                ).alias("p")
+            )
+            .first()
+        )
+        pos_by_config[(m, k)] = list(row["p"])
+
+    def keep(a: dict) -> bool:
+        bl = a.get("bloom", {}).get(col)
+        if bl is None:
+            return _stats_overlap(a, col, value, value)
+        buf = base64.b64decode(bl["bits"])
+        for b in pos_by_config[(bl["m"], bl["k"])]:
+            if not buf[b // 8] & (1 << (b % 8)):
+                return False
+        return _stats_overlap(a, col, value, value)
+
+    kept = {p: a for p, a in files.items() if keep(a)}
+    if not kept:
+        if not files:
+            raise FileNotFoundError(f"txn table {root!r} has no live files")
+        some = next(iter(files))
+        schema = spark.read.parquet(os.path.join(root, some)).schema
+        return spark.createDataFrame([], schema)
+    return _read_files(spark, root, kept)
+
+
 # ------------------------------------------------- hidden partitioning
 #
 # Iceberg's partition-transform model: the table declares TRANSFORMS of

@@ -596,3 +596,63 @@ def test_hidden_partition_survives_compact_and_dv(tmp_path, spark):
     assert tt.read(spark, root).count() == 196
     after = tt.read_partitioned(spark, root, eq={"k": 42})
     assert after.filter("k = 42").count() == 1
+
+
+# -------------------------------------------------------- bloom file index
+
+
+def test_bloom_index_prunes_unclustered_key(tmp_path, spark):
+    root = str(tmp_path / "bl")
+    # 4 hash-sharded files: every file spans the full k range (stats
+    # useless) but holds only k % 4 == shard keys (bloom decisive)
+    for shard in range(4):
+        tt.write(
+            spark.createDataFrame(
+                [Row(k=i, v=float(i)) for i in range(1000) if i % 4 == shard]
+            ).coalesce(1),
+            root, mode="append",
+        )
+    v = tt.build_bloom_index(spark, root, "k")
+    assert tt.snapshot(root)["version"] == v
+    got = tt.bloom_lookup(spark, root, "k", 42)
+    assert len(got.inputFiles()) == 1  # only shard 2's file survives
+    assert got.filter("k = 42").count() == 1
+    # absent key: bloom may false-positive a file, never lose the row
+    miss = tt.bloom_lookup(spark, root, "k", 10**9)
+    assert miss.filter("k = 1000000000").count() == 0
+    # rebuild is a no-op commit-wise
+    assert tt.build_bloom_index(spark, root, "k") == v
+
+
+def test_bloom_survives_rewrite_degrades_gracefully(tmp_path, spark):
+    root = str(tmp_path / "bl2")
+    for shard in range(2):
+        tt.write(
+            spark.createDataFrame(
+                [Row(k=i, v=float(i)) for i in range(100) if i % 2 == shard]
+            ).coalesce(1),
+            root, mode="append",
+        )
+    tt.build_bloom_index(spark, root, "k")
+    # compact rewrites -> new file has no bloom -> lookup still correct
+    tt.compact(spark, root, target_files=1)
+    got = tt.bloom_lookup(spark, root, "k", 7)
+    assert got.filter("k = 7").count() == 1
+    # fsck stays green with bloom metadata present in history
+    assert tt.fsck(root)["ok"]
+
+
+def test_bloom_composes_with_dv(tmp_path, spark):
+    root = str(tmp_path / "bl3")
+    for shard in range(2):
+        tt.write(
+            spark.createDataFrame(
+                [Row(k=i, v=float(i)) for i in range(100) if i % 2 == shard]
+            ).coalesce(1),
+            root, mode="append",
+        )
+    tt.build_bloom_index(spark, root, "k")
+    tt.delete_where_dv(spark, root, "k = 8")
+    got = tt.bloom_lookup(spark, root, "k", 8)
+    assert got.filter("k = 8").count() == 0  # dv applied inside lookup
+    assert tt.bloom_lookup(spark, root, "k", 10).filter("k = 10").count() == 1
