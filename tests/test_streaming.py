@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import time
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from aws_datalake_spark.operators.dq import Expectation
@@ -607,3 +609,102 @@ def test_snapshot_enrich_sink_sees_dim_updates_per_batch(spark, tmp_path):
 
     got = {r.event_id: r.tier for r in spark.read.parquet(out).collect()}
     assert got == {100: "bronze", 101: "gold"}
+
+
+def _have_protobuf() -> bool:
+    """transformWithState's python<->JVM state protocol is protobuf;
+    the harness image ships no google.protobuf (and pip installs are
+    off), so the tws tests gate on it — same convention as the
+    delta-spark gate in sources/delta_io.py."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _have_protobuf(),
+    reason="transformWithState needs google.protobuf; not in this image",
+)
+def test_tws_delta_stream_matches_applyinpandas_twin(spark, tmp_path):
+    """transformWithStateInPandas cumulative->delta (streaming/tws.py)
+    reproduces the applyInPandasWithState twin's output across two
+    micro-batches."""
+    from aws_datalake_spark.streaming.tws import delta_tws_stream
+
+    # transformWithState requires the RocksDB state store provider
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    src = tmp_path / "tws_snaps"
+    src.mkdir()
+    ckpt = str(tmp_path / "tws_ckpt")
+
+    def snap(rows):
+        spark.createDataFrame(rows, "_id long, m1 long").coalesce(
+            1
+        ).write.mode("append").parquet(str(src))
+
+    snap([(1, 10), (2, 5)])
+    stream = spark.readStream.schema("_id long, m1 long").parquet(str(src))
+    out = delta_tws_stream(stream, keys=["_id"], metrics=["m1"])
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("tws_out")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    first = {r._id: r.m1 for r in spark.table("tws_out").collect()}
+    assert first == {1: 10, 2: 5}
+    snap([(1, 25), (2, 5)])
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+    all_rows = sorted((r._id, r.m1) for r in spark.table("tws_out").collect())
+    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    assert all_rows == [(1, 10), (1, 15), (2, 0), (2, 5)]
+
+
+@pytest.mark.skipif(
+    not _have_protobuf(),
+    reason="transformWithState needs google.protobuf; not in this image",
+)
+def test_tws_initial_state_seeds_backfill_cumulative(spark, tmp_path):
+    """initialState bootstraps the store from a batch state table:
+    the first streamed row deltas against the backfill, not zero."""
+    from aws_datalake_spark.streaming.tws import delta_tws_stream
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    src = tmp_path / "tws2_snaps"
+    src.mkdir()
+    ckpt = str(tmp_path / "tws2_ckpt")
+    seed = spark.createDataFrame([(1, 100), (3, 7)], "_id long, m1 long")
+    spark.createDataFrame(
+        [(1, 120), (2, 5)], "_id long, m1 long"
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema("_id long, m1 long").parquet(str(src))
+    out = delta_tws_stream(
+        stream, keys=["_id"], metrics=["m1"], initial_state=seed
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("tws2_out")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+    got = {r._id: r.m1 for r in spark.table("tws2_out").collect()}
+    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    # key 1: 120 - 100 (seeded) = 20; key 2: unseeded -> raw 5
+    assert got == {1: 20, 2: 5}
