@@ -875,6 +875,22 @@ def write_partitioned(
             spec.append((tf[0], tf[1], tf[2], rtype))
         else:
             spec.append(tuple(tf))
+    adds = _write_data_by_spec(df, root, spec)
+    remove = (
+        list(snapshot(root)["files"])
+        if (mode == "overwrite" and is_txn_table(root))
+        else []
+    )
+    return _commit(
+        root, mode, adds, remove,
+        extra={"schema": schema, "partitioning": [list(tf) for tf in spec]},
+    )
+
+
+def _write_data_by_spec(df: DataFrame, root: str, spec) -> list[dict]:
+    """Write one commit's data laid out by the partition-transform
+    spec; returns add actions carrying stats AND typed partition
+    values parsed back from the hive directory names."""
     pcols = [_pcol_name(tf) for tf in spec]
     out = df
     for tf, name in zip(spec, pcols):
@@ -891,15 +907,7 @@ def write_partitioned(
     adds = _harvest_stats(root, sorted(rels))
     for a in adds:
         a["partition"] = _partition_values_from_path(a["path"], spec)
-    remove = (
-        list(snapshot(root)["files"])
-        if (mode == "overwrite" and is_txn_table(root))
-        else []
-    )
-    return _commit(
-        root, mode, adds, remove,
-        extra={"schema": schema, "partitioning": [list(tf) for tf in spec]},
-    )
+    return adds
 
 
 def read_partitioned(
@@ -966,14 +974,22 @@ def read_partitioned(
 def compact(spark: SparkSession, root: str, target_files: int = 1) -> int:
     """Bin-pack the live files into ``target_files`` — the
     small-files compaction every streaming-append table needs; old
-    files drop from the snapshot atomically, vacuum reclaims them."""
+    files drop from the snapshot atomically, vacuum reclaims them.
+    On a hidden-partitioned table the rewrite RESPECTS the transform
+    spec (Iceberg's rewrite contract): files stay partition-pure, so
+    ``read_partitioned`` keeps pruning after maintenance
+    (``target_files`` then bounds files *per partition*)."""
     snap = snapshot(root)
     if len(snap["files"]) <= target_files and not any(
         a.get("dv") for a in snap["files"].values()
     ):
         return snap["version"]
     cur = _read_files(spark, root, snap["files"])
-    add = _write_data(cur.coalesce(target_files), root)
+    spec = table_partitioning(root)
+    if spec:
+        add = _write_data_by_spec(cur, root, spec)
+    else:
+        add = _write_data(cur.coalesce(target_files), root)
     return _commit(root, "compact", add, sorted(snap["files"]))
 
 

@@ -591,10 +591,14 @@ def test_hidden_partition_survives_compact_and_dv(tmp_path, spark):
     assert tt.read(spark, root).count() == 196
     pruned = tt.read_partitioned(spark, root, eq={"k": 42})
     assert pruned.filter("k = 42").count() == 1
-    # compact drops the layout but stays CORRECT (stats pruning only)
+    # compact RESPECTS the transform spec: files stay partition-pure,
+    # the DV materializes, and partition pruning keeps working
     tt.compact(spark, root, target_files=1)
+    snap = tt.snapshot(root)
+    assert all("partition" in a for a in snap["files"].values())
     assert tt.read(spark, root).count() == 196
     after = tt.read_partitioned(spark, root, eq={"k": 42})
+    assert len(after.inputFiles()) < len(snap["files"])
     assert after.filter("k = 42").count() == 1
 
 
