@@ -523,6 +523,14 @@ def lm_doc_scores(
     evidence and are excluded. Returns
     ``(id_col, n_bigrams, n_oov, mean_p)``.
     """
+    # CPU-bound HOF work over a possibly tiny scan: a sub-MB parquet
+    # reads as ONE partition, serializing the n-gram construction on
+    # one core. When input partitions < cores, round-robin the docs
+    # first; at production scale (partitions >> cores) this branch
+    # never fires and no text ever shuffles for it.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
     lm = bigram_conditional(df, text_col=text_col, min_count=min_count).select(
         "bigram", "p_cond"
     )
@@ -530,7 +538,12 @@ def lm_doc_scores(
         F.col(id_col),
         F.explode(ngrams(tokens_ws(F.col(text_col)), 2)).alias("bigram"),
     )
-    scored = doc_bi.join(lm, "bigram", "left").select(
+    # the LM is vocabulary-bounded AND min_count-thresholded — far
+    # below any broadcast ceiling in practice — so broadcasting it
+    # keeps the (corpus-sized) exploded side from ever shuffling; at
+    # a scale where the LM outgrows broadcast, drop the hint and let
+    # AQE pick the strategy
+    scored = doc_bi.join(F.broadcast(lm), "bigram", "left").select(
         id_col,
         F.when(F.col("p_cond").isNull(), F.lit(1)).otherwise(F.lit(0)).alias(
             "__oov"

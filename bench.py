@@ -89,6 +89,15 @@ HEADLINE = [
     "st_txn_stream_ingest",
     "llm_segment_dedup",
     "llm_importance_weights",
+    # round-2 second pass: merge-on-read deletes, bloom point lookup,
+    # incremental MV, IVF-PQ, LM scoring (hidden partitioning is
+    # excluded: its write fans out to ~bucket×month files by design,
+    # so the bench would time small-file IO, not the query)
+    "ref_txn_delete_vectors",
+    "ref_txn_bloom_lookup",
+    "ref_incremental_mv",
+    "llm_ann_pq_topk",
+    "llm_lm_doc_scores",
 ]
 
 
