@@ -192,6 +192,32 @@ def _dirty_keys(
     return keys.dropDuplicates(), len(paths)
 
 
+def mv_maintained_sink(src_root: str, mv_root: str):
+    """foreachBatch body keeping a materialized view CONTINUOUSLY
+    current over a streamed txn table — the streaming-lakehouse
+    "live table" pattern: each micro-batch lands as one atomic
+    exactly-once append commit (txn_table.stream_append_sink's batch
+    ledger: replays no-op), then the MV advances through the normal
+    dirty-group refresh. Both halves are idempotent — a crash between
+    append and refresh just means the next batch's refresh covers two
+    commits — so end-to-end the MV equals a full recompute after
+    every batch, which the tests pin.
+
+    Usage::
+
+        stream.writeStream.foreachBatch(
+            mv_maintained_sink(src_root, mv_root)
+        ).option("checkpointLocation", ckpt).start()
+    """
+    append = tt.stream_append_sink(src_root)
+
+    def _body(batch_df: DataFrame, batch_id: int) -> None:
+        append(batch_df, batch_id)
+        mv_refresh(batch_df.sparkSession, mv_root)
+
+    return _body
+
+
 def mv_refresh(spark: SparkSession, mv_root: str) -> dict:
     """Advance the view to the source head (see module docstring).
     Returns {"mode": "noop"|"incremental"|"full", "dirty_groups",

@@ -98,3 +98,48 @@ def test_mv_falls_back_to_full_after_vacuum(tmp_path, spark):
     r = mv.mv_refresh(spark, root)
     assert r["mode"] == "full"
     assert _same(mv.mv_read(spark, root), _expected(spark, src).select("g", "n"))
+
+
+def test_mv_maintained_sink_streaming_live_table(tmp_path, spark):
+    """Streamed txn appends + per-batch MV refresh: after every
+    micro-batch the view equals a from-scratch recompute, and a
+    replayed batch changes nothing (exactly-once end to end)."""
+    src_stream = str(tmp_path / "stream_src")
+    src = str(tmp_path / "src")
+    root = str(tmp_path / "mv")
+    spark.createDataFrame(
+        [(i, i % 5, float(i)) for i in range(50)], "k long, g long, v double"
+    ).coalesce(1).write.mode("overwrite").json(src_stream)
+    # seed the table + view with an initial batch so mv_create has data
+    tt.write(_rows(spark, 1000, 1010, grp=lambda i: i % 5), src)
+    mv.mv_create(
+        spark, src, root, ["g"], {"n": ("count",), "sv": ("sum", "v")}
+    )
+    stream = spark.readStream.schema("k long, g long, v double").json(src_stream)
+    q = (
+        stream.writeStream.foreachBatch(mv.mv_maintained_sink(src, root))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    spark.createDataFrame(
+        [(100 + i, i % 2, 7.0) for i in range(10)], "k long, g long, v double"
+    ).coalesce(1).write.mode("append").json(src_stream)
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+    got = mv.mv_read(spark, root).select("g", "n", "sv")
+    want = (
+        tt.read(spark, src)
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+    )
+    assert _same(got, want)
+    # replay batch 0 by hand: both halves must no-op
+    v = tt.snapshot(src)["version"]
+    replay = spark.createDataFrame(
+        [(0, 0, 0.0)], "k long, g long, v double"
+    )
+    mv.mv_maintained_sink(src, root)(replay, 0)
+    assert tt.snapshot(src)["version"] == v
+    assert _same(mv.mv_read(spark, root).select("g", "n", "sv"), want)

@@ -264,3 +264,58 @@ def test_txn_table_merge_prunes_scan_to_touched_files(spark, tmp_path):
         spark, root, spark.createDataFrame([Row(k=5, v=9.0)]), keys=["k"]
     )
     assert res == {"version": 3, "rewritten": 1, "untouched": 1}
+
+
+def test_dv_read_is_broadcast_anti_join_no_smj(spark, tmp_path):
+    """Deletion-vector reads anti-join the (small) delete set via
+    broadcast — the corpus side must never sort-merge or shuffle for
+    it, or a 100 TB scan pays a 100 TB exchange to drop a few rows."""
+    from pyspark.sql import Row
+
+    from aws_datalake_spark.sources import txn_table as tt
+
+    root = str(tmp_path / "t")
+    tt.write(
+        spark.createDataFrame([Row(k=i, v=float(i)) for i in range(100)])
+        .coalesce(1),
+        root,
+    )
+    tt.delete_where_dv(spark, root, "k % 10 = 0")
+    plan = _plan(tt.read(spark, root))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pq_adc_scoring_has_no_python_and_broadcasts_luts(spark):
+    """ADC scoring must stay JVM-side: the corpus-side fold over PQ
+    codes is a higher-order function against BROADCAST query LUTs —
+    no BatchEvalPython, no shuffle of the code table."""
+    from pyspark.sql import functions as F
+
+    from aws_datalake_spark.operators.pq import pq_encode, pq_topk, pq_train
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    books = pq_train(emb, m=8, k=16, sample=128, iters=2)
+    codes = pq_encode(emb, books)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    plan = _plan(pq_topk(codes, queries, books, k_neighbors=3))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # scoring segment (post-encode) is free of Python evaluation
+    scoring = plan.split("ArrowEvalPython")[0]
+    assert "BatchEvalPython" not in scoring
+
+
+def test_lm_doc_scores_broadcasts_the_lm(spark):
+    """The corpus-sized exploded bigram side must not shuffle for the
+    LM join — the vocabulary-bounded LM broadcasts."""
+    from aws_datalake_spark.operators.text import lm_doc_scores
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = _plan(lm_doc_scores(docs))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
