@@ -198,16 +198,19 @@ txn_ops = st.lists(
         st.tuples(st.just("merge"), st.integers(0, 3), st.integers(1, 5)),
         st.tuples(st.just("overwrite"), st.integers(0, 3), st.integers(1, 5)),
         st.tuples(st.just("compact"), st.just(0), st.just(0)),
+        st.tuples(st.just("delete_dv"), st.integers(0, 3), st.just(0)),
+        st.tuples(st.just("purge_dv"), st.just(0), st.just(0)),
     ),
     min_size=1,
-    max_size=5,
+    max_size=6,
 )
 
 
 @given(ops=txn_ops)
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
 def test_txn_table_matches_dict_model(spark_global, tmp_path_factory, ops):
-    """Random append/merge/overwrite/compact sequences: the txn
+    """Random append/merge/overwrite/compact/delete-dv/purge-dv
+    sequences: the txn
     table's live snapshot must equal a plain dict model (merge keyed
     on k; append multiplies rows; overwrite resets; compact is a
     no-op on content), and every historical version must still
@@ -244,8 +247,21 @@ def test_txn_table_matches_dict_model(spark_global, tmp_path_factory, ops):
         elif op == "compact":
             if tt.is_txn_table(root):
                 tt.compact(spark, root, target_files=1)
+        elif op == "delete_dv":
+            # merge-on-read delete of one key-decade; model filters
+            if tt.is_txn_table(root):
+                tt.delete_where_dv(
+                    spark, root, f"k >= {base * 10} AND k < {base * 10 + 10}"
+                )
+                model = [
+                    r for r in model
+                    if not (base * 10 <= r[0] < base * 10 + 10)
+                ]
+        elif op == "purge_dv":
+            if tt.is_txn_table(root):
+                tt.purge_dv(spark, root)
     if not tt.is_txn_table(root):
-        assert model == []  # only no-op compacts ran; nothing to read
+        assert model == []  # only no-op maintenance ran; nothing to read
         return
     got = sorted(
         (r.k, r.v) for r in tt.read(spark, root).collect()
