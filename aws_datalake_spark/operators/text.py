@@ -562,3 +562,73 @@ def lm_doc_scores(
             6,
         ).alias("mean_p"),
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25-family ranked retrieval over the corpus — the lexical
+    half of a RAG stack (hybrid search = this + cosine_topk / ANN).
+    Classic BM25's idf is ``ln((N-df+0.5)/(df+0.5))``; this repo's
+    oracle-exactness discipline is LOG-FREE, so the idf RATIO is used
+    un-logged (the repo-wide pattern: rarity_scores, collocation
+    lift). Per term that is a monotone transform of BM25's idf —
+    rare terms still dominate, common terms still vanish — while the
+    whole score stays exact rational-and-IEEE arithmetic both
+    engines reproduce bit-for-bit. Term-frequency saturation and
+    length normalization are standard:
+    ``tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))``.
+
+    Plan: one tokenize pass; the per-(doc, term) table joins the
+    term document-frequency table (|terms| rows — broadcast); all
+    corpus-level stats (N, avgdl) are two scalars. Per-term
+    contributions round to 1e-6 and fixed-point-sum per doc, so the
+    result hash-matches the SQL twin. Returns
+    ``(id_col, n_hit_terms, score)`` for docs hitting ≥ 1 term.
+    """
+    base = df.select(
+        F.col(id_col), tokens_ws(F.col(text_col)).alias("__t")
+    ).select(id_col, F.size("__t").alias("__dl"), "__t")
+    tot = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__dl").cast("long").alias("sumdl"),
+    ).collect()[0]
+    n_docs = int(tot["n"])
+    avgdl = float(tot["sumdl"]) / float(n_docs)
+    dt = (
+        base.select(id_col, "__dl", F.explode("__t").alias("__w"))
+        .filter(F.col("__w").isin(list(terms)))
+        .groupBy(id_col, "__dl", "__w")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    dfreq = dt.groupBy("__w").agg(
+        F.countDistinct(id_col).alias("__df")
+    )
+    idf = (F.lit(float(n_docs)) - F.col("__df") + F.lit(0.5)) / (
+        F.col("__df") + F.lit(0.5)
+    )
+    tf_sat = (F.col("__tf") * F.lit(k1 + 1.0)) / (
+        F.col("__tf")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / F.lit(avgdl))
+    )
+    contrib = F.round(idf * tf_sat, 6)
+    return (
+        dt.join(F.broadcast(dfreq), "__w")
+        .select(
+            id_col,
+            F.round(contrib * 1_000_000.0).cast("long").alias("__c6"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hit_terms"),
+            F.round(
+                F.sum("__c6").cast("double") / 1_000_000.0, 6
+            ).alias("score"),
+        )
+    )

@@ -848,3 +848,53 @@ def llm_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_datalake_spark.operators.text import lm_doc_scores
 
     return lm_doc_scores(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "llm_bm25_search",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ), base AS (
+      SELECT doc_id, len(t) AS dl, t FROM toks
+    ), tot AS (
+      SELECT COUNT(*) AS n, SUM(dl) AS sumdl FROM base
+    ), dt AS (
+      SELECT doc_id, dl, w, COUNT(*) AS tf
+      FROM (SELECT doc_id, dl, unnest(t) AS w FROM base)
+      WHERE w IN ('vector', 'merge', 'window')
+      GROUP BY 1, 2, 3
+    ), dfreq AS (
+      SELECT w, COUNT(DISTINCT doc_id) AS dfc FROM dt GROUP BY 1
+    ), scored AS (
+      SELECT doc_id,
+        CAST(ROUND(ROUND(
+          ((CAST(n AS DOUBLE) - dfc + 0.5) / (dfc + 0.5)) *
+          ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl /
+              (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))
+        , 6) * 1000000.0) AS BIGINT) AS c6
+      FROM dt JOIN dfreq USING (w) CROSS JOIN tot
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+           ROUND(CAST(SUM(c6) AS DOUBLE) / 1000000.0, 6) AS score
+    FROM scored GROUP BY 1
+    ORDER BY score DESC, doc_id
+    LIMIT 20
+    """,
+)
+def llm_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-family lexical retrieval (operators/text.py:bm25_scores)
+    — the keyword half of hybrid RAG search, in the repo's log-free
+    exact form (idf as the un-logged ratio; tf saturation + length
+    normalization standard). Top-20 docs for a 3-term query,
+    deterministic tie-break, fixed-point-exact so the oracle
+    hash-matches."""
+    from aws_datalake_spark.operators.text import bm25_scores
+
+    return (
+        bm25_scores(
+            t(spark, sf_dir, "documents"), ["vector", "merge", "window"]
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+    )

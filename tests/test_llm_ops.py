@@ -682,3 +682,34 @@ def test_lm_doc_scores_known_values_and_oov(spark):
     assert lm_doc_scores(docs.unionByName(one), min_count=1).filter(
         "doc_id = 9"
     ).count() == 0
+
+
+def test_bm25_scores_formula_and_ranking(spark):
+    from aws_datalake_spark.operators.text import bm25_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cat dog cat"),        # tf(cat)=2, dl=3
+            (2, "cat bird"),           # tf(cat)=1, dl=2
+            (3, "fish fish fish dog"), # no cat, tf(dog)=1, dl=4
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in bm25_scores(docs, ["cat", "dog"]).collect()}
+    # mirror the operator's arithmetic in plain python
+    n, avgdl = 3.0, (3 + 2 + 4) / 3.0
+    k1, b = 1.2, 0.75
+
+    def contrib(tf, dl, dfc):
+        idf = (n - dfc + 0.5) / (dfc + 0.5)
+        sat = (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * dl / avgdl))
+        return round(round(idf * sat, 6) * 1e6)
+
+    s1 = round((contrib(2, 3, 2) + contrib(1, 3, 2)) / 1e6, 6)
+    assert got[1].n_hit_terms == 2 and abs(got[1].score - s1) < 1e-9
+    s2 = round(contrib(1, 2, 2) / 1e6, 6)
+    assert got[2].n_hit_terms == 1 and abs(got[2].score - s2) < 1e-9
+    s3 = round(contrib(1, 4, 2) / 1e6, 6)
+    assert got[3].n_hit_terms == 1 and abs(got[3].score - s3) < 1e-9
+    # doc 1 hits both terms with higher tf: must rank first
+    assert got[1].score > got[2].score and got[1].score > got[3].score
