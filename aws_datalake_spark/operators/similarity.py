@@ -351,3 +351,40 @@ def quantize_int8(
         F.round("__nrm", 6).alias("norm"),
         F.array_join(q, ",").alias("q_int8"),
     )
+
+
+def rrf_fuse(
+    ranked: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack/Clarke/Büttcher, SIGIR 2009)
+    — the standard hybrid-search combiner: each retriever's ranked
+    list contributes ``1/(k + rank)`` per item and the fused score is
+    the sum, so agreement across retrievers dominates any single
+    list's score scale (scores never need calibrating against each
+    other — only RANKS matter). k=60 is the published default.
+
+    Contributions are exact fixed-point (``round(1e6/(k+rank))`` —
+    integer-derived, no float drift), so fused output hash-matches a
+    SQL twin. Input frames need ``(id_col, rank_col)``; returns
+    ``(id_col, n_lists, rrf)``. Plan: unions of already-top-k lists
+    (tiny) + one aggregate — the expensive part is the retrievers,
+    not the fusion."""
+    parts = [
+        df.select(
+            F.col(id_col),
+            F.round(F.lit(1_000_000.0) / (F.lit(k) + F.col(rank_col)))
+            .cast("long")
+            .alias("__c6"),
+        )
+        for df in ranked
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lists"),
+        F.round(F.sum("__c6").cast("double") / 1_000_000.0, 6).alias("rrf"),
+    )

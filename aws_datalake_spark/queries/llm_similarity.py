@@ -576,3 +576,93 @@ def llm_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf_pq_topk(
         e, queries, centroids, books, k_neighbors=5, n_probe=2
     ).select("query_id", "neighbor_id", F.col("rank").cast("int"), "adc_dist")
+
+
+@query(
+    "llm_hybrid_search_rrf",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    dense AS (
+      SELECT vec_id AS doc_id,
+             ROW_NUMBER() OVER (ORDER BY {_cos('v', 'qv')} DESC, vec_id) AS r
+      FROM e, q WHERE vec_id <> 0
+    ),
+    toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents
+    ), base AS (
+      SELECT doc_id, len(t) AS dl, t FROM toks
+    ), tot AS (
+      SELECT COUNT(*) AS n, SUM(dl) AS sumdl FROM base
+    ), dt AS (
+      SELECT doc_id, dl, w, COUNT(*) AS tf
+      FROM (SELECT doc_id, dl, unnest(t) AS w FROM base)
+      WHERE w IN ('vector', 'merge', 'window')
+      GROUP BY 1, 2, 3
+    ), dfreq AS (
+      SELECT w, COUNT(DISTINCT doc_id) AS dfc FROM dt GROUP BY 1
+    ), bm AS (
+      SELECT doc_id,
+        CAST(ROUND(ROUND(
+          ((CAST(n AS DOUBLE) - dfc + 0.5) / (dfc + 0.5)) *
+          ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl /
+              (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))
+        , 6) * 1000000.0) AS BIGINT) AS c6
+      FROM dt JOIN dfreq USING (w) CROSS JOIN tot
+    ), lexs AS (
+      SELECT doc_id,
+             ROUND(CAST(SUM(c6) AS DOUBLE) / 1000000.0, 6) AS score
+      FROM bm GROUP BY 1
+    ), lex AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+      FROM lexs
+    ),
+    unioned AS (
+      SELECT doc_id, CAST(ROUND(1000000.0 / (60 + r)) AS BIGINT) AS c6
+      FROM dense WHERE r <= 50
+      UNION ALL
+      SELECT doc_id, CAST(ROUND(1000000.0 / (60 + r)) AS BIGINT)
+      FROM lex WHERE r <= 50
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lists,
+           ROUND(CAST(SUM(c6) AS DOUBLE) / 1000000.0, 6) AS rrf
+    FROM unioned GROUP BY 1
+    ORDER BY rrf DESC, doc_id
+    LIMIT 20
+    """,
+)
+def llm_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval for RAG: dense cosine top-50 (query = doc 0's
+    embedding) fused with BM25 lexical top-50 (operators/text.py:
+    bm25_scores) by Reciprocal Rank Fusion
+    (operators/similarity.py:rrf_fuse). Docs found by BOTH retrievers
+    bubble up regardless of either score scale — the published
+    hybrid-search combiner, exact fixed-point so the full
+    two-retriever pipeline hash-matches the SQL twin."""
+    from aws_datalake_spark.operators.similarity import rrf_fuse
+    from aws_datalake_spark.operators.text import bm25_scores
+    from pyspark.sql.window import Window
+
+    e = _emb_double(spark, sf_dir).select("vec_id", "embedding")
+    queries = e.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    dense = cosine_topk(e, queries, k=50).select(
+        F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    w = Window.orderBy(F.desc("score"), "doc_id")
+    lex = (
+        bm25_scores(
+            t(spark, sf_dir, "documents"), ["vector", "merge", "window"]
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 50)
+        .select("doc_id", "rank")
+    )
+    return (
+        rrf_fuse([dense, lex])
+        .orderBy(F.desc("rrf"), "doc_id")
+        .limit(20)
+    )

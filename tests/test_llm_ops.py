@@ -713,3 +713,24 @@ def test_bm25_scores_formula_and_ranking(spark):
     assert got[3].n_hit_terms == 1 and abs(got[3].score - s3) < 1e-9
     # doc 1 hits both terms with higher tf: must rank first
     assert got[1].score > got[2].score and got[1].score > got[3].score
+
+
+def test_rrf_fuse_agreement_dominates(spark):
+    from aws_datalake_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "doc_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(3, 1), (1, 2), (9, 3)], "doc_id long, rank int"
+    )
+    got = {r.doc_id: r for r in rrf_fuse([a, b]).collect()}
+    # docs in both lists beat any single-list doc
+    both = {1, 3}
+    single = {2, 9}
+    assert all(got[d].n_lists == 2 for d in both)
+    assert all(got[d].n_lists == 1 for d in single)
+    assert min(got[d].rrf for d in both) > max(got[d].rrf for d in single)
+    # exact fixed-point: 1/(60+1) + 1/(60+2) to 6 places
+    expect_1 = round((round(1e6 / 61) + round(1e6 / 62)) / 1e6, 6)
+    assert abs(got[1].rrf - expect_1) < 1e-9
