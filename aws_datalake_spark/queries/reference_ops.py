@@ -1565,3 +1565,63 @@ def ref_txn_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("o_orderkey").alias("sum_key"),
         )
     )
+
+
+@query(
+    "ref_txn_equality_delete",
+    oracle="""
+    WITH survivors AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+      WHERE o_custkey NOT BETWEEN 0 AND 9
+    ), reappended AS (
+      SELECT o_orderkey + 20000000 AS o_orderkey, o_custkey, o_orderstatus
+      FROM orders WHERE o_custkey = 4
+    ), final AS (
+      SELECT * FROM survivors UNION ALL SELECT * FROM reappended
+    )
+    SELECT o_orderstatus, COUNT(*) AS n,
+           SUM(CAST(o_orderkey AS BIGINT)) AS sum_key,
+           CAST(0 AS BIGINT) AS files_rewritten
+    FROM final GROUP BY o_orderstatus
+    """,
+)
+def ref_txn_equality_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUALITY deletes on the txn table
+    (sources/txn_table.py:delete_where_eq — Iceberg v2's second
+    delete type): dropping ten customers' orders is an O(keys)
+    metadata commit that reads and writes ZERO data files (the
+    actual rewrite count rides the hash). Sequence semantics are
+    exercised end-to-end: one deleted customer's rows are re-appended
+    AFTER the delete and must survive the read, because the equality
+    delete applies only to files with older data sequence numbers —
+    the ordering a CDC delete-then-insert stream depends on."""
+    from aws_datalake_spark.sources import txn_table as tt
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    root = tempfile.mkdtemp(prefix="txn_eq_") + "/orders"
+    mid = o.agg(F.expr("percentile_approx(o_orderkey, 0.5)")).collect()[0][0]
+    tt.write(o.filter(F.col("o_orderkey") <= mid), root, mode="append")
+    tt.write(o.filter(F.col("o_orderkey") > mid), root, mode="append")
+    res = tt.delete_where_eq(
+        spark, root,
+        spark.range(0, 10).select(F.col("id").alias("o_custkey")),
+    )
+    tt.write(
+        o.filter(F.col("o_custkey") == 4).withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(20_000_000)
+        ),
+        root, mode="append",
+    )
+    return (
+        tt.read(spark, root)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("sum_key"),
+        )
+        .withColumn(
+            "files_rewritten", F.lit(res["rewritten"]).cast("long")
+        )
+    )

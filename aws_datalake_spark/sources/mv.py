@@ -167,6 +167,26 @@ def _dirty_keys(
                 return None, 0
             frames.append(keys)
             continue
+        if c.get("op") == "delete-eq":
+            ed = c["eq_delete"]
+            if set(group_cols) <= set(ed["cols"]):
+                # the delete's key set NAMES the touched groups
+                eq_path = os.path.join(src_root, ed["path"])
+                if not os.path.exists(eq_path):
+                    return None, 0
+                frames.append(
+                    spark.read.parquet(eq_path).select(*group_cols)
+                )
+            else:
+                # group membership of deleted rows is unknowable from
+                # the key set alone: every file old enough to be
+                # affected is dirty
+                snap_v = tt.snapshot(src_root, v)
+                paths.update(
+                    r for r, a in snap_v["files"].items()
+                    if a.get("_v", 0) < v
+                )
+            continue
         paths.update(a["path"] for a in c.get("add", []))
         paths.update(c.get("remove", []))
     full = []

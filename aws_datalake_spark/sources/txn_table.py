@@ -58,6 +58,7 @@ from pyspark.sql import functions as F
 _LOG_DIR = "_txn_log"
 _CHECKPOINT = "_checkpoint.json"
 _DV_DIR = "_dv"
+_EQDEL_DIR = "_eqdel"
 
 
 # ---------------------------------------------------------------- log I/O
@@ -100,16 +101,21 @@ def _checkpoint_doc(root: str) -> dict | None:
 
 def snapshot(root: str, version: int | None = None) -> dict:
     """Replay the log up to ``version`` (default: latest). Returns
-    ``{"version": V, "files": {relpath: add_action}}``. Starts from
-    the collapsed checkpoint when one covers a usable prefix."""
+    ``{"version": V, "files": {relpath: add_action}, "eq_deletes":
+    [{"path", "cols", "version"}]}``. Starts from the collapsed
+    checkpoint when one covers a usable prefix. An equality delete
+    applies to files whose ``_v`` (data sequence number) is OLDER
+    than the delete's version — Iceberg v2 semantics."""
     versions = _list_versions(root)
     if version is None:
         version = versions[-1] if versions else 0
     files: dict[str, dict] = {}
+    eq: list[dict] = []
     start = 1
     cp = _checkpoint_doc(root)
     if cp is not None and cp["version"] <= version:
         files = dict(cp["files"])
+        eq = list(cp.get("eq_deletes", []))
         start = cp["version"] + 1
     for v in versions:
         if v < start or v > version:
@@ -119,7 +125,9 @@ def snapshot(root: str, version: int | None = None) -> dict:
             files.pop(rm, None)
         for add in commit.get("add", []):
             files[add["path"]] = add
-    return {"version": version, "files": files}
+        if "eq_delete" in commit:
+            eq.append(dict(commit["eq_delete"], version=v))
+    return {"version": version, "files": files, "eq_deletes": eq}
 
 
 def history(root: str) -> list[dict]:
@@ -146,7 +154,11 @@ def checkpoint_log(root: str) -> int:
     replay is O(1) + O(commits since checkpoint) — Delta's
     checkpoint-parquet, minus the parquet."""
     snap = snapshot(root)
-    doc = {"version": snap["version"], "files": snap["files"]}
+    doc = {
+        "version": snap["version"],
+        "files": snap["files"],
+        "eq_deletes": snap.get("eq_deletes", []),
+    }
     tmp = os.path.join(_log_dir(root), f"._cp.{uuid.uuid4().hex}")
     with open(tmp, "w") as f:
         json.dump(doc, f, sort_keys=True)
@@ -161,6 +173,11 @@ def _commit(root: str, op: str, add: list[dict], remove: list[str],
     given and the table moved past it, raise ConflictError so the
     caller re-derives its read set (serializable writers)."""
     os.makedirs(_log_dir(root), exist_ok=True)
+    # files NEW in this commit get stamped with the commit version
+    # (their "data sequence number" in Iceberg terms) — re-adds
+    # (dv/bloom metadata commits copy existing actions) keep their
+    # original stamp, so equality deletes keep applying to them
+    fresh = [a for a in add if "_v" not in a]
     for _ in range(64):
         versions = _list_versions(root)
         latest = versions[-1] if versions else 0
@@ -169,6 +186,8 @@ def _commit(root: str, op: str, add: list[dict], remove: list[str],
                 f"txn_table: snapshot v{expect_version} is stale "
                 f"(table is at v{latest}); re-read and retry"
             )
+        for a in fresh:
+            a["_v"] = latest + 1
         doc = {
             "version": latest + 1,
             "op": op,
@@ -359,14 +378,50 @@ def _rel_path_expr():
 
 
 def _read_files(
-    spark: SparkSession, root: str, files: dict[str, dict], rels=None
+    spark: SparkSession,
+    root: str,
+    files: dict[str, dict],
+    rels=None,
+    eq_deletes: list[dict] | None = None,
 ) -> DataFrame:
     """Read the given live files applying their deletion vectors:
     files without a ``dv`` reference stream through untouched (zero
     overhead on the common path); files with one are anti-joined
     against their (path, row-position) delete set — a broadcast of
     only the DELETED positions, never a rewrite, which is the
-    Delta/Iceberg merge-on-read protocol."""
+    Delta/Iceberg merge-on-read protocol.
+
+    ``eq_deletes`` (from ``snapshot()["eq_deletes"]``) applies
+    equality-delete key sets with SEQUENCE semantics: a delete at
+    version V anti-joins only files whose ``_v`` < V — rows of the
+    same key appended after the delete stay live."""
+    if eq_deletes:
+        groups: dict[tuple, list[str]] = {}
+        for r in sorted(files if rels is None else rels):
+            fv = files[r].get("_v", 0)
+            app = tuple(
+                i for i, ed in enumerate(eq_deletes) if ed["version"] > fv
+            )
+            groups.setdefault(app, []).append(r)
+        if set(groups) != {()}:
+            parts = []
+            for app, rs in sorted(groups.items()):
+                sub = _read_files(spark, root, files, rs)
+                for i in app:
+                    ed = eq_deletes[i]
+                    keys = (
+                        spark.read.parquet(os.path.join(root, ed["path"]))
+                        .select(*ed["cols"])
+                        .dropDuplicates()
+                    )
+                    sub = sub.join(
+                        F.broadcast(keys), list(ed["cols"]), "left_anti"
+                    )
+                parts.append(sub)
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p, allowMissingColumns=True)
+            return out
     rels = sorted(files if rels is None else rels)
     plain = [r for r in rels if not files[r].get("dv")]
     dved = [r for r in rels if files[r].get("dv")]
@@ -429,7 +484,7 @@ def read(
         some = next(iter(all_snap["files"]))
         schema = spark.read.parquet(os.path.join(root, some)).schema
         return spark.createDataFrame([], schema)
-    return _read_files(spark, root, files)
+    return _read_files(spark, root, files, eq_deletes=snap.get("eq_deletes"))
 
 
 def merge_upsert(
@@ -465,7 +520,8 @@ def merge_upsert(
             )
             (touched if hit else untouched).append(rel)
         if touched:
-            cur = _read_files(spark, root, snap["files"], sorted(touched))
+            cur = _read_files(spark, root, snap["files"], sorted(touched),
+                              eq_deletes=snap.get("eq_deletes"))
             kept = cur.join(updates.select(*keys), keys, "left_anti")
             merged = kept.unionByName(updates, allowMissingColumns=True)
         else:
@@ -503,7 +559,8 @@ def delete_where(
     if not candidates:
         return {"version": snap["version"], "rewritten": 0,
                 "untouched": len(files)}
-    cur = _read_files(spark, root, files, sorted(candidates))
+    cur = _read_files(spark, root, files, sorted(candidates),
+                      eq_deletes=snap.get("eq_deletes"))
     kept = cur.filter(~F.expr(predicate))
     add_actions = _write_data(kept, root) if kept.limit(1).count() else []
     v = _commit(root, "delete", add_actions, sorted(candidates))
@@ -750,7 +807,7 @@ def bloom_lookup(
         some = next(iter(files))
         schema = spark.read.parquet(os.path.join(root, some)).schema
         return spark.createDataFrame([], schema)
-    return _read_files(spark, root, kept)
+    return _read_files(spark, root, kept, eq_deletes=snap.get("eq_deletes"))
 
 
 # ------------------------------------------------- hidden partitioning
@@ -968,7 +1025,57 @@ def read_partitioned(
         some = next(iter(files))
         schema = spark.read.parquet(os.path.join(root, some)).schema
         return spark.createDataFrame([], schema)
-    return _read_files(spark, root, kept)
+    return _read_files(spark, root, kept, eq_deletes=snap.get("eq_deletes"))
+
+
+def delete_where_eq(
+    spark: SparkSession, root: str, keys: DataFrame
+) -> dict:
+    """Equality delete — Iceberg v2's second delete type: drop every
+    row matching any key tuple in ``keys`` (a small frame whose
+    column names select the match columns), WITHOUT reading or
+    writing a single data file. The commit stores only the key set
+    (parquet under ``_eqdel/``) and its version; readers anti-join it
+    against files whose data sequence number (``_v``) is older —
+    so a later append of the same key is NOT deleted (the ordering a
+    CDC upsert-after-delete stream needs).
+
+    Positional vs equality trade (both supported, as in Iceberg):
+    ``delete_where_dv`` scans candidates once to pin exact row
+    positions — reads pay a per-file position anti-join;
+    ``delete_where_eq`` is O(keys) at write time — the whole scan
+    cost moves to readers (a key anti-join on EVERY older file) until
+    a rewrite or ``purge_deletes`` materializes it. Streaming CDC
+    writers that cannot afford a lookup use equality; batch erasure
+    jobs prefer positional."""
+    cols = list(keys.columns)
+    sub = os.path.join(_EQDEL_DIR, uuid.uuid4().hex)
+    keys.dropDuplicates().write.mode("overwrite").parquet(
+        os.path.join(root, sub)
+    )
+    v = _commit(root, "delete-eq", [], [],
+                extra={"eq_delete": {"path": sub, "cols": cols}})
+    return {"version": v, "rewritten": 0, "cols": cols}
+
+
+def purge_deletes(spark: SparkSession, root: str) -> int:
+    """Materialize EVERY merge-on-read delete — deletion vectors and
+    applicable equality deletes: rewrite only the affected files
+    (clean files untouched), commit atomically. Rewritten files get
+    a new data sequence number, so prior equality deletes no longer
+    apply to them; ``vacuum`` then reclaims obsolete delete sets."""
+    snap = snapshot(root)
+    eq = snap.get("eq_deletes", [])
+    affected = sorted(
+        r for r, a in snap["files"].items()
+        if a.get("dv")
+        or any(ed["version"] > a.get("_v", 0) for ed in eq)
+    )
+    if not affected:
+        return snap["version"]
+    live = _read_files(spark, root, snap["files"], affected, eq_deletes=eq)
+    add = _write_data(live, root)
+    return _commit(root, "purge-deletes", add, affected)
 
 
 def compact(spark: SparkSession, root: str, target_files: int = 1) -> int:
@@ -984,7 +1091,8 @@ def compact(spark: SparkSession, root: str, target_files: int = 1) -> int:
         a.get("dv") for a in snap["files"].values()
     ):
         return snap["version"]
-    cur = _read_files(spark, root, snap["files"])
+    cur = _read_files(spark, root, snap["files"],
+                      eq_deletes=snap.get("eq_deletes"))
     spec = table_partitioning(root)
     if spec:
         add = _write_data_by_spec(cur, root, spec)
@@ -1002,10 +1110,19 @@ def vacuum(root: str, retain_versions: int = 1) -> int:
         return 0
     keep: set[str] = set()
     dv_keep: set[str] = set()
+    eq_keep: set[str] = set()
     for v in versions[-retain_versions:]:
-        files = snapshot(root, v)["files"]
+        snap_v = snapshot(root, v)
+        files = snap_v["files"]
         keep.update(files)
         dv_keep.update(a["dv"] for a in files.values() if a.get("dv"))
+        # an equality-delete set is live while ANY retained snapshot
+        # still has a file old enough for it to apply to
+        for ed in snap_v.get("eq_deletes", []):
+            if any(
+                a.get("_v", 0) < ed["version"] for a in files.values()
+            ):
+                eq_keep.add(ed["path"])
     data_root = os.path.join(root, "data")
     deleted = 0
     if os.path.isdir(data_root):
@@ -1018,15 +1135,19 @@ def vacuum(root: str, retain_versions: int = 1) -> int:
                     deleted += 1
             if not os.listdir(subdir):
                 os.rmdir(subdir)
-    # deletion-vector dirs referenced by no retained snapshot
-    dv_root = os.path.join(root, _DV_DIR)
-    if os.path.isdir(dv_root):
-        import shutil
+    # delete-set dirs (positional + equality) referenced by no
+    # retained snapshot, or whose equality delete no longer applies
+    # to any live file
+    import shutil
 
-        for sub in os.listdir(dv_root):
-            rel = os.path.join(_DV_DIR, sub)
-            if rel not in dv_keep:
-                shutil.rmtree(os.path.join(dv_root, sub))
+    for base, keeps in ((_DV_DIR, dv_keep), (_EQDEL_DIR, eq_keep)):
+        d = os.path.join(root, base)
+        if not os.path.isdir(d):
+            continue
+        for sub in os.listdir(d):
+            rel = os.path.join(base, sub)
+            if rel not in keeps:
+                shutil.rmtree(os.path.join(d, sub))
                 deleted += 1
     return deleted
 
@@ -1144,7 +1265,8 @@ def zorder_compact(
     snap = snapshot(root)
     if not snap["files"]:
         return snap["version"]
-    cur = _read_files(spark, root, snap["files"])
+    cur = _read_files(spark, root, snap["files"],
+                      eq_deletes=snap.get("eq_deletes"))
     n_buckets = 1 << bits
     rng = cur.agg(
         *[f for c in cols for f in (
@@ -1301,7 +1423,8 @@ def scd2_merge_txn(
             )
             (touched if hit else untouched).append(rel)
         if touched:
-            cur = _read_files(spark, root, snap["files"], sorted(touched))
+            cur = _read_files(spark, root, snap["files"], sorted(touched),
+                              eq_deletes=snap.get("eq_deletes"))
             marked = cur.join(
                 F.broadcast(staged_keys.withColumn("__m", F.lit(1))),
                 keys,
@@ -1407,6 +1530,12 @@ def fsck(root: str, verify_stats: bool = False) -> dict:
                 if got is None or got["min"] != st["min"] or got["max"] != st["max"]:
                     problems.append(f"stats drift: {rel} col {col}")
         checked += 1
+    for ed in snap.get("eq_deletes", []):
+        applies = any(
+            a.get("_v", 0) < ed["version"] for a in snap["files"].values()
+        )
+        if applies and not os.path.isdir(os.path.join(root, ed["path"])):
+            problems.append(f"eq-delete set missing: {ed['path']}")
     return {
         "ok": not problems,
         "version": snap["version"],

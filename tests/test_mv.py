@@ -143,3 +143,27 @@ def test_mv_maintained_sink_streaming_live_table(tmp_path, spark):
     mv.mv_maintained_sink(src, root)(replay, 0)
     assert tt.snapshot(src)["version"] == v
     assert _same(mv.mv_read(spark, root).select("g", "n", "sv"), want)
+
+
+def test_mv_eq_delete_dirty_precision(tmp_path, spark):
+    src = str(tmp_path / "src")
+    root = str(tmp_path / "mv")
+    tt.write(_rows(spark, 0, 1000), src)
+    mv.mv_create(
+        spark, src, root, ["g"],
+        {"n": ("count",), "sv": ("sum", "v"), "mx": ("max", "v")},
+    )
+    # equality delete ON the group column: only named groups go dirty
+    tt.delete_where_eq(spark, src, spark.createDataFrame([(3,)], "g long"))
+    r = mv.mv_refresh(spark, root)
+    assert r["mode"] == "incremental" and r["dirty_groups"] == 1
+    assert r["gone_groups"] == 1
+    got = mv.mv_read(spark, root)
+    assert got.filter("g = 3").count() == 0
+    assert _same(got, _expected(spark, src))
+    # equality delete on a NON-group column: conservatively dirties
+    # every old-enough file, still correct
+    tt.delete_where_eq(spark, src, spark.createDataFrame([(17,)], "k long"))
+    r2 = mv.mv_refresh(spark, root)
+    assert r2["mode"] == "incremental"
+    assert _same(mv.mv_read(spark, root), _expected(spark, src))

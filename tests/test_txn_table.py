@@ -660,3 +660,72 @@ def test_bloom_composes_with_dv(tmp_path, spark):
     got = tt.bloom_lookup(spark, root, "k", 8)
     assert got.filter("k = 8").count() == 0  # dv applied inside lookup
     assert tt.bloom_lookup(spark, root, "k", 10).filter("k = 10").count() == 1
+
+
+# ------------------------------------------------------- equality deletes
+
+
+def test_delete_eq_zero_io_and_sequence_semantics(table, spark):
+    # metadata-only commit: no data file read or written
+    files_before = set(tt.snapshot(table)["files"])
+    res = tt.delete_where_eq(
+        spark, table, spark.createDataFrame([(5,), (7,), (1000,)], "k long")
+    )
+    assert res["rewritten"] == 0
+    snap = tt.snapshot(table)
+    assert set(snap["files"]) == files_before
+    assert len(snap["eq_deletes"]) == 1
+    df = tt.read(spark, table)
+    assert df.count() == 197
+    assert df.filter(F.col("k").isin(5, 7, 1000)).count() == 0
+    # SEQUENCE semantics: re-appending a deleted key resurrects it —
+    # the new file's sequence number is newer than the delete's
+    tt.write(
+        spark.createDataFrame([Row(k=5, price=2.0, seg="s0")]).coalesce(1),
+        table, mode="append",
+    )
+    df2 = tt.read(spark, table)
+    assert df2.filter("k = 5").count() == 1
+    assert df2.filter("k = 5").select("price").first()[0] == 2.0
+    assert df2.count() == 198
+    # time travel to before the delete sees every original row
+    assert tt.read(spark, table, version=2).count() == 200
+
+
+def test_delete_eq_composes_with_dv_and_purge(table, spark):
+    tt.delete_where_dv(spark, table, "k = 10")
+    tt.delete_where_eq(spark, table, spark.createDataFrame([(20,)], "k long"))
+    df = tt.read(spark, table)
+    assert df.count() == 198
+    assert df.filter(F.col("k").isin(10, 20)).count() == 0
+    # purge materializes both delete kinds; reads stay identical
+    v = tt.purge_deletes(spark, table)
+    snap = tt.snapshot(table)
+    assert snap["version"] == v
+    assert not any(a.get("dv") for a in snap["files"].values())
+    after = tt.read(spark, table)
+    assert after.count() == 198
+    assert after.filter(F.col("k").isin(10, 20)).count() == 0
+    # all files now postdate the eq delete -> vacuum reclaims its set
+    assert tt.fsck(table)["ok"]
+    tt.vacuum(table, retain_versions=1)
+    assert not os.path.isdir(os.path.join(table, "_eqdel")) or not os.listdir(
+        os.path.join(table, "_eqdel")
+    )
+    assert tt.read(spark, table).count() == 198
+
+
+def test_delete_eq_checkpoint_and_rewrite_interplay(table, spark):
+    tt.delete_where_eq(spark, table, spark.createDataFrame([(3,)], "k long"))
+    tt.checkpoint_log(table)
+    # snapshot built FROM the checkpoint still carries the delete
+    assert len(tt.snapshot(table)["eq_deletes"]) == 1
+    assert tt.read(spark, table).filter("k = 3").count() == 0
+    # merge over the affected file materializes the delete for it
+    tt.merge_upsert(
+        spark, table,
+        spark.createDataFrame([Row(k=50, price=9.0, seg="u")]), keys=["k"],
+    )
+    df = tt.read(spark, table)
+    assert df.filter("k = 3").count() == 0
+    assert df.filter("k = 50").select("price").first()[0] == 9.0
