@@ -1625,3 +1625,64 @@ def ref_txn_equality_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             "files_rewritten", F.lit(res["rewritten"]).cast("long")
         )
     )
+
+
+@query(
+    "ref_txn_change_feed",
+    oracle="""
+    WITH upd AS (
+      SELECT o_orderkey FROM orders WHERE o_orderkey % 5 = 0
+    ), dvdel AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_orderstatus = 'F' AND o_orderkey % 7 = 0
+    )
+    SELECT 'merge' AS commit_op, 'insert' AS change_type,
+           COUNT(*) AS n, SUM(CAST(o_orderkey AS BIGINT)) AS sum_key
+    FROM upd
+    UNION ALL
+    SELECT 'merge', 'delete', COUNT(*), SUM(CAST(o_orderkey AS BIGINT))
+    FROM upd
+    UNION ALL
+    SELECT 'delete-dv', 'delete', COUNT(*), SUM(CAST(o_orderkey AS BIGINT))
+    FROM dvdel
+    """,
+)
+def ref_txn_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed change feed (sources/txn_table.py:read_changes_typed —
+    Delta CDF parity): a MERGE reports exactly its changed rows as
+    delete/insert pairs (carried-over rows cancel in the logical
+    diff), and a deletion-vector commit reports exactly the rows it
+    shadowed. The oracle recomputes every expected change set from
+    raw orders, so an over-report (carried rows leaking into the
+    feed) or under-report both hash-mismatch."""
+    from aws_datalake_spark.sources import txn_table as tt
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="txn_cdf_") + "/orders"
+    mid = o.agg(F.expr("percentile_approx(o_orderkey, 0.5)")).collect()[0][0]
+    tt.write(o.filter(F.col("o_orderkey") <= mid), root, mode="append")
+    tt.write(o.filter(F.col("o_orderkey") > mid), root, mode="append")
+    v0 = tt.snapshot(root)["version"]
+    tt.merge_upsert(
+        spark, root,
+        o.filter(F.col("o_orderkey") % 5 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(1000.0)
+        ),
+        keys=["o_orderkey"],
+    )
+    tt.delete_where_dv(
+        spark, root, "o_orderstatus = 'F' AND o_orderkey % 7 = 0"
+    )
+    ch = tt.read_changes_typed(spark, root, since_version=v0)
+    return (
+        ch.groupBy(
+            F.col("_commit_op").alias("commit_op"),
+            F.col("_change_type").alias("change_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("sum_key"),
+        )
+    )

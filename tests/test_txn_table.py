@@ -729,3 +729,63 @@ def test_delete_eq_checkpoint_and_rewrite_interplay(table, spark):
     df = tt.read(spark, table)
     assert df.filter("k = 3").count() == 0
     assert df.filter("k = 50").select("price").first()[0] == 9.0
+
+
+# ------------------------------------------------------- typed change feed
+
+
+def test_typed_cdf_insert_update_delete(table, spark):
+    v0 = tt.snapshot(table)["version"]
+    tt.write(_mk(spark, 2000, 2003), table, mode="append")          # 3 inserts
+    tt.merge_upsert(
+        spark, table,
+        spark.createDataFrame([Row(k=2000, price=5.0, seg="u")]),
+        keys=["k"],
+    )                                                                # 1 update
+    ch = tt.read_changes_typed(spark, table, since_version=v0)
+    ins = ch.filter("_change_type = 'insert'")
+    dels = ch.filter("_change_type = 'delete'")
+    # append: 3 inserts; merge: delete(preimage) + insert(postimage)
+    # for k=2000 ONLY — carried-over rows cancel in the diff
+    assert ins.filter("_commit_op = 'append'").count() == 3
+    m_ins = ins.filter("_commit_op = 'merge'").collect()
+    m_del = dels.filter("_commit_op = 'merge'").collect()
+    assert len(m_ins) == 1 and m_ins[0].k == 2000 and m_ins[0].price == 5.0
+    assert len(m_del) == 1 and m_del[0].k == 2000 and m_del[0].price == 1.0
+
+
+def test_typed_cdf_dv_eq_and_storage_ops_silent(table, spark):
+    v0 = tt.snapshot(table)["version"]
+    tt.delete_where_dv(spark, table, "k IN (3, 4)")
+    tt.delete_where_eq(spark, table, spark.createDataFrame([(1005,)], "k long"))
+    ch = tt.read_changes_typed(spark, table, since_version=v0)
+    assert ch.filter("_change_type = 'insert'").count() == 0
+    got = {
+        (r.k, r._commit_op)
+        for r in ch.filter("_change_type = 'delete'").collect()
+    }
+    assert got == {(3, "delete-dv"), (4, "delete-dv"), (1005, "delete-eq")}
+    # a second dv on the same file reports only the NEW positions
+    v1 = tt.snapshot(table)["version"]
+    tt.delete_where_dv(spark, table, "k IN (3, 6)")  # 3 already deleted
+    ch2 = tt.read_changes_typed(spark, table, since_version=v1)
+    assert {r.k for r in ch2.collect()} == {6}
+    # compaction reshapes storage but changes no logical rows
+    v2 = tt.snapshot(table)["version"]
+    tt.compact(spark, table, target_files=1)
+    ch3 = tt.read_changes_typed(spark, table, since_version=v2)
+    assert ch3.count() == 0
+
+
+def test_typed_cdf_eq_reappend_orders_correctly(table, spark):
+    v0 = tt.snapshot(table)["version"]
+    tt.delete_where_eq(spark, table, spark.createDataFrame([(7,)], "k long"))
+    tt.write(
+        spark.createDataFrame([Row(k=7, price=3.0, seg="x")]).coalesce(1),
+        table, mode="append",
+    )
+    ch = tt.read_changes_typed(spark, table, since_version=v0).orderBy(
+        "_commit_version"
+    )
+    rows = [(r.k, r._change_type, r.price) for r in ch.collect()]
+    assert rows == [(7, "delete", 1.0), (7, "insert", 3.0)]
