@@ -1686,3 +1686,50 @@ def ref_txn_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("o_orderkey").alias("sum_key"),
         )
     )
+
+
+@query(
+    "ref_txn_constraints",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n,
+           SUM(CAST(o_orderkey AS BIGINT)) AS sum_key,
+           CAST(1 AS BIGINT) AS bad_batch_refused
+    FROM orders WHERE o_totalprice > 0
+    GROUP BY o_orderstatus
+    """,
+)
+def ref_txn_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-level CHECK constraints
+    (sources/txn_table.py:add_constraint): writes are validated
+    against log-declared predicates BEFORE the commit — a batch
+    carrying negated prices is refused atomically (nothing becomes
+    visible), the clean load lands, and the refusal itself is carried
+    into the hash (``bad_batch_refused``): if enforcement silently
+    stopped working, the poisoned rows would change every aggregate
+    AND flip the flag."""
+    from aws_datalake_spark.sources import txn_table as tt
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="txn_chk_") + "/orders"
+    tt.write(o.filter(F.col("o_totalprice") > 0).limit(0), root)  # schema seed
+    tt.add_constraint(root, "price_positive", "o_totalprice > 0")
+    tt.write(o.filter(F.col("o_totalprice") > 0), root, mode="append")
+    refused = 0
+    try:
+        tt.write(
+            o.withColumn("o_totalprice", -F.abs(F.col("o_totalprice")) - 1),
+            root, mode="append",
+        )
+    except tt.ConstraintViolation:
+        refused = 1
+    return (
+        tt.read(spark, root)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("sum_key"),
+        )
+        .withColumn("bad_batch_refused", F.lit(refused).cast("long"))
+    )

@@ -288,6 +288,52 @@ class SchemaEnforcementError(ValueError):
     merge_schema was not requested."""
 
 
+class ConstraintViolation(ValueError):
+    """A write batch contains rows violating a table CHECK
+    constraint; the commit was refused and nothing became visible."""
+
+
+def add_constraint(root: str, name: str, predicate: str) -> int:
+    """Declare a table-level CHECK constraint (Delta's ``ALTER TABLE
+    … ADD CONSTRAINT``): a SQL predicate every row of every future
+    write batch must satisfy. Stored in the log; enforcement happens
+    at write time (one filter-count over the incoming batch — batch-
+    sized, never a table scan), so bad data is refused BEFORE it
+    becomes visible rather than quarantined after."""
+    return _commit(root, "add-constraint", [], [],
+                   extra={"constraint": {"name": name, "expr": predicate}})
+
+
+def drop_constraint(root: str, name: str) -> int:
+    return _commit(root, "drop-constraint", [], [],
+                   extra={"constraint": {"name": name}})
+
+
+def table_constraints(root: str, version: int | None = None) -> dict:
+    """Active CHECK constraints at ``version`` (name -> predicate)."""
+    out: dict[str, str] = {}
+    for v in _list_versions(root):
+        if version is not None and v > version:
+            break
+        c = _read_commit(root, v)
+        if c.get("op") == "add-constraint":
+            out[c["constraint"]["name"]] = c["constraint"]["expr"]
+        elif c.get("op") == "drop-constraint":
+            out.pop(c["constraint"]["name"], None)
+    return out
+
+
+def _enforce_constraints(df: DataFrame, root: str) -> None:
+    for name, expr in table_constraints(root).items():
+        bad = df.filter(~F.coalesce(F.expr(expr), F.lit(False))).limit(5)
+        rows = bad.collect()
+        if rows:
+            raise ConstraintViolation(
+                f"constraint {name!r} ({expr}) violated by incoming "
+                f"batch; examples: {[tuple(r) for r in rows[:3]]}"
+            )
+
+
 def table_schema(root: str) -> list[list[str]] | None:
     """The logged [name, type] column list as of the latest commit
     that recorded one (None for pre-schema tables)."""
@@ -346,6 +392,8 @@ def write(df: DataFrame, root: str, mode: str = "append",
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     schema = _check_schema(df, root, mode, merge_schema)
+    if is_txn_table(root):
+        _enforce_constraints(df, root)
     add = _write_data(df, root)
     remove: list[str] = []
     if mode == "overwrite":
@@ -456,18 +504,45 @@ def _read_files(
     return out
 
 
+def version_at_timestamp(root: str, ts) -> int:
+    """The latest version committed at or before ``ts`` (epoch
+    seconds or ISO 'YYYY-MM-DD[ HH:MM:SS]' string) — Delta's
+    ``TIMESTAMP AS OF`` resolution, from commit timestamps alone."""
+    if isinstance(ts, str):
+        import datetime
+
+        ts = datetime.datetime.fromisoformat(ts).timestamp()
+    best = None
+    for v in _list_versions(root):
+        if _read_commit(root, v).get("ts", float("inf")) <= ts:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"txn table {root!r}: no commit at or before {ts}"
+        )
+    return best
+
+
 def read(
     spark: SparkSession,
     root: str,
     version: int | None = None,
     prune: dict | None = None,
+    timestamp=None,
 ) -> DataFrame:
     """Snapshot read (optionally at a past ``version`` — time
     travel), with stats-based file skipping: ``prune={col: (lo,
     hi)}`` drops files whose footer stats cannot satisfy the range.
     The pruning is an OPTIMIZATION only — pass the same predicate to
     ``.filter`` too; rows inside surviving files still need it.
-    Deletion vectors (``delete_where_dv``) are applied transparently."""
+    Deletion vectors (``delete_where_dv``) are applied transparently.
+    ``timestamp`` resolves TIMESTAMP-AS-OF time travel via
+    :func:`version_at_timestamp` (mutually exclusive with
+    ``version``)."""
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp, not both")
+        version = version_at_timestamp(root, timestamp)
     snap = snapshot(root, version)
     files = snap["files"]
     if prune:
@@ -505,6 +580,7 @@ def merge_upsert(
     commit between our snapshot and our log create raises
     ConflictError and the merge re-derives its read set.
     """
+    _enforce_constraints(updates, root)
     bounds = updates.agg(
         *[f for k in keys for f in (
             F.min(k).alias(f"lo_{k}"), F.max(k).alias(f"hi_{k}"),
@@ -1182,6 +1258,7 @@ def stream_append_sink(root: str):
         if batch_id in committed_stream_batches(root):
             return  # replay after partial failure: already durable
         schema = _check_schema(batch_df, root, "append", merge_schema=False)
+        _enforce_constraints(batch_df, root)
         add = _write_data(batch_df, root)
         _commit(root, "stream-append", add, [],
                 extra={"stream_batch_id": batch_id, "schema": schema})

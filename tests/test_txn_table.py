@@ -789,3 +789,56 @@ def test_typed_cdf_eq_reappend_orders_correctly(table, spark):
     )
     rows = [(r.k, r._change_type, r.price) for r in ch.collect()]
     assert rows == [(7, "delete", 1.0), (7, "insert", 3.0)]
+
+
+# --------------------------------------------- constraints + ts time travel
+
+
+def test_check_constraints_refuse_bad_batches(table, spark):
+    tt.add_constraint(table, "price_positive", "price > 0")
+    tt.add_constraint(table, "k_not_null", "k IS NOT NULL")
+    assert set(tt.table_constraints(table)) == {"price_positive", "k_not_null"}
+    # clean batch commits
+    v = tt.write(_mk(spark, 3000, 3005, price=2.0), table, mode="append")
+    assert tt.snapshot(table)["version"] == v
+    # violating append is refused atomically: nothing became visible
+    with pytest.raises(tt.ConstraintViolation, match="price_positive"):
+        tt.write(_mk(spark, 4000, 4005, price=-1.0), table, mode="append")
+    assert tt.read(spark, table).filter("k >= 4000").count() == 0
+    # NULL predicate result counts as a violation (SQL CHECK semantics
+    # differ; refuse-on-unknown is the safe lakehouse default)
+    with pytest.raises(tt.ConstraintViolation):
+        tt.write(
+            spark.createDataFrame(
+                [Row(k=None, price=1.0, seg="s0")],
+                "k long, price double, seg string",
+            ),
+            table, mode="append",
+        )
+    # merge enforces on the updates batch too
+    with pytest.raises(tt.ConstraintViolation):
+        tt.merge_upsert(
+            spark, table,
+            spark.createDataFrame([Row(k=1, price=-5.0, seg="u")]),
+            keys=["k"],
+        )
+    # dropped constraint stops enforcement
+    tt.drop_constraint(table, "price_positive")
+    tt.write(_mk(spark, 5000, 5002, price=-1.0), table, mode="append")
+    assert tt.read(spark, table).filter("k >= 5000").count() == 2
+
+
+def test_timestamp_time_travel(table, spark):
+    import time as _time
+
+    v2_ts = tt._read_commit(table, 2)["ts"]
+    _time.sleep(0.05)
+    tt.write(_mk(spark, 6000, 6010), table, mode="append")
+    # resolve to the pre-append version by its commit timestamp
+    assert tt.version_at_timestamp(table, v2_ts) == 2
+    assert tt.read(spark, table, timestamp=v2_ts).count() == 200
+    assert tt.read(spark, table).count() == 210
+    with pytest.raises(ValueError):
+        tt.version_at_timestamp(table, 0.0)  # before the first commit
+    with pytest.raises(ValueError):
+        tt.read(spark, table, version=1, timestamp=v2_ts)
