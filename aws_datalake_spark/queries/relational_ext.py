@@ -1132,3 +1132,51 @@ def q_grouped_median_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_quantile_by_group(
         l, "l_returnflag", "l_extendedprice", 0.5, direct_threshold=5_000
     ).withColumnRenamed("quantile", "median_extprice")
+
+
+@query(
+    "q_window_time_range_frame",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, epoch(ts) AS sec,
+             CAST(ROUND(value * 1000000.0) AS BIGINT) AS v6
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(SUM(v6) OVER (
+             PARTITION BY user_id ORDER BY sec
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) / 1000000.0 AS hour_sum,
+           CAST(COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY sec
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS hour_n
+    FROM e
+    """,
+)
+def q_window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frame — the sliding-by-event-time
+    aggregate ROWS frames cannot express (a frame of "everything in
+    the trailing hour", however many rows that is, ties included).
+    ``Window.orderBy(epoch).rangeBetween(-3600, 0)`` keeps it one
+    per-user exchange + sort; values fixed-point so the running sums
+    hash-match regardless of either engine's accumulation order."""
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("sec"),
+        F.round(F.col("value") * 1_000_000.0).cast("long").alias("v6"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        (F.sum("v6").over(w).cast("double") / 1_000_000.0).alias("hour_sum"),
+        F.count(F.lit(1)).over(w).cast("long").alias("hour_n"),
+    )

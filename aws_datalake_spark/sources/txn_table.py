@@ -1266,6 +1266,77 @@ def stream_append_sink(root: str):
     return _body
 
 
+def stream_merge_sink(root: str, keys: list[str]):
+    """foreachBatch body for EXACTLY-ONCE keyed streaming upserts —
+    the CDC-ingest companion to ``stream_append_sink``: each
+    micro-batch lands as one file-pruned ``merge_upsert`` commit
+    stamped with the stream batch id; a replayed batch finds its id
+    in the ledger and no-ops. Within a batch, the LAST row per key
+    wins (upsert order of a CDC stream); only table files whose key
+    stats intersect the batch rewrite.
+
+    Usage::
+
+        stream.writeStream.foreachBatch(stream_merge_sink(p, ["k"]))
+    """
+
+    def _body(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in committed_stream_batches(root):
+            return  # replay after partial failure: already durable
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(*keys).orderBy(
+            F.monotonically_increasing_id().desc()
+        )
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if not is_txn_table(root):
+            schema = _check_schema(latest, root, "append", merge_schema=False)
+            add = _write_data(latest, root)
+            _commit(root, "stream-merge", add, [],
+                    extra={"stream_batch_id": batch_id, "schema": schema})
+            return
+        spark = batch_df.sparkSession
+        _enforce_constraints(latest, root)
+        bounds = latest.agg(
+            *[f for k in keys for f in (
+                F.min(k).alias(f"lo_{k}"), F.max(k).alias(f"hi_{k}"),
+            )]
+        ).collect()[0]
+        for _ in range(8):
+            snap = snapshot(root)
+            touched, untouched = [], []
+            for rel, a in snap["files"].items():
+                hit = all(
+                    _stats_overlap(a, k, bounds[f"lo_{k}"], bounds[f"hi_{k}"])
+                    for k in keys
+                )
+                (touched if hit else untouched).append(rel)
+            if touched:
+                cur = _read_files(spark, root, snap["files"], sorted(touched),
+                                  eq_deletes=snap.get("eq_deletes"))
+                kept = cur.join(latest.select(*keys), keys, "left_anti")
+                merged = kept.unionByName(latest, allowMissingColumns=True)
+            else:
+                merged = latest
+            add = _write_data(merged, root)
+            try:
+                _commit(root, "stream-merge", add, sorted(touched),
+                        expect_version=snap["version"],
+                        extra={"stream_batch_id": batch_id})
+                return
+            except ConflictError:
+                continue
+        raise ConflictError(
+            f"txn_table: stream merge on {root!r} lost 8 OCC races"
+        )
+
+    return _body
+
+
 def read_changes(
     spark: SparkSession,
     root: str,

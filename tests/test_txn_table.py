@@ -842,3 +842,37 @@ def test_timestamp_time_travel(table, spark):
         tt.version_at_timestamp(table, 0.0)  # before the first commit
     with pytest.raises(ValueError):
         tt.read(spark, table, version=1, timestamp=v2_ts)
+
+
+def test_stream_merge_sink_keyed_exactly_once(tmp_path, spark):
+    """CDC-style streaming upserts: per micro-batch one file-pruned
+    keyed merge, last-row-per-key within a batch, replays no-op."""
+    src = str(tmp_path / "cdc_src")
+    root = str(tmp_path / "cdc_sink")
+    tt.write(_mk(spark, 0, 100), root)  # seed dimension
+    spark.createDataFrame(
+        [(5, 50.0, "u"), (5, 51.0, "u"), (200, 1.0, "n")],
+        "k long, price double, seg string",
+    ).coalesce(1).write.mode("overwrite").json(src)
+    stream = spark.readStream.schema("k long, price double, seg string").json(src)
+    q = (
+        stream.writeStream.foreachBatch(tt.stream_merge_sink(root, ["k"]))
+        .option("checkpointLocation", str(tmp_path / "cdc_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+    df = tt.read(spark, root)
+    assert df.count() == 101  # 100 seed + 1 new key
+    # last row per key within the batch won
+    assert df.filter("k = 5").select("price").first()[0] == 51.0
+    assert df.filter("k = 200").count() == 1
+    v = tt.snapshot(root)["version"]
+    # replayed batch id: no-op
+    tt.stream_merge_sink(root, ["k"])(
+        spark.createDataFrame([(5, 99.0, "x")], "k long, price double, seg string"),
+        0,
+    )
+    assert tt.snapshot(root)["version"] == v
+    assert tt.read(spark, root).filter("k = 5").select("price").first()[0] == 51.0
