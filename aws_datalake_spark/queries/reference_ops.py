@@ -1733,3 +1733,60 @@ def ref_txn_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("bad_batch_refused", F.lit(refused).cast("long"))
     )
+
+
+@query(
+    "ref_txn_column_mapping",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    ), appended AS (
+      SELECT o_orderkey + 30000000 AS o_orderkey, 'Z' AS o_orderstatus,
+             100.0 AS o_totalprice
+      FROM orders WHERE o_custkey = 3
+    ), allr AS (
+      SELECT * FROM base UNION ALL SELECT * FROM appended
+    )
+    SELECT o_orderstatus AS status, COUNT(*) AS n,
+           {o_dsum('o_totalprice', scale=2)} AS sum_price_usd
+    FROM allr GROUP BY 1
+    """,
+)
+def ref_txn_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column mapping on the txn table
+    (sources/txn_table.py:rename_column/drop_column): renames are
+    metadata-only — zero files rewritten (asserted in-query) — and
+    later writes speak the NEW logical schema while landing under the
+    original physical names, so old and new files stay one physical
+    schema. The oracle aggregates the renamed price column across
+    pre- AND post-rename data: a mapping bug that lost either
+    generation's values hash-mismatches."""
+    from aws_datalake_spark.sources import txn_table as tt
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="txn_map_") + "/orders"
+    tt.write(o.drop("o_custkey"), root)
+    files_before = set(tt.snapshot(root)["files"])
+    tt.rename_column(root, "o_totalprice", "price_usd")
+    tt.rename_column(root, "o_orderstatus", "status")
+    assert set(tt.snapshot(root)["files"]) == files_before, (
+        "rename must not rewrite files"
+    )
+    tt.write(
+        o.filter(F.col("o_custkey") == 3).select(
+            (F.col("o_orderkey") + F.lit(30_000_000)).alias("o_orderkey"),
+            F.lit("Z").alias("status"),
+            F.lit(100.0).alias("price_usd"),
+        ),
+        root, mode="append",
+    )
+    return (
+        tt.read(spark, root)
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("price_usd", "sum_price_usd", scale=2),
+        )
+    )

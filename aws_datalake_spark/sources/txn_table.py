@@ -391,9 +391,35 @@ def write(df: DataFrame, root: str, mode: str = "append",
     committed version."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
-    schema = _check_schema(df, root, mode, merge_schema)
-    if is_txn_table(root):
+    if is_txn_table(root) and _has_column_ops(root):
+        # column-mapped table: the caller speaks LOGICAL names;
+        # enforce constraints on them, then write under the original
+        # physical names so every file keeps one physical schema
         _enforce_constraints(df, root)
+        mapping = table_mapping(root)
+        unknown = set(df.columns) - mapping.keys()
+        if unknown and not merge_schema:
+            raise SchemaEnforcementError(
+                f"txn_table: unknown columns {sorted(unknown)} for the "
+                f"mapped schema {sorted(mapping)}; pass merge_schema=True"
+            )
+        for c in unknown:
+            mapping[c] = c
+        df = _to_physical(df, mapping)
+        cur = dict(table_schema(root) or [])
+        new_sch = dict(_schema_fields(df))
+        changed = {
+            n for n in cur.keys() & new_sch.keys() if cur[n] != new_sch[n]
+        }
+        if changed and mode != "overwrite":
+            raise SchemaEnforcementError(
+                f"txn_table: column type changed for {sorted(changed)}"
+            )
+        schema = _schema_fields(df)
+    else:
+        schema = _check_schema(df, root, mode, merge_schema)
+        if is_txn_table(root):
+            _enforce_constraints(df, root)
     add = _write_data(df, root)
     remove: list[str] = []
     if mode == "overwrite":
@@ -504,6 +530,103 @@ def _read_files(
     return out
 
 
+# ----------------------------------------------------- column mapping
+#
+# Delta's column-mapping feature, minimally: RENAME and DROP are
+# metadata-only commits — zero files rewritten. Every logical column
+# tracks its ORIGINAL physical name (the name stored in parquet at
+# creation); reads alias physical→logical and exclude dropped
+# physicals, writes translate logical→physical so every file keeps
+# one physical schema forever. Mapping is versioned with the log, so
+# time travel shows each version under ITS OWN names.
+#
+# Scope, stated honestly: read()/write()/merge_upsert() speak logical
+# names; maintenance ops (compact/zorder/delete predicates/stats
+# pruning) operate on physical names, and the incremental-MV dirty
+# scan reads files directly — rename the MV's group columns and
+# recreate the view rather than expecting it to follow.
+
+
+def rename_column(root: str, old: str, new: str) -> int:
+    """Metadata-only column rename. Fails if ``old`` is unknown or
+    ``new`` already taken (as a logical name)."""
+    m = table_mapping(root)
+    if old not in m:
+        raise ValueError(f"unknown column {old!r} (have {sorted(m)})")
+    if new in m:
+        raise ValueError(f"column {new!r} already exists")
+    return _commit(root, "rename-column", [], [],
+                   extra={"column_op": {"rename": [old, new]}})
+
+
+def drop_column(root: str, name: str) -> int:
+    """Metadata-only column drop: the physical data stays in the
+    files (reclaimed at the next natural rewrite); reads stop
+    returning it immediately."""
+    if name not in table_mapping(root):
+        raise ValueError(f"unknown column {name!r}")
+    return _commit(root, "drop-column", [], [],
+                   extra={"column_op": {"drop": name}})
+
+
+def table_mapping(root: str, version: int | None = None) -> dict:
+    """logical name -> physical (as-written) name, at ``version``,
+    replayed from the log: each commit's schema extra registers new
+    PHYSICAL columns as identity; rename/drop commits rewire the
+    logical side. Identity (and skipped entirely on read) until the
+    first rename/drop commit."""
+    m: dict[str, str] = {}
+    for v in _list_versions(root):
+        if version is not None and v > version:
+            break
+        c = _read_commit(root, v)
+        for n, _t in c.get("schema") or []:
+            if n not in m.values():
+                m.setdefault(n, n)
+        op = c.get("column_op")
+        if not op:
+            continue
+        if "rename" in op:
+            old, new = op["rename"]
+            if old in m:
+                m[new] = m.pop(old)
+        elif "drop" in op:
+            m.pop(op["drop"], None)
+    return m
+
+
+def _has_column_ops(root: str, version: int | None = None) -> bool:
+    return any(
+        "column_op" in _read_commit(root, v)
+        for v in _list_versions(root)
+        if version is None or v <= version
+    )
+
+
+def _to_logical(df: DataFrame, mapping: dict) -> DataFrame:
+    """Project physical columns to logical names, dropping physicals
+    with no logical name (dropped columns)."""
+    phys_cols = set(df.columns)
+    return df.select(
+        *[
+            F.col(phys).alias(logical)
+            for logical, phys in mapping.items()
+            if phys in phys_cols
+        ]
+    )
+
+
+def _to_physical(df: DataFrame, mapping: dict) -> DataFrame:
+    cols = []
+    for c in df.columns:
+        cols.append(F.col(c).alias(mapping.get(c, c)))
+    return df.select(*cols)
+
+
+def _mapping_is_identity(mapping: dict) -> bool:
+    return all(k == v for k, v in mapping.items())
+
+
 def version_at_timestamp(root: str, ts) -> int:
     """The latest version committed at or before ``ts`` (epoch
     seconds or ISO 'YYYY-MM-DD[ HH:MM:SS]' string) — Delta's
@@ -559,7 +682,10 @@ def read(
         some = next(iter(all_snap["files"]))
         schema = spark.read.parquet(os.path.join(root, some)).schema
         return spark.createDataFrame([], schema)
-    return _read_files(spark, root, files, eq_deletes=snap.get("eq_deletes"))
+    out = _read_files(spark, root, files, eq_deletes=snap.get("eq_deletes"))
+    if _has_column_ops(root, snap["version"]):
+        out = _to_logical(out, table_mapping(root, snap["version"]))
+    return out
 
 
 def merge_upsert(
@@ -581,6 +707,10 @@ def merge_upsert(
     ConflictError and the merge re-derives its read set.
     """
     _enforce_constraints(updates, root)
+    if _has_column_ops(root):
+        mapping = table_mapping(root)
+        updates = _to_physical(updates, mapping)
+        keys = [mapping.get(k, k) for k in keys]
     bounds = updates.agg(
         *[f for k in keys for f in (
             F.min(k).alias(f"lo_{k}"), F.max(k).alias(f"hi_{k}"),

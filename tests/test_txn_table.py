@@ -876,3 +876,56 @@ def test_stream_merge_sink_keyed_exactly_once(tmp_path, spark):
     )
     assert tt.snapshot(root)["version"] == v
     assert tt.read(spark, root).filter("k = 5").select("price").first()[0] == 51.0
+
+
+# --------------------------------------------------------- column mapping
+
+
+def test_rename_drop_without_rewrite(table, spark):
+    files_before = set(tt.snapshot(table)["files"])
+    tt.rename_column(table, "price", "unit_price")
+    tt.drop_column(table, "seg")
+    # zero files rewritten
+    assert set(tt.snapshot(table)["files"]) == files_before
+    df = tt.read(spark, table)
+    assert sorted(df.columns) == ["k", "unit_price"]
+    assert df.filter("k = 5").select("unit_price").first()[0] == 1.0
+    # time travel shows the version under ITS OWN names
+    old = tt.read(spark, table, version=2)
+    assert sorted(old.columns) == ["k", "price", "seg"]
+    # writes speak the NEW logical schema and land physically aligned
+    tt.write(
+        spark.createDataFrame([(9000, 3.0)], "k long, unit_price double"),
+        table, mode="append",
+    )
+    df2 = tt.read(spark, table)
+    assert df2.count() == 201
+    assert df2.filter("k = 9000").select("unit_price").first()[0] == 3.0
+    # merges translate keys + columns through the mapping
+    tt.merge_upsert(
+        spark, table,
+        spark.createDataFrame([(9000, 4.0)], "k long, unit_price double"),
+        keys=["k"],
+    )
+    assert tt.read(spark, table).filter("k = 9000").select(
+        "unit_price"
+    ).first()[0] == 4.0
+    # unknown logical name is refused
+    with pytest.raises(tt.SchemaEnforcementError):
+        tt.write(
+            spark.createDataFrame([(1, 1.0)], "k long, price double"),
+            table, mode="append",
+        )
+    with pytest.raises(ValueError):
+        tt.rename_column(table, "nope", "x")
+
+
+def test_mapping_composes_with_deletes_and_compact(table, spark):
+    tt.rename_column(table, "price", "unit_price")
+    tt.delete_where_dv(spark, table, "k = 3")  # physical predicate
+    df = tt.read(spark, table)
+    assert df.count() == 199 and "unit_price" in df.columns
+    tt.compact(spark, table, target_files=1)
+    df2 = tt.read(spark, table)
+    assert df2.count() == 199
+    assert sorted(df2.columns) == ["k", "seg", "unit_price"]
