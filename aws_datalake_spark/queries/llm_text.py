@@ -898,3 +898,123 @@ def llm_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "doc_id")
         .limit(20)
     )
+
+
+@query(
+    "llm_filter_funnel",
+    oracle=f"""
+    WITH q AS (
+      SELECT d.doc_id, d.lang, d.text, s.q_n_tokens, s.quality_score
+      FROM documents d JOIN ({_QUALITY_SQL}) s USING (doc_id)
+    ), f AS (
+      SELECT *,
+        (lang = 'en') AS f1,
+        (lang = 'en' AND q_n_tokens >= 20) AS f2,
+        (lang = 'en' AND q_n_tokens >= 20 AND quality_score >= 0.5) AS f3
+      FROM q
+    ), dd AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      FROM f WHERE f3
+    )
+    SELECT 'p0_total' AS stage, COUNT(*) AS n_docs FROM f
+    UNION ALL SELECT 'p1_lang_en', COUNT(*) FROM f WHERE f1
+    UNION ALL SELECT 'p2_min_tokens', COUNT(*) FROM f WHERE f2
+    UNION ALL SELECT 'p3_quality', COUNT(*) FROM f WHERE f3
+    UNION ALL SELECT 'p4_exact_dedup', COUNT(*) FROM dd WHERE rn = 1
+    """,
+)
+def llm_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-funnel observability: how many documents survive each
+    successive filter stage (language -> length -> quality -> exact
+    dedup) — the attrition report every corpus release ships with.
+    ONE scan computes all threshold stages as conditional counts;
+    only the dedup stage adds a (text-hash-keyed) exchange over the
+    already-filtered survivors."""
+    from pyspark.sql.window import Window
+
+    from aws_datalake_spark.operators.text import quality_score
+
+    q = quality_score(t(spark, sf_dir, "documents"))
+    f1 = F.col("lang") == "en"
+    f2 = f1 & (F.col("q_n_tokens") >= 20)
+    f3 = f2 & (F.col("quality_score") >= 0.5)
+    counts = q.agg(
+        F.count(F.lit(1)).alias("p0_total"),
+        F.count(F.when(f1, 1)).alias("p1_lang_en"),
+        F.count(F.when(f2, 1)).alias("p2_min_tokens"),
+        F.count(F.when(f3, 1)).alias("p3_quality"),
+    )
+    w = Window.partitionBy("text").orderBy("doc_id")
+    n_dedup = (
+        q.filter(f3)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    stages = counts.selectExpr(
+        "stack(4, 'p0_total', p0_total, 'p1_lang_en', p1_lang_en,"
+        " 'p2_min_tokens', p2_min_tokens, 'p3_quality', p3_quality)"
+        " AS (stage, n_docs)"
+    )
+    return stages.unionByName(
+        n_dedup.select(
+            F.lit("p4_exact_dedup").alias("stage"),
+            F.col("n").alias("n_docs"),
+        )
+    )
+
+
+@query(
+    "llm_seq_len_histogram",
+    oracle=f"""
+    WITH t AS (
+      SELECT LEAST(CAST(FLOOR(len({_TOKS}) / 64.0) AS INT), 15) AS b,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tok
+      FROM documents
+    ), h AS (
+      SELECT b, COUNT(*) AS n_docs, SUM(n_tok) AS sum_tokens FROM t GROUP BY 1
+    ), tot AS (SELECT SUM(n_docs) AS nd FROM h)
+    SELECT b * 64 AS len_lo, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(sum_tokens AS BIGINT) AS sum_tokens,
+           ROUND(CAST(SUM(n_docs) OVER (ORDER BY b) AS DOUBLE)
+                 / CAST(nd AS DOUBLE), 6) AS cum_doc_share
+    FROM h CROSS JOIN tot
+    """,
+)
+def llm_seq_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length distribution (64-token buckets, capped) with
+    cumulative document share — the planning input for context-window
+    packing: bucket occupancy picks the packing length, the tail
+    share tells how much truncates. One scan + one tiny ordered
+    cumulative over ≤16 bucket rows."""
+    from pyspark.sql.window import Window
+
+    from aws_datalake_spark.operators.text import token_count_ws
+
+    t_ = t(spark, sf_dir, "documents").select(
+        F.least(
+            F.floor(token_count_ws(F.col("text")) / 64.0).cast("int"),
+            F.lit(15),
+        ).alias("b"),
+        token_count_ws(F.col("text")).cast("long").alias("n_tok"),
+    )
+    h = t_.groupBy("b").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("sum_tokens"),
+    )
+    total = h.agg(F.sum("n_docs").alias("nd"))
+    w = Window.orderBy("b")
+    return (
+        h.crossJoin(F.broadcast(total))
+        .select(
+            (F.col("b") * 64).alias("len_lo"),
+            F.col("n_docs").cast("long"),
+            F.col("sum_tokens").cast("long"),
+            F.round(
+                F.sum("n_docs").over(w).cast("double")
+                / F.col("nd").cast("double"),
+                6,
+            ).alias("cum_doc_share"),
+        )
+    )
