@@ -632,3 +632,78 @@ def bm25_scores(
             ).alias("score"),
         )
     )
+
+
+def text_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Build the classic inverted index: ``postings (term, doc_id,
+    tf)`` + ``doc_stats (doc_id, dl)`` — tokenize the corpus ONCE,
+    then every retrieval query touches only its own terms' posting
+    rows (a filter that pushes down to the postings table's scan)
+    instead of re-tokenizing 100 TB of text. Persist both frames
+    (parquet partitioned/bucketed by term at scale) and serve
+    :func:`bm25_from_index` from them."""
+    base = df.select(
+        F.col(id_col), tokens_ws(F.col(text_col)).alias("__t")
+    )
+    doc_stats = base.select(id_col, F.size("__t").alias("dl"))
+    postings = (
+        base.select(id_col, F.explode("__t").alias("term"))
+        .groupBy("term", id_col)
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return postings, doc_stats
+
+
+def bm25_from_index(
+    postings: DataFrame,
+    doc_stats: DataFrame,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`bm25_scores` served from the inverted index instead of
+    the text — identical output (pinned by the shared oracle), but
+    the per-query cost is O(posting rows of the query terms): the
+    ``term IN (...)`` filter reaches the postings scan, the corpus
+    text is never read. This is the batch-retrieval posture at
+    100 TB: index once, query many."""
+    tot = doc_stats.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").cast("long").alias("sumdl"),
+    ).collect()[0]
+    n_docs = int(tot["n"])
+    avgdl = float(tot["sumdl"]) / float(n_docs)
+    dt = (
+        postings.filter(F.col("term").isin(list(terms)))
+        .join(doc_stats, id_col)
+        .select(id_col, "dl", F.col("term").alias("__w"), F.col("tf").alias("__tf"))
+    )
+    dfreq = dt.groupBy("__w").agg(F.countDistinct(id_col).alias("__df"))
+    idf = (F.lit(float(n_docs)) - F.col("__df") + F.lit(0.5)) / (
+        F.col("__df") + F.lit(0.5)
+    )
+    tf_sat = (F.col("__tf") * F.lit(k1 + 1.0)) / (
+        F.col("__tf")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+    )
+    contrib = F.round(idf * tf_sat, 6)
+    return (
+        dt.join(F.broadcast(dfreq), "__w")
+        .select(
+            id_col,
+            F.round(contrib * 1_000_000.0).cast("long").alias("__c6"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hit_terms"),
+            F.round(
+                F.sum("__c6").cast("double") / 1_000_000.0, 6
+            ).alias("score"),
+        )
+    )

@@ -1018,3 +1018,60 @@ def llm_seq_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_doc_share"),
         )
     )
+
+
+@query(
+    "llm_bm25_indexed",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ), base AS (
+      SELECT doc_id, len(t) AS dl, t FROM toks
+    ), tot AS (
+      SELECT COUNT(*) AS n, SUM(dl) AS sumdl FROM base
+    ), dt AS (
+      SELECT doc_id, dl, w, COUNT(*) AS tf
+      FROM (SELECT doc_id, dl, unnest(t) AS w FROM base)
+      WHERE w IN ('vector', 'merge', 'window')
+      GROUP BY 1, 2, 3
+    ), dfreq AS (
+      SELECT w, COUNT(DISTINCT doc_id) AS dfc FROM dt GROUP BY 1
+    ), scored AS (
+      SELECT doc_id,
+        CAST(ROUND(ROUND(
+          ((CAST(n AS DOUBLE) - dfc + 0.5) / (dfc + 0.5)) *
+          ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl /
+              (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))
+        , 6) * 1000000.0) AS BIGINT) AS c6
+      FROM dt JOIN dfreq USING (w) CROSS JOIN tot
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+           ROUND(CAST(SUM(c6) AS DOUBLE) / 1000000.0, 6) AS score
+    FROM scored GROUP BY 1
+    ORDER BY score DESC, doc_id
+    LIMIT 20
+    """,
+)
+def llm_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 served from a PERSISTED inverted index
+    (operators/text.py:text_index/bm25_from_index): the corpus is
+    tokenized once into postings + doc-length tables written to
+    storage; the query then reads ONLY its own terms' posting rows
+    (the term filter pushes down to the postings scan — the corpus
+    text is never touched). Shares llm_bm25_search's oracle verbatim,
+    so index-path and scan-path results are pinned identical."""
+    import tempfile as _tf
+
+    from aws_datalake_spark.operators.text import bm25_from_index, text_index
+
+    postings, doc_stats = text_index(t(spark, sf_dir, "documents"))
+    d = _tf.mkdtemp(prefix="bm25_idx_")
+    postings.write.mode("overwrite").parquet(d + "/postings")
+    doc_stats.write.mode("overwrite").parquet(d + "/doc_stats")
+    pi = spark.read.parquet(d + "/postings")
+    ds = spark.read.parquet(d + "/doc_stats")
+    return (
+        bm25_from_index(pi, ds, ["vector", "merge", "window"])
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+    )

@@ -1180,3 +1180,52 @@ def q_window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("v6").over(w).cast("double") / 1_000_000.0).alias("hour_sum"),
         F.count(F.lit(1)).over(w).cast("long").alias("hour_n"),
     )
+
+
+@query(
+    "q_dynamic_partition_pruning",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n,
+           SUM(CAST(o_orderkey AS BIGINT)) AS sum_key
+    FROM orders
+    WHERE CAST(EXTRACT(year FROM o_orderdate) AS INT) = 1996
+    GROUP BY o_orderstatus
+    """,
+)
+def q_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning end-to-end: the fact table lands
+    hive-partitioned by order year; the star join's dimension filter
+    (a year dim restricted to 1996) is NOT visible at plan time on
+    the fact side, so Catalyst injects a runtime dynamic-pruning
+    subquery into the fact scan — only 1996's partition directories
+    are read. Asserted in-query via the physical plan; the oracle
+    recomputes from raw orders, so pruning that dropped or
+    duplicated rows hash-mismatches."""
+    import tempfile as _tf
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus",
+        F.year("o_orderdate").alias("o_year"),
+    )
+    d = _tf.mkdtemp(prefix="dpp_")
+    o.write.partitionBy("o_year").mode("overwrite").parquet(d + "/orders")
+    # the filter is on a NON-join dim column, so the fact-side
+    # partition predicate is unknowable at plan time (a literal
+    # year filter would constraint-propagate into STATIC pruning —
+    # still good, but then there is nothing dynamic to prove)
+    spark.createDataFrame(
+        [(y, "pick" if y == 1996 else "skip") for y in range(1995, 2002)],
+        "d_year int, tag string",
+    ).write.mode("overwrite").parquet(d + "/years")
+    fact = spark.read.parquet(d + "/orders")
+    dim = spark.read.parquet(d + "/years").filter(F.col("tag") == "pick")
+    joined = fact.join(dim, fact.o_year == dim.d_year)
+    out = joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").alias("sum_key"),
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), (
+        "dynamic partition pruning must be injected into the fact scan"
+    )
+    return out

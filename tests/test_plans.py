@@ -319,3 +319,21 @@ def test_lm_doc_scores_broadcasts_the_lm(spark):
     plan = _plan(lm_doc_scores(docs))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bm25_index_pushes_term_filter_to_postings_scan(spark, tmp_path):
+    """The index-backed retrieval path must read only the query
+    terms' posting rows: the IN-filter reaches the parquet scan as a
+    pushed filter, and the corpus text column is nowhere in the
+    plan."""
+    from aws_datalake_spark.operators.text import bm25_from_index, text_index
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    postings, doc_stats = text_index(docs)
+    postings.write.mode("overwrite").parquet(str(tmp_path / "p"))
+    doc_stats.write.mode("overwrite").parquet(str(tmp_path / "d"))
+    pi = spark.read.parquet(str(tmp_path / "p"))
+    ds = spark.read.parquet(str(tmp_path / "d"))
+    plan = _formatted(bm25_from_index(pi, ds, ["vector", "merge"]))
+    assert "PushedFilters: [In(term" in plan.replace("\n", " ") or "In(term, [" in plan
+    assert "text" not in plan.split("ReadSchema")[1][:200]
