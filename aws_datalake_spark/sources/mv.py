@@ -265,31 +265,37 @@ def mv_refresh(spark: SparkSession, mv_root: str) -> dict:
         return {"mode": "full", "dirty_groups": -1, "src_version": head}
 
     dirty = dirty.cache()
-    n_dirty = dirty.count()
+    # one job: dirty count + key bounds for stats pruning together
+    stats_row = dirty.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(group_cols[0]).alias("lo"),
+        F.max(group_cols[0]).alias("hi"),
+    ).collect()[0]
+    n_dirty = int(stats_row["n"])
     if n_dirty == 0:
         tt._commit(mv_root, "mv-refresh", [], [], extra={"mv": new_meta})
         return {"mode": "incremental", "dirty_groups": 0, "src_version": head}
 
     # stats-pruned current-snapshot scan restricted to dirty keys
     prune = None
-    if len(group_cols) == 1:
-        b = dirty.agg(
-            F.min(group_cols[0]).alias("lo"), F.max(group_cols[0]).alias("hi")
-        ).collect()[0]
-        if b["lo"] is not None and not isinstance(b["lo"], (list, dict)):
-            lo = b["lo"].isoformat() if hasattr(b["lo"], "isoformat") else b["lo"]
-            hi = b["hi"].isoformat() if hasattr(b["hi"], "isoformat") else b["hi"]
-            prune = {group_cols[0]: (lo, hi)}
+    if len(group_cols) == 1 and stats_row["lo"] is not None and not isinstance(
+        stats_row["lo"], (list, dict)
+    ):
+        lo, hi = stats_row["lo"], stats_row["hi"]
+        lo = lo.isoformat() if hasattr(lo, "isoformat") else lo
+        hi = hi.isoformat() if hasattr(hi, "isoformat") else hi
+        prune = {group_cols[0]: (lo, hi)}
     cur = tt.read(spark, src_root, prune=prune)
     fresh = _compute(
         cur.join(F.broadcast(dirty), group_cols, "left_semi"),
         group_cols, aggs,
-    )
+    ).cache()
     # groups whose every row vanished must leave the MV
     gone = dirty.join(fresh.select(*group_cols), group_cols, "left_anti")
     gone_rows = gone.collect()  # bounded by the dirty set, not the table
-    if fresh.limit(1).count():
+    if len(gone_rows) < n_dirty:  # some dirty group still has rows
         tt.merge_upsert(spark, mv_root, fresh, keys=group_cols)
+    fresh.unpersist()
     if gone_rows:
         pred = " OR ".join(
             "("
