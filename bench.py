@@ -98,6 +98,14 @@ HEADLINE = [
     "ref_incremental_mv",
     "llm_ann_pq_topk",
     "llm_lm_doc_scores",
+    # round-2 third pass: equality deletes + typed CDF (commit
+    # machinery), hybrid retrieval, index-served BM25, observability
+    "ref_txn_equality_delete",
+    "ref_txn_change_feed",
+    "llm_hybrid_search_rrf",
+    "llm_bm25_indexed",
+    "llm_filter_funnel",
+    "llm_seq_len_histogram",
 ]
 
 
