@@ -1790,3 +1790,41 @@ def ref_txn_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("price_usd", "sum_price_usd", scale=2),
         )
     )
+
+
+@query(
+    "ref_txn_metadata_tables",
+    oracle="""
+    WITH tot AS (SELECT COUNT(*) AS n FROM orders),
+    evens AS (
+      SELECT COUNT(*) AS n_lo FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    dv AS (SELECT COUNT(*) AS n_dv FROM orders WHERE o_orderkey % 13 = 0)
+    SELECT 1 AS version, 1 AS live_files,
+           CAST(n_lo AS BIGINT) AS rows, CAST(0 AS BIGINT) AS dv_rows
+    FROM evens
+    UNION ALL
+    SELECT 2, 2, CAST(n AS BIGINT), 0 FROM tot
+    UNION ALL
+    SELECT 3, 2, CAST(n AS BIGINT), CAST(n_dv AS BIGINT) FROM tot, dv
+    """,
+)
+def ref_txn_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Queryable metadata tables (sources/txn_table.py:metadata_df —
+    Iceberg's files/history/snapshots surface): the per-version
+    snapshots table is derived from the log alone and carries live
+    file counts, physical rows, and dv-shadowed rows; the oracle
+    recomputes every figure from raw orders, so log bookkeeping that
+    drifted from the data (miscounted rows, lost dv attribution)
+    hash-mismatches."""
+    from aws_datalake_spark.sources import txn_table as tt
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    root = tempfile.mkdtemp(prefix="txn_meta_") + "/orders"
+    tt.write(o.filter(F.col("o_orderkey") % 2 == 0).coalesce(1), root)
+    tt.write(o.filter(F.col("o_orderkey") % 2 == 1).coalesce(1), root,
+             mode="append")
+    tt.delete_where_dv(spark, root, "o_orderkey % 13 = 0")
+    return tt.metadata_df(spark, root, "snapshots").select(
+        "version", "live_files", "rows", "dv_rows"
+    )

@@ -1809,6 +1809,79 @@ def register_txn_view(
     read(spark, root, version=version).createOrReplaceTempView(name)
 
 
+def metadata_df(spark: SparkSession, root: str, kind: str) -> DataFrame:
+    """Iceberg-style queryable METADATA tables, derived purely from
+    the log (no data file opened):
+
+    * ``files`` — one row per live file: path, data sequence number,
+      physical/dv-deleted rows, partition values (JSON), dv/bloom
+      presence. The input to storage dashboards and maintenance SQL.
+    * ``history`` — the commit trail with row/file deltas.
+    * ``snapshots`` — per version: live files and rows after that
+      commit (replayed; O(versions) small JSONs).
+
+    Register with ``.createOrReplaceTempView(f"{name}_files")`` etc.
+    for the SQL surface (``SELECT * FROM t_files WHERE dv_rows > 0``).
+    """
+    if kind == "files":
+        snap = snapshot(root)
+        rows = [
+            (
+                rel,
+                int(a.get("_v", 0)),
+                int(a.get("rows", 0)),
+                int(a.get("dv_rows", 0)),
+                json.dumps(a.get("partition"), sort_keys=True)
+                if a.get("partition") else None,
+                bool(a.get("dv")),
+                sorted(a.get("bloom", {}).keys()),
+            )
+            for rel, a in sorted(snap["files"].items())
+        ]
+        return spark.createDataFrame(
+            rows,
+            "path string, sequence int, rows long, dv_rows long, "
+            "partition string, has_dv boolean, bloom_cols array<string>",
+        )
+    if kind == "history":
+        rows = []
+        for h in history(root):
+            c = _read_commit(root, h["version"])
+            rows.append(
+                (
+                    h["version"], h["op"], float(h["ts"] or 0.0),
+                    h["added"], h["removed"],
+                    int(sum(a.get("rows", 0) for a in c.get("add", []))),
+                )
+            )
+        return spark.createDataFrame(
+            rows,
+            "version int, op string, ts double, files_added int, "
+            "files_removed int, rows_added long",
+        )
+    if kind == "snapshots":
+        rows = []
+        for v in _list_versions(root):
+            snap = snapshot(root, v)
+            rows.append(
+                (
+                    v,
+                    len(snap["files"]),
+                    int(sum(a.get("rows", 0) for a in snap["files"].values())),
+                    int(
+                        sum(
+                            a.get("dv_rows", 0)
+                            for a in snap["files"].values()
+                        )
+                    ),
+                )
+            )
+        return spark.createDataFrame(
+            rows, "version int, live_files int, rows long, dv_rows long"
+        )
+    raise ValueError(f"unknown metadata table {kind!r}")
+
+
 def scd2_merge_txn(
     spark: SparkSession,
     root: str,

@@ -929,3 +929,53 @@ def test_mapping_composes_with_deletes_and_compact(table, spark):
     df2 = tt.read(spark, table)
     assert df2.count() == 199
     assert sorted(df2.columns) == ["k", "seg", "unit_price"]
+
+
+# ------------------------------------------------ metadata tables + evolution
+
+
+def test_metadata_tables_files_history_snapshots(table, spark):
+    tt.delete_where_dv(spark, table, "k = 1")
+    files = tt.metadata_df(spark, table, "files")
+    assert files.count() == 2
+    assert files.filter("has_dv").count() == 1
+    assert files.filter("dv_rows = 1").count() == 1
+    assert {r.sequence for r in files.collect()} == {1, 2}
+    hist = tt.metadata_df(spark, table, "history")
+    assert [r.op for r in hist.orderBy("version").collect()] == [
+        "append", "append", "delete-dv",
+    ]
+    assert hist.filter("op = 'append'").agg(
+        F.sum("rows_added")
+    ).first()[0] == 200
+    snaps = tt.metadata_df(spark, table, "snapshots").orderBy("version")
+    got = [(r.version, r.live_files, r.rows, r.dv_rows) for r in snaps.collect()]
+    assert got == [(1, 1, 100, 0), (2, 2, 200, 0), (3, 2, 200, 1)]
+    # SQL surface
+    files.createOrReplaceTempView("t_files")
+    assert spark.sql("SELECT COUNT(*) FROM t_files WHERE dv_rows > 0").first()[0] == 1
+
+
+def test_partition_spec_evolution(tmp_path, spark):
+    """Iceberg partition evolution: a later write can declare a NEW
+    transform spec; old files keep their old partition metadata and
+    prune by footer stats, new files prune by the new transforms —
+    reads stay correct across generations."""
+    root = str(tmp_path / "ev")
+    old = spark.createDataFrame(
+        [Row(k=i, v=float(i)) for i in range(100)]
+    ).coalesce(1)
+    tt.write_partitioned(old, root, [("truncate", "k", 50)])
+    new = spark.createDataFrame(
+        [Row(k=1000 + i, v=float(i)) for i in range(100)]
+    ).coalesce(1)
+    tt.write_partitioned(new, root, [("bucket", "k", 4)], mode="append")
+    assert [tf[0] for tf in tt.table_partitioning(root)] == ["bucket"]
+    # a bucket-key lookup prunes NEW-generation files by transform
+    # and old-generation files by stats, losing no rows
+    got = tt.read_partitioned(spark, root, eq={"k": 1042})
+    assert got.filter("k = 1042").count() == 1
+    assert len(got.inputFiles()) < len(tt.snapshot(root)["files"])
+    got2 = tt.read_partitioned(spark, root, eq={"k": 42})
+    assert got2.filter("k = 42").count() == 1
+    assert tt.read(spark, root).count() == 200
