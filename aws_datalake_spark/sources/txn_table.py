@@ -288,6 +288,11 @@ class SchemaEnforcementError(ValueError):
     merge_schema was not requested."""
 
 
+def _require_table(root: str) -> None:
+    if not is_txn_table(root):
+        raise FileNotFoundError(f"{root!r} is not a txn table")
+
+
 class ConstraintViolation(ValueError):
     """A write batch contains rows violating a table CHECK
     constraint; the commit was refused and nothing became visible."""
@@ -300,11 +305,13 @@ def add_constraint(root: str, name: str, predicate: str) -> int:
     at write time (one filter-count over the incoming batch — batch-
     sized, never a table scan), so bad data is refused BEFORE it
     becomes visible rather than quarantined after."""
+    _require_table(root)
     return _commit(root, "add-constraint", [], [],
                    extra={"constraint": {"name": name, "expr": predicate}})
 
 
 def drop_constraint(root: str, name: str) -> int:
+    _require_table(root)
     return _commit(root, "drop-constraint", [], [],
                    extra={"constraint": {"name": name}})
 
@@ -550,6 +557,7 @@ def _read_files(
 def rename_column(root: str, old: str, new: str) -> int:
     """Metadata-only column rename. Fails if ``old`` is unknown or
     ``new`` already taken (as a logical name)."""
+    _require_table(root)
     m = table_mapping(root)
     if old not in m:
         raise ValueError(f"unknown column {old!r} (have {sorted(m)})")
@@ -563,6 +571,7 @@ def drop_column(root: str, name: str) -> int:
     """Metadata-only column drop: the physical data stays in the
     files (reclaimed at the next natural rewrite); reads stop
     returning it immediately."""
+    _require_table(root)
     if name not in table_mapping(root):
         raise ValueError(f"unknown column {name!r}")
     return _commit(root, "drop-column", [], [],
@@ -1254,6 +1263,7 @@ def delete_where_eq(
     a rewrite or ``purge_deletes`` materializes it. Streaming CDC
     writers that cannot afford a lookup use equality; batch erasure
     jobs prefer positional."""
+    _require_table(root)
     cols = list(keys.columns)
     sub = os.path.join(_EQDEL_DIR, uuid.uuid4().hex)
     keys.dropDuplicates().write.mode("overwrite").parquet(

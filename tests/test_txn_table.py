@@ -979,3 +979,16 @@ def test_partition_spec_evolution(tmp_path, spark):
     got2 = tt.read_partitioned(spark, root, eq={"k": 42})
     assert got2.filter("k = 42").count() == 1
     assert tt.read(spark, root).count() == 200
+
+
+def test_metadata_ops_require_existing_table(tmp_path, spark):
+    """Constraint/eq-delete/rename commits on a nonexistent table
+    must fail loudly instead of conjuring an empty log."""
+    ghost = str(tmp_path / "ghost")
+    with pytest.raises(FileNotFoundError):
+        tt.add_constraint(ghost, "c", "x > 0")
+    with pytest.raises(FileNotFoundError):
+        tt.delete_where_eq(spark, ghost, spark.createDataFrame([(1,)], "k long"))
+    with pytest.raises(FileNotFoundError):
+        tt.rename_column(ghost, "a", "b")
+    assert not os.path.exists(os.path.join(ghost, "_txn_log"))
