@@ -388,3 +388,55 @@ def rrf_fuse(
         F.count(F.lit(1)).cast("long").alias("n_lists"),
         F.round(F.sum("__c6").cast("double") / 1_000_000.0, 6).alias("rrf"),
     )
+
+
+def cross_rerank(
+    candidates: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-encoder RERANK stage — the third hop of a retrieval
+    stack (retrieve → fuse → rerank): every (query, candidate-text)
+    pair runs through a scoring model, batched Arrow-side via
+    ``mapInPandas`` exactly as a real cross-encoder would (pairs in,
+    scores out; batch size capped by arrow.maxRecordsPerBatch = the
+    model's activation-memory knob; no shuffle — candidates are
+    already top-k-bounded).
+
+    The scorer is a deterministic stub (term-overlap blended with a
+    60-bit md5 of the pair, reproducible bit-for-bit by the SQL
+    oracle) because no model runtime ships in this container; a real
+    deployment swaps ONLY the inner loop for an ONNX/torch call with
+    the same iterator, schema contract, and partition inheritance —
+    which is what this function actually tests. Returns
+    ``(id_col, rerank_score)``."""
+    from collections.abc import Iterator
+
+    import hashlib
+
+    import pandas as pd
+
+    q = " ".join(query_terms)
+    nq = float(len(query_terms))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            scores = []
+            for text in pdf[text_col].astype(str):
+                toks = set(text.split())
+                overlap = sum(1 for t in query_terms if t in toks) / nq
+                h = int(
+                    hashlib.md5(f"{q}\x01{text}".encode()).hexdigest()[:15],
+                    16,
+                )
+                scores.append(
+                    round(0.7 * overlap + 0.3 * (h % 1048576) / 1048576.0, 6)
+                )
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "rerank_score": scores}
+            )
+
+    return candidates.mapInPandas(
+        batches, f"{id_col} long, rerank_score double"
+    )

@@ -666,3 +666,88 @@ def llm_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf"), "doc_id")
         .limit(20)
     )
+
+
+@query(
+    "llm_rerank",
+    oracle=f"""
+    WITH fused AS (
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+      dense AS (
+        SELECT vec_id AS doc_id,
+               ROW_NUMBER() OVER (ORDER BY {_cos('v', 'qv')} DESC, vec_id) AS r
+        FROM e, q WHERE vec_id <> 0
+      ),
+      toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents
+      ), base AS (
+        SELECT doc_id, len(t) AS dl, t FROM toks
+      ), tot AS (
+        SELECT COUNT(*) AS n, SUM(dl) AS sumdl FROM base
+      ), dt AS (
+        SELECT doc_id, dl, w, COUNT(*) AS tf
+        FROM (SELECT doc_id, dl, unnest(t) AS w FROM base)
+        WHERE w IN ('vector', 'merge', 'window')
+        GROUP BY 1, 2, 3
+      ), dfreq AS (
+        SELECT w, COUNT(DISTINCT doc_id) AS dfc FROM dt GROUP BY 1
+      ), bm AS (
+        SELECT doc_id,
+          CAST(ROUND(ROUND(
+            ((CAST(n AS DOUBLE) - dfc + 0.5) / (dfc + 0.5)) *
+            ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl /
+                (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))
+          , 6) * 1000000.0) AS BIGINT) AS c6
+        FROM dt JOIN dfreq USING (w) CROSS JOIN tot
+      ), lexs AS (
+        SELECT doc_id,
+               ROUND(CAST(SUM(c6) AS DOUBLE) / 1000000.0, 6) AS score
+        FROM bm GROUP BY 1
+      ), lex AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+        FROM lexs
+      ),
+      unioned AS (
+        SELECT doc_id, CAST(ROUND(1000000.0 / (60 + r)) AS BIGINT) AS c6
+        FROM dense WHERE r <= 50
+        UNION ALL
+        SELECT doc_id, CAST(ROUND(1000000.0 / (60 + r)) AS BIGINT)
+        FROM lex WHERE r <= 50
+      )
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lists,
+             ROUND(CAST(SUM(c6) AS DOUBLE) / 1000000.0, 6) AS rrf
+      FROM unioned GROUP BY 1
+      ORDER BY rrf DESC, doc_id
+      LIMIT 20
+    )
+    SELECT f.doc_id,
+           ROUND(
+             0.7 * (len(list_filter(['vector', 'merge', 'window'],
+                        qt -> list_contains(regexp_split_to_array(trim(d.text), '\\s+'), qt))) / 3.0)
+           + 0.3 * ((('0x' || substr(md5('vector merge window' || chr(1) || d.text), 1, 15))::BIGINT % 1048576) / 1048576.0)
+           , 6) AS rerank_score
+    FROM fused f JOIN documents d USING (doc_id)
+    ORDER BY rerank_score DESC, doc_id
+    LIMIT 10
+    """,
+)
+def llm_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full three-hop retrieval: hybrid RRF top-20 candidates
+    re-scored by the cross-encoder stage
+    (operators/similarity.py:cross_rerank — Arrow-batched pair
+    scoring with the real model-serving shape), final top-10. The
+    whole pipeline (two retrievers -> fusion -> rerank) hash-matches
+    the SQL twin end to end."""
+    from aws_datalake_spark.operators.similarity import cross_rerank
+
+    fused = llm_hybrid_search_rrf(spark, sf_dir).select("doc_id")
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    cands = fused.join(docs, "doc_id")
+    return (
+        cross_rerank(cands, ["vector", "merge", "window"])
+        .orderBy(F.desc("rerank_score"), "doc_id")
+        .limit(10)
+    )

@@ -734,3 +734,27 @@ def test_rrf_fuse_agreement_dominates(spark):
     # exact fixed-point: 1/(60+1) + 1/(60+2) to 6 places
     expect_1 = round((round(1e6 / 61) + round(1e6 / 62)) / 1e6, 6)
     assert abs(got[1].rrf - expect_1) < 1e-9
+
+
+def test_cross_rerank_overlap_dominates_and_is_deterministic(spark):
+    from aws_datalake_spark.operators.similarity import cross_rerank
+
+    cands = spark.createDataFrame(
+        [
+            (1, "vector merge window all three"),
+            (2, "vector only here"),
+            (3, "nothing relevant at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.rerank_score for r in cross_rerank(
+        cands, ["vector", "merge", "window"]
+    ).collect()}
+    # overlap term (0.7 weight) dominates the hash tiebreak (0.3)
+    assert got[1] > got[2] > got[3]
+    assert got[1] >= 0.7 and got[3] < 0.3
+    # deterministic across runs
+    again = {r.doc_id: r.rerank_score for r in cross_rerank(
+        cands, ["vector", "merge", "window"]
+    ).collect()}
+    assert got == again
