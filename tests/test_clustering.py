@@ -163,3 +163,15 @@ def test_ivf_pq_composes_and_scoring_is_jvm_side(spark):
     # ADC fold must be plain JVM expressions: no python udf in scoring
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+def test_pq_train_validates_inputs(spark):
+    import pytest
+
+    from aws_datalake_spark.operators.pq import pq_train
+
+    emb = _emb(spark)
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_train(emb, m=7, k=16, sample=64)  # 64 % 7 != 0
+    with pytest.raises(ValueError, match="smaller than k"):
+        pq_train(emb.limit(3), m=8, k=16, sample=64)
