@@ -142,6 +142,41 @@ def _query_luts(
     return out
 
 
+def _adc_rank(
+    scored_input: DataFrame,
+    k: int,
+    k_neighbors: int,
+    id_col: str,
+    code_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Shared ADC fold + top-k tail: ``Σ_j LUT[j·k + code_j]`` as a
+    codegen'd higher-order function over the (codes × LUT) join,
+    then per-query row_number ranking. Both pq_topk and
+    ann_ivf_pq_topk ride this — the oracle-pinned arithmetic lives in
+    exactly one place."""
+    scored = scored_input.filter(
+        F.col(id_col) != F.col(query_id_col)
+    ).select(
+        query_id_col,
+        F.col(id_col).alias("neighbor_id"),
+        F.aggregate(
+            F.transform(F.col(code_col), lambda c, j: c + j * F.lit(k)),
+            F.lit(0.0).cast("double"),
+            lambda acc, i: acc + F.element_at("__lut", i + 1),
+        ).alias("adc_dist"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy("adc_dist", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_neighbors)
+        .select(
+            query_id_col, "neighbor_id", "rank",
+            F.round("adc_dist", 6).alias("adc_dist"),
+        )
+    )
+
+
 def pq_topk(
     codes: DataFrame,
     queries: DataFrame,
@@ -166,29 +201,9 @@ def pq_topk(
     luts = spark.createDataFrame(
         _query_luts(q_rows, codebooks), f"{query_id_col} long, __lut array<double>"
     )
-    scored = (
-        codes.crossJoin(F.broadcast(luts))
-        .filter(F.col(id_col) != F.col(query_id_col))
-        .select(
-            query_id_col,
-            F.col(id_col).alias("neighbor_id"),
-            F.aggregate(
-                F.transform(
-                    F.col(code_col), lambda c, j: c + j * F.lit(k)
-                ),
-                F.lit(0.0).cast("double"),
-                lambda acc, i: acc + F.element_at("__lut", i + 1),
-            ).alias("adc_dist"),
-        )
-    )
-    w = Window.partitionBy(query_id_col).orderBy("adc_dist", "neighbor_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k_neighbors)
-        .select(
-            query_id_col, "neighbor_id", "rank",
-            F.round("adc_dist", 6).alias("adc_dist"),
-        )
+    return _adc_rank(
+        codes.crossJoin(F.broadcast(luts)),
+        k, k_neighbors, id_col, code_col, query_id_col,
     )
 
 
@@ -232,25 +247,7 @@ def ann_ivf_pq_topk(
     probe = q_cells.join(luts, query_id_col).select(
         query_id_col, "centroid_id", "__lut"
     )
-    scored = (
-        codes.join(F.broadcast(probe), "centroid_id")
-        .filter(F.col(id_col) != F.col(query_id_col))
-        .select(
-            query_id_col,
-            F.col(id_col).alias("neighbor_id"),
-            F.aggregate(
-                F.transform(F.col("pq_code"), lambda c, j: c + j * F.lit(k)),
-                F.lit(0.0).cast("double"),
-                lambda acc, i: acc + F.element_at("__lut", i + 1),
-            ).alias("adc_dist"),
-        )
-    )
-    w = Window.partitionBy(query_id_col).orderBy("adc_dist", "neighbor_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k_neighbors)
-        .select(
-            query_id_col, "neighbor_id", "rank",
-            F.round("adc_dist", 6).alias("adc_dist"),
-        )
+    return _adc_rank(
+        codes.join(F.broadcast(probe), "centroid_id"),
+        k, k_neighbors, id_col, "pq_code", query_id_col,
     )

@@ -553,14 +553,54 @@ def lm_doc_scores(
             F.round(F.col("p_cond") * 1_000_000.0).cast("long"), F.lit(0)
         ).alias("__p6"),
     )
+    # the mean divides by an arbitrary n, which can land EXACTLY on a
+    # 7th-decimal tie — and Spark's round (shortest-decimal half-up)
+    # and DuckDB's (binary-value) break ties differently. Integer
+    # half-up division floor((2a+n)/(2n)) sidesteps floats entirely.
+    n = F.count(F.lit(1))
+    mean_p6 = F.floor(
+        (F.lit(2) * F.sum("__p6") + n) / (F.lit(2) * n)
+    ).cast("long")
     return scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
+        n.alias("n_bigrams"),
         F.sum("__oov").cast("long").alias("n_oov"),
-        F.round(
-            (F.sum("__p6").cast("double") / 1_000_000.0)
-            / F.count(F.lit(1)).cast("double"),
-            6,
-        ).alias("mean_p"),
+        (mean_p6.cast("double") / 1_000_000.0).alias("mean_p"),
+    )
+
+
+def _bm25_aggregate(
+    dt: DataFrame, n_docs: int, avgdl: float, k1: float, b: float,
+    id_col: str,
+) -> DataFrame:
+    """Shared BM25 arithmetic: idf ratio × tf saturation, fixed-point
+    per-term rounding, per-doc aggregation. Both the text-scan path
+    (:func:`bm25_scores`) and the inverted-index path
+    (:func:`bm25_from_index`) ride this ONE implementation — the two
+    are oracle-pinned identical, so the arithmetic must never fork.
+    ``dt`` columns: (id_col, __w term, __tf, __dl)."""
+    dfreq = dt.groupBy("__w").agg(F.countDistinct(id_col).alias("__df"))
+    idf = (F.lit(float(n_docs)) - F.col("__df") + F.lit(0.5)) / (
+        F.col("__df") + F.lit(0.5)
+    )
+    tf_sat = (F.col("__tf") * F.lit(k1 + 1.0)) / (
+        F.col("__tf")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / F.lit(avgdl))
+    )
+    contrib = F.round(idf * tf_sat, 6)
+    return (
+        dt.join(F.broadcast(dfreq), "__w")
+        .select(
+            id_col,
+            F.round(contrib * 1_000_000.0).cast("long").alias("__c6"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hit_terms"),
+            F.round(
+                F.sum("__c6").cast("double") / 1_000_000.0, 6
+            ).alias("score"),
+        )
     )
 
 
@@ -606,32 +646,7 @@ def bm25_scores(
         .groupBy(id_col, "__dl", "__w")
         .agg(F.count(F.lit(1)).alias("__tf"))
     )
-    dfreq = dt.groupBy("__w").agg(
-        F.countDistinct(id_col).alias("__df")
-    )
-    idf = (F.lit(float(n_docs)) - F.col("__df") + F.lit(0.5)) / (
-        F.col("__df") + F.lit(0.5)
-    )
-    tf_sat = (F.col("__tf") * F.lit(k1 + 1.0)) / (
-        F.col("__tf")
-        + F.lit(k1)
-        * (F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / F.lit(avgdl))
-    )
-    contrib = F.round(idf * tf_sat, 6)
-    return (
-        dt.join(F.broadcast(dfreq), "__w")
-        .select(
-            id_col,
-            F.round(contrib * 1_000_000.0).cast("long").alias("__c6"),
-        )
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_hit_terms"),
-            F.round(
-                F.sum("__c6").cast("double") / 1_000_000.0, 6
-            ).alias("score"),
-        )
-    )
+    return _bm25_aggregate(dt, n_docs, avgdl, k1, b, id_col)
 
 
 def text_index(
@@ -681,29 +696,11 @@ def bm25_from_index(
     dt = (
         postings.filter(F.col("term").isin(list(terms)))
         .join(doc_stats, id_col)
-        .select(id_col, "dl", F.col("term").alias("__w"), F.col("tf").alias("__tf"))
-    )
-    dfreq = dt.groupBy("__w").agg(F.countDistinct(id_col).alias("__df"))
-    idf = (F.lit(float(n_docs)) - F.col("__df") + F.lit(0.5)) / (
-        F.col("__df") + F.lit(0.5)
-    )
-    tf_sat = (F.col("__tf") * F.lit(k1 + 1.0)) / (
-        F.col("__tf")
-        + F.lit(k1)
-        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
-    )
-    contrib = F.round(idf * tf_sat, 6)
-    return (
-        dt.join(F.broadcast(dfreq), "__w")
         .select(
             id_col,
-            F.round(contrib * 1_000_000.0).cast("long").alias("__c6"),
-        )
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_hit_terms"),
-            F.round(
-                F.sum("__c6").cast("double") / 1_000_000.0, 6
-            ).alias("score"),
+            F.col("dl").alias("__dl"),
+            F.col("term").alias("__w"),
+            F.col("tf").alias("__tf"),
         )
     )
+    return _bm25_aggregate(dt, n_docs, avgdl, k1, b, id_col)

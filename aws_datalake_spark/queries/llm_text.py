@@ -834,8 +834,9 @@ def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, COUNT(*) AS n_bigrams,
            CAST(SUM(oov) AS BIGINT) AS n_oov,
-           ROUND((CAST(SUM(p6) AS DOUBLE) / 1000000.0)
-                 / CAST(COUNT(*) AS DOUBLE), 6) AS mean_p
+           CAST(CAST(FLOOR((2 * SUM(p6) + COUNT(*))
+                           / (2.0 * COUNT(*))) AS BIGINT) AS DOUBLE)
+             / 1000000.0 AS mean_p
     FROM j GROUP BY 1
     """,
 )
@@ -977,8 +978,9 @@ def llm_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), tot AS (SELECT SUM(n_docs) AS nd FROM h)
     SELECT b * 64 AS len_lo, CAST(n_docs AS BIGINT) AS n_docs,
            CAST(sum_tokens AS BIGINT) AS sum_tokens,
-           ROUND(CAST(SUM(n_docs) OVER (ORDER BY b) AS DOUBLE)
-                 / CAST(nd AS DOUBLE), 6) AS cum_doc_share
+           CAST(CAST(FLOOR((2000000 * SUM(n_docs) OVER (ORDER BY b) + nd)
+                           / (2.0 * nd)) AS BIGINT) AS DOUBLE)
+             / 1000000.0 AS cum_doc_share
     FROM h CROSS JOIN tot
     """,
 )
@@ -1011,10 +1013,14 @@ def llm_seq_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("b") * 64).alias("len_lo"),
             F.col("n_docs").cast("long"),
             F.col("sum_tokens").cast("long"),
-            F.round(
-                F.sum("n_docs").over(w).cast("double")
-                / F.col("nd").cast("double"),
-                6,
+            (
+                F.floor(
+                    (F.lit(2_000_000) * F.sum("n_docs").over(w) + F.col("nd"))
+                    / (F.lit(2) * F.col("nd"))
+                )
+                .cast("long")
+                .cast("double")
+                / 1_000_000.0
             ).alias("cum_doc_share"),
         )
     )

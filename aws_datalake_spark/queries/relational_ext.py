@@ -1138,7 +1138,8 @@ def q_grouped_median_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_time_range_frame",
     oracle="""
     WITH e AS (
-      SELECT event_id, user_id, epoch(ts) AS sec,
+      SELECT event_id, user_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec,
              CAST(ROUND(value * 1000000.0) AS BIGINT) AS v6
       FROM events
     )

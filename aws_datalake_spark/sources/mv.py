@@ -161,6 +161,8 @@ def _dirty_keys(
         if v <= since or v > to:
             continue
         c = tt._read_commit(src_root, v)
+        if c.get("op") == "bloom-index":
+            continue  # metadata-only re-add: no rows changed
         if c.get("op") == "delete-dv":
             keys = _dv_touched_keys(spark, src_root, c, group_cols)
             if keys is None:
@@ -202,10 +204,20 @@ def _dirty_keys(
             .select(*group_cols)
         )
     if not frames:
-        return (
-            spark.createDataFrame([], "x int").limit(0),
-            0,
+        # schema-correct empty dirty set (metadata-only commits in
+        # range, e.g. constraints/renames): plan-only, no scan
+        empty = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(
+                *[
+                    os.path.join(src_root, r)
+                    for r in sorted(tt.snapshot(src_root)["files"])
+                ]
+            )
+            .select(*group_cols)
+            .limit(0)
         )
+        return empty, 0
     keys = frames[0]
     for f in frames[1:]:
         keys = keys.unionByName(f)
@@ -297,16 +309,30 @@ def mv_refresh(spark: SparkSession, mv_root: str) -> dict:
         tt.merge_upsert(spark, mv_root, fresh, keys=group_cols)
     fresh.unpersist()
     if gone_rows:
-        pred = " OR ".join(
-            "("
-            + " AND ".join(
-                f"{c} = '{r[c]}'" if isinstance(r[c], str) else f"{c} = {r[c]}"
-                for c in group_cols
-            )
-            + ")"
-            for r in gone_rows
-        )
-        tt.delete_where(spark, mv_root, pred)
+
+        def lit(v):
+            # SQL-literal rendering that survives quotes, NULLs, and
+            # temporal types — group keys are user data, not SQL
+            if v is None:
+                return None
+            if isinstance(v, str):
+                return "'" + v.replace("'", "''") + "'"
+            if isinstance(v, bool):
+                return "TRUE" if v else "FALSE"
+            if hasattr(v, "isoformat"):
+                return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+            return repr(v)
+
+        def one(r):
+            parts = []
+            for c in group_cols:
+                rendered = lit(r[c])
+                parts.append(
+                    f"{c} IS NULL" if rendered is None else f"{c} = {rendered}"
+                )
+            return "(" + " AND ".join(parts) + ")"
+
+        tt.delete_where(spark, mv_root, " OR ".join(one(r) for r in gone_rows))
     tt._commit(mv_root, "mv-refresh", [], [], extra={"mv": new_meta})
     dirty.unpersist()
     return {

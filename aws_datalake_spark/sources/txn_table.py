@@ -410,7 +410,16 @@ def write(df: DataFrame, root: str, mode: str = "append",
                 f"txn_table: unknown columns {sorted(unknown)} for the "
                 f"mapped schema {sorted(mapping)}; pass merge_schema=True"
             )
+        taken = set(mapping.values())
         for c in unknown:
+            if c in taken:
+                # the physical name is owned by a RENAMED column; a new
+                # logical column reusing it would alias two columns'
+                # data together on read
+                raise SchemaEnforcementError(
+                    f"txn_table: column name {c!r} is the physical name "
+                    "of a renamed column; choose a different name"
+                )
             mapping[c] = c
         df = _to_physical(df, mapping)
         cur = dict(table_schema(root) or [])
@@ -558,6 +567,15 @@ def rename_column(root: str, old: str, new: str) -> int:
     """Metadata-only column rename. Fails if ``old`` is unknown or
     ``new`` already taken (as a logical name)."""
     _require_table(root)
+    import re as _re
+
+    for cname, expr in table_constraints(root).items():
+        if _re.search(rf"\b{_re.escape(old)}\b", expr):
+            raise ValueError(
+                f"column {old!r} is referenced by CHECK constraint "
+                f"{cname!r} ({expr}); drop the constraint first and "
+                "re-add it under the new name"
+            )
     m = table_mapping(root)
     if old not in m:
         raise ValueError(f"unknown column {old!r} (have {sorted(m)})")
@@ -880,7 +898,11 @@ def purge_dv(spark: SparkSession, root: str) -> int:
     dved = sorted(r for r, a in snap["files"].items() if a.get("dv"))
     if not dved:
         return snap["version"]
-    live = _read_files(spark, root, snap["files"], dved)
+    # equality deletes MUST ride the rewrite too: the fresh files get
+    # a new data sequence number, so an un-applied equality delete
+    # would stop applying to them and its rows would resurrect
+    live = _read_files(spark, root, snap["files"], dved,
+                       eq_deletes=snap.get("eq_deletes"))
     add = _write_data(live, root)
     return _commit(root, "purge-dv", add, dved)
 
@@ -1095,7 +1117,9 @@ def _partition_values_from_path(rel: str, spec) -> dict:
     typed partition values (int for bucket / integer-truncate)."""
     int_cols = set()
     for tf in spec:
-        if tf[0] == "bucket" or (tf[0] == "truncate" and tf[3] == "long"):
+        if tf[0] == "bucket" or (
+            tf[0] == "truncate" and tf[3] == "long"
+        ) or (tf[0] == "identity" and len(tf) > 2 and tf[2] == "long"):
             int_cols.add(_pcol_name(tf))
     out: dict = {}
     for seg in rel.split(os.sep):
@@ -1138,13 +1162,16 @@ def write_partitioned(
     # parse back typed
     spec = []
     for tf in transforms:
-        if tf[0] == "truncate":
+        if tf[0] in ("truncate", "identity"):
             rtype = (
                 "long"
                 if dtypes[tf[1]] in ("tinyint", "smallint", "int", "bigint")
                 else "string"
             )
-            spec.append((tf[0], tf[1], tf[2], rtype))
+            if tf[0] == "truncate":
+                spec.append((tf[0], tf[1], tf[2], rtype))
+            else:
+                spec.append((tf[0], tf[1], rtype))
         else:
             spec.append(tuple(tf))
     adds = _write_data_by_spec(df, root, spec)
@@ -1342,15 +1369,17 @@ def vacuum(root: str, retain_versions: int = 1) -> int:
     data_root = os.path.join(root, "data")
     deleted = 0
     if os.path.isdir(data_root):
-        for sub in os.listdir(data_root):
-            subdir = os.path.join(data_root, sub)
-            for f in os.listdir(subdir):
-                rel = os.path.join("data", sub, f)
+        # walk RECURSIVELY: hidden-partitioned commits nest hive dirs
+        # below the commit uuid, and those files must be reclaimable
+        for dirpath, dirnames, filenames in os.walk(data_root, topdown=False):
+            for f in filenames:
+                full = os.path.join(dirpath, f)
+                rel = os.path.relpath(full, root)
                 if f.endswith(".parquet") and rel not in keep:
-                    os.remove(os.path.join(root, rel))
+                    os.remove(full)
                     deleted += 1
-            if not os.listdir(subdir):
-                os.rmdir(subdir)
+            if dirpath != data_root and not os.listdir(dirpath):
+                os.rmdir(dirpath)
     # delete-set dirs (positional + equality) referenced by no
     # retained snapshot, or whose equality delete no longer applies
     # to any live file
@@ -1500,8 +1529,9 @@ def read_changes(
     for v in versions:
         c = _read_commit(root, v)
         adds = c.get("add", [])
-        if not adds or c.get("op") == "delete-dv":
-            # delete-dv commits are METADATA-ONLY re-adds (a dv
+        if not adds or c.get("op") in ("delete-dv", "bloom-index"):
+            # delete-dv / bloom-index commits are METADATA-ONLY
+            # re-adds (a dv
             # reference attached to existing files): no new rows to
             # feed the add-only CDC stream. The deletions themselves
             # are invisible to this feed — the documented
@@ -1575,6 +1605,8 @@ def read_changes_typed(
     for v in versions:
         c = _read_commit(root, v)
         op = c.get("op", "?")
+        if op == "bloom-index":
+            continue  # metadata-only re-add: zero logical changes
         pre = (
             snapshot(root, v - 1)
             if v > 1

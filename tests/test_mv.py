@@ -167,3 +167,34 @@ def test_mv_eq_delete_dirty_precision(tmp_path, spark):
     r2 = mv.mv_refresh(spark, root)
     assert r2["mode"] == "incremental"
     assert _same(mv.mv_read(spark, root), _expected(spark, src))
+
+
+def test_mv_refresh_noop_on_metadata_only_commits(tmp_path, spark):
+    src = str(tmp_path / "src")
+    root = str(tmp_path / "mv")
+    tt.write(_rows(spark, 0, 100), src)
+    mv.mv_create(spark, src, root, ["g"], {"n": ("count",)})
+    tt.add_constraint(src, "pos", "v >= 0")  # metadata-only commit
+    r = mv.mv_refresh(spark, root)
+    assert r["mode"] == "incremental" and r["dirty_groups"] == 0
+    assert _same(mv.mv_read(spark, root), _expected(spark, src).select("g", "n"))
+
+
+def test_mv_vanished_group_with_quoted_string_key(tmp_path, spark):
+    from pyspark.sql import Row
+
+    src = str(tmp_path / "src")
+    root = str(tmp_path / "mv")
+    tt.write(
+        spark.createDataFrame(
+            [Row(k=i, g="O'Brien" if i < 5 else "plain", v=float(i))
+             for i in range(10)]
+        ).coalesce(1),
+        src,
+    )
+    mv.mv_create(spark, src, root, ["g"], {"n": ("count",)})
+    tt.delete_where_dv(spark, src, "g = 'O''Brien'")
+    r = mv.mv_refresh(spark, root)
+    assert r["gone_groups"] == 1
+    got = mv.mv_read(spark, root)
+    assert got.count() == 1 and got.first()["g"] == "plain"

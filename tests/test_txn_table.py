@@ -992,3 +992,74 @@ def test_metadata_ops_require_existing_table(tmp_path, spark):
     with pytest.raises(FileNotFoundError):
         tt.rename_column(ghost, "a", "b")
     assert not os.path.exists(os.path.join(ghost, "_txn_log"))
+
+
+# ------------------------------------------------- review-fix regressions
+
+
+def test_purge_dv_does_not_resurrect_eq_deleted_rows(table, spark):
+    tt.delete_where_eq(spark, table, spark.createDataFrame([(7,)], "k long"))
+    tt.delete_where_dv(spark, table, "k = 9")
+    tt.purge_dv(spark, table)  # rewrites the dv'd file with a NEW seq number
+    df = tt.read(spark, table)
+    assert df.filter("k = 7").count() == 0  # eq delete materialized, not lost
+    assert df.filter("k = 9").count() == 0
+    assert df.count() == 198
+
+
+def test_bloom_index_commit_is_silent_in_cdc(table, spark):
+    v0 = tt.snapshot(table)["version"]
+    tt.build_bloom_index(spark, table, "k")
+    tt.write(_mk(spark, 8000, 8005), table, mode="append")
+    ch = tt.read_changes(spark, table, since_version=v0)
+    assert ch.count() == 5  # only the append; the index re-add is silent
+    typed = tt.read_changes_typed(spark, table, since_version=v0)
+    assert typed.count() == 5
+    assert typed.select("_change_type").distinct().first()[0] == "insert"
+
+
+def test_merge_schema_cannot_reuse_freed_physical_name(table, spark):
+    tt.rename_column(table, "price", "unit_price")
+    with pytest.raises(tt.SchemaEnforcementError, match="physical name"):
+        tt.write(
+            spark.createDataFrame(
+                [(1, 1.0, "s0", 9.9)],
+                "k long, unit_price double, seg string, price double",
+            ),
+            table, mode="append", merge_schema=True,
+        )
+
+
+def test_vacuum_reclaims_nested_partition_files(tmp_path, spark):
+    root = str(tmp_path / "vp")
+    tt.write_partitioned(_mk_ts(spark, 50), root, [("bucket", "k", 2)])
+    n_old = len(tt.snapshot(root)["files"])
+    tt.write_partitioned(
+        _mk_ts(spark, 50), root, [("bucket", "k", 2)], mode="overwrite"
+    )
+    deleted = tt.vacuum(root, retain_versions=1)
+    assert deleted >= n_old  # the overwritten NESTED files reclaimed
+    assert tt.read(spark, root).count() == 50
+
+
+def test_rename_blocked_by_referencing_constraint(table, spark):
+    tt.add_constraint(table, "pp", "price > 0")
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        tt.rename_column(table, "price", "unit_price")
+    tt.drop_constraint(table, "pp")
+    tt.rename_column(table, "price", "unit_price")  # now fine
+    assert "unit_price" in tt.read(spark, table).columns
+
+
+def test_identity_partition_on_int_column_prunes_typed(tmp_path, spark):
+    root = str(tmp_path / "idp")
+    df = spark.createDataFrame(
+        [Row(k=i, g=i % 3, v=float(i)) for i in range(90)]
+    ).coalesce(1)
+    tt.write_partitioned(df, root, [("identity", "g")])
+    got = tt.read_partitioned(spark, root, eq={"g": 1})
+    assert len(got.inputFiles()) < len(tt.snapshot(root)["files"])
+    assert got.filter("g = 1").count() == 30
+    # integer range over the identity partition works (typed values)
+    rng = tt.read_partitioned(spark, root, ranges={"g": (1, 2)})
+    assert rng.filter("g between 1 and 2").count() == 60
