@@ -199,6 +199,7 @@ txn_ops = st.lists(
         st.tuples(st.just("overwrite"), st.integers(0, 3), st.integers(1, 5)),
         st.tuples(st.just("compact"), st.just(0), st.just(0)),
         st.tuples(st.just("delete_dv"), st.integers(0, 3), st.just(0)),
+        st.tuples(st.just("delete_eq"), st.integers(0, 3), st.just(0)),
         st.tuples(st.just("purge_dv"), st.just(0), st.just(0)),
     ),
     min_size=1,
@@ -209,8 +210,8 @@ txn_ops = st.lists(
 @given(ops=txn_ops)
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
 def test_txn_table_matches_dict_model(spark_global, tmp_path_factory, ops):
-    """Random append/merge/overwrite/compact/delete-dv/purge-dv
-    sequences: the txn
+    """Random append/merge/overwrite/compact/delete-dv/delete-eq/
+    purge-dv sequences: the txn
     table's live snapshot must equal a plain dict model (merge keyed
     on k; append multiplies rows; overwrite resets; compact is a
     no-op on content), and every historical version must still
@@ -252,6 +253,23 @@ def test_txn_table_matches_dict_model(spark_global, tmp_path_factory, ops):
             if tt.is_txn_table(root):
                 tt.delete_where_dv(
                     spark, root, f"k >= {base * 10} AND k < {base * 10 + 10}"
+                )
+                model = [
+                    r for r in model
+                    if not (base * 10 <= r[0] < base * 10 + 10)
+                ]
+        elif op == "delete_eq":
+            # equality delete of one key-decade: the dict model drops
+            # the rows that exist NOW; later appends of the same keys
+            # re-enter — exactly the sequence semantics the table
+            # implements with data sequence numbers
+            if tt.is_txn_table(root):
+                tt.delete_where_eq(
+                    spark, root,
+                    spark.createDataFrame(
+                        [(k,) for k in range(base * 10, base * 10 + 10)],
+                        "k long",
+                    ),
                 )
                 model = [
                     r for r in model
