@@ -388,3 +388,66 @@ def importance_weights(
             F.sum("__c").alias("n_tokens"),
         )
     )
+
+
+def waterfill_budget(
+    avail: DataFrame,
+    budget: int,
+    key_col: str = "source",
+    avail_col: str = "n_tokens",
+) -> DataFrame:
+    """Max-min fair token-budget allocation (WATERFILLING) with
+    per-source caps: every source receives ``min(available, λ)``
+    with the water level λ chosen so allocations sum to ``budget`` —
+    small sources keep everything, large sources are clipped equally.
+    This is the standard fair-division answer to "spend B tokens
+    across N corpora without letting the biggest dominate" (the
+    capped complement of temperature mixing).
+
+    Set-based, no iteration: sort sources by availability, one
+    cumulative-sum window finds the pivot (the largest prefix whose
+    members fit under the level implied by the remaining budget),
+    arithmetic is pure int64 — the fractional water level is
+    realized as floor(λ) plus one extra token to the first
+    ``remainder`` clipped sources in sort order, so allocations are
+    integers, conserve the budget EXACTLY, and hash-match any
+    engine. If total availability ≤ budget everyone gets everything.
+
+    Returns ``(key_col, avail_col, alloc)``.
+    """
+    w_sort = Window.orderBy(avail_col, key_col)
+    w_all = Window.partitionBy(F.lit(1))
+    s = (
+        avail.select(
+            key_col, F.col(avail_col).cast("long").alias(avail_col)
+        )
+        .withColumn("__rn", F.row_number().over(w_sort))
+        .withColumn("__cum", F.sum(avail_col).over(w_sort))
+        .withColumn("__n", F.count(F.lit(1)).over(w_all))
+        .withColumn("__total", F.sum(avail_col).over(w_all))
+    )
+    B = F.lit(int(budget)).cast("long")
+    # a prefix position qualifies while funding every LATER source at
+    # this source's own level still exceeds the budget's remainder —
+    # i.e. the water settles above this source's availability
+    fits = (B - F.col("__cum")) >= (
+        (F.col("__n") - F.col("__rn")) * F.col(avail_col)
+    )
+    pivot = F.max(F.when(fits, F.col("__rn")).otherwise(F.lit(0))).over(w_all)
+    pivot_cum = F.max(F.when(fits, F.col("__cum")).otherwise(F.lit(0))).over(
+        w_all
+    )
+    n_clipped = F.col("__n") - pivot
+    level = F.floor((B - pivot_cum) / n_clipped).cast("long")
+    extra = (B - pivot_cum) - level * n_clipped  # first `extra` clipped +1
+    alloc = F.when(F.col("__total") <= B, F.col(avail_col)).otherwise(
+        F.when(F.col("__rn") <= pivot, F.col(avail_col)).otherwise(
+            level
+            + F.when(
+                F.col("__rn") - pivot <= extra, F.lit(1)
+            ).otherwise(F.lit(0))
+        )
+    )
+    return s.select(
+        key_col, avail_col, alloc.cast("long").alias("alloc")
+    )

@@ -1081,3 +1081,63 @@ def llm_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "doc_id")
         .limit(20)
     )
+
+
+@query(
+    "llm_token_budget",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT SUM(n_tokens) AS total, COUNT(*) AS n FROM tok
+    ), b AS (
+      SELECT CAST(FLOOR(total / 2.0) AS BIGINT) AS budget FROM tot
+    ), s AS (
+      SELECT source, n_tokens,
+             ROW_NUMBER() OVER (ORDER BY n_tokens, source) AS rn,
+             SUM(n_tokens) OVER (ORDER BY n_tokens, source) AS cum
+      FROM tok
+    ), p AS (
+      SELECT MAX(CASE WHEN (budget - cum) >= (n - rn) * n_tokens
+                      THEN rn ELSE 0 END) AS pvt,
+             MAX(CASE WHEN (budget - cum) >= (n - rn) * n_tokens
+                      THEN cum ELSE 0 END) AS pvt_cum
+      FROM s, tot, b
+    ), lv AS (
+      SELECT pvt, pvt_cum,
+             CAST(FLOOR((budget - pvt_cum) / (1.0 * (n - pvt)))
+                  AS BIGINT) AS lvl,
+             (budget - pvt_cum)
+               - CAST(FLOOR((budget - pvt_cum) / (1.0 * (n - pvt)))
+                      AS BIGINT) * (n - pvt) AS extr
+      FROM p, tot, b
+    )
+    SELECT source, n_tokens,
+           CAST(CASE WHEN total <= budget THEN n_tokens
+                WHEN rn <= pvt THEN n_tokens
+                ELSE lvl + (CASE WHEN rn - pvt <= extr
+                              THEN 1 ELSE 0 END)
+           END AS BIGINT) AS alloc
+    FROM s, tot, b, lv
+    """,
+)
+def llm_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fair per-source token-budget allocation by WATERFILLING
+    (operators/sampling.py:waterfill_budget): spend half the corpus's
+    tokens with max-min fairness — small sources keep everything,
+    large sources clip to one shared water level, allocations are
+    exact integers that conserve the budget. One sort-window pass,
+    no iteration; the oracle re-derives the pivot arithmetic
+    independently, so an off-by-one in the level or remainder
+    distribution hash-mismatches."""
+    from aws_datalake_spark.operators.sampling import waterfill_budget
+    from aws_datalake_spark.operators.text import token_count_ws
+
+    tok = (
+        t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sum(token_count_ws(F.col("text"))).cast("long").alias("n_tokens"))
+    )
+    total = tok.agg(F.sum("n_tokens")).collect()[0][0]
+    return waterfill_budget(tok, int(total) // 2, key_col="source")

@@ -205,3 +205,25 @@ def test_leakage_safe_split_clusters_stay_together(spark):
     # deterministic on rerun
     again = {r["doc_id"]: r["split"] for r in leakage_safe_split(docs, pairs).collect()}
     assert out == again
+
+
+def test_waterfill_budget_known_values_and_conservation(spark):
+    from aws_datalake_spark.operators.sampling import waterfill_budget
+
+    avail = spark.createDataFrame(
+        [("a", 10), ("b", 50), ("c", 200), ("d", 1000)],
+        "source string, n_tokens long",
+    )
+    # budget 200: a,b keep all (60); c,d split 140 -> 70 each
+    got = {r.source: r.alloc for r in waterfill_budget(avail, 200).collect()}
+    assert got == {"a": 10, "b": 50, "c": 70, "d": 70}
+    # odd remainder goes to the first clipped source in sort order
+    got2 = {r.source: r.alloc for r in waterfill_budget(avail, 201).collect()}
+    assert got2 == {"a": 10, "b": 50, "c": 71, "d": 70}
+    assert sum(got2.values()) == 201
+    # budget >= total availability: everyone keeps everything
+    got3 = {r.source: r.alloc for r in waterfill_budget(avail, 5000).collect()}
+    assert got3 == {"a": 10, "b": 50, "c": 200, "d": 1000}
+    # tiny budget clips everyone equally
+    got4 = {r.source: r.alloc for r in waterfill_budget(avail, 8).collect()}
+    assert sum(got4.values()) == 8 and max(got4.values()) <= 2
