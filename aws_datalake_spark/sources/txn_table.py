@@ -1851,6 +1851,25 @@ def register_txn_view(
     read(spark, root, version=version).createOrReplaceTempView(name)
 
 
+def describe_table(root: str) -> dict:
+    """One-call operational summary — Delta's DESCRIBE DETAIL:
+    stats, schema, partitioning spec, column mapping, constraints,
+    delete-set state, and pending maintenance, all from the log."""
+    st = table_stats(root)
+    snap = snapshot(root)
+    return {
+        **st,
+        "schema": table_schema(root),
+        "partitioning": table_partitioning(root),
+        "column_mapping": {
+            k: v for k, v in table_mapping(root).items() if k != v
+        },
+        "constraints": table_constraints(root),
+        "eq_deletes": len(snap.get("eq_deletes", [])),
+        "maintenance": plan_maintenance(root),
+    }
+
+
 def metadata_df(spark: SparkSession, root: str, kind: str) -> DataFrame:
     """Iceberg-style queryable METADATA tables, derived purely from
     the log (no data file opened):

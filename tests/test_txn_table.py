@@ -1063,3 +1063,17 @@ def test_identity_partition_on_int_column_prunes_typed(tmp_path, spark):
     # integer range over the identity partition works (typed values)
     rng = tt.read_partitioned(spark, root, ranges={"g": (1, 2)})
     assert rng.filter("g between 1 and 2").count() == 60
+
+
+def test_describe_table_one_call_summary(table, spark):
+    tt.add_constraint(table, "pp", "price > 0")
+    tt.rename_column(table, "seg", "segment")
+    tt.delete_where_dv(spark, table, "k = 1")
+    tt.delete_where_eq(spark, table, spark.createDataFrame([(2,)], "k long"))
+    d = tt.describe_table(table)
+    assert d["live_files"] == 2 and d["live_rows"] == 200
+    assert d["dv_deleted_rows"] == 1 and d["eq_deletes"] == 1
+    assert d["constraints"] == {"pp": "price > 0"}
+    assert d["column_mapping"] == {"segment": "seg"}
+    assert d["partitioning"] is None
+    assert isinstance(d["maintenance"], list)
