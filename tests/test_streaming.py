@@ -708,3 +708,45 @@ def test_tws_initial_state_seeds_backfill_cumulative(spark, tmp_path):
     spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     # key 1: 120 - 100 (seeded) = 20; key 2: unseeded -> raw 5
     assert got == {1: 20, 2: 5}
+
+
+def test_corpus_ingest_sink_quality_dedup_exactly_once(spark, tmp_path):
+    """Streaming corpus curation end to end: low-quality docs drop,
+    duplicates drop within AND across micro-batches, replays no-op."""
+    from aws_datalake_spark.sources import txn_table as tt
+    from aws_datalake_spark.streaming.microbatch import corpus_ingest_sink
+
+    src = str(tmp_path / "docs_src")
+    root = str(tmp_path / "corpus")
+    good = ("this is a reasonably long clean document with the usual "
+            "words and enough of the stopword signal to score well "
+            "the and of to is " * 3)
+    spark.createDataFrame(
+        [(1, good + "one"), (2, "x!!"), (3, good + "one")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("overwrite").json(src)
+    stream = spark.readStream.schema("doc_id long, text string").json(src)
+    q = (
+        stream.writeStream.foreachBatch(corpus_ingest_sink(root))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    # batch 2: one cross-batch duplicate, one genuinely new doc
+    spark.createDataFrame(
+        [(4, good + "one"), (5, good + "two")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").json(src)
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+    df = tt.read(spark, root)
+    assert sorted(r.doc_id for r in df.collect()) == [1, 5]
+    # replay batch 0: no-op
+    v = tt.snapshot(root)["version"]
+    corpus_ingest_sink(root)(
+        spark.createDataFrame([(9, good + "three")], "doc_id long, text string"),
+        0,
+    )
+    assert tt.snapshot(root)["version"] == v
+    assert tt.read(spark, root).count() == 2
