@@ -23,7 +23,11 @@ Why this is THE 100 TB ANN shape:
 * **Scoring stays JVM-side.** The per-query LUT (m·k partial
   distances) rides a broadcast join; the ADC sum is a codegen'd
   higher-order-function fold over the code array — no Python in the
-  corpus-side hot path, no vector bytes moving.
+  corpus-side hot path, no vector bytes moving. LUTs themselves
+  build driver-side only for bounded query batches; above
+  ``DRIVER_LUT_MAX_QUERIES`` they are computed by an Arrow-batched
+  pandas_udf on the executors (bit-identical arithmetic,
+  pytest-pinned parity + plan gate).
 * Composes with IVF (operators/similarity.py:ann_ivf_topk): probe
   cells first, ADC-score only the probed cells' codes
   (:func:`ann_ivf_pq_topk`).
@@ -142,6 +146,69 @@ def _query_luts(
     return out
 
 
+DRIVER_LUT_MAX_QUERIES = 10_000
+"""Above this query-batch size the LUTs are built distributed
+(Arrow-batched pandas_udf over the queries DataFrame) instead of a
+driver-side collect — a 10M-query batch would otherwise bottleneck
+the driver (r02 verdict item 6). Below it, collect() is cheaper:
+LUTs are m·k doubles per query and skip a Python-worker round-trip."""
+
+
+def _lut_frame(
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_id_col: str,
+    vec_col: str,
+    max_driver_queries: int | None = None,
+) -> DataFrame:
+    """(query_id, __lut) for the query batch. Small batches collect
+    to the driver and return a local frame (broadcast-join fodder);
+    batches above ``max_driver_queries`` compute the LUT inside an
+    Arrow-batched pandas_udf so query vectors never leave the
+    executors — same arithmetic (:func:`_query_luts`), same schema,
+    pytest-pinned parity."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    limit = DRIVER_LUT_MAX_QUERIES if max_driver_queries is None else max_driver_queries
+    spark = queries.sparkSession
+    # cheap upper-bound probe: count() on the (tiny) query frame —
+    # never on the corpus
+    if queries.count() <= limit:
+        q_rows = [
+            (r[0], list(r[1]))
+            for r in queries.select(query_id_col, vec_col).collect()
+        ]
+        return spark.createDataFrame(
+            _query_luts(q_rows, codebooks),
+            f"{query_id_col} long, __lut array<double>",
+        )
+
+    m = len(codebooks)
+    k = len(codebooks[0])
+    ds = len(codebooks[0][0])
+    C = [np.asarray(b, dtype="float64") for b in codebooks]
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def _lut(v):
+        X = np.asarray(v.tolist(), dtype="float64")
+        out = np.empty((len(X), m * k), dtype="float64")
+        for j in range(m):
+            S = X[:, j * ds:(j + 1) * ds]
+            # direct |q_sub - c|² (not the GEMM expansion): bit-for-bit
+            # the same floats as the driver-side _query_luts path, so
+            # both paths survive the 6-dp oracle rounding identically
+            d2 = ((S[:, None, :] - C[j][None, :, :]) ** 2).sum(-1)
+            out[:, j * k:(j + 1) * k] = d2
+        return pd.Series([[float(x) for x in r] for r in out])
+
+    return queries.select(
+        F.col(query_id_col),
+        _lut(F.col(vec_col).cast("array<double>")).alias("__lut"),
+    )
+
+
 def _adc_rank(
     scored_input: DataFrame,
     k: int,
@@ -191,16 +258,11 @@ def pq_topk(
     fold ``Σ_j LUT[j·k + code_j]`` with a codegen'd higher-order
     function — the entire corpus-side scan is JVM arithmetic over
     ~m-byte codes. Returns (query_id, neighbor_id, rank, adc_dist);
-    smaller distance = nearer."""
-    spark = codes.sparkSession
+    smaller distance = nearer. LUTs build driver-side for bounded
+    query batches and distributed (pandas_udf) above
+    DRIVER_LUT_MAX_QUERIES."""
     k = len(codebooks[0])
-    q_rows = [
-        (r[0], list(r[1]))
-        for r in queries.select(query_id_col, vec_col).collect()
-    ]
-    luts = spark.createDataFrame(
-        _query_luts(q_rows, codebooks), f"{query_id_col} long, __lut array<double>"
-    )
+    luts = _lut_frame(queries, codebooks, query_id_col, vec_col)
     return _adc_rank(
         codes.crossJoin(F.broadcast(luts)),
         k, k_neighbors, id_col, code_col, query_id_col,
@@ -226,7 +288,6 @@ def ann_ivf_pq_topk(
     candidate."""
     from aws_datalake_spark.operators.similarity import assign_cells
 
-    spark = corpus.sparkSession
     k = len(codebooks[0])
     cells = assign_cells(corpus, centroids, 1, id_col, vec_col).select(
         id_col, "centroid_id", vec_col
@@ -237,13 +298,7 @@ def ann_ivf_pq_topk(
     q_cells = assign_cells(
         queries, centroids, n_probe, query_id_col, vec_col
     ).select(query_id_col, "centroid_id", vec_col)
-    q_rows = [
-        (r[0], list(r[1]))
-        for r in queries.select(query_id_col, vec_col).collect()
-    ]
-    luts = spark.createDataFrame(
-        _query_luts(q_rows, codebooks), f"{query_id_col} long, __lut array<double>"
-    )
+    luts = _lut_frame(queries, codebooks, query_id_col, vec_col)
     probe = q_cells.join(luts, query_id_col).select(
         query_id_col, "centroid_id", "__lut"
     )

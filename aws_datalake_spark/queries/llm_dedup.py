@@ -199,7 +199,7 @@ def llm_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SIMHASH_SQL = f"""
-  SELECT doc_id, SUM(bit_val) AS simhash FROM (
+  SELECT doc_id, CAST(SUM(bit_val) AS BIGINT) AS simhash FROM (
     SELECT doc_id, bit,
            CASE WHEN SUM(contrib) > 0
                 THEN (1::BIGINT << bit) ELSE 0::BIGINT END AS bit_val

@@ -33,11 +33,11 @@ _NTOK = (
       FROM w)
     SELECT doc_id,
            CAST(n_tokens AS INT) AS n_tokens,
-           b // 128 AS pack_id,
-           b % 128 AS offset_in_pack,
-           CASE WHEN n_tokens = 0 THEN 0
+           CAST(b // 128 AS BIGINT) AS pack_id,
+           CAST(b % 128 AS BIGINT) AS offset_in_pack,
+           CAST(CASE WHEN n_tokens = 0 THEN 0
                 ELSE (b + n_tokens - 1) // 128 - b // 128 + 1
-           END AS n_packs
+           END AS BIGINT) AS n_packs
     FROM cum
     """,
 )
@@ -166,9 +166,10 @@ def llm_adaptive_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b
       FROM w)
     SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
-           b // 128 AS pack_id, b % 128 AS offset_in_pack,
-           CASE WHEN n_tokens = 0 THEN 0
-                ELSE (b + n_tokens - 1) // 128 - b // 128 + 1 END AS n_packs
+           CAST(b // 128 AS BIGINT) AS pack_id,
+           CAST(b % 128 AS BIGINT) AS offset_in_pack,
+           CAST(CASE WHEN n_tokens = 0 THEN 0
+                ELSE (b + n_tokens - 1) // 128 - b // 128 + 1 END AS BIGINT) AS n_packs
     FROM cum
     """,
 )

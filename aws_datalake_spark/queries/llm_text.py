@@ -151,8 +151,8 @@ def llm_weighted_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFram
              CAST(generate_subscripts({_TOKS}, 1) AS BIGINT) AS pos
       FROM documents)
     SELECT doc_id,
-           SUM((('0x' || substr(md5(w), 1, 15))::BIGINT % 2147483648) * pos)
-             % 2305843009213693952 AS fingerprint
+           CAST(SUM((('0x' || substr(md5(w), 1, 15))::BIGINT % 2147483648) * pos)
+             % 2305843009213693952 AS BIGINT) AS fingerprint
     FROM toks GROUP BY doc_id
     """,
 )
@@ -166,7 +166,7 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_corpus_stats",
     oracle="""
     SELECT lang, source, COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
     FROM documents GROUP BY ROLLUP (lang, source)
     """,
@@ -716,7 +716,7 @@ def llm_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(SUM(CAST(ROUND(c * r * 1000000.0) AS BIGINT)) AS DOUBLE)
              / 1000000.0 AS imp_weight,
-           SUM(c) AS n_tokens
+           CAST(SUM(c) AS BIGINT) AS n_tokens
     FROM per_bucket JOIN ratio ON per_bucket.b = ratio.b
     GROUP BY doc_id
     """,

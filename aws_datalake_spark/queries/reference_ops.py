@@ -42,8 +42,19 @@ from aws_datalake_spark.operators.state_delta import (
 )
 from aws_datalake_spark.queries._shared import dsum, o_dsum, t
 from aws_datalake_spark.queries.registry import query
-from aws_datalake_spark.sources.readers import read_orc, read_pipe_staging
-from aws_datalake_spark.sources.writers import write_orc, write_pipe_csv
+from aws_datalake_spark.sources.readers import (
+    read_csv_inferred,
+    read_json_docs,
+    read_orc,
+    read_pipe_staging,
+    read_tsv,
+)
+from aws_datalake_spark.sources.writers import (
+    write_date_partitioned,
+    write_json,
+    write_orc,
+    write_pipe_csv,
+)
 
 
 # --- P1/P2 rule-driven projection --------------------------------------------
@@ -245,8 +256,8 @@ def ref_null_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ref_floats_to_int",
     oracle="""
     SELECT l_returnflag,
-           SUM(CAST(TRUNC(l_quantity) AS BIGINT)) AS sum_qty,
-           SUM(CAST(TRUNC(l_extendedprice) AS BIGINT)) AS sum_price
+           CAST(SUM(CAST(TRUNC(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM(CAST(TRUNC(l_extendedprice) AS BIGINT)) AS BIGINT) AS sum_price
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -450,12 +461,12 @@ def ref_scd2_columnwise_in(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STATE_DELTA_ORACLE = """
 WITH state AS (
   SELECT o_custkey, COUNT(*) AS n_orders_value,
-         SUM(CAST(TRUNC(o_totalprice) AS BIGINT)) AS spend_value
+         CAST(SUM(CAST(TRUNC(o_totalprice) AS BIGINT)) AS BIGINT) AS spend_value
   FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
   GROUP BY o_custkey),
 snapshot AS (
   SELECT o_custkey, COUNT(*) AS n_orders,
-         SUM(CAST(TRUNC(o_totalprice) AS BIGINT)) AS spend
+         CAST(SUM(CAST(TRUNC(o_totalprice) AS BIGINT)) AS BIGINT) AS spend
   FROM orders GROUP BY o_custkey)
 SELECT s.o_custkey,
        s.n_orders - COALESCE(st.n_orders_value, 0) AS n_orders,
@@ -579,7 +590,7 @@ SELECT 'orders', 7, 'o_custkey', 'expect_column_values_to_be_unique',
        (SELECT COALESCE(SUM(n), 0) FROM (
           SELECT COUNT(*) n FROM orders GROUP BY o_custkey HAVING COUNT(*) > 1)) = 0,
        COUNT(*),
-       (SELECT COALESCE(SUM(n), 0) FROM (
+       (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM (
           SELECT COUNT(*) n FROM orders GROUP BY o_custkey HAVING COUNT(*) > 1))
 FROM orders
 """
@@ -653,7 +664,7 @@ def ref_sha224_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ref_pipe_csv_roundtrip",
     oracle="""
     SELECT COUNT(*) AS n,
-           SUM(CAST(o_orderkey AS BIGINT)) AS sum_key,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
            MIN(o_orderdate) AS min_date, MAX(o_orderdate) AS max_date
     FROM orders
     """,
@@ -681,20 +692,20 @@ def ref_pipe_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ref_profile_columns",
     oracle="""
     SELECT 'l_orderkey' AS col_name, COUNT(*) AS n_rows,
-           SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS n_null,
+           CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
            COUNT(DISTINCT l_orderkey) AS n_distinct,
            CAST(MIN(l_orderkey) AS VARCHAR) AS min_s,
            CAST(MAX(l_orderkey) AS VARCHAR) AS max_s
     FROM lineitem
     UNION ALL
     SELECT 'l_linenumber', COUNT(*),
-           SUM(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END),
+           CAST(SUM(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            COUNT(DISTINCT l_linenumber),
            CAST(MIN(l_linenumber) AS VARCHAR), CAST(MAX(l_linenumber) AS VARCHAR)
     FROM lineitem
     UNION ALL
     SELECT 'l_returnflag', COUNT(*),
-           SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END),
+           CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            COUNT(DISTINCT l_returnflag),
            CAST(MIN(l_returnflag) AS VARCHAR), CAST(MAX(l_returnflag) AS VARCHAR)
     FROM lineitem
@@ -715,7 +726,7 @@ def ref_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ref_orc_roundtrip",
     oracle="""
-    SELECT COUNT(*) AS n, SUM(CAST(p_partkey AS BIGINT)) AS sum_key,
+    SELECT COUNT(*) AS n, CAST(SUM(p_partkey) AS BIGINT) AS sum_key,
            MIN(p_type) AS min_type, MAX(p_type) AS max_type
     FROM part
     """,
@@ -734,6 +745,132 @@ def ref_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("p_partkey").alias("sum_key"),
         F.min("p_type").alias("min_type"),
         F.max("p_type").alias("max_type"),
+    )
+
+
+@query(
+    "ref_json_roundtrip",
+    oracle="""
+    SELECT COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS sum_key,
+           MIN(n_name) AS min_name, MAX(n_name) AS max_name
+    FROM nation
+    """,
+)
+def ref_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 + S10 — JSON sink (ingestion.py:273-279) then the JSON
+    document reader (ingestion.py:274-275) with an explicit schema
+    (line-delimited at scale; multiLine off for the splittable path),
+    aggregated so any dropped/duplicated/retyped row hash-mismatches
+    against the source-table oracle."""
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    tmp = tempfile.mkdtemp(prefix="json_roundtrip_")
+    path = f"{tmp}/nation_json"
+    write_json(n, path)
+    back = read_json_docs(
+        spark, path, schema="n_nationkey bigint, n_name string", multi_line=False
+    )
+    return back.agg(
+        F.count("*").alias("n"),
+        F.sum("n_nationkey").alias("sum_key"),
+        F.min("n_name").alias("min_name"),
+        F.max("n_name").alias("max_name"),
+    )
+
+
+@query(
+    "ref_csv_inferred_roundtrip",
+    oracle="""
+    SELECT COUNT(*) AS n, CAST(SUM(s_suppkey) AS BIGINT) AS sum_key,
+           CAST(SUM(CAST(ROUND(s_acctbal * 100.0) AS BIGINT)) AS BIGINT) AS sum_bal_cents
+    FROM supplier
+    """,
+)
+def ref_csv_inferred_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 — header + inferSchema CSV read
+    (great_expectations.py:60-63) over a CSV the engine itself wrote;
+    inference must recover bigint/double exactly (cents-sum pins the
+    float parse)."""
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    tmp = tempfile.mkdtemp(prefix="csv_inferred_")
+    path = f"{tmp}/supplier_csv"
+    s.write.mode("overwrite").option("header", True).csv(path)
+    back = read_csv_inferred(spark, path)
+    return back.agg(
+        F.count("*").alias("n"),
+        F.sum("s_suppkey").alias("sum_key"),
+        F.sum(F.round(F.col("s_acctbal") * F.lit(100.0), 0).cast("long")).alias(
+            "sum_bal_cents"
+        ),
+    )
+
+
+@query(
+    "ref_tsv_roundtrip",
+    oracle="""
+    SELECT COUNT(*) AS n, CAST(SUM(r_regionkey) AS BIGINT) AS sum_key,
+           MIN(r_name) AS min_name, MAX(r_name) AS max_name
+    FROM region
+    """,
+)
+def ref_tsv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 — tab-delimited read (Great Expectation PoC.py:13-14):
+    write region as TSV, read back with header + delimiter='\\t' +
+    inferSchema, aggregate against the source table."""
+    r = t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    tmp = tempfile.mkdtemp(prefix="tsv_roundtrip_")
+    path = f"{tmp}/region_tsv"
+    r.write.mode("overwrite").option("header", True).option("sep", "\t").csv(path)
+    back = read_tsv(spark, path)
+    return back.agg(
+        F.count("*").alias("n"),
+        F.sum("r_regionkey").alias("sum_key"),
+        F.min("r_name").alias("min_name"),
+        F.max("r_name").alias("max_name"),
+    )
+
+
+@query(
+    "ref_partitioned_layout",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR) AS year,
+           lpad(CAST(EXTRACT(month FROM o_orderdate) AS VARCHAR), 2, '0') AS month,
+           COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+    FROM orders
+    WHERE EXTRACT(year FROM o_orderdate) = 1996
+    GROUP BY 1, 2
+    """,
+)
+def ref_partitioned_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 — hive-style year=/month=/day= date-partitioned layout
+    with zero-padded month/day (ingestion.py:230-247 key templating):
+    write orders partitioned, read back with a year filter that must
+    resolve by partition-directory pruning (asserted: the scan's
+    partition count), then aggregate per month. Partition values come
+    back as strings from the hive path segments — the query keeps
+    them as such and the oracle casts to match, pinning the
+    zero-padding contract ('03', not '3')."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    tmp = tempfile.mkdtemp(prefix="part_layout_")
+    path = f"{tmp}/orders_by_date"
+    write_date_partitioned(o, path, "o_orderdate")
+    # keep partition values as the path-segment strings ('03', not 3):
+    # type inference would coerce them to int and drop the zero-pad
+    # the reference's key templating guarantees
+    conf = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev = spark.conf.get(conf)
+    spark.conf.set(conf, "false")
+    try:
+        back = spark.read.parquet(path).filter(F.col("year") == "1996")
+    finally:
+        spark.conf.set(conf, prev)
+    # partition pruning must reach the file listing: a full-layout
+    # scan would read ~7 years of directories for a 1-year answer
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    n_part = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert n_part and "year" in n_part[0], plan
+    return back.groupBy("year", "month").agg(
+        F.count("*").alias("n"),
+        F.sum("o_orderkey").alias("sum_key"),
     )
 
 
@@ -803,7 +940,7 @@ def ref_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
              c_mktsegment
       FROM customer WHERE c_custkey % 17 = 0
     )
-    SELECT COUNT(*) AS n, SUM(CAST(c_custkey AS BIGINT)) AS sum_key,
+    SELECT COUNT(*) AS n, CAST(SUM(c_custkey) AS BIGINT) AS sum_key,
            CAST(SUM(CAST(ROUND(c_acctbal * 100.0) AS BIGINT)) AS DOUBLE)
              / 100.0 AS sum_bal
     FROM newt
@@ -1168,7 +1305,7 @@ def ref_txn_zorder_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ref_txn_datasource_read",
     oracle="""
     SELECT event_type, COUNT(*) AS n,
-           SUM(CAST(event_id AS BIGINT)) AS sum_id
+           CAST(SUM(event_id) AS BIGINT) AS sum_id
     FROM events
     GROUP BY event_type
     """,
@@ -1263,7 +1400,7 @@ def ref_scd2_on_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ref_txn_restore",
     oracle="""
     SELECT o_orderstatus, COUNT(*) AS n,
-           SUM(CAST(o_orderkey AS BIGINT)) AS sum_key
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
     FROM orders WHERE o_orderkey % 2 = 0
     GROUP BY o_orderstatus
     """,
@@ -1359,12 +1496,12 @@ def ref_txn_version_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 7 = 0)
     )
     SELECT 'v_pre' AS snap, o_orderstatus, COUNT(*) AS n,
-           SUM(CAST(o_orderkey AS BIGINT)) AS sum_key,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
            CAST(0 AS BIGINT) AS files_rewritten
     FROM base GROUP BY o_orderstatus
     UNION ALL
     SELECT 'v_post', o_orderstatus, COUNT(*),
-           SUM(CAST(o_orderkey AS BIGINT)), CAST(0 AS BIGINT)
+           CAST(SUM(o_orderkey) AS BIGINT), CAST(0 AS BIGINT)
     FROM post GROUP BY o_orderstatus
     """,
 )
@@ -1419,7 +1556,7 @@ def ref_txn_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ref_txn_hidden_partitioning",
     oracle="""
     SELECT o_orderstatus, COUNT(*) AS n,
-           SUM(CAST(o_orderkey AS BIGINT)) AS sum_key
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
     FROM orders
     WHERE o_custkey = 7
        OR (o_orderdate >= TIMESTAMP '1996-01-01'
@@ -1486,7 +1623,7 @@ def ref_txn_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT * FROM allr WHERE NOT (o_custkey BETWEEN 100 AND 120)
     )
     SELECT o_custkey, COUNT(*) AS n,
-           SUM(CAST(o_orderkey AS BIGINT)) AS sum_key
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
     FROM final GROUP BY o_custkey
     """,
 )
@@ -1528,7 +1665,7 @@ def ref_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ref_txn_bloom_lookup",
     oracle="""
     SELECT o_orderstatus, COUNT(*) AS n,
-           SUM(CAST(o_orderkey AS BIGINT)) AS sum_key
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
     FROM orders WHERE o_custkey = 7
     GROUP BY o_orderstatus
     """,
@@ -1580,7 +1717,7 @@ def ref_txn_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT * FROM survivors UNION ALL SELECT * FROM reappended
     )
     SELECT o_orderstatus, COUNT(*) AS n,
-           SUM(CAST(o_orderkey AS BIGINT)) AS sum_key,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
            CAST(0 AS BIGINT) AS files_rewritten
     FROM final GROUP BY o_orderstatus
     """,
@@ -1637,13 +1774,13 @@ def ref_txn_equality_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE o_orderstatus = 'F' AND o_orderkey % 7 = 0
     )
     SELECT 'merge' AS commit_op, 'insert' AS change_type,
-           COUNT(*) AS n, SUM(CAST(o_orderkey AS BIGINT)) AS sum_key
+           COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
     FROM upd
     UNION ALL
-    SELECT 'merge', 'delete', COUNT(*), SUM(CAST(o_orderkey AS BIGINT))
+    SELECT 'merge', 'delete', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT)
     FROM upd
     UNION ALL
-    SELECT 'delete-dv', 'delete', COUNT(*), SUM(CAST(o_orderkey AS BIGINT))
+    SELECT 'delete-dv', 'delete', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT)
     FROM dvdel
     """,
 )
@@ -1692,7 +1829,7 @@ def ref_txn_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ref_txn_constraints",
     oracle="""
     SELECT o_orderstatus, COUNT(*) AS n,
-           SUM(CAST(o_orderkey AS BIGINT)) AS sum_key,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
            CAST(1 AS BIGINT) AS bad_batch_refused
     FROM orders WHERE o_totalprice > 0
     GROUP BY o_orderstatus

@@ -1187,7 +1187,7 @@ def q_window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dynamic_partition_pruning",
     oracle="""
     SELECT o_orderstatus, COUNT(*) AS n,
-           SUM(CAST(o_orderkey AS BIGINT)) AS sum_key
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
     FROM orders
     WHERE CAST(EXTRACT(year FROM o_orderdate) AS INT) = 1996
     GROUP BY o_orderstatus

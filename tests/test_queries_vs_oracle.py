@@ -24,3 +24,49 @@ def test_query_matches_oracle(spark, con, name):
     assert r.status != "FAIL", r.errors
     if r.status == "ROWS":
         assert r.n_rows >= 0
+
+
+@pytest.mark.parametrize("name", sorted(all_oracles()))
+def test_oracle_types_not_hash_hostile(con, name):
+    """Round-2 driver root cause: DuckDB types integer SUM() as
+    HUGEINT (int128) and exact arithmetic as DECIMAL, but the
+    driver's value hash is type-sensitive — value-identical results
+    still hash-mismatch. Every oracle must CAST such aggregates to
+    BIGINT/DOUBLE; this gate catches any regression in ~2s without
+    Spark."""
+    from aws_datalake_spark.testing import hostile_oracle_types
+
+    offending = hostile_oracle_types(con, all_oracles()[name])
+    assert not offending, (
+        f"oracle for {name} emits hash-hostile types {offending}; "
+        "wrap the aggregate in CAST(... AS BIGINT/DOUBLE)"
+    )
+
+
+def test_harness_is_hash_strict_on_hugeint(spark, con):
+    """The local harness must PREDICT the driver's hash: a
+    value-identical result whose oracle types the aggregate as
+    HUGEINT (DuckDB SUM over integers) must FAIL locally. This is
+    the regression that let 13 r02 driver-reds coexist with a green
+    local run."""
+    from aws_datalake_spark.testing import check_query
+
+    fn = lambda s, d: s.range(3).selectExpr("CAST(sum(id) AS BIGINT) AS s")  # noqa: E731
+    bad = "SELECT SUM(x) AS s FROM (VALUES (0), (1), (2)) t(x)"  # HUGEINT
+    good = "SELECT CAST(SUM(x) AS BIGINT) AS s FROM (VALUES (0), (1), (2)) t(x)"
+    r_bad = check_query(spark, con, SF_SMOKE, "synthetic", fn, bad)
+    assert r_bad.status == "FAIL" and any("type mismatch" in e for e in r_bad.errors)
+    r_good = check_query(spark, con, SF_SMOKE, "synthetic", fn, good)
+    assert r_good.status == "PASS"
+
+
+def test_harness_tolerates_int_width_difference(spark, con):
+    """Driver evidence (r01/r02 greens): Spark int32 vs DuckDB
+    BIGINT hashes identically — both surface as plain ints. The
+    strict harness must not false-alarm on width."""
+    from aws_datalake_spark.testing import check_query
+
+    fn = lambda s, d: s.range(3).selectExpr("CAST(id AS INT) AS v")  # noqa: E731
+    oracle = "SELECT CAST(x AS BIGINT) AS v FROM (VALUES (0), (1), (2)) t(x)"
+    r = check_query(spark, con, SF_SMOKE, "synthetic", fn, oracle)
+    assert r.status == "PASS", r.errors

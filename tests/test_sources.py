@@ -121,6 +121,51 @@ def test_delta_io_upsert_parquet_fallback(spark, tmp_path):
     assert out == {1: "a", 2: "B", 3: "c"}
 
 
+def test_delta_io_dual_path_equivalence(spark, tmp_path):
+    """VERDICT r02 item 5: the delta_io surface must behave
+    identically whichever backend serves it under HAVE_DELTA=False —
+    flat parquet (stage-and-swap upsert) vs the native transaction
+    log (file-pruned MERGE). A delta-spark jar drop-in then only
+    changes WHICH branch runs, never the results, so vendoring the
+    jar is a config flip. Same op sequence on both; full-table
+    compare after every step."""
+    from aws_datalake_spark.sources import txn_table as tt
+    from aws_datalake_spark.sources.delta_io import HAVE_DELTA, read_table, upsert, write_table
+
+    assert not HAVE_DELTA  # harness image ships parquet only
+
+    flat = str(tmp_path / "flat")
+    logd = str(tmp_path / "logged")
+    base = spark.createDataFrame(
+        [(i, f"v{i}", i * 10) for i in range(50)], "k long, v string, x long"
+    )
+    write_table(base, flat)
+    tt.write(base, logd, mode="overwrite")
+    assert tt.is_txn_table(logd) and not tt.is_txn_table(flat)
+
+    def rows(path):
+        df = read_table(spark, path) if not tt.is_txn_table(path) else tt.read(spark, path)
+        return sorted((r.k, r.v, r.x) for r in df.select("k", "v", "x").collect())
+
+    assert rows(flat) == rows(logd)
+    # updates hit existing keys, inserts add new ones — both branches
+    # of delta_io.upsert (anti-join rewrite vs log-pruned MERGE)
+    upd = spark.createDataFrame(
+        [(7, "V7", 700), (13, "V13", 1300), (99, "new", 990)],
+        "k long, v string, x long",
+    )
+    upsert(spark, flat, upd, ["k"])
+    upsert(spark, logd, upd, ["k"])
+    got = rows(flat)
+    assert got == rows(logd)
+    assert (7, "V7", 700) in got and (99, "new", 990) in got and len(got) == 51
+    # second round: pure update, pure insert, and an untouched key
+    upd2 = spark.createDataFrame([(99, "NEW", 991), (100, "tail", 0)], "k long, v string, x long")
+    upsert(spark, flat, upd2, ["k"])
+    upsert(spark, logd, upd2, ["k"])
+    assert rows(flat) == rows(logd) and len(rows(flat)) == 52
+
+
 def test_compaction_reduces_files(spark, tmp_path):
     from aws_datalake_spark.sources.compaction import compact
 
