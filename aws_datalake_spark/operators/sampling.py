@@ -451,3 +451,84 @@ def waterfill_budget(
     return s.select(
         key_col, avail_col, alloc.cast("long").alias("alloc")
     )
+
+
+def curriculum_bins(
+    df: DataFrame,
+    score_col: str = "quality_score",
+    id_col: str = "doc_id",
+    quantiles: tuple = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """Curriculum-learning bin assignment: split the corpus into
+    ``len(quantiles)+1`` quality tiers by EXACT quantile edges —
+    training recipes feed easy/high-quality tiers first (curriculum)
+    or mix tiers at fixed rates.
+
+    Scale path: edges come from operators/order_stats.exact_quantile
+    (histogram narrowing — per-pass state is ~4096 agg groups, never
+    a data shuffle, no global sort), computed on the 6-dp fixed-point
+    score so the edge is an exact integer in every engine; bin
+    assignment is then a scan-side projection (sum of compare-
+    against-literal indicators). No stage sees more than the scan.
+    """
+    from aws_datalake_spark.operators.order_stats import exact_quantile
+
+    base = df.select(
+        id_col,
+        F.round(F.col(score_col) * 1_000_000.0, 0).cast("long").alias("q6"),
+    )
+    edges = [int(exact_quantile(base, "q6", q)) for q in quantiles]
+    # ascending edges => CASE-chain equivalent: bin = #edges below q6
+    bin_col = None
+    for e in edges:
+        ind = (F.col("q6") > F.lit(e)).cast("int")
+        bin_col = ind if bin_col is None else bin_col + ind
+    return base.select(id_col, "q6", bin_col.cast("int").alias("bin"))
+
+
+def token_budget_plan(
+    df: DataFrame,
+    weights: dict[str, float],
+    total_budget: int,
+    source_col: str = "source",
+    token_count_col: str = "n_tokens",
+    default_weight: float = 0.0,
+) -> DataFrame:
+    """Per-source token-budget / epoch planner (the LLaMA-style data
+    recipe step): given target mixing ``weights`` and a global
+    ``total_budget`` of training tokens, compute each source's token
+    allocation and the implied repeat factor (epochs ×1000 —
+    fixed-point so the plan hashes identically across engines).
+
+    epochs > 1000 means the source must repeat to fill its share;
+    < 1000 means it is subsampled. One tiny per-source aggregate —
+    the corpus is scanned once for (source, token) pairs and never
+    shuffled by anything wider than the source key.
+    """
+    w6 = F.lit(None).cast("long")
+    mapping = F.create_map(
+        *[x for k, v in sorted(weights.items())
+          for x in (F.lit(k), F.lit(int(round(v * 1_000_000))).cast("long"))]
+    )
+    w6 = F.coalesce(
+        mapping.getItem(F.col(source_col)),
+        F.lit(int(round(default_weight * 1_000_000))).cast("long"),
+    )
+    grp = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col(token_count_col).cast("long")).alias("avail_tokens"),
+    )
+    # integer-exact: products stay in long range; floor division (not
+    # cast-of-double, whose rounding differs across engines)
+    budget = F.floor(
+        F.lit(int(total_budget)).cast("long") * w6 / F.lit(1_000_000)
+    ).cast("long")
+    return grp.select(
+        source_col,
+        "n_docs",
+        "avail_tokens",
+        budget.alias("budget_tokens"),
+        F.when(F.col("avail_tokens") > 0,
+               F.floor(budget * 1000 / F.col("avail_tokens")).cast("long"))
+        .otherwise(F.lit(0).cast("long")).alias("epochs_x1000"),
+    )

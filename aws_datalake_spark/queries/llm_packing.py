@@ -578,3 +578,50 @@ def llm_corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         cleaned, cleaned.filter(F.col("lang") == "en"), n_buckets=256
     )
     return priority_sample(iw, 100, weight_col="imp_weight", id_col="doc_id")
+
+
+_BUDGET_WEIGHTS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.07}
+_BUDGET_TOTAL = 1_000_000
+
+_BUDGET_W6_CASE = "CASE source " + " ".join(
+    f"WHEN '{k}' THEN {int(round(v * 1_000_000))}"
+    for k, v in sorted(_BUDGET_WEIGHTS.items())
+) + " ELSE 30000 END"
+
+
+@query(
+    "llm_epoch_plan",
+    oracle=f"""
+    WITH d AS (SELECT source, {_NTOK} AS nt FROM documents),
+    grp AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(nt) AS BIGINT) AS avail_tokens
+      FROM d GROUP BY 1
+    ), planned AS (
+      SELECT source, n_docs, avail_tokens,
+             CAST(CAST({_BUDGET_TOTAL} AS BIGINT)
+                  * CAST({_BUDGET_W6_CASE} AS BIGINT) // 1000000 AS BIGINT)
+               AS budget_tokens
+      FROM grp)
+    SELECT source, n_docs, avail_tokens, budget_tokens,
+           CAST(CASE WHEN avail_tokens > 0
+                THEN budget_tokens * 1000 // avail_tokens
+                ELSE 0 END AS BIGINT) AS epochs_x1000
+    FROM planned
+    """,
+)
+def llm_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget / epoch planner (LLaMA-style data
+    recipe): target mixing weights × global token budget → each
+    source's allocation and fixed-point repeat factor
+    (operators/sampling.py:token_budget_plan). One per-source
+    aggregate over a two-column scan."""
+    from aws_datalake_spark.operators.sampling import token_budget_plan
+    from aws_datalake_spark.operators.text import token_count_ws
+
+    docs = t(spark, sf_dir, "documents").select(
+        "source", token_count_ws("text").cast("long").alias("n_tokens")
+    )
+    return token_budget_plan(
+        docs, _BUDGET_WEIGHTS, _BUDGET_TOTAL, default_weight=0.03
+    )

@@ -1141,3 +1141,41 @@ def llm_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     total = tok.agg(F.sum("n_tokens")).collect()[0][0]
     return waterfill_budget(tok, int(total) // 2, key_col="source")
+
+
+@query(
+    "llm_curriculum_bins",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, CAST(ROUND(quality_score * 1000000.0) AS BIGINT) AS q6
+      FROM ({_QUALITY_SQL})
+    ), ranked AS (
+      SELECT q6, ROW_NUMBER() OVER (ORDER BY q6) AS rn,
+             COUNT(*) OVER () AS n
+      FROM q
+    ), edges AS (
+      SELECT
+        MAX(CASE WHEN rn = CAST(FLOOR(0.25 * (n - 1)) AS BIGINT) + 1 THEN q6 END) AS e1,
+        MAX(CASE WHEN rn = CAST(FLOOR(0.50 * (n - 1)) AS BIGINT) + 1 THEN q6 END) AS e2,
+        MAX(CASE WHEN rn = CAST(FLOOR(0.75 * (n - 1)) AS BIGINT) + 1 THEN q6 END) AS e3
+      FROM ranked
+    )
+    SELECT doc_id, q6,
+           CAST(CASE WHEN q6 <= e1 THEN 0
+                     WHEN q6 <= e2 THEN 1
+                     WHEN q6 <= e3 THEN 2
+                     ELSE 3 END AS INT) AS bin
+    FROM q CROSS JOIN edges
+    """,
+)
+def llm_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning quality tiers: EXACT quartile edges over
+    the 6-dp fixed-point quality score via histogram narrowing (no
+    global sort — operators/order_stats.py), then scan-side bin
+    assignment (operators/sampling.py:curriculum_bins). The oracle's
+    ROW_NUMBER-over-everything form is exactly the global sort the
+    operator avoids."""
+    from aws_datalake_spark.operators.sampling import curriculum_bins
+
+    q = quality_score(t(spark, sf_dir, "documents"))
+    return curriculum_bins(q)

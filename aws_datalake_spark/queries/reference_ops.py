@@ -48,12 +48,14 @@ from aws_datalake_spark.sources.readers import (
     read_orc,
     read_pipe_staging,
     read_tsv,
+    read_xml,
 )
 from aws_datalake_spark.sources.writers import (
     write_date_partitioned,
     write_json,
     write_orc,
     write_pipe_csv,
+    write_xml,
 )
 
 
@@ -871,6 +873,32 @@ def ref_partitioned_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("year", "month").agg(
         F.count("*").alias("n"),
         F.sum("o_orderkey").alias("sum_key"),
+    )
+
+
+@query(
+    "ref_xml_roundtrip",
+    oracle="""
+    SELECT COUNT(*) AS n, CAST(SUM(p_partkey) AS BIGINT) AS sum_key,
+           MIN(p_brand) AS min_mfgr, MAX(p_brand) AS max_mfgr
+    FROM part
+    """,
+)
+def ref_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source/sink parity (Spark 4 built-in spark-xml): write a
+    projection as row-tagged XML, read it back with an explicit
+    schema, aggregate against the source table. Completes the
+    interchange-format matrix (csv/tsv/pipe/json/orc/parquet/xml)."""
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    tmp = tempfile.mkdtemp(prefix="xml_roundtrip_")
+    path = f"{tmp}/part_xml"
+    write_xml(p, path)
+    back = read_xml(spark, path, schema="p_partkey bigint, p_brand string")
+    return back.agg(
+        F.count("*").alias("n"),
+        F.sum("p_partkey").alias("sum_key"),
+        F.min("p_brand").alias("min_mfgr"),
+        F.max("p_brand").alias("max_mfgr"),
     )
 
 

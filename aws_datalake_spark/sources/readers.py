@@ -92,3 +92,15 @@ def read_csv_permissive(
         .schema(full)
         .csv(path)
     )
+
+
+def read_xml(spark: SparkSession, path: str, row_tag: str = "row",
+             schema: StructType | str | None = None) -> DataFrame:
+    """XML document scan (Spark 4 built-in spark-xml): one DataFrame
+    row per ``row_tag`` element. Widens the S4-S17 source surface to
+    the remaining common interchange format; splittable per file,
+    schema inference optional like the JSON path."""
+    r = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        r = r.schema(schema)
+    return r.load(path)

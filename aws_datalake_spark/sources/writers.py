@@ -101,3 +101,17 @@ def write_ordered_shards(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_xml(df: DataFrame, path: str, row_tag: str = "row",
+              root_tag: str = "rows", mode: str = "overwrite") -> None:
+    """XML sink (Spark 4 built-in): one ``row_tag`` element per row,
+    one ``root_tag`` document per partition file — the same
+    parallel-files contract as the CSV/JSON sinks."""
+    (
+        df.write.mode(mode)
+        .format("xml")
+        .option("rowTag", row_tag)
+        .option("rootTag", root_tag)
+        .save(path)
+    )
