@@ -94,6 +94,46 @@ _R3_PRIORITY = (
 )
 
 
+# Round-4 window priority (VERDICT r03 item 1): the previous family
+# ordering put ALL generic q_* behind ALL llm_/st_, deferring the 15
+# TPC-H shapes to round 5. Balance the window instead: TPC-H + the
+# window/analytics set + the streaming batch twins + the text-analysis
+# flagships + the three perf-reworked queries (token budget /
+# curriculum bins / epoch plan — re-certify after this round's scan
+# fixes) + the new paginated-API surface (VERDICT item 5). Exactly 50
+# names; the ~30 remaining stragglers take the round-5 window.
+_R4_PRIORITY = (
+    # new driver surface for S1/S2/S3 (registered this round)
+    "ref_paginated_scan", "ref_paginated_pushdown", "ref_paginated_keyed",
+    # 15 round-2 TPC-H shapes
+    "q02_min_cost_supplier", "q07_volume_shipping", "q08_market_share",
+    "q09_product_type_profit", "q10_returned_items", "q11_important_stock",
+    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
+    "q16_supplier_part_count", "q18_large_orders",
+    "q19_disjunctive_predicates", "q20_excess_inventory_suppliers",
+    "q21_blame_supplier", "q22_dormant_customers",
+    # window / analytics set
+    "q_window_rank_stats", "q_window_time_range_frame", "q_lateral_topn",
+    "q_null_semantics", "q_decimal_exact_sum", "q_yoy_growth",
+    # remaining generic shapes
+    "q_exact_median_histogram", "q_grouped_median_histogram",
+    "q_sql_parameterized", "q_bloom_pruned_join",
+    # streaming batch-twin set
+    "st_tumbling_window", "st_sliding_window", "st_session_window",
+    "st_json_props_extract", "st_json_path_functions",
+    "st_gap_fill_locf", "st_gap_fill_interp", "st_interval_join",
+    # text-analysis flagships
+    "llm_lang_id", "llm_quality_scores", "llm_token_counts",
+    "llm_pii_scrub", "llm_minhash_signature", "llm_chunk_documents",
+    "llm_rag_index",
+    # perf-reworked this round — certify the new plans
+    "llm_token_budget", "llm_curriculum_bins", "llm_epoch_plan",
+    # dedup-family stragglers
+    "llm_simhash_neardup", "llm_ngram_jaccard_pairs",
+    "llm_edit_distance_verify", "llm_embedding_neardup",
+)
+
+
 def _driver_green_names() -> set[str]:
     """Query names with a fully-green row in any prior round's driver
     artifact (rows+schema+hash all matched)."""
@@ -128,6 +168,7 @@ def driver_ordered_queries() -> dict[str, QueryFn]:
     green = _driver_green_names()
     flagship_rank = {n: i for i, n in enumerate(_FLAGSHIP)}
     r3_rank = {n: i for i, n in enumerate(_R3_PRIORITY)}
+    r4_rank = {n: i for i, n in enumerate(_R4_PRIORITY)}
     order = {n: i for i, n in enumerate(reg)}
 
     def key(name: str) -> tuple:
@@ -145,6 +186,8 @@ def driver_ordered_queries() -> dict[str, QueryFn]:
             family = 3
         return (
             name in green,
+            name not in r4_rank,
+            r4_rank.get(name, 0),
             name not in r3_rank,
             r3_rank.get(name, 0),
             family,
