@@ -98,6 +98,160 @@ def exact_quantile(
     return row[0]["v"]
 
 
+def exact_quantiles(
+    df: DataFrame,
+    col: str,
+    qs: tuple,
+    n_bins: int = 4096,
+    direct_threshold: int = 100_000,
+    max_rounds: int = 8,
+    stats_out: dict | None = None,
+) -> list:
+    """Exact lower-discrete quantiles for ALL of ``qs`` with ONE
+    histogram scan per narrowing round (VERDICT r03 item 3): each
+    round groups the active edges by their surviving range (ranges
+    are buckets of a common refinement tree — identical or disjoint,
+    so one CASE assigns each row to at most one range), histograms
+    every distinct range in a single ``groupBy(range, bin)`` pass,
+    and advances each edge into its own target bucket. All edges
+    finish together in one shared ranking pass over the (small)
+    surviving slices.
+
+    Per-pass state is ≤ ``len(qs) × n_bins`` aggregation groups —
+    map-side combinable, no data-row shuffle, same contract as
+    :func:`exact_quantile`. Bucket membership clamps BOTH ends (cf.
+    exact_quantile_by_group): a next-round ``lo`` is a Python-float
+    bucket edge, so a survivor may sit below it by one ulp — the
+    clamp keeps it in bucket 0 instead of silently dropping it.
+
+    Returns values aligned with ``qs``; raises on empty input.
+    ``stats_out`` (optional) receives ``{"rounds": r, "scans": s}``
+    so tests can pin the one-scan-per-round guarantee.
+    """
+    base = df.select(F.col(col).alias("v")).where(F.col("v").isNotNull())
+    lo0, hi0, n0 = base.agg(F.min("v"), F.max("v"), F.count("v")).collect()[0]
+    if n0 == 0:
+        raise ValueError("exact_quantiles: empty input")
+    scans = rounds = 0
+
+    def bucket(lo: float, width: float):
+        # two-sided clamped floor bucket — the ONE formula used by
+        # histogram, survivor membership, and the finish pass alike
+        return F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(n_bins - 1),
+                F.floor((F.col("v") - F.lit(lo)) / F.lit(width)).cast("int"),
+            ),
+        )
+
+    def member(chain: tuple):
+        pred = F.lit(True)
+        for lo, width, target in chain:
+            pred = pred & (bucket(lo, width) == F.lit(target))
+        return pred
+
+    # per-edge narrowing state; edges with equal chains share a range
+    edges = [
+        {"lo": float(lo0), "hi": float(hi0), "n": n0,
+         "k": int(q * (n0 - 1)), "chain": ()}
+        for q in qs
+    ]
+
+    for _ in range(max_rounds):
+        act = [e for e in edges if e["n"] > direct_threshold and e["lo"] < e["hi"]]
+        if not act:
+            break
+        rounds += 1
+        states: list[tuple] = []
+        for e in act:
+            if e["chain"] not in states:
+                states.append(e["chain"])
+        sid_of = {c: i for i, c in enumerate(states)}
+        rep = {sid_of[c]: next(e for e in act if e["chain"] == c) for c in states}
+        sid_col = None
+        bin_col = None
+        for c, i in sid_of.items():
+            e = rep[i]
+            width = (e["hi"] - e["lo"]) / n_bins
+            sid_col = (
+                F.when(member(c), F.lit(i)) if sid_col is None
+                else sid_col.when(member(c), F.lit(i))
+            )
+            bin_col = (
+                F.when(F.col("__sid") == i, bucket(e["lo"], width))
+                if bin_col is None
+                else bin_col.when(F.col("__sid") == i, bucket(e["lo"], width))
+            )
+        hist = (
+            base.withColumn("__sid", sid_col)
+            .where(F.col("__sid").isNotNull())
+            .groupBy("__sid", bin_col.alias("b"))
+            .agg(F.count("*").alias("c"))
+            .collect()
+        )
+        scans += 1
+        counts: dict = {}
+        for r in hist:
+            counts.setdefault(r["__sid"], {})[r["b"]] = r["c"]
+        for e in act:
+            sid = sid_of[e["chain"]]
+            width = (e["hi"] - e["lo"]) / n_bins
+            acc, target = 0, n_bins - 1
+            for b in range(n_bins):
+                c = counts.get(sid, {}).get(b, 0)
+                if acc + c > e["k"]:
+                    target = b
+                    break
+                acc += c
+            e["chain"] = e["chain"] + ((e["lo"], width, target),)
+            e["k"] -= acc
+            e["n"] = counts.get(sid, {}).get(target, 0)
+            e["hi"] = e["lo"] + (target + 1) * width
+            e["lo"] = e["lo"] + target * width
+
+    # one shared finishing pass: rank every distinct chain's slice
+    from pyspark.sql import Window
+
+    finals: list[tuple] = []
+    for e in edges:
+        if e["chain"] not in finals:
+            finals.append(e["chain"])
+    sid_col = None
+    for i, c in enumerate(finals):
+        sid_col = (
+            F.when(member(c), F.lit(i)) if sid_col is None
+            else sid_col.when(member(c), F.lit(i))
+        )
+    wanted = {
+        (finals.index(e["chain"]), e["k"] + 1): None for e in edges
+    }
+    w = Window.partitionBy("__sid").orderBy("v")
+    picked = None
+    for sid, rn in wanted:
+        cond = (F.col("__sid") == sid) & (F.col("__rn") == rn)
+        picked = cond if picked is None else picked | cond
+    rows = (
+        base.withColumn("__sid", sid_col)
+        .where(F.col("__sid").isNotNull())
+        .withColumn("__rn", F.row_number().over(w))
+        .where(picked)
+        .collect()
+    )
+    scans += 1
+    got = {(r["__sid"], r["__rn"]): r["v"] for r in rows}
+    out = []
+    for e in edges:
+        v = got.get((finals.index(e["chain"]), e["k"] + 1))
+        if v is None:
+            raise RuntimeError("exact_quantiles: lost a target rank")
+        out.append(v)
+    if stats_out is not None:
+        stats_out["rounds"] = rounds
+        stats_out["scans"] = scans
+    return out
+
+
 def exact_quantile_by_group(
     df: DataFrame,
     group_col: str,

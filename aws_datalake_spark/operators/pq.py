@@ -21,13 +21,16 @@ Why this is THE 100 TB ANN shape:
   doing a vectorized argmin per subspace; embarrassingly parallel,
   no shuffle.
 * **Scoring stays JVM-side.** The per-query LUT (m·k partial
-  distances) rides a broadcast join; the ADC sum is a codegen'd
+  distances) joins onto the code table; the ADC sum is a codegen'd
   higher-order-function fold over the code array — no Python in the
-  corpus-side hot path, no vector bytes moving. LUTs themselves
-  build driver-side only for bounded query batches; above
+  corpus-side hot path, no vector bytes moving. LUTs build
+  driver-side (and broadcast) only for bounded query batches; above
   ``DRIVER_LUT_MAX_QUERIES`` they are computed by an Arrow-batched
-  pandas_udf on the executors (bit-identical arithmetic,
-  pytest-pinned parity + plan gate).
+  pandas_udf on the executors AND joined without broadcast
+  (SHUFFLE_REPLICATE_NL cartesian / shuffle merge on the cell key),
+  since a LUT is larger than its query vector — broadcasting it
+  would re-create the driver bottleneck (bit-identical arithmetic,
+  pytest-pinned parity + plan gate on the join).
 * Composes with IVF (operators/similarity.py:ann_ivf_topk): probe
   cells first, ADC-score only the probed cells' codes
   (:func:`ann_ivf_pq_topk`).
@@ -160,29 +163,37 @@ def _lut_frame(
     query_id_col: str,
     vec_col: str,
     max_driver_queries: int | None = None,
-) -> DataFrame:
-    """(query_id, __lut) for the query batch. Small batches collect
-    to the driver and return a local frame (broadcast-join fodder);
+) -> tuple[DataFrame, bool]:
+    """``((query_id, __lut) frame, driver_side)`` for the query batch.
+    Small batches collect to the driver and return a local frame —
+    ``driver_side=True`` tells the caller a broadcast join is safe;
     batches above ``max_driver_queries`` compute the LUT inside an
     Arrow-batched pandas_udf so query vectors never leave the
-    executors — same arithmetic (:func:`_query_luts`), same schema,
-    pytest-pinned parity."""
+    executors (``driver_side=False`` — the caller must NOT broadcast:
+    a LUT is m·k doubles, LARGER than the vector it came from, so
+    broadcasting it would re-create the driver bottleneck the
+    distributed path exists to remove). Same arithmetic both paths
+    (:func:`_query_luts`), same schema, pytest-pinned parity.
+
+    The path decision and the driver-side build share ONE bounded
+    job: ``limit+1`` rows are collected; overflow proves the batch is
+    big (a ``count()`` probe would execute the query frame's lineage
+    a second time)."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, DoubleType
 
     limit = DRIVER_LUT_MAX_QUERIES if max_driver_queries is None else max_driver_queries
     spark = queries.sparkSession
-    # cheap upper-bound probe: count() on the (tiny) query frame —
-    # never on the corpus
-    if queries.count() <= limit:
-        q_rows = [
-            (r[0], list(r[1]))
-            for r in queries.select(query_id_col, vec_col).collect()
-        ]
-        return spark.createDataFrame(
-            _query_luts(q_rows, codebooks),
-            f"{query_id_col} long, __lut array<double>",
+    probe_rows = queries.select(query_id_col, vec_col).limit(limit + 1).collect()
+    if len(probe_rows) <= limit:
+        q_rows = [(r[0], list(r[1])) for r in probe_rows]
+        return (
+            spark.createDataFrame(
+                _query_luts(q_rows, codebooks),
+                f"{query_id_col} long, __lut array<double>",
+            ),
+            True,
         )
 
     m = len(codebooks)
@@ -203,9 +214,12 @@ def _lut_frame(
             out[:, j * k:(j + 1) * k] = d2
         return pd.Series([[float(x) for x in r] for r in out])
 
-    return queries.select(
-        F.col(query_id_col),
-        _lut(F.col(vec_col).cast("array<double>")).alias("__lut"),
+    return (
+        queries.select(
+            F.col(query_id_col),
+            _lut(F.col(vec_col).cast("array<double>")).alias("__lut"),
+        ),
+        False,
     )
 
 
@@ -260,12 +274,19 @@ def pq_topk(
     ~m-byte codes. Returns (query_id, neighbor_id, rank, adc_dist);
     smaller distance = nearer. LUTs build driver-side for bounded
     query batches and distributed (pandas_udf) above
-    DRIVER_LUT_MAX_QUERIES."""
+    DRIVER_LUT_MAX_QUERIES — and above that threshold the codes×LUT
+    pairing is a SHUFFLE_REPLICATE_NL cartesian (each code partition
+    meets each LUT partition on the executors), never a broadcast:
+    a broadcast would materialize every LUT on the driver, which is
+    exactly the bottleneck the distributed build removes."""
     k = len(codebooks[0])
-    luts = _lut_frame(queries, codebooks, query_id_col, vec_col)
+    luts, driver_side = _lut_frame(queries, codebooks, query_id_col, vec_col)
+    if driver_side:
+        joined = codes.crossJoin(F.broadcast(luts))
+    else:
+        joined = codes.crossJoin(luts.hint("shuffle_replicate_nl"))
     return _adc_rank(
-        codes.crossJoin(F.broadcast(luts)),
-        k, k_neighbors, id_col, code_col, query_id_col,
+        joined, k, k_neighbors, id_col, code_col, query_id_col,
     )
 
 
@@ -298,11 +319,17 @@ def ann_ivf_pq_topk(
     q_cells = assign_cells(
         queries, centroids, n_probe, query_id_col, vec_col
     ).select(query_id_col, "centroid_id", vec_col)
-    luts = _lut_frame(queries, codebooks, query_id_col, vec_col)
+    luts, driver_side = _lut_frame(queries, codebooks, query_id_col, vec_col)
     probe = q_cells.join(luts, query_id_col).select(
         query_id_col, "centroid_id", "__lut"
     )
+    if driver_side:
+        scored = codes.join(F.broadcast(probe), "centroid_id")
+    else:
+        # big query batch: equi-join on the cell key shuffles both
+        # sides by centroid_id — probe LUTs never funnel through the
+        # driver (broadcast would collect them all)
+        scored = codes.join(probe.hint("merge"), "centroid_id")
     return _adc_rank(
-        codes.join(F.broadcast(probe), "centroid_id"),
-        k, k_neighbors, id_col, "pq_code", query_id_col,
+        scored, k, k_neighbors, id_col, "pq_code", query_id_col,
     )

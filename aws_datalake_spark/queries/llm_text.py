@@ -1092,7 +1092,7 @@ def llm_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), tot AS (
       SELECT SUM(n_tokens) AS total, COUNT(*) AS n FROM tok
     ), b AS (
-      SELECT CAST(FLOOR(total / 2.0) AS BIGINT) AS budget FROM tot
+      SELECT CAST(total // 2 AS BIGINT) AS budget FROM tot
     ), s AS (
       SELECT source, n_tokens,
              ROW_NUMBER() OVER (ORDER BY n_tokens, source) AS rn,
@@ -1106,11 +1106,13 @@ def llm_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM s, tot, b
     ), lv AS (
       SELECT pvt, pvt_cum,
-             CAST(FLOOR((budget - pvt_cum) / (1.0 * (n - pvt)))
-                  AS BIGINT) AS lvl,
+             CAST(CASE WHEN n > pvt
+                  THEN (budget - pvt_cum) // (n - pvt)
+                  ELSE 0 END AS BIGINT) AS lvl,
              (budget - pvt_cum)
-               - CAST(FLOOR((budget - pvt_cum) / (1.0 * (n - pvt)))
-                      AS BIGINT) * (n - pvt) AS extr
+               - CAST(CASE WHEN n > pvt
+                      THEN (budget - pvt_cum) // (n - pvt)
+                      ELSE 0 END AS BIGINT) * (n - pvt) AS extr
       FROM p, tot, b
     )
     SELECT source, n_tokens,
@@ -1130,7 +1132,13 @@ def llm_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integers that conserve the budget. One sort-window pass,
     no iteration; the oracle re-derives the pivot arithmetic
     independently, so an off-by-one in the level or remainder
-    distribution hash-mismatches."""
+    distribution hash-mismatches.
+
+    The half-the-corpus budget is derived IN-PLAN via
+    ``budget_frac=(1, 2)`` from the window total the operator already
+    computes — an ``agg(sum).collect()`` here would launch a second
+    job over the same scan+groupBy DAG and read `documents` twice
+    (VERDICT r03 item 2; plan-gated single scan in test_plans.py)."""
     from aws_datalake_spark.operators.sampling import waterfill_budget
     from aws_datalake_spark.operators.text import token_count_ws
 
@@ -1139,8 +1147,7 @@ def llm_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.sum(token_count_ws(F.col("text"))).cast("long").alias("n_tokens"))
     )
-    total = tok.agg(F.sum("n_tokens")).collect()[0][0]
-    return waterfill_budget(tok, int(total) // 2, key_col="source")
+    return waterfill_budget(tok, budget_frac=(1, 2), key_col="source")
 
 
 @query(

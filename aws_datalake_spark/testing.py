@@ -191,10 +191,13 @@ def check_query(
     if oracle is None:
         return CheckResult(name, "ROWS", n_rows=len(srows))
     try:
-        res = con.execute(oracle)
-        ocols = [d[0] for d in res.description]
-        orows = res.fetchall()
-        oschema = con.execute(oracle).fetch_arrow_table().schema
+        # ONE oracle execution: rows, names, and the hash-strict schema
+        # all come from the same Arrow result (a fetchall + a second
+        # execute for the schema would double every oracle's cost).
+        tbl = con.execute(oracle).fetch_arrow_table()
+        ocols = list(tbl.column_names)
+        oschema = tbl.schema
+        orows = [tuple(d[c] for c in ocols) for d in tbl.to_pylist()]
     except Exception as e:  # noqa: BLE001
         return CheckResult(name, "FAIL", errors=[f"oracle error: {e}"])
     sc, sr = rows_sorted(scols, srows)

@@ -169,12 +169,20 @@ def test_pq_lut_distributed_path_parity_and_no_collect(spark, monkeypatch):
     assert small_rows == big_rows  # same arithmetic, same 6-dp rounding
 
     # plan gate: the >threshold LUT frame is computed distributed
-    luts = pq._lut_frame(queries, books, "query_id", "embedding")
+    luts, driver_side = pq._lut_frame(queries, books, "query_id", "embedding")
+    assert driver_side is False
     plan = luts._jdf.queryExecution().executedPlan().toString()
     assert "LocalTableScan" not in plan and "EvalPython" in plan
+    # ...and the codes×LUT JOIN itself must not broadcast the LUTs
+    # (a broadcast materializes every LUT on the driver — the exact
+    # bottleneck the distributed build removes; ADVICE r03)
+    big_plan = big._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" not in big_plan
+    assert "CartesianProduct" in big_plan
     # and the <=threshold path IS the local frame (no Python workers)
     monkeypatch.setattr(pq, "DRIVER_LUT_MAX_QUERIES", 10_000)
-    luts_small = pq._lut_frame(queries, books, "query_id", "embedding")
+    luts_small, small_driver = pq._lut_frame(queries, books, "query_id", "embedding")
+    assert small_driver is True
     assert "EvalPython" not in (
         luts_small._jdf.queryExecution().executedPlan().toString()
     )
@@ -198,6 +206,35 @@ def test_ivf_pq_composes_and_scoring_is_jvm_side(spark):
     # ADC fold must be plain JVM expressions: no python udf in scoring
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+def test_ivf_pq_distributed_probe_joins_without_broadcast(spark, monkeypatch):
+    """ADVICE r03 (pq.py): above DRIVER_LUT_MAX_QUERIES the IVF-PQ
+    probe (query LUTs) must NOT ride a broadcast — broadcasting
+    funnels every LUT through the driver. The big-batch path is a
+    shuffle merge join on the cell key, result-identical to the
+    broadcast path."""
+    from aws_datalake_spark.operators import pq
+
+    emb = _emb(spark)
+    books = pq.pq_train(emb, m=8, k=16, sample=256, iters=5)
+    centroids = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    small = pq.ann_ivf_pq_topk(emb, queries, centroids, books,
+                               k_neighbors=5, n_probe=3)
+    small_rows = {tuple(r) for r in small.collect()}
+    monkeypatch.setattr(pq, "DRIVER_LUT_MAX_QUERIES", 0)
+    big = pq.ann_ivf_pq_topk(emb, queries, centroids, books,
+                             k_neighbors=5, n_probe=3)
+    assert {tuple(r) for r in big.collect()} == small_rows
+    plan = big._jdf.queryExecution().executedPlan().toString()
+    # codes ⋈ probe is the shuffle merge join; centroid assignment may
+    # still broadcast the (tiny) centroid table — that one is fine
+    assert "SortMergeJoin" in plan
 
 
 def test_pq_train_validates_inputs(spark):

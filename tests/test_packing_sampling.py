@@ -227,3 +227,109 @@ def test_waterfill_budget_known_values_and_conservation(spark):
     # tiny budget clips everyone equally
     got4 = {r.source: r.alloc for r in waterfill_budget(avail, 8).collect()}
     assert sum(got4.values()) == 8 and max(got4.values()) <= 2
+
+
+def test_waterfill_budget_frac_matches_literal_budget(spark):
+    """budget_frac=(num, den) derives the budget IN-PLAN from the
+    window total (single-scan path, VERDICT r03 item 2) and must
+    allocate identically to the equivalent literal budget."""
+    import pytest
+
+    from aws_datalake_spark.operators.sampling import waterfill_budget
+
+    avail = spark.createDataFrame(
+        [("a", 10), ("b", 50), ("c", 200), ("d", 1000), ("e", 3)],
+        "source string, n_tokens long",
+    )
+    total = 10 + 50 + 200 + 1000 + 3
+    for num, den in [(1, 2), (1, 3), (2, 3), (3, 1)]:
+        lit = {r.source: r.alloc
+               for r in waterfill_budget(avail, (total * num) // den).collect()}
+        frac = {r.source: r.alloc
+                for r in waterfill_budget(avail, budget_frac=(num, den)).collect()}
+        assert frac == lit, (num, den)
+    with pytest.raises(ValueError, match="exactly one"):
+        waterfill_budget(avail, 10, budget_frac=(1, 2))
+    with pytest.raises(ValueError, match="exactly one"):
+        waterfill_budget(avail)
+
+
+def test_waterfill_level_integral_div_past_2_53(spark):
+    """ADVICE r03: the water level must use TRUE integral division —
+    floor-of-double diverges once (budget - pivot_cum) exceeds 2^53.
+    Two sources with astronomically large availability force a level
+    whose double-rounded floor is off by one."""
+    from aws_datalake_spark.operators.sampling import waterfill_budget
+
+    big = (1 << 55) + 1  # not representable as a double
+    avail = spark.createDataFrame(
+        [("a", big), ("b", big)], "source string, n_tokens long"
+    )
+    budget = (1 << 55) + 3  # level = budget div 2 exactly
+    got = {r.source: r.alloc for r in waterfill_budget(avail, budget).collect()}
+    lvl = budget // 2
+    extra = budget - 2 * lvl
+    assert got == {"a": lvl + (1 if extra >= 1 else 0), "b": lvl}
+    assert sum(got.values()) == budget
+
+
+def test_token_budget_plan_integral_div_past_2_53(spark):
+    """ADVICE r03 (sampling.py:209): budget_tokens and epochs_x1000
+    must be exact integer `div` results even when total_budget ×
+    weight exceeds 2^53 (realistic LLM budgets: ~1e13 tokens)."""
+    from aws_datalake_spark.operators.sampling import token_budget_plan
+
+    total_budget = (1 << 54) + 5  # 1.8e16 tokens — double loses ulps
+    weights = {"web": 0.333333, "code": 0.666667}
+    docs = spark.createDataFrame(
+        [("web", 7), ("code", 11)], "source string, n_tokens long"
+    )
+    rows = {r.source: r for r in
+            token_budget_plan(docs, weights, total_budget).collect()}
+    for src, w in weights.items():
+        w6 = int(round(w * 1_000_000))
+        expect_budget = (total_budget * w6) // 1_000_000
+        assert rows[src].budget_tokens == expect_budget, src
+        avail = {"web": 7, "code": 11}[src]
+        assert rows[src].epochs_x1000 == (expect_budget * 1000) // avail, src
+
+
+def test_exact_quantiles_shared_pass_parity_and_scan_count(spark):
+    """VERDICT r03 item 3: one histogram scan per narrowing round
+    serves ALL quantiles; results match the per-quantile
+    exact_quantile path bit-for-bit."""
+    from aws_datalake_spark.operators.order_stats import (
+        exact_quantile,
+        exact_quantiles,
+    )
+
+    vals = [(i, ((i * 2654435761) % 100003) / 7.0) for i in range(5000)]
+    df = spark.createDataFrame(vals, "id long, x double")
+    qs = (0.1, 0.25, 0.5, 0.75, 0.9)
+    stats: dict = {}
+    got = exact_quantiles(
+        df, "x", qs, n_bins=16, direct_threshold=50, max_rounds=8,
+        stats_out=stats,
+    )
+    want = [
+        exact_quantile(df, "x", q, n_bins=16, direct_threshold=50, max_rounds=8)
+        for q in qs
+    ]
+    assert got == want
+    # the one-scan-per-round guarantee: narrowing rounds ran (the
+    # threshold forces them) and scans == rounds + 1 finishing pass
+    assert stats["rounds"] >= 2
+    assert stats["scans"] == stats["rounds"] + 1
+
+    # degenerate shapes: single quantile, duplicate quantiles,
+    # all-equal values, and a direct (no-narrowing) finish
+    assert exact_quantiles(df, "x", (0.5,), n_bins=16, direct_threshold=50) == [
+        exact_quantile(df, "x", 0.5, n_bins=16, direct_threshold=50)
+    ]
+    dup = exact_quantiles(df, "x", (0.5, 0.5), n_bins=16, direct_threshold=50)
+    assert dup[0] == dup[1] == want[2]
+    const = spark.createDataFrame([(i, 7.0) for i in range(100)], "id long, x double")
+    assert exact_quantiles(const, "x", (0.25, 0.75), direct_threshold=10) == [7.0, 7.0]
+    small_stats: dict = {}
+    small = exact_quantiles(df, "x", qs, stats_out=small_stats)  # default threshold: direct
+    assert small == want and small_stats["rounds"] == 0

@@ -337,3 +337,52 @@ def test_bm25_index_pushes_term_filter_to_postings_scan(spark, tmp_path):
     plan = _formatted(bm25_from_index(pi, ds, ["vector", "merge"]))
     assert "PushedFilters: [In(term" in plan.replace("\n", " ") or "In(term, [" in plan
     assert "text" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_token_budget_scans_documents_once(spark, monkeypatch):
+    """VERDICT r03 item 2: llm_token_budget's budget is derived
+    in-plan (waterfill budget_frac) — the documents scan must appear
+    exactly once in the final plan, and building the query must not
+    collect() anything (the old scalar-total collect re-executed the
+    whole scan+groupBy DAG a second time)."""
+    from pyspark.sql.classic.dataframe import DataFrame as ClassicDF
+
+    from aws_datalake_spark.queries.llm_text import llm_token_budget
+
+    def _boom(self, *a, **kw):
+        raise AssertionError("collect() during query construction")
+
+    monkeypatch.setattr(ClassicDF, "collect", _boom)
+    df = llm_token_budget(spark, SF_SMOKE)
+    monkeypatch.undo()
+    plan = _plan(df)
+    assert plan.count("documents.parquet") == 1
+
+
+def test_curriculum_bins_no_global_sort_single_hist_per_round(spark):
+    """VERDICT r03 items 3/4: curriculum_bins' exact quartile edges
+    come from shared-pass histogram narrowing — the FINAL plan has no
+    global Sort/Exchange of data rows (bin assignment is a scan-side
+    projection), and the edge search issues one histogram scan per
+    narrowing round for ALL quantiles together."""
+    from pyspark.sql import functions as F
+
+    from aws_datalake_spark.operators.order_stats import exact_quantiles
+    from aws_datalake_spark.queries.llm_text import llm_curriculum_bins
+
+    df = llm_curriculum_bins(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "Sort " not in plan and "rangepartitioning" not in plan
+    assert "Exchange hashpartitioning" not in plan  # projection only
+
+    # shared-pass guarantee on a frame big enough to force narrowing
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        (F.length("text") % 997).cast("long").alias("v")
+    )
+    stats: dict = {}
+    exact_quantiles(
+        docs, "v", (0.25, 0.5, 0.75), n_bins=8, direct_threshold=20,
+        max_rounds=6, stats_out=stats,
+    )
+    assert stats["rounds"] >= 1
+    assert stats["scans"] == stats["rounds"] + 1
