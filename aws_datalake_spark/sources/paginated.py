@@ -46,8 +46,24 @@ class PageRange(InputPartition):
         self.end = end
 
 
+def _file_record(custkey: int, name: str, acctbal: float) -> tuple[int, str, str, int]:
+    """API record served by the file-backed fixture service: maps a
+    customer row onto the API's (id, name, status, metric) shape —
+    status plays the reference's entity-state field, metric is the
+    balance in integer cents (half-away rounding, matching SQL
+    ROUND; the doubles are exact 2-dp values so the product sits
+    within float error of an integer)."""
+    cents = int(acctbal * 100 + (0.5 if acctbal >= 0 else -0.5))
+    return (custkey, name, "ACTIVE" if acctbal >= 0 else "PAUSED", cents)
+
+
 class _PagedReader(DataSourceReader):
     def __init__(self, options: dict) -> None:
+        # file-backed fixture mode (option `path`): the "remote API"
+        # serves pages of a parquet table, so the scan is
+        # oracle-checkable with plain SQL over the same table; without
+        # `path` the md5-synth mode below stands in
+        self.path = options.get("path")
         self.total = int(options.get("total_rows", 1000))
         self.page_size = int(options.get("page_size", 100))
         # S2: server-side predicate — only ACTIVE rows leave the "API"
@@ -58,18 +74,56 @@ class _PagedReader(DataSourceReader):
             [int(k) for k in keys.split(",")] if keys else None
         )
 
+    def _n_rows(self) -> int:
+        if self.path is None:
+            return self.total
+        import pyarrow.parquet as pq
+
+        # footer metadata only — no data read at planning time
+        return pq.ParquetFile(self.path).metadata.num_rows
+
     def partitions(self) -> list[PageRange]:
         """One InputPartition per page: Spark schedules page fetches
         concurrently across executor slots (vs the reference's serial
         driver loop)."""
+        total = self._n_rows()
         return [
-            PageRange(lo, min(lo + self.page_size, self.total))
-            for lo in range(0, self.total, self.page_size)
+            PageRange(lo, min(lo + self.page_size, total))
+            for lo in range(0, total, self.page_size)
         ]
 
+    def _page(self, start: int, end: int) -> Iterator[tuple]:
+        """The fixture service's page fetch. File mode streams Arrow
+        batches and slices out [start, end) — a stand-in for an HTTP
+        offset/limit fetch (a real API returns only its page; here
+        batches before `start` are skipped without materializing)."""
+        if self.path is None:
+            for i in range(start, end):
+                yield _fake_record(i)
+            return
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(self.path)
+        seen = 0
+        for batch in pf.iter_batches(
+            batch_size=1024, columns=["c_custkey", "c_name", "c_acctbal"]
+        ):
+            lo, hi = seen, seen + batch.num_rows
+            seen = hi
+            if hi <= start:
+                continue
+            if lo >= end:
+                break
+            sl = batch.slice(max(0, start - lo), min(end, hi) - max(start, lo))
+            for k, n, b in zip(
+                sl.column(0).to_pylist(),
+                sl.column(1).to_pylist(),
+                sl.column(2).to_pylist(),
+            ):
+                yield _file_record(k, n, b)
+
     def read(self, partition: PageRange) -> Iterator[tuple]:
-        for i in range(partition.start, partition.end):
-            rec = _fake_record(i)
+        for rec in self._page(partition.start, partition.end):
             if self.active_only and rec[2] != "ACTIVE":
                 continue
             if self.keys is not None and rec[0] not in self.keys:
@@ -103,8 +157,10 @@ class _PagedStreamReader(SimpleDataSourceStreamReader):
 
 
 class PaginatedApiDataSource(DataSource):
-    """``spark.read.format("paged_api")`` — options: total_rows,
-    page_size, active_only (S2 pushdown), keys (S3 keyed scan).
+    """``spark.read.format("paged_api")`` — options: path (file-backed
+    fixture service over a parquet table; omitted → md5 synth),
+    total_rows, page_size, active_only (S2 pushdown), keys (S3 keyed
+    scan).
     ``spark.readStream.format("paged_api")`` — options: total_rows,
     rows_per_batch (cursor-offset micro-batches)."""
 

@@ -414,3 +414,37 @@ def test_publish_txn_cross_table_snapshot_isolation(tmp_path, spark):
 
     with _pytest.raises(ValueError, match="no committed version"):
         publish_txn(root, {"dim_a": 99})
+
+
+def test_paged_api_file_mode_page_boundaries_exact(spark):
+    """File-backed fixture service (S1 driver surface): awkward page
+    sizes must tile the table exactly — no lost or duplicated rows at
+    page boundaries, across multiple Arrow batches."""
+    from aws_datalake_spark.catalog import table_path
+    from aws_datalake_spark.sources.paginated import register
+
+    register(spark)
+    path = table_path("/root/testdata/sf0.001", "customer")
+    want = {r.c_custkey for r in spark.read.parquet(path).collect()}
+    for page in (7, 64, 1000):
+        got = [
+            r.id
+            for r in spark.read.format("paged_api")
+            .option("path", path)
+            .option("page_size", page)
+            .load()
+            .collect()
+        ]
+        assert len(got) == len(want) and set(got) == want, page
+    # pushdown + keyed filters compose server-side
+    df = (
+        spark.read.format("paged_api")
+        .option("path", path)
+        .option("page_size", 32)
+        .option("active_only", "true")
+        .option("keys", "1,2,3")
+        .load()
+    )
+    rows = df.collect()
+    assert {r.id for r in rows} <= {1, 2, 3}
+    assert all(r.status == "ACTIVE" for r in rows)
