@@ -106,6 +106,14 @@ HEADLINE = [
     "llm_bm25_indexed",
     "llm_filter_funnel",
     "llm_seq_len_histogram",
+    # round-4 additions: the two perf-reworked planners (single-scan
+    # waterfilling, shared-pass quantile narrowing), the epoch
+    # planner, the new paginated-API surface, and RAG indexing
+    "llm_token_budget",
+    "llm_curriculum_bins",
+    "llm_epoch_plan",
+    "ref_paginated_scan",
+    "llm_rag_index",
 ]
 
 
@@ -122,14 +130,29 @@ def main() -> None:
     # Warm the JVM/session so per-query numbers measure the plan, not startup.
     materialize(queries[names[0]](spark, sf_dir))
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    max_runs = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_RUNS", "5"))
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     for name in names:
-        # median of `runs` (default 3) strips GC/compilation noise so
-        # round-over-round comparisons track plan changes, not jitter;
-        # per-query spread (max-min) makes the noise floor visible.
+        # Noise discipline (r03 verdict item 6: four queries "doubled"
+        # round-over-round with zero code change; n=3 spread was 40%
+        # of the headline): one DISCARDED warm-up run per query pays
+        # codegen/compile + page-cache cost outside the timed window,
+        # then median of `runs`; if the spread still exceeds 50% of
+        # the median, sample up to `max_runs` so one GC-hit run can't
+        # swing the recorded number. Per-query spread is published so
+        # a future round can tell plan regressions from jitter.
+        materialize(queries[name](spark, sf_dir))  # warm-up, discarded
         samples = []
         for _ in range(runs):
+            t0 = time.time()
+            materialize(queries[name](spark, sf_dir))
+            samples.append(time.time() - t0)
+        while (
+            len(samples) < max_runs
+            and (max(samples) - min(samples))
+            > 0.5 * sorted(samples)[len(samples) // 2]
+        ):
             t0 = time.time()
             materialize(queries[name](spark, sf_dir))
             samples.append(time.time() - t0)
@@ -144,7 +167,10 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf else sf_dir,
         "runs_per_query": runs,
+        "max_runs_on_noise": max_runs,
+        "warmup": "1 discarded run per query",
         "stat": "median",
+        "spreads": spreads,
         "spread_total": round(sum(spreads.values()), 3),
         "spread_max": (
             max(spreads, key=spreads.get) if spreads else None

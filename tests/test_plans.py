@@ -386,3 +386,19 @@ def test_curriculum_bins_no_global_sort_single_hist_per_round(spark):
     )
     assert stats["rounds"] >= 1
     assert stats["scans"] == stats["rounds"] + 1
+
+
+def test_audio_chain_zero_shuffle_mapinpandas(spark):
+    """VERDICT r03 item 8: the audio chunk/index chain is narrow
+    end-to-end — byte windowing and the per-chunk encoder stub are
+    partition-local mapInPandas stages; media bytes must never cross
+    an Exchange."""
+    from aws_datalake_spark.queries.llm_similarity import (
+        llm_audio_chunks,
+        llm_audio_index,
+    )
+
+    for q in (llm_audio_chunks, llm_audio_index):
+        plan = _plan(q(spark, SF_SMOKE))
+        assert "Exchange" not in plan, q.__name__
+        assert "ArrowEvalPython" in plan or "MapInPandas" in plan, q.__name__
