@@ -103,8 +103,9 @@ _R3_PRIORITY = (
 # fixes) + the new paginated-API surface (VERDICT item 5). Exactly 50
 # names; the ~30 remaining stragglers take the round-5 window.
 _R4_PRIORITY = (
-    # new driver surface for S1/S2/S3 (registered this round)
+    # new driver surfaces for S1/S2/S3 and S13/S14/P20 (this round)
     "ref_paginated_scan", "ref_paginated_pushdown", "ref_paginated_keyed",
+    "ref_zone_promote_roundtrip",
     # 15 round-2 TPC-H shapes
     "q02_min_cost_supplier", "q07_volume_shipping", "q08_market_share",
     "q09_product_type_profit", "q10_returned_items", "q11_important_stock",
@@ -128,9 +129,11 @@ _R4_PRIORITY = (
     "llm_rag_index",
     # perf-reworked this round — certify the new plans
     "llm_token_budget", "llm_curriculum_bins", "llm_epoch_plan",
-    # dedup-family stragglers
+    # dedup-family stragglers (llm_embedding_neardup yields its slot
+    # to the zone-orchestration surface; its operator family is
+    # already driver-certified via llm_semantic_dedup_keep)
     "llm_simhash_neardup", "llm_ngram_jaccard_pairs",
-    "llm_edit_distance_verify", "llm_embedding_neardup",
+    "llm_edit_distance_verify",
 )
 
 

@@ -10,6 +10,7 @@ round-trip — is checked end-to-end against plain SQL.
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -2063,3 +2064,50 @@ def ref_paginated_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
     rides the fetch as a server-side restriction. The fixed key set
     exists at every SF (custkeys are dense from 0)."""
     return _paged(spark, sf_dir, keys=_PAGED_KEYS)
+
+
+@query(
+    "ref_zone_promote_roundtrip",
+    oracle="""
+    SELECT n_nationkey, n_name, 'transformed' AS zone,
+           1 AS n_raw_datasets, 1 AS n_cleansed_datasets
+    FROM nation
+    """,
+)
+def ref_zone_promote_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13/S14/P20 — medallion zone orchestration end-to-end
+    (sources/zones.py): land `nation` in the raw zone, P20-rewrite
+    the path raw→cleansed→transformed (ZonePaths.promote), S13-copy
+    the dataset zone-to-zone as a distributed read→write, and
+    S14-discover what each zone holds. The oracle is the same rows
+    via plain SQL plus the expected discovery counts, so a lost
+    row in the copy, a wrong promote target, or a discovery miss
+    hash-mismatches. Reference parity: cleansing.py:24-25 /
+    transformation.py:250-252 key rewriting, partitioning.py:54-56
+    copy, partitioning.py:28-32 list-keys discovery."""
+    from aws_datalake_spark.sources.zones import (
+        ZonePaths,
+        copy_zone,
+        discover_datasets,
+    )
+
+    zp = ZonePaths(tempfile.mkdtemp(prefix="zones_"))
+    t(spark, sf_dir, "nation").select("n_nationkey", "n_name").write.mode(
+        "overwrite"
+    ).parquet(zp.path("raw", "nation"))
+    src, dst = zp.promote("raw", "nation")
+    copy_zone(spark, src, dst)
+    src2, dst2 = zp.promote("cleansed", "nation")
+    copy_zone(spark, src2, dst2)
+    n_raw = len(discover_datasets(os.path.join(zp.root, "raw")))
+    n_cleansed = len(discover_datasets(os.path.join(zp.root, "cleansed")))
+    return (
+        spark.read.parquet(zp.path("transformed", "nation"))
+        .select(
+            "n_nationkey",
+            "n_name",
+            F.lit("transformed").alias("zone"),
+            F.lit(n_raw).alias("n_raw_datasets"),
+            F.lit(n_cleansed).alias("n_cleansed_datasets"),
+        )
+    )
