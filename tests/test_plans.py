@@ -402,3 +402,26 @@ def test_audio_chain_zero_shuffle_mapinpandas(spark):
         plan = _plan(q(spark, SF_SMOKE))
         assert "Exchange" not in plan, q.__name__
         assert "ArrowEvalPython" in plan or "MapInPandas" in plan, q.__name__
+
+
+def test_vocab_coverage_window_is_vocab_sized(spark):
+    """VERDICT r03 item 8: llm_vocab_coverage's ranking window runs
+    on the VOCABULARY-sized count table — the corpus tokens shuffle
+    exactly once (the token groupBy); everything after is bounded by
+    |vocab|."""
+    from aws_datalake_spark.queries.llm_text import llm_vocab_coverage
+
+    plan = _plan(llm_vocab_coverage(spark, SF_SMOKE))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_source_drift_shuffles_groups_only(spark):
+    """llm_source_drift: both batch histograms aggregate to
+    groups-sized frames before the full outer join — nothing wider
+    than the source key ever shuffles, and there is no cartesian."""
+    from aws_datalake_spark.queries.llm_text import llm_source_drift
+
+    plan = _plan(llm_source_drift(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert all("source" in l for l in ex)
