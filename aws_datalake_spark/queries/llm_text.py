@@ -1186,3 +1186,84 @@ def llm_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q = quality_score(t(spark, sf_dir, "documents"))
     return curriculum_bins(q)
+
+
+@query(
+    "llm_fertility_by_lang",
+    oracle=f"""
+    SELECT predicted_lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_ws) AS BIGINT) AS total_ws,
+           CAST(SUM(n_bpe) AS BIGINT) AS total_bpe,
+           CASE WHEN SUM(n_ws) > 0
+                THEN CAST(SUM(n_bpe) AS DOUBLE) / CAST(SUM(n_ws) AS DOUBLE)
+                ELSE 0.0 END AS fertility
+    FROM (
+      SELECT {{LANG_CASE}} AS predicted_lang,
+             len({_TOKS}) AS n_ws,
+             len(regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe
+      FROM documents)
+    GROUP BY 1
+    """.replace("{LANG_CASE}", _lang_case_sql()),
+)
+def llm_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language — BPE-ish pieces per
+    whitespace word, the standard diagnostic for sizing a
+    multilingual tokenizer vocabulary (high fertility = the tokenizer
+    over-fragments that language; budgets and mixing weights are
+    usually corrected by it). Pure JVM lang-ID CASE + regex counts →
+    one groups-sized aggregate; the fertility ratio is an exact
+    integer quotient, engine-portable. Corpus text never shuffles —
+    rows reduce to (lang, counts) at the scan."""
+    from aws_datalake_spark.operators.text import lang_id
+
+    per = t(spark, sf_dir, "documents").select(
+        lang_id("text").alias("predicted_lang"),
+        token_count_ws("text").cast("long").alias("n_ws"),
+        token_count_bpe_ish("text").cast("long").alias("n_bpe"),
+    )
+    return per.groupBy("predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_ws").alias("total_ws"),
+        F.sum("n_bpe").alias("total_bpe"),
+        F.when(
+            F.sum("n_ws") > 0,
+            F.sum("n_bpe").cast("double") / F.sum("n_ws").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("fertility"),
+    )
+
+
+@query(
+    "llm_dedup_rate_by_source",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+           CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_dups,
+           CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+    FROM documents GROUP BY 1
+    """,
+)
+def llm_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication diagnostic — the dedup-pipeline health
+    metric that decides WHERE dedup effort goes (a source with 30%
+    exact dups gets aggressive near-dup passes; a clean one skips
+    them). Texts reduce to md5 digests at the scan, so the distinct
+    aggregation shuffles 16-byte hashes keyed by source, never
+    document bytes — the same never-move-text posture as exact_dedup
+    (operators/dedup.py)."""
+    d = t(spark, sf_dir, "documents")
+    h = F.md5(F.col("text").cast("binary"))
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(h).alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct(h)).alias("n_dups"),
+        (
+            (F.count(F.lit(1)) - F.countDistinct(h)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("dup_rate"),
+    )
