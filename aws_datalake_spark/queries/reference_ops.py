@@ -2023,7 +2023,10 @@ def _paged(spark: SparkSession, sf_dir: str, **opts) -> DataFrame:
     r = (
         spark.read.format("paged_api")
         .option("path", table_path(sf_dir, "customer"))
+        # page size grows with the table so page count stays ~32 at
+        # any SF (64-row floor keeps real pagination at sf0.001)
         .option("page_size", 64)
+        .option("pages_target", 32)
     )
     for k, v in opts.items():
         r = r.option(k, v)

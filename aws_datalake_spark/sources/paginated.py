@@ -66,6 +66,7 @@ class _PagedReader(DataSourceReader):
         self.path = options.get("path")
         self.total = int(options.get("total_rows", 1000))
         self.page_size = int(options.get("page_size", 100))
+        self.pages_target = int(options.get("pages_target", 0))
         # S2: server-side predicate — only ACTIVE rows leave the "API"
         self.active_only = options.get("active_only", "false").lower() == "true"
         # S3: keyed scan — restrict to an id allow-list (comma list)
@@ -85,11 +86,17 @@ class _PagedReader(DataSourceReader):
     def partitions(self) -> list[PageRange]:
         """One InputPartition per page: Spark schedules page fetches
         concurrently across executor slots (vs the reference's serial
-        driver loop)."""
+        driver loop). With ``pages_target`` the page size grows with
+        the table so the page COUNT stays ~target (a few × cores) at
+        any SF — thousands of sub-second Python partitions would be
+        pure scheduler overhead; ``page_size`` remains the floor."""
         total = self._n_rows()
+        page = self.page_size
+        if self.pages_target:
+            page = max(page, -(-total // self.pages_target))
         return [
-            PageRange(lo, min(lo + self.page_size, total))
-            for lo in range(0, total, self.page_size)
+            PageRange(lo, min(lo + page, total))
+            for lo in range(0, total, page)
         ]
 
     def _page(self, start: int, end: int) -> Iterator[tuple]:
