@@ -210,7 +210,15 @@ def exact_quantiles(
             e["hi"] = e["lo"] + (target + 1) * width
             e["lo"] = e["lo"] + target * width
 
-    # one shared finishing pass: rank every distinct chain's slice
+    # One shared finishing pass: rank every distinct chain's slice.
+    # Chains at this point are pairwise equal-or-DISJOINT, never a
+    # proper prefix of another: two edges with the same chain see the
+    # same buckets and therefore the same surviving n, so they go
+    # inactive together — an edge can only stop "earlier" than
+    # another after their chains have already diverged into disjoint
+    # buckets. Hence the CASE below assigns each row at most one sid
+    # regardless of branch order, and per-sid row_number ranks are
+    # exact (the RuntimeError guard would trip loudly otherwise).
     from pyspark.sql import Window
 
     finals: list[tuple] = []
