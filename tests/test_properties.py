@@ -173,6 +173,30 @@ def test_exact_quantile_matches_sorted_list(spark_global, vals, q):
 
 
 @given(
+    vals=st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=300,
+    ),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_exact_quantiles_multi_matches_sorted_list(spark_global, vals):
+    """Shared-pass multi-quantile narrowing must agree with the plain
+    sorted-list definition for every edge simultaneously — including
+    duplicate values, tiny inputs, and narrowing-forced shapes."""
+    from aws_datalake_spark.operators.order_stats import exact_quantiles
+
+    spark = spark_global
+    qs = (0.0, 0.25, 0.5, 0.75, 1.0)
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = exact_quantiles(df, "x", qs, n_bins=8, direct_threshold=10)
+    sv = sorted(vals)
+    assert got == [sv[int(q * (len(vals) - 1))] for q in qs]
+
+
+@given(
     rows=st.lists(st.integers(0, 8), min_size=1, max_size=200),
     support=st.sampled_from([0.1, 0.25, 0.4]),
 )

@@ -70,3 +70,30 @@ def test_harness_tolerates_int_width_difference(spark, con):
     oracle = "SELECT CAST(x AS BIGINT) AS v FROM (VALUES (0), (1), (2)) t(x)"
     r = check_query(spark, con, SF_SMOKE, "synthetic", fn, oracle)
     assert r.status == "PASS", r.errors
+
+
+def test_check_query_executes_oracle_once(spark, con):
+    """ADVICE r03: check_query must run each oracle exactly once
+    (rows + column names + hash-strict schema all derive from the
+    same Arrow result) — a second execute doubles the whole suite's
+    oracle cost."""
+    calls = {"n": 0}
+
+    class CountingCon:  # DuckDBPyConnection attrs are read-only
+        def __init__(self, inner):
+            self._inner = inner
+
+        def execute(self, sql, *a, **kw):
+            calls["n"] += 1
+            return self._inner.execute(sql, *a, **kw)
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+    r = check_query(
+        spark, CountingCon(con), SF_SMOKE, "probe",
+        lambda s, d: s.range(3).selectExpr("id AS n"),
+        "SELECT CAST(range AS BIGINT) AS n FROM range(3)",
+    )
+    assert r.status == "PASS", r.errors
+    assert calls["n"] == 1
