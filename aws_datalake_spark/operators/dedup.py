@@ -433,3 +433,75 @@ def edit_distance_verify(
     return j.select(
         "id_a", "id_b", dist.alias("edit_distance"), ratio.alias("edit_ratio")
     ).filter(F.col("edit_ratio") <= max_ratio)
+
+
+def source_overlap(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    shingle_n: int = 2,
+    sample_mod: int = 1,
+) -> DataFrame:
+    """Cross-source n-gram overlap matrix — the curation diagnostic
+    for contamination/duplication BETWEEN corpus sources (two crawls
+    of the same sites, a dataset repackaged under a new name): for
+    every source pair, the count of shared distinct shingle hashes
+    and the containment ratio in each direction
+    (``overlap / |source|``). High containment_a means source_a is
+    largely a subset of source_b — drop or down-weight it.
+
+    SCALE: shingles reduce to 8-byte hash60 values at the scan and
+    dedupe per source BEFORE the pair join, so the join input is
+    bounded by distinct (source, gram) pairs — text never shuffles.
+    The gram self-join fans out only where a gram spans multiple
+    sources (≤ |sources| per gram, and |sources| is small). For
+    100 TB corpora set ``sample_mod=k`` to keep a deterministic
+    1/k hash-sample of grams (``hash60(gram) % k == 0`` — the same
+    content-stable discipline as sampling.hash_uniform): counts
+    scale by ~1/k, containment RATIOS stay unbiased, and the whole
+    diagnostic is scan-bound at any corpus size.
+
+    Returns ``(source_a, source_b, overlap, containment_a,
+    containment_b)`` for pairs with overlap > 0; ratios are exact
+    integer quotients (engine-portable without rounding).
+    """
+    toks_df = df.select(
+        F.col(source_col).alias("__src"), tokens_ws(F.col(text_col)).alias("__toks")
+    )
+    grams = toks_df.select(
+        "__src", F.explode(shingles("__toks", shingle_n)).alias("__s")
+    )
+    h = grams.select("__src", hash60(F.col("__s")).alias("__h"))
+    if sample_mod > 1:
+        h = h.filter(F.col("__h") % sample_mod == 0)
+    sets = h.distinct()
+    sizes = sets.groupBy("__src").agg(F.count(F.lit(1)).alias("__n"))
+    a = sets.select(F.col("__src").alias("source_a"), "__h")
+    b = sets.select(F.col("__src").alias("source_b"), "__h")
+    com = (
+        a.join(b, "__h")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    return (
+        com.join(
+            F.broadcast(sizes.select(F.col("__src").alias("source_a"),
+                                     F.col("__n").alias("__na"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("__src").alias("source_b"),
+                                     F.col("__n").alias("__nb"))),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "overlap",
+            (F.col("overlap").cast("double") / F.col("__na").cast("double"))
+            .alias("containment_a"),
+            (F.col("overlap").cast("double") / F.col("__nb").cast("double"))
+            .alias("containment_b"),
+        )
+    )

@@ -434,3 +434,40 @@ def llm_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, num_hashes=8, bands=4, jaccard_threshold=0.5
     )
     return leakage_safe_split(docs.select("doc_id"), pairs)
+
+
+@query(
+    "llm_source_overlap",
+    oracle=f"""
+    WITH c AS (SELECT source AS src, text FROM documents),
+    sh AS (
+      SELECT DISTINCT src, {_H60.format(expr='s')} AS h FROM (
+        SELECT src,
+               unnest(list_transform(t, (x, i) ->
+                 CASE WHEN i + 1 <= len(t)
+                      THEN t[i] || ' ' || t[i+1] END)) AS s
+        FROM (SELECT src, {_TOKS} AS t FROM c))
+      WHERE s IS NOT NULL),
+    sizes AS (SELECT src, COUNT(*) AS n FROM sh GROUP BY 1),
+    com AS (
+      SELECT x.src AS source_a, y.src AS source_b, COUNT(*) AS overlap
+      FROM sh x JOIN sh y ON x.h = y.h AND x.src < y.src
+      GROUP BY 1, 2)
+    SELECT source_a, source_b, CAST(overlap AS BIGINT) AS overlap,
+           CAST(overlap AS DOUBLE) / CAST(sa.n AS DOUBLE) AS containment_a,
+           CAST(overlap AS DOUBLE) / CAST(sb.n AS DOUBLE) AS containment_b
+    FROM com JOIN sizes sa ON sa.src = source_a
+             JOIN sizes sb ON sb.src = source_b
+    """,
+)
+def llm_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source bigram overlap/containment matrix
+    (operators/dedup.py:source_overlap) — the between-sources
+    contamination diagnostic (a repackaged or re-crawled dataset
+    shows near-1.0 containment). Grams reduce to hash60 values and
+    dedupe per source before the pair join; text never shuffles; at
+    100 TB the deterministic gram sample (``sample_mod``) bounds the
+    whole thing — ratios stay unbiased."""
+    from aws_datalake_spark.operators.dedup import source_overlap
+
+    return source_overlap(t(spark, sf_dir, "documents"), shingle_n=2)
