@@ -114,6 +114,9 @@ HEADLINE = [
     "llm_epoch_plan",
     "ref_paginated_scan",
     "llm_rag_index",
+    "llm_source_overlap",
+    "llm_fertility_by_lang",
+    "llm_dedup_rate_by_source",
 ]
 
 
