@@ -145,3 +145,94 @@ def chunk_documents(
         F.array_join(piece, " ").alias("chunk_text"),
         F.size(piece).alias("n_chunk_tokens"),
     )
+
+
+def grouped_exclusive_cumsum(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    key_cols: list[str],
+    out: str = "begin",
+    bucket_width: int = 1 << 20,
+) -> DataFrame:
+    """Per-key exclusive running sum over global ``order_col`` order
+    — :func:`global_exclusive_cumsum` lifted to key groups with the
+    same two-pass shape: the big-side window partitions by
+    ``(keys, id-bucket)`` (parallel, ≤ bucket_width rows each); only
+    the tiny per-(keys, bucket) totals table runs a per-key window
+    (|keys| × N/bucket_width rows) before broadcasting back."""
+    b = df.withColumn("__b", F.expr(f"{order_col} div {bucket_width}"))
+    within = Window.partitionBy(*key_cols, "__b").orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    local = b.withColumn("__local", F.coalesce(F.sum(value_col).over(within), F.lit(0)))
+    totals = b.groupBy(*key_cols, "__b").agg(F.sum(value_col).alias("__bt"))
+    over_buckets = Window.partitionBy(*key_cols).orderBy("__b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        *key_cols, "__b",
+        F.coalesce(F.sum("__bt").over(over_buckets), F.lit(0)).alias("__off"),
+    )
+    return (
+        local.join(F.broadcast(offsets), [*key_cols, "__b"])
+        .withColumn(out, (F.col("__off") + F.col("__local")).cast("long"))
+        .drop("__b", "__local", "__off")
+    )
+
+
+def bucket_pack(
+    df: DataFrame,
+    budget: int = 128,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_width: int = 1 << 20,
+) -> DataFrame:
+    """NO-SPLIT packing: every document lands whole in exactly one
+    pack — the SFT/instruction-tuning packer, where an example must
+    not span context boundaries (contrast :func:`pack_sequences`,
+    the pretraining concat-and-chunk where splitting is fine).
+
+    Strategy: length-class shelf packing. Each doc joins the
+    power-of-two class ℓ = 2^p ≥ n_tokens; a class-ℓ pack holds
+    ``budget div ℓ`` docs, filled in doc-id order. Deterministic,
+    set-based, and engine-exact (integer CASE + rank arithmetic —
+    no transcendental log2): the known trade against true first-fit
+    is ≤ 2× padding in the worst case, in exchange for a fully
+    parallel plan (first-fit is an inherently sequential recurrence).
+
+    Docs with ``n_tokens == 0`` or ``n_tokens > budget`` are
+    EXCLUDED (route oversized docs through chunk_documents first).
+    ``budget`` must be a power of two so every class divides it.
+
+    The per-class rank comes from :func:`grouped_exclusive_cumsum` —
+    no single-task global window at any scale. ``pack_id`` is
+    ``p · 2^40 + pack_index_in_class`` (unique across classes, int64
+    at any corpus size below 2^40 packs per class).
+
+    Returns ``(id, n_tokens, len_class, pack_id, slot)``.
+    """
+    if budget & (budget - 1):
+        raise ValueError("bucket_pack: budget must be a power of two")
+    w = df.select(
+        id_col, token_count_ws(F.col(text_col)).cast("long").alias("n_tokens")
+    ).filter((F.col("n_tokens") > 0) & (F.col("n_tokens") <= budget))
+    p_col = None
+    p_max = budget.bit_length() - 1
+    for p in range(p_max + 1):
+        cond = F.col("n_tokens") <= F.lit(1 << p)
+        p_col = F.when(cond, F.lit(p)) if p_col is None else p_col.when(cond, F.lit(p))
+    cls = w.withColumn("__p", p_col.cast("int"))
+    ranked = grouped_exclusive_cumsum(
+        cls.withColumn("__one", F.lit(1)),
+        "__one", id_col, ["__p"], out="__r", bucket_width=bucket_width,
+    )
+    cap = F.expr(f"{budget} div (1 << __p)")
+    return ranked.select(
+        id_col,
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.col("__p").alias("len_class"),
+        (F.col("__p").cast("long") * F.lit(1 << 40)
+         + F.expr("__r div (" + str(budget) + " div (1 << __p))")).alias("pack_id"),
+        (F.col("__r") % cap).cast("long").alias("slot"),
+    )

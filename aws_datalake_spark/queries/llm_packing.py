@@ -625,3 +625,89 @@ def llm_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget_plan(
         docs, _BUDGET_WEIGHTS, _BUDGET_TOTAL, default_weight=0.03
     )
+
+
+_BPACK_CLS = (
+    "CASE WHEN n<=1 THEN 0 WHEN n<=2 THEN 1 WHEN n<=4 THEN 2 WHEN n<=8 THEN 3 "
+    "WHEN n<=16 THEN 4 WHEN n<=32 THEN 5 WHEN n<=64 THEN 6 ELSE 7 END"
+)
+
+_BPACK_SQL = f"""
+    WITH w AS (SELECT doc_id, {_NTOK} AS n FROM documents),
+    f AS (SELECT doc_id, n FROM w WHERE n > 0 AND n <= 128),
+    cls AS (SELECT doc_id, n, {_BPACK_CLS} AS p FROM f),
+    r AS (SELECT doc_id, n, p,
+          ROW_NUMBER() OVER (PARTITION BY p ORDER BY doc_id) - 1 AS r
+          FROM cls)
+"""
+
+
+@query(
+    "llm_bucket_packing",
+    oracle=_BPACK_SQL + """
+    SELECT doc_id, CAST(n AS INT) AS n_tokens, CAST(p AS INT) AS len_class,
+           CAST(p * 1099511627776 + r // (128 // (1 << p)) AS BIGINT) AS pack_id,
+           CAST(r % (128 // (1 << p)) AS BIGINT) AS slot
+    FROM r
+    """,
+)
+def llm_bucket_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NO-SPLIT packing (operators/packing.py:bucket_pack) — the
+    SFT/instruction-tuning packer: each doc lands whole in one
+    128-token pack via power-of-two length-class shelves. The oracle
+    re-derives class, rank, pack and slot with a per-class
+    ROW_NUMBER, so an off-by-one in the distributed grouped prefix
+    sum (the no-global-window rank) hash-mismatches."""
+    from aws_datalake_spark.operators.packing import bucket_pack
+
+    return bucket_pack(t(spark, sf_dir, "documents"), budget=128)
+
+
+@query(
+    "llm_packing_efficiency",
+    oracle=_BPACK_SQL + """
+    , agg AS (
+      SELECT p, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS used_tokens,
+             128 // (1 << p) AS cap
+      FROM r GROUP BY p)
+    SELECT CAST(p AS INT) AS len_class,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           used_tokens,
+           CAST((n_docs + cap - 1) // cap AS BIGINT) AS n_packs,
+           CAST(used_tokens AS DOUBLE)
+             / CAST(((n_docs + cap - 1) // cap) * 128 AS DOUBLE) AS fill_rate
+    FROM agg
+    """,
+)
+def llm_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste report for the no-split packer: per length
+    class, docs, used tokens, pack count, and fill rate (used /
+    pack-capacity). THE metric that decides budget and class
+    granularity for an SFT data build — fill_rate far below 1.0
+    means the packer is burning compute on pad tokens. Derived from
+    the same deterministic packing, groups-sized aggregate."""
+    from aws_datalake_spark.operators.packing import bucket_pack
+
+    packs = bucket_pack(t(spark, sf_dir, "documents"), budget=128)
+    cap = F.expr("128 div (1 << len_class)")
+    return (
+        packs.groupBy("len_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("used_tokens"),
+        )
+        .select(
+            "len_class",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "used_tokens",
+            F.expr("(n_docs + (128 div (1 << len_class)) - 1)"
+                   " div (128 div (1 << len_class))").cast("long").alias("n_packs"),
+            (
+                F.col("used_tokens").cast("double")
+                / (
+                    F.expr("(n_docs + (128 div (1 << len_class)) - 1)"
+                           " div (128 div (1 << len_class))") * F.lit(128)
+                ).cast("double")
+            ).alias("fill_rate"),
+        )
+    )

@@ -1267,3 +1267,66 @@ def llm_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double")
         ).alias("dup_rate"),
     )
+
+
+@query(
+    "llm_diversity_by_source",
+    oracle=f"""
+    WITH tok AS (SELECT source, {_TOKS} AS t FROM documents),
+    uni AS (SELECT source, unnest(t) AS g FROM tok),
+    bi AS (
+      SELECT source, g FROM (
+        SELECT source, unnest(list_transform(t, (x, i) ->
+          CASE WHEN i + 1 <= len(t) THEN t[i] || ' ' || t[i+1] END)) AS g
+        FROM tok) WHERE g IS NOT NULL),
+    a1 AS (
+      SELECT source, COUNT(*) AS n_tokens, COUNT(DISTINCT g) AS n_types
+      FROM uni GROUP BY 1),
+    a2 AS (
+      SELECT source, COUNT(*) AS n_bigrams, COUNT(DISTINCT g) AS n_bigram_types
+      FROM bi GROUP BY 1)
+    SELECT a1.source,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_types AS BIGINT) AS n_types,
+           CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr_unigram,
+           CAST(n_bigram_types AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+             AS ttr_bigram
+    FROM a1 JOIN a2 ON a1.source = a2.source
+    """,
+)
+def llm_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity per source — unigram/bigram type-token
+    ratios (distinct-n over total-n), the standard detector for
+    diversity collapse in a corpus slice (templated/boilerplate
+    sources score low; synthetic-data loops degrade here first).
+    Grams reduce to (source, gram) at the scan; the distinct
+    aggregation shuffles gram strings keyed by source — at 100 TB
+    swap the gram for hash60(gram) so 8-byte ints shuffle (the
+    source_overlap discipline; strings kept here for oracle
+    byte-parity). Ratios are exact integer quotients."""
+    from aws_datalake_spark.operators.text import ngrams
+
+    tok = t(spark, sf_dir, "documents").select(
+        "source", tokens_ws_col().alias("__toks")
+    )
+    uni = tok.select("source", F.explode("__toks").alias("g"))
+    bi = tok.select("source", F.explode(ngrams("__toks", 2)).alias("g"))
+    a1 = uni.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("g").alias("n_types"),
+    )
+    a2 = bi.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.countDistinct("g").alias("n_bigram_types"),
+    )
+    return a1.join(a2, "source").select(
+        "source",
+        "n_tokens",
+        "n_types",
+        (F.col("n_types").cast("double") / F.col("n_tokens").cast("double"))
+        .alias("ttr_unigram"),
+        (
+            F.col("n_bigram_types").cast("double")
+            / F.col("n_bigrams").cast("double")
+        ).alias("ttr_bigram"),
+    )

@@ -333,3 +333,39 @@ def test_exact_quantiles_shared_pass_parity_and_scan_count(spark):
     small_stats: dict = {}
     small = exact_quantiles(df, "x", qs, stats_out=small_stats)  # default threshold: direct
     assert small == want and small_stats["rounds"] == 0
+
+
+def test_bucket_pack_no_split_invariants_and_plan(spark):
+    """No-split packer invariants: every doc whole in exactly one
+    pack, pack capacity respected per length class, slots dense from
+    0, deterministic on rerun; and the rank windows stay partitioned
+    (no single-task global window over the corpus side)."""
+    from aws_datalake_spark.operators.packing import bucket_pack
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = bucket_pack(d, budget=128)
+    rows = out.collect()
+    assert len(rows) == d.filter("length(trim(text)) > 0").count()
+    by_pack: dict = {}
+    for r in rows:
+        cap = 128 // (1 << r.len_class)
+        assert (1 << r.len_class) >= r.n_tokens
+        assert r.len_class == 0 or (1 << (r.len_class - 1)) < r.n_tokens
+        assert 0 <= r.slot < cap
+        by_pack.setdefault(r.pack_id, []).append(r)
+    for pid, docs in by_pack.items():
+        p = docs[0].len_class
+        cap = 128 // (1 << p)
+        assert len(docs) <= cap
+        assert sum(x.n_tokens for x in docs) <= 128  # never overflows budget
+        assert sorted(x.slot for x in docs) == list(range(len(docs)))
+    assert {tuple(r) for r in out.collect()} == {tuple(r) for r in rows}
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the corpus-side rank window partitions by (__p, __b); only the
+    # tiny per-class totals window may run SinglePartition
+    assert "hashpartitioning(__p" in plan
+
+    import pytest
+    with pytest.raises(ValueError, match="power of two"):
+        bucket_pack(d, budget=100)
