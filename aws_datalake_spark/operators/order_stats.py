@@ -127,6 +127,12 @@ def exact_quantiles(
     Returns values aligned with ``qs``; raises on empty input.
     ``stats_out`` (optional) receives ``{"rounds": r, "scans": s}``
     so tests can pin the one-scan-per-round guarantee.
+
+    Degenerate distributions (mass piled on one value) stop
+    shrinking; the round cap hands them to the finishing pass, which
+    is exact regardless — narrowing is purely an optimization (the
+    same contract as exact_quantile_by_group). The finish shuffles
+    only each edge's survivors, never the input.
     """
     base = df.select(F.col(col).alias("v")).where(F.col("v").isNotNull())
     lo0, hi0, n0 = base.agg(F.min("v"), F.max("v"), F.count("v")).collect()[0]
