@@ -117,6 +117,9 @@ HEADLINE = [
     "llm_source_overlap",
     "llm_fertility_by_lang",
     "llm_dedup_rate_by_source",
+    "llm_diversity_by_source",
+    "llm_bucket_packing",
+    "llm_packing_efficiency",
 ]
 
 
