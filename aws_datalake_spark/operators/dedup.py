@@ -465,16 +465,18 @@ def source_overlap(
     containment_b)`` for pairs with overlap > 0; ratios are exact
     integer quotients (engine-portable without rounding).
     """
-    toks_df = df.select(
-        F.col(source_col).alias("__src"), tokens_ws(F.col(text_col)).alias("__toks")
-    )
-    grams = toks_df.select(
-        "__src", F.explode(shingles("__toks", shingle_n)).alias("__s")
-    )
+    from aws_datalake_spark.operators.dedup_cluster import _truncate
+
+    sh = with_shingles(df, text_col, source_col, shingle_n)
+    grams = sh.select(F.col(source_col).alias("__src"), F.explode("__sh").alias("__s"))
     h = grams.select("__src", hash60(F.col("__s")).alias("__h"))
     if sample_mod > 1:
         h = h.filter(F.col("__h") % sample_mod == 0)
-    sets = h.distinct()
+    # the distinct (source, hash) set feeds THREE consumers (sizes +
+    # both self-join sides) — truncate lineage once so the corpus is
+    # tokenized/hashed once, not three times (minhash_lsh_pairs
+    # discipline); the materialized set is 8-byte hashes, tiny
+    sets = _truncate(h.distinct())
     sizes = sets.groupBy("__src").agg(F.count(F.lit(1)).alias("__n"))
     a = sets.select(F.col("__src").alias("source_a"), "__h")
     b = sets.select(F.col("__src").alias("source_b"), "__h")

@@ -134,6 +134,10 @@ def exact_quantiles(
     same contract as exact_quantile_by_group). The finish shuffles
     only each edge's survivors, never the input.
     """
+    if not qs:
+        if stats_out is not None:
+            stats_out["rounds"] = stats_out["scans"] = 0
+        return []
     base = df.select(F.col(col).alias("v")).where(F.col("v").isNotNull())
     lo0, hi0, n0 = base.agg(F.min("v"), F.max("v"), F.count("v")).collect()[0]
     if n0 == 0:

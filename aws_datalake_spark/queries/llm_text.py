@@ -32,7 +32,8 @@ def tokens_ws_col():
     "llm_token_counts",
     oracle=f"""
     SELECT doc_id,
-           CAST(len({_TOKS}) AS INT) AS n_ws,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len({_TOKS}) END AS INT) AS n_ws,
            CAST(len(regexp_extract_all(text,
                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_bpe
     FROM documents
@@ -1200,7 +1201,8 @@ def llm_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 0.0 END AS fertility
     FROM (
       SELECT {{LANG_CASE}} AS predicted_lang,
-             len({_TOKS}) AS n_ws,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len({_TOKS}) END AS n_ws,
              len(regexp_extract_all(text,
                  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe
       FROM documents)

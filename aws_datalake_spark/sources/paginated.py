@@ -100,10 +100,12 @@ class _PagedReader(DataSourceReader):
         ]
 
     def _page(self, start: int, end: int) -> Iterator[tuple]:
-        """The fixture service's page fetch. File mode streams Arrow
-        batches and slices out [start, end) — a stand-in for an HTTP
-        offset/limit fetch (a real API returns only its page; here
-        batches before `start` are skipped without materializing)."""
+        """The fixture service's page fetch. File mode reads ONLY the
+        row groups overlapping [start, end) — row-group row counts
+        come from footer metadata, so a page fetch decodes data
+        proportional to its page (+ at most one row group of
+        overhang), not the whole file; a stand-in for an HTTP
+        offset/limit fetch."""
         if self.path is None:
             for i in range(start, end):
                 yield _fake_record(i)
@@ -111,23 +113,25 @@ class _PagedReader(DataSourceReader):
         import pyarrow.parquet as pq
 
         pf = pq.ParquetFile(self.path)
-        seen = 0
-        for batch in pf.iter_batches(
-            batch_size=1024, columns=["c_custkey", "c_name", "c_acctbal"]
-        ):
-            lo, hi = seen, seen + batch.num_rows
-            seen = hi
-            if hi <= start:
-                continue
-            if lo >= end:
+        cols = ["c_custkey", "c_name", "c_acctbal"]
+        rg_lo = 0
+        for g in range(pf.metadata.num_row_groups):
+            rg_hi = rg_lo + pf.metadata.row_group(g).num_rows
+            if rg_hi > start and rg_lo < end:
+                tbl = pf.read_row_group(g, columns=cols)
+                sl = tbl.slice(
+                    max(0, start - rg_lo),
+                    min(end, rg_hi) - max(start, rg_lo),
+                )
+                for k, n, b in zip(
+                    sl.column(0).to_pylist(),
+                    sl.column(1).to_pylist(),
+                    sl.column(2).to_pylist(),
+                ):
+                    yield _file_record(k, n, b)
+            rg_lo = rg_hi
+            if rg_lo >= end:
                 break
-            sl = batch.slice(max(0, start - lo), min(end, hi) - max(start, lo))
-            for k, n, b in zip(
-                sl.column(0).to_pylist(),
-                sl.column(1).to_pylist(),
-                sl.column(2).to_pylist(),
-            ):
-                yield _file_record(k, n, b)
 
     def read(self, partition: PageRange) -> Iterator[tuple]:
         for rec in self._page(partition.start, partition.end):

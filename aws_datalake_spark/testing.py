@@ -197,7 +197,9 @@ def check_query(
         tbl = con.execute(oracle).fetch_arrow_table()
         ocols = list(tbl.column_names)
         oschema = tbl.schema
-        orows = [tuple(d[c] for c in ocols) for d in tbl.to_pylist()]
+        # positional extraction (NOT to_pylist dicts, which would
+        # silently collapse duplicate column names onto one value)
+        orows = list(zip(*(col.to_pylist() for col in tbl.columns))) if tbl.num_rows else []
     except Exception as e:  # noqa: BLE001
         return CheckResult(name, "FAIL", errors=[f"oracle error: {e}"])
     sc, sr = rows_sorted(scols, srows)
