@@ -462,8 +462,10 @@ def source_overlap(
     diagnostic is scan-bound at any corpus size.
 
     Returns ``(source_a, source_b, overlap, containment_a,
-    containment_b)`` for pairs with overlap > 0; ratios are exact
-    integer quotients (engine-portable without rounding).
+    containment_b)`` for pairs with overlap > 0; ratios are double
+    quotients of exact integers — IEEE-754 division of identical
+    int operands is bit-identical across engines, so no rounding
+    is needed for oracle parity.
     """
     from aws_datalake_spark.operators.dedup_cluster import _truncate
 

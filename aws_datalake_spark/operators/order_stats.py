@@ -40,9 +40,11 @@ def exact_quantile(
     """Exact lower-discrete quantile of ``df[col]`` (the value at
     0-indexed position ``floor(q * (n-1))`` in sorted order).
 
-    Raises on an empty input. NULLs are excluded (SQL aggregate
-    semantics).
+    Raises on an empty input or ``q`` outside [0, 1]. NULLs are
+    excluded (SQL aggregate semantics).
     """
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"exact_quantile: q must be in [0, 1], got {q!r}")
     base = df.select(F.col(col).alias("v")).where(F.col("v").isNotNull())
     lo, hi, n = base.agg(
         F.min("v"), F.max("v"), F.count("v")
@@ -134,6 +136,9 @@ def exact_quantiles(
     same contract as exact_quantile_by_group). The finish shuffles
     only each edge's survivors, never the input.
     """
+    bad = [q for q in qs if not 0.0 <= q <= 1.0]
+    if bad:
+        raise ValueError(f"exact_quantiles: qs must be in [0, 1], got {bad!r}")
     if not qs:
         if stats_out is not None:
             stats_out["rounds"] = stats_out["scans"] = 0
@@ -293,6 +298,10 @@ def exact_quantile_by_group(
     cap hands them to the finish pass, which is exact regardless —
     narrowing is purely an optimization.
     """
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(
+            f"exact_quantile_by_group: q must be in [0, 1], got {q!r}"
+        )
     base = df.select(
         F.col(group_col).alias("__g"), F.col(col).alias("v")
     ).where(F.col("v").isNotNull())

@@ -421,8 +421,11 @@ def waterfill_budget(
     instead derives the budget via ``df.agg(sum).collect()`` launches
     a separate job over the same upstream DAG and the corpus is
     scanned twice (VERDICT r03 item 2); the fractional form keeps the
-    whole allocation a single-scan single-DAG query. Pure int64
-    (`div`), nonnegative operands ⇒ floor == truncate in any engine.
+    whole allocation a single-scan single-DAG query. The ``total *
+    num`` product runs in DECIMAL(38,0) (int64 would wrap for large
+    numerators before the div); the quotient and all later arithmetic
+    are exact int64 `div`, nonnegative operands ⇒ floor == truncate
+    in any engine.
 
     Returns ``(key_col, avail_col, alloc)``.
     """
@@ -441,7 +444,16 @@ def waterfill_budget(
     )
     if budget_frac is not None:
         num, den = (int(budget_frac[0]), int(budget_frac[1]))
-        B = F.expr(f"(__total * {num}) div {den}").cast("long")
+        if den <= 0:
+            raise ValueError("waterfill_budget: budget_frac denominator must be > 0")
+        if num < 0:
+            raise ValueError("waterfill_budget: budget_frac numerator must be >= 0")
+        # DECIMAL(38,0) product: total*num can exceed int64 long
+        # before the div (ADVICE r04 item 4) — decimal `div` returns
+        # an exact BIGINT, same discipline as token_budget_plan
+        B = F.expr(
+            f"(CAST(__total AS DECIMAL(38,0)) * {num}) div {den}"
+        ).cast("long")
     else:
         B = F.lit(int(budget)).cast("long")
     # a prefix position qualifies while funding every LATER source at

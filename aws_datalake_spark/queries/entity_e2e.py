@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import os
 import shutil
-import tempfile
+from aws_datalake_spark.scratch import scratch_root
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -235,7 +235,7 @@ def ref_entity_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_datalake_spark.sources.publish import read_published
 
     root = os.path.join(
-        tempfile.gettempdir(),
+        scratch_root(),
         f"spark_graft_e2e_{os.path.basename(sf_dir.rstrip('/'))}",
     )
     shutil.rmtree(root, ignore_errors=True)

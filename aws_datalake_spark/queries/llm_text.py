@@ -18,6 +18,7 @@ from aws_datalake_spark.operators.text import (
 )
 from aws_datalake_spark.queries._shared import t
 from aws_datalake_spark.queries.registry import query
+from aws_datalake_spark.scratch import scratch_dir
 
 _TOKS = "regexp_split_to_array(trim(text), '\\s+')"
 
@@ -1067,12 +1068,11 @@ def llm_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the term filter pushes down to the postings scan — the corpus
     text is never touched). Shares llm_bm25_search's oracle verbatim,
     so index-path and scan-path results are pinned identical."""
-    import tempfile as _tf
 
     from aws_datalake_spark.operators.text import bm25_from_index, text_index
 
     postings, doc_stats = text_index(t(spark, sf_dir, "documents"))
-    d = _tf.mkdtemp(prefix="bm25_idx_")
+    d = scratch_dir(prefix="bm25_idx_")
     postings.write.mode("overwrite").parquet(d + "/postings")
     doc_stats.write.mode("overwrite").parquet(d + "/doc_stats")
     pi = spark.read.parquet(d + "/postings")

@@ -11,7 +11,6 @@ round-trip — is checked end-to-end against plain SQL.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -58,6 +57,7 @@ from aws_datalake_spark.sources.writers import (
     write_pipe_csv,
     write_xml,
 )
+from aws_datalake_spark.scratch import scratch_dir
 
 
 # --- P1/P2 rule-driven projection --------------------------------------------
@@ -677,7 +677,7 @@ def ref_pipe_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back under the warehouse COPY contract (loading.py:26-30),
     including the 'yyyy-MM-dd HH:mm:ss' timestamp format."""
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
-    tmp = tempfile.mkdtemp(prefix="pipe_csv_")
+    tmp = scratch_dir(prefix="pipe_csv_")
     path = f"{tmp}/orders_pipe"
     write_pipe_csv(o, path)
     back = read_pipe_staging(
@@ -739,7 +739,7 @@ def ref_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection out as ORC, read it back, aggregate. Widens the S4-S17
     source surface beyond csv/json/parquet/text."""
     p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
-    tmp = tempfile.mkdtemp(prefix="orc_roundtrip_")
+    tmp = scratch_dir(prefix="orc_roundtrip_")
     path = f"{tmp}/part_orc"
     write_orc(p, path)
     back = read_orc(spark, path)
@@ -766,7 +766,7 @@ def ref_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregated so any dropped/duplicated/retyped row hash-mismatches
     against the source-table oracle."""
     n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    tmp = tempfile.mkdtemp(prefix="json_roundtrip_")
+    tmp = scratch_dir(prefix="json_roundtrip_")
     path = f"{tmp}/nation_json"
     write_json(n, path)
     back = read_json_docs(
@@ -794,7 +794,7 @@ def ref_csv_inferred_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     inference must recover bigint/double exactly (cents-sum pins the
     float parse)."""
     s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
-    tmp = tempfile.mkdtemp(prefix="csv_inferred_")
+    tmp = scratch_dir(prefix="csv_inferred_")
     path = f"{tmp}/supplier_csv"
     s.write.mode("overwrite").option("header", True).csv(path)
     back = read_csv_inferred(spark, path)
@@ -820,7 +820,7 @@ def ref_tsv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     write region as TSV, read back with header + delimiter='\\t' +
     inferSchema, aggregate against the source table."""
     r = t(spark, sf_dir, "region").select("r_regionkey", "r_name")
-    tmp = tempfile.mkdtemp(prefix="tsv_roundtrip_")
+    tmp = scratch_dir(prefix="tsv_roundtrip_")
     path = f"{tmp}/region_tsv"
     r.write.mode("overwrite").option("header", True).option("sep", "\t").csv(path)
     back = read_tsv(spark, path)
@@ -853,7 +853,7 @@ def ref_partitioned_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     them as such and the oracle casts to match, pinning the
     zero-padding contract ('03', not '3')."""
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    tmp = tempfile.mkdtemp(prefix="part_layout_")
+    tmp = scratch_dir(prefix="part_layout_")
     path = f"{tmp}/orders_by_date"
     write_date_partitioned(o, path, "o_orderdate")
     # keep partition values as the path-segment strings ('03', not 3):
@@ -891,7 +891,7 @@ def ref_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema, aggregate against the source table. Completes the
     interchange-format matrix (csv/tsv/pipe/json/orc/parquet/xml)."""
     p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    tmp = tempfile.mkdtemp(prefix="xml_roundtrip_")
+    tmp = scratch_dir(prefix="xml_roundtrip_")
     path = f"{tmp}/part_xml"
     write_xml(p, path)
     back = read_xml(spark, path, schema="p_partkey bigint, p_brand string")
@@ -1263,7 +1263,7 @@ def ref_txn_merge_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     upd = o.filter(F.col("o_orderkey") % 5 == 0).withColumn(
         "o_totalprice", F.col("o_totalprice") + F.lit(1000.0)
     )
-    root = tempfile.mkdtemp(prefix="txn_tbl_") + "/orders"
+    root = scratch_dir(prefix="txn_tbl_") + "/orders"
     # two range-split appends so the MERGE has disjoint files to prune
     mid = base.agg(F.expr("percentile_approx(o_orderkey, 0.5)")).collect()[0][0]
     tt.write(base.filter(F.col("o_orderkey") <= mid), root, mode="append")
@@ -1314,7 +1314,7 @@ def ref_txn_zorder_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_returnflag", "l_extendedprice"
     )
-    root = tempfile.mkdtemp(prefix="txn_z_") + "/lineitem"
+    root = scratch_dir(prefix="txn_z_") + "/lineitem"
     tt.write(li.repartition(4), root)
     tt.zorder_compact(spark, root, ["l_orderkey", "l_partkey"], target_files=8)
     out = tt.read(
@@ -1352,7 +1352,7 @@ def ref_txn_datasource_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register(spark)
     ev = t(spark, sf_dir, "events").select("event_id", "event_type")
-    root = tempfile.mkdtemp(prefix="txn_ds_") + "/events_tt"
+    root = scratch_dir(prefix="txn_ds_") + "/events_tt"
     sink = tt.stream_append_sink(root)
     sink(ev.filter(F.col("event_id") % 2 == 0), 0)
     sink(ev.filter(F.col("event_id") % 2 == 1), 1)
@@ -1411,7 +1411,7 @@ def ref_scd2_on_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("timestamp"),
         )
     )
-    root = tempfile.mkdtemp(prefix="scd2_txn_") + "/dim_orders"
+    root = scratch_dir(prefix="scd2_txn_") + "/dim_orders"
     tt.write(target.filter(F.col("o_orderkey") < 1000), root)
     tt.write(target.filter(F.col("o_orderkey") >= 1000), root)
     staging = o.filter(
@@ -1444,7 +1444,7 @@ def ref_txn_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_datalake_spark.sources import txn_table as tt
 
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
-    root = tempfile.mkdtemp(prefix="txn_restore_") + "/orders"
+    root = scratch_dir(prefix="txn_restore_") + "/orders"
     tt.write(o.filter(F.col("o_orderkey") % 2 == 0), root)          # v1: good
     tt.write(o.filter(F.col("o_orderkey") % 7 == 0), root,
              mode="overwrite")                                      # v2: bad
@@ -1499,7 +1499,7 @@ def ref_txn_version_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_datalake_spark.sources import txn_table as tt
 
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    root = tempfile.mkdtemp(prefix="txn_drift_") + "/orders"
+    root = scratch_dir(prefix="txn_drift_") + "/orders"
     tt.write(o.filter(F.col("o_orderkey") % 2 == 0), root)            # v1
     tt.write(
         o.filter(F.col("o_orderkey") % 3 == 0).withColumn(
@@ -1550,7 +1550,7 @@ def ref_txn_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    root = tempfile.mkdtemp(prefix="txn_dv_") + "/orders"
+    root = scratch_dir(prefix="txn_dv_") + "/orders"
     # two range-split appends -> multiple files under the delete
     mid = o.agg(F.expr("percentile_approx(o_orderkey, 0.5)")).collect()[0][0]
     tt.write(o.filter(F.col("o_orderkey") <= mid), root, mode="append")
@@ -1613,7 +1613,7 @@ def ref_txn_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"
     )
-    root = tempfile.mkdtemp(prefix="txn_hp_") + "/orders"
+    root = scratch_dir(prefix="txn_hp_") + "/orders"
     tt.write_partitioned(
         o, root, [("bucket", "o_custkey", 8), ("month", "o_orderdate")]
     )
@@ -1669,8 +1669,8 @@ def ref_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_datalake_spark.sources import txn_table as tt
 
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    src = tempfile.mkdtemp(prefix="mv_src_") + "/orders"
-    root = tempfile.mkdtemp(prefix="mv_") + "/by_cust"
+    src = scratch_dir(prefix="mv_src_") + "/orders"
+    root = scratch_dir(prefix="mv_") + "/by_cust"
     tt.write(o, src)
     mv.mv_create(
         spark, src, root, ["o_custkey"],
@@ -1713,7 +1713,7 @@ def ref_txn_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus"
     )
-    root = tempfile.mkdtemp(prefix="txn_bloom_") + "/orders"
+    root = scratch_dir(prefix="txn_bloom_") + "/orders"
     for shard in range(4):
         tt.write(
             o.filter(F.col("o_custkey") % 4 == shard), root, mode="append"
@@ -1766,7 +1766,7 @@ def ref_txn_equality_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus"
     )
-    root = tempfile.mkdtemp(prefix="txn_eq_") + "/orders"
+    root = scratch_dir(prefix="txn_eq_") + "/orders"
     mid = o.agg(F.expr("percentile_approx(o_orderkey, 0.5)")).collect()[0][0]
     tt.write(o.filter(F.col("o_orderkey") <= mid), root, mode="append")
     tt.write(o.filter(F.col("o_orderkey") > mid), root, mode="append")
@@ -1826,7 +1826,7 @@ def ref_txn_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    root = tempfile.mkdtemp(prefix="txn_cdf_") + "/orders"
+    root = scratch_dir(prefix="txn_cdf_") + "/orders"
     mid = o.agg(F.expr("percentile_approx(o_orderkey, 0.5)")).collect()[0][0]
     tt.write(o.filter(F.col("o_orderkey") <= mid), root, mode="append")
     tt.write(o.filter(F.col("o_orderkey") > mid), root, mode="append")
@@ -1878,7 +1878,7 @@ def ref_txn_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    root = tempfile.mkdtemp(prefix="txn_chk_") + "/orders"
+    root = scratch_dir(prefix="txn_chk_") + "/orders"
     tt.write(o.filter(F.col("o_totalprice") > 0).limit(0), root)  # schema seed
     tt.add_constraint(root, "price_positive", "o_totalprice > 0")
     tt.write(o.filter(F.col("o_totalprice") > 0), root, mode="append")
@@ -1932,7 +1932,7 @@ def ref_txn_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
     )
-    root = tempfile.mkdtemp(prefix="txn_map_") + "/orders"
+    root = scratch_dir(prefix="txn_map_") + "/orders"
     tt.write(o.drop("o_custkey"), root)
     files_before = set(tt.snapshot(root)["files"])
     tt.rename_column(root, "o_totalprice", "price_usd")
@@ -1986,7 +1986,7 @@ def ref_txn_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_datalake_spark.sources import txn_table as tt
 
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
-    root = tempfile.mkdtemp(prefix="txn_meta_") + "/orders"
+    root = scratch_dir(prefix="txn_meta_") + "/orders"
     tt.write(o.filter(F.col("o_orderkey") % 2 == 0).coalesce(1), root)
     tt.write(o.filter(F.col("o_orderkey") % 2 == 1).coalesce(1), root,
              mode="append")
@@ -2094,7 +2094,7 @@ def ref_zone_promote_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         discover_datasets,
     )
 
-    zp = ZonePaths(tempfile.mkdtemp(prefix="zones_"))
+    zp = ZonePaths(scratch_dir(prefix="zones_"))
     t(spark, sf_dir, "nation").select("n_nationkey", "n_name").write.mode(
         "overwrite"
     ).parquet(zp.path("raw", "nation"))

@@ -17,6 +17,7 @@ from aws_datalake_spark.operators.joins import asof_join, bucketed_range_join
 from aws_datalake_spark.operators.text import hash60
 from aws_datalake_spark.queries._shared import dsum, o_dsum, t
 from aws_datalake_spark.queries.registry import query
+from aws_datalake_spark.scratch import scratch_dir
 
 
 # --- temporal joins -----------------------------------------------------------
@@ -1202,13 +1203,12 @@ def q_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     are read. Asserted in-query via the physical plan; the oracle
     recomputes from raw orders, so pruning that dropped or
     duplicated rows hash-mismatches."""
-    import tempfile as _tf
 
     o = t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus",
         F.year("o_orderdate").alias("o_year"),
     )
-    d = _tf.mkdtemp(prefix="dpp_")
+    d = scratch_dir(prefix="dpp_")
     o.write.partitionBy("o_year").mode("overwrite").parquet(d + "/orders")
     # the filter is on a NON-join dim column, so the fact-side
     # partition predicate is unknowable at plan time (a literal

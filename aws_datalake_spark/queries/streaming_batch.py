@@ -19,6 +19,7 @@ from aws_datalake_spark.streaming.windows import (
     sliding_counts,
     tumbling_counts,
 )
+from aws_datalake_spark.scratch import scratch_dir
 
 
 @query(
@@ -428,13 +429,12 @@ def st_txn_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     double-counts and the oracle hash catches it. The aggregate runs
     over the committed table, so the result certifies commit
     atomicity + idempotence, not just the transformation."""
-    import tempfile
 
     from aws_datalake_spark.queries._shared import dsum
     from aws_datalake_spark.sources import txn_table as tt
 
     ev = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    root = tempfile.mkdtemp(prefix="txn_stream_") + "/events_tt"
+    root = scratch_dir(prefix="txn_stream_") + "/events_tt"
     sink = tt.stream_append_sink(root)
     for b in range(3):
         sink(ev.filter(F.col("event_id") % 3 == b), b)

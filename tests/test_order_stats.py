@@ -80,3 +80,22 @@ def test_exact_quantile_by_group_long_keys(spark):
         for r in exact_quantile_by_group(df, "g", "x", 1.0).collect()
     }
     assert got == {0: 100.0, 1: 99.0}
+
+
+def test_quantile_q_out_of_range_raises(spark):
+    """ADVICE r04 item 3: q outside [0,1] must fail fast with a clear
+    ValueError, not surface later as an opaque lost-rank error."""
+    from aws_datalake_spark.operators.order_stats import (
+        exact_quantile_by_group,
+        exact_quantiles,
+    )
+
+    df = spark.createDataFrame([(1.0,), (2.0,)], "x double")
+    g = spark.createDataFrame([("a", 1.0)], "g string, x double")
+    for bad in (-0.1, 1.5):
+        with pytest.raises(ValueError, match=r"\[0, 1\]"):
+            exact_quantile(df, "x", bad)
+        with pytest.raises(ValueError, match=r"\[0, 1\]"):
+            exact_quantiles(df, "x", (0.5, bad))
+        with pytest.raises(ValueError, match=r"\[0, 1\]"):
+            exact_quantile_by_group(g, "g", "x", bad)

@@ -369,3 +369,41 @@ def test_bucket_pack_no_split_invariants_and_plan(spark):
     import pytest
     with pytest.raises(ValueError, match="power of two"):
         bucket_pack(d, budget=100)
+
+
+def test_waterfill_budget_frac_decimal_product_past_int64(spark):
+    """ADVICE r04 item 4: ``budget_frac`` computes total*num in
+    DECIMAL(38,0) — an int64 product would silently wrap once
+    total × num exceeds 2^63 (here ~2^62 × 10 ≈ 2^65.3) and the
+    budget would come out garbage. The allocation must match the
+    literal-budget path computed with Python bigints."""
+    from aws_datalake_spark.operators.sampling import waterfill_budget
+
+    big = (1 << 61) + 7
+    avail = spark.createDataFrame(
+        [("a", big), ("b", big), ("c", 5)], "source string, n_tokens long"
+    )
+    total = 2 * big + 5
+    num, den = 10, 13  # total*num ≈ 2^65.3 — wraps in int64
+    want = {
+        r.source: r.alloc
+        for r in waterfill_budget(avail, (total * num) // den).collect()
+    }
+    got = {
+        r.source: r.alloc
+        for r in waterfill_budget(avail, budget_frac=(num, den)).collect()
+    }
+    assert got == want
+    assert sum(got.values()) == (total * num) // den
+
+
+def test_waterfill_budget_frac_validates_signs(spark):
+    import pytest
+
+    from aws_datalake_spark.operators.sampling import waterfill_budget
+
+    avail = spark.createDataFrame([("a", 10)], "source string, n_tokens long")
+    with pytest.raises(ValueError, match="denominator"):
+        waterfill_budget(avail, budget_frac=(1, 0))
+    with pytest.raises(ValueError, match="numerator"):
+        waterfill_budget(avail, budget_frac=(-1, 2))
