@@ -610,3 +610,83 @@ def token_budget_plan(
             .alias("epochs_x1000"),
         )
     )
+
+
+def stratified_eval_split(
+    df: DataFrame,
+    n_eval: int,
+    strata_cols: tuple = ("lang", "source"),
+    id_col: str = "doc_id",
+    seed: str = "s42",
+) -> DataFrame:
+    """Exact-count stratified eval-set selection by LARGEST-REMAINDER
+    apportionment: pick exactly ``n_eval`` rows with each stratum's
+    share proportional to its size — the standard way to carve a
+    representative held-out set from a mixed corpus without the ±√n
+    drift of per-row Bernoulli sampling (a 0.1% eval slice of a rare
+    language can round to zero under Bernoulli; largest-remainder
+    guarantees every stratum gets ⌊share⌋ or ⌊share⌋+1 and the total
+    is EXACTLY n_eval).
+
+    Apportionment: quota_s = n_eval·c_s / C; every stratum gets
+    ⌊quota⌋, and the n_eval − Σ⌊quota⌋ leftovers go to the largest
+    remainders (ties broken by stratum key — fully deterministic).
+    Products run in DECIMAL(38,0); quotients/mods are exact integral
+    ops, so allocations hash-match an integer-SQL oracle at any
+    corpus size. Within a stratum the winners are the rows with the
+    smallest content-stable hash60 (rerun/engine-stable, no RNG).
+
+    Scale shape: one groupBy(strata) count (map-side combinable), a
+    window over the STRATA frame only (≤ |strata| rows — the
+    single-task window never sees corpus rows), a broadcast join of
+    the tiny allocation table back onto the corpus, and one
+    per-stratum row_number to take each stratum's k smallest hashes.
+    The corpus shuffles once, on the strata key.
+
+    Returns ``(id_col, *strata_cols, split)`` with split ∈
+    {'eval', 'train'} for every input row.
+    """
+    if n_eval < 0:
+        raise ValueError("stratified_eval_split: n_eval must be >= 0")
+    strata = list(strata_cols)
+    w_all = Window.partitionBy(F.lit(1))
+    counts = (
+        df.groupBy(*strata)
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .withColumn("__C", F.sum("__c").over(w_all))
+        .withColumn(
+            "__num", F.expr(f"CAST(__c AS DECIMAL(38,0)) * {int(n_eval)}")
+        )
+        .withColumn("__base", F.expr("__num div __C").cast("long"))
+        .withColumn("__rem", F.expr("__num % __C").cast("long"))
+    )
+    rank_w = Window.orderBy(F.desc("__rem"), *strata)
+    alloc = (
+        counts.withColumn("__extra_rank", F.row_number().over(rank_w))
+        .withColumn("__deficit", F.lit(n_eval) - F.sum("__base").over(w_all))
+        .withColumn(
+            "__n_s",
+            F.least(
+                F.col("__c"),
+                F.col("__base")
+                + F.when(
+                    F.col("__extra_rank") <= F.col("__deficit"), F.lit(1)
+                ).otherwise(F.lit(0)),
+            ),
+        )
+        .select(*strata, "__n_s")
+    )
+    in_w = Window.partitionBy(*strata).orderBy("__h", id_col)
+    return (
+        df.select(id_col, *strata)
+        .withColumn("__h", hash60(F.col(id_col).cast("string"), seed=seed))
+        .withColumn("__rn", F.row_number().over(in_w))
+        .join(F.broadcast(alloc), strata)
+        .select(
+            id_col,
+            *strata,
+            F.when(F.col("__rn") <= F.col("__n_s"), F.lit("eval"))
+            .otherwise(F.lit("train"))
+            .alias("split"),
+        )
+    )

@@ -168,6 +168,24 @@ def assign_cells(
     Centroids broadcast — the vector side never shuffles for
     assignment (the row_number window runs inside the same stage).
 
+    The vector×centroid fan-out frame is NARROW — (id, centroid_id,
+    score) only; the wide vector column re-joins after the pick.
+    Carrying the embedding through the fan-out multiplies the
+    intermediate bytes by the centroid count (r05 scaling curve:
+    exponent 1.6 on the sf1 fixture, 70 s of a 75 s query — the
+    n·nlist wide rows went through a window shuffle). For
+    ``n_probe == 1`` (corpus-side assignment, every k-means
+    iteration) the pick is a map-side-combinable ``max_by``
+    aggregate — the fan-out frame never shuffles at all; the
+    n_probe>1 path keeps the ranking window but shuffles only the
+    3-column frame. Requires a NUMERIC centroid id (the max_by
+    tiebreak negates it; every caller uses int ids).
+
+    The fan-out side is repartitioned up to the default parallelism
+    when the input arrives in fewer slices (a single parquet file
+    reads as 1-2 partitions; the per-pair cosine is the CPU cost, so
+    starving cores dominates wall time long before shuffle does).
+
     Formulation note: a pure-projection variant (literal centroid
     arrays + array_sort argmax) measured 4× SLOWER here — nested
     interpreted higher-order functions fall off codegen. For large
@@ -178,22 +196,34 @@ def assign_cells(
     c = centroids.select(centroid_id_col, centroid_vec_col).withColumn(
         "__cn", l2_norm(F.col(centroid_vec_col))
     )
-    v = vectors.withColumn("__vn", l2_norm(F.col(vec_col)))
-    scored = v.join(F.broadcast(c)).select(
-        id_col,
-        vec_col,
-        centroid_id_col,
-        (
-            dot(F.col(vec_col), F.col(centroid_vec_col))
-            / (F.col("__vn") * F.col("__cn"))
-        ).alias("__ccos"),
-    )
-    w = Window.partitionBy(id_col).orderBy(F.desc("__ccos"), centroid_id_col)
-    return (
-        scored.withColumn("__crank", F.row_number().over(w))
-        .filter(F.col("__crank") <= n_probe)
-        .drop("__ccos", "__crank")
-    )
+    base = vectors.select(id_col, vec_col)
+    par = vectors.sparkSession.sparkContext.defaultParallelism
+    v = base.withColumn("__vn", l2_norm(F.col(vec_col)))
+    if v.rdd.getNumPartitions() < par:
+        v = v.repartition(par)
+    ccos = (
+        dot(F.col(vec_col), F.col(centroid_vec_col))
+        / (F.col("__vn") * F.col("__cn"))
+    ).alias("__ccos")
+    scored = v.join(F.broadcast(c)).select(id_col, centroid_id_col, ccos)
+    if n_probe == 1:
+        picked = scored.groupBy(id_col).agg(
+            F.max_by(
+                centroid_id_col,
+                F.struct(
+                    F.col("__ccos"),
+                    (-F.col(centroid_id_col)).cast("double").alias("__nid"),
+                ),
+            ).alias(centroid_id_col)
+        )
+    else:
+        w = Window.partitionBy(id_col).orderBy(F.desc("__ccos"), centroid_id_col)
+        picked = (
+            scored.withColumn("__crank", F.row_number().over(w))
+            .filter(F.col("__crank") <= n_probe)
+            .select(id_col, centroid_id_col)
+        )
+    return base.join(picked, id_col).select(id_col, vec_col, centroid_id_col)
 
 
 def ann_ivf_topk(

@@ -30,6 +30,7 @@ from aws_datalake_spark.queries import llm_packing  # noqa: F401,E402
 from aws_datalake_spark.queries import llm_similarity  # noqa: F401,E402
 from aws_datalake_spark.queries import streaming_batch  # noqa: F401,E402
 from aws_datalake_spark.queries import entity_e2e  # noqa: F401,E402
+from aws_datalake_spark.queries import round5  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Driver-window rotation

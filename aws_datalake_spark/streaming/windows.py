@@ -132,3 +132,60 @@ def session_counts(
         *(keys or []),
         "n_events",
     )
+
+
+def drop_late_events(
+    df: DataFrame,
+    ts_col: str = "ts",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Batch twin of the watermark LATE-DATA DROP: Structured
+    Streaming's watermark is GLOBAL — wm = max(event time seen so
+    far) − delay, and any row older than wm is discarded before it
+    reaches stateful operators. The batch-replay equivalent (the
+    end-state a stream converges to once all input is seen) keeps
+    rows with ``ts >= max(ts) − delay``.
+
+    SCALE: max(ts) is a map-side-combinable scalar aggregate whose
+    one-row result broadcasts back onto the corpus — the data side
+    is filter-only (no shuffle of data rows), and the filter prunes
+    every downstream stateful stage, exactly like the streaming
+    engine's pre-state late-row discard.
+    """
+    mx = df.agg(F.max(ts_col).alias("__mx"))
+    return (
+        df.join(F.broadcast(mx))
+        .where(F.col(ts_col) >= F.col("__mx") - F.expr(f"INTERVAL {delay}"))
+        .drop("__mx")
+    )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    keys: list[str] | None = None,
+    bar: str = "1 hour",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """OHLC downsampling (open/high/low/close + volume) per tumbling
+    bar — the canonical time-series compaction for tick/metric data.
+    Open/close are exact first/last by event time via ``min_by`` /
+    ``max_by`` over the (ts, id) struct: deterministic under ts ties
+    (id breaks them), no window-sort pass — one hash aggregate,
+    map-side combinable, scales to any bar count.
+    """
+    order = F.struct(F.col(ts_col), F.col(id_col))
+    group = [F.window(ts_col, bar).alias("w")] + [F.col(k) for k in (keys or [])]
+    out = df.groupBy(*group).agg(
+        F.min_by(value_col, order).alias("open"),
+        F.max(value_col).alias("high"),
+        F.min(value_col).alias("low"),
+        F.max_by(value_col, order).alias("close"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )
+    return out.select(
+        F.col("w.start").alias("bar_start"),
+        *(keys or []),
+        "open", "high", "low", "close", "n_ticks",
+    )
