@@ -653,12 +653,15 @@ def stratified_eval_split(
     counts = (
         df.groupBy(*strata)
         .agg(F.count(F.lit(1)).alias("__c"))
-        .withColumn("__C", F.sum("__c").over(w_all))
+        # __tot, not __C: Spark resolves column names case-
+        # insensitively by default, so a __C would silently REPLACE
+        # __c instead of adding a column
+        .withColumn("__tot", F.sum("__c").over(w_all))
         .withColumn(
             "__num", F.expr(f"CAST(__c AS DECIMAL(38,0)) * {int(n_eval)}")
         )
-        .withColumn("__base", F.expr("__num div __C").cast("long"))
-        .withColumn("__rem", F.expr("__num % __C").cast("long"))
+        .withColumn("__base", F.expr("__num div __tot").cast("long"))
+        .withColumn("__rem", F.expr("__num % __tot").cast("long"))
     )
     rank_w = Window.orderBy(F.desc("__rem"), *strata)
     alloc = (
