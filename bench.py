@@ -120,6 +120,14 @@ HEADLINE = [
     "llm_diversity_by_source",
     "llm_bucket_packing",
     "llm_packing_efficiency",
+    # round-5 additions
+    "q_entity_resolution",
+    "st_late_data_drop",
+    "st_ohlc_bars",
+    "llm_length_outliers",
+    "q_skew_salted_join",
+    "q_attribution_first_last",
+    "llm_stratified_eval_split",
 ]
 
 

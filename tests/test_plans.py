@@ -440,3 +440,44 @@ def test_source_overlap_single_tokenize_pass(spark):
     plan = _plan(source_overlap(d, shingle_n=2))
     assert "documents.parquet" not in plan, "tokenize lineage not truncated"
     assert "ExistingRDD" in plan or "LogicalRDD" in plan
+
+
+def test_ohlc_and_attribution_are_single_agg_no_ranking_window(spark):
+    """r05: OHLC bars and first/last-touch attribution get open/close
+    (first/last) from min_by/max_by aggregates — a ranking Window
+    would re-introduce a per-group sort of every tick at 100 TB."""
+    from aws_datalake_spark.queries.round5 import (
+        q_attribution_first_last,
+        st_ohlc_bars,
+    )
+
+    for q in (st_ohlc_bars, q_attribution_first_last):
+        plan = _plan(q(spark, SF_SMOKE))
+        assert "Window" not in plan, q.__name__
+
+
+def test_assign_cells_fanout_is_narrow(spark):
+    """r05 scaling-curve fix: the vector×centroid fan-out must not
+    carry the embedding array — no Exchange may move the vector
+    column (wide fan-out measured exponent 1.6 / 70 s at sf1)."""
+    from aws_datalake_spark.operators.similarity import assign_cells
+
+    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    c = e.limit(5).select(
+        e.vec_id.alias("centroid_id"), e.embedding.alias("cvec")
+    )
+    for n_probe in (1, 2):
+        plan = _plan(assign_cells(e, c, n_probe))
+        for line in plan.splitlines():
+            if "Exchange" in line:
+                assert "embedding#" not in line, (n_probe, line)
+
+
+def test_entity_resolution_no_cartesian(spark):
+    """r05: the blocked fuzzy join must stay an equi-join on the
+    block key — never BroadcastNestedLoop/CartesianProduct."""
+    from aws_datalake_spark.queries.round5 import q_entity_resolution
+
+    plan = _plan(q_entity_resolution(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
