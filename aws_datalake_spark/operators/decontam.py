@@ -61,8 +61,12 @@ def decontaminate(
     column) → one (id, n_shingles) count shuffle. The broadcast join
     means contamination checking is scan-bound at any corpus size.
     """
+    from aws_datalake_spark.operators.dedup_cluster import _truncate
+
     ev = F.broadcast(eval_ngram_set(eval_df, text_col, n).withColumn("__hit", F.lit(1)))
-    sh = with_shingles(corpus, text_col=text_col, id_col=id_col, n=n)
+    # materialized so the explode_outer does not re-evaluate the
+    # shingle transform per gram (see dedup.source_overlap note)
+    sh = _truncate(with_shingles(corpus, text_col=text_col, id_col=id_col, n=n))
     exploded = sh.select(
         id_col,
         F.size("__sh").alias("n_shingles"),

@@ -78,7 +78,10 @@ def with_shingles(
     array is an attribute when the shingle lambda indexes it. The
     multi-reference of each non-cheap alias stops CollapseProject
     from re-inlining, keeping evaluation O(tokens) per row."""
-    toks_df = df.select(id_col, tokens_ws(F.col(text_col)).alias("__toks"))
+    from aws_datalake_spark.operators.text import spread
+
+    base = spread(df.select(id_col, text_col))
+    toks_df = base.select(id_col, tokens_ws(F.col(text_col)).alias("__toks"))
     return toks_df.select(id_col, shingles("__toks", n).alias(out))
 
 
@@ -225,8 +228,15 @@ def ngram_jaccard_pairs(
     adding a frequency join and a per-doc sort. The bound's win is
     skew-dependent, not universal.
     """
-    sh_arr = with_shingles(df, text_col, id_col, shingle_n).select(
-        F.col(id_col).alias("__id"), F.col("__sh")
+    from aws_datalake_spark.operators.dedup_cluster import _truncate
+
+    # materialized once: both explode sides and the prefix path read
+    # the same shingle table, and the explode does not re-evaluate
+    # the shingle transform per gram (see source_overlap note)
+    sh_arr = _truncate(
+        with_shingles(df, text_col, id_col, shingle_n).select(
+            F.col(id_col).alias("__id"), F.col("__sh")
+        )
     )
     if not prefix_filter:
         sh = sh_arr.select("__id", F.explode("__sh").alias("s"))
@@ -335,7 +345,10 @@ def simhash(
     and the whole plan stays in codegen. Two shuffles total (token
     counts, doc vote sums); integer sums are order-independent so the
     SQL oracle's per-bit formulation matches bit-for-bit."""
-    toks = df.select(F.col(id_col).alias("__id"), F.explode(tokens_ws(F.col(text_col))).alias("w"))
+    from aws_datalake_spark.operators.text import spread
+
+    base = spread(df.select(F.col(id_col).alias("__id"), text_col))
+    toks = base.select("__id", F.explode(tokens_ws(F.col(text_col))).alias("w"))
     tok_counts = toks.groupBy("__id", "w").agg(F.count(F.lit(1)).alias("cnt"))
     hashed = tok_counts.select(
         "__id", "cnt", hash60(F.col("w")).alias("__h")
@@ -469,7 +482,11 @@ def source_overlap(
     """
     from aws_datalake_spark.operators.dedup_cluster import _truncate
 
-    sh = with_shingles(df, text_col, source_col, shingle_n)
+    # materialize the shingle arrays BEFORE the explode: Generate
+    # re-evaluates an inlined interpreted transform per OUTPUT
+    # element, turning O(tokens) shingling into O(tokens x grams)
+    # (measured 57 s -> 0.4 s for this stage at sf1, PERF.md section 14)
+    sh = _truncate(with_shingles(df, text_col, source_col, shingle_n))
     grams = sh.select(F.col(source_col).alias("__src"), F.explode("__sh").alias("__s"))
     h = grams.select("__src", hash60(F.col("__s")).alias("__h"))
     if sample_mod > 1:

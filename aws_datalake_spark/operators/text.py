@@ -105,6 +105,26 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin re-slice up to the session's default parallelism
+    when the input arrives in FEWER partitions. A small corpus table
+    is one parquet file, which `maxPartitionBytes` planning reads as
+    1-2 partitions — and the CPU-heavy text paths (shingle
+    transforms, per-token explodes) then run on 1-2 of the
+    machine's cores (r05 scaling curve: 61 of source_overlap's
+    68 s at sf1 was the 2-partition explode). The re-slice is one
+    narrow round-robin exchange of (id, text) rows, trivially
+    cheaper than the starved CPU it unlocks; at production scale a
+    corpus scan yields hundreds of partitions and this is a no-op.
+    Plan gates that forbid shuffling text allow exactly this
+    RoundRobinPartitioning exchange and keep forbidding text in
+    hash/range exchanges (the pair-join discipline is unchanged)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def hash60(col: Column, seed: str = "") -> Column:
     """Deterministic 60-bit hash shared with the DuckDB oracles:
     first 15 hex chars of md5 → bigint. (60 bits keeps the value
