@@ -205,6 +205,7 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.2,
     prefix_filter: bool = False,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard near-dup pairs: jaccard = common / (|a| + |b| −
     common) for every pair with jaccard ≥ threshold.
@@ -227,6 +228,21 @@ def ngram_jaccard_pairs(
     (PERF.md anti-case 3): the prefix keeps 80% of postings while
     adding a frequency join and a per-doc sort. The bound's win is
     skew-dependent, not universal.
+
+    ``max_df=K`` (stop-gram cap, composable with the default path):
+    candidate pairs are generated ONLY from grams whose document
+    frequency is ≤ K; each candidate is then verified EXACTLY on the
+    full shingle arrays. This is the production bound for the
+    quadratic hot-gram case (a boilerplate gram indexing D docs
+    yields D²/2 candidate pairs on its own): candidates per gram are
+    capped at K²/2. Recall caveat: a qualifying pair whose EVERY
+    shared gram is hotter than K is missed — real near-dups share
+    rare grams, so K at a few thousand loses nothing in practice
+    (the pinned test constructs both cases). The r05 scaling curve's
+    one flagged exponent (1.24 at sf1) is this hot-gram case made
+    total by the fixture's 30-word vocabulary — every bigram is hot,
+    so candidate growth is genuinely quadratic and only a cap (or a
+    bigger vocabulary) bounds it.
     """
     from aws_datalake_spark.operators.dedup_cluster import _truncate
 
@@ -238,6 +254,43 @@ def ngram_jaccard_pairs(
             F.col(id_col).alias("__id"), F.col("__sh")
         )
     )
+    if max_df is not None:
+        sh = sh_arr.select("__id", F.explode("__sh").alias("s"))
+        freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("__f"))
+        rare = sh.join(freq.where(F.col("__f") <= int(max_df)), "s").select(
+            "__id", "s"
+        )
+        cand = (
+            rare.select(F.col("__id").alias("id_a"), "s")
+            .join(rare.select(F.col("__id").alias("id_b"), "s"), "s")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        sets_a = sh_arr.select(
+            F.col("__id").alias("id_a"),
+            F.col("__sh").alias("__sa"),
+            F.size("__sh").alias("n_a"),
+        )
+        sets_b = sh_arr.select(
+            F.col("__id").alias("id_b"),
+            F.col("__sh").alias("__sb"),
+            F.size("__sh").alias("n_b"),
+        )
+        cand = cand.join(sets_a, "id_a").join(sets_b, "id_b")
+        n_common = F.size(F.array_intersect("__sa", "__sb"))
+        return (
+            cand.withColumn(
+                "jaccard",
+                F.round(
+                    n_common.cast("double")
+                    / (F.col("n_a") + F.col("n_b") - n_common).cast("double"),
+                    6,
+                ),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
     if not prefix_filter:
         sh = sh_arr.select("__id", F.explode("__sh").alias("s"))
         sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("n_sh"))

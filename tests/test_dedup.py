@@ -34,3 +34,31 @@ def test_source_overlap_text_never_shuffles(spark):
     for line in plan.splitlines():
         if "Exchange" in line and "roundrobin" not in line.lower():
             assert "text" not in line, line
+
+
+def test_ngram_jaccard_max_df_prunes_hot_grams_keeps_rare_pairs(spark):
+    """Stop-gram cap (r05): candidates come only from grams with
+    df <= max_df; verification is exact on full sets. Docs 1/2 share
+    RARE grams (pair survives the cap, jaccard exact incl. the hot
+    gram); docs 3/4 share ONLY the boilerplate gram (documented
+    recall loss: pruned under the cap, present without it)."""
+    from aws_datalake_spark.operators.dedup import ngram_jaccard_pairs
+
+    boiler = "x y"  # bigram present in every doc
+    rows = [
+        (1, "x y a b c d"),
+        (2, "x y a b c e"),
+        (3, "x y p q"),
+        (4, "x y r s"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = {(r.id_a, r.id_b): r.jaccard
+            for r in ngram_jaccard_pairs(df, shingle_n=2, threshold=0.1).collect()}
+    capped = {(r.id_a, r.id_b): r.jaccard
+              for r in ngram_jaccard_pairs(
+                  df, shingle_n=2, threshold=0.1, max_df=3).collect()}
+    assert (1, 2) in capped and capped[(1, 2)] == full[(1, 2)]
+    assert (3, 4) in full and (3, 4) not in capped  # only-hot-gram pair
+    # surviving pairs' jaccard values match the exact path everywhere
+    for k, v in capped.items():
+        assert full[k] == v, k
