@@ -579,3 +579,93 @@ def source_overlap(
             .alias("containment_b"),
         )
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """MOSS winnowing fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003): hash every positional k-gram, slide a window of
+    ``w`` consecutive gram hashes, and keep the minimum of each
+    window — a deterministic ~1/w-density selection with the
+    guarantee that any match of length ≥ k + w − 1 tokens between
+    two documents shares at least one selected fingerprint. The
+    standard local fingerprinting scheme for plagiarism /
+    contamination detection.
+
+    Documents with fewer than ``w`` grams keep the minimum over all
+    their grams (one whole-document window), so every document with
+    ≥ 1 gram yields ≥ 1 fingerprint.
+
+    SCALE: entirely array ops per row — tokenize, positional gram
+    hashes, per-position slice-min — so the selection is
+    partition-parallel with NO shuffle and no window sort; the only
+    exchange is the final per-doc ``distinct``, over 8-byte selected
+    hashes (~grams/w rows per doc), never text. The O(w) slice work
+    per position is a constant factor (w is 4–16 in practice).
+    Downstream pair-detection joins on ``fp`` should cap hot
+    fingerprints with a max-df guard exactly like
+    :func:`ngram_jaccard_pairs` — min-selection biases fingerprints
+    toward globally small hash values, so the df skew is worse than
+    for raw grams.
+
+    Returns distinct ``(id_col, fp)`` rows.
+    """
+    from aws_datalake_spark.operators.text import spread
+
+    base = spread(df.select(id_col, text_col))
+    toks = base.select(id_col, tokens_ws(F.col(text_col)).alias("__toks"))
+    # gram hash at 0-based position i (valid while i + k <= n_tokens);
+    # staged selects keep each array a bound attribute so lambdas
+    # evaluate O(n) per row, not O(n^2) (see with_shingles)
+    n_tok = F.size(F.col("__toks"))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(F.col("__toks"), i + j + 1) for j in range(k)]
+    )
+    # guard: Spark's sequence(0, stop) REVERSES when stop < 0, so an
+    # under-k-token doc must short-circuit to an empty hash array
+    hs = toks.select(
+        id_col,
+        F.when(
+            n_tok >= k,
+            F.transform(
+                F.sequence(F.lit(0), n_tok - k),
+                lambda i: hash60(gram(i)),
+            ),
+        ).otherwise(F.array().cast("array<long>")).alias("__hs"),
+    ).where(F.size("__hs") >= 1)
+    n_gram = F.size(F.col("__hs"))
+    # windows start at 0-based i for i < max(G - w + 1, 1); each is
+    # min over the w hashes from i (slice is 1-based, clamped at G)
+    fps = hs.select(
+        id_col,
+        F.transform(
+            F.sequence(
+                F.lit(0),
+                F.greatest(n_gram - w, F.lit(0)),
+            ),
+            lambda i: F.array_min(
+                F.slice(
+                    F.col("__hs"), i + 1,
+                    F.least(F.lit(w), n_gram - i),
+                )
+            ),
+        ).alias("__fps"),
+    )
+    # materialization barrier before the explode: Generate inlines an
+    # interpreted transform and re-evaluates it per OUTPUT element,
+    # turning the O(grams·w) selection into O(grams²·w) md5 work
+    # (measured 136 s -> 2 s for the full operator at sf0.001 — the
+    # same trap source_overlap/minhash hit; see _truncate docstring
+    # for the cluster-mode reliable-checkpoint path)
+    from aws_datalake_spark.operators.dedup_cluster import _truncate
+
+    return (
+        _truncate(fps).select(id_col, F.explode("__fps").alias("fp"))
+        .where(F.col("fp").isNotNull())
+        .distinct()
+    )

@@ -1,0 +1,71 @@
+"""Gap-based sessionization: label every event with a per-user
+session sequence number and derive per-session journey facts.
+
+Spark's built-in ``session_window`` produces windowed AGGREGATES;
+this operator produces the session LABELING (each event keeps its
+row, gaining a session id) that funnel/journey analysis needs, and
+the per-session rollup on top of it.
+
+SCALE (100 TB): both windows are PARTITIONED BY the user key —
+Spark plans one hash exchange on ``key_col`` and per-partition
+sorts; no global window, no driver state. Session boundaries are
+integer epoch-second comparisons (no interval arithmetic), so the
+labeling is engine-portable and deterministic under timestamp ties
+via the ``id_col`` tie-break. The subsequent per-session rollup
+reuses the same (key) partitioning — AQE coalesces the second
+exchange into a local aggregate after the window shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_seconds: int = 4 * 3600,
+) -> DataFrame:
+    """Append ``session_seq`` (1-based per key): a new session starts
+    when the gap to the previous event of the same key exceeds
+    ``gap_seconds``. lag + running-sum over one per-key window."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    epoch = F.unix_timestamp(F.col(ts_col))
+    prev = F.lag(epoch).over(w)
+    is_new = F.when(
+        prev.isNull() | (epoch - prev > F.lit(int(gap_seconds))), F.lit(1)
+    ).otherwise(F.lit(0))
+    return df.withColumn(
+        "session_seq",
+        F.sum(is_new).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+
+
+def session_stats(
+    sessions: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-session journey facts: start/end, duration (integer
+    seconds), event count, entry/exit event types (exact first/last
+    by (ts, id) via min_by/max_by — one map-combinable aggregate,
+    no second window sort)."""
+    order = F.struct(F.col(ts_col), F.col(id_col))
+    return sessions.groupBy(key_col, "session_seq").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        (
+            F.unix_timestamp(F.max(ts_col)) - F.unix_timestamp(F.min(ts_col))
+        ).alias("duration_sec"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.min_by(type_col, order).alias("entry_event"),
+        F.max_by(type_col, order).alias("exit_event"),
+        F.countDistinct(type_col).alias("n_event_types"),
+    )

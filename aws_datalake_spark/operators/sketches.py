@@ -169,6 +169,162 @@ def rollup_hll_daily(hourly: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Count-min sketch: bounded-state frequency estimation
+# ---------------------------------------------------------------------------
+
+
+def countmin_table(
+    df: DataFrame, col: str, depth: int = 4, width: int = 512,
+    seed: str = "cm",
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) of the
+    frequency of ``df[col]``, materialized as ``(d, bucket, cnt)``
+    rows — at most ``depth × width`` rows regardless of the input's
+    key cardinality, so the sketch broadcasts and merges (sketches
+    of two datasets ADD cell-wise) where an exact per-key count
+    table would not.
+
+    Hashes are the md5-backed :func:`~aws_datalake_spark.operators
+    .text.hash60` family seeded per depth row — deterministic and
+    shared with the DuckDB oracle twins. The explode multiplies rows
+    by ``depth`` but carries only two small ints per row, and the
+    aggregate is map-side combinable into bounded state: one scan,
+    one shuffle of ≤ depth·width partial cells per task.
+    """
+    from aws_datalake_spark.operators.text import hash60
+
+    cells = F.array(*[
+        F.struct(
+            F.lit(i).alias("d"),
+            (hash60(F.col(col).cast("string"), seed=f"{seed}{i}")
+             % F.lit(width)).alias("bucket"),
+        )
+        for i in range(depth)
+    ])
+    return (
+        df.select(F.explode(cells).alias("x"))
+        .groupBy(F.col("x.d").alias("d"), F.col("x.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def countmin_estimate(
+    cms: DataFrame, keys: DataFrame, col: str, depth: int = 4,
+    width: int = 512, seed: str = "cm",
+) -> DataFrame:
+    """Point-query the sketch for every row of ``keys``: the estimate
+    is min over the ``depth`` probed cells — always ≥ the true count
+    (one-sided error ≤ e·N/width with probability 1 − e^−depth).
+
+    The sketch side is ≤ depth·width rows → broadcast hash joins;
+    the probe side never shuffles. Missing cells count 0 (key never
+    seen). Output: ``(col, est)``.
+    """
+    from aws_datalake_spark.operators.text import hash60
+
+    probes = keys.select(
+        F.col(col),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("d"),
+                (hash60(F.col(col).cast("string"), seed=f"{seed}{i}")
+                 % F.lit(width)).alias("bucket"),
+            )
+            for i in range(depth)
+        ])).alias("x"),
+    ).select(col, "x.d", "x.bucket")
+    return (
+        probes.join(F.broadcast(cms), ["d", "bucket"], "left")
+        .select(col, F.coalesce(F.col("cnt"), F.lit(0).cast("long")).alias("cnt"))
+        .groupBy(col)
+        .agg(F.min("cnt").alias("est"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable fixed-bin histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+
+def binned_histogram(
+    df: DataFrame, col: str, lo: float, width: float, n_bins: int,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Fixed-bin histogram of ``df[col]``: ``(group…, bin, cnt)``
+    with ``bin = clamp(floor((x − lo)/width), 0, n_bins−1)``.
+
+    This is the mergeable counterpart to
+    ``operators/order_stats.py:exact_quantile``: exact quantiles
+    need rounds of narrowing scans; the fixed-bin sketch is ONE scan
+    into ≤ ``n_bins`` cells per group, partials from different
+    ingests ADD bin-wise (sum cnt), and any quantile is then read
+    from the tiny histogram with error ≤ one bin width. That trade
+    is the 100 TB continuous-monitoring shape (per-day latency
+    percentiles, per-source length profiles). Bin assignment is the
+    identical IEEE double expression in Spark and the oracle —
+    engine-portable, no sampling, no RNG.
+    """
+    bin_c = F.least(
+        F.greatest(
+            F.floor((F.col(col) - F.lit(float(lo))) / F.lit(float(width))),
+            F.lit(0),
+        ),
+        F.lit(int(n_bins) - 1),
+    ).alias("bin")
+    keys = [*(group_cols or []), bin_c]
+    return df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def histogram_quantiles(
+    hist: DataFrame, qs: list[float], lo: float, width: float,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Read quantile ESTIMATES from a binned histogram: for each q,
+    the lower edge of the first bin whose cumulative count reaches
+    ``ceil(q · total)`` — ``(group…, q, est, n)``.
+
+    Runs entirely on the ≤ n_bins-per-group histogram, never the raw
+    data: a per-group cumulative window over bin order (bounded
+    partitions — n_bins rows each), then one aggregate per q. The
+    rank threshold and the edge arithmetic are plain double ops,
+    identical in the oracle.
+    """
+    from pyspark.sql import Window
+
+    gcols = list(group_cols or [])
+    w = (
+        Window.partitionBy(*gcols).orderBy("bin")
+        if gcols else Window.partitionBy().orderBy("bin")
+    )
+    cum = hist.select(
+        *gcols, "bin", "cnt",
+        F.sum("cnt").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cum"),
+        F.sum("cnt").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n"),
+    )
+    parts = []
+    for q in qs:
+        rank = F.ceil(F.lit(float(q)) * F.col("n").cast("double"))
+        parts.append(
+            cum.where(F.col("cum") >= rank)
+            .groupBy(*gcols)
+            .agg(
+                F.lit(float(q)).alias("q"),
+                (F.lit(float(lo))
+                 + F.min("bin").cast("double") * F.lit(float(width))).alias("est"),
+                F.min("n").alias("n"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def heavy_hitters_by_group(
     df: DataFrame, group_col: str, col: str, support: float
 ) -> DataFrame:

@@ -31,6 +31,7 @@ from aws_datalake_spark.queries import llm_similarity  # noqa: F401,E402
 from aws_datalake_spark.queries import streaming_batch  # noqa: F401,E402
 from aws_datalake_spark.queries import entity_e2e  # noqa: F401,E402
 from aws_datalake_spark.queries import round5  # noqa: F401,E402
+from aws_datalake_spark.queries import round6  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Driver-window rotation
@@ -138,6 +139,34 @@ _R4_PRIORITY = (
 )
 
 
+# Round-5 window pin (VERDICT r04 item 1): the 48 never-green names
+# (40 backlog + the 8 round-5 additions) must ALL land in the 50-slot
+# window; queries added mid-round-5 (queries/round6.py) sort after
+# them — they take any spare slots now and the round-6 window
+# otherwise. Without this pin a new llm_* would displace a planned
+# q_* out of slot ≤ 49 (family sorts llm_/st_ before q_).
+_R5_PRIORITY = (
+    "ref_fixed_width_roundtrip", "st_distinct_users_hll",
+    "llm_heavy_hitters_by_lang", "llm_weighted_quality_by_source",
+    "llm_text_normalize", "llm_sentence_split", "llm_repetition_filters",
+    "llm_build_vocab", "llm_collocation_lift", "llm_tfidf_top_terms",
+    "llm_rarity_scores", "llm_bigram_lm", "llm_source_drift",
+    "llm_bpe_merges", "llm_vocab_coverage", "llm_dataset_card",
+    "llm_quality_classifier", "llm_lm_doc_scores", "llm_filter_funnel",
+    "llm_seq_len_histogram", "llm_fertility_by_lang",
+    "llm_dedup_rate_by_source", "llm_diversity_by_source",
+    "llm_source_overlap", "llm_duplicate_chunks", "llm_training_order",
+    "llm_adaptive_quality_filter", "llm_corpus_pipeline_v2",
+    "llm_bucket_packing", "llm_packing_efficiency", "llm_embedding_neardup",
+    "llm_kmeans_cells", "llm_embedding_quantize", "llm_embed_documents",
+    "llm_hard_negatives", "llm_audio_chunks", "llm_audio_index",
+    "llm_ann_pq_topk", "st_first_event_per_key", "st_hourly_daily_rollup",
+    "st_txn_stream_ingest", "st_late_data_drop", "st_ohlc_bars",
+    "llm_length_outliers", "llm_stratified_eval_split",
+    "q_entity_resolution", "q_skew_salted_join", "q_attribution_first_last",
+)
+
+
 def _driver_green_names() -> set[str]:
     """Query names with a fully-green row in any prior round's driver
     artifact (rows+schema+hash all matched)."""
@@ -173,6 +202,7 @@ def driver_ordered_queries() -> dict[str, QueryFn]:
     flagship_rank = {n: i for i, n in enumerate(_FLAGSHIP)}
     r3_rank = {n: i for i, n in enumerate(_R3_PRIORITY)}
     r4_rank = {n: i for i, n in enumerate(_R4_PRIORITY)}
+    r5_rank = {n: i for i, n in enumerate(_R5_PRIORITY)}
     order = {n: i for i, n in enumerate(reg)}
 
     def key(name: str) -> tuple:
@@ -190,6 +220,8 @@ def driver_ordered_queries() -> dict[str, QueryFn]:
             family = 3
         return (
             name in green,
+            name not in r5_rank,
+            r5_rank.get(name, 0),
             name not in r4_rank,
             r4_rank.get(name, 0),
             name not in r3_rank,

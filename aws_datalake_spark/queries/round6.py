@@ -1,0 +1,264 @@
+"""Round-5-session additions (certify in the round-6 window):
+gap-based sessionization with journey stats, count-min frequency
+sketching, mergeable binned quantile sketches, and MOSS winnowing
+fingerprints.
+
+All new surface beyond SURVEY.md §2 (the reference has none of
+these); each pairs a scalable Spark plan with a DuckDB oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_datalake_spark.queries._shared import t
+from aws_datalake_spark.queries.registry import query
+
+_H60 = "('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+# ---------------------------------------------------------------------------
+# sessionization + journeys
+# ---------------------------------------------------------------------------
+
+_GAP = 4 * 3600  # 4 hours
+
+
+@query(
+    "q_session_journeys",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, ts,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS es
+      FROM events
+    ),
+    lagged AS (
+      SELECT *, LAG(es) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS prev
+      FROM e
+    ),
+    s AS (
+      SELECT *, CAST(SUM(CASE WHEN prev IS NULL OR es - prev > {_GAP}
+                         THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS session_seq
+      FROM lagged
+    ),
+    r AS (
+      SELECT *,
+        ROW_NUMBER() OVER (PARTITION BY user_id, session_seq
+                           ORDER BY ts, event_id) AS rn_a,
+        ROW_NUMBER() OVER (PARTITION BY user_id, session_seq
+                           ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM s
+    )
+    SELECT user_id, session_seq,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(FLOOR(epoch(MAX(ts))) AS BIGINT)
+             - CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS duration_sec,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MAX(CASE WHEN rn_a = 1 THEN event_type END) AS entry_event,
+           MAX(CASE WHEN rn_d = 1 THEN event_type END) AS exit_event,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_event_types
+    FROM r GROUP BY user_id, session_seq
+    """,
+)
+def q_session_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (operators/sessions.py): label every
+    event with a per-user session (4 h inactivity gap, integer
+    epoch-second comparisons, (ts, event_id) tie-break), then one
+    map-combinable rollup per session — entry/exit via min_by/max_by,
+    no second window sort. Both windows partition by user_id: one
+    hash exchange, per-partition sorts, no global state."""
+    from aws_datalake_spark.operators.sessions import session_stats, sessionize
+
+    ev = t(spark, sf_dir, "events")
+    return session_stats(sessionize(ev, gap_seconds=_GAP))
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+# ---------------------------------------------------------------------------
+
+_CM_D, _CM_W = 4, 32
+
+
+def _cm_cells_sql(expr: str) -> str:
+    """UNION ALL of the depth hash rows for ``expr`` (oracle twin of
+    the countmin explode)."""
+    rows = []
+    for i in range(_CM_D):
+        h = _H60.format(expr=f"'cm{i}' || {expr}")
+        rows.append(f"SELECT {i} AS d, ({h}) % {_CM_W} AS bucket, user_id FROM base")
+    return "\nUNION ALL\n".join(rows)
+
+
+@query(
+    "q_countmin_frequencies",
+    oracle=f"""
+    WITH base AS (SELECT CAST(user_id AS VARCHAR) AS k, user_id FROM events),
+    probes AS ({_cm_cells_sql('k')}),
+    cells AS (
+      SELECT d, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM probes GROUP BY 1, 2
+    ),
+    key_probes AS (
+      SELECT DISTINCT d, bucket, user_id FROM probes
+    ),
+    est AS (
+      SELECT p.user_id, MIN(COALESCE(c.cnt, 0)) AS est
+      FROM key_probes p LEFT JOIN cells c USING (d, bucket)
+      GROUP BY 1
+    ),
+    truth AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_cnt
+      FROM events GROUP BY 1
+    )
+    SELECT e.user_id, e.est, tr.true_cnt,
+           e.est - tr.true_cnt AS over_est
+    FROM est e JOIN truth tr USING (user_id)
+    """,
+)
+def q_countmin_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency estimation (operators/sketches.py):
+    a depth-4 × width-32 sketch over event user_ids (width ≪ key
+    cardinality, forcing real collisions), point-queried for every
+    distinct user and joined to exact counts. over_est = est −
+    true_cnt is provably ≥ 0 (one-sided error) — the driver
+    hash-check certifies the estimates cell-for-cell. Sketch state
+    is ≤ d·w cells however many keys stream through: the mergeable
+    bounded-memory shape for 100 TB frequency monitoring."""
+    from aws_datalake_spark.operators.sketches import (
+        countmin_estimate,
+        countmin_table,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    cms = countmin_table(ev, "user_id", depth=_CM_D, width=_CM_W)
+    keys = ev.select("user_id").distinct()
+    est = countmin_estimate(cms, keys, "user_id", depth=_CM_D, width=_CM_W)
+    truth = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_cnt"))
+    return est.join(truth, "user_id").select(
+        "user_id", "est", "true_cnt",
+        (F.col("est") - F.col("true_cnt")).alias("over_est"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# mergeable binned quantile sketch
+# ---------------------------------------------------------------------------
+
+_QB_LO, _QB_W, _QB_N = 0.0, 5000.0, 128
+
+
+@query(
+    "q_quantile_sketch",
+    oracle=f"""
+    WITH h AS (
+      SELECT o_orderpriority AS scope,
+             LEAST(GREATEST(CAST(FLOOR((o_totalprice - {_QB_LO})
+                                        / {_QB_W}) AS BIGINT), 0),
+                   {_QB_N - 1}) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY 1, 2
+    ),
+    hh AS (
+      SELECT scope, bin, cnt FROM h
+      UNION ALL
+      SELECT 'ALL' AS scope, bin, CAST(SUM(cnt) AS BIGINT) AS cnt
+      FROM h GROUP BY 2
+    ),
+    c AS (
+      SELECT scope, bin, cnt,
+             SUM(cnt) OVER (PARTITION BY scope ORDER BY bin
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum,
+             SUM(cnt) OVER (PARTITION BY scope) AS n
+      FROM hh
+    )
+    SELECT scope, q,
+           {_QB_LO} + CAST(MIN(bin) AS DOUBLE) * {_QB_W} AS est,
+           CAST(MIN(n) AS BIGINT) AS n
+    FROM c, (SELECT UNNEST([0.5::DOUBLE, 0.95::DOUBLE]) AS q)
+    WHERE cum >= CEIL(q * CAST(n AS DOUBLE))
+    GROUP BY scope, q
+    """,
+)
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-bin quantile sketch (operators/sketches.py):
+    per-priority histograms of o_totalprice (128 bins × 5000), plus
+    the MERGED 'ALL' scope built by summing the per-group partials
+    bin-wise — never re-scanning orders — then p50/p95 estimates
+    read from each tiny histogram. One scan into bounded cells; the
+    mergeable counterpart to the exact-quantile operator for
+    continuous 100 TB profiling. Estimates are bin lower edges
+    (error ≤ one bin width), identical double arithmetic in the
+    oracle."""
+    from aws_datalake_spark.operators.sketches import (
+        binned_histogram,
+        histogram_quantiles,
+    )
+
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("scope"), "o_totalprice"
+    )
+    h = binned_histogram(o, "o_totalprice", _QB_LO, _QB_W, _QB_N, ["scope"])
+    merged = h.groupBy("bin").agg(F.sum("cnt").alias("cnt")).select(
+        F.lit("ALL").alias("scope"), "bin", "cnt"
+    )
+    hh = h.unionByName(merged)
+    return histogram_quantiles(hh, [0.5, 0.95], _QB_LO, _QB_W, ["scope"])
+
+
+# ---------------------------------------------------------------------------
+# MOSS winnowing fingerprints
+# ---------------------------------------------------------------------------
+
+_WIN_K, _WIN_W = 3, 4
+
+
+@query(
+    "llm_winnow_fingerprints",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tz
+      FROM documents
+    ),
+    hs AS (
+      SELECT doc_id,
+             list_filter(
+               list_transform(tz, (x, i) ->
+                 CASE WHEN i + {_WIN_K - 1} <= len(tz)
+                      THEN {_H60.format(
+                        expr="tz[i] || ' ' || tz[i+1] || ' ' || tz[i+2]")}
+                 END),
+               v -> v IS NOT NULL) AS hl
+      FROM tk
+    ),
+    g AS (SELECT doc_id, hl, len(hl) AS ng FROM hs WHERE len(hl) >= 1),
+    wins AS (
+      SELECT doc_id,
+             unnest(list_transform(hl, (x, i) ->
+               CASE WHEN i <= GREATEST(ng - {_WIN_W - 1}, 1)
+                    THEN list_aggregate(
+                           list_slice(hl, i, i + {_WIN_W - 1}), 'min')
+               END)) AS fp
+      FROM g
+    )
+    SELECT DISTINCT doc_id, fp FROM wins WHERE fp IS NOT NULL
+    """,
+)
+def llm_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing (operators/dedup.py:winnow_fingerprints;
+    Schleimer et al., SIGMOD 2003): minimum gram-hash per sliding
+    window of 4 consecutive 3-gram hashes — a deterministic ~1/w
+    fingerprint selection guaranteeing any shared run of ≥ k+w−1
+    tokens shares a fingerprint. Pure per-row array ops (no shuffle,
+    no window sort); the only exchange is the final per-doc
+    distinct over 8-byte hashes."""
+    from aws_datalake_spark.operators.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(
+        t(spark, sf_dir, "documents"), k=_WIN_K, w=_WIN_W
+    )

@@ -128,6 +128,11 @@ HEADLINE = [
     "q_skew_salted_join",
     "q_attribution_first_last",
     "llm_stratified_eval_split",
+    # round-5 session additions
+    "q_session_journeys",
+    "q_countmin_frequencies",
+    "q_quantile_sketch",
+    "llm_winnow_fingerprints",
 ]
 
 

@@ -481,3 +481,62 @@ def test_entity_resolution_no_cartesian(spark):
     plan = _plan(q_entity_resolution(spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_winnow_no_text_in_hash_exchanges(spark):
+    """winnow_fingerprints: the selection is per-row array work —
+    text may only cross the narrow round-robin spread; every hash
+    exchange carries 8-byte fingerprints, never the text column."""
+    from aws_datalake_spark.operators.dedup import winnow_fingerprints
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = _plan(winnow_fingerprints(d))
+    ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert ex, "expected the final distinct exchange"
+    assert all("text" not in l for l in ex)
+    assert "WindowExec" not in plan  # array slice-min, no window sort
+
+
+def test_countmin_probe_joins_broadcast_the_sketch(spark):
+    """countmin_estimate: the ≤ depth·width-cell sketch must
+    broadcast — the probe side never sort-merge-shuffles on sketch
+    cells."""
+    from aws_datalake_spark.operators.sketches import (
+        countmin_estimate,
+        countmin_table,
+    )
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    cms = countmin_table(ev, "user_id", depth=4, width=32)
+    est = countmin_estimate(
+        cms, ev.select("user_id").distinct(), "user_id", depth=4, width=32
+    )
+    plan = _plan(est)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_quantile_sketch_windows_are_histogram_sized(spark):
+    """q_quantile_sketch: the cumulative windows run on the ≤ n_bins
+    histogram, never the orders scan — exactly one exchange touches
+    an orders column (the histogram groupBy); the window input is
+    bins."""
+    from aws_datalake_spark.queries.round6 import q_quantile_sketch
+
+    plan = _plan(q_quantile_sketch(spark, SF_SMOKE))
+    ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert all(
+        "o_totalprice" not in l or "scope" in l or "bin" in l for l in ex
+    )
+
+
+def test_sessionize_single_user_exchange(spark):
+    """Sessionize + stats: one hash exchange on the user key feeds
+    both the labeling window and the per-session rollup (AQE reuses
+    the partitioning) — and no un-partitioned window exists."""
+    from aws_datalake_spark.operators.sessions import session_stats, sessionize
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    plan = _plan(session_stats(sessionize(ev)))
+    ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert all("user_id" in l for l in ex)

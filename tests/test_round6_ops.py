@@ -1,0 +1,237 @@
+"""Unit tests for the round-5-session operators: sessionization,
+count-min sketch, binned quantile sketch, winnowing fingerprints."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+
+def _ts(h, m=0, s=0, day=1):
+    return dt.datetime(2024, 1, day, h, m, s)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+
+
+# ---------------------------------------------------------------------------
+# sessionization
+# ---------------------------------------------------------------------------
+
+
+def test_sessionize_gap_boundaries(spark):
+    from aws_datalake_spark.operators.sessions import sessionize
+
+    rows = [
+        (1, 1, "view", _ts(0)),
+        (2, 1, "click", _ts(1)),        # 1 h gap → same session
+        (3, 1, "view", _ts(6)),         # 5 h gap → new session
+        (4, 1, "buy", _ts(6, 30)),
+        (5, 2, "view", _ts(0)),         # other user independent
+    ]
+    got = {
+        r.event_id: r.session_seq
+        for r in sessionize(_events(spark, rows), gap_seconds=4 * 3600).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
+
+
+def test_sessionize_exact_gap_is_same_session(spark):
+    """Boundary: gap strictly GREATER than gap_seconds opens a new
+    session; exactly gap_seconds does not."""
+    from aws_datalake_spark.operators.sessions import sessionize
+
+    rows = [
+        (1, 1, "a", _ts(0)),
+        (2, 1, "b", _ts(4)),            # exactly 4 h
+        (3, 1, "c", _ts(8, 0, 1)),      # 4 h + 1 s
+    ]
+    got = {
+        r.event_id: r.session_seq
+        for r in sessionize(_events(spark, rows), gap_seconds=4 * 3600).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 2}
+
+
+def test_session_stats_entry_exit_tie_break(spark):
+    """Equal timestamps fall back to event_id order for entry/exit."""
+    from aws_datalake_spark.operators.sessions import session_stats, sessionize
+
+    rows = [
+        (2, 1, "late", _ts(0)),
+        (1, 1, "early", _ts(0)),        # same ts, smaller id → entry
+        (3, 1, "last", _ts(1)),
+    ]
+    s = session_stats(sessionize(_events(spark, rows))).collect()
+    assert len(s) == 1
+    r = s[0]
+    assert (r.entry_event, r.exit_event) == ("early", "last")
+    assert r.n_events == 3
+    assert r.duration_sec == 3600
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+# ---------------------------------------------------------------------------
+
+
+def test_countmin_one_sided_and_mergeable(spark):
+    from aws_datalake_spark.operators.sketches import (
+        countmin_estimate,
+        countmin_table,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 7,) for i in range(200)], "k long"
+    )
+    truth = {r.k: r.cnt for r in df.groupBy("k").agg(
+        F.count(F.lit(1)).alias("cnt")).collect()}
+    cms = countmin_table(df, "k", depth=3, width=8)
+    keys = df.select("k").distinct()
+    est = {r.k: r.est for r in countmin_estimate(
+        cms, keys, "k", depth=3, width=8).collect()}
+    assert set(est) == set(truth)
+    for k, e in est.items():
+        assert e >= truth[k]  # one-sided error
+
+    # mergeability: sketches of two halves ADD cell-wise to the whole
+    h1 = countmin_table(df.where(F.col("k") < 3), "k", depth=3, width=8)
+    h2 = countmin_table(df.where(F.col("k") >= 3), "k", depth=3, width=8)
+    merged = {
+        (r.d, r.bucket): r.cnt
+        for r in h1.unionByName(h2).groupBy("d", "bucket")
+        .agg(F.sum("cnt").alias("cnt")).collect()
+    }
+    full = {(r.d, r.bucket): r.cnt for r in cms.collect()}
+    assert merged == full
+
+
+def test_countmin_unseen_key_estimates_can_be_zero(spark):
+    from aws_datalake_spark.operators.sketches import (
+        countmin_estimate,
+        countmin_table,
+    )
+
+    df = spark.createDataFrame([(1,), (2,)], "k long")
+    cms = countmin_table(df, "k", depth=4, width=64)
+    probe = spark.createDataFrame([(999,)], "k long")
+    [r] = countmin_estimate(cms, probe, "k", depth=4, width=64).collect()
+    assert r.est >= 0  # 0 unless all 4 cells collide
+
+
+# ---------------------------------------------------------------------------
+# binned quantile sketch
+# ---------------------------------------------------------------------------
+
+
+def test_histogram_quantiles_within_bin_width(spark):
+    from aws_datalake_spark.operators.sketches import (
+        binned_histogram,
+        histogram_quantiles,
+    )
+
+    vals = [(float(i),) for i in range(1000)]
+    df = spark.createDataFrame(vals, "x double")
+    h = binned_histogram(df, "x", lo=0.0, width=10.0, n_bins=100)
+    out = {r.q: r.est for r in histogram_quantiles(
+        h, [0.5, 0.9], lo=0.0, width=10.0).collect()}
+    # exact p50 = 499.x → bin 49 (lower edge 490); error ≤ one width
+    assert abs(out[0.5] - 500.0) <= 10.0
+    assert abs(out[0.9] - 900.0) <= 10.0
+
+
+def test_binned_histogram_merge_equals_global(spark):
+    from aws_datalake_spark.operators.sketches import binned_histogram
+
+    df = spark.createDataFrame(
+        [(g, float(v)) for g in ("a", "b") for v in range(50)],
+        "g string, x double",
+    )
+    per = binned_histogram(df, "x", 0.0, 5.0, 10, ["g"])
+    merged = {
+        r.bin: r.cnt
+        for r in per.groupBy("bin").agg(F.sum("cnt").alias("cnt")).collect()
+    }
+    glob = {
+        r.bin: r.cnt
+        for r in binned_histogram(df, "x", 0.0, 5.0, 10).collect()
+    }
+    assert merged == glob
+
+
+def test_binned_histogram_clamps_out_of_range(spark):
+    from aws_datalake_spark.operators.sketches import binned_histogram
+
+    df = spark.createDataFrame([(-5.0,), (1e9,)], "x double")
+    got = {r.bin: r.cnt for r in binned_histogram(df, "x", 0.0, 1.0, 4).collect()}
+    assert got == {0: 1, 3: 1}
+
+
+# ---------------------------------------------------------------------------
+# winnowing
+# ---------------------------------------------------------------------------
+
+
+def _winnow(spark, texts, k=3, w=4):
+    from aws_datalake_spark.operators.dedup import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    return winnow_fingerprints(df, k=k, w=w)
+
+
+def test_winnow_shared_run_guarantee(spark):
+    """Two docs sharing a run of ≥ k+w−1 tokens share a fingerprint."""
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 = k+w-1 tokens
+    out = _winnow(
+        spark,
+        [f"one two {shared} x y", f"p q r {shared} s"],
+    ).collect()
+    by_doc = {0: set(), 1: set()}
+    for r in out:
+        by_doc[r.doc_id].add(r.fp)
+    assert by_doc[0] & by_doc[1]
+
+
+def test_winnow_density_and_short_docs(spark):
+    from aws_datalake_spark.operators.dedup import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),       # 2 grams < w → one whole-doc window
+            (2, "a b"),           # < k tokens → no grams, no rows
+            (3, " ".join(f"t{i}" for i in range(50))),
+        ],
+        "doc_id long, text string",
+    )
+    out = winnow_fingerprints(df, k=3, w=4)
+    rows = out.collect()
+    docs = {r.doc_id for r in rows}
+    assert 1 in docs and 2 not in docs and 3 in docs
+    n3 = sum(1 for r in rows if r.doc_id == 3)
+    # 48 grams, 45 windows, distinct mins ≈ windows/w; allow wide band
+    assert 1 <= n3 <= 45
+
+
+def test_winnow_matches_bruteforce(spark):
+    """Operator output equals a python brute-force winnow on the
+    same md5-60 hashes."""
+    import hashlib
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    text = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    toks = text.split()
+    k, w = 3, 4
+    hs = [h60(" ".join(toks[i:i + k])) for i in range(len(toks) - k + 1)]
+    expect = set()
+    for i in range(max(len(hs) - w + 1, 1)):
+        expect.add(min(hs[i:i + w]))
+    got = {r.fp for r in _winnow(spark, [text], k=k, w=w).collect()}
+    assert got == expect
