@@ -724,3 +724,81 @@ def bm25_from_index(
         )
     )
     return _bm25_aggregate(dt, n_docs, avgdl, k1, b, id_col)
+
+
+# --- trigram index: substring (LIKE '%p%') acceleration -----------------------
+
+
+def trigram_postings(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Character-trigram inverted index: distinct ``(tri, doc_id)``
+    rows. The standard index for arbitrary-substring (LIKE
+    '%pattern%') search, which no B-tree/sort index can serve: build
+    once (persist partitioned by ``tri`` at scale), then a query
+    touches only its own pattern's trigram posting rows. Per-row
+    array ops generate the trigrams; the explode carries 3-char
+    strings + the id, never the text."""
+    base = spread(df.select(id_col, text_col))
+    tris = base.select(
+        F.col(id_col),
+        F.when(
+            F.length(text_col) >= 3,
+            F.transform(
+                F.sequence(F.lit(1), F.length(text_col) - 2),
+                lambda i: F.col(text_col).substr(i, F.lit(3)),
+            ),
+        ).otherwise(F.array().cast("array<string>")).alias("__tris"),
+    )
+    # materialization barrier before the explode (Generate re-evaluates
+    # an inlined interpreted transform per OUTPUT element — the
+    # winnow/source_overlap trap; O(len) trigram build would become
+    # O(len²) per row)
+    from aws_datalake_spark.operators.dedup_cluster import _truncate
+
+    return (
+        _truncate(tris).select(id_col, F.explode("__tris").alias("tri")).distinct()
+    )
+
+
+def trigram_search(
+    postings: DataFrame,
+    docs: DataFrame,
+    pattern: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact substring search served by the trigram index: candidate
+    docs must contain EVERY trigram of the pattern (an in-list filter
+    that pushes down to the postings scan + one counting aggregate),
+    then candidates-only verification with ``contains`` kills the
+    false positives (trigram containment does not imply substring).
+    The full-text scan is avoided entirely: verification joins touch
+    ~|candidates| rows. Patterns shorter than 3 chars fall back to a
+    plain filter (no trigram to prune on).
+
+    The verify predicate deliberately references the candidate side
+    (``__k``) so it CANNOT be split off and pushed below the join —
+    a bare ``contains(text)`` filter would be predicate-pushed onto
+    the docs scan, re-scanning every document's text and defeating
+    the index (pinned by
+    ``test_plans.py::test_trigram_search_contains_stays_above_join``).
+    """
+    if len(pattern) < 3:
+        return docs.where(F.col(text_col).contains(pattern))
+    tris = sorted({pattern[i : i + 3] for i in range(len(pattern) - 2)})
+    cand = (
+        postings.where(F.col("tri").isin(tris))
+        .groupBy(id_col)
+        .agg(F.count_distinct("tri").alias("__k"))
+        .where(F.col("__k") == len(tris))
+    )
+    return (
+        docs.join(cand, id_col)
+        .where(
+            F.when(
+                F.col("__k") == len(tris), F.col(text_col).contains(pattern)
+            ).otherwise(F.lit(False))
+        )
+        .drop("__k")
+    )

@@ -262,3 +262,36 @@ def llm_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(
         t(spark, sf_dir, "documents"), k=_WIN_K, w=_WIN_W
     )
+
+
+# ---------------------------------------------------------------------------
+# trigram-index substring search
+# ---------------------------------------------------------------------------
+
+_PATTERN = "merge batch"
+
+
+@query(
+    "q_trigram_substring_search",
+    oracle=f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE contains(text, '{_PATTERN}')
+    """,
+)
+def q_trigram_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-substring (LIKE '%p%') search served by a character
+    trigram inverted index (operators/text.py:trigram_postings /
+    trigram_search): candidates must hold EVERY pattern trigram
+    (in-list filter pushed to the postings scan + one counting
+    aggregate), then contains() verifies candidates only. The oracle
+    full-scans with contains(); the Spark path proves the
+    index-pruned plan returns the identical doc set. At 100 TB the
+    postings are built once (partitioned by trigram) and each query
+    touches only its own trigrams' rows."""
+    from aws_datalake_spark.operators.text import trigram_postings, trigram_search
+
+    d = t(spark, sf_dir, "documents")
+    postings = trigram_postings(d)
+    return trigram_search(postings, d, _PATTERN).select(
+        "doc_id", "lang", "source"
+    )

@@ -133,6 +133,7 @@ HEADLINE = [
     "q_countmin_frequencies",
     "q_quantile_sketch",
     "llm_winnow_fingerprints",
+    "q_trigram_substring_search",
 ]
 
 

@@ -540,3 +540,27 @@ def test_sessionize_single_user_exchange(spark):
     plan = _plan(session_stats(sessionize(ev)))
     ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
     assert all("user_id" in l for l in ex)
+
+
+def test_trigram_search_contains_stays_above_join(spark):
+    """q_trigram_substring_search: the contains() verification must
+    run on CANDIDATES (above the join), never be predicate-pushed
+    onto the documents scan — a pushed contains re-scans every
+    document's text and defeats the index. The executed plan prints
+    outer-first, so the Contains filter line must precede the join
+    line, and no scan may push a Contains."""
+    from aws_datalake_spark.queries.round6 import q_trigram_substring_search
+
+    plan = _plan(q_trigram_substring_search(spark, SF_SMOKE))
+    lines = plan.splitlines()
+    c_idx = [i for i, l in enumerate(lines) if "Contains(" in l]
+    scan_idx = [
+        i for i, l in enumerate(lines)
+        if "FileScan parquet" in l and "text" in l
+    ]
+    assert c_idx and scan_idx
+    # plan prints outer-first: every Contains must sit ABOVE the
+    # documents scan (join condition or post-join filter), and the
+    # scan itself must not push a Contains
+    assert max(c_idx) < min(scan_idx)
+    assert "StringContains" not in plan

@@ -235,3 +235,50 @@ def test_winnow_matches_bruteforce(spark):
         expect.add(min(hs[i:i + w]))
     got = {r.fp for r in _winnow(spark, [text], k=k, w=w).collect()}
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# trigram substring search
+# ---------------------------------------------------------------------------
+
+
+def test_trigram_search_exact_and_false_positive_rejection(spark):
+    from aws_datalake_spark.operators.text import trigram_postings, trigram_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),
+            (2, "quick the brown"),      # has all trigrams of 'quick b'? no
+            (3, "a quick brow and more"),  # 'quick brow' but not 'quick bro fox'
+        ],
+        "doc_id long, text string",
+    )
+    postings = trigram_postings(docs)
+    got = {r.doc_id for r in trigram_search(postings, docs, "quick brown").collect()}
+    assert got == {1}
+    # false-positive shape: doc 2 holds every trigram of 'the quick'
+    # scattered ('the', 'he ', 'e q', ' qu', 'qui', 'uic', 'ick') only
+    # if contiguous — verify step must reject scattered occurrences
+    got2 = {r.doc_id for r in trigram_search(postings, docs, "brown fox").collect()}
+    assert got2 == {1}
+
+
+def test_trigram_search_short_pattern_fallback(spark):
+    from aws_datalake_spark.operators.text import trigram_postings, trigram_search
+
+    docs = spark.createDataFrame(
+        [(1, "abc def"), (2, "xyz")], "doc_id long, text string"
+    )
+    postings = trigram_postings(docs)
+    got = {r.doc_id for r in trigram_search(postings, docs, "ab").collect()}
+    assert got == {1}
+
+
+def test_trigram_postings_short_text_empty(spark):
+    from aws_datalake_spark.operators.text import trigram_postings
+
+    docs = spark.createDataFrame(
+        [(1, "ab"), (2, "abcd")], "doc_id long, text string"
+    )
+    got = {(r.doc_id, r.tri) for r in trigram_postings(docs).collect()}
+    assert got == {(2, "abc"), (2, "bcd")}
