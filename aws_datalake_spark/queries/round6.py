@@ -295,3 +295,84 @@ def q_trigram_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trigram_search(postings, d, _PATTERN).select(
         "doc_id", "lang", "source"
     )
+
+
+# ---------------------------------------------------------------------------
+# exact fixed-point PageRank
+# ---------------------------------------------------------------------------
+
+_PR_ITERS, _PR_SCALE = 5, 10**12
+
+
+def _pagerank_oracle() -> str:
+    """Chained-CTE twin of the integer power iteration."""
+    steps = []
+    for i in range(_PR_ITERS):
+        prev = "it0" if i == 0 else f"it{i}"
+        steps.append(f"""
+    it{i + 1} AS (
+      SELECT n.node,
+             (SELECT base FROM params)
+               + COALESCE(CAST(SUM((r.rank * 85) // (100 * o.outdeg))
+                               AS BIGINT), 0) AS rank
+      FROM nodes n
+      LEFT JOIN edges e ON e.dst = n.node
+      LEFT JOIN {prev} r ON r.node = e.src
+      LEFT JOIN outdeg o ON o.node = e.src
+      GROUP BY n.node
+    )""")
+    return f"""
+    WITH raw AS (
+      SELECT DISTINCT 'S' || CAST(l.l_suppkey AS VARCHAR) AS src,
+             'C' || CAST(o.o_custkey AS VARCHAR) AS dst
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (SELECT src, dst FROM raw),
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM edges
+        UNION ALL SELECT dst AS node FROM edges)
+    ),
+    outdeg AS (
+      SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS outdeg
+      FROM edges GROUP BY 1
+    ),
+    params AS (
+      SELECT (15 * {_PR_SCALE}) // (100 * COUNT(*)) AS base,
+             {_PR_SCALE} // COUNT(*) AS init
+      FROM nodes
+    ),
+    it0 AS (
+      SELECT node, CAST((SELECT init FROM params) AS BIGINT) AS rank
+      FROM nodes
+    ),{",".join(steps)}
+    SELECT node, CAST(rank AS BIGINT) AS rank_scaled FROM it{_PR_ITERS}
+    """
+
+
+@query("q_graph_pagerank", oracle=_pagerank_oracle())
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact fixed-point PageRank (operators/graph.py) over the
+    supplier→customer fulfillment graph (distinct edges from
+    lineitem⋈orders): 5 power steps entirely in scaled-integer
+    arithmetic — order-independent partial sums, integral divisions
+    — so the ITERATIVE result hash-matches a 5-level chained-CTE
+    oracle exactly (float PageRank can never be cross-engine
+    exact). Each step is one src-key join + one dst-key aggregate
+    (the Pregel pattern as DataFrame ops); lineage is cut per step.
+    The only driver value is the node count (one bounded scalar)."""
+    from aws_datalake_spark.operators.graph import pagerank_fixed_point
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    return pagerank_fixed_point(
+        edges, iterations=_PR_ITERS, scale=_PR_SCALE
+    ).select("node", "rank_scaled")

@@ -134,6 +134,7 @@ HEADLINE = [
     "q_quantile_sketch",
     "llm_winnow_fingerprints",
     "q_trigram_substring_search",
+    "q_graph_pagerank",
 ]
 
 

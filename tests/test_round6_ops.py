@@ -282,3 +282,62 @@ def test_trigram_postings_short_text_empty(spark):
     )
     got = {(r.doc_id, r.tri) for r in trigram_postings(docs).collect()}
     assert got == {(2, "abc"), (2, "bcd")}
+
+
+# ---------------------------------------------------------------------------
+# fixed-point PageRank
+# ---------------------------------------------------------------------------
+
+
+def _pr_bruteforce(edges, iterations, scale=10**12, num=85, den=100):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    outdeg = {}
+    for u, _ in edges:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    n = len(nodes)
+    base = (den - num) * scale // (den * n)
+    rank = {v: scale // n for v in nodes}
+    for _ in range(iterations):
+        incoming = {v: 0 for v in nodes}
+        for u, v in edges:
+            incoming[v] += (rank[u] * num) // (den * outdeg[u])
+        rank = {v: base + incoming[v] for v in nodes}
+    return rank
+
+
+def test_pagerank_matches_integer_bruteforce(spark):
+    from aws_datalake_spark.operators.graph import pagerank_fixed_point
+
+    edges = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r.node: r.rank_scaled
+        for r in pagerank_fixed_point(df, iterations=4).collect()
+    }
+    assert got == _pr_bruteforce(edges, 4)
+
+
+def test_pagerank_mass_bound_and_hub_ordering(spark):
+    from aws_datalake_spark.operators.graph import pagerank_fixed_point
+
+    # star: everyone points at 'hub'
+    edges = [(f"u{i}", "hub") for i in range(10)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    rows = pagerank_fixed_point(df, iterations=3).collect()
+    ranks = {r.node: r.rank_scaled for r in rows}
+    assert sum(ranks.values()) <= 10**12  # truncation/dangling only shrink
+    assert ranks["hub"] == max(ranks.values())
+    spokes = {v for k, v in ranks.items() if k != "hub"}
+    assert len(spokes) == 1  # symmetric spokes tie exactly
+
+
+def test_pagerank_damping_validation(spark):
+    import pytest as _pytest
+
+    from aws_datalake_spark.operators.graph import pagerank_fixed_point
+
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with _pytest.raises(ValueError):
+        pagerank_fixed_point(df, damping=(100, 100))
