@@ -384,3 +384,82 @@ def heavy_hitters_by_group(
         .agg(F.count("*").alias("cnt"))
         .filter(F.col("cnt") > thr[F.col(group_col)])
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct-count sketch — oracle-exact
+# ---------------------------------------------------------------------------
+
+
+def kmv_sketch(
+    df: DataFrame, col: str, k: int = 256,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """K-minimum-values distinct sketch (Bar-Yossef et al. 2002):
+    per group, the ``k`` smallest distinct md5-60 hashes of ``col``
+    — ``(group…, pos, h)``. Unlike HLL (whose register layout is
+    engine-specific, so its queries are rows-only checkable), KMV is
+    DETERMINISTIC given the hash family: the sketch and its estimate
+    hash-match a SQL oracle exactly, and sketches MERGE (k smallest
+    of the union of two sketches = sketch of the union).
+
+    SCALE: two-phase top-k — a per-(group, input-partition) window
+    prunes to ≤ k rows locally (partition-parallel), then the global
+    per-group window ranks only ≤ k·P survivors; the full distinct
+    hash set never sorts in one task. The intermediate depends on
+    the physical partitioning, the RESULT never does (the k smallest
+    of a set are the k smallest however it was pre-pruned).
+    """
+    from pyspark.sql import Window
+
+    from aws_datalake_spark.operators.text import hash60
+
+    gcols = list(group_cols or [])
+    base = (
+        df.select(*gcols, hash60(F.col(col).cast("string"), seed="kmv").alias("h"))
+        .distinct()
+    )
+    pre = base.withColumn("__pid", F.spark_partition_id())
+    w1 = Window.partitionBy(*gcols, "__pid").orderBy("h")
+    cand = (
+        pre.withColumn("__rn", F.row_number().over(w1))
+        .where(F.col("__rn") <= k)
+        .drop("__pid", "__rn")
+    )
+    w2 = Window.partitionBy(*gcols).orderBy("h") if gcols else (
+        Window.partitionBy().orderBy("h")
+    )
+    return (
+        cand.withColumn("pos", F.row_number().over(w2).cast("long"))
+        .where(F.col("pos") <= k)
+        .select(*gcols, "pos", "h")
+    )
+
+
+# 2^60 — the md5-60 hash space size (see text.py:hash60)
+_H60_SPACE = 1 << 60
+
+
+def kmv_estimate(
+    sketch: DataFrame, k: int, group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Distinct-count estimate per group from a KMV sketch:
+    ``(group…, n_kept, n_distinct_est)``. Groups with fewer than
+    ``k`` kept hashes are EXACT (the sketch saw every distinct
+    value); saturated groups use the unbiased KMV estimator
+    (k−1)·2^60 div h_k (h_k = the k-th smallest hash), computed in
+    DECIMAL(38,0) (the product overflows int64) with integral
+    division — bit-identical in the SQL oracle. Touches only the
+    ≤ k-row-per-group sketch, never the data."""
+    gcols = list(group_cols or [])
+    agg = sketch.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("h").alias("__hk"),
+    )
+    est = F.when(F.col("n_kept") < k, F.col("n_kept")).otherwise(
+        F.expr(
+            f"CAST(CAST({k - 1} AS DECIMAL(38,0))"
+            f" * CAST({_H60_SPACE} AS DECIMAL(38,0)) div __hk AS BIGINT)"
+        )
+    )
+    return agg.select(*gcols, "n_kept", est.alias("n_distinct_est"))

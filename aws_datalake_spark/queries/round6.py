@@ -376,3 +376,94 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_fixed_point(
         edges, iterations=_PR_ITERS, scale=_PR_SCALE
     ).select("node", "rank_scaled")
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct-count sketch
+# ---------------------------------------------------------------------------
+
+_KMV_K = 128
+_H60_SPACE = 1 << 60
+
+
+@query(
+    "q_kmv_distinct_docs",
+    oracle=f"""
+    WITH hd AS (
+      SELECT DISTINCT source, {_H60.format(expr="'kmv' || text")} AS h
+      FROM documents
+    ),
+    r AS (
+      SELECT source, h,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS pos
+      FROM hd
+    ),
+    sk AS (SELECT source, h FROM r WHERE pos <= {_KMV_K}),
+    per AS (
+      SELECT source AS scope, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             MAX(h) AS hk
+      FROM sk GROUP BY 1
+    ),
+    m AS (
+      SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS pos
+      FROM (SELECT DISTINCT h FROM sk)
+    ),
+    mall AS (
+      SELECT 'ALL' AS scope, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             MAX(h) AS hk
+      FROM m WHERE pos <= {_KMV_K}
+    ),
+    u AS (SELECT * FROM per UNION ALL SELECT * FROM mall),
+    tru AS (
+      SELECT source AS scope,
+             CAST(COUNT(DISTINCT text) AS BIGINT) AS true_distinct
+      FROM documents GROUP BY 1
+      UNION ALL
+      SELECT 'ALL', CAST(COUNT(DISTINCT text) AS BIGINT) FROM documents
+    )
+    SELECT u.scope, u.n_kept,
+           CASE WHEN u.n_kept < {_KMV_K} THEN u.n_kept
+                ELSE CAST(({_KMV_K - 1}::HUGEINT * {_H60_SPACE}) // u.hk
+                          AS BIGINT)
+           END AS n_distinct_est,
+           tru.true_distinct
+    FROM u JOIN tru USING (scope)
+    """,
+)
+def q_kmv_distinct_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch (operators/sketches.py:kmv_sketch /
+    kmv_estimate): per-source unique-document estimates from the 128
+    smallest text hashes, PLUS the 'ALL' scope estimated by MERGING
+    the per-source sketches (k smallest of the sketch union — never
+    re-scanning documents), joined to exact distinct counts. KMV is
+    deterministic given the hash family, so unlike HLL the estimates
+    hash-match the SQL oracle exactly. Bounded k-per-group state,
+    two-phase top-k (no full distinct set ever sorts in one task)."""
+    from pyspark.sql import Window
+
+    from aws_datalake_spark.operators.sketches import kmv_estimate, kmv_sketch
+
+    d = t(spark, sf_dir, "documents").select("source", "text")
+    sk = kmv_sketch(d, "text", k=_KMV_K, group_cols=["source"])
+    per = kmv_estimate(sk, _KMV_K, ["source"]).select(
+        F.col("source").alias("scope"), "n_kept", "n_distinct_est"
+    )
+    merged = (
+        sk.select("h").distinct()
+        .withColumn(
+            "pos", F.row_number().over(Window.partitionBy().orderBy("h"))
+        )
+        .where(F.col("pos") <= _KMV_K)
+    )
+    mall = kmv_estimate(merged, _KMV_K).select(
+        F.lit("ALL").alias("scope"), "n_kept", "n_distinct_est"
+    )
+    tru = (
+        d.groupBy(F.col("source").alias("scope"))
+        .agg(F.countDistinct("text").alias("true_distinct"))
+        .unionByName(
+            d.agg(F.countDistinct("text").alias("true_distinct"))
+            .select(F.lit("ALL").alias("scope"), "true_distinct")
+        )
+    )
+    return per.unionByName(mall).join(tru, "scope")

@@ -135,6 +135,7 @@ HEADLINE = [
     "llm_winnow_fingerprints",
     "q_trigram_substring_search",
     "q_graph_pagerank",
+    "q_kmv_distinct_docs",
 ]
 
 

@@ -341,3 +341,52 @@ def test_pagerank_damping_validation(spark):
     df = spark.createDataFrame([("a", "b")], "src string, dst string")
     with _pytest.raises(ValueError):
         pagerank_fixed_point(df, damping=(100, 100))
+
+
+# ---------------------------------------------------------------------------
+# KMV sketch
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_exact_below_k_and_estimate_above(spark):
+    from aws_datalake_spark.operators.sketches import kmv_estimate, kmv_sketch
+
+    small = spark.createDataFrame([(i,) for i in range(40)], "v long")
+    [r] = kmv_estimate(kmv_sketch(small, "v", k=64), 64).collect()
+    assert (r.n_kept, r.n_distinct_est) == (40, 40)  # exact branch
+
+    big = spark.createDataFrame([(i % 1000,) for i in range(5000)], "v long")
+    [r] = kmv_estimate(kmv_sketch(big, "v", k=64), 64).collect()
+    assert r.n_kept == 64
+    assert abs(r.n_distinct_est - 1000) < 300  # ~1/sqrt(k) ≈ 12.5% σ
+
+
+def test_kmv_merge_equals_sketch_of_union(spark):
+    """k smallest of the union of two sketches == sketch of the
+    unioned data (the mergeability contract)."""
+    from pyspark.sql import functions as _F
+
+    from aws_datalake_spark.operators.sketches import kmv_sketch
+
+    a = spark.createDataFrame([(i,) for i in range(500)], "v long")
+    b = spark.createDataFrame([(i,) for i in range(300, 800)], "v long")
+    k = 32
+    ska = kmv_sketch(a, "v", k=k).select("h")
+    skb = kmv_sketch(b, "v", k=k).select("h")
+    merged = set(
+        r.h for r in ska.unionByName(skb).distinct()
+        .orderBy("h").limit(k).collect()
+    )
+    full = set(
+        r.h for r in kmv_sketch(a.unionByName(b), "v", k=k).collect()
+    )
+    assert merged == full
+
+
+def test_kmv_result_independent_of_partitioning(spark):
+    from aws_datalake_spark.operators.sketches import kmv_sketch
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "v long")
+    one = {(r.pos, r.h) for r in kmv_sketch(df.coalesce(1), "v", k=50).collect()}
+    many = {(r.pos, r.h) for r in kmv_sketch(df.repartition(16), "v", k=50).collect()}
+    assert one == many
