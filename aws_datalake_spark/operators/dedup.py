@@ -669,3 +669,67 @@ def winnow_fingerprints(
         .where(F.col("fp").isNotNull())
         .distinct()
     )
+
+
+def source_signature_matrix(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """Constant-state sketch twin of :func:`source_overlap`: one
+    K-permutation minhash signature PER SOURCE over its shingle
+    multiset, then pairwise Jaccard estimates = matching signature
+    components / K. Where source_overlap's join input is the
+    distinct (source, gram) set — already hash-compacted but still
+    corpus-vocabulary-sized — the signature is K longs per source
+    no matter the corpus: the diagnostic for when even the distinct
+    gram set is too big to move. min() is duplicate-insensitive, so
+    no distinct pass is needed at all: ONE groupBy(source) computes
+    all K mins map-side-combined in a single scan. Estimates are
+    exact integer match counts (+ an IEEE division), shared with the
+    oracle via the same affine family as minhash_signature.
+
+    Returns ``(source_a, source_b, matches, num_hashes,
+    jaccard_est)`` for every unordered source pair.
+    """
+    from aws_datalake_spark.operators.dedup_cluster import _truncate
+
+    sh = _truncate(with_shingles(df, text_col, source_col, shingle_n))
+    h = sh.select(
+        F.col(source_col).alias("__src"), F.explode("__sh").alias("__s")
+    ).select("__src", (hash60(F.col("__s")) % F.lit(M31)).alias("__h"))
+    aggs = []
+    for k in range(num_hashes):
+        a, b = affine_params(k)
+        aggs.append(
+            F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(M31)).alias(f"sig_{k}")
+        )
+    wide = h.groupBy("__src").agg(*aggs)
+    stack = ", ".join(f"{k}, sig_{k}" for k in range(num_hashes))
+    sigs = wide.select(
+        "__src", F.expr(f"stack({num_hashes}, {stack}) as (k, sig)")
+    )
+    left = sigs.select(
+        F.col("__src").alias("source_a"), "k", F.col("sig").alias("__sa")
+    )
+    right = sigs.select(
+        F.col("__src").alias("source_b"), "k", F.col("sig").alias("__sb")
+    )
+    return (
+        left.join(right, "k")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum(
+                F.when(F.col("__sa") == F.col("__sb"), 1).otherwise(0)
+            ).alias("matches"),
+        )
+        .select(
+            "source_a", "source_b", "matches",
+            F.lit(num_hashes).alias("num_hashes"),
+            (F.col("matches").cast("double") / F.lit(float(num_hashes)))
+            .alias("jaccard_est"),
+        )
+    )

@@ -467,3 +467,67 @@ def q_kmv_distinct_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per.unionByName(mall).join(tru, "scope")
+
+
+# ---------------------------------------------------------------------------
+# source similarity via per-source minhash signatures
+# ---------------------------------------------------------------------------
+
+_SRCSIG_K = 16
+
+
+def _srcsig_oracle() -> str:
+    from aws_datalake_spark.operators.dedup import M31, affine_params
+
+    h = _H60.format(expr="s")
+    branches = []
+    for k in range(_SRCSIG_K):
+        a, b = affine_params(k)
+        branches.append(
+            f"SELECT source, {k} AS k,"
+            f" MIN(({a} * h + {b}) % {M31}) AS sig FROM hh GROUP BY 1"
+        )
+    sigs = "\nUNION ALL\n".join(branches)
+    return f"""
+    WITH tk AS (
+      SELECT source, regexp_split_to_array(trim(text), '\\s+') AS tz
+      FROM documents
+    ),
+    sh AS (
+      SELECT source, unnest(list_transform(tz, (x, i) ->
+               CASE WHEN i + 1 <= len(tz)
+                    THEN tz[i] || ' ' || tz[i+1] END)) AS s
+      FROM tk
+    ),
+    hh AS (
+      SELECT source, ({h}) % {M31} AS h FROM sh WHERE s IS NOT NULL
+    ),
+    sigs AS ({sigs})
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(SUM(CASE WHEN a.sig = b.sig THEN 1 ELSE 0 END)
+                AS BIGINT) AS matches,
+           {_SRCSIG_K} AS num_hashes,
+           CAST(SUM(CASE WHEN a.sig = b.sig THEN 1 ELSE 0 END)
+                AS DOUBLE) / {_SRCSIG_K}.0 AS jaccard_est
+    FROM sigs a JOIN sigs b ON a.k = b.k AND a.source < b.source
+    GROUP BY 1, 2
+    """
+
+
+@query("llm_source_similarity_sketch", oracle=_srcsig_oracle())
+def llm_source_similarity_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constant-state source-similarity sketch
+    (operators/dedup.py:source_signature_matrix): ONE 16-permutation
+    minhash signature per source over its 2-gram shingle multiset
+    (min is duplicate-insensitive, so a single map-combinable
+    groupBy — no distinct pass at all), then pairwise Jaccard
+    estimates from matching components. The bounded-state companion
+    to llm_source_overlap for when even the distinct (source, gram)
+    hash set is too large to move: K longs per source at any corpus
+    size. Match counts are exact integers; the oracle shares the
+    affine hash family bit-for-bit."""
+    from aws_datalake_spark.operators.dedup import source_signature_matrix
+
+    return source_signature_matrix(
+        t(spark, sf_dir, "documents"), num_hashes=_SRCSIG_K, shingle_n=2
+    )

@@ -136,6 +136,7 @@ HEADLINE = [
     "q_trigram_substring_search",
     "q_graph_pagerank",
     "q_kmv_distinct_docs",
+    "llm_source_similarity_sketch",
 ]
 
 

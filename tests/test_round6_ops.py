@@ -390,3 +390,66 @@ def test_kmv_result_independent_of_partitioning(spark):
     one = {(r.pos, r.h) for r in kmv_sketch(df.coalesce(1), "v", k=50).collect()}
     many = {(r.pos, r.h) for r in kmv_sketch(df.repartition(16), "v", k=50).collect()}
     assert one == many
+
+
+# ---------------------------------------------------------------------------
+# source signature matrix
+# ---------------------------------------------------------------------------
+
+
+def test_source_signature_matrix_identical_and_disjoint(spark):
+    from aws_datalake_spark.operators.dedup import source_signature_matrix
+
+    df = spark.createDataFrame(
+        [
+            ("a", "one two three four five"),
+            ("b", "one two three four five"),   # identical shingles to a
+            ("c", "six seven eight nine ten"),  # disjoint from both
+        ],
+        "source string, text string",
+    )
+    got = {
+        (r.source_a, r.source_b): (r.matches, r.jaccard_est)
+        for r in source_signature_matrix(df, num_hashes=8).collect()
+    }
+    assert got[("a", "b")] == (8, 1.0)   # identical gram sets match on all k
+    assert got[("a", "c")][0] == 0       # disjoint: no component matches
+    assert got[("b", "c")][0] == 0
+
+
+def test_source_signature_matrix_matches_bruteforce(spark):
+    import hashlib
+
+    from aws_datalake_spark.operators.dedup import (
+        M31,
+        affine_params,
+        source_signature_matrix,
+    )
+
+    data = {
+        "s1": ["w1 w2 w3 w4", "w2 w3 w5"],
+        "s2": ["w3 w4 w5 w6"],
+    }
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def sig(texts, k):
+        grams = set()
+        for t_ in texts:
+            toks = t_.split()
+            grams |= {
+                " ".join(toks[i:i + 2]) for i in range(len(toks) - 1)
+            }
+        a, b = affine_params(k)
+        return min((a * (h60(g) % M31) + b) % M31 for g in grams)
+
+    expect = sum(
+        sig(data["s1"], k) == sig(data["s2"], k) for k in range(8)
+    )
+    df = spark.createDataFrame(
+        [(s, t_) for s, ts_ in data.items() for t_ in ts_],
+        "source string, text string",
+    )
+    [r] = source_signature_matrix(df, num_hashes=8).collect()
+    assert (r.source_a, r.source_b, r.matches) == ("s1", "s2", expect)
