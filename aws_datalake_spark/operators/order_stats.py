@@ -275,6 +275,97 @@ def exact_quantiles(
     return out
 
 
+def exact_weighted_quantile(
+    df: DataFrame,
+    col: str,
+    weight_col: str,
+    q_num: int,
+    q_den: int,
+    n_bins: int = 4096,
+    direct_threshold: int = 100_000,
+    max_rounds: int = 8,
+) -> float:
+    """Exact WEIGHTED quantile without a global sort: the smallest
+    value ``v`` such that the total integer weight of rows with
+    ``col <= v`` reaches ``ceil(W * q_num / q_den)`` (W = total
+    weight). The quantile fraction is a RATIONAL (q_num, q_den) and
+    weights must be integral, so the target threshold is computed in
+    exact integer arithmetic — no float rank drift, bit-identical to
+    a cumulative-sum SQL oracle.
+
+    Same narrowing contract as :func:`exact_quantile`: each round is
+    one full scan aggregated into <= n_bins weight cells (map-side
+    combinable, no data-row shuffle); the finish pass groups the
+    surviving slice BY VALUE (ties merge, so the answer is
+    well-defined regardless of row order) and picks the crossing
+    value. At 100 TB: O(log_bins(range)) cheap scans, bounded
+    aggregation state, survivors-only final shuffle.
+    """
+    if not (q_den > 0 and 0 <= q_num <= q_den):
+        raise ValueError(
+            f"exact_weighted_quantile: need 0 <= q_num <= q_den, "
+            f"got ({q_num}, {q_den})"
+        )
+    base = df.select(
+        F.col(col).alias("v"), F.col(weight_col).cast("long").alias("w")
+    ).where(F.col("v").isNotNull() & F.col("w").isNotNull() & (F.col("w") > 0))
+    lo, hi, total = base.agg(F.min("v"), F.max("v"), F.sum("w")).collect()[0]
+    if total is None:
+        raise ValueError("exact_weighted_quantile: empty input")
+    # smallest cumulative weight that reaches the q-fraction of W
+    target = -((-int(total) * q_num) // q_den)  # ceil(W*num/den), exact
+    if target == 0:
+        target = 1  # q=0 → minimum value
+    cur = base
+    for _ in range(max_rounds):
+        n = cur.count()
+        if n <= direct_threshold or lo == hi:
+            break
+        width = (float(hi) - float(lo)) / n_bins
+        bin_col = F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(n_bins - 1),
+                F.floor((F.col("v") - F.lit(float(lo))) / F.lit(width)).cast("int"),
+            ),
+        )
+        hist = (
+            cur.groupBy(bin_col.alias("b")).agg(F.sum("w").alias("c")).collect()
+        )
+        counts = {r["b"]: r["c"] for r in hist}
+        acc = 0
+        target_bin = n_bins - 1
+        for b in range(n_bins):
+            c = counts.get(b, 0)
+            if acc + c >= target:
+                target_bin = b
+                break
+            acc += c
+        target -= acc
+        cur = cur.where(bin_col == target_bin)
+        # tighten to the ACTUAL surviving range (narrows faster than
+        # the arithmetic bucket edges when the bucket is sparse)
+        row = cur.agg(F.min("v"), F.max("v")).collect()[0]
+        lo, hi = row[0], row[1]
+        if lo is None:  # cannot happen: target weight is inside the bucket
+            raise RuntimeError("exact_weighted_quantile: lost the target bucket")
+    from pyspark.sql import Window
+
+    wsum = Window.orderBy("vv").rowsBetween(Window.unboundedPreceding, 0)
+    rows = (
+        cur.groupBy(F.col("v").alias("vv"))
+        .agg(F.sum("w").alias("ww"))
+        .withColumn("cum", F.sum("ww").over(wsum))
+        .where(F.col("cum") >= target)
+        .orderBy("vv")
+        .limit(1)
+        .collect()
+    )
+    if not rows:
+        raise RuntimeError("exact_weighted_quantile: lost the target weight")
+    return rows[0]["vv"]
+
+
 def exact_quantile_by_group(
     df: DataFrame,
     group_col: str,

@@ -46,6 +46,48 @@ def sessionize(
     )
 
 
+def sequence_ngrams(
+    df: DataFrame,
+    n: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    min_support: int = 1,
+) -> DataFrame:
+    """Frequent contiguous event-type n-grams across per-key event
+    sequences (sequential pattern mining, contiguous-window flavor):
+    ``(step_1..step_n, support, occurrences)`` where ``support`` is
+    the number of distinct keys whose ordered event stream contains
+    the n-gram at least once and ``occurrences`` the total
+    (overlapping) match count; rows kept when support >=
+    ``min_support``.
+
+    SCALE: ``lead()`` over one per-key window — a single hash
+    exchange on the key plus per-partition sorts (the sessionize
+    shape) — then one map-combinable count_distinct aggregate over at
+    most |event types|^n groups. No per-key collect_list (the naive
+    formulation materializes whole user histories in one row; this
+    never does).
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    steps = [F.col(type_col)] + [
+        F.lead(type_col, i).over(w) for i in range(1, n)
+    ]
+    grams = df.select(
+        F.col(key_col).alias("__k"),
+        *[s.alias(f"step_{i + 1}") for i, s in enumerate(steps)],
+    ).where(F.col(f"step_{n}").isNotNull())
+    return (
+        grams.groupBy(*[f"step_{i + 1}" for i in range(n)])
+        .agg(
+            F.countDistinct("__k").alias("support"),
+            F.count(F.lit(1)).alias("occurrences"),
+        )
+        .where(F.col("support") >= min_support)
+    )
+
+
 def session_stats(
     sessions: DataFrame,
     key_col: str = "user_id",

@@ -1,0 +1,69 @@
+"""Exact-arithmetic descriptive statistics.
+
+``F.corr`` (like any float-moment aggregate) accumulates doubles in
+partition order, so two runs — or two engines — can disagree in the
+last ulps. For verification-grade analytics this module computes the
+five moment sums in EXACT integer arithmetic (inputs are scaled to
+integers first, sums are int64/DECIMAL(38,0) — order-independent),
+then derives the statistic with only correctly-rounded IEEE-754 ops
+(int→double cast, multiply of exact products, sqrt, divide), so the
+result is bit-identical across engines and partitionings.
+
+SCALE (100 TB): one map-side-combinable aggregate per group — the
+same single-shuffle shape as any groupBy().agg(); no second pass, no
+window, no driver math beyond the final expression (which runs
+in-plan anyway).
+
+The reference has no statistics surface (SURVEY.md §2.5); this is
+engine-extension surface for verification-grade profiling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dec(c: Column) -> Column:
+    return c.cast("decimal(38,0)")
+
+
+def exact_corr(
+    df: DataFrame,
+    x_int: Column,
+    y_int: Column,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Pearson correlation per group from exact integer moments:
+    ``(by…, n, corr)``. ``x_int`` / ``y_int`` MUST be integral
+    columns (pre-scale fixed-point values upstream, e.g. cents); the
+    per-row products and the five sums stay in int64 (caller
+    guarantees row products fit — e.g. |x|<=2^20, |y|<=2^30), the
+    cross-moment combination is DECIMAL(38,0) (exact up to 38
+    digits), and the only inexact steps are the final correctly-
+    rounded casts / sqrt / divide. Groups with zero variance in
+    either column yield NULL.
+    """
+    gcols = list(by or [])
+    x = x_int.cast("long")
+    y = y_int.cast("long")
+    # per-row products stay in int64 (caller bounds |x|·|y|); the
+    # SUMS accumulate in DECIMAL(38,0) — sum of squared fixed-point
+    # values overflows int64 long before 100 TB row counts
+    agg = df.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec(x)).alias("sx"),
+        F.sum(_dec(y)).alias("sy"),
+        F.sum(_dec(x * x)).alias("sxx"),
+        F.sum(_dec(y * y)).alias("syy"),
+        F.sum(_dec(x * y)).alias("sxy"),
+    )
+    n, sx, sy = _dec(F.col("n")), _dec(F.col("sx")), _dec(F.col("sy"))
+    sxx, syy, sxy = _dec(F.col("sxx")), _dec(F.col("syy")), _dec(F.col("sxy"))
+    cov = (n * sxy - sx * sy).cast("double")
+    vx = (n * sxx - sx * sx).cast("double")
+    vy = (n * syy - sy * sy).cast("double")
+    corr = F.when(
+        (vx > 0) & (vy > 0), cov / (F.sqrt(vx) * F.sqrt(vy))
+    )
+    return agg.select(*gcols, "n", corr.alias("corr"))

@@ -531,3 +531,222 @@ def llm_source_similarity_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_signature_matrix(
         t(spark, sf_dir, "documents"), num_hashes=_SRCSIG_K, shingle_n=2
     )
+
+
+# ---------------------------------------------------------------------------
+# degree-oriented triangle counting (part co-order graph)
+# ---------------------------------------------------------------------------
+
+_TRI_MINSUP = 2
+
+
+@query(
+    "q_triangle_count",
+    oracle=f"""
+    WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS s, b.l_partkey AS d
+      FROM lp a JOIN lp b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= {_TRI_MINSUP}
+    ),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+      FROM (SELECT s AS node FROM e UNION ALL SELECT d FROM e)
+      GROUP BY 1
+    ),
+    o AS (
+      SELECT CASE WHEN (ds.degree, e.s) < (dd.degree, e.d)
+                  THEN e.s ELSE e.d END AS u,
+             CASE WHEN (ds.degree, e.s) < (dd.degree, e.d)
+                  THEN e.d ELSE e.s END AS v
+      FROM e JOIN deg ds ON ds.node = e.s JOIN deg dd ON dd.node = e.d
+    ),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM o e1
+      JOIN o e2 ON e1.u = e2.u AND e1.v < e2.v
+      JOIN (SELECT LEAST(u, v) AS lo, GREATEST(u, v) AS hi FROM o) e3
+        ON e3.lo = e1.v AND e3.hi = e2.v
+    ),
+    pn AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles
+      FROM (SELECT a AS node FROM tri UNION ALL
+            SELECT b FROM tri UNION ALL SELECT c FROM tri)
+      GROUP BY 1
+    )
+    SELECT deg.node AS part, deg.degree,
+           COALESCE(pn.triangles, 0) AS triangles
+    FROM deg LEFT JOIN pn USING (node)
+    """,
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle counts over the co-order graph (parts
+    co-ordered >= 2 times share an edge), via degree-ordered
+    orientation (operators/graph.py:triangle_counts) — every
+    out-neighborhood is O(sqrt(m)), so the wedge join is m^1.5 TOTAL
+    work with no hub-node hot reducer; three plain equi hash joins,
+    no nested loop. min_support=2 is the standard co-occurrence
+    sparsifier (drops single-co-occurrence noise edges and bounds
+    triangle work). Exact integer counts — hash-checkable."""
+    from aws_datalake_spark.operators.graph import (
+        cooccurrence_edges,
+        triangle_counts,
+    )
+
+    li = t(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(
+        li, "l_orderkey", "l_partkey", min_support=_TRI_MINSUP
+    )
+    return triangle_counts(edges).select(
+        F.col("node").alias("part"), "degree", "triangles"
+    )
+
+
+# ---------------------------------------------------------------------------
+# sequential pattern mining: frequent event-type trigrams
+# ---------------------------------------------------------------------------
+
+_SEQ_MINSUP = 5
+
+
+@query(
+    "q_event_sequences",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id,
+             event_type AS step_1,
+             LEAD(event_type, 1) OVER w AS step_2,
+             LEAD(event_type, 2) OVER w AS step_3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT step_1, step_2, step_3,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS support,
+           CAST(COUNT(*) AS BIGINT) AS occurrences
+    FROM g WHERE step_3 IS NOT NULL
+    GROUP BY 1, 2, 3
+    HAVING COUNT(DISTINCT user_id) >= {_SEQ_MINSUP}
+    """,
+)
+def q_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous sequential pattern mining
+    (operators/sessions.py:sequence_ngrams): event-type trigrams
+    over per-user (ts, event_id)-ordered streams, support = distinct
+    users containing the pattern, occurrences = total overlapping
+    matches. One per-user window exchange + one map-combinable
+    aggregate over <= |types|^3 groups — never a per-user
+    collect_list."""
+    from aws_datalake_spark.operators.sessions import sequence_ngrams
+
+    return sequence_ngrams(
+        t(spark, sf_dir, "events"), n=3, min_support=_SEQ_MINSUP
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact-arithmetic Pearson correlation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_correlation_exact",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(l_quantity AS BIGINT) AS x,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    s AS (
+      -- sums stay HUGEINT (SUM of y*y overflows int64 at scale)
+      SELECT l_returnflag, l_linestatus,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(y AS HUGEINT) * y) AS syy,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy
+      FROM m GROUP BY 1, 2
+    )
+    SELECT l_returnflag, l_linestatus, CAST(n AS BIGINT) AS n,
+           CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                        * SQRT(CAST(n * syy - sy * sy AS DOUBLE)))
+           END AS corr
+    FROM s
+    """,
+)
+def q_correlation_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verification-grade Pearson correlation
+    (operators/stats.py:exact_corr) of quantity vs extended price
+    (cents) per (returnflag, linestatus): the five moment sums
+    accumulate as exact integers (order-independent — float-moment
+    corr() is partition-order-dependent in its last ulps), combined
+    in DECIMAL(38,0)/HUGEINT, with only correctly-rounded IEEE steps
+    (cast, sqrt, divide) at the end — bit-identical across engines.
+    One map-combinable aggregate; the single-shuffle groupBy shape at
+    any scale."""
+    from aws_datalake_spark.operators.stats import exact_corr
+
+    li = t(spark, sf_dir, "lineitem")
+    return exact_corr(
+        li,
+        F.col("l_quantity"),
+        F.round(F.col("l_extendedprice") * 100, 0),
+        by=["l_returnflag", "l_linestatus"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# weighted exact quantiles (token-mass length quantiles)
+# ---------------------------------------------------------------------------
+
+_WQ = ((1, 2), (9, 10))
+
+
+@query(
+    "llm_weighted_length_quantiles",
+    oracle=f"""
+    WITH w AS (
+      SELECT n_chars AS v, CAST(n_chars AS BIGINT) AS wt FROM documents
+      WHERE n_chars IS NOT NULL AND n_chars > 0
+    ),
+    g AS (
+      SELECT v, SUM(wt) AS ww FROM w GROUP BY 1
+    ),
+    c AS (
+      SELECT v, SUM(ww) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(ww) OVER () AS total
+      FROM g
+    ),
+    qs AS (SELECT * FROM (VALUES {', '.join(f'({n}, {d})' for n, d in _WQ)})
+           AS t(q_num, q_den))
+    SELECT q_num, q_den, MIN(v) AS value
+    FROM c, qs
+    WHERE cum >= CAST((total * q_num + q_den - 1) // q_den AS BIGINT)
+    GROUP BY 1, 2
+    """,
+)
+def llm_weighted_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-mass length quantiles
+    (operators/order_stats.py:exact_weighted_quantile): the document
+    length below which half (resp. 90%) of all corpus CHARACTERS
+    live — the weighted analogue of the exact-quantile operator,
+    with rational q and integer weights so the crossing threshold is
+    exact. Histogram-narrowing scans (bounded aggregation state, no
+    data shuffle) + a survivors-only finish; the curriculum/packing
+    planner's 'where is the token mass' primitive at corpus scale."""
+    from aws_datalake_spark.operators.order_stats import exact_weighted_quantile
+
+    d = t(spark, sf_dir, "documents")
+    rows = [
+        (num, den, int(exact_weighted_quantile(
+            d, "n_chars", "n_chars", num, den, direct_threshold=100,
+        )))
+        for num, den in _WQ
+    ]
+    return spark.createDataFrame(
+        rows, "q_num int, q_den int, value bigint"
+    )

@@ -564,3 +564,41 @@ def test_trigram_search_contains_stays_above_join(spark):
     # scan itself must not push a Contains
     assert max(c_idx) < min(scan_idx)
     assert "StringContains" not in plan
+
+
+def test_triangle_count_no_nested_loop(spark):
+    """q_triangle_count: co-occurrence fan-out, orientation, wedge
+    and closing joins are all equi hash/sort-merge joins — a nested
+    loop anywhere turns m^1.5 into m^2 at scale."""
+    from aws_datalake_spark.queries.round6 import q_triangle_count
+
+    plan = _plan(q_triangle_count(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_exact_corr_is_single_partial_aggregate(spark):
+    """q_correlation_exact: one map-side-combinable aggregate — the
+    moment sums shuffle as <= |groups| rows, the lineitem rows never
+    re-shuffle, and no window/sort appears."""
+    from aws_datalake_spark.queries.round6 import q_correlation_exact
+
+    plan = _plan(q_correlation_exact(spark, SF_SMOKE))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" not in plan and "Sort" not in plan.replace(
+        "SortAggregate", ""
+    )
+
+
+def test_sequence_ngrams_single_user_exchange(spark):
+    """q_event_sequences: the lead() window and the n-gram aggregate
+    ride ONE user_id hash exchange (plus the group-key exchange on
+    the <= |types|^n count table) — event rows shuffle once."""
+    from aws_datalake_spark.queries.round6 import q_event_sequences
+
+    plan = _plan(q_event_sequences(spark, SF_SMOKE))
+    ex = [
+        l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+    ]
+    user_ex = [l for l in ex if "user_id" in l]
+    assert len(user_ex) == 1

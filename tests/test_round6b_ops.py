@@ -1,0 +1,246 @@
+"""Unit tests for the round-5-session batch-2 operators: triangle
+counting, sequence n-gram mining, exact-arithmetic correlation, and
+weighted exact quantiles."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# triangle counting
+# ---------------------------------------------------------------------------
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in pairs], "s long, d long"
+    )
+
+
+def test_triangle_counts_k4(spark):
+    """K4: every vertex sits in C(3,2)=3 triangles, degree 3."""
+    from aws_datalake_spark.operators.graph import triangle_counts
+
+    e = _edges(spark, [(a, b) for a in range(4) for b in range(a + 1, 4)])
+    got = {r.node: (r.degree, r.triangles) for r in triangle_counts(e).collect()}
+    assert got == {n: (3, 3) for n in range(4)}
+
+
+def test_triangle_counts_mixed_graph(spark):
+    """One triangle (1,2,3) + pendant vertex 4 + isolated edge (5,6):
+    pendant and isolated-edge nodes report degree but 0 triangles."""
+    from aws_datalake_spark.operators.graph import triangle_counts
+
+    e = _edges(spark, [(1, 2), (2, 3), (1, 3), (3, 4), (5, 6)])
+    got = {r.node: (r.degree, r.triangles) for r in triangle_counts(e).collect()}
+    assert got == {
+        1: (2, 1), 2: (2, 1), 3: (3, 1), 4: (1, 0), 5: (1, 0), 6: (1, 0),
+    }
+
+
+def test_triangle_counts_matches_bruteforce(spark):
+    """Random G(n, p): degree-oriented count == brute-force count,
+    per node."""
+    from aws_datalake_spark.operators.graph import triangle_counts
+
+    rng = random.Random(7)
+    n = 30
+    pairs = [
+        (a, b) for a in range(n) for b in range(a + 1, n) if rng.random() < 0.25
+    ]
+    adj = {v: set() for v in range(n)}
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = {}
+    for v in range(n):
+        nb = sorted(adj[v])
+        tri = sum(
+            1
+            for i in range(len(nb))
+            for j in range(i + 1, len(nb))
+            if nb[j] in adj[nb[i]]
+        )
+        if nb:
+            want[v] = (len(nb), tri)
+    got = {
+        r.node: (r.degree, r.triangles)
+        for r in triangle_counts(_edges(spark, pairs)).collect()
+    }
+    assert got == want
+
+
+def test_cooccurrence_edges_support(spark):
+    """Edge weight = number of shared contexts; min_support prunes."""
+    from aws_datalake_spark.operators.graph import cooccurrence_edges
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (1, "c"), (2, "a"), (2, "b"), (3, "a"), (3, "b")],
+        "ctx long, item string",
+    )
+    got = {
+        (r.s, r.d): r.w
+        for r in cooccurrence_edges(df, "ctx", "item").collect()
+    }
+    assert got == {("a", "b"): 3, ("a", "c"): 1, ("b", "c"): 1}
+    pruned = {
+        (r.s, r.d): r.w
+        for r in cooccurrence_edges(df, "ctx", "item", min_support=2).collect()
+    }
+    assert pruned == {("a", "b"): 3}
+
+
+# ---------------------------------------------------------------------------
+# sequence n-grams
+# ---------------------------------------------------------------------------
+
+
+def _seq_events(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, u, t, dt.datetime(2024, 1, 1, 0, 0, i))
+            for i, (u, t) in enumerate(rows)
+        ],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+
+
+def test_sequence_ngrams_support_and_occurrences(spark):
+    from aws_datalake_spark.operators.sessions import sequence_ngrams
+
+    # user 1: a b a b  → bigrams ab, ba, ab (ab occurs 2x, 1 user)
+    # user 2: a b      → bigram ab
+    ev = _seq_events(
+        spark, [(1, "a"), (1, "b"), (1, "a"), (1, "b"), (2, "a"), (2, "b")]
+    )
+    got = {
+        (r.step_1, r.step_2): (r.support, r.occurrences)
+        for r in sequence_ngrams(ev, n=2).collect()
+    }
+    assert got == {("a", "b"): (2, 3), ("b", "a"): (1, 1)}
+
+
+def test_sequence_ngrams_min_support_and_no_cross_user(spark):
+    from aws_datalake_spark.operators.sessions import sequence_ngrams
+
+    # the b→c transition would only exist across the user boundary
+    ev = _seq_events(spark, [(1, "a"), (1, "b"), (2, "c"), (2, "d")])
+    got = {
+        (r.step_1, r.step_2)
+        for r in sequence_ngrams(ev, n=2).collect()
+    }
+    assert got == {("a", "b"), ("c", "d")}
+    assert sequence_ngrams(ev, n=2, min_support=2).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# exact correlation
+# ---------------------------------------------------------------------------
+
+
+def test_exact_corr_matches_closed_form(spark):
+    from aws_datalake_spark.operators.stats import exact_corr
+
+    rows = [(1, 2), (2, 1), (3, 4), (4, 3), (5, 6), (6, 20)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = exact_corr(df, F.col("x"), F.col("y")).collect()[0]
+    n = len(rows)
+    sx = sum(x for x, _ in rows)
+    sy = sum(y for _, y in rows)
+    sxx = sum(x * x for x, _ in rows)
+    syy = sum(y * y for _, y in rows)
+    sxy = sum(x * y for x, y in rows)
+    want = (n * sxy - sx * sy) / (
+        math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+    )
+    assert got["n"] == n
+    assert got["corr"] == pytest.approx(want, rel=1e-12)
+
+
+def test_exact_corr_perfect_and_degenerate(spark):
+    from aws_datalake_spark.operators.stats import exact_corr
+
+    df = spark.createDataFrame(
+        [("p", 1, 2), ("p", 2, 4), ("p", 3, 6), ("z", 5, 1), ("z", 5, 9)],
+        "g string, x long, y long",
+    )
+    got = {
+        r.g: r.corr
+        for r in exact_corr(df, F.col("x"), F.col("y"), by=["g"]).collect()
+    }
+    assert got["p"] == pytest.approx(1.0)
+    assert got["z"] is None  # zero variance in x → NULL, not NaN
+
+
+def test_exact_corr_sum_of_squares_past_int64(spark):
+    """y ~ 3e9 per row, 2k rows → Σy² ≈ 1.8e22 — far past int64; the
+    DECIMAL(38,0) accumulation must stay exact: corr of an exactly
+    linear relation lands within a couple of ulps of 1.0 (the only
+    inexact steps are the final cast/sqrt/divide — an int64 overflow
+    would instead produce NULL or garbage)."""
+    from aws_datalake_spark.operators.stats import exact_corr
+
+    df = spark.range(2000).select(
+        F.col("id").alias("x"), (F.col("id") * 1_500_000 + 3).alias("y")
+    )
+    got = exact_corr(df, F.col("x"), F.col("y")).collect()[0]
+    assert got["corr"] is not None
+    assert abs(got["corr"] - 1.0) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# weighted exact quantile
+# ---------------------------------------------------------------------------
+
+
+def _wq_brute(pairs, num, den):
+    total = sum(w for _, w in pairs)
+    target = -((-total * num) // den) or 1
+    acc = 0
+    for v, w in sorted(pairs):
+        acc += w
+        if acc >= target:
+            return v
+    raise AssertionError("unreachable")
+
+
+def test_weighted_quantile_matches_bruteforce(spark):
+    from aws_datalake_spark.operators.order_stats import exact_weighted_quantile
+
+    rng = random.Random(3)
+    pairs = [(rng.randint(0, 1000), rng.randint(1, 50)) for _ in range(500)]
+    df = spark.createDataFrame(pairs, "v long, w long")
+    for num, den in [(1, 2), (9, 10), (1, 4), (0, 1), (1, 1)]:
+        got = exact_weighted_quantile(
+            df, "v", "w", num, den, direct_threshold=64
+        )
+        assert got == _wq_brute(pairs, num, den), (num, den)
+
+
+def test_weighted_quantile_narrowing_crosses_rounds(spark):
+    """Tiny direct_threshold forces several histogram rounds; the
+    answer must not drift."""
+    from aws_datalake_spark.operators.order_stats import exact_weighted_quantile
+
+    pairs = [(i, 1 + (i % 7)) for i in range(2000)]
+    df = spark.createDataFrame(pairs, "v long, w long")
+    got = exact_weighted_quantile(
+        df, "v", "w", 1, 2, n_bins=8, direct_threshold=16
+    )
+    assert got == _wq_brute(pairs, 1, 2)
+
+
+def test_weighted_quantile_validation(spark):
+    from aws_datalake_spark.operators.order_stats import exact_weighted_quantile
+
+    df = spark.createDataFrame([(1, 1)], "v long, w long")
+    with pytest.raises(ValueError, match="q_num"):
+        exact_weighted_quantile(df, "v", "w", 3, 2)
+    with pytest.raises(ValueError, match="empty"):
+        exact_weighted_quantile(df.where(F.lit(False)), "v", "w", 1, 2)
