@@ -751,3 +751,137 @@ def llm_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rerank_score"), "doc_id")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# retrieval-quality eval: ANN recall@k and MRR vs brute-force truth
+# ---------------------------------------------------------------------------
+
+# lcm(1..5): reciprocal ranks accumulate as exact integers (60/rank),
+# so macro-MRR is a double quotient of exact integers — no
+# order-dependent float summation anywhere
+_RR_SCALE = 60
+_EVAL_K = 5
+
+
+def _ann_recall_oracle(dim: int = 64, num_planes: int = 6, k: int = _EVAL_K) -> str:
+    sig = _sig_sql("v", dim, num_planes)
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
+    truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_cos('q.v', 'c.v')} DESC,
+                                           c.vec_id) AS rank
+        FROM q JOIN e c ON c.vec_id <> q.vec_id)
+      WHERE rank <= {k}),
+    sig AS (SELECT vec_id, v, {sig} AS s FROM e),
+    ann AS (
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY qs.vec_id
+                                  ORDER BY {_cos('qs.v', 'c.v')} DESC,
+                                           c.vec_id) AS rank
+        FROM (SELECT * FROM sig WHERE vec_id < 10) qs
+        JOIN sig c ON c.s = qs.s AND c.vec_id <> qs.vec_id)
+      WHERE rank <= {k}),
+    per AS (
+      SELECT q.vec_id AS query_id,
+             CAST(COUNT(t.neighbor_id) AS BIGINT) AS hits,
+             MIN(CASE WHEN t.neighbor_id IS NOT NULL
+                      THEN a.rank END) AS first_hit_rank
+      FROM q
+      LEFT JOIN ann a ON a.query_id = q.vec_id
+      LEFT JOIN truth t ON t.query_id = a.query_id
+                       AND t.neighbor_id = a.neighbor_id
+      GROUP BY 1),
+    scored AS (
+      SELECT query_id, hits,
+             CAST(hits AS DOUBLE) / {k} AS recall_at_k,
+             CAST(first_hit_rank AS INT) AS first_hit_rank,
+             COALESCE({_RR_SCALE} // first_hit_rank, 0) AS rr_scaled
+      FROM per)
+    SELECT query_id, hits, recall_at_k, first_hit_rank,
+           CAST(rr_scaled AS DOUBLE) / {_RR_SCALE} AS reciprocal_rank
+    FROM scored
+    UNION ALL
+    SELECT -1 AS query_id, CAST(SUM(hits) AS BIGINT) AS hits,
+           CAST(SUM(hits) AS DOUBLE) / (COUNT(*) * {k}) AS recall_at_k,
+           NULL AS first_hit_rank,
+           CAST(SUM(rr_scaled) AS DOUBLE)
+             / (COUNT(*) * {_RR_SCALE}) AS reciprocal_rank
+    FROM scored
+    """
+
+
+@query("llm_ann_recall", oracle=_ann_recall_oracle())
+def llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval eval harness: recall@5 and reciprocal rank of the
+    hyperplane-LSH ANN against the brute-force cosine ground truth,
+    per query plus a macro summary row (query_id = -1). Hit counts
+    are exact integers; reciprocal ranks accumulate as 60/rank
+    (lcm(1..5)-scaled integers), so macro-MRR and macro-recall are
+    double quotients of exact integers — deterministic however the
+    partial aggregation orders, and hash-checkable cross-engine.
+    SCALE: the eval joins touch only the two top-k result tables
+    (|queries| x k rows each), never the corpus; truth generation is
+    the documented brute-force baseline (quadratic by definition —
+    run on a sampled query panel, as here)."""
+    e = _emb_double(spark, sf_dir)
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = cosine_topk(e, queries, k=_EVAL_K, query_id_col="query_id").select(
+        "query_id", "neighbor_id"
+    )
+    ann = ann_lsh_topk(e, queries, dim=64, k=_EVAL_K, num_planes=6).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    hit = ann.join(
+        truth.withColumn("__hit", F.lit(1)), ["query_id", "neighbor_id"], "left"
+    )
+    per = (
+        queries.select("query_id")
+        .join(
+            hit.groupBy("query_id").agg(
+                F.sum(F.coalesce("__hit", F.lit(0))).alias("hits"),
+                F.min(F.when(F.col("__hit") == 1, F.col("rank"))).alias(
+                    "first_hit_rank"
+                ),
+            ),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
+            "first_hit_rank",
+        )
+        .withColumn(
+            "rr_scaled",
+            F.coalesce(
+                F.expr(f"{_RR_SCALE} div first_hit_rank"), F.lit(0)
+            ).cast("long"),
+        )
+    )
+    per_rows = per.select(
+        "query_id",
+        "hits",
+        (F.col("hits") / F.lit(float(_EVAL_K))).alias("recall_at_k"),
+        F.col("first_hit_rank").cast("int").alias("first_hit_rank"),
+        (F.col("rr_scaled") / F.lit(float(_RR_SCALE))).alias("reciprocal_rank"),
+    )
+    summary = per.agg(
+        F.sum("hits").alias("__h"),
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("rr_scaled").alias("__rr"),
+    ).select(
+        F.lit(-1).cast("long").alias("query_id"),
+        F.col("__h").cast("long").alias("hits"),
+        (F.col("__h") / (F.col("__n") * _EVAL_K)).alias("recall_at_k"),
+        F.lit(None).cast("int").alias("first_hit_rank"),
+        (F.col("__rr") / (F.col("__n") * _RR_SCALE)).alias("reciprocal_rank"),
+    )
+    return per_rows.unionByName(summary)
