@@ -750,3 +750,64 @@ def test_corpus_ingest_sink_quality_dedup_exactly_once(spark, tmp_path):
     )
     assert tt.snapshot(root)["version"] == v
     assert tt.read(spark, root).count() == 2
+
+
+def test_stream_stateful_sessionization(spark, tmp_path):
+    """session_stateful_stream: a gap inside one batch closes the
+    first session immediately; the trailing open session closes via
+    the event-time timeout once a later batch moves the watermark
+    past last-event + gap."""
+    from aws_datalake_spark.streaming.stateful import session_stateful_stream
+
+    src = str(tmp_path / "sess_state_json")
+    _write_events_json(
+        spark, src,
+        rows=[
+            (1, "2024-01-01 10:00:00", 1, "view", 1.0),
+            (2, "2024-01-01 10:30:00", 1, "click", 2.0),
+            # > 1 h gap → closes session 1 in-batch
+            (3, "2024-01-01 12:00:00", 1, "view", 3.0),
+            (4, "2024-01-01 10:10:00", 2, "view", 4.0),
+        ],
+    )
+    stream = spark.readStream.schema(EVENTS_SCHEMA).json(src)
+    out = session_stateful_stream(
+        stream.withWatermark("ts", "10 minutes"), gap_seconds=3600
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_state_out")
+        .option("checkpointLocation", str(tmp_path / "sess_state_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    first = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+        for r in spark.table("sess_state_out").collect()
+    }
+    # user 1's first session closes via the in-batch gap; user 2's
+    # closes via event-time timeout in the follow-up micro-batch —
+    # the 12:00 event already moved the watermark to 11:50, past
+    # 10:10 + 1 h. User 1's trailing session (timeout 13:00) stays
+    # open.
+    assert first == {
+        (1, "2024-01-01 10:00:00", "2024-01-01 10:30:00", 2),
+        (2, "2024-01-01 10:10:00", "2024-01-01 10:10:00", 1),
+    }
+    # push the watermark far past every open session's end + gap
+    _write_events_json(
+        spark, src,
+        rows=[(5, "2024-01-02 09:00:00", 3, "view", 5.0)],
+        mode="append",
+    )
+    q.processAllAvailable()
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+    rows = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+        for r in spark.table("sess_state_out").collect()
+    }
+    assert (1, "2024-01-01 12:00:00", "2024-01-01 12:00:00", 1) in rows
+    assert (2, "2024-01-01 10:10:00", "2024-01-01 10:10:00", 1) in rows
