@@ -471,3 +471,161 @@ def llm_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_datalake_spark.operators.dedup import source_overlap
 
     return source_overlap(t(spark, sf_dir, "documents"), shingle_n=2)
+
+
+# ---------------------------------------------------------------------------
+# dedup eval harness: LSH recall curve vs exact-Jaccard ground truth
+# ---------------------------------------------------------------------------
+
+# Graded near-dup corpus: tier 1 = one appended token (j ~ 0.9+),
+# tier 2 = 60% token prefix (j ~ 0.6), tier 3 = 30% prefix
+# (j ~ 0.3) — so the truth spans deciles and the LSH S-curve has
+# something to miss. Both engines build it bit-identically.
+_GRADED_CORPUS = f"""
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text || ' neardupmarker'
+  FROM documents WHERE doc_id < 60
+  UNION ALL
+  SELECT doc_id + 200000,
+         array_to_string(t[1 : GREATEST(2, (len(t) * 3) // 5)], ' ')
+  FROM (SELECT doc_id, {_TOKS} AS t FROM documents WHERE doc_id < 60)
+  UNION ALL
+  SELECT doc_id + 300000,
+         array_to_string(t[1 : GREATEST(2, (len(t) * 3) // 10)], ' ')
+  FROM (SELECT doc_id, {_TOKS} AS t FROM documents WHERE doc_id < 60)
+"""
+
+# 8 signatures in 2 bands of 4 (collision prob per band j^4): the
+# deliberately-hard banding whose misses the curve measures
+_BANDED_2x4 = """
+banded AS (
+  SELECT doc_id, 0 AS band_id,
+         md5(sig_0::VARCHAR || '|' || sig_1::VARCHAR || '|' ||
+             sig_2::VARCHAR || '|' || sig_3::VARCHAR) AS bh FROM sig
+  UNION ALL
+  SELECT doc_id, 1,
+         md5(sig_4::VARCHAR || '|' || sig_5::VARCHAR || '|' ||
+             sig_6::VARCHAR || '|' || sig_7::VARCHAR) FROM sig)
+"""
+
+_LSH_RECALL_ORACLE = f"""
+WITH c AS ({_GRADED_CORPUS}),
+sh AS ({_SHINGLES}),
+sig AS (
+  SELECT doc_id,
+           {_sig_select(8)}
+  FROM sh GROUP BY doc_id),
+{_BANDED_2x4.strip()},
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+comt AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id),
+truth AS (
+  SELECT id_a, id_b,
+         CAST(n_common AS DOUBLE)
+           / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS j
+  FROM comt JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(n_common AS DOUBLE)
+        / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.2),
+lsh_pairs AS (
+  SELECT t.id_a, t.id_b FROM truth t
+  JOIN cand ON cand.id_a = t.id_a AND cand.id_b = t.id_b),
+marked AS (
+  SELECT LEAST(CAST(FLOOR(t.j * 10) AS BIGINT), 9) AS decile,
+         CASE WHEN l.id_a IS NOT NULL THEN 1 ELSE 0 END AS found
+  FROM truth t LEFT JOIN lsh_pairs l
+    ON l.id_a = t.id_a AND l.id_b = t.id_b),
+curve AS (
+  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_true,
+         CAST(SUM(found) AS BIGINT) AS n_found
+  FROM marked GROUP BY 1)
+SELECT decile, n_true, n_found,
+       CAST(n_found AS DOUBLE) / n_true AS recall
+FROM curve
+UNION ALL
+SELECT -1 AS decile, CAST(SUM(n_true) AS BIGINT),
+       CAST(SUM(n_found) AS BIGINT),
+       CAST(SUM(n_found) AS DOUBLE) / SUM(n_true)
+FROM curve
+"""
+
+
+def _graded_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _GRADED_CORPUS: three near-dup tiers per seed
+    doc (append one token / 60% token prefix / 30% prefix)."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    seeds = d.filter(F.col("doc_id") < 60)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+
+    def prefix(divisor: int, offset: int) -> DataFrame:
+        k = F.greatest(F.lit(2), F.expr(f"(size(__t) * 3) div {divisor}"))
+        return (
+            seeds.withColumn("__t", toks)
+            .select(
+                (F.col("doc_id") + offset).alias("doc_id"),
+                F.concat_ws(" ", F.slice(F.col("__t"), 1, k)).alias("text"),
+            )
+        )
+
+    tier1 = seeds.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" neardupmarker")).alias("text"),
+    )
+    tier2 = prefix(divisor=5, offset=200000)    # 3/5 of tokens
+    tier3 = prefix(divisor=10, offset=300000)   # 3/10 of tokens
+    return d.unionByName(tier1).unionByName(tier2).unionByName(tier3)
+
+
+@query("llm_lsh_recall_curve", oracle=_LSH_RECALL_ORACLE)
+def llm_lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup eval harness: per-Jaccard-decile recall of the banded
+    MinHash-LSH detector against the exact inverted-index ground
+    truth — the measured S-curve that tells you whether your (hashes,
+    bands) sit where your dedup threshold needs them. The corpus
+    seeds three graded near-dup tiers (j ~ 0.9 / 0.6 / 0.3) and the
+    banding is the deliberately hard 2 bands x 4 rows (collision
+    prob 1-(1-j^4)^2 ~ 0.02 at j=0.3), so the curve has real misses
+    at the bottom and saturates at the top. Counts are exact
+    integers; recalls are double quotients of exact integers
+    (deterministic under any aggregation order). Precision is 1 by
+    construction (LSH candidates are exact-verified), so recall IS
+    the quality axis. SCALE: the eval join touches only the two pair
+    tables; the truth side is the documented inverted-index path —
+    at 100 TB run it on a sampled panel exactly like this seeded
+    one."""
+    corpus = _graded_corpus(spark, sf_dir)
+    truth = ngram_jaccard_pairs(corpus, threshold=0.2).select(
+        "id_a", "id_b", "jaccard"
+    )
+    lsh = minhash_lsh_pairs(
+        corpus, num_hashes=8, bands=2, jaccard_threshold=0.2
+    ).select("id_a", "id_b", F.lit(1).alias("__found"))
+    marked = truth.join(lsh, ["id_a", "id_b"], "left").select(
+        F.least(F.floor(F.col("jaccard") * 10), F.lit(9))
+        .cast("long")
+        .alias("decile"),
+        F.coalesce("__found", F.lit(0)).alias("found"),
+    )
+    curve = marked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.sum("found").cast("long").alias("n_found"),
+    )
+    overall = curve.agg(
+        F.sum("n_true").alias("__t"), F.sum("n_found").alias("__f")
+    ).select(
+        F.lit(-1).cast("long").alias("decile"),
+        F.col("__t").cast("long").alias("n_true"),
+        F.col("__f").cast("long").alias("n_found"),
+    )
+    out = curve.unionByName(overall)
+    return out.select(
+        "decile", "n_true", "n_found",
+        (F.col("n_found") / F.col("n_true")).alias("recall"),
+    )

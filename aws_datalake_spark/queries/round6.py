@@ -750,3 +750,74 @@ def llm_weighted_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.createDataFrame(
         rows, "q_num int, q_den int, value bigint"
     )
+
+
+# ---------------------------------------------------------------------------
+# output-shard balance diagnostic: exact-rational Gini coefficient
+# ---------------------------------------------------------------------------
+
+_N_SHARDS = 32
+
+
+@query(
+    "q_shard_skew_gini",
+    oracle=f"""
+    WITH s AS (
+      SELECT ({_H60.format(expr="CAST(doc_id AS VARCHAR)")}) % {_N_SHARDS}
+               AS shard,
+             CAST(SUM(n_chars) AS BIGINT) AS bytes
+      FROM documents GROUP BY 1
+    ),
+    r AS (
+      SELECT bytes,
+             ROW_NUMBER() OVER (ORDER BY bytes, shard) AS i,
+             COUNT(*) OVER () AS n,
+             SUM(bytes) OVER () AS tot
+      FROM s
+    )
+    SELECT CAST(MIN(n) AS BIGINT) AS n_shards,
+           CAST(MIN(tot) AS BIGINT) AS total_bytes,
+           CAST(MIN(bytes) AS BIGINT) AS min_bytes,
+           CAST(MAX(bytes) AS BIGINT) AS max_bytes,
+           CAST(2 * SUM(i * bytes) - (MIN(n) + 1) * MIN(tot) AS DOUBLE)
+             / (MIN(n) * MIN(tot)) AS gini
+    FROM r
+    """,
+)
+def q_shard_skew_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output-shard balance report: documents hashed into
+    {N} shards, per-shard byte totals, and the Gini coefficient of
+    the byte distribution — G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx)
+    over ascending shard sizes, all integer sums, final value a
+    double quotient of exact integers. The straggler early-warning
+    for any partitioned write: G near 0 = balanced shards, G near 1
+    = one hot shard owns the bytes. SCALE: the ranked frame is
+    |shards|-sized (the corpus aggregates to n_shards rows before
+    any window), so the global window is over {N} rows however big
+    the corpus.""".replace("{N}", str(_N_SHARDS))
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    from aws_datalake_spark.operators.text import hash60
+
+    shards = d.groupBy(
+        (hash60(F.col("doc_id").cast("string")) % _N_SHARDS).alias("shard")
+    ).agg(F.sum("n_chars").cast("long").alias("bytes"))
+    w = Window.orderBy("bytes", "shard")
+    r = shards.select(
+        "bytes",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        F.sum("bytes").over(Window.partitionBy()).alias("tot"),
+    )
+    return r.agg(
+        F.min("n").cast("long").alias("n_shards"),
+        F.min("tot").cast("long").alias("total_bytes"),
+        F.min("bytes").cast("long").alias("min_bytes"),
+        F.max("bytes").cast("long").alias("max_bytes"),
+        (
+            (2 * F.sum(F.col("i") * F.col("bytes"))
+             - (F.min("n") + 1) * F.min("tot")).cast("double")
+            / (F.min("n") * F.min("tot"))
+        ).alias("gini"),
+    )
