@@ -885,3 +885,82 @@ def llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("__rr") / (F.col("__n") * _RR_SCALE)).alias("reciprocal_rank"),
     )
     return per_rows.unionByName(summary)
+
+
+# ---------------------------------------------------------------------------
+# embedding QC: per-dimension moment report (fixed-point exact)
+# ---------------------------------------------------------------------------
+
+_FP = 1 << 20  # fixed-point scale for moment sums
+_FP2 = float(1 << 40)
+
+
+@query(
+    "llm_embedding_stats",
+    oracle=f"""
+    WITH x AS (
+      SELECT u.dim, u.v FROM (
+        SELECT unnest(list_transform(embedding::DOUBLE[],
+                 (x, i) -> struct_pack(dim := i - 1, v := x))) AS u
+        FROM embeddings)
+    ),
+    fp AS (
+      SELECT dim, v, CAST(ROUND(v * {_FP}) AS BIGINT) AS xi FROM x
+    ),
+    s AS (
+      SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN v = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zeros,
+             MIN(v) AS min_val, MAX(v) AS max_val,
+             SUM(CAST(xi AS HUGEINT)) AS sx,
+             SUM(CAST(xi AS HUGEINT) * xi) AS sxx
+      FROM fp GROUP BY dim
+    )
+    SELECT dim, n, n_zeros, min_val, max_val,
+           CAST(sx AS DOUBLE) / (CAST(n AS DOUBLE) * {_FP}.0) AS mean,
+           CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+             / ((CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) * {_FP2!r})
+             AS variance
+    FROM s
+    """,
+)
+def llm_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table QC report: per-dimension count, zero count,
+    min/max, mean, population variance — the sanity gate before any
+    similarity/ANN stage (dead dimensions, scale drift, truncated
+    exports all show up here). Values are fixed-pointed at 2^20 so
+    the moment sums are ORDER-INDEPENDENT exact integers in
+    DECIMAL(38,0) (float Σx/Σx² would drift with partition order);
+    the only inexact steps are the final correctly-rounded casts and
+    divides — bit-identical cross-engine. SCALE: posexplode fans out
+    |rows| × dim, then ONE map-combinable aggregate into dim-sized
+    state; nothing else shuffles."""
+    e = _emb_double(spark, sf_dir)
+    x = e.select(
+        F.posexplode("embedding").alias("dim", "v")
+    ).withColumn(
+        "xi", F.round(F.col("v") * _FP, 0).cast("long")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = x.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("v") == 0.0, 1).otherwise(0)).cast("long").alias("n_zeros"),
+        F.min("v").alias("min_val"),
+        F.max("v").alias("max_val"),
+        F.sum(dec(F.col("xi"))).alias("sx"),
+        F.sum(dec(F.col("xi") * F.col("xi"))).alias("sxx"),
+    )
+    n_d = F.col("n").cast("double")
+    return s.select(
+        F.col("dim").cast("long").alias("dim"),
+        "n",
+        "n_zeros",
+        "min_val",
+        "max_val",
+        (F.col("sx").cast("double") / (n_d * F.lit(float(_FP)))).alias("mean"),
+        (
+            (dec(F.col("n")) * F.col("sxx") - F.col("sx") * F.col("sx"))
+            .cast("double")
+            / ((n_d * n_d) * F.lit(_FP2))
+        ).alias("variance"),
+    )

@@ -137,6 +137,16 @@ HEADLINE = [
     "q_graph_pagerank",
     "q_kmv_distinct_docs",
     "llm_source_similarity_sketch",
+    # round-5 session batch 2: graph triangles, sequence mining,
+    # exact moments, weighted quantiles, the two eval harnesses,
+    # and the shard-balance report
+    "q_triangle_count",
+    "q_event_sequences",
+    "q_correlation_exact",
+    "llm_weighted_length_quantiles",
+    "llm_ann_recall",
+    "llm_lsh_recall_curve",
+    "q_shard_skew_gini",
 ]
 
 
