@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import datetime
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -312,3 +313,64 @@ def test_txn_table_matches_dict_model(spark_global, tmp_path_factory, ops):
     # every version replays without error and row counts are sane
     for h in tt.history(root):
         assert tt.snapshot(root, h["version"])["version"] == h["version"]
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(-1000, 1000), st.integers(1, 20)),
+        min_size=1,
+        max_size=200,
+    ),
+    q=st.sampled_from([(0, 1), (1, 4), (1, 2), (9, 10), (1, 1)]),
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_exact_weighted_quantile_matches_cumsum(spark_global, pairs, q):
+    """Weighted quantile == first value whose cumulative weight
+    reaches ceil(W * num/den) over the value-sorted list."""
+    from aws_datalake_spark.operators.order_stats import exact_weighted_quantile
+
+    num, den = q
+    df = spark_global.createDataFrame(pairs, "v long, w long")
+    got = exact_weighted_quantile(
+        df, "v", "w", num, den, n_bins=8, direct_threshold=10
+    )
+    total = sum(w for _, w in pairs)
+    target = max(1, -((-total * num) // den))
+    acc = 0
+    for v, w in sorted(pairs):
+        acc += w
+        if acc >= target:
+            assert got == v
+            return
+    raise AssertionError("unreachable")
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(-100, 100), st.integers(-100, 100)),
+        min_size=2,
+        max_size=150,
+    ),
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_exact_corr_matches_float_formula(spark_global, rows):
+    """Integer-moment corr matches the closed-form float computation
+    to 1e-9 relative (both zero-variance guards agree exactly)."""
+    import math
+
+    from aws_datalake_spark.operators.stats import exact_corr
+
+    df = spark_global.createDataFrame(rows, "x long, y long")
+    got = exact_corr(df, F.col("x"), F.col("y")).collect()[0]["corr"]
+    n = len(rows)
+    sx = sum(x for x, _ in rows)
+    sy = sum(y for _, y in rows)
+    vx = n * sum(x * x for x, _ in rows) - sx * sx
+    vy = n * sum(y * y for _, y in rows) - sy * sy
+    if vx <= 0 or vy <= 0:
+        assert got is None
+    else:
+        want = (n * sum(x * y for x, y in rows) - sx * sy) / (
+            math.sqrt(vx) * math.sqrt(vy)
+        )
+        assert got == pytest.approx(want, rel=1e-9, abs=1e-12)
