@@ -175,3 +175,54 @@ def cogroup_asof_join(
         .applyInPandas(merge, out_schema)
         .select(*lcols, *[c + right_suffix for c in rpay])
     )
+
+
+def bucketed_interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    by: Sequence[str] = (),
+    bucket_width_s: int = 3600,
+) -> DataFrame:
+    """Join two INTERVAL tables on overlap (``l_start <= r_end AND
+    r_start <= l_end``, plus optional ``by`` equi-keys) without a
+    nested loop AND without a dedup pass: both sides explode into the
+    epoch buckets they cover, equi-join on (by..., bucket), and a
+    pair is kept only in the FIRST bucket both intervals share —
+    ``bucket == max(floor(l_start/w), floor(r_start/w))`` — so each
+    overlapping pair survives in exactly one bucket and no distinct()
+    over wide payloads is ever needed.
+
+    The plan is a plain shuffled hash join on the bucket key; work is
+    linear in Σ interval-length/bucket_width + matches. Pick
+    ``bucket_width_s`` near the typical interval length: too small
+    explodes rows, too big piles unrelated intervals into one bucket.
+    """
+    by = list(by)
+
+    def buckets(start: str, end: str):
+        return F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(start)) / bucket_width_s),
+                F.floor(F.unix_timestamp(F.col(end)) / bucket_width_s),
+            )
+        )
+
+    lb = left.withColumn("__bucket", buckets(l_start, l_end))
+    rb = right.withColumn("__bucket", buckets(r_start, r_end))
+    first_shared = F.greatest(
+        F.floor(F.unix_timestamp(F.col(l_start)) / bucket_width_s),
+        F.floor(F.unix_timestamp(F.col(r_start)) / bucket_width_s),
+    )
+    return (
+        lb.join(rb, on=by + ["__bucket"])
+        .filter(
+            (F.col(l_start) <= F.col(r_end))
+            & (F.col(r_start) <= F.col(l_end))
+            & (F.col("__bucket") == first_shared)
+        )
+        .drop("__bucket")
+    )

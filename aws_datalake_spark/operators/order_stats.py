@@ -366,6 +366,132 @@ def exact_weighted_quantile(
     return rows[0]["vv"]
 
 
+def exact_weighted_quantile_by_group(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    weight_col: str,
+    q_num: int,
+    q_den: int,
+    n_bins: int = 256,
+    direct_threshold: int = 50_000,
+    max_rounds: int = 8,
+) -> DataFrame:
+    """:func:`exact_weighted_quantile` lifted to all groups at once —
+    ``(group_col, quantile)`` where quantile is the smallest value
+    whose per-group cumulative integer weight reaches
+    ``ceil(W_g * q_num / q_den)``. Same contract as
+    :func:`exact_quantile_by_group`: every narrowing round is ONE
+    scan histogramming every active group's weights simultaneously
+    (≤ groups × n_bins agg cells to the driver), shrunk groups drop
+    out, and the single finish pass ranks each surviving slice
+    grouped BY VALUE (ties merge — the answer is row-order-free)
+    with a per-group window over survivors only.
+    """
+    if not (q_den > 0 and 0 <= q_num <= q_den):
+        raise ValueError(
+            "exact_weighted_quantile_by_group: need 0 <= q_num <= q_den, "
+            f"got ({q_num}, {q_den})"
+        )
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(col).alias("v"),
+        F.col(weight_col).cast("long").alias("w"),
+    ).where(F.col("v").isNotNull() & F.col("w").isNotNull() & (F.col("w") > 0))
+    stats = {}
+    for r in (
+        base.groupBy("__g")
+        .agg(
+            F.min("v").alias("lo"), F.max("v").alias("hi"),
+            F.sum("w").alias("tw"), F.count("v").alias("n"),
+        )
+        .collect()
+    ):
+        target = -((-int(r["tw"]) * q_num) // q_den) or 1
+        stats[r["__g"]] = {
+            "lo": float(r["lo"]), "hi": float(r["hi"]),
+            "n": r["n"], "target": target,
+        }
+    if not stats:
+        return df.select(F.col(group_col), F.col(col).alias("quantile")).limit(0)
+    surv = base
+    for _ in range(max_rounds):
+        active = {
+            g: s for g, s in stats.items()
+            if s["n"] > direct_threshold and s["lo"] < s["hi"]
+        }
+        if not active:
+            break
+        lo_m = F.create_map(*[x for g, s in active.items() for x in (F.lit(g), F.lit(s["lo"]))])
+        w_m = F.create_map(*[
+            x for g, s in active.items()
+            for x in (F.lit(g), F.lit((s["hi"] - s["lo"]) / n_bins))
+        ])
+        bin_e = F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(n_bins - 1),
+                F.floor(
+                    (F.col("v") - lo_m[F.col("__g")]) / w_m[F.col("__g")]
+                ).cast("int"),
+            ),
+        )
+        hist = (
+            surv.filter(F.col("__g").isin(list(active)))
+            .groupBy("__g", bin_e.alias("b"))
+            .agg(F.sum("w").alias("c"), F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+        cells: dict = {}
+        for r in hist:
+            cells.setdefault(r["__g"], {})[r["b"]] = (r["c"], r["cnt"])
+        targets = {}
+        for g, s in active.items():
+            acc, target_bin = 0, n_bins - 1
+            rows_in_bin = 0
+            for b in range(n_bins):
+                c, cnt = cells.get(g, {}).get(b, (0, 0))
+                if acc + c >= s["target"]:
+                    target_bin, rows_in_bin = b, cnt
+                    break
+                acc += c
+            width = (s["hi"] - s["lo"]) / n_bins
+            stats[g] = {
+                "lo": s["lo"] + target_bin * width,
+                "hi": s["lo"] + (target_bin + 1) * width,
+                "n": rows_in_bin,
+                "target": s["target"] - acc,
+            }
+            targets[g] = target_bin
+        t_m = F.create_map(*[x for g, tb in targets.items() for x in (F.lit(g), F.lit(tb))])
+        surv = surv.filter(
+            (~F.col("__g").isin(list(active))) | (bin_e == t_m[F.col("__g")])
+        )
+    from pyspark.sql import Window
+
+    is_str = isinstance(next(iter(stats)), str)
+    t_tbl = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(g, s["target"]) for g, s in stats.items()],
+            f"__g {'string' if is_str else 'long'}, __target long",
+        )
+    )
+    w = Window.partitionBy("__g").orderBy("vv")
+    cum = Window.partitionBy("__g").orderBy("vv").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        surv.groupBy("__g", F.col("v").alias("vv"))
+        .agg(F.sum("w").alias("ww"))
+        .withColumn("__cum", F.sum("ww").over(cum))
+        .join(t_tbl, "__g")
+        .filter(F.col("__cum") >= F.col("__target"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(F.col("__g").alias(group_col), F.col("vv").alias("quantile"))
+    )
+
+
 def exact_quantile_by_group(
     df: DataFrame,
     group_col: str,

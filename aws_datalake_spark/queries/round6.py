@@ -821,3 +821,192 @@ def q_shard_skew_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.min("n") * F.min("tot"))
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# grouped weighted quantiles (char-mass median length per source)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "llm_weighted_median_by_source",
+    oracle="""
+    WITH w AS (
+      SELECT source, n_chars AS v, CAST(n_chars AS BIGINT) AS wt
+      FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+    ),
+    g AS (SELECT source, v, SUM(wt) AS ww FROM w GROUP BY 1, 2),
+    c AS (
+      SELECT source, v,
+             SUM(ww) OVER (PARTITION BY source ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(ww) OVER (PARTITION BY source) AS total
+      FROM g
+    )
+    SELECT source, MIN(v) AS quantile
+    FROM c
+    WHERE cum >= CAST((total + 1) // 2 AS BIGINT)
+    GROUP BY source
+    """,
+)
+def llm_weighted_median_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-mass median length PER SOURCE
+    (operators/order_stats.py:exact_weighted_quantile_by_group): for
+    each source, the document length below which half of that
+    source's characters live. All groups narrow together — one
+    weight-histogram scan per round for every active source, finish
+    over survivors only — so cost does not multiply by group count.
+    The per-source companion to llm_weighted_length_quantiles."""
+    from aws_datalake_spark.operators.order_stats import (
+        exact_weighted_quantile_by_group,
+    )
+
+    d = t(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    return exact_weighted_quantile_by_group(
+        d, "source", "n_chars", "n_chars", 1, 2, direct_threshold=10
+    )
+
+
+# ---------------------------------------------------------------------------
+# interval-overlap join: user sessions vs error-burst windows
+# ---------------------------------------------------------------------------
+
+_BURST_MIN = 3  # errors per hour that make an incident window
+
+
+@query(
+    "q_session_incident_overlap",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, ts,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS es
+      FROM events
+    ),
+    lagged AS (
+      SELECT *, LAG(es) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS prev
+      FROM e
+    ),
+    s AS (
+      SELECT *, CAST(SUM(CASE WHEN prev IS NULL OR es - prev > {_GAP}
+                         THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS session_seq
+      FROM lagged
+    ),
+    sess AS (
+      SELECT user_id, session_seq,
+             MIN(ts) AS session_start, MAX(ts) AS session_end
+      FROM s GROUP BY 1, 2
+    ),
+    bursts AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS burst_start,
+             CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR
+                  - INTERVAL 1 SECOND AS TIMESTAMP) AS burst_end,
+             CAST(COUNT(*) AS BIGINT) AS n_errors
+      FROM events WHERE event_type = 'error'
+      GROUP BY 1, 2 HAVING COUNT(*) >= {_BURST_MIN}
+    )
+    SELECT sess.user_id, sess.session_seq,
+           sess.session_start, sess.session_end,
+           b.burst_start, b.n_errors
+    FROM sess JOIN bursts b
+      ON sess.session_start <= b.burst_end
+     AND b.burst_start <= sess.session_end
+    """,
+)
+def q_session_incident_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join
+    (operators/joins.py:bucketed_interval_overlap_join): which user
+    sessions overlap an error-burst hour (>= 3 error events). Both
+    interval sets explode into hour buckets and equi-join on the
+    bucket; a pair survives only in the FIRST bucket the two
+    intervals share, so no distinct() pass and no nested loop —
+    a plain shuffled hash join at any scale. Sessions come from the
+    oracle-certified gap sessionizer; bursts from one tumbling-hour
+    aggregate."""
+    from aws_datalake_spark.operators.joins import bucketed_interval_overlap_join
+    from aws_datalake_spark.operators.sessions import sessionize
+
+    ev = t(spark, sf_dir, "events")
+    sess = (
+        sessionize(ev, gap_seconds=_GAP)
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+    hour = F.date_trunc("hour", F.col("ts"))
+    bursts = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy(hour.alias("burst_start"))
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+        .where(F.col("n_errors") >= _BURST_MIN)
+        .select(
+            "burst_start",
+            (F.col("burst_start") + F.expr("INTERVAL 1 HOUR")
+             - F.expr("INTERVAL 1 SECOND")).alias("burst_end"),
+            "n_errors",
+        )
+    )
+    joined = bucketed_interval_overlap_join(
+        sess, bursts,
+        "session_start", "session_end", "burst_start", "burst_end",
+        bucket_width_s=3600,
+    )
+    return joined.select(
+        "user_id", "session_seq", "session_start", "session_end",
+        "burst_start", "n_errors",
+    )
+
+
+# ---------------------------------------------------------------------------
+# rolling distinct-day engagement (windowed count-distinct done right)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_rolling_active_days",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id,
+             CAST(FLOOR(epoch(date_trunc('day', ts)) / 86400) AS BIGINT)
+               AS day_idx
+      FROM events
+    )
+    SELECT user_id, day_idx,
+           CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY day_idx
+                RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS active_days_7d
+    FROM d
+    """,
+)
+def q_rolling_active_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day active-day count per user-day — windowed
+    COUNT DISTINCT done the scalable way: window functions cannot
+    count distinct, so collapse to DISTINCT (user, day) FIRST (the
+    frame is then a plain COUNT over a RANGE frame on the integer
+    day index). The pre-distinct bounds the windowed table at
+    |users| x |days| however many raw events arrive; one user_id
+    exchange serves both the distinct and the window."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id",
+        F.floor(
+            F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / 86400
+        ).alias("day_idx"),
+    ).distinct()
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day_idx")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return d.select(
+        "user_id",
+        "day_idx",
+        F.count(F.lit(1)).over(w).alias("active_days_7d"),
+    )

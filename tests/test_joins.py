@@ -190,3 +190,65 @@ def test_cogroup_asof_join_tie_resolution_matches_native(spark):
     assert [tuple(r) for r in native.select(*cg.columns).collect()] == [
         tuple(r) for r in cg.collect()
     ]
+
+
+# ---------------------------------------------------------------------------
+# bucketed_interval_overlap_join
+# ---------------------------------------------------------------------------
+
+
+def _iv(spark, rows, prefix):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    return spark.createDataFrame(
+        [
+            (i, base + dt.timedelta(seconds=s), base + dt.timedelta(seconds=e))
+            for i, (s, e) in enumerate(rows)
+        ],
+        f"{prefix}_id long, {prefix}_start timestamp, {prefix}_end timestamp",
+    )
+
+
+def test_interval_overlap_join_no_duplicates_across_buckets(spark):
+    """A pair overlapping MANY shared buckets must appear exactly
+    once (first-shared-bucket rule), including containment and
+    touching-endpoint cases."""
+    from aws_datalake_spark.operators.joins import bucketed_interval_overlap_join
+
+    left = _iv(spark, [(0, 10000), (20000, 20010)], "l")     # long + short
+    right = _iv(spark, [(500, 9000), (9999, 12000), (20010, 20020)], "r")
+    got = sorted(
+        (r.l_id, r.r_id)
+        for r in bucketed_interval_overlap_join(
+            left, right, "l_start", "l_end", "r_start", "r_end",
+            bucket_width_s=1000,
+        ).collect()
+    )
+    # l0 contains r0 (10 shared buckets → once), l0 touches r1 at
+    # 9999..10000, l1 touches r2 at exactly 20010
+    assert got == [(0, 0), (0, 1), (1, 2)]
+
+
+def test_interval_overlap_join_matches_naive(spark):
+    import random
+
+    from aws_datalake_spark.operators.joins import bucketed_interval_overlap_join
+
+    rng = random.Random(5)
+    lrows = [(s := rng.randint(0, 50000), s + rng.randint(0, 8000)) for _ in range(60)]
+    rrows = [(s := rng.randint(0, 50000), s + rng.randint(0, 8000)) for _ in range(60)]
+    want = sorted(
+        (i, j)
+        for i, (ls, le) in enumerate(lrows)
+        for j, (rs, re_) in enumerate(rrows)
+        if ls <= re_ and rs <= le
+    )
+    got = sorted(
+        (r.l_id, r.r_id)
+        for r in bucketed_interval_overlap_join(
+            _iv(spark, lrows, "l"), _iv(spark, rrows, "r"),
+            "l_start", "l_end", "r_start", "r_end", bucket_width_s=3600,
+        ).collect()
+    )
+    assert got == want

@@ -244,3 +244,41 @@ def test_weighted_quantile_validation(spark):
         exact_weighted_quantile(df, "v", "w", 3, 2)
     with pytest.raises(ValueError, match="empty"):
         exact_weighted_quantile(df.where(F.lit(False)), "v", "w", 1, 2)
+
+
+def test_weighted_quantile_by_group_matches_bruteforce(spark):
+    from aws_datalake_spark.operators.order_stats import (
+        exact_weighted_quantile_by_group,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (g, rng.randint(0, 500), rng.randint(1, 9))
+        for g in ("a", "b", "c")
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame(rows, "g string, v long, w long")
+    got = {
+        r.g: r.quantile
+        for r in exact_weighted_quantile_by_group(
+            df, "g", "v", "w", 1, 2, n_bins=8, direct_threshold=32
+        ).collect()
+    }
+    for g in ("a", "b", "c"):
+        pairs = [(v, w) for gg, v, w in rows if gg == g]
+        assert got[g] == _wq_brute(pairs, 1, 2), g
+
+
+def test_weighted_quantile_by_group_small_groups_skip_narrowing(spark):
+    from aws_datalake_spark.operators.order_stats import (
+        exact_weighted_quantile_by_group,
+    )
+
+    rows = [("a", 1, 1), ("a", 2, 1), ("a", 3, 1), ("b", 10, 5), ("b", 20, 1)]
+    df = spark.createDataFrame(rows, "g string, v long, w long")
+    got = {
+        r.g: r.quantile
+        for r in exact_weighted_quantile_by_group(df, "g", "v", "w", 1, 2).collect()
+    }
+    # a: W=3, target 2 → v=2 ; b: W=6, target 3 → v=10
+    assert got == {"a": 2, "b": 10}
