@@ -135,3 +135,68 @@ def duplicate_chunks(
         )
         .filter(F.col("n_docs") >= min_docs)
     )
+
+
+def excise_contaminated_spans(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Span-LEVEL decontamination (the C4/FLAN-style removal step,
+    where :func:`decontaminate` is the doc-level flag): every
+    position whose n-gram appears in the eval set marks tokens
+    [p, p+n-1] for removal; the document is rebuilt WITHOUT the
+    contaminated tokens instead of being dropped whole. Returns
+    ``(id, n_tokens, n_removed, clean_text)`` for every corpus doc.
+
+    Plan: corpus scan → positional n-grams (bound token array — the
+    higher-order transforms never re-split text) → broadcast-hash
+    join against the eval n-gram set → matched positions fan out to
+    their covered token indices and collect_set per doc (bounded by
+    doc length) → one co-partitioned join back rebuilds the text
+    token-filtered. No corpus text ever shuffles except the final
+    doc-sized rebuild join; eval grams broadcast (small by
+    construction, see module docstring).
+    """
+    toks = corpus.select(
+        F.col(id_col).alias("__id"), tokens_ws(F.col(text_col)).alias("__t")
+    )
+    idx = F.sequence(F.lit(0), F.greatest(F.size("__t") - n, F.lit(-1)))
+    grams = F.when(
+        F.size("__t") >= n,
+        F.transform(
+            idx,
+            lambda i: F.struct(
+                i.alias("p"),
+                F.concat_ws(
+                    " ", *[F.element_at(F.col("__t"), i + j + 1) for j in range(n)]
+                ).alias("g"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<p:int,g:string>>"))
+    pos_grams = toks.select("__id", F.explode(grams).alias("pg")).select(
+        "__id", F.col("pg.p").alias("p"), F.col("pg.g").alias("__g")
+    )
+    ev = F.broadcast(eval_ngram_set(eval_df, text_col, n))
+    removed = (
+        pos_grams.join(ev, "__g")
+        .select("__id", F.explode(F.sequence(F.col("p"), F.col("p") + n - 1)).alias("i"))
+        .groupBy("__id")
+        .agg(F.collect_set("i").alias("__rm"))
+    )
+    rebuilt = toks.join(removed, "__id", "left").select(
+        "__id",
+        "__t",
+        F.coalesce("__rm", F.array().cast("array<int>")).alias("__rm"),
+    )
+    kept = F.filter(
+        F.col("__t"), lambda x, i: ~F.array_contains(F.col("__rm"), i.cast("int"))
+    )
+    return rebuilt.select(
+        F.col("__id").alias(id_col),
+        F.size("__t").cast("long").alias("n_tokens"),
+        F.size("__rm").cast("long").alias("n_removed"),
+        F.concat_ws(" ", kept).alias("clean_text"),
+    )

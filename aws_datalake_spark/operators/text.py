@@ -802,3 +802,49 @@ def trigram_search(
         )
         .drop("__k")
     )
+
+
+def positional_postings(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unigram POSITIONAL postings: ``(id, pos, w)`` — one row per
+    token occurrence, 0-based position. The index phrase search and
+    proximity operators run on; linear in corpus tokens, built in one
+    scan + posexplode (the token array is bound first, so nothing
+    re-splits per element)."""
+    return (
+        df.select(F.col(id_col).alias("__id"), tokens_ws(F.col(text_col)).alias("__t"))
+        .select("__id", F.posexplode("__t").alias("pos", "w"))
+        .select(F.col("__id").alias(id_col), "pos", "w")
+    )
+
+
+def phrase_occurrences(
+    postings: DataFrame,
+    phrase: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Locate every occurrence of an n-word ``phrase`` (single row,
+    columns ``w_1..w_n``) in unigram positional postings: the i-th
+    word's postings are pruned by a broadcast join against the phrase
+    row, then chained with n−1 equi joins on ``(id, pos + i)`` — the
+    classic positional-index phrase query (Elasticsearch/Lucene
+    match_phrase) as plain DataFrame ops. Returns ``(id, pos)`` of
+    each match start.
+
+    SCALE: each join key is (id, int) — narrow rows; pruned postings
+    are |occurrences of word_i|, so the chain is bounded by the
+    rarest word's postings, not the corpus.
+    """
+    words = [c for c in phrase.columns if c.startswith("w_")]
+    out = None
+    for i, wc in enumerate(words):
+        p = (
+            postings.join(
+                F.broadcast(phrase.select(F.col(wc).alias("__pw"))),
+                postings["w"] == F.col("__pw"),
+            )
+            .select(F.col(id_col), (F.col("pos") - i).alias("__start"))
+        )
+        out = p if out is None else out.join(p, [id_col, "__start"])
+    return out.select(F.col(id_col), F.col("__start").alias("pos"))

@@ -88,3 +88,53 @@ def llm_duplicate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded-state stand-in for suffix-array substring dedup
     (operators/decontam.py:duplicate_chunks)."""
     return duplicate_chunks(t(spark, sf_dir, "documents"), k=5, min_docs=2)
+
+
+@query(
+    "llm_decontam_excise",
+    oracle=f"""
+    WITH ev_docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 41 = 0),
+    corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 41 <> 0),
+    ev AS (SELECT DISTINCT s FROM ({_shingles_sql('ev_docs')})),
+    tk AS (SELECT doc_id, {_TOKS} AS t FROM corpus),
+    pg AS (
+      SELECT doc_id, u.p, u.s FROM (
+        SELECT doc_id, unnest(list_transform(t, (x, i) ->
+                 CASE WHEN i + 2 <= len(t)
+                      THEN struct_pack(p := i,
+                             s := t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END))
+               AS u
+        FROM tk)
+      WHERE u IS NOT NULL
+    ),
+    hit AS (SELECT pg.doc_id, pg.p FROM pg JOIN ev USING (s)),
+    rm AS (
+      SELECT DISTINCT doc_id, p + o AS i
+      FROM hit, (SELECT unnest([0, 1, 2]) AS o)
+    ),
+    rml AS (SELECT doc_id, list(i) AS rm FROM rm GROUP BY doc_id)
+    SELECT tk.doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(len(rm), 0) AS BIGINT) AS n_removed,
+           -- COALESCE: DuckDB's array_to_string([]) is NULL, Spark's
+           -- concat_ws over an empty array is '' (fully-excised docs)
+           COALESCE(array_to_string(
+             list_filter(t, (x, i) ->
+               rm IS NULL OR NOT list_contains(rm, i)), ' '), '')
+             AS clean_text
+    FROM tk LEFT JOIN rml ON rml.doc_id = tk.doc_id
+    """,
+)
+def llm_decontam_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination REMOVAL (C4/FLAN style, where
+    llm_decontaminate is the doc-level flag): tokens covered by any
+    eval-set 3-gram are excised and the document rebuilt
+    (operators/decontam.py:excise_contaminated_spans). The driver
+    hash-check certifies the rebuilt TEXTS byte-for-byte, not just
+    the counts. Same eval-slice convention (doc_id % 41)."""
+    from aws_datalake_spark.operators.decontam import excise_contaminated_spans
+
+    d = t(spark, sf_dir, "documents")
+    eval_df = d.filter(F.col("doc_id") % 41 == 0).select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 41 != 0).select("doc_id", "text")
+    return excise_contaminated_spans(corpus, eval_df, n=3)

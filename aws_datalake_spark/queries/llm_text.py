@@ -1332,3 +1332,87 @@ def llm_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_bigrams").cast("double")
         ).alias("ttr_bigram"),
     )
+
+
+# ---------------------------------------------------------------------------
+# positional-index phrase search
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "llm_phrase_search",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    tri AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        SELECT unnest(list_transform(t, (x, i) ->
+                 CASE WHEN i + 2 <= len(t)
+                      THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2] END)) AS g
+        FROM tk)
+      WHERE g IS NOT NULL GROUP BY g
+    ),
+    top AS (
+      SELECT regexp_split_to_array(g, ' ') AS pw FROM tri
+      ORDER BY cnt DESC, g LIMIT 1
+    ),
+    post AS (
+      SELECT doc_id, u.p - 1 AS pos, u.w FROM (
+        SELECT doc_id, unnest(list_transform(t, (x, i) ->
+                 struct_pack(p := i, w := x))) AS u
+        FROM tk)
+    )
+    SELECT p0.doc_id, p0.pos,
+           (SELECT array_to_string(pw, ' ') FROM top) AS phrase
+    FROM post p0, top
+    JOIN post p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+    JOIN post p2 ON p2.doc_id = p0.doc_id AND p2.pos = p0.pos + 2
+    WHERE p0.w = top.pw[1] AND p1.w = top.pw[2] AND p2.w = top.pw[3]
+    """,
+)
+def llm_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional-index phrase query (the Lucene match_phrase shape):
+    build unigram positional postings, derive the corpus's most
+    duplicated 3-token phrase (count DESC, lexicographic tie-break),
+    and locate every occurrence via per-word broadcast pruning +
+    (doc, pos+i) adjacency joins
+    (operators/text.py:positional_postings, phrase_occurrences).
+    Join keys are (id, int) — the chain is bounded by the rarest
+    phrase word's postings, never the corpus."""
+    from aws_datalake_spark.operators.text import (
+        phrase_occurrences,
+        positional_postings,
+        spread,
+        tokens_ws,
+    )
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    # non-distinct trigram occurrences (with_shingles dedups per doc;
+    # phrase frequency must count every occurrence)
+    toks_df = spread(d).select("doc_id", tokens_ws(F.col("text")).alias("__t"))
+    idx = F.sequence(F.lit(0), F.greatest(F.size("__t") - 3, F.lit(-1)))
+    gr = F.when(
+        F.size("__t") >= 3,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(F.col("__t"), i + j + 1) for j in range(3)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = toks_df.select(F.explode(gr).alias("g"))
+    top = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "g")
+        .limit(1)
+    )
+    ws = F.split(F.col("g"), " ")
+    phrase = top.select(
+        *[F.element_at(ws, i + 1).alias(f"w_{i + 1}") for i in range(3)],
+        F.col("g").alias("phrase"),
+    )
+    post = positional_postings(d)
+    occ = phrase_occurrences(post, phrase.select("w_1", "w_2", "w_3"))
+    return occ.join(F.broadcast(phrase.select("phrase")), how="cross").select(
+        "doc_id", "pos", "phrase"
+    )

@@ -282,3 +282,61 @@ def test_weighted_quantile_by_group_small_groups_skip_narrowing(spark):
     }
     # a: W=3, target 2 → v=2 ; b: W=6, target 3 → v=10
     assert got == {"a": 2, "b": 10}
+
+
+# ---------------------------------------------------------------------------
+# span excision + phrase search
+# ---------------------------------------------------------------------------
+
+
+def test_excise_contaminated_spans_exact_tokens(spark):
+    """The matched 3-gram removes exactly its covered tokens;
+    overlapping matches union their spans; clean docs pass through
+    re-joined; fully-contaminated docs come back empty, not NULL."""
+    from aws_datalake_spark.operators.decontam import excise_contaminated_spans
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),        # eval gram 'b c d' → remove idx 1-3
+            (2, "x y z"),              # fully contaminated by 'x y z'
+            (3, "p q r s"),            # clean
+            (4, "a b c d c d e f"),    # 'b c d' at 1 and 'c d e' ... only seeded grams
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "b c d"), (101, "x y z")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+        for r in excise_contaminated_spans(corpus, eval_df).collect()
+    }
+    assert got[1] == (6, 3, "a e f")
+    assert got[2] == (3, 3, "")
+    assert got[3] == (4, 0, "p q r s")
+    # doc 4: 'b c d' matches at idx 1 only → remove 1,2,3
+    assert got[4] == (8, 3, "a c d e f")
+
+
+def test_phrase_occurrences_adjacency(spark):
+    """Matches require exact adjacency; overlapping occurrences and
+    repeated words are all found."""
+    from aws_datalake_spark.operators.text import (
+        phrase_occurrences,
+        positional_postings,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a"),   # 'a b a' at 0 and 2 (overlap)
+            (2, "a b c"),       # no 'a b a'
+            (3, "b a b a x"),   # at 1
+        ],
+        "doc_id long, text string",
+    )
+    phrase = spark.createDataFrame([("a", "b", "a")], "w_1 string, w_2 string, w_3 string")
+    got = sorted(
+        (r.doc_id, r.pos)
+        for r in phrase_occurrences(positional_postings(docs), phrase).collect()
+    )
+    assert got == [(1, 0), (1, 2), (3, 1)]
