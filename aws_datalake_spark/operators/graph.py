@@ -86,8 +86,17 @@ def triangle_counts(edges: DataFrame, src: str = "s", dst: str = "d") -> DataFra
 
     Determinism: counts are exact integers; cross-engine
     oracle-checkable (same orientation rule is plain SQL).
+
+    The edge frame is materialized once up front (`_truncate`:
+    reliable checkpoint when configured, eager localCheckpoint in
+    local mode): it is referenced by the degree aggregate, both
+    orientation join sides, and the closing-edge probe — without the
+    cut, an expensive upstream builder (e.g. the co-occurrence
+    self-join) re-executes for every reference.
     """
-    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    from aws_datalake_spark.operators.dedup_cluster import _truncate
+
+    e = _truncate(edges.select(F.col(src).alias("s"), F.col(dst).alias("d")))
     deg = (
         e.select(F.col("s").alias("node"))
         .unionByName(e.select(F.col("d").alias("node")))
