@@ -1,7 +1,10 @@
 """Round-5-session additions (certify in the round-6 window):
 gap-based sessionization with journey stats, count-min frequency
-sketching, mergeable binned quantile sketches, and MOSS winnowing
-fingerprints.
+sketching, mergeable binned quantile sketches, MOSS winnowing
+fingerprints, degree-oriented triangle counting, sequence n-gram
+mining, exact-arithmetic correlation, weighted exact quantiles
+(global + by-group), the shard-skew Gini report, interval-overlap
+joins, and rolling distinct-day windows.
 
 All new surface beyond SURVEY.md §2 (the reference has none of
 these); each pairs a scalable Spark plan with a DuckDB oracle twin.

@@ -147,6 +147,12 @@ HEADLINE = [
     "llm_ann_recall",
     "llm_lsh_recall_curve",
     "q_shard_skew_gini",
+    "llm_embedding_stats",
+    "llm_weighted_median_by_source",
+    "q_session_incident_overlap",
+    "q_rolling_active_days",
+    "llm_decontam_excise",
+    "llm_phrase_search",
 ]
 
 
