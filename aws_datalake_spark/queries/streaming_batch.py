@@ -443,3 +443,41 @@ def st_txn_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"), dsum("value", "sum_value")
     )
+
+
+@query(
+    "st_interval_join_outer",
+    oracle="""
+    SELECT p.event_id AS p_id, p.user_id,
+           CAST(p.ts AS TIMESTAMP) AS p_ts,
+           v.event_id AS v_id, CAST(v.ts AS TIMESTAMP) AS v_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON v.user_id = p.user_id
+     AND v.ts >= p.ts - INTERVAL 5 MINUTE AND v.ts <= p.ts
+    """,
+)
+def st_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST — stream-stream LEFT OUTER interval join, batch twin:
+    purchases with no view in the preceding 5 minutes keep their row
+    NULL-padded (the unattributed-conversion report). In streaming,
+    the outer row is emitted only once the watermark passes the join
+    window — exercised with real readStream runs in
+    tests/test_streaming.py::test_stream_stream_left_outer_join_*;
+    this twin certifies the matching/null semantics against SQL."""
+    from aws_datalake_spark.streaming.windows import interval_join
+
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("v_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    out = interval_join(
+        purchases, views, "user_id", "v_user", "p_ts", "v_ts",
+        lookback="5 minutes", how="left_outer",
+    )
+    return out.select("p_id", "user_id", "p_ts", "v_id", "v_ts")
