@@ -733,3 +733,46 @@ def source_signature_matrix(
             .alias("jaccard_est"),
         )
     )
+
+
+def winnow_matches(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int = 20,
+) -> DataFrame:
+    """Near-dup pair detection on winnowing fingerprints (the match
+    stage MOSS runs on the :func:`winnow_fingerprints` selection):
+    ``(id_a, id_b, shared_fps)`` for pairs sharing at least
+    ``min_shared`` selected fingerprints, candidates generated ONLY
+    from fingerprints with document frequency <= ``max_df`` (the
+    hot-fp cap the fingerprint docstring prescribes — min-selection
+    biases fingerprints toward globally small hashes, so df skew is
+    worse than for raw grams; a boilerplate fp indexing D docs would
+    otherwise mint D²/2 candidates alone).
+
+    SCALE: the self-join runs on (fp, id) 8-byte pairs with per-fp
+    fan-out capped at max_df²/2; shared_fps counts are exact
+    integers, so the report is hash-checkable. Recall caveat mirrors
+    ngram_jaccard_pairs(max_df=...): a pair sharing ONLY
+    hotter-than-cap fingerprints is missed.
+    """
+    fps = winnow_fingerprints(df, text_col, id_col, k, w).select(
+        F.col(id_col).alias("__id"), "fp"
+    )
+    freq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__df"))
+    rare = fps.join(freq.where(F.col("__df") <= int(max_df)), "fp").select(
+        "__id", "fp"
+    )
+    a = rare.select(F.col("__id").alias("id_a"), "fp")
+    b = rare.select(F.col("__id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+        .where(F.col("shared_fps") >= int(min_shared))
+    )

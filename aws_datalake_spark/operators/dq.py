@@ -386,3 +386,50 @@ def quarantine(
     good = tagged.filter(F.size("__reasons") == 0).drop("__reasons")
     bad = tagged.filter(F.size("__reasons") > 0)
     return good, bad
+
+
+def fd_violations(
+    df: DataFrame, lhs: list[str], rhs: str,
+) -> DataFrame:
+    """Functional-dependency check ``lhs → rhs``: one row per LHS key
+    that maps to more than one distinct RHS value —
+    ``(lhs…, n_rhs_values, n_rows)``. An empty result certifies the
+    dependency holds. One map-combinable aggregate (count_distinct
+    partials merge); nothing but the violating keys leaves the
+    executors.
+
+    The standard schema-inference / conformance primitive the
+    expectation suite lacks: uniqueness is FD(key → every column);
+    this checks any declared dependency directly.
+    """
+    return (
+        df.groupBy(*lhs)
+        .agg(
+            F.countDistinct(rhs).alias("n_rhs_values"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .where(F.col("n_rhs_values") > 1)
+    )
+
+
+def ri_violations(
+    child: DataFrame,
+    parent: DataFrame,
+    fk: str,
+    pk: str,
+) -> DataFrame:
+    """Referential-integrity check: child rows whose ``fk`` has no
+    matching ``pk`` in the parent — ``(fk, n_orphans)`` per orphaned
+    key (NULL fks are exempt, SQL FK semantics). Aggregate the child
+    to distinct keys FIRST, so the anti-join probes |child keys|
+    rows, not |child rows|; broadcast-eligible when the parent key
+    set is small.
+    """
+    keys = (
+        child.where(F.col(fk).isNotNull())
+        .groupBy(fk)
+        .agg(F.count(F.lit(1)).alias("n_orphans"))
+    )
+    return keys.join(
+        parent.select(F.col(pk).alias(fk)).distinct(), fk, "left_anti"
+    )

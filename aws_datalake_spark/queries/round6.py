@@ -1013,3 +1013,232 @@ def q_rolling_active_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day_idx",
         F.count(F.lit(1)).over(w).alias("active_days_7d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# winnowing match stage (near-dup pairs on selected fingerprints)
+# ---------------------------------------------------------------------------
+
+_WM_MINSH, _WM_MAXDF = 2, 20
+
+
+@query(
+    "llm_winnow_matches",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text || ' neardupmarker' AS text
+      FROM documents WHERE doc_id < 60
+    ),
+    tk AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tz FROM c
+    ),
+    hs AS (
+      SELECT doc_id,
+             list_filter(
+               list_transform(tz, (x, i) ->
+                 CASE WHEN i + {_WIN_K - 1} <= len(tz)
+                      THEN {_H60.format(
+                        expr="tz[i] || ' ' || tz[i+1] || ' ' || tz[i+2]")}
+                 END),
+               v -> v IS NOT NULL) AS hl
+      FROM tk
+    ),
+    g AS (SELECT doc_id, hl, len(hl) AS ng FROM hs WHERE len(hl) >= 1),
+    wins AS (
+      SELECT doc_id,
+             unnest(list_transform(hl, (x, i) ->
+               CASE WHEN i <= GREATEST(ng - {_WIN_W - 1}, 1)
+                    THEN list_aggregate(
+                           list_slice(hl, i, i + {_WIN_W - 1}), 'min')
+               END)) AS fp
+      FROM g
+    ),
+    fps AS (SELECT DISTINCT doc_id, fp FROM wins WHERE fp IS NOT NULL),
+    freq AS (SELECT fp, COUNT(*) AS df FROM fps GROUP BY 1),
+    rare AS (SELECT fps.doc_id, fps.fp FROM fps
+             JOIN freq ON freq.fp = fps.fp AND freq.df <= {_WM_MAXDF})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_fps
+    FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= {_WM_MINSH}
+    """,
+)
+def llm_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing MATCH stage (operators/dedup.py:winnow_matches) over
+    the seeded near-dup corpus: pairs sharing >= 2 selected
+    fingerprints, candidates restricted to fingerprints with df <= 20
+    (min-selection skews fp frequency, so the hot-fp cap matters
+    more than for raw grams). Seeded copies share nearly every
+    fingerprint, so true pairs provably surface; exact shared counts
+    hash-match the SQL twin."""
+    from aws_datalake_spark.operators.dedup import winnow_matches
+    from aws_datalake_spark.queries.llm_dedup import _neardup_corpus
+
+    return winnow_matches(
+        _neardup_corpus(spark, sf_dir),
+        k=_WIN_K, w=_WIN_W, min_shared=_WM_MINSH, max_df=_WM_MAXDF,
+    )
+
+
+# ---------------------------------------------------------------------------
+# data-quality: functional-dependency + referential-integrity reports
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_fd_violations",
+    oracle="""
+    WITH seeded AS (
+      SELECT o_orderkey, o_orderstatus FROM orders
+      UNION ALL
+      SELECT o_orderkey, 'X' AS o_orderstatus FROM orders
+      WHERE o_orderkey % 97 = 0 AND o_orderstatus <> 'X'
+    )
+    SELECT o_orderkey,
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_rhs_values,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM seeded GROUP BY 1 HAVING COUNT(DISTINCT o_orderstatus) > 1
+    """,
+)
+def q_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency conformance report
+    (operators/dq.py:fd_violations): o_orderkey → o_orderstatus holds
+    in the base table, so the input is seeded with a conflicting
+    status for every 97th key — exactly those keys must surface, with
+    exact counts. One map-combinable aggregate; only violating keys
+    leave the executors."""
+    from aws_datalake_spark.operators.dq import fd_violations
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    seeded = o.unionByName(
+        o.where(
+            (F.col("o_orderkey") % 97 == 0) & (F.col("o_orderstatus") != "X")
+        ).select("o_orderkey", F.lit("X").alias("o_orderstatus"))
+    )
+    return fd_violations(seeded, ["o_orderkey"], "o_orderstatus")
+
+
+@query(
+    "q_ri_violations",
+    oracle="""
+    WITH child AS (
+      SELECT l_orderkey FROM lineitem
+      UNION ALL
+      SELECT l_orderkey + 1000000000 AS l_orderkey FROM lineitem
+      WHERE l_orderkey % 101 = 0
+    ),
+    keys AS (
+      SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_orphans
+      FROM child WHERE l_orderkey IS NOT NULL GROUP BY 1
+    )
+    SELECT k.l_orderkey, k.n_orphans
+    FROM keys k LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) p
+      ON p.o_orderkey = k.l_orderkey
+    WHERE p.o_orderkey IS NULL
+    """,
+)
+def q_ri_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity orphan report
+    (operators/dq.py:ri_violations): lineitem → orders holds at every
+    SF, so the child is seeded with shifted keys (every 101st key
+    + 1e9) — exactly those must surface as orphans. The child
+    aggregates to distinct keys BEFORE the anti-join, so the probe is
+    |keys|-sized however many child rows exist."""
+    from aws_datalake_spark.operators.dq import ri_violations
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey")
+    seeded = li.unionByName(
+        li.where(F.col("l_orderkey") % 101 == 0).select(
+            (F.col("l_orderkey") + 1000000000).alias("l_orderkey")
+        )
+    )
+    return ri_violations(seeded, t(spark, sf_dir, "orders"), "l_orderkey", "o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# funnel conversion-time quantiles per cohort
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_conversion_time_quantiles",
+    oracle="""
+    WITH fv AS (
+      SELECT user_id, MIN(ts) AS first_view FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    fp AS (
+      SELECT e.user_id, MIN(e.ts) AS first_purchase
+      FROM events e JOIN fv ON fv.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= fv.first_view
+      GROUP BY 1
+    ),
+    delays AS (
+      SELECT fv.user_id,
+             CAST(FLOOR(epoch(date_trunc('week', fv.first_view)) / 86400)
+                  AS BIGINT) AS cohort_day,
+             CAST(FLOOR(epoch(fp.first_purchase)) AS BIGINT)
+               - CAST(FLOOR(epoch(fv.first_view)) AS BIGINT) AS delay_sec
+      FROM fv JOIN fp ON fp.user_id = fv.user_id
+    ),
+    r AS (
+      SELECT cohort_day, delay_sec,
+             ROW_NUMBER() OVER (PARTITION BY cohort_day
+                                ORDER BY delay_sec) AS rn,
+             COUNT(*) OVER (PARTITION BY cohort_day) AS n
+      FROM delays
+    )
+    SELECT cohort_day,
+           CAST(MIN(n) AS BIGINT) AS n_converted,
+           MAX(CASE WHEN rn = CAST(FLOOR(0.5 * (n - 1)) AS BIGINT) + 1
+                    THEN delay_sec END) AS median_delay_sec,
+           MAX(CASE WHEN rn = CAST(FLOOR(0.9 * (n - 1)) AS BIGINT) + 1
+                    THEN delay_sec END) AS p90_delay_sec
+    FROM r GROUP BY 1
+    """,
+)
+def q_conversion_time_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion-delay distribution per first-view weekly
+    cohort: first view → first subsequent purchase per user, then
+    EXACT median and p90 of the integer-second delays via the
+    histogram-narrowing by-group quantile operator
+    (operators/order_stats.py:exact_quantile_by_group) — no global
+    sort; first-touch events come from one min-aggregate per type,
+    reusing the user_id partitioning."""
+    from aws_datalake_spark.operators.order_stats import exact_quantile_by_group
+
+    ev = t(spark, sf_dir, "events")
+    fv = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    fp = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(fv, "user_id")
+        .where(F.col("ts") >= F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    delays = fv.join(fp, "user_id").select(
+        F.floor(
+            F.unix_timestamp(F.date_trunc("week", F.col("first_view"))) / 86400
+        ).alias("cohort_day"),
+        (
+            F.unix_timestamp("first_purchase") - F.unix_timestamp("first_view")
+        ).alias("delay_sec"),
+    )
+    med = exact_quantile_by_group(
+        delays, "cohort_day", "delay_sec", 0.5, direct_threshold=1000
+    ).withColumnRenamed("quantile", "median_delay_sec")
+    p90 = exact_quantile_by_group(
+        delays, "cohort_day", "delay_sec", 0.9, direct_threshold=1000
+    ).withColumnRenamed("quantile", "p90_delay_sec")
+    n = delays.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted")
+    )
+    return n.join(med, "cohort_day").join(p90, "cohort_day").select(
+        "cohort_day", "n_converted", "median_delay_sec", "p90_delay_sec"
+    )

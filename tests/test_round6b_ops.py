@@ -340,3 +340,73 @@ def test_phrase_occurrences_adjacency(spark):
         for r in phrase_occurrences(positional_postings(docs), phrase).collect()
     )
     assert got == [(1, 0), (1, 2), (3, 1)]
+
+
+# ---------------------------------------------------------------------------
+# DQ: functional dependency + referential integrity
+# ---------------------------------------------------------------------------
+
+
+def test_fd_violations_finds_only_conflicting_keys(spark):
+    from aws_datalake_spark.operators.dq import fd_violations
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "a"), (2, "b"), (3, None), (3, "c")],
+        "k long, v string",
+    )
+    got = {
+        r.k: (r.n_rhs_values, r.n_rows)
+        for r in fd_violations(df, ["k"], "v").collect()
+    }
+    # key 1: one distinct value (duplicate rows are fine)
+    # key 3: NULL doesn't count as a distinct rhs value (SQL count distinct)
+    assert got == {2: (2, 2)}
+
+
+def test_fd_violations_composite_lhs(spark):
+    from aws_datalake_spark.operators.dq import fd_violations
+
+    df = spark.createDataFrame(
+        [(1, 1, "x"), (1, 2, "y"), (1, 2, "z")], "a long, b long, v string"
+    )
+    got = [(r.a, r.b) for r in fd_violations(df, ["a", "b"], "v").collect()]
+    assert got == [(1, 2)]
+
+
+def test_ri_violations_orphans_and_null_exemption(spark):
+    from aws_datalake_spark.operators.dq import ri_violations
+
+    child = spark.createDataFrame(
+        [(1,), (1,), (2,), (9,), (9,), (9,), (None,)], "fk long"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    got = {r.fk: r.n_orphans for r in ri_violations(child, parent, "fk", "pk").collect()}
+    assert got == {9: 3}  # NULL fk exempt; matched keys absent
+
+
+# ---------------------------------------------------------------------------
+# winnowing match stage
+# ---------------------------------------------------------------------------
+
+
+def test_winnow_matches_finds_copies_and_caps_hot_fps(spark):
+    from aws_datalake_spark.operators.dedup import winnow_matches
+
+    # 1 & 2 share a long run; 3 is unrelated; 4..9 all share one
+    # boilerplate run whose fingerprints exceed max_df and must not
+    # mint pairs on their own
+    run = "alpha beta gamma delta epsilon zeta eta theta"
+    boiler = "one two three four five six seven eight"
+    rows = [
+        (1, run + " tail1 x y z"),
+        (2, run + " tail2 p q r"),
+        (3, "completely different words entirely here now okay fine"),
+    ] + [(10 + i, boiler + f" unique{i} a b c") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b)
+        for r in winnow_matches(df, min_shared=2, max_df=3).collect()
+    }
+    assert (1, 2) in got
+    # boilerplate-only pairs are suppressed by the max_df cap
+    assert not any(a >= 10 and b >= 10 for a, b in got)
