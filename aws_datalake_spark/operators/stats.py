@@ -67,3 +67,52 @@ def exact_corr(
         (vx > 0) & (vy > 0), cov / (F.sqrt(vx) * F.sqrt(vy))
     )
     return agg.select(*gcols, "n", corr.alias("corr"))
+
+
+def exact_corr_matrix(
+    df: DataFrame,
+    cols: dict[str, Column],
+) -> DataFrame:
+    """Full pairwise Pearson correlation matrix in ONE aggregate:
+    ``(col_x, col_y, n, corr)`` for every unordered pair of the named
+    integral columns. All k sums, k square-sums, and k·(k−1)/2 cross
+    sums accumulate in the same map-combinable pass (DECIMAL(38,0),
+    order-independent — see :func:`exact_corr`); the matrix rows are
+    exploded from the single aggregate row, so the input is scanned
+    exactly once however many pairs are requested. One-pass
+    multi-statistic profiling for wide numeric tables.
+    """
+    names = list(cols)
+    longs = {c: cols[c].cast("long") for c in names}
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in names:
+        aggs.append(F.sum(_dec(longs[c])).alias(f"__s_{c}"))
+        aggs.append(F.sum(_dec(longs[c] * longs[c])).alias(f"__q_{c}"))
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            aggs.append(F.sum(_dec(longs[a] * longs[b])).alias(f"__x_{a}_{b}"))
+    agg = df.agg(*aggs)
+    n = _dec(F.col("__n"))
+
+    def corr(a: str, b: str) -> Column:
+        sx, sy = F.col(f"__s_{a}"), F.col(f"__s_{b}")
+        vx = (n * F.col(f"__q_{a}") - sx * sx).cast("double")
+        vy = (n * F.col(f"__q_{b}") - sy * sy).cast("double")
+        cov = (n * F.col(f"__x_{a}_{b}") - sx * sy).cast("double")
+        return F.when((vx > 0) & (vy > 0), cov / (F.sqrt(vx) * F.sqrt(vy)))
+
+    pairs = F.array(*[
+        F.struct(
+            F.lit(a).alias("col_x"),
+            F.lit(b).alias("col_y"),
+            corr(a, b).alias("corr"),
+        )
+        for i, a in enumerate(names)
+        for b in names[i + 1:]
+    ])
+    return agg.select(F.col("__n").alias("n"), F.explode(pairs).alias("p")).select(
+        F.col("p.col_x").alias("col_x"),
+        F.col("p.col_y").alias("col_y"),
+        F.col("n").cast("long").alias("n"),
+        F.col("p.corr").alias("corr"),
+    )

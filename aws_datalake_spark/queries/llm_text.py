@@ -1416,3 +1416,59 @@ def llm_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return occ.join(F.broadcast(phrase.select("phrase")), how="cross").select(
         "doc_id", "pos", "phrase"
     )
+
+
+# ---------------------------------------------------------------------------
+# language-ID eval: confusion matrix + exact-rational accuracy
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "llm_lang_id_eval",
+    oracle=f"""
+    WITH pred AS (
+      SELECT lang AS true_lang, {_lang_case_sql()} AS predicted_lang
+      FROM documents
+    ),
+    cm AS (
+      SELECT true_lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pred GROUP BY 1, 2
+    )
+    SELECT true_lang, predicted_lang, n,
+           CAST(SUM(CASE WHEN true_lang = predicted_lang THEN n ELSE 0 END)
+                  OVER () AS DOUBLE)
+             / SUM(n) OVER () AS overall_accuracy
+    FROM cm
+    """,
+)
+def llm_lang_id_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID eval harness: confusion matrix of the marker-word
+    classifier against the fixture's true `lang` labels, plus overall
+    accuracy as a double quotient of exact integer counts (same-value
+    on every row — the eval-summary convention that keeps one result
+    schema). The windowed totals run over the |langs|² confusion
+    table, never the corpus. Completes the eval-harness family
+    (retrieval: llm_ann_recall; dedup: llm_lsh_recall_curve)."""
+    from pyspark.sql import Window
+
+    from aws_datalake_spark.operators.text import lang_id
+
+    d = t(spark, sf_dir, "documents")
+    cm = (
+        d.select(
+            F.col("lang").alias("true_lang"),
+            lang_id("text").alias("predicted_lang"),
+        )
+        .groupBy("true_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy()
+    correct = F.sum(
+        F.when(F.col("true_lang") == F.col("predicted_lang"), F.col("n")).otherwise(
+            F.lit(0)
+        )
+    ).over(w)
+    return cm.select(
+        "true_lang", "predicted_lang", "n",
+        (correct.cast("double") / F.sum("n").over(w)).alias("overall_accuracy"),
+    )

@@ -1242,3 +1242,158 @@ def q_conversion_time_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n.join(med, "cohort_day").join(p90, "cohort_day").select(
         "cohort_day", "n_converted", "median_delay_sec", "p90_delay_sec"
     )
+
+
+# ---------------------------------------------------------------------------
+# one-pass correlation matrix over lineitem numerics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_correlation_matrix",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(l_quantity AS BIGINT) AS qty,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_c,
+             CAST(ROUND(l_discount * 100) AS BIGINT) AS disc_c,
+             CAST(ROUND(l_tax * 100) AS BIGINT) AS tax_c
+      FROM lineitem
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(CAST(qty AS HUGEINT)) AS s_qty,
+             SUM(CAST(price_c AS HUGEINT)) AS s_price,
+             SUM(CAST(disc_c AS HUGEINT)) AS s_disc,
+             SUM(CAST(tax_c AS HUGEINT)) AS s_tax,
+             SUM(CAST(qty AS HUGEINT) * qty) AS q_qty,
+             SUM(CAST(price_c AS HUGEINT) * price_c) AS q_price,
+             SUM(CAST(disc_c AS HUGEINT) * disc_c) AS q_disc,
+             SUM(CAST(tax_c AS HUGEINT) * tax_c) AS q_tax,
+             SUM(CAST(qty AS HUGEINT) * price_c) AS x_qty_price,
+             SUM(CAST(qty AS HUGEINT) * disc_c) AS x_qty_disc,
+             SUM(CAST(qty AS HUGEINT) * tax_c) AS x_qty_tax,
+             SUM(CAST(price_c AS HUGEINT) * disc_c) AS x_price_disc,
+             SUM(CAST(price_c AS HUGEINT) * tax_c) AS x_price_tax,
+             SUM(CAST(disc_c AS HUGEINT) * tax_c) AS x_disc_tax
+      FROM m
+    ),
+    pairs AS (
+      SELECT 'qty' AS col_x, 'price_c' AS col_y, n,
+             x_qty_price AS sxy, s_qty AS sx, s_price AS sy,
+             q_qty AS sxx, q_price AS syy FROM s
+      UNION ALL SELECT 'qty', 'disc_c', n, x_qty_disc, s_qty, s_disc,
+             q_qty, q_disc FROM s
+      UNION ALL SELECT 'qty', 'tax_c', n, x_qty_tax, s_qty, s_tax,
+             q_qty, q_tax FROM s
+      UNION ALL SELECT 'price_c', 'disc_c', n, x_price_disc, s_price,
+             s_disc, q_price, q_disc FROM s
+      UNION ALL SELECT 'price_c', 'tax_c', n, x_price_tax, s_price,
+             s_tax, q_price, q_tax FROM s
+      UNION ALL SELECT 'disc_c', 'tax_c', n, x_disc_tax, s_disc, s_tax,
+             q_disc, q_tax FROM s
+    )
+    SELECT col_x, col_y, CAST(n AS BIGINT) AS n,
+           CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                        * SQRT(CAST(n * syy - sy * sy AS DOUBLE)))
+           END AS corr
+    FROM pairs
+    """,
+)
+def q_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass pairwise correlation matrix
+    (operators/stats.py:exact_corr_matrix) over four lineitem
+    numerics (quantity + price/discount/tax in exact cents): every
+    sum, square-sum, and cross-sum accumulates in a SINGLE
+    map-combinable aggregate — one corpus scan for all 6 pairs — and
+    the matrix rows explode from the one aggregate row. Pairs are
+    emitted in declaration order on both sides."""
+    from aws_datalake_spark.operators.stats import exact_corr_matrix
+
+    li = t(spark, sf_dir, "lineitem")
+    return exact_corr_matrix(
+        li,
+        {
+            "qty": F.col("l_quantity"),
+            "price_c": F.round(F.col("l_extendedprice") * 100, 0),
+            "disc_c": F.round(F.col("l_discount") * 100, 0),
+            "tax_c": F.round(F.col("l_tax") * 100, 0),
+        },
+    )
+
+
+# ---------------------------------------------------------------------------
+# winsorized (robust) mean per group at exact [p05, p95]
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_winsorized_mean",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag AS g,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v
+      FROM lineitem
+    ),
+    r AS (
+      SELECT g, v,
+             ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rn,
+             COUNT(*) OVER (PARTITION BY g) AS n
+      FROM m
+    ),
+    qs AS (
+      SELECT g,
+             MAX(CASE WHEN rn = CAST(FLOOR(0.05 * (n - 1)) AS BIGINT) + 1
+                      THEN v END) AS p05,
+             MAX(CASE WHEN rn = CAST(FLOOR(0.95 * (n - 1)) AS BIGINT) + 1
+                      THEN v END) AS p95
+      FROM r GROUP BY g
+    )
+    SELECT m.g AS l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           qs.p05 AS p05_cents, qs.p95 AS p95_cents,
+           CAST(SUM(LEAST(GREATEST(m.v, qs.p05), qs.p95)) AS DOUBLE)
+             / COUNT(*) AS winsorized_mean_cents
+    FROM m JOIN qs ON qs.g = m.g
+    GROUP BY m.g, qs.p05, qs.p95
+    """,
+)
+def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (winsorized) mean per returnflag: extended price in
+    exact cents clipped at the group's EXACT p05/p95 (histogram-
+    narrowing by-group quantiles, no global sort), then a plain
+    integer-sum mean — the clipped sum is an exact integer, so the
+    mean is a double quotient of exact integers. Two narrowing
+    passes + one clip-aggregate scan; the broadcast quantile table
+    is |groups|-sized."""
+    from aws_datalake_spark.operators.order_stats import exact_quantile_by_group
+
+    li = t(spark, sf_dir, "lineitem")
+    m = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("v"),
+    )
+    p05 = exact_quantile_by_group(m, "g", "v", 0.05, direct_threshold=20000)
+    p95 = exact_quantile_by_group(m, "g", "v", 0.95, direct_threshold=20000)
+    qs = F.broadcast(
+        p05.withColumnRenamed("quantile", "p05").join(
+            p95.withColumnRenamed("quantile", "p95"), "g"
+        )
+    )
+    clipped = F.least(F.greatest(F.col("v"), F.col("p05")), F.col("p95"))
+    return (
+        m.join(qs, "g")
+        .groupBy(F.col("g").alias("l_returnflag"), "p05", "p95")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(clipped).cast("double") / F.count(F.lit(1))).alias(
+                "winsorized_mean_cents"
+            ),
+        )
+        .select(
+            "l_returnflag", "n",
+            F.col("p05").alias("p05_cents"), F.col("p95").alias("p95_cents"),
+            "winsorized_mean_cents",
+        )
+    )

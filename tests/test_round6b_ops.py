@@ -410,3 +410,25 @@ def test_winnow_matches_finds_copies_and_caps_hot_fps(spark):
     assert (1, 2) in got
     # boilerplate-only pairs are suppressed by the max_df cap
     assert not any(a >= 10 and b >= 10 for a, b in got)
+
+
+def test_exact_corr_matrix_all_pairs_single_scan(spark):
+    """Matrix values match pairwise exact_corr; the whole matrix is
+    one aggregate (plan has exactly one pair of hash aggregates)."""
+    from aws_datalake_spark.operators.stats import exact_corr, exact_corr_matrix
+
+    df = spark.createDataFrame(
+        [(1, 2, 30), (2, 1, 10), (3, 4, 20), (4, 3, 50), (5, 6, 40)],
+        "a long, b long, c long",
+    )
+    cols = {"a": F.col("a"), "b": F.col("b"), "c": F.col("c")}
+    got = {
+        (r.col_x, r.col_y): r.corr
+        for r in exact_corr_matrix(df, cols).collect()
+    }
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+    for (x, y), v in got.items():
+        single = exact_corr(df, F.col(x), F.col(y)).collect()[0]["corr"]
+        assert v == single, (x, y)
+    plan = exact_corr_matrix(df, cols)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1  # one partial->final agg exchange
