@@ -1397,3 +1397,117 @@ def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             "winsorized_mean_cents",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 2-D skyline: best-value parts (max size, min price)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_skyline_parts",
+    oracle="""
+    WITH m AS (
+      SELECT p_partkey, p_size,
+             CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_c
+      FROM part
+    )
+    SELECT a.p_partkey, CAST(a.p_size AS BIGINT) AS p_size, a.price_c
+    FROM m a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM m b
+      WHERE b.p_size >= a.p_size AND b.price_c <= a.price_c
+        AND (b.p_size > a.p_size OR b.price_c < a.price_c)
+    )
+    """,
+)
+def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (operators/skyline.py:skyline_2d, Börzsönyi et al.
+    ICDE 2001 semantics): parts Pareto-optimal on (size high, price
+    low). The operator buckets by size, kills cross-bucket dominance
+    with one B-row suffix-max broadcast, and finishes each bucket
+    with two partitioned windows — no quadratic NOT-EXISTS anywhere
+    (the oracle states the naive definition; the plan never runs
+    it). Price is negated cents so both axes maximize."""
+    from aws_datalake_spark.operators.skyline import skyline_2d
+
+    p = t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("long").alias("p_size"),
+        F.round(F.col("p_retailprice") * 100, 0).cast("long").alias("price_c"),
+    )
+    return skyline_2d(p, F.col("p_size"), -F.col("price_c")).select(
+        "p_partkey", "p_size", "price_c"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit conformance (fraud/synthetic-data smell test)
+# ---------------------------------------------------------------------------
+
+# log10(1 + 1/d), d = 1..9, rounded to 12 places — shared LITERALS on
+# both engines (no runtime log)
+_BENFORD = [
+    0.301029995664, 0.176091259056, 0.124938736608, 0.096910013008,
+    0.079181246048, 0.066946789631, 0.057991946978, 0.051152522447,
+    0.045757490561,
+]
+
+
+@query(
+    "q_benford_digits",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ),
+    c AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(COUNT(*)) OVER () AS total
+      FROM d GROUP BY 1
+    ),
+    exp AS (
+      SELECT * FROM (VALUES
+        {', '.join(f'({i + 1}, {v!r})' for i, v in enumerate(_BENFORD))})
+        AS t(digit, expected_frac)
+    )
+    SELECT c.digit, c.n,
+           CAST(c.n AS DOUBLE) / CAST(c.total AS BIGINT) AS observed_frac,
+           CAST(exp.expected_frac AS DOUBLE) AS expected_frac,
+           CAST(c.n AS DOUBLE) / CAST(c.total AS BIGINT)
+             - CAST(exp.expected_frac AS DOUBLE) AS deviation
+    FROM c JOIN exp USING (digit)
+    """,
+)
+def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit conformance of order totals — the classic
+    fraud / synthetic-data smell test: observed first-digit fractions
+    (exact-integer quotients) against the log10(1+1/d) expectation
+    shipped as shared literals (no runtime transcendental, so both
+    engines agree bit-for-bit). First digit comes from the
+    integer-cents string, which formats identically everywhere. One
+    map-combinable aggregate into 9 cells."""
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("string"), 1, 1
+    ).cast("long")
+    o = t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    c = o.groupBy(digit.alias("digit")).agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window
+
+    total = F.sum("n").over(Window.partitionBy())
+    exp = F.broadcast(
+        o.sparkSession.createDataFrame(
+            [(i + 1, v) for i, v in enumerate(_BENFORD)],
+            "digit long, expected_frac double",
+        )
+    )
+    obs = F.col("n").cast("double") / F.col("total")
+    return (
+        c.withColumn("total", total)
+        .join(exp, "digit")
+        .select(
+            "digit", "n", obs.alias("observed_frac"), "expected_frac",
+            (obs - F.col("expected_frac")).alias("deviation"),
+        )
+    )

@@ -432,3 +432,47 @@ def test_exact_corr_matrix_all_pairs_single_scan(spark):
         assert v == single, (x, y)
     plan = exact_corr_matrix(df, cols)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1  # one partial->final agg exchange
+
+
+# ---------------------------------------------------------------------------
+# 2-D skyline
+# ---------------------------------------------------------------------------
+
+
+def _brute_skyline(points):
+    out = []
+    for p in points:
+        dominated = any(
+            q[0] >= p[0] and q[1] >= p[1] and (q[0] > p[0] or q[1] > p[1])
+            for q in points
+        )
+        if not dominated:
+            out.append(p)
+    return sorted(out)
+
+
+def test_skyline_2d_matches_bruteforce(spark):
+    from aws_datalake_spark.operators.skyline import skyline_2d
+
+    rng = random.Random(13)
+    pts = [(rng.randint(0, 100), rng.randint(0, 100)) for _ in range(300)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = sorted(
+        (r.x, r.y)
+        for r in skyline_2d(df, F.col("x"), F.col("y"), n_buckets=7).collect()
+    )
+    assert got == _brute_skyline(pts)
+
+
+def test_skyline_2d_ties_and_duplicates(spark):
+    """Equal points are mutually non-dominating (both survive);
+    a point equal in one dim and worse in the other is dominated."""
+    from aws_datalake_spark.operators.skyline import skyline_2d
+
+    pts = [(5, 5), (5, 5), (5, 4), (4, 5), (6, 1), (1, 6)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = sorted(
+        (r.x, r.y)
+        for r in skyline_2d(df, F.col("x"), F.col("y"), n_buckets=2).collect()
+    )
+    assert got == [(1, 6), (5, 5), (5, 5), (6, 1)]
