@@ -309,7 +309,9 @@ def exact_weighted_quantile(
     base = df.select(
         F.col(col).alias("v"), F.col(weight_col).cast("long").alias("w")
     ).where(F.col("v").isNotNull() & F.col("w").isNotNull() & (F.col("w") > 0))
-    lo, hi, total = base.agg(F.min("v"), F.max("v"), F.sum("w")).collect()[0]
+    lo, hi, total, n = base.agg(
+        F.min("v"), F.max("v"), F.sum("w"), F.count("v")
+    ).collect()[0]
     if total is None:
         raise ValueError("exact_weighted_quantile: empty input")
     # smallest cumulative weight that reaches the q-fraction of W
@@ -318,7 +320,6 @@ def exact_weighted_quantile(
         target = 1  # q=0 → minimum value
     cur = base
     for _ in range(max_rounds):
-        n = cur.count()
         if n <= direct_threshold or lo == hi:
             break
         width = (float(hi) - float(lo)) / n_bins
@@ -329,26 +330,35 @@ def exact_weighted_quantile(
                 F.floor((F.col("v") - F.lit(float(lo))) / F.lit(width)).cast("int"),
             ),
         )
+        # ONE action per round: per-bin weight + row count + actual
+        # value range, all from the same histogram scan (the bin's
+        # own min/max give the tightened next-round range)
         hist = (
-            cur.groupBy(bin_col.alias("b")).agg(F.sum("w").alias("c")).collect()
+            cur.groupBy(bin_col.alias("b"))
+            .agg(
+                F.sum("w").alias("c"),
+                F.count("v").alias("cnt"),
+                F.min("v").alias("blo"),
+                F.max("v").alias("bhi"),
+            )
+            .collect()
         )
-        counts = {r["b"]: r["c"] for r in hist}
+        cells = {r["b"]: r for r in hist}
         acc = 0
         target_bin = n_bins - 1
         for b in range(n_bins):
-            c = counts.get(b, 0)
+            r = cells.get(b)
+            c = r["c"] if r is not None else 0
             if acc + c >= target:
                 target_bin = b
                 break
             acc += c
         target -= acc
         cur = cur.where(bin_col == target_bin)
-        # tighten to the ACTUAL surviving range (narrows faster than
-        # the arithmetic bucket edges when the bucket is sparse)
-        row = cur.agg(F.min("v"), F.max("v")).collect()[0]
-        lo, hi = row[0], row[1]
-        if lo is None:  # cannot happen: target weight is inside the bucket
+        r = cells.get(target_bin)
+        if r is None:  # cannot happen: target weight is inside the bucket
             raise RuntimeError("exact_weighted_quantile: lost the target bucket")
+        lo, hi, n = r["blo"], r["bhi"], r["cnt"]
     from pyspark.sql import Window
 
     wsum = Window.orderBy("vv").rowsBetween(Window.unboundedPreceding, 0)
@@ -407,6 +417,13 @@ def exact_weighted_quantile_by_group(
         )
         .collect()
     ):
+        if r["__g"] is None:
+            # a NULL group key cannot ride the create_map narrowing
+            # maps; fail loudly instead of silently dropping the group
+            raise ValueError(
+                "exact_weighted_quantile_by_group: NULL group key — "
+                "filter or fill the group column first"
+            )
         target = -((-int(r["tw"]) * q_num) // q_den) or 1
         stats[r["__g"]] = {
             "lo": float(r["lo"]), "hi": float(r["hi"]),
@@ -469,11 +486,18 @@ def exact_weighted_quantile_by_group(
         )
     from pyspark.sql import Window
 
-    is_str = isinstance(next(iter(stats)), str)
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    # schema from the ACTUAL group-column type (a one-sample
+    # isinstance sniff would mistype e.g. date keys)
+    g_type = base.schema["__g"].dataType
     t_tbl = F.broadcast(
         df.sparkSession.createDataFrame(
             [(g, s["target"]) for g, s in stats.items()],
-            f"__g {'string' if is_str else 'long'}, __target long",
+            StructType([
+                StructField("__g", g_type),
+                StructField("__target", LongType()),
+            ]),
         )
     )
     w = Window.partitionBy("__g").orderBy("vv")
@@ -591,13 +615,18 @@ def exact_quantile_by_group(
         )
     from pyspark.sql import Window
 
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    # schema from the ACTUAL group-column type (same rule as
+    # exact_weighted_quantile_by_group; a one-sample isinstance sniff
+    # would mistype e.g. date keys)
     k_tbl = F.broadcast(
         df.sparkSession.createDataFrame(
-            [(g, s["k"]) for g, s in stats.items()], "__g string, __k long"
-        )
-        if isinstance(next(iter(stats)), str)
-        else df.sparkSession.createDataFrame(
-            [(g, s["k"]) for g, s in stats.items()], "__g long, __k long"
+            [(g, s["k"]) for g, s in stats.items()],
+            StructType([
+                StructField("__g", base.schema["__g"].dataType),
+                StructField("__k", LongType()),
+            ]),
         )
     )
     w = Window.partitionBy("__g").orderBy("v")

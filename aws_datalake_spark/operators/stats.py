@@ -84,21 +84,27 @@ def exact_corr_matrix(
     """
     names = list(cols)
     longs = {c: cols[c].cast("long") for c in names}
+    # internal aliases are POSITIONAL ("__s_0", "__x_0_1"): aliases
+    # built from user column names would collide for names containing
+    # underscores (cols {"a","b_c"} vs {"a_b","c"})
+    idx = {c: i for i, c in enumerate(names)}
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in names:
-        aggs.append(F.sum(_dec(longs[c])).alias(f"__s_{c}"))
-        aggs.append(F.sum(_dec(longs[c] * longs[c])).alias(f"__q_{c}"))
+        aggs.append(F.sum(_dec(longs[c])).alias(f"__s_{idx[c]}"))
+        aggs.append(F.sum(_dec(longs[c] * longs[c])).alias(f"__q_{idx[c]}"))
     for i, a in enumerate(names):
         for b in names[i + 1:]:
-            aggs.append(F.sum(_dec(longs[a] * longs[b])).alias(f"__x_{a}_{b}"))
+            aggs.append(
+                F.sum(_dec(longs[a] * longs[b])).alias(f"__x_{idx[a]}_{idx[b]}")
+            )
     agg = df.agg(*aggs)
     n = _dec(F.col("__n"))
 
     def corr(a: str, b: str) -> Column:
-        sx, sy = F.col(f"__s_{a}"), F.col(f"__s_{b}")
-        vx = (n * F.col(f"__q_{a}") - sx * sx).cast("double")
-        vy = (n * F.col(f"__q_{b}") - sy * sy).cast("double")
-        cov = (n * F.col(f"__x_{a}_{b}") - sx * sy).cast("double")
+        sx, sy = F.col(f"__s_{idx[a]}"), F.col(f"__s_{idx[b]}")
+        vx = (n * F.col(f"__q_{idx[a]}") - sx * sx).cast("double")
+        vy = (n * F.col(f"__q_{idx[b]}") - sy * sy).cast("double")
+        cov = (n * F.col(f"__x_{idx[a]}_{idx[b]}") - sx * sy).cast("double")
         return F.when((vx > 0) & (vy > 0), cov / (F.sqrt(vx) * F.sqrt(vy)))
 
     pairs = F.array(*[

@@ -837,6 +837,11 @@ def phrase_occurrences(
     rarest word's postings, not the corpus.
     """
     words = [c for c in phrase.columns if c.startswith("w_")]
+    # single-phrase contract: with >1 row the per-word broadcast
+    # pruning would mix words from different phrases and report
+    # positions matching NEITHER phrase — fail loudly instead
+    if len(phrase.limit(2).collect()) != 1:
+        raise ValueError("phrase_occurrences: phrase must be exactly one row")
     out = None
     for i, wc in enumerate(words):
         p = (

@@ -476,3 +476,67 @@ def test_skyline_2d_ties_and_duplicates(spark):
         for r in skyline_2d(df, F.col("x"), F.col("y"), n_buckets=2).collect()
     )
     assert got == [(1, 6), (5, 5), (5, 5), (6, 1)]
+
+
+# ---------------------------------------------------------------------------
+# review-fix regressions
+# ---------------------------------------------------------------------------
+
+
+def test_corr_matrix_underscore_names_no_alias_collision(spark):
+    """cols {'a','b_c'} and {'a_b','c'} would both alias __x_a_b_c
+    under name-based aliases; positional aliases must disambiguate."""
+    from aws_datalake_spark.operators.stats import exact_corr_matrix
+
+    df = spark.createDataFrame(
+        [(1, 2, 3, 4), (2, 4, 5, 9), (3, 5, 8, 1)],
+        "a long, b_c long, a_b long, c long",
+    )
+    cols = {n: F.col(n) for n in ("a", "b_c", "a_b", "c")}
+    got = exact_corr_matrix(df, cols).collect()
+    assert len(got) == 6
+    assert all(r["corr"] is not None for r in got)
+
+
+def test_weighted_quantile_by_group_null_key_raises(spark):
+    from aws_datalake_spark.operators.order_stats import (
+        exact_weighted_quantile_by_group,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1, 1), (None, 2, 1)], "g string, v long, w long"
+    )
+    with pytest.raises(ValueError, match="NULL group key"):
+        exact_weighted_quantile_by_group(df, "g", "v", "w", 1, 2)
+
+
+def test_quantile_by_group_date_typed_keys(spark):
+    """Non-str/non-long group keys (dates) must round-trip through
+    the broadcast rank table."""
+    import datetime as _dt
+
+    from aws_datalake_spark.operators.order_stats import exact_quantile_by_group
+
+    d1, d2 = _dt.date(2024, 1, 1), _dt.date(2024, 1, 2)
+    df = spark.createDataFrame(
+        [(d1, 1), (d1, 5), (d1, 9), (d2, 4)], "g date, v long"
+    )
+    got = {
+        r.g: r.quantile
+        for r in exact_quantile_by_group(df, "g", "v", 0.5).collect()
+    }
+    assert got == {d1: 5, d2: 4}
+
+
+def test_phrase_occurrences_multi_row_phrase_raises(spark):
+    from aws_datalake_spark.operators.text import (
+        phrase_occurrences,
+        positional_postings,
+    )
+
+    docs = spark.createDataFrame([(1, "a y c")], "doc_id long, text string")
+    phrase = spark.createDataFrame(
+        [("a", "b", "c"), ("x", "y", "z")], "w_1 string, w_2 string, w_3 string"
+    )
+    with pytest.raises(ValueError, match="exactly one row"):
+        phrase_occurrences(positional_postings(docs), phrase)
