@@ -153,6 +153,16 @@ HEADLINE = [
     "q_rolling_active_days",
     "llm_decontam_excise",
     "llm_phrase_search",
+    "st_interval_join_outer",
+    "llm_winnow_matches",
+    "q_fd_violations",
+    "q_ri_violations",
+    "q_conversion_time_quantiles",
+    "llm_lang_id_eval",
+    "q_correlation_matrix",
+    "q_winsorized_mean",
+    "q_skyline_parts",
+    "q_benford_digits",
 ]
 
 
