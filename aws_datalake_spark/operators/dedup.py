@@ -627,17 +627,20 @@ def winnow_fingerprints(
         " ", *[F.element_at(F.col("__toks"), i + j + 1) for j in range(k)]
     )
     # guard: Spark's sequence(0, stop) REVERSES when stop < 0, so an
-    # under-k-token doc must short-circuit to an empty hash array
-    hs = toks.select(
+    # under-k-token doc must short-circuit to an empty hash array.
+    # The no-gram filter is the CHEAP equivalent predicate n_tok >= k,
+    # NOT size(__hs) >= 1: a filter phrased on __hs inlines the whole
+    # md5 transform and Catalyst pushes it below the spread() exchange
+    # onto the 1-partition scan — the entire gram hashing then runs
+    # twice, once single-threaded (measured 9.2 s -> 1.3 s at sf0.1,
+    # PERF.md §18; same family as the trigram pushdown trap).
+    hs = toks.where(n_tok >= k).select(
         id_col,
-        F.when(
-            n_tok >= k,
-            F.transform(
-                F.sequence(F.lit(0), n_tok - k),
-                lambda i: hash60(gram(i)),
-            ),
-        ).otherwise(F.array().cast("array<long>")).alias("__hs"),
-    ).where(F.size("__hs") >= 1)
+        F.transform(
+            F.sequence(F.lit(0), n_tok - k),
+            lambda i: hash60(gram(i)),
+        ).alias("__hs"),
+    )
     n_gram = F.size(F.col("__hs"))
     # windows start at 0-based i for i < max(G - w + 1, 1); each is
     # min over the w hashes from i (slice is 1-based, clamped at G)
@@ -758,10 +761,17 @@ def winnow_matches(
     fan-out capped at max_df²/2; shared_fps counts are exact
     integers, so the report is hash-checkable. Recall caveat mirrors
     ngram_jaccard_pairs(max_df=...): a pair sharing ONLY
-    hotter-than-cap fingerprints is missed.
+    hotter-than-cap fingerprints is missed. The fingerprint frame is
+    materialized once (_truncate) — it feeds the df count and both
+    self-join sides, which would otherwise re-tokenize the corpus
+    per reference (the triangle-count lesson, PERF.md §16).
     """
-    fps = winnow_fingerprints(df, text_col, id_col, k, w).select(
-        F.col(id_col).alias("__id"), "fp"
+    from aws_datalake_spark.operators.dedup_cluster import _truncate
+
+    fps = _truncate(
+        winnow_fingerprints(df, text_col, id_col, k, w).select(
+            F.col(id_col).alias("__id"), "fp"
+        )
     )
     freq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__df"))
     rare = fps.join(freq.where(F.col("__df") <= int(max_df)), "fp").select(

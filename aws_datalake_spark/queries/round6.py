@@ -1019,7 +1019,7 @@ def q_rolling_active_days(spark: SparkSession, sf_dir: str) -> DataFrame:
 # winnowing match stage (near-dup pairs on selected fingerprints)
 # ---------------------------------------------------------------------------
 
-_WM_MINSH, _WM_MAXDF = 2, 20
+_WM_MINSH, _WM_MAXDF = 2, 8
 
 
 @query(
@@ -1068,9 +1068,11 @@ _WM_MINSH, _WM_MAXDF = 2, 20
 def llm_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing MATCH stage (operators/dedup.py:winnow_matches) over
     the seeded near-dup corpus: pairs sharing >= 2 selected
-    fingerprints, candidates restricted to fingerprints with df <= 20
+    fingerprints, candidates restricted to fingerprints with df <= 8
     (min-selection skews fp frequency, so the hot-fp cap matters
-    more than for raw grams). Seeded copies share nearly every
+    more than for raw grams; df<=8 keeps all 60 seeded pairs on this
+    fixture while cutting candidates 6x — df<=4 loses 16). The
+    fingerprint frame is materialized once. Seeded copies share nearly every
     fingerprint, so true pairs provably surface; exact shared counts
     hash-match the SQL twin."""
     from aws_datalake_spark.operators.dedup import winnow_matches

@@ -602,3 +602,43 @@ def test_sequence_ngrams_single_user_exchange(spark):
     ]
     user_ex = [l for l in ex if "user_id" in l]
     assert len(user_ex) == 1
+
+
+def test_winnow_hash_transform_stays_above_spread_exchange(spark):
+    """PERF §18: the no-gram filter must be the cheap token-count
+    predicate — a filter phrased on the hash array inlines the md5
+    transform and Catalyst pushes it below the spread() exchange onto
+    the 1-partition scan (9.2 s -> 1.3 s at sf0.1 when fixed). The
+    plan prints outer-first: no md5 may appear on or below the
+    RoundRobin exchange."""
+    import aws_datalake_spark.operators.dedup_cluster as dc
+    from aws_datalake_spark.operators.dedup import winnow_fingerprints
+
+    # capture the frame handed to the materialization barrier — that
+    # plan (not the post-checkpoint one) is what actually executes
+    # the gram hashing; note the barrier ALSO shields against
+    # InferFiltersFromGenerate re-deriving an md5 filter from the
+    # downstream explode, so the pre-barrier plan is the right gate
+    captured = []
+    orig = dc._truncate
+
+    def capture(df):
+        captured.append(df)
+        return orig(df)
+
+    dc._truncate = capture
+    try:
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        winnow_fingerprints(docs)
+    finally:
+        dc._truncate = orig
+    assert captured
+    # the captured frame already executed (localCheckpoint), so AQE
+    # prints Final + Initial sections — gate the Final one only
+    plan = _plan(captured[0]).split("== Initial Plan ==")[0]
+    lines = plan.splitlines()
+    ex = [i for i, l in enumerate(lines) if "RoundRobinPartitioning" in l]
+    assert ex, "spread() exchange missing"
+    assert any("md5" in l for l in lines[: min(ex)]), "hashing not above exchange"
+    below = "\n".join(lines[min(ex):])
+    assert "md5" not in below
