@@ -470,3 +470,60 @@ def cross_rerank(
     return candidates.mapInPandas(
         batches, f"{id_col} long, rerank_score double"
     )
+
+
+def mutual_nearest_neighbors(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+) -> DataFrame:
+    """Mutual-nearest-neighbor pairs within blocks — the embedding-
+    alignment / bitext-mining primitive (two items pair only when
+    each is the other's top-1 cosine neighbor): ``(id_a, id_b,
+    cosine)`` with ``id_a < id_b``.
+
+    SCALE: the pair join is BLOCKED on ``block_col`` (here a label; a
+    coarse k-means cell or LSH bucket at corpus scale — same recall
+    logic as the banded near-dup path), so work is Σ block², never
+    corpus². Top-1 per item via one per-block window with id
+    tie-break; mutuality is a self-join of the |items|-sized top-1
+    table on the reversed pair. Norms fold once per row below the
+    join.
+    """
+    v = df.select(
+        F.col(block_col).alias("__blk"),
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__vec"),
+    ).withColumn("__n", l2_norm(F.col("__vec")))
+    a = v.select(
+        "__blk", F.col("__id").alias("id_a"),
+        F.col("__vec").alias("__va"), F.col("__n").alias("__na"),
+    )
+    b = v.select(
+        "__blk", F.col("__id").alias("id_b"),
+        F.col("__vec").alias("__vb"), F.col("__n").alias("__nb"),
+    )
+    scored = (
+        a.join(b, "__blk")
+        .where(F.col("id_a") != F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            (dot(F.col("__va"), F.col("__vb"))
+             / (F.col("__na") * F.col("__nb"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("id_a").orderBy(F.desc("cos"), "id_b")
+    top1 = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("id_a", "id_b", "cos")
+    )
+    rev = top1.select(
+        F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+    )
+    return (
+        top1.join(rev, ["id_a", "id_b"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round("cos", 6).alias("cosine"))
+    )

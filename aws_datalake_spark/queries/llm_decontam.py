@@ -138,3 +138,114 @@ def llm_decontam_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_df = d.filter(F.col("doc_id") % 41 == 0).select("doc_id", "text")
     corpus = d.filter(F.col("doc_id") % 41 != 0).select("doc_id", "text")
     return excise_contaminated_spans(corpus, eval_df, n=3)
+
+
+@query(
+    "llm_corpus_pipeline_v3",
+    oracle=f"""
+    WITH ev_docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 41 = 0),
+    corpus AS (SELECT doc_id, source, text FROM documents
+               WHERE doc_id % 41 <> 0),
+    ev AS (SELECT DISTINCT s FROM ({_shingles_sql('ev_docs')})),
+    tk AS (SELECT doc_id, {_TOKS} AS t FROM corpus),
+    pg AS (
+      SELECT doc_id, u.p, u.s FROM (
+        SELECT doc_id, unnest(list_transform(t, (x, i) ->
+                 CASE WHEN i + 2 <= len(t)
+                      THEN struct_pack(p := i,
+                             s := t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END))
+               AS u
+        FROM tk)
+      WHERE u IS NOT NULL
+    ),
+    hit AS (SELECT pg.doc_id, pg.p FROM pg JOIN ev USING (s)),
+    rm AS (
+      SELECT DISTINCT doc_id, p + o AS i
+      FROM hit, (SELECT unnest([0, 1, 2]) AS o)
+    ),
+    rml AS (SELECT doc_id, list(i) AS rm FROM rm GROUP BY doc_id),
+    ex AS (
+      SELECT tk.doc_id,
+             CAST(len(t) AS BIGINT) AS n_tokens,
+             CAST(COALESCE(len(rm), 0) AS BIGINT) AS n_removed,
+             COALESCE(array_to_string(
+               list_filter(t, (x, i) ->
+                 rm IS NULL OR NOT list_contains(rm, i)), ' '), '')
+               AS clean_text
+      FROM tk LEFT JOIN rml ON rml.doc_id = tk.doc_id
+    ),
+    kept AS (
+      SELECT * FROM ex WHERE n_tokens - n_removed >= 5
+    ),
+    rep AS (
+      SELECT MIN(doc_id) AS doc_id, clean_text,
+             CAST(COUNT(*) AS BIGINT) AS n_copies
+      FROM kept GROUP BY clean_text
+    )
+    SELECT c.source,
+           CAST(COUNT(*) AS BIGINT) AS n_in,
+           CAST(SUM(CASE WHEN e.n_removed > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contaminated,
+           CAST(SUM(CASE WHEN e.n_tokens - e.n_removed < 5
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+           CAST(COUNT(r.doc_id) AS BIGINT) AS n_final,
+           CAST(COALESCE(SUM(CASE WHEN r.doc_id IS NOT NULL
+                             THEN length(e.clean_text) END), 0) AS BIGINT)
+             AS final_chars
+    FROM corpus c
+    JOIN ex e ON e.doc_id = c.doc_id
+    LEFT JOIN rep r ON r.doc_id = c.doc_id
+    GROUP BY c.source
+    """,
+)
+def llm_corpus_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-5 curation chain composed end-to-end: span-level
+    eval-set excision (excise_contaminated_spans) → minimum-length
+    quality gate on the SURVIVING token count → exact dedup of the
+    cleaned texts (min-id representative) → per-source release
+    report (docs in / contaminated / dropped-short / final /
+    released chars — all exact integers). Each stage is individually
+    oracle-verified (llm_decontam_excise, llm_exact_dedup); this
+    query proves the composition hash-matches the same chain in
+    SQL, clean-text bytes included."""
+    from aws_datalake_spark.operators.decontam import excise_contaminated_spans
+
+    d = t(spark, sf_dir, "documents")
+    eval_df = d.filter(F.col("doc_id") % 41 == 0).select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 41 != 0).select(
+        "doc_id", "source", "text"
+    )
+    ex = excise_contaminated_spans(
+        corpus.select("doc_id", "text"), eval_df, n=3
+    )
+    kept = ex.where(F.col("n_tokens") - F.col("n_removed") >= 5)
+    rep = kept.groupBy("clean_text").agg(F.min("doc_id").alias("__rep"))
+    marked = (
+        corpus.select("doc_id", "source")
+        .join(ex, "doc_id")
+        .join(
+            rep.select(F.col("__rep").alias("doc_id"), F.lit(1).alias("__is_rep")),
+            "doc_id",
+            "left",
+        )
+    )
+    return marked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_in"),
+        F.sum(F.when(F.col("n_removed") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_contaminated"),
+        F.sum(
+            F.when(F.col("n_tokens") - F.col("n_removed") < 5, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_short"),
+        F.sum(F.coalesce("__is_rep", F.lit(0))).cast("long").alias("n_final"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("__is_rep") == 1, F.length("clean_text"))
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("final_chars"),
+    )

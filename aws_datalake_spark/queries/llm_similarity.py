@@ -964,3 +964,42 @@ def llm_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / ((n_d * n_d) * F.lit(_FP2))
         ).alias("variance"),
     )
+
+
+# ---------------------------------------------------------------------------
+# mutual nearest neighbors (embedding alignment / bitext-mining shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "llm_mutual_nn",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+               FROM embeddings),
+    scored AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {_cos('a.v', 'b.v')} AS cos
+      FROM e a JOIN e b
+        ON a.label = b.label AND a.vec_id <> b.vec_id),
+    top1 AS (
+      SELECT id_a, id_b, cos FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY id_a
+                                     ORDER BY cos DESC, id_b) AS rn
+        FROM scored)
+      WHERE rn = 1)
+    SELECT t.id_a, t.id_b, ROUND(t.cos, 6) AS cosine
+    FROM top1 t JOIN top1 r ON r.id_a = t.id_b AND r.id_b = t.id_a
+    WHERE t.id_a < t.id_b
+    """,
+)
+def llm_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-nearest-neighbor pairs
+    (operators/similarity.py:mutual_nearest_neighbors): two vectors
+    pair only when each is the other's top-1 cosine neighbor — the
+    embedding-alignment / bitext-mining primitive, blocked on the
+    label column so pair work is Σ block² (swap in a k-means cell or
+    LSH bucket at corpus scale). Mutuality via a self-join of the
+    |items|-sized top-1 table; deterministic id tie-break."""
+    from aws_datalake_spark.operators.similarity import mutual_nearest_neighbors
+
+    return mutual_nearest_neighbors(_emb_double(spark, sf_dir))
