@@ -1472,3 +1472,92 @@ def llm_lang_id_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "true_lang", "predicted_lang", "n",
         (correct.cast("double") / F.sum("n").over(w)).alias("overall_accuracy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# rank-biased overlap between per-source top-term lists (exact p=1/2)
+# ---------------------------------------------------------------------------
+
+# RBO@10 truncated, p = 1/2 (Webber et al., TOIS 2010):
+# rbo = (1-p) * sum_{d=1..K} p^(d-1) * |A_1..d ∩ B_1..d| / d.
+# A shared term with ranks (ra, rb) joins every prefix d >= max(ra,rb),
+# so its total contribution is the SUFFIX weight S[max(ra, rb)] —
+# precomputed as exact integers at scale lcm(1..10) * 2^9 (every
+# scale/(d*2^(d-1)) divides evenly). rbo = sum(S)/(2*scale): a double
+# quotient of exact integers, no float powers anywhere.
+_RBO_K = 10
+_RBO_SCALE = 1290240
+_RBO_S = {1: 1788440, 2: 498200, 3: 175640, 4: 68120, 5: 27800,
+          6: 11672, 7: 4952, 8: 2072, 9: 812, 10: 252}
+
+_RBO_S_SQL = "CASE m " + " ".join(
+    f"WHEN {m} THEN {w}" for m, w in _RBO_S.items()
+) + " END"
+
+
+@query(
+    "llm_rbo_top_terms",
+    oracle=f"""
+    WITH tc AS (
+      SELECT source, w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        SELECT source, unnest({_TOKS}) AS w FROM documents)
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT source, w,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY cnt DESC, w) AS r
+      FROM tc
+    ),
+    top AS (SELECT source, w, r FROM ranked WHERE r <= {_RBO_K}),
+    shared AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             GREATEST(a.r, b.r) AS m
+      FROM top a JOIN top b ON a.w = b.w AND a.source < b.source
+    )
+    SELECT source_a, source_b,
+           CAST(SUM({_RBO_S_SQL}) AS BIGINT) AS rbo_scaled,
+           CAST(SUM({_RBO_S_SQL}) AS DOUBLE) / {2 * _RBO_SCALE} AS rbo
+    FROM shared GROUP BY 1, 2
+    """,
+)
+def llm_rbo_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber et al. 2010; truncated RBO@10 at
+    p = 1/2) between every source pair's top-term lists — the
+    top-weighted list-similarity metric vocabulary drift reports
+    need (plain set overlap ignores rank). A shared term contributes
+    the SUFFIX weight of its worse rank, precomputed as exact
+    integers at scale lcm(1..10)·2^9, so the metric is a double
+    quotient of exact integers — no float powers. The pair join runs
+    on the sources×10 top-term table, never the corpus."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    tc = (
+        d.select("source", F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("cnt"), "w")
+    top = (
+        tc.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= _RBO_K)
+        .select("source", "w", "r")
+    )
+    a = top.select(F.col("source").alias("source_a"), "w", F.col("r").alias("ra"))
+    b = top.select(F.col("source").alias("source_b"), "w", F.col("r").alias("rb"))
+    s_map = F.create_map(
+        *[x for m, wt in _RBO_S.items() for x in (F.lit(m), F.lit(wt))]
+    )
+    shared = (
+        a.join(b, "w")
+        .where(F.col("source_a") < F.col("source_b"))
+        .select(
+            "source_a", "source_b",
+            s_map[F.greatest("ra", "rb")].alias("__s"),
+        )
+    )
+    return shared.groupBy("source_a", "source_b").agg(
+        F.sum("__s").cast("long").alias("rbo_scaled"),
+        (F.sum("__s").cast("double") / (2 * _RBO_SCALE)).alias("rbo"),
+    )
