@@ -167,6 +167,33 @@ _R5_PRIORITY = (
 )
 
 
+# Round-6 window pin (VERDICT r05 item 1): the 37 never-green names
+# (32 round-5-session additions that have never had a driver window +
+# the 5 declared rows-only queries that re-run every round) must ALL
+# land in slots 0-36; queries added mid-round-6 sort after them and
+# take the 13 spare slots. Without this pin a new llm_* registered
+# this round would sort (family 2) ahead of the pinned q_* tail and
+# could displace e.g. q_benford_digits out of slot <= 49.
+_R6_PRIORITY = (
+    # rows-only by design — re-run each window, never hash-green
+    "st_distinct_users_hll", "llm_bpe_merges", "llm_quality_classifier",
+    "llm_kmeans_cells", "llm_ann_pq_topk",
+    # 32 never-windowed round-5-session additions (VERDICT r05 list)
+    "llm_rbo_top_terms", "llm_lsh_recall_curve", "llm_decontam_excise",
+    "llm_corpus_pipeline_v3", "llm_ann_recall", "llm_embedding_stats",
+    "llm_mutual_nn", "st_interval_join_outer", "llm_winnow_fingerprints",
+    "llm_source_similarity_sketch", "llm_weighted_length_quantiles",
+    "llm_weighted_median_by_source", "llm_winnow_matches",
+    "q_session_journeys", "q_countmin_frequencies", "q_quantile_sketch",
+    "q_trigram_substring_search", "q_graph_pagerank", "q_kmv_distinct_docs",
+    "q_triangle_count", "q_event_sequences", "q_correlation_exact",
+    "q_shard_skew_gini", "q_session_incident_overlap",
+    "q_rolling_active_days", "q_fd_violations", "q_ri_violations",
+    "q_conversion_time_quantiles", "q_correlation_matrix",
+    "q_winsorized_mean", "q_skyline_parts", "q_benford_digits",
+)
+
+
 def _driver_green_names() -> set[str]:
     """Query names with a fully-green row in any prior round's driver
     artifact (rows+schema+hash all matched)."""
@@ -203,6 +230,7 @@ def driver_ordered_queries() -> dict[str, QueryFn]:
     r3_rank = {n: i for i, n in enumerate(_R3_PRIORITY)}
     r4_rank = {n: i for i, n in enumerate(_R4_PRIORITY)}
     r5_rank = {n: i for i, n in enumerate(_R5_PRIORITY)}
+    r6_rank = {n: i for i, n in enumerate(_R6_PRIORITY)}
     order = {n: i for i, n in enumerate(reg)}
 
     def key(name: str) -> tuple:
@@ -220,6 +248,8 @@ def driver_ordered_queries() -> dict[str, QueryFn]:
             family = 3
         return (
             name in green,
+            name not in r6_rank,
+            r6_rank.get(name, 0),
             name not in r5_rank,
             r5_rank.get(name, 0),
             name not in r4_rank,
