@@ -246,6 +246,12 @@ def ngram_jaccard_pairs(
     """
     from aws_datalake_spark.operators.dedup_cluster import _truncate
 
+    if max_df is not None and prefix_filter:
+        raise ValueError(
+            "ngram_jaccard_pairs: max_df and prefix_filter are mutually "
+            "exclusive candidate-generation strategies; pick one"
+        )
+
     # materialized once: both explode sides and the prefix path read
     # the same shingle table, and the explode does not re-evaluate
     # the shingle transform per gram (see source_overlap note)

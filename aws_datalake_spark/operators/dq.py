@@ -401,11 +401,18 @@ def fd_violations(
     The standard schema-inference / conformance primitive the
     expectation suite lacks: uniqueness is FD(key → every column);
     this checks any declared dependency directly.
+
+    NULL counts as its own RHS value (ADVICE r05 #5): a key mapping
+    to {NULL, 'x'} reports n_rhs_values = 2 and IS flagged —
+    ``countDistinct`` alone ignores NULLs and would silently pass
+    it. Implemented as countDistinct(rhs) + max(rhs IS NULL),
+    avoiding any coalesce-sentinel collision with real data.
     """
+    has_null = F.max(F.when(F.col(rhs).isNull(), 1).otherwise(0))
     return (
         df.groupBy(*lhs)
         .agg(
-            F.countDistinct(rhs).alias("n_rhs_values"),
+            (F.countDistinct(rhs) + has_null).alias("n_rhs_values"),
             F.count(F.lit(1)).alias("n_rows"),
         )
         .where(F.col("n_rhs_values") > 1)

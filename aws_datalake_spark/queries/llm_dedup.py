@@ -186,8 +186,8 @@ def llm_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 6) AS jaccard
     FROM com JOIN sizes sa ON sa.doc_id = id_a
              JOIN sizes sb ON sb.doc_id = id_b
-    WHERE CAST(n_common AS DOUBLE)
-          / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.2
+    WHERE ROUND(CAST(n_common AS DOUBLE)
+          / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 6) >= 0.2
     """,
 )
 def llm_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -527,13 +527,18 @@ comt AS (
   FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
   GROUP BY x.doc_id, y.doc_id),
 truth AS (
+  -- ROUND(j, 6) BEFORE the threshold and the decile so both engines
+  -- share the same boundary arithmetic: the Spark side
+  -- (ngram_jaccard_pairs) rounds to 6 dp before its >= filter, and a
+  -- pair within 5e-7 of a decile/threshold boundary would otherwise
+  -- classify differently across engines (ADVICE r05 #1).
   SELECT id_a, id_b,
-         CAST(n_common AS DOUBLE)
-           / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS j
+         ROUND(CAST(n_common AS DOUBLE)
+           / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 6) AS j
   FROM comt JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
-  WHERE CAST(n_common AS DOUBLE)
-        / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.2),
+  WHERE ROUND(CAST(n_common AS DOUBLE)
+        / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 6) >= 0.2),
 lsh_pairs AS (
   SELECT t.id_a, t.id_b FROM truth t
   JOIN cand ON cand.id_a = t.id_a AND cand.id_b = t.id_b),

@@ -96,15 +96,20 @@ def ref_fixed_width_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     sources/readers.py:read_fixed_width (substring+trim+cast — pure
     codegen, no Python). Rounds out the interchange matrix alongside
     CSV/TSV/pipe/JSON/XML/ORC; the parse distributes per line split
-    like any text scan."""
+    like any text scan. The name field is sized from the data
+    (rpad silently TRUNCATES over-width values — ADVICE r05 #3): one
+    bounded max-length aggregate picks the width, so 'UNITED
+    KINGDOM'-length names roundtrip byte-exactly too."""
     from aws_datalake_spark.sources.readers import read_fixed_width
 
     n = t(spark, sf_dir, "nation")
+    max_len = n.agg(F.max(F.length("n_name")).alias("w")).collect()[0]["w"]
+    name_w = max(12, int(max_len or 1))
     tmp = scratch_dir(prefix="fixed_width_")
     n.select(
         F.concat(
             F.rpad(F.col("n_nationkey").cast("string"), 6, " "),
-            F.rpad(F.col("n_name"), 12, " "),
+            F.rpad(F.col("n_name"), name_w, " "),
             F.rpad(F.col("n_regionkey").cast("string"), 4, " "),
         ).alias("value")
     ).write.mode("overwrite").text(tmp)
@@ -113,8 +118,8 @@ def ref_fixed_width_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         tmp,
         [
             ("n_nationkey", 1, 6, "int"),
-            ("n_name", 7, 12, "string"),
-            ("n_regionkey", 19, 4, "int"),
+            ("n_name", 7, name_w, "string"),
+            ("n_regionkey", 7 + name_w, 4, "int"),
         ],
     )
 

@@ -1099,9 +1099,13 @@ def llm_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE o_orderkey % 97 = 0 AND o_orderstatus <> 'X'
     )
     SELECT o_orderkey,
-           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_rhs_values,
+           CAST(COUNT(DISTINCT o_orderstatus)
+                + MAX(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_rhs_values,
            CAST(COUNT(*) AS BIGINT) AS n_rows
-    FROM seeded GROUP BY 1 HAVING COUNT(DISTINCT o_orderstatus) > 1
+    FROM seeded GROUP BY 1
+    HAVING COUNT(DISTINCT o_orderstatus)
+           + MAX(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) > 1
     """,
 )
 def q_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:

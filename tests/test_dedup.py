@@ -62,3 +62,16 @@ def test_ngram_jaccard_max_df_prunes_hot_grams_keeps_rare_pairs(spark):
     # surviving pairs' jaccard values match the exact path everywhere
     for k, v in capped.items():
         assert full[k] == v, k
+
+
+def test_ngram_jaccard_rejects_max_df_with_prefix_filter(spark):
+    """max_df and prefix_filter are different candidate-generation
+    strategies; asking for both must fail loudly instead of silently
+    taking the max_df path (ADVICE r05 #4)."""
+    import pytest
+
+    from aws_datalake_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        ngram_jaccard_pairs(df, max_df=5, prefix_filter=True)

@@ -351,7 +351,8 @@ def test_fd_violations_finds_only_conflicting_keys(spark):
     from aws_datalake_spark.operators.dq import fd_violations
 
     df = spark.createDataFrame(
-        [(1, "a"), (1, "a"), (2, "a"), (2, "b"), (3, None), (3, "c")],
+        [(1, "a"), (1, "a"), (2, "a"), (2, "b"), (3, None), (3, "c"),
+         (4, None), (4, None)],
         "k long, v string",
     )
     got = {
@@ -359,8 +360,10 @@ def test_fd_violations_finds_only_conflicting_keys(spark):
         for r in fd_violations(df, ["k"], "v").collect()
     }
     # key 1: one distinct value (duplicate rows are fine)
-    # key 3: NULL doesn't count as a distinct rhs value (SQL count distinct)
-    assert got == {2: (2, 2)}
+    # key 3: NULL counts as its own rhs value (ADVICE r05 #5) — a key
+    #        mapping to {NULL, 'c'} violates the dependency
+    # key 4: all-NULL is still a single value — not a violation
+    assert got == {2: (2, 2), 3: (2, 2)}
 
 
 def test_fd_violations_composite_lhs(spark):
