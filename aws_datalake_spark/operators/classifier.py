@@ -167,6 +167,9 @@ def sanity_auc(scored: DataFrame, labels: DataFrame,
     from pyspark.sql import Window
 
     j = scored.join(labels.select(id_col, label_col), id_col)
+    # frame bound: the LABELED eval set (a join against hand/heuristic
+    # labels) — bounded by annotation budget, never corpus-sized
+    # (r05 sweep)
     ranked = j.withColumn(
         "r", F.row_number().over(Window.orderBy("quality_score", id_col))
     )

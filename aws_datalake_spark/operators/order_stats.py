@@ -361,6 +361,9 @@ def exact_weighted_quantile(
         lo, hi, n = r["blo"], r["bhi"], r["cnt"]
     from pyspark.sql import Window
 
+    # frame bound: distinct values INSIDE the final narrowed bucket
+    # only — the histogram-narrowing loop above has already pinned
+    # the bucket below the scan-count threshold (r05 sweep)
     wsum = Window.orderBy("vv").rowsBetween(Window.unboundedPreceding, 0)
     rows = (
         cur.groupBy(F.col("v").alias("vv"))

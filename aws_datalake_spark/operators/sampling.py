@@ -431,6 +431,9 @@ def waterfill_budget(
     """
     if (budget is None) == (budget_frac is None):
         raise ValueError("waterfill_budget: pass exactly one of budget / budget_frac")
+    # frame bound: one row per allocation KEY (source/domain — the
+    # thing budgets are set over), not per document; thousands at
+    # most, so the unpartitioned sort window is safe (r05 sweep)
     w_sort = Window.orderBy(avail_col, key_col)
     w_all = Window.partitionBy(F.lit(1))
     s = (
@@ -663,6 +666,8 @@ def stratified_eval_split(
         .withColumn("__base", F.expr("__num div __tot").cast("long"))
         .withColumn("__rem", F.expr("__num % __tot").cast("long"))
     )
+    # frame bound: one row per STRATUM (the grouped counts table) —
+    # bounded by the stratification key's cardinality (r05 sweep)
     rank_w = Window.orderBy(F.desc("__rem"), *strata)
     alloc = (
         counts.withColumn("__extra_rank", F.row_number().over(rank_w))

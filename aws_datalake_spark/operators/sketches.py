@@ -293,6 +293,8 @@ def histogram_quantiles(
     from pyspark.sql import Window
 
     gcols = list(group_cols or [])
+    # frame bound: n_bins rows per group (the histogram itself) —
+    # never the input table (r05 sweep)
     w = (
         Window.partitionBy(*gcols).orderBy("bin")
         if gcols else Window.partitionBy().orderBy("bin")
@@ -426,6 +428,9 @@ def kmv_sketch(
         .where(F.col("__rn") <= k)
         .drop("__pid", "__rn")
     )
+    # frame bound: w1 already pruned to k rows PER INPUT PARTITION,
+    # so this merge window sees <= n_partitions * k rows per group —
+    # never the full hashed input (r05 sweep)
     w2 = Window.partitionBy(*gcols).orderBy("h") if gcols else (
         Window.partitionBy().orderBy("h")
     )

@@ -46,6 +46,8 @@ def skyline_2d(
     b = base.withColumn("__b", ((F.col("__x") - int(lo)) / width).cast("long"))
     # suffix max of per-bucket max y over STRICTLY higher buckets
     per_bucket = b.groupBy("__b").agg(F.max("__y").alias("__by"))
+    # frame bound: n_buckets rows (the per-bucket maxima), a
+    # constructor constant — never the input table (r05 sweep)
     w_suffix = (
         Window.orderBy("__b").rowsBetween(1, Window.unboundedFollowing)
     )

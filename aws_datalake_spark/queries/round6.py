@@ -451,6 +451,9 @@ def q_kmv_distinct_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = kmv_estimate(sk, _KMV_K, ["source"]).select(
         F.col("source").alias("scope"), "n_kept", "n_distinct_est"
     )
+    # frame bound: the UNION OF SKETCHES, <= n_sources * k rows (each
+    # per-source sketch is already capped at k) — never the documents
+    # table (r05 sweep)
     merged = (
         sk.select("h").distinct()
         .withColumn(
@@ -806,6 +809,7 @@ def q_shard_skew_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     shards = d.groupBy(
         (hash60(F.col("doc_id").cast("string")) % _N_SHARDS).alias("shard")
     ).agg(F.sum("n_chars").cast("long").alias("bytes"))
+    # frame bound: exactly _N_SHARDS rows (the per-shard byte totals)
     w = Window.orderBy("bytes", "shard")
     r = shards.select(
         "bytes",

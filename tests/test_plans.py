@@ -404,15 +404,44 @@ def test_audio_chain_zero_shuffle_mapinpandas(spark):
         assert "ArrowEvalPython" in plan or "MapInPandas" in plan, q.__name__
 
 
-def test_vocab_coverage_window_is_vocab_sized(spark):
-    """VERDICT r03 item 8: llm_vocab_coverage's ranking window runs
-    on the VOCABULARY-sized count table — the corpus tokens shuffle
-    exactly once (the token groupBy); everything after is bounded by
-    |vocab|."""
+def test_vocab_coverage_no_window_distributed_topk(spark):
+    """VERDICT r05 perf-weak #1: llm_vocab_coverage must NOT rank the
+    unbounded distinct-token table through a window at all — the
+    top-10 mass comes from TakeOrderedAndProject (per-partition
+    heaps) and the total from a plain aggregate; a 100 TB corpus has
+    10⁸–10⁹ distinct tokens and a single-task sort of that table is
+    a straggler/OOM."""
     from aws_datalake_spark.queries.llm_text import llm_vocab_coverage
 
     plan = _plan(llm_vocab_coverage(spark, SF_SMOKE))
-    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" not in plan
+    assert "TakeOrderedAndProject" in plan
+    # corpus tokens shuffle exactly once (the token groupBy); the
+    # two one-row scalar frames join without any keyed exchange
+    assert plan.count("Exchange hashpartitioning") <= 2  # counts agg (+reuse)
+
+
+def test_build_vocab_window_sees_only_topk_rows(spark):
+    """build_vocab's dense-id ranking window must sit ABOVE the
+    distributed top-k limit: no unpartitioned WindowExec may consume
+    the unbounded token-count frame (VERDICT r05 perf-weak #1). In
+    the physical tree (printed top-down) every Window node therefore
+    appears BEFORE (above) the TakeOrderedAndProject that bounds its
+    input at top_k rows."""
+    from aws_datalake_spark.queries.llm_text import llm_build_vocab
+
+    plan = _plan(llm_build_vocab(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    win_pos = [i for i, l in enumerate(plan.splitlines()) if "Window" in l]
+    take_pos = [
+        i for i, l in enumerate(plan.splitlines())
+        if "TakeOrderedAndProject" in l
+    ]
+    assert win_pos, "expected the dense-id ranking window"
+    assert max(win_pos) < min(take_pos), (
+        "ranking window must consume the k-row limited frame, "
+        "not the unbounded token-count table"
+    )
 
 
 def test_source_drift_shuffles_groups_only(spark):
