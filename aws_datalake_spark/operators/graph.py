@@ -16,9 +16,10 @@ Semantics (per iteration, damping d = num/den):
     rank'(v) = base + Σ_{u→v} (rank(u) · num) div (den · outdeg(u))
     base     = (den − num) · scale div (den · N)
 
-Dangling nodes (no out-edges) leak their mass — the standard
-simplification; redistributing it adds one broadcast scalar per
-iteration if needed.
+Dangling nodes (no out-edges) leak their mass by default — the
+standard simplification; ``redistribute_dangling=True`` adds the
+conserving correction (one bounded aggregate + one broadcast scalar
+per iteration), still exact-integer and oracle-checkable.
 
 SCALE (100 TB): each iteration is one shuffle join of the edge
 table with the N-row rank frame on the source key plus one hash
@@ -149,12 +150,24 @@ def pagerank_fixed_point(
     iterations: int = 5,
     scale: int = 10**12,
     damping: tuple[int, int] = (85, 100),
+    redistribute_dangling: bool = False,
 ) -> DataFrame:
     """Ranks after ``iterations`` exact integer power steps:
     ``(node, rank_scaled)`` with Σ rank_scaled ≤ scale (truncation
     and dangling loss only ever shrink mass). Distinct edges are
     assumed (dedupe upstream if parallel edges shouldn't double-
-    count)."""
+    count).
+
+    ``redistribute_dangling=True`` adds the standard dangling-mass
+    correction (what most users expect from "PageRank"): each step,
+    the rank held by nodes with no out-edges is summed (one bounded
+    aggregate — the dangling node SET is precomputed once) and every
+    node receives ``(dangling · num) div (den · N)`` — one broadcast
+    scalar crossJoin per iteration, still exact integer arithmetic,
+    so the conserving variant stays oracle-checkable. Mass is then
+    conserved up to integral-truncation dust: per step the loss is
+    < E + 3N units of 1/scale, so Σ rank_scaled / scale → 1 at any
+    real scale (asserted in tests)."""
     from aws_datalake_spark.operators.dedup_cluster import _truncate
 
     num, den = damping
@@ -173,6 +186,11 @@ def pagerank_fixed_point(
     n_nodes = nodes.count()
     init = scale // n_nodes
     base = (den - num) * scale // (den * n_nodes)
+    dangling = (
+        _truncate(nodes.join(outdeg, "node", "left_anti"))
+        if redistribute_dangling
+        else None
+    )
     rank = nodes.select("node", F.lit(init).cast("long").alias("rank"))
     for _ in range(iterations):
         contrib = (
@@ -185,12 +203,31 @@ def pagerank_fixed_point(
             .groupBy("node")
             .agg(F.sum("__c").alias("__in"))
         )
-        rank = _truncate(
-            nodes.join(contrib, "node", "left").select(
+        new_rank = nodes.join(contrib, "node", "left")
+        if dangling is not None:
+            dang_mass = (
+                rank.join(dangling, "node", "left_semi")
+                .agg(
+                    F.coalesce(F.sum("rank"), F.lit(0))
+                    .cast("long")
+                    .alias("__dm")
+                )
+            )
+            share = F.expr(f"(__dm * {num}) div ({den}L * {n_nodes})")
+            new_rank = new_rank.crossJoin(F.broadcast(dang_mass)).select(
+                "node",
+                (
+                    F.lit(base).cast("long")
+                    + F.coalesce(F.col("__in"), F.lit(0).cast("long"))
+                    + share
+                ).alias("rank"),
+            )
+        else:
+            new_rank = new_rank.select(
                 "node",
                 (F.lit(base).cast("long")
                  + F.coalesce(F.col("__in"), F.lit(0).cast("long"))
                  ).alias("rank"),
             )
-        )
+        rank = _truncate(new_rank)
     return rank.select("node", F.col("rank").alias("rank_scaled"))
