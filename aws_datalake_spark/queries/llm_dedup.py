@@ -192,10 +192,66 @@ def llm_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs via the inverted shingle
-    index (no LSH approximation) — the ground truth the LSH variant
-    is measured against (operators/dedup.py:ngram_jaccard_pairs)."""
+    index (no LSH approximation) — this registered query IS the
+    TRUTH PATH (operators/dedup.py:ngram_jaccard_pairs): it verifies
+    the LSH/minhash production detectors and the llm_lsh_recall_curve
+    eval. Its cost is genuinely Σ_gram df²/2 candidates, quadratic
+    when every gram is hot (the dense-vocab fixture makes that total
+    — the adjudicated 1.24 sf1 exponent in SCALE.md), so it is
+    EXCLUDED from the scaling-exponent gate by design. At 100 TB run
+    the truth side on a sampled panel (deterministic doc_id hash
+    sample, like llm_lsh_recall_curve's seeded panel); the
+    production-bounded path is the max_df-capped twin registered as
+    llm_ngram_jaccard_capped."""
     corpus = _neardup_corpus(spark, sf_dir)
     return ngram_jaccard_pairs(corpus, threshold=0.2)
+
+
+_CAP_DF = 40  # stop-gram cap for the production-bounded twin
+
+
+@query(
+    "llm_ngram_jaccard_capped",
+    oracle=f"""
+    WITH c AS ({_NEARDUP_CORPUS}),
+    sh AS ({_SHINGLES}),
+    freq AS (SELECT s, COUNT(*) AS f FROM sh GROUP BY 1),
+    rare AS (
+      SELECT doc_id, sh.s FROM sh JOIN freq ON freq.s = sh.s
+      WHERE freq.f <= {_CAP_DF}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    com AS (
+      SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS n_common
+      FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+      GROUP BY 1, 2)
+    SELECT com.id_a, com.id_b,
+           ROUND(CAST(n_common AS DOUBLE)
+                 / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 6) AS jaccard
+    FROM com
+    JOIN cand ON cand.id_a = com.id_a AND cand.id_b = com.id_b
+    JOIN sizes sa ON sa.doc_id = com.id_a
+    JOIN sizes sb ON sb.doc_id = com.id_b
+    WHERE ROUND(CAST(n_common AS DOUBLE)
+          / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 6) >= 0.2
+    """,
+)
+def llm_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION-BOUNDED n-gram-Jaccard near-dup pairs: candidates
+    come only from grams with document frequency ≤ max_df (stop-gram
+    cap — per-gram candidate work bounded at K²/2 instead of the
+    truth path's unbounded df²/2), then every candidate is verified
+    EXACTLY on the full shingle arrays, so surviving pairs carry the
+    same exact jaccard as llm_ngram_jaccard_pairs. This is the
+    headline path to run corpus-wide at 100 TB; the documented
+    recall caveat (a qualifying pair whose EVERY shared gram is
+    hotter than K is missed) is pinned by
+    test_dedup.py::test_ngram_jaccard_max_df_prunes_hot_grams_keeps_rare_pairs
+    (VERDICT r05 item 5)."""
+    corpus = _neardup_corpus(spark, sf_dir)
+    return ngram_jaccard_pairs(corpus, threshold=0.2, max_df=_CAP_DF)
 
 
 _SIMHASH_SQL = f"""
