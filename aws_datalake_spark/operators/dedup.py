@@ -792,3 +792,53 @@ def winnow_matches(
         .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
         .where(F.col("shared_fps") >= int(min_shared))
     )
+
+
+def novelty_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """First-occurrence novelty per document: the fraction of a
+    doc's distinct shingles whose FIRST appearance (minimum id over
+    the whole corpus) is this doc — ``(id, n_shingles, n_novel,
+    novelty)``. The corpus-contribution signal data curation orders
+    by: a doc that only restates earlier grams scores ~0, genuinely
+    new material scores ~1 (near-dups of earlier docs are exactly
+    the low scorers). Deterministic: "first" is min(id), not
+    ingestion order.
+
+    SCALE: shingles reduce to 8-byte hash60 values before either
+    aggregate (text never shuffles); one min-by-gram aggregate + one
+    per-doc count — two bounded exchanges, no window, no all-pairs
+    anything.
+    """
+    from aws_datalake_spark.operators.dedup_cluster import _truncate
+    from aws_datalake_spark.operators.text import hash60
+
+    sh = _truncate(
+        with_shingles(df, text_col, id_col, shingle_n)
+        .select(F.col(id_col).alias("__id"), F.explode("__sh").alias("__s"))
+        .select("__id", hash60(F.col("__s")).alias("__h"))
+    )
+    first = sh.groupBy("__h").agg(F.min("__id").alias("__first"))
+    per_doc = (
+        sh.join(first, "__h")
+        .groupBy(F.col("__id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("__first") == F.col("__id"), 1).otherwise(0)
+            ).cast("long").alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        id_col,
+        "n_shingles",
+        "n_novel",
+        F.round(
+            F.col("n_novel").cast("double") / F.col("n_shingles").cast("double"),
+            6,
+        ).alias("novelty"),
+    )

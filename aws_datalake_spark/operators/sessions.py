@@ -111,3 +111,49 @@ def session_stats(
         F.max_by(type_col, order).alias("exit_event"),
         F.countDistinct(type_col).alias("n_event_types"),
     )
+
+
+def transition_matrix(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    state_col: str = "event_type",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key event
+    sequences: ``(from_state, to_state, n, n_from, p)`` where ``p``
+    is the exact conditional probability n / n_from (count of
+    from→to steps over all steps leaving from_state). The
+    clickstream / user-journey model behind next-step prediction and
+    anomaly scoring (improbable transitions).
+
+    EXACTNESS: counts are int64; p is one correctly-rounded divide
+    of exact ints — bit-identical cross-engine.
+
+    SCALE: one per-key window (hash exchange on the key, same shape
+    as sessionize) emits (from, to) steps; the count aggregate is
+    states²-bounded, and the per-from totals come from a second
+    aggregate on the ALREADY states²-sized counts (no second pass
+    over events, no window over anything unbounded).
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    steps = (
+        df.select(
+            F.col(state_col).alias("from_state"),
+            F.lead(state_col).over(w).alias("to_state"),
+        )
+        .where(F.col("to_state").isNotNull())
+    )
+    counts = steps.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.groupBy("from_state").agg(F.sum("n").alias("n_from"))
+    return counts.join(totals, "from_state").select(
+        "from_state",
+        "to_state",
+        F.col("n").cast("long").alias("n"),
+        F.col("n_from").cast("long").alias("n_from"),
+        F.round(
+            F.col("n").cast("double") / F.col("n_from").cast("double"), 6
+        ).alias("p"),
+    )

@@ -527,3 +527,75 @@ def mutual_nearest_neighbors(
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.round("cos", 6).alias("cosine"))
     )
+
+
+def label_centroid_distances(
+    emb: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fp_scale: int = 1 << 20,
+) -> DataFrame:
+    """Pairwise L2 distances between per-label embedding centroids:
+    ``(label_a, label_b, n_a, n_b, dist)`` — the cluster-separation /
+    source-drift report (two labels whose centroids collapse are not
+    separable; a source whose centroid drifts from the rest is
+    distributionally off).
+
+    EXACTNESS: components fix-point to int64 at ``fp_scale``; the
+    per-label sums are exact DECIMAL(38,0). Centroid means are never
+    divided (integer division would truncate differently per
+    engine): the difference is taken over a COMMON denominator —
+    d_k = sa_k·nb − sb_k·na, dist = sqrt(Σ d_k²) / (na·nb·fp) — all
+    exact integers until the final sqrt/divide of correctly-rounded
+    doubles. Bit-identical cross-engine.
+
+    SCALE: one posexplode + one (label, dim) aggregate → labels×dim
+    rows; the pair join runs on labels² × dim rows — both bounded by
+    the label-space size, never by the corpus.
+    """
+    x = emb.select(
+        F.col(label_col).alias("__lbl"),
+        F.posexplode(vec_col).alias("dim", "v"),
+    ).withColumn("xi", F.round(F.col("v") * F.lit(int(fp_scale)), 0).cast("long"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = x.groupBy("__lbl", "dim").agg(
+        F.sum(dec(F.col("xi"))).alias("sx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    a = s.select(
+        F.col("__lbl").alias("label_a"), "dim",
+        F.col("sx").alias("sa"), F.col("n").alias("na"),
+    )
+    b = s.select(
+        F.col("__lbl").alias("label_b"), "dim",
+        F.col("sx").alias("sb"), F.col("n").alias("nb"),
+    )
+    d = (
+        a.join(b, "dim")
+        .where(F.col("label_a") < F.col("label_b"))
+        .withColumn(
+            "__dk",
+            F.col("sa") * dec(F.col("nb")) - F.col("sb") * dec(F.col("na")),
+        )
+        .groupBy("label_a", "label_b")
+        # Σ d_k² stays DECIMAL(38,0): d_k ≤ n·fp·n ≈ 1e18, d_k² ≤
+        # 1e36 < 10^38, and a double Σ would be partition-order
+        # dependent. Cast to double only after the exact sum.
+        .agg(
+            F.sum(F.col("__dk") * F.col("__dk")).alias("__ss"),
+            F.max("na").alias("n_a"),
+            F.max("nb").alias("n_b"),
+        )
+    )
+    denom = (
+        F.col("n_a").cast("double")
+        * F.col("n_b").cast("double")
+        * F.lit(float(fp_scale))
+    )
+    return d.select(
+        "label_a", "label_b",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(F.sqrt(F.col("__ss").cast("double")) / denom, 6).alias("dist"),
+    )

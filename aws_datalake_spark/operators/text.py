@@ -868,3 +868,48 @@ def phrase_occurrences(
         )
         out = p if out is None else out.join(p, [id_col, "__start"])
     return out.select(F.col(id_col), F.col("__start").alias("pos"))
+
+
+_CODE_KEYWORDS = (
+    "def", "class", "import", "return", "function", "var", "const",
+    "public", "void", "include",
+)
+
+
+def code_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    symbol_ratio_min: float = 0.03, keyword_hits_min: int = 2,
+) -> DataFrame:
+    """Code-vs-prose detection features per document:
+    ``(id, n_chars, n_symbols, symbol_ratio, keyword_hits, is_code)``
+    — symbol density over the code-punctuation class ``{}();=[]<>``
+    plus whole-token hits on a fixed keyword list, flagged as code
+    when BOTH the density and keyword fences pass. The standard
+    curation split (code corpora are trained/filtered separately
+    from prose); heuristic by design — swap thresholds per corpus.
+
+    EXACTNESS: counts are exact ints (length arithmetic + one
+    array-intersect), the ratio one correctly-rounded divide —
+    oracle-checkable. SCALE: pure per-row projection, no shuffle,
+    whole-stage codegen end-to-end.
+    """
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    n_symbols = n_chars - F.length(F.regexp_replace(text, r"[{}();=\[\]<>]", ""))
+    kw = F.array(*[F.lit(k) for k in _CODE_KEYWORDS])
+    hits = F.size(F.array_intersect(F.array_distinct(tokens_ws(text)), kw))
+    ratio = F.when(
+        n_chars > 0,
+        F.round(n_symbols.cast("double") / n_chars.cast("double"), 6),
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        id_col,
+        n_chars.cast("long").alias("n_chars"),
+        n_symbols.cast("long").alias("n_symbols"),
+        ratio.alias("symbol_ratio"),
+        hits.cast("long").alias("keyword_hits"),
+        (
+            (ratio >= F.lit(float(symbol_ratio_min)))
+            & (hits >= F.lit(int(keyword_hits_min)))
+        ).alias("is_code"),
+    )

@@ -83,3 +83,177 @@ def test_pagerank_conserving_no_dangling_equals_plain(spark):
         ).collect()
     }
     assert plain == cons
+
+
+# ---------------------------------------------------------------------------
+# chi-square feature selection
+# ---------------------------------------------------------------------------
+
+
+def test_chi2_feature_scores_hand_computed(spark):
+    from aws_datalake_spark.operators.stats import chi2_feature_scores
+
+    # 3 units in the presence table: u1,u2 labeled 1; u3 labeled 0.
+    # feature 'x' present in u1,u2 only  -> strongly discriminative
+    # feature 'y' present in u1,u3       -> weak association
+    rows = [
+        (1, "x", 1), (2, "x", 1),
+        (1, "y", 1), (3, "y", 0),
+    ]
+    df = spark.createDataFrame(rows, "u long, f string, l int")
+    got = {
+        r.feature: (r.a, r.b, r.c, r.d, r.chi2)
+        for r in chi2_feature_scores(df, "u", "f", "l", top_k=10).collect()
+    }
+    # N=3; x: a=2,b=0,c=0,d=1 -> chi2 = 3*(2·1-0)^2/(2*1*2*1) = 3.0
+    assert got["x"] == (2, 0, 0, 1, 3.0)
+    # y: a=1,b=1,c=1,d=0 -> det=-1 -> chi2 = 3*1/(2*1*2*1) = 0.75
+    assert got["y"] == (1, 1, 1, 0, 0.75)
+
+
+def test_chi2_top_k_is_distributed_no_unbounded_window(spark):
+    from aws_datalake_spark.operators.stats import chi2_feature_scores
+
+    rows = [(i, f"f{i % 7}", i % 2) for i in range(100)]
+    df = spark.createDataFrame(rows, "u long, f string, l int")
+    out = chi2_feature_scores(df, "u", "f", "l", top_k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    assert len(out.collect()) == 3
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix
+# ---------------------------------------------------------------------------
+
+
+def test_transition_matrix_exact_probabilities(spark):
+    import datetime
+
+    from aws_datalake_spark.operators.sessions import transition_matrix
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ev(i, u, typ):
+        return (i, t0 + datetime.timedelta(minutes=i), u, typ)
+
+    rows = [
+        ev(1, 1, "a"), ev(2, 1, "b"), ev(3, 1, "a"), ev(4, 1, "c"),
+        ev(5, 2, "a"), ev(6, 2, "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {
+        (r.from_state, r.to_state): (r.n, r.n_from, r.p)
+        for r in transition_matrix(df).collect()
+    }
+    # a->b twice, a->c once (n_from(a)=3); b->a once (n_from(b)=1)
+    assert got[("a", "b")] == (2, 3, round(2 / 3, 6))
+    assert got[("a", "c")] == (1, 3, round(1 / 3, 6))
+    assert got[("b", "a")] == (1, 1, 1.0)
+    # no cross-user transition (user 1's last 'c' never chains to user 2)
+    assert ("c", "a") not in got
+
+
+# ---------------------------------------------------------------------------
+# MAD outliers
+# ---------------------------------------------------------------------------
+
+
+def test_mad_outliers_flags_only_the_wild_rows(spark):
+    from aws_datalake_spark.operators.stats import mad_outliers
+
+    vals = list(range(100, 201)) + [10_000, -5_000]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "id long, v long")
+    out = mad_outliers(df, "v", k=3.5).collect()
+    got = {r.id: (r.v, r.abs_dev) for r in out}
+    assert set(got) == {101, 102}  # only the two seeds
+    r = out[0]
+    # lower median of 103 values is 150; the 52nd sorted deviation
+    # (0,1,1,2,2,...) is 26
+    assert r.median == 150 and r.mad == 26
+
+
+def test_mad_outliers_fence_robust_to_the_outlier_itself(spark):
+    """The defining MAD property: adding one wild value does not
+    move the fence (a stddev fence would widen and can miss it)."""
+    from aws_datalake_spark.operators.stats import mad_outliers
+
+    base = [(i, v) for i, v in enumerate(range(1000, 1101))]
+    df1 = spark.createDataFrame(base, "id long, v long")
+    df2 = spark.createDataFrame(base + [(999, 10**9)], "id long, v long")
+    m1 = mad_outliers(df1, "v").select("median", "mad").limit(1).collect()
+    m2 = mad_outliers(df2, "v").select("median", "mad").limit(1).collect()
+    assert not m1  # clean data: no outliers at all
+    assert m2 and (m2[0].median, m2[0].mad) == (1050, 25)
+
+
+# ---------------------------------------------------------------------------
+# first-occurrence novelty
+# ---------------------------------------------------------------------------
+
+
+def test_novelty_scores_first_occurrence_semantics(spark):
+    from aws_datalake_spark.operators.dedup import novelty_scores
+
+    rows = [
+        (1, "a b c d e"),          # all 3 shingles first here -> 1.0
+        (2, "a b c d e"),          # exact dup of 1 -> 0.0
+        (3, "a b c x y z"),        # shares 'a b c' with doc 1 -> 3/4
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_shingles, r.n_novel, r.novelty)
+        for r in novelty_scores(df).collect()
+    }
+    assert got[1] == (3, 3, 1.0)
+    assert got[2] == (3, 0, 0.0)
+    assert got[3] == (4, 3, 0.75)
+
+
+# ---------------------------------------------------------------------------
+# label centroid distances
+# ---------------------------------------------------------------------------
+
+
+def test_label_centroid_distances_exact_values(spark):
+    from aws_datalake_spark.operators.similarity import label_centroid_distances
+
+    rows = [
+        (1, [0.0, 0.0], 0), (2, [2.0, 0.0], 0),   # centroid (1, 0)
+        (3, [1.0, 3.0], 1), (4, [1.0, 5.0], 1),   # centroid (1, 4)
+        (5, [9.0, 0.0], 2),                       # centroid (9, 0)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    got = {
+        (r.label_a, r.label_b): (r.n_a, r.n_b, r.dist)
+        for r in label_centroid_distances(df).collect()
+    }
+    assert got[(0, 1)] == (2, 2, 4.0)
+    assert got[(0, 2)] == (2, 1, 8.0)
+    assert got[(1, 2)] == (2, 1, round((8**2 + 4**2) ** 0.5, 6))
+
+
+# ---------------------------------------------------------------------------
+# code detection
+# ---------------------------------------------------------------------------
+
+
+def test_code_features_flags_code_not_prose(spark):
+    from aws_datalake_spark.operators.text import code_features
+
+    rows = [
+        (1, "def f(x): return g(x); y = [1]"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "import os ; return None ;"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in code_features(df).collect()}
+    assert got[1].is_code and got[3].is_code
+    assert not got[2].is_code
+    assert got[2].n_symbols == 0 and got[2].keyword_hits == 0
+    # doc 1: symbols ( ) ( ) ; = [ ] -> exactly 8
+    assert got[1].n_symbols == 8
+    assert got[1].keyword_hits == 2  # def, return
