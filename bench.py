@@ -163,6 +163,19 @@ HEADLINE = [
     "q_winsorized_mean",
     "q_skyline_parts",
     "q_benford_digits",
+    # round-5 late additions (ADVICE r05 #2: keep HEADLINE at HEAD)
+    "llm_mutual_nn",
+    "llm_corpus_pipeline_v3",
+    "llm_rbo_top_terms",
+    # round-6 session additions
+    "q_graph_pagerank_conserving",
+    "llm_ngram_jaccard_capped",
+    "llm_chi2_terms",
+    "q_markov_transitions",
+    "q_mad_outliers",
+    "llm_novelty_scores",
+    "llm_label_centroid_drift",
+    "llm_code_detect",
 ]
 
 
