@@ -842,3 +842,100 @@ def novelty_scores(
             6,
         ).alias("novelty"),
     )
+
+
+# --- asymmetric containment (near-superset detection) -------------------------
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    min_shingles: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Directional containment pairs: for ordered (sub, sup),
+    ``containment = |S(sub) ∩ S(sup)| / |S(sub)|`` over distinct
+    word-``shingle_n``-gram sets, emitting every pair with
+    containment ≥ threshold and |S(sub)| ≥ min_shingles. Jaccard is
+    SYMMETRIC and goes to zero when sizes diverge — a tweet quoted
+    inside a long article never trips it; containment is the
+    asymmetric signal dedup pipelines add to catch near-SUPERSET
+    duplication (quotation, concatenation, boilerplate wrapping —
+    Broder's "containment" companion to resemblance).
+
+    Returns ``(id_sub, id_sup, n_sub, n_sup, n_common, containment)``
+    with both orientations of each intersecting pair scored (an
+    A⊂B pair normally qualifies A→B only).
+
+    SCALE: the same inverted-index shape as :func:`ngram_jaccard_pairs`
+    — shingle postings self-join (text never moves; candidate count
+    is Σ_gram df²/2), sizes rejoin per candidate pair; ``max_df=K``
+    applies the identical stop-gram cap (candidates only from grams
+    with df ≤ K, exact verification on the full arrays) for corpora
+    with hot boilerplate grams. min_shingles guards the degenerate
+    tiny-doc case where one shared gram = full containment.
+    """
+    from aws_datalake_spark.operators.dedup_cluster import _truncate
+
+    sh_arr = _truncate(
+        with_shingles(df, text_col, id_col, shingle_n).select(
+            F.col(id_col).alias("__id"), F.col("__sh")
+        )
+    )
+    sizes = sh_arr.select("__id", F.size("__sh").alias("n_sh"))
+    if max_df is not None:
+        sh = sh_arr.select("__id", F.explode("__sh").alias("s"))
+        freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("__f"))
+        rare = sh.join(freq.where(F.col("__f") <= int(max_df)), "s").select(
+            "__id", "s"
+        )
+        cand = (
+            rare.select(F.col("__id").alias("id_sub"), "s")
+            .join(rare.select(F.col("__id").alias("id_sup"), "s"), "s")
+            .filter(F.col("id_sub") != F.col("id_sup"))
+            .select("id_sub", "id_sup")
+            .dropDuplicates(["id_sub", "id_sup"])
+        )
+        cand = cand.join(
+            sh_arr.select(F.col("__id").alias("id_sub"), F.col("__sh").alias("__sa")),
+            "id_sub",
+        ).join(
+            sh_arr.select(F.col("__id").alias("id_sup"), F.col("__sh").alias("__sb")),
+            "id_sup",
+        )
+        scored = cand.select(
+            "id_sub",
+            "id_sup",
+            F.size("__sa").alias("n_sub"),
+            F.size("__sb").alias("n_sup"),
+            F.size(F.array_intersect("__sa", "__sb")).alias("n_common"),
+        )
+    else:
+        sh = sh_arr.select("__id", F.explode("__sh").alias("s"))
+        common = (
+            sh.select(F.col("__id").alias("id_sub"), "s")
+            .join(sh.select(F.col("__id").alias("id_sup"), "s"), "s")
+            .filter(F.col("id_sub") != F.col("id_sup"))
+            .groupBy("id_sub", "id_sup")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+        scored = common.join(
+            sizes.select(F.col("__id").alias("id_sub"), F.col("n_sh").alias("n_sub")),
+            "id_sub",
+        ).join(
+            sizes.select(F.col("__id").alias("id_sup"), F.col("n_sh").alias("n_sup")),
+            "id_sup",
+        )
+    return (
+        scored.filter(F.col("n_sub") >= int(min_shingles))
+        .withColumn(
+            "containment",
+            F.round(
+                F.col("n_common").cast("double") / F.col("n_sub").cast("double"), 6
+            ),
+        )
+        .filter(F.col("containment") >= float(threshold))
+        .select("id_sub", "id_sup", "n_sub", "n_sup", "n_common", "containment")
+    )

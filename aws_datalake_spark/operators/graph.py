@@ -231,3 +231,93 @@ def pagerank_fixed_point(
             )
         rank = _truncate(new_rank)
     return rank.select("node", F.col("rank").alias("rank_scaled"))
+
+
+def pagerank_keyed(
+    edges: DataFrame,
+    nodes: DataFrame,
+    key: str = "key",
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    scale: int = 10**9,
+    damping: tuple[int, int] = (85, 100),
+) -> DataFrame:
+    """PageRank run independently inside EVERY key group at once —
+    millions of small graphs in one distributed plan (TextRank over
+    per-document sentence graphs is the canonical use). Same exact
+    scaled-integer semantics as :func:`pagerank_fixed_point`
+    (dangling mass leaks — the TextRank simplification), but every
+    scalar that was a driver value there (node count N, init, base)
+    becomes a per-key COLUMN here: no ``count()``, no broadcast
+    scalar, nothing driver-side at all.
+
+    ``nodes`` must list every (key, node) vertex — including
+    isolated ones, which hold their base rank; ``edges`` must be
+    distinct (key, src, dst) rows.
+
+    SCALE: per iteration, one join of edges with the rank frame on
+    (key, src) and one aggregate on (key, dst) — both hash-partition
+    by the SAME compound key, so AQE coalesces them into co-located
+    exchanges; state is |vertices| rows regardless of iteration
+    count, and lineage is cut per step. Never a per-key collect or a
+    driver loop over keys.
+    """
+    from aws_datalake_spark.operators.dedup_cluster import _truncate
+
+    num, den = damping
+    if not (0 < num < den):
+        raise ValueError(f"damping must satisfy 0 < num < den, got {damping}")
+    e = edges.select(
+        F.col(key).alias("__k"), F.col(src).alias("__src"), F.col(dst).alias("__dst")
+    )
+    node_col = next(c for c in nodes.columns if c != key)
+    v = _truncate(
+        nodes.select(F.col(key).alias("__k"), F.col(node_col).alias("node"))
+    )
+    counts = v.groupBy("__k").agg(F.count(F.lit(1)).alias("__n"))
+    v = _truncate(
+        v.join(counts, "__k").select(
+            "__k",
+            "node",
+            F.expr(f"{scale}L div __n").alias("__init"),
+            F.expr(f"{(den - num) * scale}L div ({den}L * __n)").alias("__base"),
+        )
+    )
+    outdeg = _truncate(
+        e.groupBy("__k", F.col("__src").alias("node")).agg(
+            F.count(F.lit(1)).alias("outdeg")
+        )
+    )
+    rank = v.select("__k", "node", F.col("__init").cast("long").alias("rank"))
+    for _ in range(iterations):
+        contrib = (
+            e.join(
+                rank.withColumnRenamed("node", "__src"),
+                ["__k", "__src"],
+            )
+            .join(
+                outdeg.withColumnRenamed("node", "__src"),
+                ["__k", "__src"],
+            )
+            .select(
+                "__k",
+                F.col("__dst").alias("node"),
+                F.expr(f"(rank * {num}) div ({den}L * outdeg)").alias("__c"),
+            )
+            .groupBy("__k", "node")
+            .agg(F.sum("__c").alias("__in"))
+        )
+        rank = _truncate(
+            v.join(contrib, ["__k", "node"], "left").select(
+                "__k",
+                "node",
+                (
+                    F.col("__base").cast("long")
+                    + F.coalesce(F.col("__in"), F.lit(0).cast("long"))
+                ).alias("rank"),
+            )
+        )
+    return rank.select(
+        F.col("__k").alias(key), "node", F.col("rank").alias("rank_scaled")
+    )

@@ -203,6 +203,164 @@ def chi2_feature_scores(
     return scored.orderBy(F.desc("chi2"), "feature").limit(int(top_k))
 
 
+def exact_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Exact ROC AUC via the tie-corrected Mann-Whitney rank-sum:
+    ``(by…, n_pos, n_neg, auc)`` — the standard scalar for "how well
+    does this score rank positives above negatives" (quality /
+    lang-ID / classifier eval without picking a threshold).
+
+        AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺ · n⁻)
+
+    with R⁺ the sum of the positives' AVERAGE ranks (ties share the
+    mean of their rank range — the Mann-Whitney convention, equal to
+    counting ties as half-wins). Average ranks are half-integers, so
+    the whole computation runs on DOUBLED ranks: for a score value
+    with ``cum`` rows strictly below it and ``cnt`` rows tied at it,
+    2·avg_rank = 2·cum + cnt + 1 — exact integers end-to-end, summed
+    in DECIMAL(38,0); the single inexact step is the final divide.
+
+    SCALE: the input collapses to one row per DISTINCT score value
+    (``score_col`` must be exactly groupable — integral counts,
+    fixed-point ints) before the only window runs; the window frame
+    is therefore bounded by the score's value DOMAIN (e.g. ≤ a few
+    hundred for a token-count score), never by corpus rows — the
+    same discipline as the vocab-window fix (VERDICT r05). Per-group
+    AUCs partition that window by the group keys.
+    """
+    gcols = list(by or [])
+    from pyspark.sql import Window
+
+    per = (
+        df.select(
+            *gcols,
+            F.col(score_col).alias("__s"),
+            F.col(label_col).cast("int").alias("__l"),
+        )
+        .groupBy(*gcols, "__s")
+        .agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.sum("__l").cast("long").alias("__np"),
+        )
+    )
+    w = (
+        Window.partitionBy(*gcols)
+        .orderBy("__s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = per.select(
+        *gcols,
+        "__cnt",
+        "__np",
+        F.coalesce(F.sum("__cnt").over(w), F.lit(0).cast("long")).alias("__cum"),
+    )
+    # Σ over values of n⁺(value) · 2·avg_rank(value), exact
+    r2 = _dec(F.col("__np")) * _dec(
+        2 * F.col("__cum") + F.col("__cnt") + 1
+    )
+    agg = ranked.groupBy(*gcols).agg(
+        F.sum(r2).alias("__r2"),
+        F.sum("__np").cast("long").alias("n_pos"),
+        F.sum(F.col("__cnt") - F.col("__np")).cast("long").alias("n_neg"),
+    )
+    npos, nneg = _dec(F.col("n_pos")), _dec(F.col("n_neg"))
+    auc = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        F.round(
+            (F.col("__r2") - npos * (npos + F.lit(1))).cast("double")
+            / (F.lit(2).cast("decimal(38,0)") * npos * nneg).cast("double"),
+            6,
+        ),
+    )
+    return agg.select(*gcols, "n_pos", "n_neg", auc.alias("auc"))
+
+
+def welch_ttest_pairs(
+    df: DataFrame,
+    group_col: str,
+    value_int: Column,
+) -> DataFrame:
+    """Welch's unequal-variance t-test for EVERY pair of groups:
+    ``(group_a, group_b, n_a, n_b, mean_a, mean_b, t_stat, df_w)``
+    — the "are these two segments' means actually different" report
+    (A/B readouts, source-drift significance) done verification-
+    grade. ``value_int`` must be integral (pre-scale to cents /
+    fixed-point upstream).
+
+    EXACTNESS: per-group n, Σx, Σx² accumulate exactly
+    (DECIMAL(38,0), order-independent); means and sample variances
+    are derived per group with ONE correctly-rounded cast+divide
+    each, then t = (mean_a − mean_b)/√(s²a/n_a + s²b/n_b) and the
+    Welch–Satterthwaite df use only IEEE ops on those — the same
+    expression tree the oracle mirrors, so results are bit-identical
+    cross-engine.
+
+    SCALE: one map-combinable aggregate to |groups| rows, then a
+    self-join on the groups-sized frame — pair work is |groups|²/2,
+    never corpus rows.
+    """
+    x = value_int.cast("long")
+    g = (
+        df.groupBy(F.col(group_col).alias("__g"))
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(_dec(x)).alias("__sx"),
+            F.sum(_dec(x * x)).alias("__sxx"),
+        )
+    )
+    n, sx, sxx = _dec(F.col("__n")), F.col("__sx"), F.col("__sxx")
+    mean = F.round(sx.cast("double") / F.col("__n").cast("double"), 6)
+    # sample variance from exact moments: (n·Σx² − (Σx)²) / (n(n−1))
+    var = (n * sxx - sx * sx).cast("double") / (
+        n * (n - F.lit(1))
+    ).cast("double")
+    gstats = g.select(
+        "__g",
+        F.col("__n").cast("long").alias("__nl"),
+        mean.alias("__mean"),
+        var.alias("__var"),
+    )
+    a = gstats.select(
+        F.col("__g").alias("group_a"),
+        F.col("__nl").alias("n_a"),
+        F.col("__mean").alias("mean_a"),
+        F.col("__var").alias("__var_a"),
+    )
+    b = gstats.select(
+        F.col("__g").alias("group_b"),
+        F.col("__nl").alias("n_b"),
+        F.col("__mean").alias("mean_b"),
+        F.col("__var").alias("__var_b"),
+    )
+    pairs = a.join(b, F.col("group_a") < F.col("group_b"))
+    va_n = F.col("__var_a") / F.col("n_a").cast("double")
+    vb_n = F.col("__var_b") / F.col("n_b").cast("double")
+    se2 = va_n + vb_n
+    t_stat = F.when(
+        se2 > 0.0,
+        F.round((F.col("mean_a") - F.col("mean_b")) / F.sqrt(se2), 6),
+    )
+    df_w = F.when(
+        se2 > 0.0,
+        F.round(
+            se2 * se2
+            / (
+                va_n * va_n / (F.col("n_a") - 1).cast("double")
+                + vb_n * vb_n / (F.col("n_b") - 1).cast("double")
+            ),
+            6,
+        ),
+    )
+    return pairs.select(
+        "group_a", "group_b", "n_a", "n_b", "mean_a", "mean_b",
+        t_stat.alias("t_stat"), df_w.alias("df_w"),
+    )
+
+
 def mad_outliers(
     df: DataFrame,
     value_col: str,

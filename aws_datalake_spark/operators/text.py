@@ -913,3 +913,47 @@ def code_features(
             & (hits >= F.lit(int(keyword_hits_min)))
         ).alias("is_code"),
     )
+
+
+def blocklist_features(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_hits: int = 3,
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """Blocklist screening per document (the C4 "bad words" /
+    policy-term filter): ``(id, extra…, n_tokens, bl_hits, flagged)``
+    where ``bl_hits`` counts OCCURRENCES of blocklisted tokens
+    (whole-token equality — substring matching flags 'scanner' for
+    'scan'; don't) and ``flagged = bl_hits ≥ min_hits``. Occurrence
+    counting (vs distinct-hit array_intersect) matters: one stray
+    term in a long doc is noise, the same term forty times is the
+    signal.
+
+    SCALE: the blocklist ships as an ARRAY LITERAL inside a
+    higher-order filter over the materialized tokens attribute —
+    zero shuffle, no join, no broadcast table; the per-row cost is
+    O(tokens · |terms|), fine for the hundreds-of-terms lists this
+    is for (a 10⁵-term lexicon should flip to the exploded
+    broadcast-join shape instead). The tokens array is staged as an
+    attribute (spread + select) so the HOF lambda does not
+    re-evaluate the split per element.
+    """
+    extras = list(extra_cols or [])
+    base = spread(df.select(id_col, *extras, text_col))
+    toks_df = base.select(
+        id_col, *extras, tokens_ws(F.col(text_col)).alias("__toks")
+    )
+    hits = F.size(F.filter("__toks", lambda t: t.isin(*terms)))
+    n_tokens = F.when(
+        F.size("__toks") == 1, (F.element_at("__toks", 1) != "").cast("int")
+    ).otherwise(F.size("__toks"))
+    return toks_df.select(
+        id_col,
+        *extras,
+        n_tokens.cast("long").alias("n_tokens"),
+        hits.cast("long").alias("bl_hits"),
+        (hits >= F.lit(int(min_hits))).alias("flagged"),
+    )

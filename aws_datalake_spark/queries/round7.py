@@ -456,3 +456,398 @@ def llm_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_datalake_spark.operators.text import code_features
 
     return code_features(t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# exact ROC AUC (Mann-Whitney) eval harness
+# ---------------------------------------------------------------------------
+
+_EN_MARKERS_SQL = "('the', 'and', 'of', 'to', 'is')"
+
+
+@query(
+    "llm_quality_auc",
+    oracle=f"""
+    WITH sc AS (
+      SELECT doc_id,
+             len(list_filter({_TOKS},
+                 tk -> tk IN {_EN_MARKERS_SQL})) AS s,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS l
+      FROM documents
+    ),
+    per AS (
+      SELECT s, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(l) AS BIGINT) AS np
+      FROM sc GROUP BY s
+    ),
+    rk AS (
+      SELECT s, cnt, np,
+             COALESCE(SUM(cnt) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      FROM per
+    ),
+    ag AS (
+      SELECT SUM(CAST(np AS HUGEINT) * (2 * cum + cnt + 1)) AS r2,
+             CAST(SUM(np) AS BIGINT) AS n_pos,
+             CAST(SUM(cnt - np) AS BIGINT) AS n_neg
+      FROM rk
+    )
+    SELECT n_pos, n_neg,
+           CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+             ROUND(CAST(r2 - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS DOUBLE)
+                   / CAST(2 * CAST(n_pos AS HUGEINT) * n_neg AS DOUBLE), 6)
+           END AS auc
+    FROM ag
+    """,
+)
+def llm_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC of a ranking signal, no threshold picked
+    (operators/stats.py:exact_auc): here, how well the English
+    marker-token occurrence count ranks English documents above the
+    rest — the eval every curation classifier/quality score gets
+    before its cutoff is chosen. Tie-corrected Mann-Whitney on
+    DOUBLED average ranks, exact integers end-to-end (sums in
+    DECIMAL(38,0)), one final correctly-rounded divide. The only
+    window runs over DISTINCT score values (bounded by the marker
+    count's value domain, ~tens), never corpus rows."""
+    from aws_datalake_spark.operators.stats import exact_auc
+    from aws_datalake_spark.operators.text import LANG_MARKERS, blocklist_features
+
+    d = t(spark, sf_dir, "documents")
+    scored = blocklist_features(
+        d, LANG_MARKERS["en"], extra_cols=["lang"], min_hits=1
+    ).select(
+        F.col("bl_hits").alias("score"),
+        (F.col("lang") == "en").cast("int").alias("is_en"),
+    )
+    return exact_auc(scored, "score", "is_en")
+
+
+# ---------------------------------------------------------------------------
+# Welch's t-test between segments
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_welch_ttest",
+    oracle="""
+    WITH v AS (
+      SELECT c_mktsegment AS g,
+             CAST(ROUND(c_acctbal * 100.0) AS BIGINT) AS cents
+      FROM customer
+    ),
+    m AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(cents AS HUGEINT)) AS sx,
+             SUM(CAST(cents AS HUGEINT) * cents) AS sxx
+      FROM v GROUP BY g
+    ),
+    s AS (
+      SELECT g, n,
+             ROUND(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean,
+             CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+               / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE) AS var
+      FROM m
+    )
+    SELECT a.g AS group_a, b.g AS group_b,
+           a.n AS n_a, b.n AS n_b,
+           a.mean AS mean_a, b.mean AS mean_b,
+           CASE WHEN a.var / CAST(a.n AS DOUBLE)
+                     + b.var / CAST(b.n AS DOUBLE) > 0.0 THEN
+             ROUND((a.mean - b.mean)
+                   / SQRT(a.var / CAST(a.n AS DOUBLE)
+                          + b.var / CAST(b.n AS DOUBLE)), 6)
+           END AS t_stat,
+           CASE WHEN a.var / CAST(a.n AS DOUBLE)
+                     + b.var / CAST(b.n AS DOUBLE) > 0.0 THEN
+             ROUND((a.var / CAST(a.n AS DOUBLE) + b.var / CAST(b.n AS DOUBLE))
+                   * (a.var / CAST(a.n AS DOUBLE) + b.var / CAST(b.n AS DOUBLE))
+                   / ((a.var / CAST(a.n AS DOUBLE))
+                        * (a.var / CAST(a.n AS DOUBLE))
+                        / CAST(a.n - 1 AS DOUBLE)
+                      + (b.var / CAST(b.n AS DOUBLE))
+                        * (b.var / CAST(b.n AS DOUBLE))
+                        / CAST(b.n - 1 AS DOUBLE)), 6)
+           END AS df_w
+    FROM s a JOIN s b ON a.g < b.g
+    """,
+)
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between every pair of customer
+    market segments on account balance cents
+    (operators/stats.py:welch_ttest_pairs) — the "is this difference
+    real" significance readout (A/B tests, segment drift) computed
+    verification-grade: per-group n/Σx/Σx² are exact DECIMAL(38,0)
+    moments (one map-combinable aggregate), means/variances derive
+    with one correctly-rounded divide each, and the t statistic +
+    Welch–Satterthwaite df mirror the oracle's expression tree
+    op-for-op. Pair work is |segments|²/2 on a 5-row frame."""
+    from aws_datalake_spark.operators.stats import welch_ttest_pairs
+
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("c_acctbal") * 100.0, 0).cast("long").alias("cents"),
+    )
+    return welch_ttest_pairs(c, "seg", F.col("cents"))
+
+
+# ---------------------------------------------------------------------------
+# blocklist screening report
+# ---------------------------------------------------------------------------
+
+_BL_TERMS = ["slow", "merge", "batch"]
+_BL_TERMS_SQL = "('slow', 'merge', 'batch')"
+_BL_MIN_HITS = 3
+
+
+@query(
+    "llm_blocklist_filter",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, source,
+             CASE WHEN len(toks) = 1 THEN
+               CASE WHEN toks[1] <> '' THEN 1 ELSE 0 END
+             ELSE len(toks) END AS n_tokens,
+             len(list_filter(toks, tk -> tk IN {_BL_TERMS_SQL})) AS bl_hits
+      FROM (SELECT doc_id, source, {_TOKS} AS toks FROM documents)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN bl_hits >= {_BL_MIN_HITS} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged,
+           CAST(SUM(CASE WHEN bl_hits >= {_BL_MIN_HITS} THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_kept,
+           ROUND(CAST(SUM(CASE WHEN bl_hits >= {_BL_MIN_HITS} THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS flag_rate,
+           CAST(SUM(CASE WHEN bl_hits >= {_BL_MIN_HITS} THEN 0
+                    ELSE n_tokens END) AS BIGINT) AS kept_tokens
+    FROM f GROUP BY source
+    """,
+)
+def llm_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style blocklist screening report per source
+    (operators/text.py:blocklist_features): whole-token OCCURRENCE
+    counts against a policy term list (zero-shuffle array-literal
+    filter over the materialized tokens attribute — no join, no
+    broadcast table), flagged at ≥ 3 hits, rolled up to the
+    per-source release report (docs kept/flagged, flag rate,
+    surviving token budget). The aggregate is |sources|-bounded."""
+    from aws_datalake_spark.operators.text import blocklist_features
+
+    d = t(spark, sf_dir, "documents")
+    bl = blocklist_features(
+        d, _BL_TERMS, extra_cols=["source"], min_hits=_BL_MIN_HITS
+    )
+    return bl.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("flagged").cast("int")).cast("long").alias("n_flagged"),
+        F.sum((~F.col("flagged")).cast("int")).cast("long").alias("n_kept"),
+        F.round(
+            F.sum(F.col("flagged").cast("int")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("flag_rate"),
+        F.sum(
+            F.when(~F.col("flagged"), F.col("n_tokens")).otherwise(F.lit(0))
+        ).cast("long").alias("kept_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# asymmetric containment pairs (near-superset dedup)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "llm_containment_pairs",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text || ' neardupmarker' AS text
+      FROM documents WHERE doc_id < 60
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id,
+               unnest(list_transform(t, (x, i) ->
+                 CASE WHEN i + 2 <= len(t)
+                      THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2] END)) AS s
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM c))
+      WHERE s IS NOT NULL
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
+              FROM sh GROUP BY doc_id),
+    com AS (
+      SELECT x.doc_id AS id_sub, y.doc_id AS id_sup,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id <> y.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_sub, id_sup, sa.n_sh AS n_sub, sb.n_sh AS n_sup, n_common,
+           ROUND(CAST(n_common AS DOUBLE) / CAST(sa.n_sh AS DOUBLE), 6)
+             AS containment
+    FROM com JOIN sizes sa ON sa.doc_id = id_sub
+             JOIN sizes sb ON sb.doc_id = id_sup
+    WHERE sa.n_sh >= 3
+      AND ROUND(CAST(n_common AS DOUBLE) / CAST(sa.n_sh AS DOUBLE), 6) >= 0.9
+    """,
+)
+def llm_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional containment near-superset pairs
+    (operators/dedup.py:containment_pairs): |S(sub) ∩ S(sup)| /
+    |S(sub)| ≥ 0.9 over distinct 3-gram shingle sets — Broder's
+    asymmetric companion to Jaccard resemblance, the signal that
+    catches a document QUOTED/CONCATENATED inside a bigger one
+    (Jaccard vanishes as sizes diverge; containment stays 1.0). Run
+    on the seeded near-dup corpus, where each original is contained
+    in its marker-extended copy. Same inverted-index shape as the
+    Jaccard truth path — text never shuffles; the max_df stop-gram
+    cap is the production bound for hot-gram corpora (tested)."""
+    from aws_datalake_spark.operators.dedup import containment_pairs
+    from aws_datalake_spark.queries.llm_dedup import _neardup_corpus
+
+    return containment_pairs(
+        _neardup_corpus(spark, sf_dir), threshold=0.9, min_shingles=3
+    )
+
+
+# ---------------------------------------------------------------------------
+# TextRank extractive summaries (keyed PageRank)
+# ---------------------------------------------------------------------------
+
+_TR_ITERS, _TR_SCALE = 3, 10**9
+_TR_MIN_TOK = 4
+
+
+def _textrank_oracle() -> str:
+    """Chained-CTE twin of the per-document keyed integer power
+    iteration (same arithmetic as the pagerank oracles, with every
+    scalar now a per-doc column)."""
+    steps = []
+    for i in range(_TR_ITERS):
+        prev = f"it{i}"
+        steps.append(f"""
+    it{i + 1} AS (
+      SELECT n.doc_id, n.node,
+             p.base + COALESCE(CAST(SUM((r.rank * 85) // (100 * o.outdeg))
+                                    AS BIGINT), 0) AS rank
+      FROM nodes n
+      JOIN par p ON p.doc_id = n.doc_id
+      LEFT JOIN edges e ON e.doc_id = n.doc_id AND e.dst = n.node
+      LEFT JOIN {prev} r ON r.doc_id = e.doc_id AND r.node = e.src
+      LEFT JOIN outdeg o ON o.doc_id = e.doc_id AND o.node = e.src
+      GROUP BY n.doc_id, n.node, p.base
+    )""")
+    return f"""
+    WITH sent AS (
+      SELECT doc_id, u.idx AS idx, trim(u.s) AS sentence FROM (
+        SELECT doc_id,
+               unnest(list_transform(string_split_regex(text, '[.!?]+'),
+                 (x, i) -> struct_pack(idx := i - 1, s := x))) AS u
+        FROM documents)
+      WHERE trim(u.s) <> ''
+    ),
+    tok AS (
+      SELECT DISTINCT doc_id, idx, tk FROM (
+        SELECT doc_id, idx,
+               unnest(regexp_split_to_array(trim(sentence), '\\s+')) AS tk
+        FROM sent)
+      WHERE LENGTH(tk) >= {_TR_MIN_TOK}
+    ),
+    edges AS (
+      SELECT DISTINCT a.doc_id, a.idx AS src, b.idx AS dst
+      FROM tok a JOIN tok b
+        ON a.doc_id = b.doc_id AND a.tk = b.tk AND a.idx <> b.idx
+    ),
+    nodes AS (SELECT doc_id, idx AS node FROM sent),
+    cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+            FROM nodes GROUP BY 1),
+    par AS (
+      SELECT doc_id, CAST({_TR_SCALE} AS BIGINT) // n AS init,
+             (CAST(15 AS BIGINT) * {_TR_SCALE}) // (100 * n) AS base
+      FROM cnt
+    ),
+    outdeg AS (
+      SELECT doc_id, src AS node, CAST(COUNT(*) AS BIGINT) AS outdeg
+      FROM edges GROUP BY 1, 2
+    ),
+    it0 AS (
+      SELECT n.doc_id, n.node, CAST(p.init AS BIGINT) AS rank
+      FROM nodes n JOIN par p ON p.doc_id = n.doc_id
+    ),{",".join(steps)},
+    ranked AS (
+      SELECT doc_id, node, rank,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY rank DESC, node) AS rn
+      FROM it{_TR_ITERS}
+    )
+    SELECT r.doc_id, CAST(r.node AS BIGINT) AS sent_idx,
+           CAST(r.rank AS BIGINT) AS rank_scaled, s.sentence
+    FROM ranked r JOIN sent s ON s.doc_id = r.doc_id AND s.idx = r.node
+    WHERE rn = 1
+    """
+
+
+@query("llm_textrank_summary", oracle=_textrank_oracle())
+def llm_textrank_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank extractive one-sentence summaries (Mihalcea & Tarau
+    EMNLP'04 shape): per document, sentences are nodes, two sentences
+    are linked when they share a token of ≥ 4 chars, and 3 exact
+    scaled-integer power steps pick the most central sentence — the
+    classic unsupervised summary/key-sentence signal for dataset
+    cards and doc previews. Runs as ONE distributed plan over every
+    document at once via operators/graph.py:pagerank_keyed (per-doc
+    node counts are COLUMNS, not driver scalars — no per-key loop, no
+    collect); the token inverted index builds within-doc edges
+    without any all-pairs join ever leaving a document. The final
+    top-1 window partitions by doc (frame bounded by sentences/doc).
+    Integer arithmetic end-to-end — the iterative result hash-matches
+    a 3-level chained-CTE oracle exactly."""
+    from aws_datalake_spark.operators.graph import pagerank_keyed
+    from aws_datalake_spark.operators.text import spread, tokens_ws
+    from pyspark.sql import Window
+
+    d = spread(t(spark, sf_dir, "documents").select("doc_id", "text"))
+    sent = (
+        d.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), r"[.!?]+")).alias("idx", "__raw"),
+        )
+        .select("doc_id", "idx", F.trim(F.col("__raw")).alias("sentence"))
+        .filter(F.col("sentence") != "")
+    )
+    tok = (
+        sent.select(
+            "doc_id", "idx", F.explode(tokens_ws(F.col("sentence"))).alias("tk")
+        )
+        .filter(F.length("tk") >= _TR_MIN_TOK)
+        .distinct()
+    )
+    edges = (
+        tok.select("doc_id", F.col("idx").alias("src"), "tk")
+        .join(tok.select("doc_id", F.col("idx").alias("dst"), "tk"), ["doc_id", "tk"])
+        .filter(F.col("src") != F.col("dst"))
+        .select("doc_id", "src", "dst")
+        .distinct()
+    )
+    nodes = sent.select("doc_id", "idx")
+    pr = pagerank_keyed(
+        edges, nodes, key="doc_id", src="src", dst="dst",
+        iterations=_TR_ITERS, scale=_TR_SCALE,
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("rank_scaled"), F.col("node"))
+    top1 = pr.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+    return (
+        top1.join(
+            sent.select("doc_id", F.col("idx").alias("node"), "sentence"),
+            ["doc_id", "node"],
+        )
+        .select(
+            "doc_id",
+            F.col("node").cast("long").alias("sent_idx"),
+            "rank_scaled",
+            "sentence",
+        )
+    )

@@ -257,3 +257,254 @@ def test_code_features_flags_code_not_prose(spark):
     # doc 1: symbols ( ) ( ) ; = [ ] -> exactly 8
     assert got[1].n_symbols == 8
     assert got[1].keyword_hits == 2  # def, return
+
+
+# ---------------------------------------------------------------------------
+# exact ROC AUC (Mann-Whitney, tie-corrected)
+# ---------------------------------------------------------------------------
+
+
+def _auc_bruteforce(pairs):
+    """Naive tie-as-half-win AUC over (score, label) rows."""
+    pos = [s for s, l in pairs if l == 1]
+    neg = [s for s, l in pairs if l == 0]
+    wins = sum(
+        1.0 if p > q else (0.5 if p == q else 0.0) for p in pos for q in neg
+    )
+    return wins / (len(pos) * len(neg))
+
+
+def test_exact_auc_matches_bruteforce_with_ties(spark):
+    from aws_datalake_spark.operators.stats import exact_auc
+
+    rows = [
+        (5, 1), (4, 1), (4, 0), (3, 1), (3, 0), (3, 0), (1, 0), (5, 0),
+        (2, 1), (2, 1),
+    ]
+    df = spark.createDataFrame(rows, "s long, l int")
+    got = exact_auc(df, "s", "l").collect()[0]
+    assert (got.n_pos, got.n_neg) == (5, 5)
+    assert got.auc == round(_auc_bruteforce(rows), 6)
+
+
+def test_exact_auc_perfect_and_inverted_separation(spark):
+    from aws_datalake_spark.operators.stats import exact_auc
+
+    perfect = spark.createDataFrame(
+        [(10, 1), (9, 1), (2, 0), (1, 0)], "s long, l int"
+    )
+    assert exact_auc(perfect, "s", "l").collect()[0].auc == 1.0
+    inverted = spark.createDataFrame(
+        [(1, 1), (2, 1), (9, 0), (10, 0)], "s long, l int"
+    )
+    assert exact_auc(inverted, "s", "l").collect()[0].auc == 0.0
+
+
+def test_exact_auc_grouped_and_degenerate_groups(spark):
+    from aws_datalake_spark.operators.stats import exact_auc
+
+    rows = [
+        ("a", 3, 1), ("a", 1, 0), ("a", 2, 0),
+        ("b", 1, 1), ("b", 1, 1),  # no negatives -> NULL auc
+    ]
+    df = spark.createDataFrame(rows, "g string, s long, l int")
+    got = {r.g: r for r in exact_auc(df, "s", "l", by=["g"]).collect()}
+    assert got["a"].auc == 1.0
+    assert got["b"].auc is None and got["b"].n_neg == 0
+
+
+def test_exact_auc_window_runs_on_aggregated_frame(spark):
+    """The only window must sit ABOVE the distinct-score aggregate
+    (frame bounded by the score's value domain, never corpus rows) —
+    the r05 vocab-window discipline."""
+    from aws_datalake_spark.operators.stats import exact_auc
+
+    df = spark.createDataFrame([(i % 7, i % 2) for i in range(100)], "s long, l int")
+    plan = exact_auc(df, "s", "l")._jdf.queryExecution().optimizedPlan().toString()
+    win_pos = plan.index("Window")
+    agg_below = plan.index("Aggregate", win_pos)
+    assert agg_below > win_pos  # an aggregate feeds the window
+
+
+# ---------------------------------------------------------------------------
+# Welch's t-test pairs
+# ---------------------------------------------------------------------------
+
+
+def test_welch_ttest_hand_computed(spark):
+    from aws_datalake_spark.operators.stats import welch_ttest_pairs
+    from pyspark.sql import functions as F
+
+    a = [10, 12, 14, 16, 18]          # mean 14, var 10
+    b = [20, 25, 30]                  # mean 25, var 25
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = welch_ttest_pairs(df, "g", F.col("v")).collect()[0]
+    assert (got.group_a, got.group_b, got.n_a, got.n_b) == ("a", "b", 5, 3)
+    assert (got.mean_a, got.mean_b) == (14.0, 25.0)
+    va_n, vb_n = 10.0 / 5, 25.0 / 3
+    se2 = va_n + vb_n
+    t = (14.0 - 25.0) / se2 ** 0.5
+    dfw = se2 * se2 / (va_n * va_n / 4 + vb_n * vb_n / 2)
+    assert got.t_stat == round(t, 6)
+    assert got.df_w == round(dfw, 6)
+
+
+def test_welch_ttest_all_pairs_zero_variance_null(spark):
+    from aws_datalake_spark.operators.stats import welch_ttest_pairs
+    from pyspark.sql import functions as F
+
+    rows = [("a", 5), ("a", 5), ("b", 7), ("b", 7), ("c", 1), ("c", 9)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {(r.group_a, r.group_b): r for r in
+           welch_ttest_pairs(df, "g", F.col("v")).collect()}
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+    # both groups constant -> se2 == 0 -> NULL t
+    assert got[("a", "b")].t_stat is None
+    assert got[("a", "c")].t_stat is not None
+
+
+# ---------------------------------------------------------------------------
+# containment pairs
+# ---------------------------------------------------------------------------
+
+
+def test_containment_subset_is_directional(spark):
+    from aws_datalake_spark.operators.dedup import containment_pairs
+
+    short = "alpha beta gamma delta epsilon"           # 3 shingles
+    long_ = short + " zeta eta theta iota kappa"       # 8 shingles, superset
+    df = spark.createDataFrame(
+        [(1, short), (2, long_), (3, "one two three four five")],
+        "doc_id long, text string",
+    )
+    got = {(r.id_sub, r.id_sup): r for r in
+           containment_pairs(df, threshold=0.9, min_shingles=3).collect()}
+    # 1 ⊂ 2 qualifies; the reverse direction is 3/8 and must not
+    assert set(got) == {(1, 2)}
+    r = got[(1, 2)]
+    assert (r.n_sub, r.n_sup, r.n_common, r.containment) == (3, 8, 3, 1.0)
+
+
+def test_containment_min_shingles_guards_tiny_docs(spark):
+    from aws_datalake_spark.operators.dedup import containment_pairs
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    # doc 1 has exactly ONE shingle -> excluded as sub at min_shingles=2
+    got = containment_pairs(df, threshold=0.5, min_shingles=2).collect()
+    assert all(r.id_sub != 1 for r in got)
+
+
+def test_containment_max_df_path_equals_default_on_rare_grams(spark):
+    from aws_datalake_spark.operators.dedup import containment_pairs
+
+    rows = [(i, f"w{i} alpha beta gamma delta u{i} v{i} x{i}") for i in range(6)]
+    rows += [(100, "alpha beta gamma delta extra tail words here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    base = {(r.id_sub, r.id_sup): r.containment
+            for r in containment_pairs(df, threshold=0.3, min_shingles=2).collect()}
+    capped = {(r.id_sub, r.id_sup): r.containment
+              for r in containment_pairs(
+                  df, threshold=0.3, min_shingles=2, max_df=50).collect()}
+    assert base == capped and base
+
+
+# ---------------------------------------------------------------------------
+# blocklist features
+# ---------------------------------------------------------------------------
+
+
+def test_blocklist_counts_occurrences_not_distinct(spark):
+    from aws_datalake_spark.operators.text import blocklist_features
+
+    df = spark.createDataFrame(
+        [(1, "bad bad bad word"), (2, "bad word"), (3, "clean text only"),
+         (4, "")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in
+           blocklist_features(df, ["bad", "word"], min_hits=3).collect()}
+    assert (got[1].bl_hits, got[1].flagged) == (4, True)   # occurrences
+    assert (got[2].bl_hits, got[2].flagged) == (2, False)
+    assert (got[3].bl_hits, got[3].flagged) == (0, False)
+    assert (got[4].n_tokens, got[4].bl_hits) == (0, 0)
+
+
+def test_blocklist_whole_token_not_substring(spark):
+    from aws_datalake_spark.operators.text import blocklist_features
+
+    df = spark.createDataFrame([(1, "scanner scans scan")], "doc_id long, text string")
+    got = blocklist_features(df, ["scan"], min_hits=1).collect()[0]
+    assert got.bl_hits == 1  # 'scanner'/'scans' must not match
+
+
+# ---------------------------------------------------------------------------
+# keyed PageRank (TextRank substrate)
+# ---------------------------------------------------------------------------
+
+
+def _pr_bruteforce_keyed(edges, nodes, iterations, scale, num=85, den=100):
+    """Per-key pure-Python twin of the keyed integer power iteration
+    (dangling mass leaks, as in the unkeyed default)."""
+    keys = {k for k, _ in nodes}
+    out = {}
+    for k in keys:
+        vs = sorted(n for kk, n in nodes if kk == k)
+        es = [(u, v) for kk, u, v in edges if kk == k]
+        outdeg = {}
+        for u, _ in es:
+            outdeg[u] = outdeg.get(u, 0) + 1
+        n = len(vs)
+        base = (den - num) * scale // (den * n)
+        rank = {v: scale // n for v in vs}
+        for _ in range(iterations):
+            incoming = {v: 0 for v in vs}
+            for u, v in es:
+                incoming[v] += (rank[u] * num) // (den * outdeg[u])
+            rank = {v: base + incoming[v] for v in vs}
+        for v, r in rank.items():
+            out[(k, v)] = r
+    return out
+
+
+def test_pagerank_keyed_matches_per_key_bruteforce(spark):
+    from aws_datalake_spark.operators.graph import pagerank_keyed
+
+    nodes = [("d1", 0), ("d1", 1), ("d1", 2), ("d1", 3),
+             ("d2", 0), ("d2", 1)]
+    edges = [("d1", 0, 1), ("d1", 1, 0), ("d1", 1, 2), ("d1", 2, 0),
+             ("d2", 0, 1), ("d2", 1, 0)]
+    # d1 node 3 is ISOLATED: holds exactly base after any iteration
+    e = spark.createDataFrame(edges, "key string, src int, dst int")
+    n = spark.createDataFrame(nodes, "key string, idx int")
+    got = {(r.key, r.node): r.rank_scaled
+           for r in pagerank_keyed(e, n, key="key", src="src", dst="dst",
+                                   iterations=3, scale=10**9).collect()}
+    assert got == _pr_bruteforce_keyed(edges, nodes, 3, 10**9)
+    assert got[("d1", 3)] == (100 - 85) * 10**9 // (100 * 4)
+
+
+def test_pagerank_keyed_keys_do_not_interact(spark):
+    """A key's ranks must be identical whether other keys exist."""
+    from aws_datalake_spark.operators.graph import pagerank_keyed
+
+    edges_one = [("d1", 0, 1), ("d1", 1, 0), ("d1", 1, 2), ("d1", 2, 1)]
+    nodes_one = [("d1", 0), ("d1", 1), ("d1", 2)]
+    edges_two = edges_one + [("dX", 0, 1), ("dX", 1, 0)]
+    nodes_two = nodes_one + [("dX", 0), ("dX", 1)]
+
+    def run(edges, nodes):
+        e = spark.createDataFrame(edges, "key string, src int, dst int")
+        n = spark.createDataFrame(nodes, "key string, idx int")
+        return {
+            (r.key, r.node): r.rank_scaled
+            for r in pagerank_keyed(e, n, key="key", src="src", dst="dst",
+                                    iterations=2).collect()
+        }
+
+    solo = run(edges_one, nodes_one)
+    both = run(edges_two, nodes_two)
+    assert {kv: v for kv, v in both.items() if kv[0] == "d1"} == solo
