@@ -671,3 +671,59 @@ def test_winnow_hash_transform_stays_above_spread_exchange(spark):
     assert any("md5" in l for l in lines[: min(ex)]), "hashing not above exchange"
     below = "\n".join(lines[min(ex):])
     assert "md5" not in below
+
+
+def test_textrank_no_nested_loop_and_doc_text_never_hashed(spark):
+    """llm_textrank_summary: the within-doc edge build is an
+    inverted-index equi-join — never a cartesian/all-pairs join —
+    and the raw document text column crosses only the narrow spread;
+    hash exchanges carry (doc_id, idx, token/sentence) rows."""
+    from aws_datalake_spark.queries.round7 import llm_textrank_summary
+
+    plan = _plan(llm_textrank_summary(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert ex
+    assert all("text" not in l for l in ex)
+
+
+def test_containment_doc_text_never_in_hash_exchange(spark):
+    """containment_pairs: the inverted index shuffles shingle/id
+    rows; the raw text column itself never enters a hash exchange
+    (same discipline as the Jaccard truth path)."""
+    from aws_datalake_spark.operators.dedup import containment_pairs
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = _plan(containment_pairs(d, threshold=0.9))
+    ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert ex
+    assert all("text" not in l for l in ex)
+    assert "CartesianProduct" not in plan
+
+
+def test_blocklist_report_single_group_exchange(spark):
+    """llm_blocklist_filter: the screen is a zero-shuffle projection
+    (array-literal HOF, no join, no broadcast); the only hash
+    exchange is the |sources|-bounded report aggregate."""
+    from aws_datalake_spark.queries.round7 import llm_blocklist_filter
+
+    plan = _plan(llm_blocklist_filter(spark, SF_SMOKE))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_welch_pairs_join_runs_on_aggregated_frames(spark):
+    """welch_ttest_pairs: corpus rows collapse in ONE map-combinable
+    aggregate; the pair join touches only the groups-sized frames
+    (never a corpus-row sort-merge join)."""
+    from pyspark.sql import functions as F
+
+    from aws_datalake_spark.operators.stats import welch_ttest_pairs
+
+    c = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").select(
+        "c_mktsegment", (F.col("c_acctbal") * 100).cast("long").alias("v")
+    )
+    plan = _plan(welch_ttest_pairs(c, "c_mktsegment", F.col("v")))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
