@@ -200,3 +200,91 @@ def excise_contaminated_spans(
         F.size("__rm").cast("long").alias("n_removed"),
         F.concat_ws(" ", kept).alias("clean_text"),
     )
+
+
+def excise_repeated_spans(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Cross-document repeated-SPAN excision — the ExactSubstr dedup
+    shape (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better"): any k-token window whose content
+    appears in MORE THAN ONE document is removed from every document
+    except a canonical keeper (min doc_id), and each document is
+    rebuilt from its surviving tokens. Sentence- and span-level
+    boilerplate (licence headers, navigation chrome, syndicated
+    paragraphs) dies here while the documents themselves survive —
+    the complement of whole-doc near-dup removal. Returns
+    ``(id, n_tokens, n_excised, clean_text)`` for every input doc.
+
+    Deviation from the paper's suffix-array formulation, by design:
+    duplication is detected at fixed k-token granularity (a shared
+    span of length L ≥ k is covered by its L−k+1 windows, so the
+    excised region converges on the true span), and the keeper doc
+    keeps ALL its occurrences — deterministic, join-expressible, and
+    oracle-checkable, where a distributed suffix array is none of
+    those.
+
+    SCALE: positional k-grams reduce to 8-byte hash60 values in the
+    SAME projection that explodes them — gram strings never leave
+    the map side. The duplicate table aggregates (doc, hash)-distinct
+    rows (map-combinable); matched positions fan out to covered
+    indices and collect_set per doc (bounded by doc length); one
+    co-partitioned join rebuilds the text. Raw text shuffles only in
+    the final doc-sized rebuild join — the same posture as
+    :func:`excise_contaminated_spans` (measured exponent 0.84).
+    """
+    from aws_datalake_spark.operators.text import hash60
+
+    toks = corpus.select(
+        F.col(id_col).alias("__id"), tokens_ws(F.col(text_col)).alias("__t")
+    )
+    idx = F.sequence(F.lit(0), F.greatest(F.size("__t") - k, F.lit(-1)))
+    grams = F.when(
+        F.size("__t") >= k,
+        F.transform(
+            idx,
+            lambda i: F.struct(
+                i.alias("p"),
+                F.concat_ws(
+                    " ", *[F.element_at(F.col("__t"), i + j + 1) for j in range(k)]
+                ).alias("g"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<p:int,g:string>>"))
+    pos_grams = toks.select("__id", F.explode(grams).alias("pg")).select(
+        "__id", F.col("pg.p").alias("p"), hash60(F.col("pg.g")).alias("__h")
+    )
+    dup = (
+        pos_grams.select("__id", "__h")
+        .distinct()
+        .groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__nd"), F.min("__id").alias("__keeper"))
+        .filter(F.col("__nd") > 1)
+        .select("__h", "__keeper")
+    )
+    removed = (
+        pos_grams.join(dup, "__h")
+        .filter(F.col("__id") != F.col("__keeper"))
+        .select(
+            "__id", F.explode(F.sequence(F.col("p"), F.col("p") + k - 1)).alias("i")
+        )
+        .groupBy("__id")
+        .agg(F.collect_set("i").alias("__rm"))
+    )
+    rebuilt = toks.join(removed, "__id", "left").select(
+        "__id",
+        "__t",
+        F.coalesce("__rm", F.array().cast("array<int>")).alias("__rm"),
+    )
+    kept = F.filter(
+        F.col("__t"), lambda x, i: ~F.array_contains(F.col("__rm"), i.cast("int"))
+    )
+    return rebuilt.select(
+        F.col("__id").alias(id_col),
+        F.size("__t").cast("long").alias("n_tokens"),
+        F.size("__rm").cast("long").alias("n_excised"),
+        F.concat_ws(" ", kept).alias("clean_text"),
+    )

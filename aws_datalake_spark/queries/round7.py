@@ -851,3 +851,153 @@ def llm_textrank_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sentence",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-doc repeated-span excision (ExactSubstr dedup shape)
+# ---------------------------------------------------------------------------
+
+_XS_K = 8
+_XS_GRAM = " || ' ' || ".join(f"t[i+{j}]" for j in range(_XS_K))
+_XS_OFFS = ", ".join(str(j) for j in range(_XS_K))
+
+
+@query(
+    "llm_exact_substr_excise",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text || ' neardupmarker' AS text
+      FROM documents WHERE doc_id < 60
+    ),
+    tk AS (SELECT doc_id, {_TOKS} AS t FROM c),
+    pg AS (
+      SELECT doc_id, u.p AS p,
+             ('0x' || substr(md5(u.g), 1, 15))::BIGINT AS h
+      FROM (
+        SELECT doc_id, unnest(list_transform(t, (x, i) ->
+                 CASE WHEN i + {_XS_K - 1} <= len(t)
+                      THEN struct_pack(p := i, g := {_XS_GRAM}) END)) AS u
+        FROM tk)
+      WHERE u IS NOT NULL
+    ),
+    dup AS (
+      SELECT h, MIN(doc_id) AS keeper
+      FROM (SELECT DISTINCT doc_id, h FROM pg)
+      GROUP BY h HAVING COUNT(*) > 1
+    ),
+    hit AS (
+      SELECT pg.doc_id, pg.p FROM pg JOIN dup USING (h)
+      WHERE pg.doc_id <> dup.keeper
+    ),
+    rm AS (
+      SELECT DISTINCT doc_id, p + o AS i
+      FROM hit, (SELECT unnest([{_XS_OFFS}]) AS o)
+    ),
+    rml AS (SELECT doc_id, list(i) AS rm FROM rm GROUP BY doc_id)
+    SELECT tk.doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(len(rm), 0) AS BIGINT) AS n_excised,
+           COALESCE(array_to_string(
+             list_filter(t, (x, i) ->
+               rm IS NULL OR NOT list_contains(rm, i)), ' '), '')
+             AS clean_text
+    FROM tk LEFT JOIN rml ON rml.doc_id = tk.doc_id
+    """,
+)
+def llm_exact_substr_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-span excision
+    (operators/decontam.py:excise_repeated_spans) — the ExactSubstr
+    dedup shape (Lee et al. 2022): every 8-token window appearing in
+    more than one document is cut from all but the min-doc_id keeper
+    and the texts rebuilt, killing span-level boilerplate the
+    whole-doc near-dup detectors can't see. Run on the seeded
+    near-dup corpus (each original is the keeper; its marker-extended
+    copy loses the shared interior). The driver hash certifies the
+    rebuilt texts byte-for-byte. Gram strings reduce to hash60 before
+    any exchange; raw text shuffles only in the final rebuild join."""
+    from aws_datalake_spark.operators.decontam import excise_repeated_spans
+    from aws_datalake_spark.queries.llm_dedup import _neardup_corpus
+
+    return excise_repeated_spans(_neardup_corpus(spark, sf_dir), k=_XS_K)
+
+
+# ---------------------------------------------------------------------------
+# seasonal baseline anomalies (hour-of-day median + MAD fence)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_seasonal_anomaly",
+    oracle="""
+    WITH cnt AS (
+      SELECT CAST(ts AS DATE) AS d, EXTRACT(hour FROM ts) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    med AS (
+      SELECT hr,
+             list_sort(list(n))[CAST(FLOOR((COUNT(*) - 1) / 2) AS INT) + 1]
+               AS med
+      FROM cnt GROUP BY hr
+    ),
+    dev AS (
+      SELECT cnt.d, cnt.hr, cnt.n, med.med,
+             ABS(cnt.n - med.med) AS abs_dev
+      FROM cnt JOIN med USING (hr)
+    ),
+    mad AS (
+      SELECT hr,
+             list_sort(list(abs_dev))[CAST(FLOOR((COUNT(*) - 1) / 2) AS INT) + 1]
+               AS mad
+      FROM dev GROUP BY hr
+    )
+    SELECT dev.d, CAST(dev.hr AS BIGINT) AS hr, dev.n, dev.med,
+           CAST(dev.abs_dev AS BIGINT) AS abs_dev, mad.mad,
+           CAST(dev.abs_dev AS DOUBLE) > 3.5 * CAST(mad.mad AS DOUBLE)
+             AS is_anomaly
+    FROM dev JOIN mad USING (hr)
+    """,
+)
+def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly report on hourly event volume: each
+    (day, hour) cell is compared against ITS HOUR-OF-DAY's median
+    across days with a 3.5·MAD robust fence — the load-monitoring
+    shape that doesn't false-alarm on the daily traffic cycle (3am
+    volume is judged against 3am history, not the global mean) and
+    whose fence one outage spike cannot drag. All counts, medians,
+    and deviations are exact integers (type-1 lower medians over the
+    per-hour day lists); the only float op is the final fence
+    compare, mirrored op-for-op in the oracle.
+
+    SCALE: corpus rows collapse in ONE map-combinable (day, hour)
+    aggregate; everything after runs on the days×24 cell frame —
+    the per-hour collect_list is bounded by the day count (documented
+    per the r05 window-bound discipline; a multi-year hypertable
+    still yields only ~365·years values per hour)."""
+    e = t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("d"), F.hour("ts").alias("hr")
+    )
+    cnt = e.groupBy("d", "hr").agg(F.count(F.lit(1)).alias("n"))
+    med_idx = (F.floor((F.count(F.lit(1)) - 1) / 2) + 1).cast("int")
+    med = cnt.groupBy("hr").agg(
+        F.element_at(F.sort_array(F.collect_list("n")), med_idx).alias("med")
+    )
+    dev = cnt.join(med, "hr").select(
+        "d", "hr", "n", "med", F.abs(F.col("n") - F.col("med")).alias("abs_dev")
+    )
+    mad = dev.groupBy("hr").agg(
+        F.element_at(F.sort_array(F.collect_list("abs_dev")), med_idx).alias("mad")
+    )
+    return dev.join(mad, "hr").select(
+        "d",
+        F.col("hr").cast("long").alias("hr"),
+        "n",
+        "med",
+        F.col("abs_dev").cast("long").alias("abs_dev"),
+        "mad",
+        (
+            F.col("abs_dev").cast("double") > 3.5 * F.col("mad").cast("double")
+        ).alias("is_anomaly"),
+    )

@@ -508,3 +508,61 @@ def test_pagerank_keyed_keys_do_not_interact(spark):
     solo = run(edges_one, nodes_one)
     both = run(edges_two, nodes_two)
     assert {kv: v for kv, v in both.items() if kv[0] == "d1"} == solo
+
+
+# ---------------------------------------------------------------------------
+# repeated-span excision (ExactSubstr shape)
+# ---------------------------------------------------------------------------
+
+
+def test_excise_repeated_spans_keeper_keeps_copy_loses(spark):
+    from aws_datalake_spark.operators.decontam import excise_repeated_spans
+
+    shared = "one two three four"           # the duplicated 4-token span
+    rows = [
+        (1, shared + " tail1 tail2"),       # keeper (min doc_id)
+        (2, "head " + shared + " other"),   # loses the shared span
+        (3, "completely unrelated words entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in excise_repeated_spans(df, k=4).collect()}
+    assert got[1].n_excised == 0 and got[1].clean_text == rows[0][1]
+    assert got[2].n_excised == 4
+    assert got[2].clean_text == "head other"
+    assert got[3].n_excised == 0 and got[3].clean_text == rows[2][1]
+
+
+def test_excise_repeated_spans_overlapping_windows_union(spark):
+    from aws_datalake_spark.operators.decontam import excise_repeated_spans
+
+    # a 5-token shared run: two overlapping 4-windows, excised as one
+    # 5-token region in the non-keeper
+    shared = "a1 a2 a3 a4 a5"
+    rows = [(1, shared), (2, "x " + shared + " y")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in excise_repeated_spans(df, k=4).collect()}
+    assert got[2].n_excised == 5
+    assert got[2].clean_text == "x y"
+
+
+def test_excise_repeated_spans_short_docs_untouched(spark):
+    from aws_datalake_spark.operators.decontam import excise_repeated_spans
+
+    # both docs identical but SHORTER than k: no k-window exists,
+    # nothing to match (whole-doc dedup is a different operator)
+    rows = [(1, "same short text"), (2, "same short text")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in excise_repeated_spans(df, k=8).collect()}
+    assert got[1].n_excised == 0 and got[2].n_excised == 0
+    assert got[2].clean_text == "same short text"
+
+
+def test_excise_repeated_spans_within_doc_repeat_not_cut(spark):
+    from aws_datalake_spark.operators.decontam import excise_repeated_spans
+
+    # the span repeats INSIDE one doc only -> cross-doc dedup leaves it
+    rows = [(1, "r1 r2 r3 r4 mid r1 r2 r3 r4"),
+            (2, "totally different words here now")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in excise_repeated_spans(df, k=4).collect()}
+    assert got[1].n_excised == 0
