@@ -1009,9 +1009,93 @@ def llm_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/similarity.py:mutual_nearest_neighbors): two vectors
     pair only when each is the other's top-1 cosine neighbor — the
     embedding-alignment / bitext-mining primitive, blocked on the
-    label column so pair work is Σ block² (swap in a k-means cell or
-    LSH bucket at corpus scale). Mutuality via a self-join of the
-    |items|-sized top-1 table; deterministic id tie-break."""
+    label column. This registration is the EVAL/TRUTH form: with the
+    fixture's block count fixed at 10 labels, pair work is genuinely
+    Σ block² — quadratic in N (measured 2.03 sf1 exponent, SCALE.md)
+    — so it is excluded from the scaling-exponent gate BY DESIGN; it
+    exists to verify the bounded path and to serve label-scoped
+    alignment studies where exactness-within-label is the point. The
+    production path is llm_mutual_nn_bucketed, whose LSH-bucket
+    count scales with N (constant occupancy → linear total work).
+    Mutuality via a self-join of the |items|-sized top-1 table;
+    deterministic id tie-break."""
     from aws_datalake_spark.operators.similarity import mutual_nearest_neighbors
 
     return mutual_nearest_neighbors(_emb_double(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# mutual-NN, production-bounded (hyperplane buckets scale with N)
+# ---------------------------------------------------------------------------
+
+_MNN_PLANES, _MNN_TARGET, _MNN_SEED = 12, 200, "mnn"
+
+
+def _mnn_bucketed_oracle() -> str:
+    sig = _sig_sql("v", 64, _MNN_PLANES, _MNN_SEED)
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    par AS (
+      SELECT GREATEST(1, LEAST({_MNN_PLANES},
+               CAST(FLOOR(LOG2(COUNT(*) / {_MNN_TARGET}.0)) AS INT))) AS bits
+      FROM e),
+    sig AS (
+      SELECT vec_id, v,
+             ({sig}) >> ({_MNN_PLANES} - (SELECT bits FROM par)) AS bkt
+      FROM e),
+    scored AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {_cos('a.v', 'b.v')} AS cos
+      FROM sig a JOIN sig b
+        ON a.bkt = b.bkt AND a.vec_id <> b.vec_id),
+    top1 AS (
+      SELECT id_a, id_b, cos FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY id_a
+                                     ORDER BY cos DESC, id_b) AS rn
+        FROM scored)
+      WHERE rn = 1)
+    SELECT t.id_a, t.id_b, ROUND(t.cos, 6) AS cosine
+    FROM top1 t JOIN top1 r ON r.id_a = t.id_b AND r.id_b = t.id_a
+    WHERE t.id_a < t.id_b
+    """
+
+
+@query("llm_mutual_nn_bucketed", oracle=_mnn_bucketed_oracle())
+def llm_mutual_nn_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-nearest-neighbor pairs, PRODUCTION-BOUNDED: the block
+    column is a random-hyperplane LSH bucket whose BIT COUNT grows
+    with the corpus — bits = clamp(1..12, ⌊log2(N / 200)⌋) — so
+    bucket occupancy stays ≈ constant and the Σ block² pair work
+    scales LINEARLY in N (the label-blocked llm_mutual_nn is the
+    eval/truth form; its fixture-fixed 10 blocks measured a 2.03 sf1
+    exponent — the adjudicated quadratic-by-design shape, SCALE.md).
+    Same literal planes in the oracle (make_planes), the bit-count
+    formula evaluated identically on both sides (N/200 at the clamp
+    boundaries is an exact power of two, where log2 is exact in both
+    engines), so buckets — and therefore candidate sets — match
+    bit-for-bit. Neighbors in different buckets are unseen, the same
+    recall trade every banded LSH path in this repo documents."""
+    import math
+
+    from aws_datalake_spark.operators.similarity import (
+        hyperplane_signature,
+        mutual_nearest_neighbors,
+    )
+
+    e = _emb_double(spark, sf_dir).select("vec_id", "embedding")
+    n = e.count()  # bounded driver scalar (block-geometry control)
+    bits = max(
+        1,
+        min(_MNN_PLANES, math.floor(math.log2(n / _MNN_TARGET)))
+        if n > _MNN_TARGET
+        else 1,
+    )
+    bucketed = e.select(
+        "vec_id",
+        "embedding",
+        F.shiftright(
+            hyperplane_signature(F.col("embedding"), 64, _MNN_PLANES, _MNN_SEED),
+            _MNN_PLANES - bits,
+        ).alias("__bucket"),
+    )
+    return mutual_nearest_neighbors(bucketed, block_col="__bucket")

@@ -658,9 +658,12 @@ def llm_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_CT_CAP = 40  # stop-gram cap: same production bound as llm_ngram_jaccard_capped
+
+
 @query(
     "llm_containment_pairs",
-    oracle="""
+    oracle=f"""
     WITH c AS (
       SELECT doc_id, text FROM documents
       UNION ALL
@@ -677,6 +680,13 @@ def llm_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM c))
       WHERE s IS NOT NULL
     ),
+    freq AS (SELECT s, COUNT(*) AS f FROM sh GROUP BY 1),
+    rare AS (
+      SELECT doc_id, sh.s FROM sh JOIN freq ON freq.s = sh.s
+      WHERE freq.f <= {_CT_CAP}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_sub, b.doc_id AS id_sup
+      FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id <> b.doc_id),
     sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
               FROM sh GROUP BY doc_id),
     com AS (
@@ -685,31 +695,43 @@ def llm_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id <> y.doc_id
       GROUP BY 1, 2
     )
-    SELECT id_sub, id_sup, sa.n_sh AS n_sub, sb.n_sh AS n_sup, n_common,
+    SELECT com.id_sub, com.id_sup, sa.n_sh AS n_sub, sb.n_sh AS n_sup,
+           n_common,
            ROUND(CAST(n_common AS DOUBLE) / CAST(sa.n_sh AS DOUBLE), 6)
              AS containment
-    FROM com JOIN sizes sa ON sa.doc_id = id_sub
-             JOIN sizes sb ON sb.doc_id = id_sup
+    FROM com
+    JOIN cand ON cand.id_sub = com.id_sub AND cand.id_sup = com.id_sup
+    JOIN sizes sa ON sa.doc_id = com.id_sub
+    JOIN sizes sb ON sb.doc_id = com.id_sup
     WHERE sa.n_sh >= 3
       AND ROUND(CAST(n_common AS DOUBLE) / CAST(sa.n_sh AS DOUBLE), 6) >= 0.9
     """,
 )
 def llm_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Directional containment near-superset pairs
-    (operators/dedup.py:containment_pairs): |S(sub) ∩ S(sup)| /
-    |S(sub)| ≥ 0.9 over distinct 3-gram shingle sets — Broder's
-    asymmetric companion to Jaccard resemblance, the signal that
-    catches a document QUOTED/CONCATENATED inside a bigger one
-    (Jaccard vanishes as sizes diverge; containment stays 1.0). Run
-    on the seeded near-dup corpus, where each original is contained
-    in its marker-extended copy. Same inverted-index shape as the
-    Jaccard truth path — text never shuffles; the max_df stop-gram
-    cap is the production bound for hot-gram corpora (tested)."""
+    """Directional containment near-superset pairs, PRODUCTION-BOUNDED
+    (operators/dedup.py:containment_pairs with the max_df stop-gram
+    cap): |S(sub) ∩ S(sup)| / |S(sub)| ≥ 0.9 over distinct 3-gram
+    shingle sets — Broder's asymmetric companion to Jaccard
+    resemblance, the signal that catches a document
+    QUOTED/CONCATENATED inside a bigger one (Jaccard vanishes as
+    sizes diverge; containment stays 1.0). Run on the seeded
+    near-dup corpus, where each original is contained in its
+    marker-extended copy.
+
+    Candidates come only from grams with document frequency ≤ 40 and
+    each survivor is verified EXACTLY on the full shingle arrays —
+    the same bound as llm_ngram_jaccard_capped, registered here from
+    birth because the uncapped inverted index measured a 1.71 sf1
+    exponent on the dense-vocab fixture (the adjudicated hot-gram
+    Σ df² shape; SCALE.md). Recall caveat as there: a pair sharing
+    ONLY hotter-than-cap grams is missed — containment pairs share
+    the sub's rare grams by construction."""
     from aws_datalake_spark.operators.dedup import containment_pairs
     from aws_datalake_spark.queries.llm_dedup import _neardup_corpus
 
     return containment_pairs(
-        _neardup_corpus(spark, sf_dir), threshold=0.9, min_shingles=3
+        _neardup_corpus(spark, sf_dir), threshold=0.9, min_shingles=3,
+        max_df=_CT_CAP,
     )
 
 

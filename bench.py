@@ -176,6 +176,15 @@ HEADLINE = [
     "llm_novelty_scores",
     "llm_label_centroid_drift",
     "llm_code_detect",
+    # round-6 session batch 2
+    "llm_quality_auc",
+    "q_welch_ttest",
+    "llm_blocklist_filter",
+    "llm_containment_pairs",
+    "llm_textrank_summary",
+    "llm_exact_substr_excise",
+    "q_seasonal_anomaly",
+    "llm_mutual_nn_bucketed",
 ]
 
 
