@@ -115,8 +115,18 @@ def duplicate_chunks(
     chunks are rare by mass at any scale, so pass 2's shuffle is
     tiny and the result stays exact.
     """
-    toks = df.select(id_col, tokens_ws(F.col(text_col)).alias("__toks"))
-    grams = toks.select(id_col, F.explode(ngrams("__toks", k)).alias("chunk"))
+    from aws_datalake_spark.operators.dedup_cluster import _truncate
+    from aws_datalake_spark.operators.text import spread
+
+    # gram array materialized ONCE before the explode (PERF §21:
+    # Generate re-evaluates inlined interpreted transforms per
+    # OUTPUT element) — both passes re-read the checkpoint instead
+    # of re-tokenizing
+    toks = spread(df.select(id_col, text_col)).select(
+        id_col, tokens_ws(F.col(text_col)).alias("__toks")
+    )
+    grams_arr = _truncate(toks.select(id_col, ngrams("__toks", k).alias("__gr")))
+    grams = grams_arr.select(id_col, F.explode("__gr").alias("chunk"))
     dup_hashes = (
         grams.select(id_col, F.xxhash64("chunk").alias("__h"))
         .groupBy("__h")
@@ -152,14 +162,18 @@ def excise_contaminated_spans(
     ``(id, n_tokens, n_removed, clean_text)`` for every corpus doc.
 
     Plan: corpus scan → positional n-grams (bound token array — the
-    higher-order transforms never re-split text) → broadcast-hash
-    join against the eval n-gram set → matched positions fan out to
-    their covered token indices and collect_set per doc (bounded by
-    doc length) → one co-partitioned join back rebuilds the text
-    token-filtered. No corpus text ever shuffles except the final
-    doc-sized rebuild join; eval grams broadcast (small by
-    construction, see module docstring).
+    higher-order transforms never re-split text; the gram ARRAY is
+    materialized before the explode because Generate re-evaluates an
+    inlined interpreted transform per OUTPUT element, PERF §14/§21)
+    → broadcast-hash join against the eval n-gram set → matched
+    positions fan out to their covered token indices and collect_set
+    per doc (bounded by doc length) → one co-partitioned join back
+    rebuilds the text token-filtered. No corpus text ever shuffles
+    except the final doc-sized rebuild join; eval grams broadcast
+    (small by construction, see module docstring).
     """
+    from aws_datalake_spark.operators.dedup_cluster import _truncate
+
     toks = corpus.select(
         F.col(id_col).alias("__id"), tokens_ws(F.col(text_col)).alias("__t")
     )
@@ -176,7 +190,8 @@ def excise_contaminated_spans(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<p:int,g:string>>"))
-    pos_grams = toks.select("__id", F.explode(grams).alias("pg")).select(
+    grams_arr = _truncate(toks.select("__id", grams.alias("__pgs")))
+    pos_grams = grams_arr.select("__id", F.explode("__pgs").alias("pg")).select(
         "__id", F.col("pg.p").alias("p"), F.col("pg.g").alias("__g")
     )
     ev = F.broadcast(eval_ngram_set(eval_df, text_col, n))
@@ -227,15 +242,19 @@ def excise_repeated_spans(
     oracle-checkable, where a distributed suffix array is none of
     those.
 
-    SCALE: positional k-grams reduce to 8-byte hash60 values in the
-    SAME projection that explodes them — gram strings never leave
-    the map side. The duplicate table aggregates (doc, hash)-distinct
+    SCALE: positional k-grams reduce to 8-byte hash60 values INSIDE
+    the gram array, which is materialized before the explode — gram
+    strings never leave the map side, the checkpoint writes (p, hash)
+    structs, and Generate explodes an attribute (an inlined
+    interpreted transform would re-evaluate per OUTPUT element,
+    PERF §14/§21). The duplicate table aggregates (doc, hash)-distinct
     rows (map-combinable); matched positions fan out to covered
     indices and collect_set per doc (bounded by doc length); one
     co-partitioned join rebuilds the text. Raw text shuffles only in
     the final doc-sized rebuild join — the same posture as
-    :func:`excise_contaminated_spans` (measured exponent 0.84).
+    :func:`excise_contaminated_spans`.
     """
+    from aws_datalake_spark.operators.dedup_cluster import _truncate
     from aws_datalake_spark.operators.text import hash60
 
     toks = corpus.select(
@@ -254,8 +273,12 @@ def excise_repeated_spans(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<p:int,g:string>>"))
-    pos_grams = toks.select("__id", F.explode(grams).alias("pg")).select(
-        "__id", F.col("pg.p").alias("p"), hash60(F.col("pg.g")).alias("__h")
+    grams_h = F.transform(
+        grams, lambda s: F.struct(s["p"].alias("p"), hash60(s["g"]).alias("h"))
+    )
+    grams_arr = _truncate(toks.select("__id", grams_h.alias("__pgs")))
+    pos_grams = grams_arr.select("__id", F.explode("__pgs").alias("pg")).select(
+        "__id", F.col("pg.p").alias("p"), F.col("pg.h").alias("__h")
     )
     dup = (
         pos_grams.select("__id", "__h")

@@ -812,15 +812,22 @@ def novelty_scores(
     SCALE: shingles reduce to 8-byte hash60 values before either
     aggregate (text never shuffles); one min-by-gram aggregate + one
     per-doc count — two bounded exchanges, no window, no all-pairs
-    anything.
+    anything. The shingle ARRAY is materialized (_truncate) BEFORE
+    the explode: Generate re-evaluates an inlined interpreted
+    transform per OUTPUT element (PERF §14/§21 — this exact operator
+    measured 87.3 s → 3.4 s at sf1 when the checkpoint moved above
+    the explode).
     """
     from aws_datalake_spark.operators.dedup_cluster import _truncate
     from aws_datalake_spark.operators.text import hash60
 
-    sh = _truncate(
-        with_shingles(df, text_col, id_col, shingle_n)
-        .select(F.col(id_col).alias("__id"), F.explode("__sh").alias("__s"))
-        .select("__id", hash60(F.col("__s")).alias("__h"))
+    sh_arr = _truncate(
+        with_shingles(df, text_col, id_col, shingle_n).select(
+            F.col(id_col).alias("__id"), F.col("__sh")
+        )
+    )
+    sh = sh_arr.select("__id", F.explode("__sh").alias("__s")).select(
+        "__id", hash60(F.col("__s")).alias("__h")
     )
     first = sh.groupBy("__h").agg(F.min("__id").alias("__first"))
     per_doc = (

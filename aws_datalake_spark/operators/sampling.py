@@ -328,13 +328,21 @@ def importance_weights(
     from aws_datalake_spark.operators.text import ngrams
 
     def bucketed(df: DataFrame) -> DataFrame:
-        toks_df = df.select(
+        from aws_datalake_spark.operators.dedup_cluster import _truncate
+        from aws_datalake_spark.operators.text import spread
+
+        toks_df = spread(df.select(id_col, text_col)).select(
             F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")
         )
         feats = F.col("__toks")
         for n in range(2, ngram_max + 1):
             feats = F.concat(feats, ngrams("__toks", n))
-        return toks_df.select(
+        if ngram_max > 1:
+            # the concat-of-transforms is interpreted: stage it as an
+            # attribute before the explode (PERF §21)
+            toks_df = _truncate(toks_df.select(F.col(id_col), feats.alias("__f")))
+            feats = F.col("__f")
+        exploded = toks_df.select(
             F.col(id_col), F.explode(feats).alias("__w")
         ).select(
             id_col,
@@ -343,6 +351,9 @@ def importance_weights(
                 % F.lit(B)
             ).alias("__b"),
         )
+        # (id, bucket) rows are 16 bytes: materialize once — the frame
+        # is read three times (histogram, total count, per-doc scorer)
+        return _truncate(exploded)
 
     src = bucketed(corpus)
     tgt = bucketed(target)

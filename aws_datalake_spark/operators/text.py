@@ -335,16 +335,23 @@ def collocation_lift(
     down before multiplying. One scan emits unigrams and bigrams
     together (tagged structs, same single-pass trick as
     repetition_features); one count shuffle; the unigram table
-    broadcasts back onto bigrams twice."""
-    toks_df = df.select(tokens_ws(F.col(text_col)).alias("__toks"))
+    broadcasts back onto bigrams twice. The tagged array is
+    materialized before the explode (Generate re-evaluates an
+    inlined interpreted transform per OUTPUT element — PERF §21)."""
+    from aws_datalake_spark.operators.dedup_cluster import _truncate
+
+    toks_df = spread(df.select(text_col)).select(
+        tokens_ws(F.col(text_col)).alias("__toks")
+    )
     tagged = F.concat(
         F.transform(F.col("__toks"), lambda w: F.struct(F.lit(1).alias("k"), w.alias("g"))),
         F.transform(
             ngrams("__toks", 2), lambda g: F.struct(F.lit(2).alias("k"), g.alias("g"))
         ),
     )
+    tagged_arr = _truncate(toks_df.select(tagged.alias("__tag")))
     counts = (
-        toks_df.select(F.explode(tagged).alias("t"))
+        tagged_arr.select(F.explode("__tag").alias("t"))
         .select(F.col("t.k").alias("k"), F.col("t.g").alias("g"))
         .groupBy("k", "g")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -497,18 +504,24 @@ def bigram_conditional(
     integer ratio (the MLE a count-based n-gram LM trains on; KN
     smoothing adds only more count tables of the same shape).
 
-    Same single-scan tagged uni+bigram emission as collocation_lift;
+    Same single-scan tagged uni+bigram emission as collocation_lift,
+    with the same materialize-before-explode staging (PERF §21);
     the unigram table broadcasts back onto the bigram table.
     """
-    toks_df = df.select(tokens_ws(F.col(text_col)).alias("__toks"))
+    from aws_datalake_spark.operators.dedup_cluster import _truncate
+
+    toks_df = spread(df.select(text_col)).select(
+        tokens_ws(F.col(text_col)).alias("__toks")
+    )
     tagged = F.concat(
         F.transform(F.col("__toks"), lambda w: F.struct(F.lit(1).alias("k"), w.alias("g"))),
         F.transform(
             ngrams("__toks", 2), lambda g: F.struct(F.lit(2).alias("k"), g.alias("g"))
         ),
     )
+    tagged_arr = _truncate(toks_df.select(tagged.alias("__tag")))
     counts = (
-        toks_df.select(F.explode(tagged).alias("t"))
+        tagged_arr.select(F.explode("__tag").alias("t"))
         .select(F.col("t.k").alias("k"), F.col("t.g").alias("g"))
         .groupBy("k", "g")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -569,10 +582,16 @@ def lm_doc_scores(
     lm = bigram_conditional(df, text_col=text_col, min_count=min_count).select(
         "bigram", "p_cond"
     )
-    doc_bi = df.select(
-        F.col(id_col),
-        F.explode(ngrams(tokens_ws(F.col(text_col)), 2)).alias("bigram"),
+    from aws_datalake_spark.operators.dedup_cluster import _truncate
+
+    # bigram array staged as an attribute before the explode
+    # (PERF §21: Generate re-evaluates inlined interpreted transforms
+    # per OUTPUT element)
+    bi_arr = _truncate(
+        df.select(F.col(id_col), tokens_ws(F.col(text_col)).alias("__toks"))
+        .select(F.col(id_col), ngrams("__toks", 2).alias("__bi"))
     )
+    doc_bi = bi_arr.select(F.col(id_col), F.explode("__bi").alias("bigram"))
     # the LM is vocabulary-bounded AND min_count-thresholded — far
     # below any broadcast ceiling in practice — so broadcasting it
     # keeps the (corpus-sized) exploded side from ever shuffling; at
