@@ -1315,7 +1315,14 @@ def llm_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-parity). Ratios are exact integer quotients."""
     from aws_datalake_spark.operators.text import ngrams
 
-    tok = t(spark, sf_dir, "documents").select(
+    from aws_datalake_spark.operators.text import spread
+
+    # spread: the explode+ngram work on a one-file corpus read would
+    # otherwise run on 1-2 cores (PERF §14); the bigram transform is
+    # only 2 element_ats per output element, so the §21 staging is
+    # not worth a checkpoint here (measured: parallelism is the
+    # whole sf1 win, 3.9 s → 2.9 s)
+    tok = spread(t(spark, sf_dir, "documents").select("source", "text")).select(
         "source", tokens_ws_col().alias("__toks")
     )
     uni = tok.select("source", F.explode("__toks").alias("g"))
@@ -1406,6 +1413,9 @@ def llm_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # no §21 staging: the trigram transform is 3 element_ats per
+    # output element (measured parity), and spread above already
+    # fixes the parallelism
     grams = toks_df.select(F.explode(gr).alias("g"))
     top = (
         grams.groupBy("g")
