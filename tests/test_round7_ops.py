@@ -566,3 +566,37 @@ def test_excise_repeated_spans_within_doc_repeat_not_cut(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r.doc_id: r for r in excise_repeated_spans(df, k=4).collect()}
     assert got[1].n_excised == 0
+
+
+# ---------------------------------------------------------------------------
+# seasonal anomaly + bucketed mutual-NN invariants
+# ---------------------------------------------------------------------------
+
+
+def test_seasonal_anomaly_fence_invariants(spark, sf_dir):
+    from aws_datalake_spark.queries.round7 import q_seasonal_anomaly
+
+    rows = q_seasonal_anomaly(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # fence definition holds row-by-row
+        assert r.is_anomaly == (float(r.abs_dev) > 3.5 * float(r.mad))
+        assert r.abs_dev == abs(r.n - r.med)
+        assert 0 <= r.hr <= 23
+    # the hourly median is an actual observed value of its hour group
+    by_hr = {}
+    for r in rows:
+        by_hr.setdefault(r.hr, []).append(r)
+    for hr, grp in by_hr.items():
+        meds = {r.med for r in grp}
+        assert len(meds) == 1
+        assert meds.pop() in {r.n for r in grp}
+
+
+def test_mutual_nn_bucketed_pairs_are_mutual_and_deterministic(spark, sf_dir):
+    from aws_datalake_spark.queries.llm_similarity import llm_mutual_nn_bucketed
+
+    a = sorted((r.id_a, r.id_b) for r in llm_mutual_nn_bucketed(spark, sf_dir).collect())
+    b = sorted((r.id_a, r.id_b) for r in llm_mutual_nn_bucketed(spark, sf_dir).collect())
+    assert a == b and a            # deterministic, non-empty
+    assert all(x < y for x, y in a)  # canonical orientation
