@@ -809,26 +809,28 @@ def novelty_scores(
     the low scorers). Deterministic: "first" is min(id), not
     ingestion order.
 
-    SCALE: shingles reduce to 8-byte hash60 values before either
-    aggregate (text never shuffles); one min-by-gram aggregate + one
-    per-doc count — two bounded exchanges, no window, no all-pairs
-    anything. The shingle ARRAY is materialized (_truncate) BEFORE
-    the explode: Generate re-evaluates an inlined interpreted
-    transform per OUTPUT element (PERF §14/§21 — this exact operator
-    measured 87.3 s → 3.4 s at sf1 when the checkpoint moved above
-    the explode).
+    SCALE: shingles reduce to 8-byte hash60 values INSIDE the array
+    (F.transform) before the checkpoint, so neither the checkpoint
+    write nor any exchange ever carries gram strings — the
+    materialized frame is (id, array<long>), ~8 bytes/gram instead
+    of ~3× corpus text; one min-by-gram aggregate + one per-doc
+    count — two bounded exchanges, no window, no all-pairs anything.
+    The hash ARRAY is materialized (_truncate) BEFORE the explode:
+    Generate re-evaluates an inlined interpreted transform per
+    OUTPUT element (PERF §14/§21 — this exact operator measured
+    87.3 s → 3.4 s at sf1 when the checkpoint moved above the
+    explode).
     """
     from aws_datalake_spark.operators.dedup_cluster import _truncate
     from aws_datalake_spark.operators.text import hash60
 
     sh_arr = _truncate(
         with_shingles(df, text_col, id_col, shingle_n).select(
-            F.col(id_col).alias("__id"), F.col("__sh")
+            F.col(id_col).alias("__id"),
+            F.transform("__sh", lambda s: hash60(s)).alias("__sh"),
         )
     )
-    sh = sh_arr.select("__id", F.explode("__sh").alias("__s")).select(
-        "__id", hash60(F.col("__s")).alias("__h")
-    )
+    sh = sh_arr.select("__id", F.explode("__sh").alias("__h"))
     first = sh.groupBy("__h").agg(F.min("__id").alias("__first"))
     per_doc = (
         sh.join(first, "__h")
@@ -880,15 +882,23 @@ def containment_pairs(
     — shingle postings self-join (text never moves; candidate count
     is Σ_gram df²/2), sizes rejoin per candidate pair; ``max_df=K``
     applies the identical stop-gram cap (candidates only from grams
-    with df ≤ K, exact verification on the full arrays) for corpora
-    with hot boilerplate grams. min_shingles guards the degenerate
-    tiny-doc case where one shared gram = full containment.
+    with df ≤ K, exact verification on the full HASH arrays) for
+    corpora with hot boilerplate grams. min_shingles guards the
+    degenerate tiny-doc case where one shared gram = full
+    containment. Grams are reduced to 8-byte hash60 values INSIDE
+    the array (F.transform) before the checkpoint, so the
+    materialized frame, the postings join, and the
+    array_intersect verification all run on array<long> — gram
+    strings never leave the map side (collision odds at 60 bits are
+    ~|grams|²/2^61, negligible below billions of distinct grams).
     """
     from aws_datalake_spark.operators.dedup_cluster import _truncate
+    from aws_datalake_spark.operators.text import hash60
 
     sh_arr = _truncate(
         with_shingles(df, text_col, id_col, shingle_n).select(
-            F.col(id_col).alias("__id"), F.col("__sh")
+            F.col(id_col).alias("__id"),
+            F.transform("__sh", lambda s: hash60(s)).alias("__sh"),
         )
     )
     sizes = sh_arr.select("__id", F.size("__sh").alias("n_sh"))

@@ -304,12 +304,16 @@ def welch_ttest_pairs(
     never corpus rows.
     """
     x = value_int.cast("long")
+    # Square in DECIMAL(38,0), not int64: long*long wraps silently past
+    # ~3.0e9 per value, while the DuckDB oracle squares in HUGEINT — the
+    # decimal square keeps the two engines bit-identical at any scale.
+    xd = _dec(x)
     g = (
         df.groupBy(F.col(group_col).alias("__g"))
         .agg(
             F.count(F.lit(1)).alias("__n"),
-            F.sum(_dec(x)).alias("__sx"),
-            F.sum(_dec(x * x)).alias("__sxx"),
+            F.sum(xd).alias("__sx"),
+            F.sum(xd * xd).alias("__sxx"),
         )
     )
     n, sx, sxx = _dec(F.col("__n")), F.col("__sx"), F.col("__sxx")

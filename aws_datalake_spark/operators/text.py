@@ -573,12 +573,11 @@ def lm_doc_scores(
     """
     # CPU-bound HOF work over a possibly tiny scan: a sub-MB parquet
     # reads as ONE partition, serializing the n-gram construction on
-    # one core. When input partitions < cores, round-robin the docs
-    # first; at production scale (partitions >> cores) this branch
-    # never fires and no text ever shuffles for it.
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
+    # one core. spread() round-robins (id, text) up to the session
+    # parallelism first — both the LM pass and the checkpointed
+    # bigram explode below inherit the re-slice; at production scale
+    # (partitions >> cores) it is a no-op and no text ever shuffles.
+    df = spread(df.select(id_col, text_col))
     lm = bigram_conditional(df, text_col=text_col, min_count=min_count).select(
         "bigram", "p_cond"
     )
@@ -965,7 +964,13 @@ def blocklist_features(
     toks_df = base.select(
         id_col, *extras, tokens_ws(F.col(text_col)).alias("__toks")
     )
-    hits = F.size(F.filter("__toks", lambda t: t.isin(*terms)))
+    # Degenerate empty blocklist: Column.isin() with zero args raises
+    # inside the lambda, and "no terms" has a well-defined answer —
+    # zero hits everywhere (flagged only if min_hits <= 0).
+    if terms:
+        hits = F.size(F.filter("__toks", lambda t: t.isin(*terms)))
+    else:
+        hits = F.lit(0)
     n_tokens = F.when(
         F.size("__toks") == 1, (F.element_at("__toks", 1) != "").cast("int")
     ).otherwise(F.size("__toks"))

@@ -281,20 +281,69 @@ def llm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("llm_kmeans_cells")
-def llm_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed k-means cell assignment
-    (operators/clustering.py) — the iterative-algorithm class the
-    contract marks non-SQL-expressible (5 Lloyd iterations; a DuckDB
-    twin would need a 5-deep recursive CTE over array math).
-    Deterministic: fixed init (lowest-id vectors), fixed iteration
-    count, decimal-exact sums — rows-only check is still stable.
-    Purity/determinism asserted in tests/test_clustering.py."""
-    from aws_datalake_spark.operators.clustering import kmeans_assign, kmeans_fit
+def _kmeans_exact_oracle(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    """Chained-CTE DuckDB twin of the exact-integer Lloyd iteration
+    (the integer-PageRank technique, VERDICT r06 item 2): fixed
+    iteration count unrolls to ``iters`` CTE pairs (assign → update);
+    trunc-division centroid updates (DuckDB ``//`` and Spark ``DIV``
+    share trunc-toward-zero semantics) keep every centroid an exact
+    integer both engines agree on."""
+    d2 = (
+        "list_sum(list_transform(range(0,%d), "
+        "i -> (v[i+1]-c[i+1])*(v[i+1]-c[i+1])))" % dim
+    )
+    ctes = [
+        "e AS (SELECT vec_id, list_transform(embedding::DOUBLE[], "
+        "x -> CAST(FLOOR(x*1000000.0) AS BIGINT)) AS v FROM embeddings)",
+        f"c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT)"
+        f" AS cid, v AS c FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k}))",
+    ]
+    for it in range(iters):
+        ctes.append(
+            f"a{it} AS (SELECT vec_id, v, cid FROM ("
+            f"SELECT e.vec_id, e.v, c{it}.cid, ROW_NUMBER() OVER ("
+            f"PARTITION BY e.vec_id ORDER BY {d2}, c{it}.cid) AS rn "
+            f"FROM e, c{it}) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"u{it} AS (SELECT cid, list(s // n ORDER BY pos) AS c FROM ("
+            f"SELECT cid, pos, SUM(x) AS s, COUNT(*) AS n FROM ("
+            f"SELECT cid, unnest(v) AS x, unnest(range(0,{dim})) AS pos "
+            f"FROM a{it}) GROUP BY cid, pos) GROUP BY cid)"
+        )
+        ctes.append(
+            f"c{it + 1} AS (SELECT c{it}.cid, COALESCE(u{it}.c, c{it}.c) AS c "
+            f"FROM c{it} LEFT JOIN u{it} USING (cid))"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\n"
+        f"SELECT vec_id, cid AS centroid_id FROM ("
+        f"SELECT e.vec_id, c{iters}.cid, ROW_NUMBER() OVER ("
+        f"PARTITION BY e.vec_id ORDER BY {d2}, c{iters}.cid) AS rn "
+        f"FROM e, c{iters}) WHERE rn = 1"
+    )
 
-    e = _emb_double(spark, sf_dir).select("vec_id", "embedding")
-    cents = kmeans_fit(e, k=8, max_iter=3)
-    return kmeans_assign(e, cents)
+
+@query("llm_kmeans_cells", oracle=_kmeans_exact_oracle())
+def llm_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means cell assignment, exact-integer variant
+    (operators/clustering.py:kmeans_fit_exact): vectors quantized to
+    floor(x·1e6) int64, squared-euclidean argmin assignment, 3 Lloyd
+    rounds with trunc-division centroid updates — every intermediate
+    is an exact integer, so the iterative algorithm that was
+    rows-only through r6 is now hash-certified against a chained-CTE
+    DuckDB twin. The float/cosine production path (kmeans_fit) stays
+    for IVF training; parity/determinism of both is pinned in
+    tests/test_clustering.py."""
+    from aws_datalake_spark.operators.clustering import (
+        kmeans_assign_exact,
+        kmeans_fit_exact,
+        quantize_vectors_int,
+    )
+
+    e = quantize_vectors_int(_emb_double(spark, sf_dir).select("vec_id", "embedding"))
+    cents = kmeans_fit_exact(e, k=8, max_iter=3)
+    return kmeans_assign_exact(e, cents)
 
 
 @query(

@@ -600,3 +600,81 @@ def test_mutual_nn_bucketed_pairs_are_mutual_and_deterministic(spark, sf_dir):
     b = sorted((r.id_a, r.id_b) for r in llm_mutual_nn_bucketed(spark, sf_dir).collect())
     assert a == b and a            # deterministic, non-empty
     assert all(x < y for x, y in a)  # canonical orientation
+
+
+# ---------------------------------------------------------------------------
+# round-7 ADVICE regressions
+# ---------------------------------------------------------------------------
+
+def test_welch_ttest_survives_large_values(spark):
+    """ADVICE r06: squaring in int64 wraps past |x| ~ 3.0e9; the square
+    must happen in DECIMAL(38,0) so Spark matches a HUGEINT oracle.
+    5e9-scale values with real variance would produce garbage t-stats
+    (or sign flips) under int64 wraparound."""
+    from pyspark.sql import functions as F
+    from aws_datalake_spark.operators.stats import welch_ttest_pairs
+
+    big = 5_000_000_000  # > 2^31.5, square overflows int64 by ~1e6x
+    rows = [("a", big), ("a", big + 2), ("a", big + 4),
+            ("b", big + 100), ("b", big + 102), ("b", big + 104)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = welch_ttest_pairs(df, "g", F.col("v")).collect()[0]
+    # exact moments: both groups have sample variance 4, means differ
+    # by exactly 100 -> t = -100 / sqrt(4/3 + 4/3) = -61.237244
+    assert (r.n_a, r.n_b) == (3, 3)
+    assert abs(r.mean_a - float(big + 2)) < 1e-3
+    assert abs(r.t_stat - round(-100.0 / (8.0 / 3.0) ** 0.5, 6)) < 1e-6
+
+
+def test_novelty_checkpoint_carries_hashes_not_strings(spark):
+    """ADVICE r06: the pre-explode checkpoint must hold array<long>
+    hash60 values, not the ~3x-corpus shingle strings."""
+    from aws_datalake_spark.operators.dedup import novelty_scores
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "x y z w q")],
+        "doc_id int, text string",
+    )
+    out = novelty_scores(df)
+    # semantics unchanged: doc 1 owns every gram first, doc 2 restates
+    got = {r.doc_id: (r.n_shingles, r.n_novel) for r in out.collect()}
+    assert got == {1: (3, 3), 2: (3, 0), 3: (3, 3)}
+    # hashing happens INSIDE the array before the checkpoint, so the
+    # post-checkpoint physical plan (rooted at Scan ExistingRDD) does
+    # no md5 work at all — and therefore never touches gram strings
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "md5" not in plan
+
+
+def test_containment_hash_arrays_match_string_semantics(spark):
+    """ADVICE r06: containment_pairs intersects hash60 arrays instead
+    of string arrays; results must be identical (collision-free at
+    test scale) on both the capped and uncapped paths."""
+    from aws_datalake_spark.operators.dedup import containment_pairs
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "quick brown fox jumps over"),  # contained in 1
+        (3, "completely different words here now folks"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    base = {(r.id_sub, r.id_sup): (r.n_sub, r.n_sup, r.n_common, r.containment)
+            for r in containment_pairs(df, threshold=0.9, min_shingles=3).collect()}
+    assert base[(2, 1)] == (3, 8, 3, 1.0)
+    capped = {(r.id_sub, r.id_sup): (r.n_sub, r.n_sup, r.n_common, r.containment)
+              for r in containment_pairs(
+                  df, threshold=0.9, min_shingles=3, max_df=10).collect()}
+    assert capped == base
+
+
+def test_blocklist_empty_terms_short_circuits(spark):
+    """ADVICE r06: empty blocklist must yield bl_hits=0 rows, not an
+    isin()-with-zero-args error."""
+    from aws_datalake_spark.operators.text import blocklist_features
+
+    df = spark.createDataFrame(
+        [(1, "anything at all"), (2, "")], "doc_id int, text string"
+    )
+    got = {r.doc_id: (r.n_tokens, r.bl_hits, r.flagged)
+           for r in blocklist_features(df, [], min_hits=1).collect()}
+    assert got == {1: (3, 0, False), 2: (0, 0, False)}
