@@ -290,6 +290,216 @@ def pq_topk(
     )
 
 
+# --- exact-integer variant (hash-checkable against a chained-CTE oracle) ----
+#
+# Same IVF-ADC pipeline shape as the float path above, but every
+# intermediate is an exact integer (the integer-PageRank technique):
+# vectors quantized to floor(x·1e6) int64, per-subspace Lloyd with
+# trunc-division centroid updates, squared-euclidean everywhere, and
+# the ADC fold summing exact int64 partials. A DuckDB chained-CTE
+# oracle reproduces every code and every distance bit-for-bit, so the
+# query graduates from rows-only to hash-certified. The float path
+# stays as the production index (cosine semantics, GEMM encode).
+
+
+def _sub_d2(a: list[int], b: list[int]) -> int:
+    return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+
+def _trunc_div(s: int, n: int) -> int:
+    # trunc-toward-zero, matching Spark DIV and DuckDB // (Python //
+    # floors on negatives, so route through abs)
+    q = abs(s) // n
+    return q if s >= 0 else -q
+
+
+def pq_train_exact(
+    vectors: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    sample: int = 256,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[int]]]:
+    """Per-subspace codebooks over integer-quantized vectors with
+    EXACT arithmetic: train on the ``sample`` lowest-id vectors
+    (content-stable), init = first-k subvectors, assignment = argmin
+    of exact squared euclidean (lowest-cid tiebreak), update =
+    per-component trunc-division of integer sums; empty cells keep
+    their previous centroid. All driver-side plain-Python ints —
+    like :func:`pq_train`, training is sample-bounded by design
+    (codebooks are tiny, the corpus never shuffles for training) and
+    a chained-CTE oracle reproduces every centroid bit-for-bit.
+    ``vectors`` must be ``quantize_vectors_int`` output."""
+    rows = (
+        vectors.orderBy(id_col).limit(sample).select(vec_col).collect()
+    )
+    X = [[int(x) for x in r[0]] for r in rows]
+    dim = len(X[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    if len(X) < k:
+        raise ValueError(f"sample {len(X)} smaller than k={k}")
+    ds = dim // m
+    books: list[list[list[int]]] = []
+    for j in range(m):
+        S = [v[j * ds:(j + 1) * ds] for v in X]
+        C = [list(s) for s in S[:k]]
+        for _ in range(iters):
+            sums = [[0] * ds for _ in range(k)]
+            counts = [0] * k
+            for s in S:
+                a = min(range(k), key=lambda c: (_sub_d2(s, C[c]), c))
+                counts[a] += 1
+                for p in range(ds):
+                    sums[a][p] += s[p]
+            C = [
+                [_trunc_div(sums[c][p], counts[c]) for p in range(ds)]
+                if counts[c]
+                else C[c]
+                for c in range(k)
+            ]
+        books.append(C)
+    return books
+
+
+def _sub_d2_col(vec_col: str, j: int, ds: int, centroid: list[int]) -> "F.Column":
+    """Exact squared distance of subspace ``j`` of an array<long>
+    column to a literal integer codeword — one codegen'd fold over a
+    slice, no shuffle."""
+    sub = F.slice(F.col(vec_col), j * ds + 1, ds)
+    lit = F.array(*[F.lit(int(c)) for c in centroid])
+    return F.aggregate(
+        F.zip_with(sub, lit, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, d: acc + d,
+    )
+
+
+def pq_encode_exact(
+    df: DataFrame,
+    codebooks: list[list[list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """(id, pq_code array<int>) — the one full-corpus pass, as a pure
+    JVM projection: per subspace, ``least()`` over k (d2, cid)
+    structs against literal codewords (lowest-cid tiebreak). Zero
+    shuffles, zero Python in the scan, exact int64 distances."""
+    k = len(codebooks[0])
+    ds = len(codebooks[0][0])
+    cols = []
+    for j, book in enumerate(codebooks):
+        structs = [
+            F.struct(
+                _sub_d2_col(vec_col, j, ds, book[c]).alias("d2"),
+                F.lit(c).cast("int").alias("cid"),
+            )
+            for c in range(k)
+        ]
+        picked = structs[0] if k == 1 else F.least(*structs)
+        cols.append(picked.getField("cid"))
+    return df.select(F.col(id_col), F.array(*cols).alias(code_col))
+
+
+def pq_query_lut_exact(
+    queries: DataFrame,
+    codebooks: list[list[list[int]]],
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    lut_col: str = "__lut",
+) -> DataFrame:
+    """(query_id, LUT array<long>) with ``LUT[j·k + c] = d2(q_sub_j,
+    codeword_jc)`` — exact integers via m·k literal folds, fully
+    distributed (no driver collect, unlike the float `_lut_frame`
+    small-batch branch): the codebooks are literals, so the LUT is
+    just a wide projection over the query frame."""
+    k = len(codebooks[0])
+    ds = len(codebooks[0][0])
+    entries = [
+        _sub_d2_col(vec_col, j, ds, codebooks[j][c])
+        for j in range(len(codebooks))
+        for c in range(k)
+    ]
+    return queries.select(
+        F.col(query_id_col), F.array(*entries).alias(lut_col)
+    )
+
+
+def assign_cells_exact(
+    df: DataFrame,
+    centroids: DataFrame,
+    n_probe: int,
+    id_col: str,
+    vec_col: str = "embedding",
+    cvec_col: str = "cvec",
+) -> DataFrame:
+    """(id, centroid_id) — nearest ``n_probe`` cells by exact integer
+    squared euclidean (lowest-centroid_id tiebreak). Centroid frame is
+    tiny by construction → broadcast; the corpus never shuffles."""
+    d2 = F.aggregate(
+        F.zip_with(F.col(vec_col), F.col(cvec_col), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, d: acc + d,
+    )
+    scored = df.crossJoin(F.broadcast(centroids)).select(
+        id_col, "centroid_id", d2.alias("__d2")
+    )
+    w = Window.partitionBy(id_col).orderBy("__d2", "centroid_id")
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_probe)
+        .select(id_col, "centroid_id")
+    )
+
+
+def ann_ivf_pq_topk_exact(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebooks: list[list[list[int]]],
+    k_neighbors: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-PQ with exact integer arithmetic end-to-end: corpus codes
+    live in their nearest-centroid cell, a query probes ``n_probe``
+    cells, the ADC fold sums exact int64 LUT partials — returns
+    (query_id, neighbor_id, rank, adc_dist) with adc_dist a plain
+    BIGINT (no rounding, hashable as-is). Same pruning shape as
+    :func:`ann_ivf_pq_topk`: IVF cuts candidates, PQ cuts bytes."""
+    k = len(codebooks[0])
+    cells = assign_cells_exact(corpus, centroids, 1, id_col, vec_col)
+    codes = pq_encode_exact(corpus, codebooks, id_col, vec_col).join(
+        cells, id_col
+    )
+    probe = assign_cells_exact(
+        queries, centroids, n_probe, query_id_col, vec_col
+    ).join(pq_query_lut_exact(queries, codebooks, query_id_col, vec_col),
+           query_id_col)
+    scored = codes.join(
+        F.broadcast(probe), "centroid_id"
+    ).filter(F.col(id_col) != F.col(query_id_col)).select(
+        query_id_col,
+        F.col(id_col).alias("neighbor_id"),
+        F.aggregate(
+            F.transform("pq_code", lambda c, j: c.cast("long") + j * F.lit(k)),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc + F.element_at("__lut", (i + 1).cast("int")),
+        ).alias("adc_dist"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy("adc_dist", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_neighbors)
+        .select(query_id_col, "neighbor_id", "rank", "adc_dist")
+    )
+
+
 def ann_ivf_pq_topk(
     corpus: DataFrame,
     queries: DataFrame,

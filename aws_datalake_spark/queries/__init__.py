@@ -220,13 +220,46 @@ def _driver_green_names() -> set[str]:
     return green
 
 
+def _rows_only_certified() -> set[str]:
+    """Declared rows-only queries that already have a driver record
+    (ran, row-counted, `no_oracle`) in some prior round AND still have
+    no oracle registered. These can never go hash-green, so once
+    certified they stop floating to the window head (VERDICT r06 item
+    2: they were re-occupying slots 0-4 every round — 10% of each
+    window spent re-running queries whose status cannot change). A
+    query that GAINS an oracle later (kmeans/PQ this round) drops out
+    of this set automatically and re-enters the never-green pool for
+    its first hash window."""
+    import json
+    from pathlib import Path
+
+    oracled = set(all_oracles())
+    certified: set[str] = set()
+    root = Path(__file__).resolve().parents[2]
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        try:
+            rows = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, r in rows.items():
+            if not isinstance(r, dict) or name in oracled:
+                continue
+            if r.get("err") == "no_oracle" and (r.get("spark_rows") or 0) >= 0:
+                certified.add(name)
+    return certified
+
+
 def driver_ordered_queries() -> dict[str, QueryFn]:
     """`all_queries()` reordered for the driver's 50-entry window:
     never-yet-green first (ref_* parity, then flagship llm_*, then
     remaining llm_/st_, then generic q_*), previously-green last.
-    Deterministic given the same CORRECTNESS_r*.json files."""
+    Certified rows-only queries group with the green pool (they
+    cannot change status). Deterministic given the same
+    CORRECTNESS_r*.json files."""
     reg = all_queries()
-    green = _driver_green_names()
+    green = _driver_green_names() | _rows_only_certified()
     flagship_rank = {n: i for i, n in enumerate(_FLAGSHIP)}
     r3_rank = {n: i for i, n in enumerate(_R3_PRIORITY)}
     r4_rank = {n: i for i, n in enumerate(_R4_PRIORITY)}

@@ -678,3 +678,98 @@ def test_blocklist_empty_terms_short_circuits(spark):
     got = {r.doc_id: (r.n_tokens, r.bl_hits, r.flagged)
            for r in blocklist_features(df, [], min_hits=1).collect()}
     assert got == {1: (3, 0, False), 2: (0, 0, False)}
+
+
+# ---------------------------------------------------------------------------
+# exact-integer IVF-PQ (hash-certification twin of the float path)
+# ---------------------------------------------------------------------------
+
+def _py_pq_reference(vecs, m, k, iters):
+    """Independent pure-Python mirror of train+encode for parity."""
+    dim = len(vecs[0][1])
+    ds = dim // m
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    def tdiv(s, n):
+        q = abs(s) // n
+        return q if s >= 0 else -q
+
+    books = []
+    for j in range(m):
+        S = [v[j * ds:(j + 1) * ds] for _, v in vecs]
+        C = [list(s) for s in S[:k]]
+        for _ in range(iters):
+            sums = [[0] * ds for _ in range(k)]
+            cnt = [0] * k
+            for s in S:
+                a = min(range(k), key=lambda c: (d2(s, C[c]), c))
+                cnt[a] += 1
+                for p in range(ds):
+                    sums[a][p] += s[p]
+            C = [[tdiv(sums[c][p], cnt[c]) for p in range(ds)] if cnt[c]
+                 else C[c] for c in range(k)]
+        books.append(C)
+    codes = {}
+    for vid, v in vecs:
+        codes[vid] = [
+            min(range(k), key=lambda c: (d2(v[j * ds:(j + 1) * ds], books[j][c]), c))
+            for j in range(m)
+        ]
+    return books, codes
+
+
+def test_pq_exact_train_encode_parity_with_python(spark):
+    """Spark-side exact train/encode must reproduce an independent
+    pure-Python Lloyd bit-for-bit (incl. negative-sum trunc division
+    and lowest-cid tiebreaks)."""
+    from aws_datalake_spark.operators.pq import pq_encode_exact, pq_train_exact
+
+    rng_vals = [((i * 2654435761) % 2001) - 1000 for i in range(12 * 8)]
+    vecs = [(i, rng_vals[i * 8:(i + 1) * 8]) for i in range(12)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs], "vec_id long, embedding array<long>"
+    )
+    books = pq_train_exact(df, m=2, k=3, sample=12, iters=2)
+    ref_books, ref_codes = _py_pq_reference(vecs, m=2, k=3, iters=2)
+    assert books == ref_books
+    got = {r.vec_id: list(r.pq_code)
+           for r in pq_encode_exact(df, books).collect()}
+    assert got == ref_codes
+
+
+def test_pq_exact_topk_is_jvm_side_and_broadcast(spark):
+    """The exact ADC scan must stay JVM-side (no Python evals in the
+    corpus path post-encode) and join probe LUTs via broadcast."""
+    from pyspark.sql import functions as F
+    from aws_datalake_spark.operators.pq import (
+        ann_ivf_pq_topk_exact,
+        pq_train_exact,
+    )
+
+    vals = [((i * 40503 + j * 97) % 401) - 200 for i in range(40) for j in range(8)]
+    df = spark.createDataFrame(
+        [(i, vals[i * 8:(i + 1) * 8]) for i in range(40)],
+        "vec_id long, embedding array<long>",
+    )
+    books = pq_train_exact(df, m=2, k=4, sample=40, iters=2)
+    cents = df.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    qs = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ann_ivf_pq_topk_exact(df, qs, cents, books, k_neighbors=4, n_probe=2)
+    rows = out.collect()
+    assert {r.query_id for r in rows} == {0, 1, 2}
+    for q in (0, 1, 2):
+        ranked = sorted((r for r in rows if r.query_id == q), key=lambda r: r.rank)
+        assert [r.rank for r in ranked] == list(range(1, len(ranked) + 1))
+        dists = [r.adc_dist for r in ranked]
+        assert dists == sorted(dists)           # exact ints, monotone
+        assert all(isinstance(d, int) for d in dists)
+        assert all(r.neighbor_id != q for r in ranked)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
