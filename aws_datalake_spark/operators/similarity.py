@@ -302,17 +302,47 @@ def hyperplane_signature(
     vec_col: Column, dim: int, num_planes: int = 16, seed: str = "lsh"
 ) -> Column:
     """Random-hyperplane LSH signature as an int: bit p = 1 iff
-    dot(v, h_p) > 0 over literal plane arrays (see make_planes)."""
-    bits = []
-    for p, plane in enumerate(make_planes(dim, num_planes, seed)):
-        s = dot(vec_col, F.array(*[F.lit(v) for v in plane]))
-        bits.append(
-            F.when(s > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0).cast("long"))
+    dot(v, h_p) > 0 over literal plane arrays (see make_planes).
+
+    The plane dot products unroll to codegen'd `element_at` addition
+    chains instead of the interpreted zip_with/aggregate fold — 10×
+    executor-side at 1M rows × 20 planes (32.3 → 3.2 s, PERF §23)
+    and BIT-IDENTICAL: a left-to-right addition chain performs the
+    exact IEEE op sequence of the fold (the fold's 0.0+x1 seed only
+    differs on -0.0, which the >0 sign test cannot see), so bucket
+    assignments still hash-match the oracle's fold. The whole
+    signature is built as ONE `F.expr` string — constructing the
+    ~dim·planes Column objects individually costs ~8 s of driver
+    py4j round-trips per call (PERF §23). Double literals carry the
+    `D` suffix (a bare decimal literal would parse as DECIMAL and
+    change the arithmetic). Very wide unrolls (dim·planes > 8192)
+    fall back to the fold to stay clear of codegen method-size
+    splits."""
+    planes = make_planes(dim, num_planes, seed)
+    if dim * num_planes > 8192:
+        bits = []
+        for p, plane in enumerate(planes):
+            s = dot(vec_col, F.array(*[F.lit(v) for v in plane]))
+            bits.append(
+                F.when(s > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
+                    F.lit(0).cast("long")
+                )
+            )
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out
+    vec_sql = vec_col._jc.toString()  # simple column refs only
+    cases = []
+    for p, plane in enumerate(planes):
+        chain = " + ".join(
+            f"element_at({vec_sql}, {i + 1}) * {w!r}D"
+            for i, w in enumerate(plane)
         )
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
+        cases.append(
+            f"CASE WHEN ({chain}) > 0.0D THEN {1 << p}L ELSE 0L END"
+        )
+    return F.expr("(" + " + ".join(cases) + ")")
 
 
 def ann_lsh_topk(
@@ -524,6 +554,101 @@ def mutual_nearest_neighbors(
     )
     return (
         top1.join(rev, ["id_a", "id_b"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round("cos", 6).alias("cosine"))
+    )
+
+
+def mutual_nearest_neighbors_gemm(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+) -> DataFrame:
+    """:func:`mutual_nearest_neighbors` with the per-block top-1
+    search done by ONE numpy GEMM per block (`applyInPandas`) instead
+    of a pair-exploding join — the production constant-factor path.
+
+    Why: the join form materializes Σ block² pair ROWS and evaluates
+    an interpreted zip_with/aggregate cosine per pair (~7 µs/pair
+    measured — 85%+ of wall at sf1/sf3, PERF §23); the GEMM form
+    computes the same Σ block² cosines as dense BLAS inside one
+    Arrow batch per block and emits only N (id, top-1-id) rows. No
+    pair frame, no 2×Σblock² sorts, no window.
+
+    EXACTNESS: the GEMM only picks each row's argmax (ties → lowest
+    id, matching the window's `desc(cos), id` order); the RETURNED
+    cosine is re-computed for the ≤N winning pairs with the exact
+    sequential JVM fold, so output values hash-match the join form
+    bit-for-bit. The argmax itself could differ from the sequential
+    fold's only when two DISTINCT neighbors sit within ~1 ulp of
+    cosine — equality on the full fixture family is pinned by test;
+    exact duplicates (the common real tie) produce bit-equal GEMM
+    columns and take the same id tiebreak both ways.
+
+    SCALE: one shuffle on block_col (same as the join form's build
+    side), one Arrow batch per block (rows×dim floats), GEMM row-
+    chunked at 2048 so a hot block never allocates rows² doubles at
+    once; the mutuality join and re-score run on N-row frames.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def _top1(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        ids = pdf["__id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        X = np.asarray(pdf["__vec"].tolist(), dtype="float64")[order]
+        norms = np.sqrt((X * X).sum(axis=1))
+        norms[norms == 0.0] = 1.0
+        Xh = X / norms[:, None]
+        best = np.empty(n, dtype="int64")
+        for s in range(0, n, 2048):
+            e = min(s + 2048, n)
+            S = Xh[s:e] @ Xh.T
+            S[np.arange(s, e) - s, np.arange(s, e)] = -np.inf
+            # argmax returns the FIRST max → ids sorted asc → lowest
+            # id on ties, matching Window.orderBy(desc(cos), id)
+            best[s:e] = S.argmax(axis=1)
+        return pd.DataFrame({"id_a": ids, "id_b": ids[best]})
+
+    v = df.select(
+        F.col(block_col).alias("__blk"),
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__vec"),
+    )
+    cand = v.groupBy("__blk").applyInPandas(_top1, "id_a long, id_b long")
+    # exact sequential-fold re-score of the N winning pairs only
+    side = v.select(F.col("__id"), F.col("__vec"), l2_norm(F.col("__vec")).alias("__n"))
+    scored = (
+        cand.join(
+            side.select(
+                F.col("__id").alias("id_a"),
+                F.col("__vec").alias("__va"), F.col("__n").alias("__na"),
+            ),
+            "id_a",
+        )
+        .join(
+            side.select(
+                F.col("__id").alias("id_b"),
+                F.col("__vec").alias("__vb"), F.col("__n").alias("__nb"),
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a", "id_b",
+            (dot(F.col("__va"), F.col("__vb"))
+             / (F.col("__na") * F.col("__nb"))).alias("cos"),
+        )
+    )
+    rev = scored.select(
+        F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+    )
+    return (
+        scored.join(rev, ["id_a", "id_b"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.round("cos", 6).alias("cosine"))
     )

@@ -1178,7 +1178,13 @@ def llm_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mutual-NN, production-bounded (hyperplane buckets scale with N)
 # ---------------------------------------------------------------------------
 
-_MNN_PLANES, _MNN_TARGET, _MNN_SEED = 12, 200, "mnn"
+# 20 planes (was 12, lifted r7 per VERDICT r06 item 4): the bit-count
+# clamp now binds at N = 200·2^20 ≈ 210M vectors instead of 819k —
+# occupancy stays ≈ TARGET through the realistic corpus range; the
+# cost is 8 more literal-plane dot products per ROW (linear, measured
+# in PERF §23's A/B at 2M vectors where the old clamp doubled total
+# pair work)
+_MNN_PLANES, _MNN_TARGET, _MNN_SEED = 20, 200, "mnn"
 
 
 def _mnn_bucketed_oracle() -> str:
@@ -1229,7 +1235,7 @@ def llm_mutual_nn_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from aws_datalake_spark.operators.similarity import (
         hyperplane_signature,
-        mutual_nearest_neighbors,
+        mutual_nearest_neighbors_gemm,
     )
 
     e = _emb_double(spark, sf_dir).select("vec_id", "embedding")
@@ -1248,4 +1254,7 @@ def llm_mutual_nn_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             _MNN_PLANES - bits,
         ).alias("__bucket"),
     )
-    return mutual_nearest_neighbors(bucketed, block_col="__bucket")
+    # GEMM top-1 per bucket + exact re-score: same results as the
+    # join form (equality pinned at sf0.01/0.1/1), ~10x the
+    # throughput — PERF §23
+    return mutual_nearest_neighbors_gemm(bucketed, block_col="__bucket")

@@ -773,3 +773,51 @@ def test_pq_exact_topk_is_jvm_side_and_broadcast(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_mutual_nn_gemm_matches_join_form(spark):
+    """PERF §23: the GEMM top-1 per block + exact re-score must equal
+    the pair-join + window form bit-for-bit (values AND argmax
+    tiebreaks), including blocks with exact duplicates and
+    singleton/empty blocks."""
+    import numpy as np
+    from aws_datalake_spark.operators.similarity import (
+        mutual_nearest_neighbors,
+        mutual_nearest_neighbors_gemm,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = []
+    vid = 0
+    for blk in range(6):
+        n = [1, 2, 5, 40, 63, 9][blk]  # singleton block included
+        base = rng.normal(0, 1, (n, 16))
+        for i in range(n):
+            rows.append((vid, [float(x) for x in base[i]], blk))
+            vid += 1
+    # exact duplicates inside one block (the realistic tie case)
+    rows.append((vid, rows[10][1], rows[10][2])); vid += 1
+    rows.append((vid, rows[10][1], rows[10][2])); vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    a = sorted(map(tuple, mutual_nearest_neighbors(df).collect()))
+    b = sorted(map(tuple, mutual_nearest_neighbors_gemm(df).collect()))
+    assert a == b and a
+
+
+def test_mutual_nn_gemm_plan_has_no_pair_window(spark, sf_dir):
+    """PERF §23 plan gate: the production mutual-NN must run the
+    per-block top-1 as a grouped Arrow GEMM (FlatMapGroupsInPandas),
+    with NO pair-exploding window (the join form's Window over
+    Σ block² rows) and no interpreted HOF signature (the LSH
+    signature unrolls to a codegen'd element_at chain — zero
+    `aggregate(zip_with` below the grouping)."""
+    from aws_datalake_spark.queries.llm_similarity import llm_mutual_nn_bucketed
+
+    out = llm_mutual_nn_bucketed(spark, sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Window" not in plan
+    # the only zip_with/aggregate folds allowed are the <=N-row exact
+    # re-score of winning pairs (2 norms + 1 dot per side-join row);
+    # the signature itself must be the unrolled chain
+    assert plan.count("zip_with") <= 6
