@@ -311,3 +311,78 @@ def excise_repeated_spans(
         F.size("__rm").cast("long").alias("n_excised"),
         F.concat_ws(" ", kept).alias("clean_text"),
     )
+
+
+def contamination_coverage(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    k: int = 3,
+    corpus_id: str = "doc_id",
+    eval_id: str = "eval_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-EVAL-document contamination report: the fraction of each
+    eval doc's distinct k-gram shingles that appear anywhere in the
+    training corpus — ``(eval_id, n_grams, n_hit, coverage)``. The
+    complement of :func:`decontaminate`'s corpus-side filter: here
+    the EVAL SUITE is audited (which benchmark items leak, and how
+    fully) so a contaminated eval can be repaired before it
+    mismeasures the model.
+
+    SCALE: the corpus reduces to DISTINCT 8-byte hash60 grams — one
+    exchange of longs, text never moves; the eval side is small by
+    construction (benchmarks are thousands of docs) and joins the
+    gram set with a semi-join marker. Work is scan-bound in the
+    corpus at any size. Hash collisions overcount hits by
+    ~|grams|²/2^61 — negligible below billions of distinct grams
+    (same adjudication as containment_pairs).
+    """
+    from aws_datalake_spark.operators.dedup import with_shingles
+    from aws_datalake_spark.operators.dedup_cluster import _truncate
+    from aws_datalake_spark.operators.text import hash60
+
+    # hash60 INSIDE the array, then materialize BEFORE the explode:
+    # Generate re-evaluates an inlined interpreted transform per
+    # OUTPUT element (PERF §14/§21 — measured 107.9 s → linear-const
+    # at sf1 when this staging landed); the staged frame is
+    # (id, array<long>), ~8 bytes/gram, never gram strings
+    c_arr = _truncate(
+        with_shingles(corpus, text_col, corpus_id, k).select(
+            F.transform("__sh", lambda s: hash60(s)).alias("__sh")
+        )
+    )
+    c_grams = c_arr.select(F.explode("__sh").alias("__h")).distinct()
+    e_arr = _truncate(
+        with_shingles(eval_df, text_col, eval_id, k).select(
+            F.col(eval_id),
+            F.transform("__sh", lambda s: hash60(s)).alias("__sh"),
+        )
+    )
+    e_grams = e_arr.select(eval_id, F.explode("__sh").alias("__h"))
+    hits = (
+        e_grams.join(
+            c_grams.select(F.col("__h"), F.lit(1).alias("__hit")), "__h", "left"
+        )
+        .groupBy(eval_id)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce("__hit", F.lit(0))).alias("n_hit"),
+        )
+    )
+    # docs too short for any k-gram still get a row (coverage 0.0)
+    base = eval_df.select(F.col(eval_id)).distinct()
+    return (
+        base.join(hits, eval_id, "left")
+        .select(
+            eval_id,
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            F.when(
+                F.coalesce("n_grams", F.lit(0)) > 0,
+                F.round(
+                    F.col("n_hit").cast("double") / F.col("n_grams").cast("double"),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)).alias("coverage"),
+        )
+    )

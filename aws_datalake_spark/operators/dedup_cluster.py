@@ -107,3 +107,45 @@ def dedup_representatives(
         F.col("node").alias(id_col)
     )
     return corpus.join(F.broadcast(drop), on=id_col, how="left_anti")
+
+
+def quality_representatives(
+    scored: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "quality_score",
+) -> DataFrame:
+    """Quality-aware cluster representatives: for every near-dup
+    cluster, the member with the HIGHEST quality score (tie → lowest
+    id) — the curation-grade upgrade over min-id keeping, which
+    throws away the best-written copy whenever it isn't the oldest.
+    Returns ``(cluster_id, rep_id, rep_score, n_members)``.
+
+    SCALE: ``components`` is already the pairs-derived frame (LSH-
+    bounded, far smaller than the corpus); the scored corpus joins it
+    once on id, then ONE window over the members frame picks argmax
+    per cluster. Corpus text never moves — only (id, score) pairs
+    reach the window.
+    """
+    from pyspark.sql.window import Window
+
+    members = components.select(
+        F.col("node").alias(id_col), "cluster_id"
+    ).join(scored.select(id_col, score_col), id_col)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    return (
+        members.withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "n_members",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")),
+        )
+        .where(F.col("__rn") == 1)
+        .select(
+            "cluster_id",
+            F.col(id_col).alias("rep_id"),
+            F.col(score_col).alias("rep_score"),
+            "n_members",
+        )
+    )

@@ -440,3 +440,26 @@ def ri_violations(
     return keys.join(
         parent.select(F.col(pk).alias(fk)).distinct(), fk, "left_anti"
     )
+
+
+def k_anonymity_audit(
+    df: DataFrame, qi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination: every
+    distinct QI combo with its group size and a ``violates`` flag
+    (n < k means the combo re-identifies a group smaller than k —
+    the standard release-gate check before publishing a dataset
+    keyed by demographic-ish columns).
+
+    SCALE: ONE map-combinable aggregate on the QI key — the corpus
+    collapses to |distinct combos| rows before anything else
+    happens; no window, no join. Hot combos are by definition the
+    SAFE ones (large n), so skew never concentrates violating rows.
+    """
+    if not qi_cols:
+        raise ValueError("qi_cols must be non-empty")
+    return (
+        df.groupBy(*qi_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(*qi_cols, "n", (F.col("n") < k).alias("violates"))
+    )

@@ -709,3 +709,83 @@ def stratified_eval_split(
             .alias("split"),
         )
     )
+
+
+def histogram_match(
+    df: DataFrame,
+    bin_col: str,
+    target: dict[str, int],
+    id_col: str = "doc_id",
+    seed: str = "hm",
+) -> tuple[DataFrame, DataFrame]:
+    """Rejection-sample ``df`` so the ``bin_col`` distribution matches
+    integer ``target`` weights (the mixture-rebalance step of corpus
+    curation: e.g. force 40/30/30 across languages no matter how
+    skewed the crawl is). Returns ``(sampled, report)``.
+
+    Exact-arithmetic plan: with W = Σ weights, the feasible matched
+    total is M = min_b floor(n_b·W/w_b) (the scarcest bin binds);
+    each bin keeps a_b = floor(M·w_b/W) ≤ n_b rows. Acceptance is
+    content-stable and filter-only — keep row iff
+    ``hash60(seed‖id) mod U < floor(a_b·U/n_b)`` — so the kept-count
+    per bin is deterministic given ids (binomially close to a_b, the
+    documented rate-sampling trade every sampler in this module
+    makes; an exact-a_b variant would need a per-bin order statistic
+    over the corpus). All thresholds are exact integers: no float
+    divide anywhere the engines could round differently.
+
+    SCALE: one aggregate for bin counts (|bins| rows), thresholds
+    broadcast back, then a pure filter — the corpus is scanned twice
+    and shuffled never. Bins absent from ``target`` are dropped.
+    """
+    from aws_datalake_spark.operators.text import hash60
+
+    if not target or any(w <= 0 for w in target.values()):
+        raise ValueError("target must be non-empty positive weights")
+    w_total = sum(target.values())
+    wmap = F.create_map(
+        *[F.lit(x) for kv in target.items() for x in (kv[0], int(kv[1]))]
+    )
+    counts = (
+        df.where(F.col(bin_col).isin(*target.keys()))
+        .groupBy(bin_col)
+        .agg(F.count(F.lit(1)).alias("n_before"))
+        .select(
+            bin_col, "n_before", wmap[F.col(bin_col)].alias("w")
+        )
+    )
+    # M = min_b (n_b*W DIV w_b); a_b = M*w_b DIV W; threshold =
+    # a_b*U DIV n_b — integer DIV (trunc == floor on positives), NOT
+    # `/` (double division would round past 2^53 and can disagree
+    # with the oracle's integer `//`); products stay within int64 for
+    # any n ≤ ~9e12/U rows per bin
+    m = counts.agg(
+        F.min(F.expr(f"n_before * {w_total} DIV w")).alias("__m")
+    )
+    rates = counts.crossJoin(F.broadcast(m)).select(
+        bin_col, "n_before", "w",
+        F.expr(f"__m * w DIV {w_total}").alias("a_b"),
+    ).select(
+        bin_col, "n_before", "w", "a_b",
+        F.expr(f"a_b * {U_BUCKETS}L DIV n_before").alias("__thr"),
+    )
+    sampled = (
+        df.join(F.broadcast(rates.select(bin_col, "__thr")), bin_col)
+        .where(
+            (hash60(F.col(id_col).cast("string"), seed=seed) % U_BUCKETS)
+            < F.col("__thr")
+        )
+        .drop("__thr")
+    )
+    kept = sampled.groupBy(bin_col).agg(F.count(F.lit(1)).alias("n_kept"))
+    report = (
+        rates.join(kept, bin_col, "left")
+        .select(
+            bin_col,
+            "n_before",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.col("w").alias("target_weight"),
+            F.col("a_b").alias("target_rows"),
+        )
+    )
+    return sampled, report

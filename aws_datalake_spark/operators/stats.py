@@ -399,3 +399,37 @@ def mad_outliers(
         .withColumn("median", F.lit(med).cast("long"))
         .withColumn("mad", F.lit(mad).cast("long"))
     )
+
+
+def group_mode(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Exact mode per group with deterministic lowest-value tiebreak:
+    ``(group, mode_value, mode_n)``.
+
+    SCALE: the corpus collapses in ONE map-combinable (group, value)
+    aggregate; the ranking window runs over the aggregated
+    |groups × distinct values| frame, never corpus rows — the same
+    window-above-aggregate discipline as exact_auc. A hot group is
+    safe: its corpus rows pre-aggregate map-side.
+    """
+    from pyspark.sql.window import Window
+
+    counts = (
+        df.groupBy(
+            F.col(group_col).alias("__g"), F.col(value_col).alias("__v")
+        )
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    w = Window.partitionBy("__g").orderBy(F.desc("__n"), F.asc("__v"))
+    return (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("__v").alias("mode_value"),
+            F.col("__n").alias("mode_n"),
+        )
+    )

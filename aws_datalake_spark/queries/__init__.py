@@ -33,6 +33,7 @@ from aws_datalake_spark.queries import entity_e2e  # noqa: F401,E402
 from aws_datalake_spark.queries import round5  # noqa: F401,E402
 from aws_datalake_spark.queries import round6  # noqa: F401,E402
 from aws_datalake_spark.queries import round7  # noqa: F401,E402
+from aws_datalake_spark.queries import round8  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Driver-window rotation

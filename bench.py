@@ -185,6 +185,13 @@ HEADLINE = [
     "llm_exact_substr_excise",
     "q_seasonal_anomaly",
     "llm_mutual_nn_bucketed",
+    # round-7 session additions (perf artifacts at birth, VERDICT r06
+    # item 6)
+    "q_k_anonymity",
+    "llm_histogram_match",
+    "llm_contamination_report",
+    "q_group_mode",
+    "llm_cluster_best_rep",
 ]
 
 
