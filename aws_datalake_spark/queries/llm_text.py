@@ -492,17 +492,67 @@ def llm_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("llm_bpe_merges")  # rows-only by design: iterative, data-dependent loop
+def _bpe_oracle(num_merges: int = 8, min_count: int = 2) -> str:
+    """Chained-CTE DuckDB twin of sequential BPE (which the batched
+    trainer provably equals — operators/bpe.py): one assign/apply CTE
+    pair per merge, MATERIALIZED (each CTE is referenced twice;
+    inlined expansion would re-scan documents 2^K times). The merge
+    application is TWO successive padded LITERAL replaces: Spark's
+    Java lookaround replaceAll merges every whole-symbol occurrence
+    in one pass, while a padded literal replace consumes the shared
+    separator space and skips alternate occurrences of XYXY-runs —
+    the skipped ones are still whole-symbol afterwards (a replacement
+    never spells the old pair), so a second pass merges exactly them
+    and the two-pass result equals Java's single pass for any run
+    length (pinned in tests/test_bpe.py)."""
+    ctes = ["""w0 AS MATERIALIZED (
+      SELECT array_to_string(list_transform(range(1, length(w)+1), i -> w[i]), ' ') AS syms,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents)
+      WHERE w <> '' GROUP BY 1
+    )"""]
+    for i in range(1, num_merges + 1):
+        prev = f"w{i - 1}"
+        ctes.append(f"""p{i} AS MATERIALIZED (
+      SELECT pair, CAST(SUM(n) AS BIGINT) AS c FROM (
+        SELECT n, unnest(list_transform(range(1, len(s)), j -> s[j] || ' ' || s[j+1])) AS pair
+        FROM (SELECT string_split(syms, ' ') AS s, n FROM {prev})
+      ) GROUP BY pair HAVING SUM(n) >= {min_count}
+    )""")
+        ctes.append(
+            f"t{i} AS MATERIALIZED (SELECT pair, c FROM p{i} "
+            f"ORDER BY c DESC, pair LIMIT 1)"
+        )
+        rep = f"' ' || (SELECT pair FROM t{i}) || ' '"
+        new = f"' ' || (SELECT replace(pair, ' ', '') FROM t{i}) || ' '"
+        ctes.append(f"""w{i} AS MATERIALIZED (
+      SELECT trim(replace(replace(' ' || syms || ' ', {rep}, {new}), {rep}, {new})) AS syms, n
+      FROM {prev}
+    )""")
+    finals = [
+        f"SELECT {i} AS merge_rank, pair, replace(pair, ' ', '') AS new_symbol,"
+        f" c AS pair_count FROM t{i}"
+        for i in range(1, num_merges + 1)
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + " UNION ALL ".join(finals) + " ORDER BY merge_rank"
+    )
+
+
+@query("llm_bpe_merges", oracle=_bpe_oracle())
 def llm_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (operators/bpe.py): the
     corpus is scanned once for word frequencies; each merge iteration
-    aggregates over the vocabulary table only. No SQL twin — the
-    merge chosen at step k depends on all k−1 prior merges — so the
-    driver records a rows-only check; determinism and parity with a
-    pure-Python reference BPE are unit-tested (tests/test_bpe.py).
-    Uses the batched trainer: each Spark round learns every
-    provably-safe disjoint top pair, so a 32k-vocab run is ~K/batch
-    driver round-trips instead of one job per merge."""
+    aggregates over the vocabulary table only. Hash-certified since
+    round 7 against a chained-CTE DuckDB twin (the iterative loop
+    unrolls — the same integer-PageRank technique as kmeans/PQ; the
+    two-pass padded-replace equivalence is documented on
+    _bpe_oracle). Determinism and parity with a pure-Python reference
+    BPE stay unit-tested (tests/test_bpe.py). Uses the batched
+    trainer: each Spark round learns every provably-safe disjoint top
+    pair, so a 32k-vocab run is ~K/batch driver round-trips instead
+    of one job per merge."""
     from aws_datalake_spark.operators.bpe import bpe_merges_batched
 
     return bpe_merges_batched(t(spark, sf_dir, "documents"), num_merges=8)

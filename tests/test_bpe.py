@@ -142,3 +142,37 @@ def test_batched_merges_use_fewer_rounds(spark):
     # of these pairs making one-round batches possible
     out = bpe_merges_batched(df, num_merges=6, batch_candidates=64)
     assert out.count() == 6
+
+
+def test_two_pass_padded_replace_equals_java_lookaround(spark):
+    """The DuckDB oracle applies merges as TWO successive padded
+    literal replaces; Spark applies one Java lookaround replaceAll.
+    Pin their equality on the adversarial shapes: XYXY runs (where a
+    single padded pass skips alternate occurrences), overlapping
+    same-symbol runs, and boundary occurrences."""
+    import duckdb
+
+    cases = [
+        ("a b a b a b", "a b", "ab"),        # 3 adjacent occurrences
+        ("a b a b a b a b a b", "a b", "ab"),  # 5
+        ("a a a", "a a", "aa"),              # overlapping run
+        ("x a b", "a b", "ab"),              # at end
+        ("a b x", "a b", "ab"),              # at start
+        ("b a b a b", "a b", "ab"),          # interior adjacents
+        ("q r s", "a b", "ab"),              # no occurrence
+    ]
+    import re as _re
+    con = duckdb.connect()
+    for syms, pair, new in cases:
+        # Java lookaround single pass (the Spark path, via JVM regex)
+        df = spark.createDataFrame([(syms,)], "syms string")
+        from pyspark.sql import functions as F
+        pattern = f"(?<=^|[ ]){_re.escape(pair)}(?=[ ]|$)"
+        java = df.select(
+            F.regexp_replace("syms", pattern, new).alias("r")
+        ).collect()[0].r
+        duck = con.execute(
+            "SELECT trim(replace(replace(' ' || ? || ' ', ?, ?), ?, ?))",
+            [syms, f" {pair} ", f" {new} ", f" {pair} ", f" {new} "],
+        ).fetchone()[0]
+        assert java == duck, (syms, java, duck)
