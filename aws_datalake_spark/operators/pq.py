@@ -364,16 +364,18 @@ def pq_train_exact(
     return books
 
 
-def _sub_d2_col(vec_col: str, j: int, ds: int, centroid: list[int]) -> "F.Column":
+def _sub_d2_sql(vec_col: str, j: int, ds: int, centroid: list[int]) -> str:
     """Exact squared distance of subspace ``j`` of an array<long>
-    column to a literal integer codeword — one codegen'd fold over a
-    slice, no shuffle."""
-    sub = F.slice(F.col(vec_col), j * ds + 1, ds)
-    lit = F.array(*[F.lit(int(c)) for c in centroid])
-    return F.aggregate(
-        F.zip_with(sub, lit, lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, d: acc + d,
+    column to a literal integer codeword, as a SQL fragment — the
+    same zip_with/aggregate fold tree the Column API would build, but
+    parsed in ONE py4j call. Building the m·k folds as individual
+    Column objects costs seconds of driver round-trips per query
+    (the same finding as hyperplane_signature, PERF §23/§25)."""
+    lit = "array(" + ",".join(f"{int(c)}L" for c in centroid) + ")"
+    return (
+        f"aggregate(zip_with(slice({vec_col}, {j * ds + 1}, {ds}), {lit}, "
+        f"(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), "
+        f"(acc, d) -> acc + d)"
     )
 
 
@@ -387,20 +389,19 @@ def pq_encode_exact(
     """(id, pq_code array<int>) — the one full-corpus pass, as a pure
     JVM projection: per subspace, ``least()`` over k (d2, cid)
     structs against literal codewords (lowest-cid tiebreak). Zero
-    shuffles, zero Python in the scan, exact int64 distances."""
+    shuffles, zero Python in the scan, exact int64 distances. Built
+    as one expr string per subspace (driver py4j economy)."""
     k = len(codebooks[0])
     ds = len(codebooks[0][0])
     cols = []
     for j, book in enumerate(codebooks):
         structs = [
-            F.struct(
-                _sub_d2_col(vec_col, j, ds, book[c]).alias("d2"),
-                F.lit(c).cast("int").alias("cid"),
-            )
+            f"named_struct('d2', {_sub_d2_sql(vec_col, j, ds, book[c])}, "
+            f"'cid', CAST({c} AS INT))"
             for c in range(k)
         ]
-        picked = structs[0] if k == 1 else F.least(*structs)
-        cols.append(picked.getField("cid"))
+        picked = structs[0] if k == 1 else "least(" + ", ".join(structs) + ")"
+        cols.append(F.expr(f"({picked}).cid"))
     return df.select(F.col(id_col), F.array(*cols).alias(code_col))
 
 
@@ -415,16 +416,16 @@ def pq_query_lut_exact(
     codeword_jc)`` — exact integers via m·k literal folds, fully
     distributed (no driver collect, unlike the float `_lut_frame`
     small-batch branch): the codebooks are literals, so the LUT is
-    just a wide projection over the query frame."""
+    just a wide projection over the query frame — ONE expr string."""
     k = len(codebooks[0])
     ds = len(codebooks[0][0])
-    entries = [
-        _sub_d2_col(vec_col, j, ds, codebooks[j][c])
+    entries = ", ".join(
+        _sub_d2_sql(vec_col, j, ds, codebooks[j][c])
         for j in range(len(codebooks))
         for c in range(k)
-    ]
+    )
     return queries.select(
-        F.col(query_id_col), F.array(*entries).alias(lut_col)
+        F.col(query_id_col), F.expr(f"array({entries})").alias(lut_col)
     )
 
 

@@ -38,7 +38,9 @@ def _norm(s: str) -> str:
     s = re.sub(r"plan_id=\d+", "plan_id=N", s)
     s = re.sub(r"MapPartitionsRDD\[\d+\]", "MapPartitionsRDD[N]", s)
     s = re.sub(r"file:/\S+", "file:/X", s)
-    s = re.sub(r"x_\d+", "x_N", s)
+    s = re.sub(r"\b([a-z]+)_\d+", r"\1_N", s)  # lambda vars: x_12, y_34
+    # run-varying scratch file names (txn-table data files carry UUIDs)
+    s = re.sub(r"data/[0-9a-f]{32}/[\w.-]+\.parquet", "data/U/F.parquet", s)
     return s
 
 
