@@ -1168,10 +1168,15 @@ def llm_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     production path is llm_mutual_nn_bucketed, whose LSH-bucket
     count scales with N (constant occupancy → linear total work).
     Mutuality via a self-join of the |items|-sized top-1 table;
-    deterministic id tie-break."""
-    from aws_datalake_spark.operators.similarity import mutual_nearest_neighbors
+    deterministic id tie-break. Since r7 the Σ block² cosines run as
+    per-block GEMMs (mutual_nearest_neighbors_gemm — same results,
+    equality pinned; the quadratic block SHAPE is the adjudicated
+    semantic, the 7 µs/pair interpreted-fold constant was not)."""
+    from aws_datalake_spark.operators.similarity import (
+        mutual_nearest_neighbors_gemm,
+    )
 
-    return mutual_nearest_neighbors(_emb_double(spark, sf_dir))
+    return mutual_nearest_neighbors_gemm(_emb_double(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
