@@ -173,7 +173,14 @@ def pagerank_fixed_point(
     num, den = damping
     if not (0 < num < den):
         raise ValueError(f"damping must satisfy 0 < num < den, got {damping}")
-    e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
+    # materialize the edge frame ONCE (the §16 triangle-counting
+    # lesson): without this the caller's edge lineage — typically a
+    # fact-fact join + distinct — re-executes inside every power
+    # iteration (measured 5× re-scan of lineitem⋈orders at sf0.1,
+    # PERF §26)
+    from aws_datalake_spark.operators.dedup_cluster import _truncate as _tr
+
+    e = _tr(edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst")))
     nodes = _truncate(
         e.select(F.col("__src").alias("node"))
         .unionByName(e.select(F.col("__dst").alias("node")))

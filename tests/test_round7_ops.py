@@ -821,3 +821,31 @@ def test_mutual_nn_gemm_plan_has_no_pair_window(spark, sf_dir):
     # re-score of winning pairs (2 norms + 1 dot per side-join row);
     # the signature itself must be the unrolled chain
     assert plan.count("zip_with") <= 6
+
+
+def test_pagerank_materializes_edges_once(spark):
+    """PERF §26: the caller's edge lineage (typically a fact-fact
+    join + distinct) must execute exactly ONCE, not once per power
+    iteration. An accumulator inside a UDF in the edge lineage counts
+    evaluations: 5 iterations must not multiply it."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+    from aws_datalake_spark.operators.graph import pagerank_fixed_point
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def _tap(x):
+        acc.add(1)
+        return x
+
+    tap = F.udf(_tap, LongType())
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 3)], "s long, d long"
+    ).select(tap("s").alias("src"), F.col("d").alias("dst"))
+    out = pagerank_fixed_point(edges, iterations=5)
+    assert out.count() == 3
+    # edge lineage ran once for the materialization plus once for the
+    # nodes/outdeg pre-aggregates that consume the SAME materialized
+    # frame — the tap must count each edge row a BOUNDED number of
+    # times (1 with perfect reuse), never once per iteration
+    assert acc.value <= 4 * 2, acc.value  # 4 edges x <=2 evals
