@@ -981,3 +981,144 @@ def blocklist_features(
         hits.cast("long").alias("bl_hits"),
         (hits >= F.lit(int(min_hits))).alias("flagged"),
     )
+
+
+def gopher_rules(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style composite release gate (Rae et al. 2021 §A1.1,
+    public): per-document rule flags and the conjunctive ``passes``
+    verdict. Rules (thresholds adapted to the short synthetic
+    fixture; production values are ctor-args in spirit):
+
+    * ``r_words``      10 ≤ word count ≤ 100000
+    * ``r_mean_len``   3 ≤ mean word length ≤ 10
+    * ``r_alpha``      ≥ 80% of words contain an alphabetic char
+    * ``r_stop``       ≥ 2 distinct marker/stop words present
+    * ``r_bigram``     top-bigram occupancy ≤ 18% of bigrams
+    * ``r_trigram``    duplicated-trigram mass ≤ 30% of trigrams
+
+    EXACTNESS: every threshold evaluates as a cross-multiplied
+    INTEGER comparison (``5·n_alpha ≥ 4·n_words``, ``100·max_cnt ≤
+    18·n_bigrams``) — no float ever compared, so the booleans are
+    hash-exact cross-engine.
+
+    SCALE: mapper-only, zero shuffles — the n-gram stats ride the
+    same per-row sort + run-length encode as repetition_features;
+    nothing leaves its input partition.
+    """
+    starts = (
+        "case when size({b}) = 0 then array()"
+        " else filter(sequence(1, size({b})),"
+        "      i -> i = 1 or element_at({b}, i) != element_at({b}, i - 1)) end"
+    )
+    stop = F.array(*[F.lit(w) for ws in LANG_MARKERS.values() for w in ws])
+    c = F.col(text_col)
+    staged = df.select(
+        id_col,
+        F.length(F.regexp_replace(c, r"\s", "")).alias("__chars"),
+        tokens_ws(c).alias("__toks"),
+    ).select(
+        id_col,
+        "__chars",
+        F.when(
+            (F.size("__toks") == 1) & (F.element_at("__toks", 1) == ""),
+            F.array().cast("array<string>"),
+        ).otherwise(F.col("__toks")).alias("__toks"),
+    ).select(
+        id_col,
+        "__chars",
+        F.size("__toks").alias("__nw"),
+        F.size(F.filter("__toks", lambda w: w.rlike("[A-Za-z]"))).alias("__na"),
+        F.size(F.array_intersect(F.array_distinct("__toks"), stop)).alias("__ns"),
+        F.array_sort(ngrams("__toks", 2)).alias("__b2"),
+        F.array_sort(ngrams("__toks", 3)).alias("__b3"),
+    )
+    rle = staged.select(
+        id_col, "__chars", "__nw", "__na", "__ns",
+        F.size("__b2").alias("__n2"),
+        F.expr(starts.format(b="__b2")).alias("__s2"),
+        F.size("__b3").alias("__n3"),
+        F.expr(starts.format(b="__b3")).alias("__s3"),
+        F.col("__b2"), F.col("__b3"),
+    ).select(
+        id_col, "__chars", "__nw", "__na", "__ns", "__n2", "__n3",
+        # max run length of the sorted bigram array = top bigram count
+        F.when(F.col("__n2") == 0, F.lit(0)).otherwise(
+            F.array_max(F.expr(
+                "transform(__s2, (s, i) -> "
+                "(case when i + 1 < size(__s2) then element_at(__s2, i + 2)"
+                " else size(__b2) + 1 end) - s)"
+            ))
+        ).alias("__top2"),
+        # duplicated trigram occurrence mass = sum of runs > 1
+        F.when(F.col("__n3") == 0, F.lit(0)).otherwise(
+            F.aggregate(
+                F.expr(
+                    "transform(__s3, (s, i) -> "
+                    "(case when i + 1 < size(__s3) then element_at(__s3, i + 2)"
+                    " else size(__b3) + 1 end) - s)"
+                ),
+                F.lit(0),
+                lambda acc, r: acc + F.when(r > 1, r).otherwise(F.lit(0)),
+            )
+        ).alias("__dup3"),
+    )
+    flags = rle.select(
+        id_col,
+        F.col("__nw").cast("long").alias("n_words"),
+        ((F.col("__nw") >= 10) & (F.col("__nw") <= 100000)).alias("r_words"),
+        (
+            (3 * F.col("__nw") <= F.col("__chars"))
+            & (F.col("__chars") <= 10 * F.col("__nw"))
+        ).alias("r_mean_len"),
+        (5 * F.col("__na") >= 4 * F.col("__nw")).alias("r_alpha"),
+        (F.col("__ns") >= 2).alias("r_stop"),
+        (100 * F.col("__top2") <= 18 * F.col("__n2")).alias("r_bigram"),
+        (100 * F.col("__dup3") <= 30 * F.col("__n3")).alias("r_trigram"),
+    )
+    return flags.select(
+        "*",
+        (
+            F.col("r_words") & F.col("r_mean_len") & F.col("r_alpha")
+            & F.col("r_stop") & F.col("r_bigram") & F.col("r_trigram")
+        ).alias("passes"),
+    )
+
+
+def mixed_language_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document language-consistency report: sentence-level
+    marker langid, dominant language (max sentence count, tie →
+    lexicographically first lang), and a ``mixed`` flag when the
+    dominant share drops below 70% — code-switching / boilerplate-
+    injection detection at corpus scale. Returns ``(id, n_sentences,
+    dominant_lang, n_dominant, mixed)``.
+
+    EXACTNESS: the share test is the integer comparison
+    ``10·n_dominant < 7·n_sentences``. SCALE: one explode + one
+    (id, lang) aggregate; the ranking window runs over the aggregated
+    |docs × langs| frame (window-above-aggregate)."""
+    from pyspark.sql.window import Window
+
+    sents = split_sentences(df, text_col, id_col)
+    per = (
+        sents.select(F.col(id_col), lang_id("sentence").alias("__lang"))
+        .groupBy(id_col, "__lang")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__n"), F.asc("__lang"))
+    tot = Window.partitionBy(id_col)
+    return (
+        per.withColumn("__rn", F.row_number().over(w))
+        .withColumn("n_sentences", F.sum("__n").over(tot))
+        .where(F.col("__rn") == 1)
+        .select(
+            id_col,
+            F.col("n_sentences").cast("long").alias("n_sentences"),
+            F.col("__lang").alias("dominant_lang"),
+            F.col("__n").cast("long").alias("n_dominant"),
+            (10 * F.col("__n") < 7 * F.col("n_sentences")).alias("mixed"),
+        )
+    )

@@ -283,3 +283,136 @@ def llm_cluster_best_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = connected_components(pairs)
     scored = quality_score(corpus).select("doc_id", "quality_score")
     return quality_representatives(scored, comp)
+
+
+# ---------------------------------------------------------------------------
+# Gopher-rules composite release gate
+# ---------------------------------------------------------------------------
+
+_STOP_SQL = None  # computed lazily below (import-cycle hygiene)
+
+
+def _gopher_oracle() -> str:
+    from aws_datalake_spark.operators.text import LANG_MARKERS
+
+    stop = ", ".join(f"'{w}'" for ws in LANG_MARKERS.values() for w in ws)
+    return f"""
+    WITH tok AS (
+      SELECT doc_id,
+             length(regexp_replace(text, '\\s', '', 'g')) AS chars,
+             CASE WHEN trim(text) = '' THEN []
+                  ELSE {_TOKS} END AS t
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, chars, len(t) AS nw,
+             len(list_filter(t, w -> regexp_matches(w, '[A-Za-z]'))) AS na,
+             len(list_intersect(list_distinct(t), [{stop}])) AS ns,
+             t
+      FROM tok
+    ),
+    g2 AS (
+      SELECT doc_id, g, COUNT(*) AS cnt FROM (
+        SELECT doc_id, unnest(list_transform(t, (x, i) ->
+          CASE WHEN i + 1 <= len(t) THEN t[i] || ' ' || t[i+1] END)) AS g
+        FROM base) WHERE g IS NOT NULL GROUP BY doc_id, g
+    ),
+    a2 AS (SELECT doc_id, SUM(cnt) AS n2, MAX(cnt) AS top2 FROM g2 GROUP BY doc_id),
+    g3 AS (
+      SELECT doc_id, g, COUNT(*) AS cnt FROM (
+        SELECT doc_id, unnest(list_transform(t, (x, i) ->
+          CASE WHEN i + 2 <= len(t)
+               THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2] END)) AS g
+        FROM base) WHERE g IS NOT NULL GROUP BY doc_id, g
+    ),
+    a3 AS (SELECT doc_id, SUM(cnt) AS n3,
+                  COALESCE(SUM(CASE WHEN cnt > 1 THEN cnt END), 0) AS dup3
+           FROM g3 GROUP BY doc_id),
+    f AS (
+      SELECT b.doc_id,
+             CAST(b.nw AS BIGINT) AS n_words,
+             (b.nw >= 10 AND b.nw <= 100000) AS r_words,
+             (3 * b.nw <= b.chars AND b.chars <= 10 * b.nw) AS r_mean_len,
+             (5 * b.na >= 4 * b.nw) AS r_alpha,
+             (b.ns >= 2) AS r_stop,
+             (100 * COALESCE(a2.top2, 0) <= 18 * COALESCE(a2.n2, 0)) AS r_bigram,
+             (100 * COALESCE(a3.dup3, 0) <= 30 * COALESCE(a3.n3, 0)) AS r_trigram
+      FROM base b
+      LEFT JOIN a2 ON a2.doc_id = b.doc_id
+      LEFT JOIN a3 ON a3.doc_id = b.doc_id
+    )
+    SELECT *,
+           (r_words AND r_mean_len AND r_alpha AND r_stop AND r_bigram
+            AND r_trigram) AS passes
+    FROM f
+    """
+
+
+@query("llm_gopher_rules", oracle=_gopher_oracle())
+def llm_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style composite quality gate
+    (operators/text.py:gopher_rules — Rae et al. 2021 §A1.1 rules as
+    a mapper-only pass): word-count / mean-word-length / alpha-word /
+    stopword-presence / top-bigram / dup-trigram flags and the
+    conjunctive verdict, every threshold a cross-multiplied integer
+    comparison so the booleans hash-match exactly. Zero shuffles —
+    the n-gram occupancy stats run-length encode each doc's sorted
+    gram array in place."""
+    from aws_datalake_spark.operators.text import gopher_rules
+
+    return gopher_rules(t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# mixed-language (code-switching) detection
+# ---------------------------------------------------------------------------
+
+
+def _mixed_lang_oracle() -> str:
+    from aws_datalake_spark.operators.text import LANG_MARKERS
+
+    branches = " ".join(
+        "WHEN list_has_any(regexp_split_to_array(trim(sentence), '\\s+'), ["
+        + ", ".join(f"'{w}'" for w in words)
+        + f"]) THEN '{lang}'"
+        for lang, words in LANG_MARKERS.items()
+    )
+    return f"""
+    WITH s AS (
+      SELECT doc_id, sentence FROM (
+        SELECT doc_id,
+               trim(unnest(string_split_regex(text, '[.!?]+'))) AS sentence
+        FROM documents)
+      WHERE sentence <> ''
+    ),
+    langs AS (
+      SELECT doc_id, CASE {branches} ELSE 'und' END AS lang FROM s
+    ),
+    per AS (
+      SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n
+      FROM langs GROUP BY doc_id, lang
+    )
+    SELECT doc_id, n_sentences, dominant_lang, n_dominant,
+           (10 * n_dominant < 7 * n_sentences) AS mixed
+    FROM (
+      SELECT doc_id, lang AS dominant_lang, n AS n_dominant,
+             CAST(SUM(n) OVER (PARTITION BY doc_id) AS BIGINT) AS n_sentences,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY n DESC, lang) AS rn
+      FROM per
+    ) WHERE rn = 1
+    """
+
+
+@query("llm_mixed_lang", oracle=_mixed_lang_oracle())
+def llm_mixed_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document language-consistency report
+    (operators/text.py:mixed_language_stats): sentence-level marker
+    langid → dominant language per doc (tie → lexicographically
+    first) → ``mixed`` flag when the dominant share is < 70%
+    (integer comparison). Detects code-switching and boilerplate
+    injection; one explode + one (doc, lang) aggregate, ranking
+    window above the aggregate."""
+    from aws_datalake_spark.operators.text import mixed_language_stats
+
+    return mixed_language_stats(t(spark, sf_dir, "documents"))

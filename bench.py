@@ -192,6 +192,8 @@ HEADLINE = [
     "llm_contamination_report",
     "q_group_mode",
     "llm_cluster_best_rep",
+    "llm_gopher_rules",
+    "llm_mixed_lang",
 ]
 
 

@@ -114,3 +114,51 @@ def test_quality_representatives_argmax_and_counts(spark):
            for r in quality_representatives(scored, comp).collect()}
     # cluster 1: 0.9 tie between 2 and 3 -> lowest id 2
     assert got == {1: (2, 0.9, 3), 7: (7, 0.1, 2)}
+
+
+def test_gopher_rules_flags_and_conjunction(spark):
+    from aws_datalake_spark.operators.text import gopher_rules
+
+    good = "the quick brown fox and the lazy dog walk to the old park " \
+           "while the sun is high and the wind is soft today it moves"
+    rows = [
+        (1, good),                                  # passes everything
+        (2, "short text here"),                     # fails r_words
+        (3, " ".join(["spam ham"] * 30)),           # top bigram dominates
+        (4, "x1 y2 z3 q4 " * 5 + "aa bb cc dd"),    # no stopwords
+        (5, ""),                                    # empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in gopher_rules(df).collect()}
+    assert got[1].passes
+    assert not got[2].r_words and not got[2].passes
+    assert not got[3].r_bigram and not got[3].r_trigram
+    assert not got[4].r_stop
+    assert got[5].n_words == 0 and not got[5].passes
+
+
+def test_gopher_rules_is_mapper_only(spark):
+    from aws_datalake_spark.operators.text import gopher_rules
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = gopher_rules(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # zero shuffles: per-doc math only
+
+
+def test_mixed_language_stats_dominant_and_flag(spark):
+    from aws_datalake_spark.operators.text import mixed_language_stats
+
+    rows = [
+        # 3 en sentences -> dominant en, share 1.0, not mixed
+        (1, "the cat is here. the dog is there. the end is near."),
+        # 2 en + 2 de -> tie, 'de' < 'en' lexicographically, share 0.5 -> mixed
+        (2, "the cat is old. the dog is new. der hund ist alt. die katze ist da."),
+        # single sentence, no markers -> 'und', share 1.0
+        (3, "xyzzy plugh"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_sentences, r.dominant_lang, r.n_dominant, r.mixed)
+           for r in mixed_language_stats(df).collect()}
+    assert got[1] == (3, "en", 3, False)
+    assert got[2] == (4, "de", 2, True)
+    assert got[3] == (1, "und", 1, False)
