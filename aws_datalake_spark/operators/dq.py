@@ -463,3 +463,36 @@ def k_anonymity_audit(
         .agg(F.count(F.lit(1)).alias("n"))
         .select(*qi_cols, "n", (F.col("n") < k).alias("violates"))
     )
+
+
+def l_diversity_audit(
+    df: DataFrame, qi_cols: list[str], sensitive_col: str, l: int = 3
+) -> DataFrame:
+    """l-diversity audit — k-anonymity's complement (Machanavajjhala
+    et al., ICDE 2006): a QI group can be large (k-safe) yet still
+    leak if everyone in it shares the same SENSITIVE value, so each
+    distinct QI combo is reported with its size, its count of
+    distinct sensitive values, and a ``violates`` flag
+    (n_sensitive < l ⇒ a homogeneity attack reads the sensitive
+    attribute off the quasi-identifiers alone).
+
+    SCALE: ONE map-combinable aggregate (count + count_distinct) on
+    the QI key; the corpus collapses to |distinct combos| rows.
+    count_distinct expands to the standard two-phase partial-distinct
+    plan — still a single shuffle on the QI key.
+    """
+    if not qi_cols:
+        raise ValueError("qi_cols must be non-empty")
+    return (
+        df.groupBy(*qi_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col(sensitive_col)).alias("n_sensitive"),
+        )
+        .select(
+            *qi_cols,
+            "n",
+            "n_sensitive",
+            (F.col("n_sensitive") < l).alias("violates"),
+        )
+    )

@@ -433,3 +433,144 @@ def group_mode(
             F.col("__n").alias("mode_n"),
         )
     )
+
+
+def ols_by_group(
+    df: DataFrame,
+    group_cols: list[str],
+    x_int: Column,
+    y_int: Column,
+    y_scale: int = 0,
+) -> DataFrame:
+    """Exact-moment simple linear regression (OLS) per group:
+    ``(group…, n, slope, intercept, r2)`` — the trend readout
+    (is revenue growing? how fast? how linear?) computed
+    verification-grade. ``x_int`` / ``y_int`` MUST be integral
+    (pre-scale fixed-point upstream).
+
+    EXACTNESS: n, Σx, Σy, Σx², Σy², Σxy accumulate exactly in
+    DECIMAL(38,0) (order-independent; squares/products taken in
+    decimal so no int64 wrap at any magnitude, the welch_ttest_pairs
+    lesson). The first-order combos n·Σxy−Σx·Σy and n·Σx²−(Σx)²
+    stay decimal-exact; slope / intercept / R² then use only
+    correctly-rounded IEEE casts, multiplies, divides in a FIXED
+    expression order the oracle mirrors — bit-identical cross-engine.
+
+    Decimal headroom: n·Σy² is the widest term — at n ≤ 10⁴ rows per
+    group and |y| ≤ 10¹¹ it reaches ~10³⁰, five orders below the
+    DECIMAL(38,0) ceiling; beyond that pre-aggregate or rescale.
+
+    ``y_scale``: the fixed-point scale of ``y_int`` (e.g. 4 for 1e-4
+    money units). Slope and intercept divide by 10^y_scale BEFORE
+    rounding, so coefficients come back in natural units — and,
+    critically, ROUND(·, 6) stays well above the double
+    representability cliff (at |v| ≈ 2e9 the ulp is ~4.8e-7, so a
+    6-decimal round of the RAW fixed-point intercept is not
+    cross-engine stable; in natural units it is).
+
+    SCALE: ONE map-combinable aggregate to |groups| rows; every
+    derived column is per-row arithmetic on that bounded frame.
+    """
+    x = _dec(x_int.cast("long"))
+    y = _dec(y_int.cast("long"))
+    g = df.groupBy(*[F.col(c) for c in group_cols]).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(x * x).alias("__sxx"),
+        F.sum(y * y).alias("__syy"),
+        F.sum(x * y).alias("__sxy"),
+    )
+    n = _dec(F.col("__n"))
+    sx, sy = F.col("__sx"), F.col("__sy")
+    sxx, syy, sxy = F.col("__sxx"), F.col("__syy"), F.col("__sxy")
+    num = (n * sxy - sx * sy).cast("double")
+    den_x = (n * sxx - sx * sx).cast("double")
+    den_y = (n * syy - sy * sy).cast("double")
+    ydiv = F.lit(float(10**y_scale))
+    slope = F.when(den_x > 0.0, F.round(num / den_x / ydiv, 6))
+    intercept = F.when(
+        den_x > 0.0,
+        F.round(
+            (sy.cast("double") - (num / den_x) * sx.cast("double"))
+            / F.col("__n").cast("double")
+            / ydiv,
+            6,
+        ),
+    )
+    r2 = F.when(
+        (den_x > 0.0) & (den_y > 0.0),
+        F.round((num * num) / (den_x * den_y), 6),
+    )
+    return g.select(
+        *group_cols,
+        F.col("__n").alias("n"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
+    )
+
+
+def cusum_report(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    count_col: str,
+    threshold_mult: int = 2,
+) -> DataFrame:
+    """Offline CUSUM change-point detection per group over an already
+    bucketed series (one row per (group, bucket) with an integer
+    ``count_col``): ``(group, order, cusum_scaled, alarm)``.
+
+    The textbook recursion S_t = max(0, S_{t−1} + (x_t − μ_g)) is not
+    a window sum, but it has a closed form: with C_t = Σ_{j≤t} d_j,
+    S_t = C_t − min(0, min_{j≤t} C_j) — two plain window functions.
+    Deviations are kept integral by scaling out the mean's division:
+    d_t = n_g·x_t − T_g (n_g = buckets in group, T_g = group total),
+    so every value, running sum, running min, and the alarm threshold
+    ``S_t > threshold_mult · T_g`` are EXACT integers in
+    DECIMAL(38,0) — order-independent, oracle-checkable.
+
+    SCALE: the input is the (group, bucket) aggregate, so the windows
+    run over |groups × buckets| rows, never raw events, and both are
+    PARTITIONED by group — no single-partition global window. One
+    bounded aggregate + one broadcast join supply (n_g, T_g).
+    """
+    from pyspark.sql.window import Window
+
+    per = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(order_col).alias("__o"),
+        F.col(count_col).cast("long").alias("__x"),
+    )
+    totals = per.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("__ng"), F.sum("__x").alias("__tg")
+    )
+    j = per.join(F.broadcast(totals), "__g")
+    d = (_dec(F.col("__ng")) * _dec(F.col("__x")) - _dec(F.col("__tg"))).alias(
+        "__d"
+    )
+    w = Window.partitionBy("__g").orderBy("__o")
+    c = F.sum(F.col("__d")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    m = F.min(F.col("__c")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = F.col("__c") - F.least(F.lit(0).cast("decimal(38,0)"), F.col("__m"))
+    return (
+        j.select("__g", "__o", d)
+        .withColumn("__c", c)
+        .withColumn("__m", m)
+        .withColumn("__s", s)
+        .join(F.broadcast(totals), "__g")
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("__o").alias(order_col),
+            F.col("__s").cast("long").alias("cusum_scaled"),
+            (
+                F.col("__s")
+                > _dec(F.lit(threshold_mult)) * _dec(F.col("__tg"))
+            ).alias("alarm"),
+        )
+    )

@@ -1,0 +1,274 @@
+"""Round-7-session additions, batch 2: association-rule mining,
+exact OLS trend regression, CUSUM change-point detection,
+l-diversity release gate.
+
+All new surface beyond SURVEY.md §2 (the reference has none of
+these); each pairs a scalable Spark plan with a DuckDB oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_datalake_spark.queries._shared import t
+from aws_datalake_spark.queries.registry import query
+
+# ---------------------------------------------------------------------------
+# association-rule mining (market basket)
+# ---------------------------------------------------------------------------
+
+_AP_MIN_SUPPORT = 3
+
+
+@query(
+    "q_basket_pairs",
+    oracle=f"""
+    WITH m AS (
+      SELECT DISTINCT l.l_orderkey AS ctx, p.p_brand AS item
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT ctx) AS BIGINT) AS n FROM m),
+    ic AS (
+      SELECT item, CAST(COUNT(*) AS BIGINT) AS ni FROM m GROUP BY 1
+    ),
+    pr AS (
+      SELECT a.item AS item_a, b.item AS item_b,
+             CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM m a JOIN m b ON a.ctx = b.ctx AND a.item < b.item
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {_AP_MIN_SUPPORT}
+    )
+    SELECT pr.item_a, pr.item_b, pr.n_ab, ia.ni AS n_a, ib.ni AS n_b,
+           ROUND(CAST(pr.n_ab AS DOUBLE) / CAST(n.n AS DOUBLE), 6)
+             AS support,
+           ROUND(CAST(pr.n_ab AS DOUBLE) / CAST(ia.ni AS DOUBLE), 6)
+             AS conf_a_b,
+           ROUND(CAST(pr.n_ab AS DOUBLE) / CAST(ib.ni AS DOUBLE), 6)
+             AS conf_b_a,
+           ROUND(CAST(pr.n_ab AS DOUBLE) * CAST(n.n AS DOUBLE)
+                 / CAST(ia.ni AS DOUBLE) / CAST(ib.ni AS DOUBLE), 6)
+             AS lift
+    FROM pr
+    JOIN ic ia ON ia.item = pr.item_a
+    JOIN ic ib ON ib.item = pr.item_b, n
+    """,
+)
+def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets
+    (operators/mining.py:association_pairs): every brand pair bought
+    together in >= 3 orders, with exact support / confidence / lift
+    — the level-2 Apriori pass as plain DataFrame ops. The
+    per-context self-join fans out C(m,2) on ~4-item baskets
+    (bounded); item counts and the context total broadcast onto the
+    pair frame, so the corpus shuffles once. Rule metrics are
+    fixed-order IEEE quotients of exact longs — hash-identical to
+    the SQL twin."""
+    from aws_datalake_spark.operators.mining import association_pairs
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        F.col("l_orderkey").alias("ctx"), F.col("p_brand").alias("item")
+    )
+    return association_pairs(
+        baskets, "ctx", "item", min_pair_support=_AP_MIN_SUPPORT
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact OLS trend regression per group
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_regression_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT n.n_name,
+             CAST(date_diff('day', DATE '1992-01-01',
+                            CAST(o.o_orderdate AS DATE)) AS BIGINT) AS x,
+             SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                            * 10000.0) AS BIGINT)) AS y
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(x AS HUGEINT)) AS sx,
+             SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(y AS HUGEINT) * y) AS syy,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy
+      FROM daily GROUP BY 1
+    )
+    SELECT n_name, n,
+           CASE WHEN CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+                     > 0.0 THEN
+             ROUND(CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+                   / CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+                   / 10000.0, 6)
+           END AS slope,
+           CASE WHEN CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+                     > 0.0 THEN
+             ROUND((CAST(sy AS DOUBLE)
+                    - (CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+                       / CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE))
+                      * CAST(sx AS DOUBLE))
+                   / CAST(n AS DOUBLE) / 10000.0, 6)
+           END AS intercept,
+           CASE WHEN CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+                     > 0.0
+                 AND CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE)
+                     > 0.0 THEN
+             ROUND(CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+                   * CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+                   / (CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+                      * CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE)),
+                   6)
+           END AS r2
+    FROM m
+    """,
+)
+def q_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation revenue trend via exact-moment OLS
+    (operators/stats.py:ols_by_group): slope / intercept / R² of
+    daily revenue (fixed-point 1e-4) against the day index — the
+    "is this segment growing, how fast, how linear" readout computed
+    verification-grade. The corpus collapses in one (nation, day)
+    aggregate; the six regression moments accumulate exactly in
+    DECIMAL(38,0) in a second map-combinable aggregate to |nations|
+    rows; the statistics are fixed-order IEEE expressions the oracle
+    mirrors — bit-identical cross-engine."""
+    from aws_datalake_spark.operators.stats import ols_by_group
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(10000.0),
+        0,
+    ).cast("long")
+    daily = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "n_name",
+            F.datediff(
+                F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date")
+            )
+            .cast("long")
+            .alias("x"),
+            rev.alias("r"),
+        )
+        .groupBy("n_name", "x")
+        .agg(F.sum("r").alias("y"))
+    )
+    return ols_by_group(daily, ["n_name"], F.col("x"), F.col("y"), y_scale=4)
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point detection
+# ---------------------------------------------------------------------------
+
+_CUSUM_MULT = 2
+
+
+@query(
+    "q_cusum_changepoint",
+    oracle=f"""
+    WITH per AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS ng,
+             CAST(SUM(x) AS HUGEINT) AS tg
+      FROM per GROUP BY 1
+    ),
+    d AS (
+      SELECT p.event_type, p.day, t.ng * p.x - t.tg AS d, t.tg
+      FROM per p JOIN tot t USING (event_type)
+    ),
+    c AS (
+      SELECT event_type, day, tg,
+             SUM(d) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS UNBOUNDED PRECEDING) AS c
+      FROM d
+    ),
+    s AS (
+      SELECT event_type, day, tg,
+             c - LEAST(CAST(0 AS HUGEINT),
+                       MIN(c) OVER (PARTITION BY event_type ORDER BY day
+                                    ROWS UNBOUNDED PRECEDING)) AS s
+      FROM c
+    )
+    SELECT event_type, day, CAST(s AS BIGINT) AS cusum_scaled,
+           s > {_CUSUM_MULT} * tg AS alarm
+    FROM s
+    """,
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection on daily event volumes per type
+    (operators/stats.py:cusum_report): the max(0, S+dev) recursion
+    rewritten as cumsum-minus-running-min — two PARTITIONED window
+    functions over the (type, day) aggregate, never raw events.
+    Deviations scale to exact integers (n_g·x_t − T_g), so the
+    CUSUM statistic and the alarm flag hash-match the SQL twin."""
+    from aws_datalake_spark.operators.stats import cusum_report
+
+    per = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    return cusum_report(
+        per, "event_type", "day", "x", threshold_mult=_CUSUM_MULT
+    )
+
+
+# ---------------------------------------------------------------------------
+# l-diversity release gate
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_l_diversity",
+    oracle="""
+    SELECT c_nationkey,
+           CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_sensitive,
+           TRUE AS violates
+    FROM customer
+    GROUP BY 1, 2
+    HAVING COUNT(DISTINCT c_mktsegment) < 4
+    """,
+)
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity release gate (operators/dq.py:l_diversity_audit):
+    QI combos (nation, balance bucket) whose members span fewer than
+    l=4 distinct market segments — groups k-anonymity passes but a
+    homogeneity attack still reads. ONE map-combinable
+    count+count_distinct aggregate; the corpus collapses to |combos|
+    rows before the filter."""
+    from aws_datalake_spark.operators.dq import l_diversity_audit
+
+    c = t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000.0).alias("bal_bucket"),
+        "c_mktsegment",
+    )
+    return l_diversity_audit(
+        c, ["c_nationkey", "bal_bucket"], "c_mktsegment", l=4
+    ).where(F.col("violates"))

@@ -194,6 +194,11 @@ HEADLINE = [
     "llm_cluster_best_rep",
     "llm_gopher_rules",
     "llm_mixed_lang",
+    # round-7 session batch 2
+    "q_basket_pairs",
+    "q_regression_trend",
+    "q_cusum_changepoint",
+    "q_l_diversity",
 ]
 
 

@@ -1,0 +1,236 @@
+"""Round-7-session batch-2 operator tests: association-rule mining,
+exact OLS regression, CUSUM change-point, l-diversity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ---------------------------------------------------------------------------
+# association_pairs
+# ---------------------------------------------------------------------------
+
+
+def test_association_pairs_counts_and_metrics(spark):
+    from aws_datalake_spark.operators.mining import association_pairs
+
+    rows = [
+        (1, "a"), (1, "b"), (1, "c"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "b"),
+        (4, "c"),
+        (4, "c"),  # duplicate membership must not double-count
+    ]
+    df = spark.createDataFrame(rows, "ctx int, item string")
+    got = {(r.item_a, r.item_b): r
+           for r in association_pairs(df, "ctx", "item", 2).collect()}
+    assert set(got) == {("a", "b")}
+    r = got[("a", "b")]
+    # N=4 contexts, n_a=3, n_b=3, n_ab=3
+    assert (r.n_ab, r.n_a, r.n_b) == (3, 3, 3)
+    assert r.support == round(3 / 4, 6)
+    assert r.conf_a_b == round(3 / 3, 6)
+    assert r.conf_b_a == 1.0
+    assert r.lift == round(3 * 4 / 3 / 3, 6)
+
+
+def test_association_pairs_canonical_order_and_support_floor(spark):
+    from aws_datalake_spark.operators.mining import association_pairs
+
+    rows = [(1, "z"), (1, "a"), (2, "z"), (2, "a"), (3, "q"), (3, "r")]
+    df = spark.createDataFrame(rows, "ctx int, item string")
+    out = association_pairs(df, "ctx", "item", 2).collect()
+    assert [(r.item_a, r.item_b) for r in out] == [("a", "z")]
+    # support floor: the (q, r) pair co-occurs once -> dropped
+    out1 = association_pairs(df, "ctx", "item", 1).collect()
+    assert {(r.item_a, r.item_b) for r in out1} == {("a", "z"), ("q", "r")}
+    for r in out1:
+        assert r.item_a < r.item_b
+
+
+def test_association_pairs_item_counts_broadcast(spark):
+    """The item-count and N frames must broadcast onto the pair
+    frame — no extra corpus-keyed shuffle after the pair aggregate."""
+    from aws_datalake_spark.operators.mining import association_pairs
+
+    df = spark.createDataFrame(
+        [(i % 7, f"it{i % 3}") for i in range(50)], "ctx int, item string"
+    )
+    plan = _plan(association_pairs(df, "ctx", "item", 1))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# ols_by_group
+# ---------------------------------------------------------------------------
+
+
+def test_ols_exact_line(spark):
+    """Points exactly on y = 3x + 7 -> slope 3, intercept 7, r2 1."""
+    from aws_datalake_spark.operators.stats import ols_by_group
+
+    rows = [("g", x, 3 * x + 7) for x in range(10)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    r = ols_by_group(df, ["g"], F.col("x"), F.col("y")).collect()[0]
+    assert (r.n, r.slope, r.intercept, r.r2) == (10, 3.0, 7.0, 1.0)
+
+
+def test_ols_matches_numpy(spark):
+    import numpy as np
+
+    from aws_datalake_spark.operators.stats import ols_by_group
+
+    rng = np.random.RandomState(7)
+    x = np.arange(40)
+    y = (5 * x + 100 + rng.randint(-20, 20, size=40)).astype(int)
+    df = spark.createDataFrame(
+        [("g", int(a), int(b)) for a, b in zip(x, y)],
+        "g string, x long, y long",
+    )
+    r = ols_by_group(df, ["g"], F.col("x"), F.col("y")).collect()[0]
+    slope, intercept = np.polyfit(x, y, 1)
+    assert r.slope == pytest.approx(slope, abs=1e-6)
+    assert r.intercept == pytest.approx(intercept, abs=1e-6)
+    cc = np.corrcoef(x, y)[0, 1]
+    assert r.r2 == pytest.approx(cc * cc, abs=1e-6)
+
+
+def test_ols_degenerate_single_x(spark):
+    """All x equal -> den_x = 0 -> slope/intercept/r2 NULL."""
+    from aws_datalake_spark.operators.stats import ols_by_group
+
+    df = spark.createDataFrame(
+        [("g", 5, 1), ("g", 5, 2)], "g string, x long, y long"
+    )
+    r = ols_by_group(df, ["g"], F.col("x"), F.col("y")).collect()[0]
+    assert r.slope is None and r.intercept is None and r.r2 is None
+
+
+def test_ols_y_scale_natural_units(spark):
+    from aws_datalake_spark.operators.stats import ols_by_group
+
+    rows = [("g", x, (3 * x + 7) * 10000) for x in range(10)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    r = ols_by_group(df, ["g"], F.col("x"), F.col("y"), y_scale=4).collect()[0]
+    assert (r.slope, r.intercept, r.r2) == (3.0, 7.0, 1.0)
+
+
+def test_ols_single_partial_aggregate(spark):
+    """One map-combinable aggregate: exactly one shuffle exchange."""
+    from aws_datalake_spark.operators.stats import ols_by_group
+
+    df = spark.createDataFrame(
+        [("g", i, i * 2) for i in range(100)], "g string, x long, y long"
+    )
+    plan = _plan(ols_by_group(df, ["g"], F.col("x"), F.col("y")))
+    assert plan.count("Exchange") == 1
+
+
+# ---------------------------------------------------------------------------
+# cusum_report
+# ---------------------------------------------------------------------------
+
+
+def test_cusum_flat_series_is_zero(spark):
+    from aws_datalake_spark.operators.stats import cusum_report
+
+    df = spark.createDataFrame(
+        [("g", d, 10) for d in range(8)], "g string, day int, x long"
+    )
+    out = cusum_report(df, "g", "day", "x").collect()
+    assert all(r.cusum_scaled == 0 and not r.alarm for r in out)
+
+
+def test_cusum_matches_reference_recursion(spark):
+    """The window closed form must equal the textbook
+    S_t = max(0, S_{t-1} + n*x_t - T) recursion."""
+    from aws_datalake_spark.operators.stats import cusum_report
+
+    xs = [10, 12, 8, 9, 30, 35, 33, 11, 10, 9]
+    n, tot = len(xs), sum(xs)
+    s, expect = 0, []
+    for x in xs:
+        s = max(0, s + n * x - tot)
+        expect.append(s)
+    df = spark.createDataFrame(
+        [("g", d, x) for d, x in enumerate(xs)], "g string, day int, x long"
+    )
+    got = [
+        r.cusum_scaled
+        for r in cusum_report(df, "g", "day", "x").orderBy("day").collect()
+    ]
+    assert got == expect
+
+
+def test_cusum_alarm_threshold_and_grouping(spark):
+    from aws_datalake_spark.operators.stats import cusum_report
+
+    # group "shift" jumps from 1 to 100 halfway -> huge positive CUSUM
+    rows = [("shift", d, 1 if d < 10 else 100) for d in range(20)]
+    rows += [("flat", d, 5) for d in range(20)]
+    df = spark.createDataFrame(rows, "g string, day int, x long")
+    out = cusum_report(df, "g", "day", "x", threshold_mult=1).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.g, []).append(r)
+    assert any(r.alarm for r in by["shift"])
+    assert not any(r.alarm for r in by["flat"])
+
+
+def test_cusum_windows_are_partitioned(spark):
+    """No single-partition global window: every Window in the plan
+    carries a partition spec."""
+    from aws_datalake_spark.operators.stats import cusum_report
+
+    df = spark.createDataFrame(
+        [("g", d, 10) for d in range(8)], "g string, day int, x long"
+    )
+    plan = _plan(cusum_report(df, "g", "day", "x"))
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "__g" in line.split("windowspecdefinition")[1][:80]
+
+
+# ---------------------------------------------------------------------------
+# l_diversity_audit
+# ---------------------------------------------------------------------------
+
+
+def test_l_diversity_flags_homogeneous_groups(spark):
+    from aws_datalake_spark.operators.dq import l_diversity_audit
+
+    rows = (
+        [("a", 1, "X")] * 5          # 1 distinct sensitive -> violates
+        + [("a", 2, "X"), ("a", 2, "Y"), ("a", 2, "Z")]  # 3 -> ok at l=2
+        + [("b", 1, "X"), ("b", 1, "X"), ("b", 1, "Y")]  # 2 -> ok at l=2
+    )
+    df = spark.createDataFrame(rows, "q1 string, q2 int, s string")
+    got = {(r.q1, r.q2): (r.n, r.n_sensitive, r.violates)
+           for r in l_diversity_audit(df, ["q1", "q2"], "s", l=2).collect()}
+    assert got == {
+        ("a", 1): (5, 1, True),
+        ("a", 2): (3, 3, False),
+        ("b", 1): (3, 2, False),
+    }
+    with pytest.raises(ValueError):
+        l_diversity_audit(df, [], "s", l=2)
+
+
+def test_l_diversity_vs_k_anonymity_orthogonal(spark):
+    """A k-safe group (large n) can still violate l-diversity."""
+    from aws_datalake_spark.operators.dq import (
+        k_anonymity_audit,
+        l_diversity_audit,
+    )
+
+    rows = [("big", "X")] * 50
+    df = spark.createDataFrame(rows, "q string, s string")
+    k = k_anonymity_audit(df, ["q"], k=5).collect()[0]
+    l = l_diversity_audit(df, ["q"], "s", l=2).collect()[0]
+    assert not k.violates and l.violates
