@@ -574,3 +574,64 @@ def cusum_report(
             ).alias("alarm"),
         )
     )
+
+
+def interarrival_burstiness(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    min_gaps: int = 5,
+) -> DataFrame:
+    """Per-key inter-arrival gap statistics and the Goh–Barabási
+    burstiness coefficient B = (σ−μ)/(σ+μ) ∈ (−1, 1): −1 = perfectly
+    periodic, 0 = Poisson, →1 = bursty — the traffic-shape readout
+    (bot detection, retry storms, scraper fingerprints):
+    ``(key, n_gaps, mean_gap_s, burstiness)``.
+
+    EXACTNESS: timestamps reduce to exact epoch MICROSECONDS
+    (both engines integral — epoch seconds as double would not be);
+    gap moments n, Σg, Σg² accumulate in DECIMAL(38,0); μ and σ
+    convert to SECONDS before any rounding (a 6-decimal round of a
+    µs-scale mean sits above the double representability cliff — the
+    ols_by_group lesson); B uses only mirrored IEEE ops.
+
+    SCALE: one per-key LAG window (partitioned — never global) over
+    events ordered by (ts, tiebreak) for determinism under equal
+    timestamps, then ONE map-combinable aggregate to |keys| rows.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("__k").orderBy("__us", "__tb")
+    gaps = (
+        df.select(
+            F.col(key_col).alias("__k"),
+            F.unix_micros(F.col(ts_col)).alias("__us"),
+            F.col(tiebreak_col).alias("__tb"),
+        )
+        .select(
+            "__k", (F.col("__us") - F.lag("__us").over(w)).alias("__g")
+        )
+        .where(F.col("__g").isNotNull())
+    )
+    m = gaps.groupBy("__k").agg(
+        F.count("__g").alias("__n"),
+        F.sum(_dec(F.col("__g"))).alias("__sg"),
+        F.sum(_dec(F.col("__g")) * _dec(F.col("__g"))).alias("__sgg"),
+    ).where(F.col("__n") >= min_gaps)
+    n_d = F.col("__n").cast("double")
+    mean_s = F.col("__sg").cast("double") / n_d / F.lit(1e6)
+    var_us2 = (
+        _dec(F.col("__n")) * F.col("__sgg") - F.col("__sg") * F.col("__sg")
+    ).cast("double") / (n_d * (n_d - F.lit(1.0)))
+    sd_s = F.sqrt(var_us2) / F.lit(1e6)
+    b = F.when(
+        (F.col("__n") >= 2) & (sd_s + mean_s > 0.0),
+        F.round((sd_s - mean_s) / (sd_s + mean_s), 6),
+    )
+    return m.select(
+        F.col("__k").alias(key_col),
+        F.col("__n").alias("n_gaps"),
+        F.round(mean_s, 6).alias("mean_gap_s"),
+        b.alias("burstiness"),
+    )

@@ -1122,3 +1122,90 @@ def mixed_language_stats(
             (10 * F.col("__n") < 7 * F.col("n_sentences")).alias("mixed"),
         )
     )
+
+
+def rake_keywords(
+    df: DataFrame,
+    stopwords: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_phrase_len: int = 4,
+    top_k: int = 50,
+    score_scale: int = 10**6,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free token runs; each word scores
+    degree/frequency (degree = Σ phrase length over its occurrences
+    — co-occurrence within phrase incl. itself); a phrase scores the
+    sum of its member word scores. Returns the corpus-level top-k:
+    ``(phrase, n_occ, score_scaled)`` ordered by score desc, phrase
+    asc.
+
+    DETERMINISM: word scores are exact truncated rationals
+    (deg·score_scale div freq — int64-safe while deg·scale < 2^63,
+    i.e. corpus token count below ~2·10¹² at the default scale);
+    phrase scores are exact long sums; the top-k total order
+    (score desc, phrase asc) is unique per distinct phrase — all
+    reproducible in plain SQL, so results hash-match cross-engine.
+
+    SCALE: phrase segmentation is the gaps-and-islands idiom — ONE
+    per-document window (cumulative stopword count), no self-join;
+    word stats and phrase scores are hash aggregates on word/phrase
+    keys; the word-score frame (|vocab| rows) broadcasts back onto
+    phrase members; top-k is a distributed TakeOrdered, never a
+    global sort.
+    """
+    from pyspark.sql.window import Window
+
+    base = spread(df.select(id_col, text_col))
+    toks = base.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(tokens_ws(F.col(text_col))).alias("__pos", "__w"),
+    )
+    is_stop = F.col("__w").isin(list(stopwords)) | (F.length("__w") == 0)
+    w_doc = Window.partitionBy("__id").orderBy("__pos")
+    marked = toks.select(
+        "__id",
+        "__pos",
+        "__w",
+        F.sum(is_stop.cast("int")).over(w_doc).alias("__ph"),
+        is_stop.alias("__stop"),
+    )
+    members = marked.where(~F.col("__stop")).drop("__stop")
+    w_ph = Window.partitionBy("__id", "__ph")
+    occ = members.withColumn("__plen", F.count(F.lit(1)).over(w_ph)).where(
+        F.col("__plen") <= max_phrase_len
+    )
+    wstats = occ.groupBy("__w").agg(
+        F.count(F.lit(1)).alias("__freq"),
+        F.sum("__plen").alias("__deg"),
+    )
+    wscore = wstats.select(
+        "__w",
+        F.expr(f"(__deg * {score_scale}L) div __freq").alias("__ws"),
+    )
+    per_occ = (
+        occ.join(F.broadcast(wscore), "__w")
+        .groupBy("__id", "__ph")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__pos", "__w"))
+                    ),
+                    lambda x: x["__w"],
+                ),
+            ).alias("phrase"),
+            F.sum("__ws").alias("__score"),
+        )
+    )
+    return (
+        per_occ.groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.max("__score").alias("score_scaled"),
+        )
+        .orderBy(F.desc("score_scaled"), F.asc("phrase"))
+        .limit(top_k)
+    )

@@ -272,3 +272,214 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l_diversity_audit(
         c, ["c_nationkey", "bal_bucket"], "c_mktsegment", l=4
     ).where(F.col("violates"))
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities
+# ---------------------------------------------------------------------------
+
+_HITS_ITERS, _HITS_SCALE = 3, 10**12
+
+
+def _hits_oracle() -> str:
+    """Chained-CTE twin of the integer HITS power iteration."""
+    steps = []
+    for i in range(1, _HITS_ITERS + 1):
+        prev_h = "h0" if i == 1 else f"h{i - 1}"
+        steps.append(f"""
+    a{i}raw AS (
+      SELECT e.dst AS node, SUM(CAST(h.score AS HUGEINT)) AS raw
+      FROM edges e JOIN {prev_h} h ON h.node = e.src GROUP BY 1
+    ),
+    a{i} AS (
+      SELECT node,
+             raw * {_HITS_SCALE} // (SELECT SUM(raw) FROM a{i}raw) AS score
+      FROM a{i}raw
+    ),
+    h{i}raw AS (
+      SELECT e.src AS node, SUM(CAST(a.score AS HUGEINT)) AS raw
+      FROM edges e JOIN a{i} a ON a.node = e.dst GROUP BY 1
+    ),
+    h{i} AS (
+      SELECT node,
+             raw * {_HITS_SCALE} // (SELECT SUM(raw) FROM h{i}raw) AS score
+      FROM h{i}raw
+    )""")
+    return f"""
+    WITH edges AS (
+      SELECT DISTINCT l.l_suppkey AS src, o.o_custkey AS dst
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    h0 AS (
+      SELECT DISTINCT src AS node, CAST({_HITS_SCALE} AS HUGEINT) AS score
+      FROM edges
+    ),{",".join(steps)}
+    SELECT 'hub' AS side, node, CAST(score AS BIGINT) AS score_scaled
+    FROM h{_HITS_ITERS}
+    UNION ALL
+    SELECT 'auth' AS side, node, CAST(score AS BIGINT) AS score_scaled
+    FROM a{_HITS_ITERS}
+    """
+
+
+@query("q_graph_hits", oracle=_hits_oracle())
+def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities over the supplier→customer fulfillment
+    graph (operators/graph.py:hits_fixed_point): 3 power steps in
+    exact scaled-integer arithmetic with L1 normalization as a
+    128-bit integral division — the iterative result hash-matches a
+    3-level chained-CTE oracle (float HITS never can). Hub scores
+    rank suppliers by how broadly they serve strong customers;
+    authority scores rank customers by how many strong suppliers
+    serve them. Each half-step is one edge⋈score join + one
+    aggregate (Pregel shape), with the L1 total a bounded broadcast
+    scalar; lineage cut per step."""
+    from aws_datalake_spark.operators.graph import hits_fixed_point
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("l_suppkey").alias("src"), F.col("o_custkey").alias("dst")
+        )
+        .distinct()
+    )
+    return hits_fixed_point(
+        edges, iterations=_HITS_ITERS, scale=_HITS_SCALE
+    )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction
+# ---------------------------------------------------------------------------
+
+_RAKE_STOPS = ["the", "a", "merge", "join", "scan"]
+_RAKE_STOPS_SQL = ", ".join(f"'{w}'" for w in _RAKE_STOPS)
+_RAKE_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+
+
+@query(
+    "llm_rake_keywords",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(range(0, len(t))) AS pos,
+             unnest(t) AS w
+      FROM (SELECT doc_id, {_RAKE_TOKS} AS t FROM documents)
+    ),
+    marked AS (
+      SELECT doc_id, pos, w,
+             SUM(CASE WHEN w IN ({_RAKE_STOPS_SQL}) OR length(w) = 0
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS ph,
+             (w IN ({_RAKE_STOPS_SQL}) OR length(w) = 0) AS stop
+      FROM toks
+    ),
+    occ AS (
+      SELECT doc_id, pos, w, ph,
+             COUNT(*) OVER (PARTITION BY doc_id, ph) AS plen
+      FROM marked WHERE NOT stop
+      QUALIFY plen <= 4
+    ),
+    ws AS (
+      SELECT w, (SUM(plen) * 1000000) // COUNT(*) AS ws
+      FROM occ GROUP BY w
+    ),
+    po AS (
+      SELECT o.doc_id, o.ph,
+             string_agg(o.w, ' ' ORDER BY o.pos) AS phrase,
+             SUM(ws.ws) AS score
+      FROM occ o JOIN ws USING (w)
+      GROUP BY o.doc_id, o.ph
+    )
+    SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occ,
+           CAST(MAX(score) AS BIGINT) AS score_scaled
+    FROM po GROUP BY phrase
+    ORDER BY score_scaled DESC, phrase
+    LIMIT 50
+    """,
+)
+def llm_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction over the corpus
+    (operators/text.py:rake_keywords): stopword-bounded candidate
+    phrases (gaps-and-islands, ONE per-doc window), exact
+    degree/frequency word scores as truncated rationals, corpus
+    top-50 phrases by exact-integer phrase score — the keyword
+    complement to TextRank's sentence extraction. Word scores
+    broadcast onto phrase members; top-k is distributed
+    TakeOrdered."""
+    from aws_datalake_spark.operators.text import rake_keywords
+
+    return rake_keywords(
+        t(spark, sf_dir, "documents").select("doc_id", "text"),
+        stopwords=_RAKE_STOPS,
+        max_phrase_len=4,
+        top_k=50,
+    )
+
+
+# ---------------------------------------------------------------------------
+# inter-arrival burstiness
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_interarrival_burstiness",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id FROM events
+    ),
+    g AS (
+      SELECT user_id,
+             us - LAG(us) OVER (PARTITION BY user_id
+                                ORDER BY us, event_id) AS g
+      FROM e
+    ),
+    m AS (
+      SELECT user_id, CAST(COUNT(g) AS BIGINT) AS n,
+             SUM(CAST(g AS HUGEINT)) AS sg,
+             SUM(CAST(g AS HUGEINT) * g) AS sgg
+      FROM g WHERE g IS NOT NULL
+      GROUP BY 1
+      HAVING COUNT(g) >= 5
+    )
+    SELECT user_id, n AS n_gaps,
+           ROUND(CAST(sg AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6)
+             AS mean_gap_s,
+           CASE WHEN n >= 2
+                 AND SQRT(CAST(CAST(n AS HUGEINT) * sgg - sg * sg AS DOUBLE)
+                          / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+                     / 1000000.0
+                     + CAST(sg AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0
+                     > 0.0 THEN
+             ROUND((SQRT(CAST(CAST(n AS HUGEINT) * sgg - sg * sg AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+                    / 1000000.0
+                    - CAST(sg AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0)
+                   / (SQRT(CAST(CAST(n AS HUGEINT) * sgg - sg * sg AS DOUBLE)
+                           / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+                      / 1000000.0
+                      + CAST(sg AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0),
+                   6)
+           END AS burstiness
+    FROM m
+    """,
+)
+def q_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival burstiness
+    (operators/stats.py:interarrival_burstiness): Goh–Barabási
+    B = (σ−μ)/(σ+μ) over event gap microseconds — bot/scraper
+    traffic-shape detection computed verification-grade. One
+    partitioned LAG window + one exact DECIMAL(38,0) moment
+    aggregate to |users| rows; µ/σ convert to seconds before
+    rounding (double representability discipline)."""
+    from aws_datalake_spark.operators.stats import interarrival_burstiness
+
+    return interarrival_burstiness(
+        t(spark, sf_dir, "events").select("user_id", "ts", "event_id"),
+        "user_id",
+        "ts",
+        "event_id",
+        min_gaps=5,
+    )

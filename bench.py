@@ -199,6 +199,9 @@ HEADLINE = [
     "q_regression_trend",
     "q_cusum_changepoint",
     "q_l_diversity",
+    "q_graph_hits",
+    "llm_rake_keywords",
+    "q_interarrival_burstiness",
 ]
 
 

@@ -234,3 +234,180 @@ def test_l_diversity_vs_k_anonymity_orthogonal(spark):
     k = k_anonymity_audit(df, ["q"], k=5).collect()[0]
     l = l_diversity_audit(df, ["q"], "s", l=2).collect()[0]
     assert not k.violates and l.violates
+
+
+# ---------------------------------------------------------------------------
+# hits_fixed_point
+# ---------------------------------------------------------------------------
+
+
+def test_hits_star_graph_ranks_center(spark):
+    """Star: one supplier serves all customers, others serve one.
+    The center must be the top hub; shared customers top auths."""
+    from aws_datalake_spark.operators.graph import hits_fixed_point
+
+    edges = [("S0", f"C{i}") for i in range(5)] + [("S1", "C0"), ("S2", "C9")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = hits_fixed_point(df, iterations=3).collect()
+    hubs = {r.node: r.score_scaled for r in out if r.side == "hub"}
+    auths = {r.node: r.score_scaled for r in out if r.side == "auth"}
+    assert max(hubs, key=hubs.get) == "S0"
+    # C0 is served by the strong hub S0 AND S1 -> strongest authority
+    assert max(auths, key=auths.get) == "C0"
+    # C9's only supplier never touches a strong customer
+    assert auths["C9"] < auths["C1"]
+
+
+def test_hits_l1_mass_conserved(spark):
+    """After each normalization the L1 mass is scale minus
+    truncation dust (< one unit per node)."""
+    from aws_datalake_spark.operators.graph import hits_fixed_point
+
+    edges = [(f"S{i % 4}", f"C{(i * 7) % 6}") for i in range(20)]
+    df = spark.createDataFrame(edges, "src string, dst string").distinct()
+    out = hits_fixed_point(df, iterations=2, scale=10**12).collect()
+    for side in ("hub", "auth"):
+        scores = [r.score_scaled for r in out if r.side == side]
+        assert all(s >= 0 for s in scores)
+        assert 10**12 - len(scores) <= sum(scores) <= 10**12
+
+
+def test_hits_matches_python_reference(spark):
+    """Exact integer twin of the operator's arithmetic in plain
+    Python (trunc-div L1 normalization) must agree node-for-node."""
+    from aws_datalake_spark.operators.graph import hits_fixed_point
+
+    edges = {("a", "x"), ("a", "y"), ("b", "y"), ("c", "z"), ("b", "x")}
+    scale = 10**9
+    h = {s: scale for s in {e[0] for e in edges}}
+    a = {}
+    for _ in range(3):
+        raw = {}
+        for s, d in edges:
+            raw[d] = raw.get(d, 0) + h[s]
+        tot = sum(raw.values())
+        a = {d: v * scale // tot for d, v in raw.items()}
+        raw = {}
+        for s, d in edges:
+            raw[s] = raw.get(s, 0) + a[d]
+        tot = sum(raw.values())
+        h = {s: v * scale // tot for s, v in raw.items()}
+    df = spark.createDataFrame(sorted(edges), "src string, dst string")
+    out = hits_fixed_point(df, iterations=3, scale=scale).collect()
+    got_h = {r.node: r.score_scaled for r in out if r.side == "hub"}
+    got_a = {r.node: r.score_scaled for r in out if r.side == "auth"}
+    assert got_h == h
+    assert got_a == a
+
+
+# ---------------------------------------------------------------------------
+# rake_keywords
+# ---------------------------------------------------------------------------
+
+
+def test_rake_phrase_segmentation_and_scores(spark):
+    """Hand-computed RAKE on a two-doc corpus: stopword 'the' splits
+    phrases; degree counts phrase length per occurrence."""
+    from aws_datalake_spark.operators.text import rake_keywords
+
+    docs = [
+        (1, "red fox the red fox"),
+        (2, "lazy dog"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.phrase: r for r in rake_keywords(
+        df, stopwords=["the"], top_k=10, score_scale=100
+    ).collect()}
+    # "red fox" occurs twice (two islands); red: freq 2, deg 4 -> 200
+    # fox same -> phrase score 400; "lazy dog" words freq 1 deg 2 -> 400
+    assert out["red fox"].n_occ == 2
+    assert out["red fox"].score_scaled == 400
+    assert out["lazy dog"].n_occ == 1
+    assert out["lazy dog"].score_scaled == 400
+
+
+def test_rake_max_phrase_len_drops_runs(spark):
+    from aws_datalake_spark.operators.text import rake_keywords
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e the x y")], "doc_id long, text string"
+    )
+    out = {r.phrase for r in rake_keywords(
+        df, stopwords=["the"], max_phrase_len=4, top_k=10
+    ).collect()}
+    assert out == {"x y"}  # the 5-word run is dropped entirely
+
+
+def test_rake_deterministic_tiebreak_order(spark):
+    from aws_datalake_spark.operators.text import rake_keywords
+
+    df = spark.createDataFrame(
+        [(1, "aa the bb the cc")], "doc_id long, text string"
+    )
+    rows = rake_keywords(df, stopwords=["the"], top_k=10).collect()
+    # all three single-word phrases score identically -> lexicographic
+    assert [r.phrase for r in rows] == ["aa", "bb", "cc"]
+
+
+# ---------------------------------------------------------------------------
+# interarrival_burstiness
+# ---------------------------------------------------------------------------
+
+
+def test_burstiness_periodic_is_minus_one(spark):
+    """Perfectly periodic gaps: sigma = 0 -> B = -1."""
+    import datetime
+
+    from aws_datalake_spark.operators.stats import interarrival_burstiness
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (7, base + datetime.timedelta(seconds=10 * i), i) for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    r = interarrival_burstiness(df, "user_id", "ts", "event_id").collect()[0]
+    assert r.n_gaps == 7
+    assert r.mean_gap_s == 10.0
+    assert r.burstiness == -1.0
+
+
+def test_burstiness_matches_numpy(spark):
+    import datetime
+
+    import numpy as np
+
+    from aws_datalake_spark.operators.stats import interarrival_burstiness
+
+    gaps = [1, 1, 1, 50, 1, 1, 1, 120, 1, 2]
+    ts, acc = [], 0
+    base = datetime.datetime(2024, 1, 1)
+    ts.append(base)
+    for g in gaps:
+        acc += g
+        ts.append(base + datetime.timedelta(seconds=acc))
+    df = spark.createDataFrame(
+        [(1, t, i) for i, t in enumerate(ts)],
+        "user_id long, ts timestamp, event_id long",
+    )
+    r = interarrival_burstiness(df, "user_id", "ts", "event_id").collect()[0]
+    g = np.array(gaps, dtype=float)
+    mu, sd = g.mean(), g.std(ddof=1)
+    assert r.mean_gap_s == pytest.approx(mu, abs=1e-6)
+    assert r.burstiness == pytest.approx((sd - mu) / (sd + mu), abs=1e-6)
+
+
+def test_burstiness_min_gaps_filter_and_tiebreak(spark):
+    import datetime
+
+    from aws_datalake_spark.operators.stats import interarrival_burstiness
+
+    base = datetime.datetime(2024, 1, 1)
+    # user 1: 3 gaps (< 5 -> filtered); user 2: 6 equal-ts events
+    # disambiguated by event_id -> zero gaps, B = NULL (sd+mu == 0)
+    rows = [(1, base + datetime.timedelta(seconds=i), i) for i in range(4)]
+    rows += [(2, base, 100 + i) for i in range(7)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    out = {r.user_id: r for r in
+           interarrival_burstiness(df, "user_id", "ts", "event_id").collect()}
+    assert set(out) == {2}
+    assert out[2].mean_gap_s == 0.0 and out[2].burstiness is None
