@@ -157,3 +157,63 @@ def transition_matrix(
             F.col("n").cast("double") / F.col("n_from").cast("double"), 6
         ).alias("p"),
     )
+
+
+def interval_coverage(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Per-key union length of (possibly overlapping) integer
+    intervals: ``(key, n_intervals, n_islands, covered)`` — total
+    DISTINCT time covered (true active seconds under overlapping
+    sessions, effective on-air time, covered genome ranges). Naive
+    SUM(end−start) double-counts overlaps; the exact answer is the
+    classic sweep, here as the gaps-and-islands idiom:
+
+    order each key's intervals by start; an interval OPENS a new
+    island when its start exceeds the running max end of everything
+    before it; covered = Σ per island (max end − min start).
+
+    EXACTNESS: starts/ends must be integral (epoch seconds/micros);
+    every step — running max, island ids, min/max per island, the
+    final sum — is exact integer arithmetic, hash-checkable.
+
+    SCALE: two windows PARTITIONED by key over the intervals frame
+    plus one aggregate — never a global sort; a hot key degrades to
+    that key's interval count, not the corpus.
+    """
+    from pyspark.sql.window import Window
+
+    per = df.select(
+        F.col(key_col).alias("__k"),
+        F.col(start_col).cast("long").alias("__s"),
+        F.col(end_col).cast("long").alias("__e"),
+    )
+    w = Window.partitionBy("__k").orderBy("__s", "__e")
+    prev_max = F.max("__e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = per.withColumn(
+        "__new",
+        F.when(
+            prev_max.isNull() | (F.col("__s") > prev_max), F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "__isl",
+        F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    islands = marked.groupBy("__k", "__isl").agg(
+        F.count(F.lit(1)).alias("__n"),
+        (F.max("__e") - F.min("__s")).alias("__len"),
+    )
+    return islands.groupBy("__k").agg(
+        F.sum("__n").alias("n_intervals"),
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum("__len").alias("covered"),
+    ).select(
+        F.col("__k").alias(key_col), "n_intervals", "n_islands", "covered"
+    )

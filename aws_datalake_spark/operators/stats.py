@@ -635,3 +635,63 @@ def interarrival_burstiness(
         F.round(mean_s, 6).alias("mean_gap_s"),
         b.alias("burstiness"),
     )
+
+
+def tvd_drift(
+    df: DataFrame,
+    group_col: str,
+    cat_col: str,
+) -> DataFrame:
+    """Per-group distribution drift vs the global mix as EXACT
+    total-variation distance: ``(group, n, tvd_num, tvd_den, tvd)``
+    where TVD(p_g, q) = ½ Σ_c |p_g(c) − q(c)| — the log-free drift
+    metric (PSI and KL need transcendentals; TVD is a quotient of
+    integers). Putting both mixes over the common denominator
+    n_g·N gives
+
+        TVD = Σ_c |n_gc·N − n_c·n_g| / (2·n_g·N)
+
+    with every term an exact DECIMAL(38,0) product. Cells MISSING in
+    a group still contribute (|0 − q_c|), so the group×category grid
+    is materialized from the two bounded marginal frames before the
+    cell counts join in.
+
+    SCALE: one (group, category) aggregate collapses the corpus;
+    marginals derive from it; the grid is |groups|×|cats| — bounded
+    frames cross-joined, never corpus rows. tvd itself is one
+    correctly-rounded divide of exact integers.
+    """
+    cell = (
+        df.groupBy(F.col(group_col).alias("__g"), F.col(cat_col).alias("__c"))
+        .agg(F.count(F.lit(1)).alias("__ngc"))
+    )
+    per_g = cell.groupBy("__g").agg(F.sum("__ngc").alias("__ng"))
+    per_c = cell.groupBy("__c").agg(F.sum("__ngc").alias("__nc"))
+    total = cell.agg(F.sum("__ngc").alias("__nn"))
+    grid = (
+        per_g.crossJoin(F.broadcast(per_c))
+        .join(cell, ["__g", "__c"], "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "__g",
+            "__ng",
+            "__nn",
+            F.abs(
+                _dec(F.coalesce(F.col("__ngc"), F.lit(0))) * _dec(F.col("__nn"))
+                - _dec(F.col("__nc")) * _dec(F.col("__ng"))
+            ).alias("__term"),
+        )
+    )
+    out = grid.groupBy("__g", "__ng", "__nn").agg(
+        F.sum("__term").alias("__num")
+    )
+    den = _dec(F.lit(2)) * _dec(F.col("__ng")) * _dec(F.col("__nn"))
+    return out.select(
+        F.col("__g").alias(group_col),
+        F.col("__ng").alias("n"),
+        F.col("__num").cast("long").alias("tvd_num"),
+        den.cast("long").alias("tvd_den"),
+        F.round(F.col("__num").cast("double") / den.cast("double"), 6).alias(
+            "tvd"
+        ),
+    )

@@ -492,19 +492,11 @@ def llm_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_oracle(num_merges: int = 8, min_count: int = 2) -> str:
-    """Chained-CTE DuckDB twin of sequential BPE (which the batched
-    trainer provably equals — operators/bpe.py): one assign/apply CTE
-    pair per merge, MATERIALIZED (each CTE is referenced twice;
-    inlined expansion would re-scan documents 2^K times). The merge
-    application is TWO successive padded LITERAL replaces: Spark's
-    Java lookaround replaceAll merges every whole-symbol occurrence
-    in one pass, while a padded literal replace consumes the shared
-    separator space and skips alternate occurrences of XYXY-runs —
-    the skipped ones are still whole-symbol afterwards (a replacement
-    never spells the old pair), so a second pass merges exactly them
-    and the two-pass result equals Java's single pass for any run
-    length (pinned in tests/test_bpe.py)."""
+def _bpe_ctes(num_merges: int = 8, min_count: int = 2) -> list[str]:
+    """The chained training CTEs shared by _bpe_oracle (merge table)
+    and llm_bpe_encode's oracle (round9.py), which applies the
+    learned merges back onto the corpus. See _bpe_oracle for the
+    two-pass padded-replace equivalence argument."""
     ctes = ["""w0 AS MATERIALIZED (
       SELECT array_to_string(list_transform(range(1, length(w)+1), i -> w[i]), ' ') AS syms,
              CAST(COUNT(*) AS BIGINT) AS n
@@ -529,6 +521,23 @@ def _bpe_oracle(num_merges: int = 8, min_count: int = 2) -> str:
       SELECT trim(replace(replace(' ' || syms || ' ', {rep}, {new}), {rep}, {new})) AS syms, n
       FROM {prev}
     )""")
+    return ctes
+
+
+def _bpe_oracle(num_merges: int = 8, min_count: int = 2) -> str:
+    """Chained-CTE DuckDB twin of sequential BPE (which the batched
+    trainer provably equals — operators/bpe.py): one assign/apply CTE
+    pair per merge, MATERIALIZED (each CTE is referenced twice;
+    inlined expansion would re-scan documents 2^K times). The merge
+    application is TWO successive padded LITERAL replaces: Spark's
+    Java lookaround replaceAll merges every whole-symbol occurrence
+    in one pass, while a padded literal replace consumes the shared
+    separator space and skips alternate occurrences of XYXY-runs —
+    the skipped ones are still whole-symbol afterwards (a replacement
+    never spells the old pair), so a second pass merges exactly them
+    and the two-pass result equals Java's single pass for any run
+    length (pinned in tests/test_bpe.py)."""
+    ctes = _bpe_ctes(num_merges, min_count)
     finals = [
         f"SELECT {i} AS merge_rank, pair, replace(pair, ' ', '') AS new_symbol,"
         f" c AS pair_count FROM t{i}"

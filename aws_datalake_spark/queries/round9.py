@@ -483,3 +483,284 @@ def q_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         min_gaps=5,
     )
+
+
+# ---------------------------------------------------------------------------
+# local clustering coefficient
+# ---------------------------------------------------------------------------
+
+_CC_MINSUP = 2
+
+
+@query(
+    "q_clustering_coefficient",
+    oracle=f"""
+    WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS s, b.l_partkey AS d
+      FROM lp a JOIN lp b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= {_CC_MINSUP}
+    ),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+      FROM (SELECT s AS node FROM e UNION ALL SELECT d FROM e)
+      GROUP BY 1
+    ),
+    o AS (
+      SELECT CASE WHEN (ds.degree, e.s) < (dd.degree, e.d)
+                  THEN e.s ELSE e.d END AS u,
+             CASE WHEN (ds.degree, e.s) < (dd.degree, e.d)
+                  THEN e.d ELSE e.s END AS v
+      FROM e JOIN deg ds ON ds.node = e.s JOIN deg dd ON dd.node = e.d
+    ),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM o e1
+      JOIN o e2 ON e1.u = e2.u AND e1.v < e2.v
+      JOIN (SELECT LEAST(u, v) AS lo, GREATEST(u, v) AS hi FROM o) e3
+        ON e3.lo = e1.v AND e3.hi = e2.v
+    ),
+    pn AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles
+      FROM (SELECT a AS node FROM tri UNION ALL
+            SELECT b FROM tri UNION ALL SELECT c FROM tri)
+      GROUP BY 1
+    )
+    SELECT deg.node AS part, deg.degree,
+           COALESCE(pn.triangles, 0) AS triangles,
+           CASE WHEN deg.degree >= 2 THEN
+             ROUND(2.0 * CAST(COALESCE(pn.triangles, 0) AS DOUBLE)
+                   / (CAST(deg.degree AS DOUBLE)
+                      * (CAST(deg.degree AS DOUBLE) - 1.0)), 6)
+           END AS cc
+    FROM deg LEFT JOIN pn USING (node)
+    """,
+)
+def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per part over the co-order graph
+    (operators/graph.py:clustering_coefficients): cc = 2T/(d(d−1))
+    from the degree-ordered triangle counts — neighborhood
+    cliquishness (community tightness / bundling detection). Exact
+    integer T, d; one correctly-rounded divide."""
+    from aws_datalake_spark.operators.graph import (
+        clustering_coefficients,
+        cooccurrence_edges,
+    )
+
+    li = t(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(
+        li, "l_orderkey", "l_partkey", min_support=_CC_MINSUP
+    )
+    return clustering_coefficients(edges).select(
+        F.col("node").alias("part"), "degree", "triangles", "cc"
+    )
+
+
+# ---------------------------------------------------------------------------
+# interval-union coverage
+# ---------------------------------------------------------------------------
+
+_IC_HOLD_S = 600
+
+
+@query(
+    "q_interval_coverage",
+    oracle=f"""
+    WITH iv AS (
+      SELECT user_id, CAST(epoch_us(ts) // 1000000 AS BIGINT) AS s,
+             CAST(epoch_us(ts) // 1000000 + {_IC_HOLD_S} AS BIGINT) AS e
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, s, e,
+             MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS pmax
+      FROM iv
+    ),
+    isl AS (
+      SELECT user_id, s, e,
+             SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY s, e
+                     ROWS UNBOUNDED PRECEDING) AS isl
+      FROM m
+    ),
+    g AS (
+      SELECT user_id, isl, CAST(COUNT(*) AS BIGINT) AS n,
+             MAX(e) - MIN(s) AS len
+      FROM isl GROUP BY 1, 2
+    )
+    SELECT user_id, CAST(SUM(n) AS BIGINT) AS n_intervals,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(len) AS BIGINT) AS covered
+    FROM g GROUP BY 1
+    """,
+)
+def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True active seconds per user under overlapping activity
+    intervals (operators/sessions.py:interval_coverage): each event
+    opens a 10-minute hold; covered = exact union length of the
+    holds (naive SUM double-counts overlaps). Gaps-and-islands
+    sweep: two key-partitioned windows + one aggregate, all exact
+    integer seconds."""
+    from aws_datalake_spark.operators.sessions import interval_coverage
+
+    iv = t(spark, sf_dir, "events").select(
+        "user_id",
+        (F.unix_micros("ts") / F.lit(1000000)).cast("long").alias("s"),
+        ((F.unix_micros("ts") / F.lit(1000000)).cast("long") + _IC_HOLD_S).alias(
+            "e"
+        ),
+    )
+    return interval_coverage(iv, "user_id", "s", "e")
+
+
+# ---------------------------------------------------------------------------
+# total-variation drift
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_tvd_drift",
+    oracle="""
+    WITH cell AS (
+      SELECT CAST(ts AS DATE) AS day, event_type AS c,
+             CAST(COUNT(*) AS BIGINT) AS ngc
+      FROM events GROUP BY 1, 2
+    ),
+    pg AS (SELECT day, SUM(ngc) AS ng FROM cell GROUP BY 1),
+    pc AS (SELECT c, SUM(ngc) AS nc FROM cell GROUP BY 1),
+    tot AS (SELECT SUM(ngc) AS nn FROM cell),
+    grid AS (
+      SELECT pg.day, pg.ng, tot.nn,
+             ABS(CAST(COALESCE(cell.ngc, 0) AS HUGEINT) * tot.nn
+                 - CAST(pc.nc AS HUGEINT) * pg.ng) AS term
+      FROM pg CROSS JOIN pc CROSS JOIN tot
+      LEFT JOIN cell ON cell.day = pg.day AND cell.c = pc.c
+    ),
+    agg AS (
+      SELECT day, ng, nn, SUM(term) AS num
+      FROM grid GROUP BY 1, 2, 3
+    )
+    SELECT day, CAST(ng AS BIGINT) AS n,
+           CAST(num AS BIGINT) AS tvd_num,
+           CAST(2 * ng * nn AS BIGINT) AS tvd_den,
+           ROUND(CAST(num AS DOUBLE) / CAST(2 * ng * nn AS DOUBLE), 6)
+             AS tvd
+    FROM agg
+    """,
+)
+def q_tvd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-type mix drift vs the global mix as EXACT
+    total-variation distance (operators/stats.py:tvd_drift) — the
+    log-free alternative to PSI/KL, a quotient of exact integers
+    over the common denominator n_g·N. Missing cells contribute via
+    the bounded group×category grid; the corpus collapses in one
+    (day, type) aggregate."""
+    from aws_datalake_spark.operators.stats import tvd_drift
+
+    e = t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "event_type"
+    )
+    return tvd_drift(e, "day", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# BPE corpus encoding (train -> apply)
+# ---------------------------------------------------------------------------
+
+_BPE_K = 8
+
+
+def _bpe_encode_oracle() -> str:
+    """Training CTEs shared with llm_bpe_merges (_bpe_ctes), then the
+    learned merges applied back onto the DISTINCT-word table with the
+    same two-pass padded replace per merge, then per-source token /
+    piece totals."""
+    from aws_datalake_spark.queries.llm_text import _bpe_ctes
+
+    ctes = _bpe_ctes(_BPE_K)
+    enc = ["""enc0 AS (
+      SELECT w,
+             array_to_string(list_transform(range(1, length(w)+1),
+                                            i -> w[i]), ' ') AS s
+      FROM (SELECT DISTINCT w FROM tok)
+    )"""]
+    for i in range(1, _BPE_K + 1):
+        rep = f"' ' || (SELECT pair FROM t{i}) || ' '"
+        new = f"' ' || (SELECT replace(pair, ' ', '') FROM t{i}) || ' '"
+        enc.append(f"""enc{i} AS (
+      SELECT w, trim(replace(replace(' ' || s || ' ', {rep}, {new}),
+                             {rep}, {new})) AS s
+      FROM enc{i - 1}
+    )""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """,
+    tok AS (
+      SELECT source, w, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT source,
+                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+            FROM documents)
+      WHERE w <> '' GROUP BY 1, 2
+    ),
+    """
+        + ",\n".join(enc)
+        + f"""
+    SELECT tok.source,
+           CAST(SUM(tok.n) AS BIGINT) AS n_tokens,
+           CAST(SUM(tok.n * len(string_split(e.s, ' '))) AS BIGINT)
+             AS total_pieces,
+           ROUND(CAST(SUM(tok.n * len(string_split(e.s, ' '))) AS DOUBLE)
+                 / CAST(SUM(tok.n) AS DOUBLE), 6) AS fertility
+    FROM tok JOIN enc{_BPE_K} e USING (w)
+    GROUP BY 1
+    """
+    )
+
+
+@query("llm_bpe_encode", oracle=_bpe_encode_oracle())
+def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer train→APPLY end-to-end (operators/bpe.py:bpe_encode):
+    train the 8-merge BPE table on the corpus (hash-certified trainer,
+    llm_bpe_merges), pull the K-row merge table to the driver (the
+    bounded k-centroids-style pull), bake the merges into the plan as
+    literal replace chains, and encode the DISTINCT-word table — each
+    word is encoded once however often it occurs; per-source token
+    and piece totals then come from one (source, word)-count join.
+    Fertility under the TRAINED tokenizer (vs llm_fertility_by_lang's
+    regex proxy) is the signal that actually sizes vocabularies.
+    Encoding is a pure projection (no shuffle); the oracle replays
+    the merges with the proven two-pass padded replace."""
+    from aws_datalake_spark.operators.bpe import bpe_encode, bpe_merges_batched
+    from aws_datalake_spark.operators.text import tokens_ws
+
+    docs = t(spark, sf_dir, "documents")
+    merges_rows = (
+        bpe_merges_batched(docs, num_merges=_BPE_K).orderBy("merge_rank").collect()
+    )
+    merges = [tuple(r.pair.split(" ", 1)) for r in merges_rows]
+    tok = (
+        docs.select(
+            "source", F.explode(tokens_ws(F.col("text"))).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    uniq = tok.select("w").distinct()
+    enc = bpe_encode(uniq, merges, text_col="w", id_col="w").select(
+        F.col("token").alias("w"), F.col("n_pieces")
+    )
+    joined = tok.join(enc, "w")
+    return joined.groupBy("source").agg(
+        F.sum("n").alias("n_tokens"),
+        F.sum(F.col("n") * F.col("n_pieces")).alias("total_pieces"),
+        F.round(
+            F.sum(F.col("n") * F.col("n_pieces")).cast("double")
+            / F.sum("n").cast("double"),
+            6,
+        ).alias("fertility"),
+    )

@@ -202,6 +202,10 @@ HEADLINE = [
     "q_graph_hits",
     "llm_rake_keywords",
     "q_interarrival_burstiness",
+    "q_clustering_coefficient",
+    "q_interval_coverage",
+    "q_tvd_drift",
+    "llm_bpe_encode",
 ]
 
 

@@ -411,3 +411,156 @@ def test_burstiness_min_gaps_filter_and_tiebreak(spark):
            interarrival_burstiness(df, "user_id", "ts", "event_id").collect()}
     assert set(out) == {2}
     assert out[2].mean_gap_s == 0.0 and out[2].burstiness is None
+
+
+# ---------------------------------------------------------------------------
+# clustering_coefficients
+# ---------------------------------------------------------------------------
+
+
+def test_clustering_coefficient_clique_and_path(spark):
+    """Triangle abc -> every node cc=1; path endpoint d has deg 1 ->
+    NULL; center of a 2-path has cc 0."""
+    from aws_datalake_spark.operators.graph import clustering_coefficients
+
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"), ("d", "e")]
+    df = spark.createDataFrame(edges, "s string, d string")
+    got = {r.node: r for r in clustering_coefficients(df).collect()}
+    assert got["a"].cc == 1.0 and got["b"].cc == 1.0
+    # c: degree 3, 1 triangle -> 2/(3*2) = 0.333333
+    assert got["c"].cc == round(2 * 1 / (3 * 2), 6)
+    assert got["e"].cc is None  # degree 1
+    assert got["d"].cc == 0.0   # degree 2, no triangle
+
+
+# ---------------------------------------------------------------------------
+# interval_coverage
+# ---------------------------------------------------------------------------
+
+
+def test_interval_coverage_merges_overlaps(spark):
+    from aws_datalake_spark.operators.sessions import interval_coverage
+
+    rows = [
+        ("u", 0, 10), ("u", 5, 12),   # overlap -> [0,12]
+        ("u", 12, 20),                 # touching (s == max_e) -> merged
+        ("u", 30, 40),                 # separate island
+        ("v", 0, 1),
+    ]
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    got = {r.k: r for r in interval_coverage(df, "k", "s", "e").collect()}
+    assert (got["u"].n_intervals, got["u"].n_islands, got["u"].covered) == (
+        4, 2, 30)
+    assert (got["v"].n_intervals, got["v"].n_islands, got["v"].covered) == (
+        1, 1, 1)
+
+
+def test_interval_coverage_contained_interval(spark):
+    """An interval fully inside an earlier one must not reopen or
+    extend the island (the running-max, not lag-end, discipline)."""
+    from aws_datalake_spark.operators.sessions import interval_coverage
+
+    rows = [("u", 0, 100), ("u", 10, 20), ("u", 150, 160)]
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    r = interval_coverage(df, "k", "s", "e").collect()[0]
+    assert (r.n_islands, r.covered) == (2, 110)
+
+
+def test_interval_coverage_randomized_vs_naive(spark):
+    import random
+
+    from aws_datalake_spark.operators.sessions import interval_coverage
+
+    rng = random.Random(13)
+    rows = []
+    expect = {}
+    for k in ("a", "b", "c"):
+        ivs = [(s := rng.randrange(0, 500), s + rng.randrange(1, 60))
+               for _ in range(40)]
+        rows += [(k, s, e) for s, e in ivs]
+        covered = set()
+        for s, e in ivs:
+            covered.update(range(s, e))
+        expect[k] = len(covered)
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    got = {r.k: r.covered
+           for r in interval_coverage(df, "k", "s", "e").collect()}
+    assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# tvd_drift
+# ---------------------------------------------------------------------------
+
+
+def test_tvd_identical_mix_is_zero(spark):
+    from aws_datalake_spark.operators.stats import tvd_drift
+
+    rows = [(g, c) for g in ("g1", "g2") for c in ("x", "y") for _ in range(5)]
+    df = spark.createDataFrame(rows, "g string, c string")
+    out = tvd_drift(df, "g", "c").collect()
+    assert all(r.tvd == 0.0 and r.tvd_num == 0 for r in out)
+
+
+def test_tvd_disjoint_mix_and_missing_cells(spark):
+    """g1 all-x, g2 all-y (equal sizes): q = (1/2, 1/2), each group's
+    TVD = 1/2; the missing cell must contribute."""
+    from aws_datalake_spark.operators.stats import tvd_drift
+
+    rows = [("g1", "x")] * 10 + [("g2", "y")] * 10
+    df = spark.createDataFrame(rows, "g string, c string")
+    out = {r.g: r for r in tvd_drift(df, "g", "c").collect()}
+    for g in ("g1", "g2"):
+        assert out[g].tvd == 0.5
+        assert out[g].tvd_num * 2 == out[g].tvd_den
+
+
+def test_tvd_matches_python_reference(spark):
+    import random
+
+    from aws_datalake_spark.operators.stats import tvd_drift
+
+    rng = random.Random(99)
+    rows = [(f"g{rng.randrange(3)}", f"c{rng.randrange(4)}")
+            for _ in range(500)]
+    df = spark.createDataFrame(rows, "g string, c string")
+    got = {r.g: r.tvd for r in tvd_drift(df, "g", "c").collect()}
+    from collections import Counter
+    cells = Counter(rows)
+    ng = Counter(g for g, _ in rows)
+    nc = Counter(c for _, c in rows)
+    n = len(rows)
+    for g in ng:
+        tvd = sum(abs(cells.get((g, c), 0) / ng[g] - nc[c] / n)
+                  for c in nc) / 2
+        assert got[g] == pytest.approx(tvd, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# llm_bpe_encode (train -> apply wiring)
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_encode_fertility_consistency(spark):
+    """Applying the trained merges to the training corpus: piece
+    counts per word never exceed word length and never fall below 1;
+    fertility = total_pieces/n_tokens in (0, max_word_len]."""
+    from aws_datalake_spark.operators.bpe import bpe_encode, bpe_merges
+
+    docs = spark.createDataFrame(
+        [(1, "low low lower lowest low"), (2, "low lower newest newest")],
+        "doc_id long, text string",
+    )
+    merges_rows = bpe_merges(docs, num_merges=4).orderBy("merge_rank").collect()
+    merges = [tuple(r.pair.split(" ", 1)) for r in merges_rows]
+    enc = bpe_encode(docs, merges).collect()
+    assert all(1 <= r.n_pieces <= len(r.token) for r in enc)
+    # 'low' occurs 4 times and is the most frequent word: after 4
+    # merges on this corpus its pieces must have merged below letters
+    low = [r for r in enc if r.token == "low"][0]
+    assert low.n_pieces < 3
+    # same word -> identical pieces everywhere
+    by_tok = {}
+    for r in enc:
+        by_tok.setdefault(r.token, set()).add(tuple(r.pieces))
+    assert all(len(v) == 1 for v in by_tok.values())
