@@ -695,3 +695,181 @@ def tvd_drift(
             "tvd"
         ),
     )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    group_col: str,
+    value_int: Column,
+    group_a: str,
+    group_b: str,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic:
+    ``(by…, n_a, n_b, d_num, d_den, d)`` with
+    D = max_v |F_a(v) − F_b(v)| — the nonparametric "did this
+    distribution shift" readout (drift detection without
+    distributional assumptions; Welch answers means, KS answers
+    SHAPE). ``value_int`` must be integral (fixed-point upstream).
+
+    EXACTNESS: over the common denominator n_a·n_b,
+    D = max_v |cum_a(v)·n_b − cum_b(v)·n_a| / (n_a·n_b) — every term
+    an exact DECIMAL(38,0) product of exact counts; d_num/d_den are
+    returned alongside the one correctly-rounded divide.
+
+    SCALE: the corpus collapses to one row per DISTINCT value
+    (bounded by the value DOMAIN, the exact_auc discipline) before
+    the cumulative window runs; totals are a bounded aggregate
+    broadcast back.
+    """
+    from pyspark.sql import Window
+
+    gcols = list(by or [])
+    v = value_int.cast("long")
+    per_v = (
+        df.where(F.col(group_col).isin([group_a, group_b]))
+        .select(
+            *gcols,
+            v.alias("__v"),
+            F.when(F.col(group_col) == group_a, 1).otherwise(0).alias("__ia"),
+        )
+        .groupBy(*gcols, "__v")
+        .agg(
+            F.sum("__ia").alias("__ca"),
+            F.sum(1 - F.col("__ia")).alias("__cb"),
+        )
+    )
+    w = (
+        Window.partitionBy(*gcols)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per_v.select(
+        *gcols,
+        F.sum("__ca").over(w).alias("__cuma"),
+        F.sum("__cb").over(w).alias("__cumb"),
+    )
+    totals = per_v.groupBy(*gcols).agg(
+        F.sum("__ca").alias("__na"), F.sum("__cb").alias("__nb")
+    )
+    joined = (
+        cum.join(F.broadcast(totals), gcols)
+        if gcols
+        else cum.crossJoin(F.broadcast(totals))
+    )
+    terms = joined.select(
+        *gcols,
+        "__na",
+        "__nb",
+        F.abs(
+            _dec(F.col("__cuma")) * _dec(F.col("__nb"))
+            - _dec(F.col("__cumb")) * _dec(F.col("__na"))
+        ).alias("__t"),
+    )
+    out = terms.groupBy(*gcols, "__na", "__nb").agg(
+        F.max("__t").alias("__dnum")
+    )
+    den = _dec(F.col("__na")) * _dec(F.col("__nb"))
+    return out.select(
+        *gcols,
+        F.col("__na").cast("long").alias("n_a"),
+        F.col("__nb").cast("long").alias("n_b"),
+        F.col("__dnum").cast("long").alias("d_num"),
+        den.cast("long").alias("d_den"),
+        F.round(
+            F.col("__dnum").cast("double") / den.cast("double"), 6
+        ).alias("d"),
+    )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    group_col: str,
+    value_int: Column,
+) -> DataFrame:
+    """Exact-pipeline Kruskal–Wallis H test across k groups:
+    one row ``(k, n, ties_t, h, h_adj)`` — the nonparametric ANOVA
+    ("do these k segments draw from the same distribution"), with
+    the standard tie correction h_adj = h / (1 − ΣT/(N³−N)).
+
+    EXACTNESS: ranks use the exact_auc DOUBLED-rank device — for a
+    distinct value with ``cum`` rows strictly below and ``cnt`` tied,
+    2·avg_rank = 2·cum + cnt + 1 — so per-group rank sums D_i = 2·R_i
+    and the tie term ΣT = Σ(t³−t) accumulate as exact DECIMAL(38,0)
+    integers. The per-group float terms R_i²/n_i = D_i²/(4·n_i) are
+    then summed in a FIXED left-to-right order (a cumulative window
+    over the k-row group frame ordered by group key — both engines
+    fold sequentially), so even the IEEE additions are
+    order-pinned and the statistic hash-matches cross-engine.
+
+    SCALE: one (group, value) aggregate collapses the corpus; the
+    rank window runs over the DISTINCT-value domain only; everything
+    after is k-row arithmetic.
+    """
+    from pyspark.sql import Window
+
+    v = value_int.cast("long")
+    gv = (
+        df.select(F.col(group_col).alias("__g"), v.alias("__v"))
+        .groupBy("__g", "__v")
+        .agg(F.count(F.lit(1)).alias("__cgv"))
+    )
+    per_v = gv.groupBy("__v").agg(F.sum("__cgv").alias("__cv"))
+    w = Window.orderBy("__v")
+    ranked = per_v.select(
+        "__v",
+        "__cv",
+        (
+            _dec(F.lit(2))
+            * _dec(
+                F.coalesce(
+                    F.sum("__cv").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                    F.lit(0),
+                )
+            )
+            + _dec(F.col("__cv"))
+            + _dec(F.lit(1))
+        ).alias("__dr"),
+    )
+    per_g = (
+        gv.join(ranked, "__v")
+        .groupBy("__g")
+        .agg(
+            F.sum("__cgv").alias("__n"),
+            F.sum(_dec(F.col("__cgv")) * F.col("__dr")).alias("__d"),
+        )
+    )
+    term = (F.col("__d") * F.col("__d")).cast("double") / (
+        F.lit(4.0) * F.col("__n").cast("double")
+    )
+    wg = Window.orderBy("__g")
+    folded = per_g.select(
+        F.sum(term).over(wg.rowsBetween(Window.unboundedPreceding, 0)).alias("__s"),
+        F.sum("__n").over(wg.rowsBetween(Window.unboundedPreceding, 0)).alias("__ncum"),
+        F.row_number().over(wg).alias("__rn"),
+        F.count(F.lit(1)).over(
+            wg.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("__k"),
+    ).where(F.col("__rn") == F.col("__k"))
+    ties = per_v.agg(
+        F.sum(
+            _dec(F.col("__cv")) * _dec(F.col("__cv")) * _dec(F.col("__cv"))
+            - _dec(F.col("__cv"))
+        ).alias("__t")
+    )
+    j = folded.crossJoin(F.broadcast(ties))
+    n_d = F.col("__ncum").cast("double")
+    h_raw = F.lit(12.0) * F.col("__s") / (n_d * (n_d + F.lit(1.0))) - F.lit(
+        3.0
+    ) * (n_d + F.lit(1.0))
+    tie_c = F.lit(1.0) - F.col("__t").cast("double") / (
+        _dec(F.col("__ncum")) * _dec(F.col("__ncum")) * _dec(F.col("__ncum"))
+        - _dec(F.col("__ncum"))
+    ).cast("double")
+    return j.select(
+        F.col("__k").cast("long").alias("k"),
+        F.col("__ncum").cast("long").alias("n"),
+        F.col("__t").cast("long").alias("ties_t"),
+        F.round(h_raw, 6).alias("h"),
+        F.when(tie_c > 0.0, F.round(h_raw / tie_c, 6)).alias("h_adj"),
+    )

@@ -764,3 +764,145 @@ def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("fertility"),
     )
+
+
+# ---------------------------------------------------------------------------
+# two-sample Kolmogorov–Smirnov
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_ks_test",
+    oracle="""
+    WITH v AS (
+      SELECT c_mktsegment AS g,
+             CAST(ROUND(c_acctbal * 100.0) AS BIGINT) AS cents
+      FROM customer
+      WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
+    ),
+    pv AS (
+      SELECT cents,
+             CAST(SUM(CASE WHEN g = 'AUTOMOBILE' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN g = 'BUILDING' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cb
+      FROM v GROUP BY 1
+    ),
+    cum AS (
+      SELECT SUM(ca) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING)
+               AS cuma,
+             SUM(cb) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING)
+               AS cumb
+      FROM pv
+    ),
+    tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM pv),
+    d AS (
+      SELECT MAX(ABS(CAST(cuma AS HUGEINT) * tot.nb
+                     - CAST(cumb AS HUGEINT) * tot.na)) AS dnum,
+             MAX(tot.na) AS na, MAX(tot.nb) AS nb
+      FROM cum, tot
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CAST(dnum AS BIGINT) AS d_num,
+           CAST(CAST(na AS HUGEINT) * nb AS BIGINT) AS d_den,
+           ROUND(CAST(dnum AS DOUBLE)
+                 / CAST(CAST(na AS HUGEINT) * nb AS DOUBLE), 6) AS d
+    FROM d
+    """,
+)
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov distance between two
+    customer segments' balance distributions
+    (operators/stats.py:ks_two_sample): D over the common
+    denominator n_a·n_b is a max of exact DECIMAL(38,0) terms — the
+    nonparametric shape-shift complement to q_welch_ttest's
+    mean test. The only window runs over the DISTINCT-cents domain
+    (exact_auc discipline), never corpus rows."""
+    from aws_datalake_spark.operators.stats import ks_two_sample
+
+    c = t(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100.0, 0).cast("long").alias("cents"),
+    )
+    return ks_two_sample(
+        c, "c_mktsegment", F.col("cents"), "AUTOMOBILE", "BUILDING"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kruskal–Wallis H
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_kruskal_wallis",
+    oracle="""
+    WITH v AS (
+      SELECT c_mktsegment AS g,
+             CAST(ROUND(c_acctbal * 100.0) AS BIGINT) AS val
+      FROM customer
+    ),
+    gv AS (
+      SELECT g, val, CAST(COUNT(*) AS BIGINT) AS cgv
+      FROM v GROUP BY 1, 2
+    ),
+    pv AS (SELECT val, SUM(cgv) AS cv FROM gv GROUP BY 1),
+    ranked AS (
+      SELECT val, cv,
+             2 * COALESCE(SUM(cv) OVER (ORDER BY val
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) + cv + 1 AS dr
+      FROM pv
+    ),
+    per_g AS (
+      SELECT gv.g, SUM(gv.cgv) AS n,
+             SUM(CAST(gv.cgv AS HUGEINT) * ranked.dr) AS d
+      FROM gv JOIN ranked USING (val)
+      GROUP BY 1
+    ),
+    folded AS (
+      SELECT SUM(CAST(d * d AS DOUBLE) / (4.0 * CAST(n AS DOUBLE)))
+               OVER (ORDER BY g ROWS UNBOUNDED PRECEDING) AS s,
+             SUM(n) OVER (ORDER BY g ROWS UNBOUNDED PRECEDING) AS ncum,
+             ROW_NUMBER() OVER (ORDER BY g) AS rn,
+             COUNT(*) OVER () AS k
+      FROM per_g
+    ),
+    ties AS (
+      SELECT SUM(CAST(cv AS HUGEINT) * cv * cv - cv) AS t FROM pv
+    )
+    SELECT CAST(k AS BIGINT) AS k, CAST(ncum AS BIGINT) AS n,
+           CAST(t AS BIGINT) AS ties_t,
+           ROUND(12.0 * s / (CAST(ncum AS DOUBLE)
+                             * (CAST(ncum AS DOUBLE) + 1.0))
+                 - 3.0 * (CAST(ncum AS DOUBLE) + 1.0), 6) AS h,
+           CASE WHEN 1.0 - CAST(t AS DOUBLE)
+                      / CAST(CAST(ncum AS HUGEINT) * ncum * ncum - ncum
+                             AS DOUBLE) > 0.0 THEN
+             ROUND((12.0 * s / (CAST(ncum AS DOUBLE)
+                                * (CAST(ncum AS DOUBLE) + 1.0))
+                    - 3.0 * (CAST(ncum AS DOUBLE) + 1.0))
+                   / (1.0 - CAST(t AS DOUBLE)
+                      / CAST(CAST(ncum AS HUGEINT) * ncum * ncum - ncum
+                             AS DOUBLE)), 6)
+           END AS h_adj
+    FROM folded, ties
+    WHERE rn = k
+    """,
+)
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis H across all five customer segments on balance
+    cents (operators/stats.py:kruskal_wallis): the nonparametric
+    ANOVA with tie correction, computed verification-grade — doubled
+    average ranks are exact DECIMAL(38,0) integers (exact_auc
+    device); the k per-group float terms fold in a pinned
+    left-to-right order via a cumulative window over the k-row
+    frame, so even IEEE addition order matches the oracle. The rank
+    window runs over the DISTINCT-cents domain only."""
+    from aws_datalake_spark.operators.stats import kruskal_wallis
+
+    c = t(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100.0, 0).cast("long").alias("cents"),
+    )
+    return kruskal_wallis(c, "c_mktsegment", F.col("cents"))

@@ -206,6 +206,8 @@ HEADLINE = [
     "q_interval_coverage",
     "q_tvd_drift",
     "llm_bpe_encode",
+    "q_ks_test",
+    "q_kruskal_wallis",
 ]
 
 

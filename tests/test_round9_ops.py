@@ -564,3 +564,119 @@ def test_bpe_encode_fertility_consistency(spark):
     for r in enc:
         by_tok.setdefault(r.token, set()).add(tuple(r.pieces))
     assert all(len(v) == 1 for v in by_tok.values())
+
+
+# ---------------------------------------------------------------------------
+# ks_two_sample
+# ---------------------------------------------------------------------------
+
+
+def test_ks_identical_samples_zero(spark):
+    from aws_datalake_spark.operators.stats import ks_two_sample
+
+    rows = [("a", v) for v in (1, 2, 3, 4)] + [("b", v) for v in (1, 2, 3, 4)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = ks_two_sample(df, "g", F.col("v"), "a", "b").collect()[0]
+    assert (r.n_a, r.n_b, r.d_num, r.d) == (4, 4, 0, 0.0)
+
+
+def test_ks_matches_scipy_convention(spark):
+    """Exact D against the brute-force ECDF max over all values."""
+    import random
+
+    from aws_datalake_spark.operators.stats import ks_two_sample
+
+    rng = random.Random(5)
+    a = [rng.randrange(0, 30) for _ in range(40)]
+    b = [rng.randrange(10, 50) for _ in range(25)]
+    df = spark.createDataFrame(
+        [("a", v) for v in a] + [("b", v) for v in b], "g string, v long"
+    )
+    r = ks_two_sample(df, "g", F.col("v"), "a", "b").collect()[0]
+    vals = sorted(set(a) | set(b))
+    d = max(
+        abs(sum(1 for x in a if x <= v) / len(a)
+            - sum(1 for x in b if x <= v) / len(b))
+        for v in vals
+    )
+    assert r.d == pytest.approx(d, abs=1e-6)
+    assert r.d_num / r.d_den == pytest.approx(d, abs=1e-12)
+
+
+def test_ks_disjoint_supports_is_one(spark):
+    from aws_datalake_spark.operators.stats import ks_two_sample
+
+    rows = [("a", v) for v in (1, 2)] + [("b", v) for v in (10, 11, 12)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = ks_two_sample(df, "g", F.col("v"), "a", "b").collect()[0]
+    assert r.d == 1.0
+
+
+def test_ks_ignores_other_groups(spark):
+    from aws_datalake_spark.operators.stats import ks_two_sample
+
+    rows = [("a", 1), ("b", 1), ("zz", 999)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = ks_two_sample(df, "g", F.col("v"), "a", "b").collect()[0]
+    assert (r.n_a, r.n_b, r.d) == (1, 1, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# kruskal_wallis
+# ---------------------------------------------------------------------------
+
+
+def test_kruskal_wallis_matches_scipy_formula(spark):
+    """Against a plain-Python implementation of the tie-corrected
+    textbook formula (scipy.stats.kruskal convention)."""
+    import random
+    from collections import Counter
+
+    from aws_datalake_spark.operators.stats import kruskal_wallis
+
+    rng = random.Random(11)
+    groups = {
+        "a": [rng.randrange(0, 20) for _ in range(30)],
+        "b": [rng.randrange(5, 25) for _ in range(20)],
+        "c": [rng.randrange(0, 10) for _ in range(25)],
+    }
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = kruskal_wallis(df, "g", F.col("v")).collect()[0]
+    # python reference
+    allv = sorted(v for vs in groups.values() for v in vs)
+    n = len(allv)
+    cnt = Counter(allv)
+    # average rank per value
+    ranks, cum = {}, 0
+    for v in sorted(cnt):
+        ranks[v] = cum + (cnt[v] + 1) / 2
+        cum += cnt[v]
+    s = sum(
+        (sum(ranks[v] for v in vs)) ** 2 / len(vs) for vs in groups.values()
+    )
+    h = 12.0 * s / (n * (n + 1)) - 3 * (n + 1)
+    t = sum(c**3 - c for c in cnt.values())
+    h_adj = h / (1 - t / (n**3 - n))
+    assert r.k == 3 and r.n == n and r.ties_t == t
+    assert r.h == pytest.approx(h, abs=1e-6)
+    assert r.h_adj == pytest.approx(h_adj, abs=1e-6)
+
+
+def test_kruskal_wallis_identical_groups_zero(spark):
+    from aws_datalake_spark.operators.stats import kruskal_wallis
+
+    rows = [(g, v) for g in ("a", "b") for v in (1, 2, 3)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = kruskal_wallis(df, "g", F.col("v")).collect()[0]
+    assert r.h == 0.0 and r.h_adj == 0.0
+
+
+def test_kruskal_wallis_all_tied_null_adj(spark):
+    """Every value identical: tie factor hits 0 -> h_adj NULL."""
+    from aws_datalake_spark.operators.stats import kruskal_wallis
+
+    rows = [("a", 7)] * 3 + [("b", 7)] * 4
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = kruskal_wallis(df, "g", F.col("v")).collect()[0]
+    assert r.h_adj is None
