@@ -496,3 +496,91 @@ def l_diversity_audit(
             (F.col("n_sensitive") < l).alias("violates"),
         )
     )
+
+
+def t_closeness_audit(
+    df: DataFrame,
+    qi_cols: list[str],
+    sensitive_ord_col: str,
+    t_threshold_num: int = 1,
+    t_threshold_den: int = 4,
+) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) —
+    the third leg of the release-gate trio: a QI group can be k-safe
+    AND l-diverse yet still leak if its sensitive-value DISTRIBUTION
+    skews far from the global one (all-distinct-but-all-high salaries
+    still tell you the group earns a lot). For an ORDERED sensitive
+    attribute with unit ground distance the Earth Mover's Distance
+    has the closed form
+
+        EMD(p_g, q) = (1/(m−1)) · Σ_i |Σ_{j≤i} (p_g(j) − q(j))|
+
+    (m = number of ordered values). Over the common denominator
+    n_g·N every cumulative term is an exact DECIMAL(38,0) integer:
+    ``(qi…, n, emd_num, emd_den, emd, violates)`` with
+    emd = emd_num/emd_den and violates ⇔ emd > t (compared in exact
+    integers: emd_num·den > num·emd_den — no float in the gate).
+
+    SCALE: one (QI, value) aggregate collapses the corpus; the dense
+    QI×value grid comes from the two bounded marginal frames (missing
+    cells MUST contribute); the cumulative window is partitioned by
+    QI over the m-row slices. Everything after the first aggregate is
+    grid-sized.
+    """
+    from pyspark.sql import Window
+
+    if not qi_cols:
+        raise ValueError("qi_cols must be non-empty")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    cell = (
+        df.groupBy(
+            *[F.col(c) for c in qi_cols],
+            F.col(sensitive_ord_col).alias("__c"),
+        )
+        .agg(F.count(F.lit(1)).alias("__ngc"))
+    )
+    per_g = cell.groupBy(*qi_cols).agg(F.sum("__ngc").alias("__ng"))
+    per_c = cell.groupBy("__c").agg(F.sum("__ngc").alias("__nc"))
+    total = cell.agg(
+        F.sum("__ngc").alias("__nn"),
+        F.count_distinct("__c").alias("__m"),
+    )
+    grid = (
+        per_g.crossJoin(F.broadcast(per_c))
+        .join(cell, [*qi_cols, "__c"], "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            *qi_cols,
+            "__c",
+            "__ng",
+            "__nn",
+            "__m",
+            (
+                dec(F.coalesce(F.col("__ngc"), F.lit(0))) * dec(F.col("__nn"))
+                - dec(F.col("__nc")) * dec(F.col("__ng"))
+            ).alias("__d"),
+        )
+    )
+    w = (
+        Window.partitionBy(*qi_cols)
+        .orderBy("__c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.withColumn("__cum", F.sum("__d").over(w))
+    out = cum.groupBy(*qi_cols, "__ng", "__nn", "__m").agg(
+        F.sum(F.abs(F.col("__cum"))).alias("__num")
+    )
+    den = dec(F.col("__ng")) * dec(F.col("__nn")) * dec(F.col("__m") - 1)
+    return out.select(
+        *qi_cols,
+        F.col("__ng").alias("n"),
+        F.col("__num").cast("long").alias("emd_num"),
+        den.cast("long").alias("emd_den"),
+        F.round(F.col("__num").cast("double") / den.cast("double"), 6).alias(
+            "emd"
+        ),
+        (
+            F.col("__num") * dec(F.lit(t_threshold_den))
+            > dec(F.lit(t_threshold_num)) * den
+        ).alias("violates"),
+    )

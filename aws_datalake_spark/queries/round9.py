@@ -906,3 +906,71 @@ def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("c_acctbal") * 100.0, 0).cast("long").alias("cents"),
     )
     return kruskal_wallis(c, "c_mktsegment", F.col("cents"))
+
+
+# ---------------------------------------------------------------------------
+# t-closeness release gate
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_t_closeness",
+    oracle="""
+    WITH base AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / 2000.0) AS BIGINT) AS sens
+      FROM customer
+    ),
+    cell AS (
+      SELECT c_nationkey, sens, CAST(COUNT(*) AS BIGINT) AS ngc
+      FROM base GROUP BY 1, 2
+    ),
+    pg AS (SELECT c_nationkey, SUM(ngc) AS ng FROM cell GROUP BY 1),
+    pc AS (SELECT sens, SUM(ngc) AS nc FROM cell GROUP BY 1),
+    tot AS (
+      SELECT SUM(ngc) AS nn, COUNT(DISTINCT sens) AS m FROM cell
+    ),
+    grid AS (
+      SELECT pg.c_nationkey, pc.sens, pg.ng, tot.nn, tot.m,
+             CAST(COALESCE(cell.ngc, 0) AS HUGEINT) * tot.nn
+               - CAST(pc.nc AS HUGEINT) * pg.ng AS d
+      FROM pg CROSS JOIN pc CROSS JOIN tot
+      LEFT JOIN cell ON cell.c_nationkey = pg.c_nationkey
+                    AND cell.sens = pc.sens
+    ),
+    cum AS (
+      SELECT c_nationkey, ng, nn, m,
+             SUM(d) OVER (PARTITION BY c_nationkey ORDER BY sens
+                          ROWS UNBOUNDED PRECEDING) AS cumd
+      FROM grid
+    ),
+    agg AS (
+      SELECT c_nationkey, ng, nn, m, SUM(ABS(cumd)) AS num
+      FROM cum GROUP BY 1, 2, 3, 4
+    )
+    SELECT c_nationkey, CAST(ng AS BIGINT) AS n,
+           CAST(num AS BIGINT) AS emd_num,
+           CAST(ng * nn * (m - 1) AS BIGINT) AS emd_den,
+           ROUND(CAST(num AS DOUBLE)
+                 / CAST(ng * nn * (m - 1) AS DOUBLE), 6) AS emd,
+           num * 4 > CAST(1 AS HUGEINT) * ng * nn * (m - 1) AS violates
+    FROM agg
+    """,
+)
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness release gate (operators/dq.py:t_closeness_audit):
+    per-nation EMD between the group's ordered balance-bucket
+    distribution and the global one, in the Li et al. unit-distance
+    closed form — exact DECIMAL(38,0) cumulative terms over the
+    common denominator n_g·N·(m−1), the violation compared in exact
+    integers (no float in the gate). Completes the
+    k-anonymity / l-diversity / t-closeness trio."""
+    from aws_datalake_spark.operators.dq import t_closeness_audit
+
+    c = t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 2000.0).alias("sens"),
+    )
+    return t_closeness_audit(
+        c, ["c_nationkey"], "sens", t_threshold_num=1, t_threshold_den=4
+    )

@@ -208,6 +208,7 @@ HEADLINE = [
     "llm_bpe_encode",
     "q_ks_test",
     "q_kruskal_wallis",
+    "q_t_closeness",
 ]
 
 

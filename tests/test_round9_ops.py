@@ -680,3 +680,67 @@ def test_kruskal_wallis_all_tied_null_adj(spark):
     df = spark.createDataFrame(rows, "g string, v long")
     r = kruskal_wallis(df, "g", F.col("v")).collect()[0]
     assert r.h_adj is None
+
+
+# ---------------------------------------------------------------------------
+# t_closeness_audit
+# ---------------------------------------------------------------------------
+
+
+def test_t_closeness_identical_distribution_zero(spark):
+    from aws_datalake_spark.operators.dq import t_closeness_audit
+
+    rows = [(g, s) for g in ("a", "b") for s in (0, 1, 2) for _ in range(4)]
+    df = spark.createDataFrame(rows, "q string, sens int")
+    out = t_closeness_audit(df, ["q"], "sens").collect()
+    assert all(r.emd == 0.0 and not r.violates for r in out)
+
+
+def test_t_closeness_matches_python_emd(spark):
+    """Exact EMD against the textbook ordered-distance formula,
+    including a group missing a sensitive value entirely."""
+    import random
+    from collections import Counter
+
+    from aws_datalake_spark.operators.dq import t_closeness_audit
+
+    rng = random.Random(3)
+    rows = [(f"g{rng.randrange(3)}", rng.randrange(4)) for _ in range(300)]
+    rows += [("gskew", 3)] * 20  # extreme group, misses values 0-2
+    df = spark.createDataFrame(rows, "q string, sens int")
+    got = {r.q: r for r in t_closeness_audit(df, ["q"], "sens").collect()}
+    nc = Counter(s for _, s in rows)
+    n = len(rows)
+    m = len(nc)
+    by_g = {}
+    for g, s in rows:
+        by_g.setdefault(g, []).append(s)
+    for g, vals in by_g.items():
+        cg = Counter(vals)
+        cum, acc = 0.0, 0.0
+        for s in sorted(nc):
+            cum += cg.get(s, 0) / len(vals) - nc[s] / n
+            acc += abs(cum)
+        emd = acc / (m - 1)
+        assert got[g].emd == pytest.approx(emd, abs=1e-6), g
+    # the skewed group is far from the global mix
+    assert got["gskew"].violates
+    assert got["gskew"].emd > 0.3
+
+
+def test_t_closeness_integer_gate_boundary(spark):
+    """violates is an exact-integer comparison: emd exactly at the
+    threshold must NOT violate (strict >)."""
+    from aws_datalake_spark.operators.dq import t_closeness_audit
+
+    # two groups, two values; g1 = (1,0), g2 = (0,1), global = (1/2,1/2)
+    # EMD(g1) = |1/2| / 1 = 1/2 -> with t = 1/2 the gate is AT the
+    # boundary -> not violated; with t = 1/4 it is.
+    rows = [("g1", 0)] * 6 + [("g2", 1)] * 6
+    df = spark.createDataFrame(rows, "q string, sens int")
+    at = {r.q: r for r in t_closeness_audit(
+        df, ["q"], "sens", t_threshold_num=1, t_threshold_den=2).collect()}
+    assert all(not r.violates for r in at.values())
+    below = {r.q: r for r in t_closeness_audit(
+        df, ["q"], "sens", t_threshold_num=1, t_threshold_den=4).collect()}
+    assert all(r.violates for r in below.values())
