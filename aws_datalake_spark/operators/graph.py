@@ -432,3 +432,108 @@ def clustering_coefficients(
         ),
     )
     return tc.select("node", "degree", "triangles", cc.alias("cc"))
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 4,
+    src: str = "s",
+    dst: str = "d",
+) -> DataFrame:
+    """k-core peeling after a FIXED number of rounds: repeatedly drop
+    nodes of degree < k (and their edges), ``rounds`` times, then
+    report the surviving subgraph's ``(node, degree, converged)`` —
+    the dense-backbone extraction (spam rings, co-purchase cores,
+    collaboration kernels). A fixed round count keeps the iteration
+    exactly oracle-checkable (the PageRank/HITS discipline);
+    ``converged`` is computed from the RESULT, not the loop — true
+    iff no surviving node still has degree < k — so a short round
+    budget is reported honestly instead of silently wrong.
+
+    SCALE: each round is one degree aggregate + two semi-joins on
+    the shrinking edge frame (keys only — the keep-set is node ids);
+    lineage cut per round. Exact integer degrees; the converged flag
+    is one bounded aggregate broadcast back.
+    """
+    from aws_datalake_spark.operators.dedup_cluster import _truncate
+
+    e = _truncate(
+        edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+    )
+
+    def _degrees(ef: DataFrame) -> DataFrame:
+        return (
+            ef.select(F.col("__s").alias("node"))
+            .unionByName(ef.select(F.col("__d").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+
+    for _ in range(rounds):
+        keep = _degrees(e).where(F.col("degree") >= k).select("node")
+        e = _truncate(
+            e.join(keep.withColumnRenamed("node", "__s"), "__s", "left_semi")
+            .join(keep.withColumnRenamed("node", "__d"), "__d", "left_semi")
+        )
+    final = _degrees(e)
+    not_done = final.agg(
+        F.sum((F.col("degree") < k).cast("int")).alias("__bad")
+    )
+    return final.crossJoin(F.broadcast(not_done)).select(
+        "node",
+        "degree",
+        (F.coalesce(F.col("__bad"), F.lit(0)) == 0).alias("converged"),
+    )
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 3,
+    src: str = "s",
+    dst: str = "d",
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan
+    et al. 2007) with a DETERMINISTIC tie-break: every node starts
+    as its own label; each round it adopts the most frequent label
+    among its neighbors, ties broken by MINIMUM label. Synchronous
+    updates + total tie order make the iteration exactly
+    reproducible — and therefore oracle-checkable as chained CTEs
+    (float-free; the usual random-order LPA never is). Returns
+    ``(node, label)`` after ``iterations`` rounds.
+
+    Complements dedup_cluster's min-label CONNECTED components:
+    LPA splits a connected graph into dense communities; CC only
+    finds reachability classes.
+
+    SCALE: per round one join of the bidirectional edge list with
+    the node-label frame + one (node, label) count + one
+    node-partitioned ranking window over the per-node label counts
+    (bounded by each node's distinct neighbor labels). Lineage cut
+    per round.
+    """
+    from pyspark.sql import Window
+    from aws_datalake_spark.operators.dedup_cluster import _truncate
+
+    e = edges.select(F.col(src).alias("__a"), F.col(dst).alias("__b"))
+    bi = _truncate(
+        e.unionByName(
+            e.select(F.col("__b").alias("__a"), F.col("__a").alias("__b"))
+        ).distinct()
+    )
+    lab = bi.select(F.col("__a").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = Window.partitionBy("__a").orderBy(F.desc("__cnt"), F.asc("label"))
+    for _ in range(iterations):
+        counts = (
+            bi.join(lab.withColumnRenamed("node", "__b"), "__b")
+            .groupBy("__a", "label")
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+        )
+        lab = _truncate(
+            counts.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select(F.col("__a").alias("node"), "label")
+        )
+    return lab

@@ -873,3 +873,100 @@ def kruskal_wallis(
         F.round(h_raw, 6).alias("h"),
         F.when(tie_c > 0.0, F.round(h_raw / tie_c, 6)).alias("h_adj"),
     )
+
+
+def mann_kendall(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_int: Column,
+    slope_scale: int = 10**6,
+) -> DataFrame:
+    """Mann–Kendall trend test + Theil–Sen slope per group over an
+    already-bucketed series (one row per (group, t, x), x integral):
+    ``(group, n, s, z, sen_slope)`` — the ROBUST trend readout
+    (monotone trend without OLS's outlier sensitivity; Sen's slope
+    is the median pairwise slope).
+
+    EXACTNESS: S = Σ sign(x_j − x_i) and the tie-corrected variance
+    numerator n(n−1)(2n+5) − Σ t(t−1)(2t+5) are exact integers
+    (DECIMAL(38,0)); z applies the standard continuity correction
+    with mirrored IEEE ops. Pairwise slopes are TRUNCATED scaled
+    rationals ((Δx·scale) div Δt — both engines truncate toward
+    zero); Sen's slope is the exact LOWER median of those ints
+    (selecting the k-th order-statistic VALUE, so tie order between
+    equal slopes cannot matter), reported in natural units.
+
+    SCALE: the pair join is |T|²/2 per group ON THE AGGREGATED
+    series frame — bucket upstream so |T| is bounded (months, days);
+    corpus rows never pair. The only windows run over the pairs
+    frame, partitioned by group.
+    """
+    from pyspark.sql import Window
+
+    per = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(order_col).cast("long").alias("__t"),
+        value_int.cast("long").alias("__x"),
+    )
+    a, b = per.alias("a"), per.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.__g") == F.col("b.__g")) & (F.col("a.__t") < F.col("b.__t")),
+    ).select(
+        F.col("a.__g").alias("__g"),
+        F.signum((F.col("b.__x") - F.col("a.__x")).cast("double"))
+        .cast("long")
+        .alias("__sgn"),
+        F.expr(
+            f"((b.__x - a.__x) * {slope_scale}L) div (b.__t - a.__t)"
+        ).alias("__sl"),
+    )
+    w = Window.partitionBy("__g")
+    sen = (
+        pairs.withColumn(
+            "__rn", F.row_number().over(w.orderBy("__sl"))
+        )
+        .withColumn("__cnt", F.count(F.lit(1)).over(w))
+        .where(F.col("__rn") == F.expr("(__cnt + 1) div 2"))
+        .select("__g", F.col("__sl").alias("__sen"))
+    )
+    s_agg = pairs.groupBy("__g").agg(F.sum("__sgn").alias("__s"))
+    n_agg = per.groupBy("__g").agg(F.count(F.lit(1)).alias("__n"))
+    tie_term = (
+        per.groupBy("__g", "__x")
+        .agg(F.count(F.lit(1)).alias("__tc"))
+        .groupBy("__g")
+        .agg(
+            F.sum(
+                _dec(F.col("__tc"))
+                * _dec(F.col("__tc") - 1)
+                * _dec(2 * F.col("__tc") + 5)
+            ).alias("__tt")
+        )
+    )
+    j = (
+        n_agg.join(s_agg, "__g")
+        .join(tie_term, "__g")
+        .join(sen, "__g")
+    )
+    n = _dec(F.col("__n"))
+    var_num = n * (n - _dec(F.lit(1))) * (
+        _dec(F.lit(2)) * n + _dec(F.lit(5))
+    ) - F.col("__tt")
+    var = var_num.cast("double") / F.lit(18.0)
+    s_d = F.col("__s").cast("double")
+    z = F.when(var <= 0.0, F.lit(None).cast("double")).otherwise(
+        F.when(F.col("__s") > 0, F.round((s_d - 1.0) / F.sqrt(var), 6))
+        .when(F.col("__s") < 0, F.round((s_d + 1.0) / F.sqrt(var), 6))
+        .otherwise(F.lit(0.0))
+    )
+    return j.select(
+        F.col("__g").alias(group_col),
+        F.col("__n").alias("n"),
+        F.col("__s").alias("s"),
+        z.alias("z"),
+        F.round(
+            F.col("__sen").cast("double") / F.lit(float(slope_scale)), 6
+        ).alias("sen_slope"),
+    )

@@ -974,3 +974,248 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t_closeness_audit(
         c, ["c_nationkey"], "sens", t_threshold_num=1, t_threshold_den=4
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann–Kendall trend + Theil–Sen slope
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_mann_kendall",
+    oracle="""
+    WITH monthly AS (
+      SELECT r.r_name AS g,
+             CAST(EXTRACT(year FROM o.o_orderdate) * 12
+                  + EXTRACT(month FROM o.o_orderdate) AS BIGINT) AS t,
+             SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                            * 100.0) AS BIGINT)) AS x
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.g,
+             CAST(SIGN(b.x - a.x) AS BIGINT) AS sgn,
+             ((b.x - a.x) * 1000000) // (b.t - a.t) AS sl
+      FROM monthly a JOIN monthly b
+        ON a.g = b.g AND a.t < b.t
+    ),
+    sen AS (
+      SELECT g, sl AS sen_sl FROM (
+        SELECT g, sl,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY sl) AS rn,
+               COUNT(*) OVER (PARTITION BY g) AS cnt
+        FROM pairs
+      ) WHERE rn = (cnt + 1) // 2
+    ),
+    sagg AS (SELECT g, CAST(SUM(sgn) AS BIGINT) AS s FROM pairs GROUP BY 1),
+    nagg AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM monthly GROUP BY 1),
+    ties AS (
+      SELECT g, SUM(CAST(tc AS HUGEINT) * (tc - 1) * (2 * tc + 5)) AS tt
+      FROM (SELECT g, x, CAST(COUNT(*) AS BIGINT) AS tc
+            FROM monthly GROUP BY 1, 2)
+      GROUP BY 1
+    )
+    SELECT nagg.g AS region, nagg.n, sagg.s,
+           CASE WHEN CAST(CAST(nagg.n AS HUGEINT) * (nagg.n - 1)
+                          * (2 * nagg.n + 5) - ties.tt AS DOUBLE) / 18.0
+                     <= 0.0 THEN NULL
+                WHEN sagg.s > 0 THEN
+             ROUND((CAST(sagg.s AS DOUBLE) - 1.0)
+                   / SQRT(CAST(CAST(nagg.n AS HUGEINT) * (nagg.n - 1)
+                               * (2 * nagg.n + 5) - ties.tt AS DOUBLE)
+                          / 18.0), 6)
+                WHEN sagg.s < 0 THEN
+             ROUND((CAST(sagg.s AS DOUBLE) + 1.0)
+                   / SQRT(CAST(CAST(nagg.n AS HUGEINT) * (nagg.n - 1)
+                               * (2 * nagg.n + 5) - ties.tt AS DOUBLE)
+                          / 18.0), 6)
+                ELSE 0.0
+           END AS z,
+           ROUND(CAST(sen.sen_sl AS DOUBLE) / 1000000.0, 6) AS sen_slope
+    FROM nagg JOIN sagg USING (g) JOIN ties USING (g) JOIN sen USING (g)
+    """,
+)
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall monotone-trend test + Theil–Sen slope on monthly
+    revenue cents per region (operators/stats.py:mann_kendall): the
+    robust trend readout — exact integer S and tie-corrected
+    variance, truncated-rational pairwise slopes, exact lower-median
+    Sen slope. The |T|²/2 pair join runs on the AGGREGATED monthly
+    frame (~84 rows per region), never corpus rows."""
+    from aws_datalake_spark.operators.stats import mann_kendall
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    monthly = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            F.col("r_name").alias("region"),
+            (
+                F.year("o_orderdate") * 12 + F.month("o_orderdate")
+            ).cast("long").alias("t"),
+            F.round(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * F.lit(100.0),
+                0,
+            )
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("region", "t")
+        .agg(F.sum("cents").alias("x"))
+    )
+    return mann_kendall(monthly, "region", "t", F.col("x"))
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling
+# ---------------------------------------------------------------------------
+
+_KC_K, _KC_ROUNDS, _KC_MINSUP = 3, 4, 2
+
+
+def _kcore_oracle() -> str:
+    ctes = [f"""lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS (
+      SELECT a.l_partkey AS s, b.l_partkey AS d
+      FROM lp a JOIN lp b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= {_KC_MINSUP}
+    )"""]
+    for i in range(1, _KC_ROUNDS + 1):
+        prev = f"e{i - 1}"
+        ctes.append(f"""k{i} AS MATERIALIZED (
+      SELECT node FROM (
+        SELECT node, COUNT(*) AS degree FROM (
+          SELECT s AS node FROM {prev} UNION ALL SELECT d FROM {prev}
+        ) GROUP BY 1
+      ) WHERE degree >= {_KC_K}
+    )""")
+        ctes.append(f"""e{i} AS MATERIALIZED (
+      SELECT s, d FROM {prev}
+      WHERE s IN (SELECT node FROM k{i}) AND d IN (SELECT node FROM k{i})
+    )""")
+    last = f"e{_KC_ROUNDS}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+    fin AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        SELECT s AS node FROM {last} UNION ALL SELECT d FROM {last}
+      ) GROUP BY 1
+    ),
+    bad AS (
+      SELECT COALESCE(SUM(CASE WHEN degree < {_KC_K} THEN 1 ELSE 0 END), 0)
+               AS nbad
+      FROM fin
+    )
+    SELECT fin.node AS part, fin.degree, bad.nbad = 0 AS converged
+    FROM fin, bad
+    """
+    )
+
+
+@query("q_graph_kcore", oracle=_kcore_oracle())
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core backbone of the part co-order graph
+    (operators/graph.py:kcore_peel): 4 fixed peeling rounds at k=3 —
+    exact integer degrees, chained-CTE oracle (the PageRank/HITS
+    fixed-iteration discipline), and a RESULT-derived convergence
+    certificate (true iff no survivor still has degree < k), so an
+    insufficient round budget reports itself. Each round is one
+    degree aggregate + two keys-only semi-joins on the shrinking
+    edge frame."""
+    from aws_datalake_spark.operators.graph import (
+        cooccurrence_edges,
+        kcore_peel,
+    )
+
+    li = t(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(
+        li, "l_orderkey", "l_partkey", min_support=_KC_MINSUP
+    )
+    return kcore_peel(edges, k=_KC_K, rounds=_KC_ROUNDS).select(
+        F.col("node").alias("part"), "degree", "converged"
+    )
+
+
+# ---------------------------------------------------------------------------
+# label-propagation communities
+# ---------------------------------------------------------------------------
+
+_LPA_ITERS, _LPA_MINSUP = 3, 2
+
+
+def _lpa_oracle() -> str:
+    ctes = [f"""lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    raw AS (
+      SELECT a.l_partkey AS s, b.l_partkey AS d
+      FROM lp a JOIN lp b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= {_LPA_MINSUP}
+    ),
+    bi AS MATERIALIZED (
+      SELECT s AS a, d AS b FROM raw
+      UNION SELECT d, s FROM raw
+    ),
+    l0 AS (SELECT DISTINCT a AS node, a AS label FROM bi)"""]
+    for i in range(1, _LPA_ITERS + 1):
+        prev = f"l{i - 1}"
+        ctes.append(f"""l{i} AS MATERIALIZED (
+      SELECT a AS node, label FROM (
+        SELECT bi.a, p.label, COUNT(*) AS cnt,
+               ROW_NUMBER() OVER (PARTITION BY bi.a
+                                  ORDER BY COUNT(*) DESC, p.label) AS rn
+        FROM bi JOIN {prev} p ON p.node = bi.b
+        GROUP BY bi.a, p.label
+      ) WHERE rn = 1
+    )""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT node AS part, CAST(label AS BIGINT) AS label
+    FROM l{_LPA_ITERS}
+    """
+    )
+
+
+@query("q_graph_communities", oracle=_lpa_oracle())
+def q_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities on the part co-order graph
+    (operators/graph.py:label_propagation): 3 synchronous rounds,
+    most-frequent neighbor label with MIN-label tie-break — fully
+    deterministic, so the iterative result hash-matches a
+    chained-CTE oracle (random-order LPA never could). Splits the
+    co-purchase graph into dense bundles where connected components
+    (llm_dedup_clusters' machinery) would merge everything
+    reachable."""
+    from aws_datalake_spark.operators.graph import (
+        cooccurrence_edges,
+        label_propagation,
+    )
+
+    li = t(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(
+        li, "l_orderkey", "l_partkey", min_support=_LPA_MINSUP
+    )
+    return label_propagation(edges, iterations=_LPA_ITERS).select(
+        F.col("node").alias("part"), F.col("label").cast("long").alias("label")
+    )

@@ -209,6 +209,9 @@ HEADLINE = [
     "q_ks_test",
     "q_kruskal_wallis",
     "q_t_closeness",
+    "q_mann_kendall",
+    "q_graph_kcore",
+    "q_graph_communities",
 ]
 
 

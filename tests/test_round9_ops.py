@@ -744,3 +744,170 @@ def test_t_closeness_integer_gate_boundary(spark):
     below = {r.q: r for r in t_closeness_audit(
         df, ["q"], "sens", t_threshold_num=1, t_threshold_den=4).collect()}
     assert all(r.violates for r in below.values())
+
+
+# ---------------------------------------------------------------------------
+# mann_kendall
+# ---------------------------------------------------------------------------
+
+
+def test_mann_kendall_monotone_series(spark):
+    """Strictly increasing series: S = n(n-1)/2, sen = the exact
+    common slope, z > 0."""
+    from aws_datalake_spark.operators.stats import mann_kendall
+
+    rows = [("g", i, 10 * i) for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, t long, x long")
+    r = mann_kendall(df, "g", "t", F.col("x")).collect()[0]
+    assert r.s == 45 and r.sen_slope == 10.0 and r.z > 0
+
+
+def test_mann_kendall_matches_python_reference(spark):
+    import itertools
+    import math
+    import random
+    from collections import Counter
+
+    from aws_datalake_spark.operators.stats import mann_kendall
+
+    rng = random.Random(17)
+    xs = [rng.randrange(0, 50) for _ in range(30)]
+    rows = [("g", i, x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "g string, t long, x long")
+    r = mann_kendall(df, "g", "t", F.col("x")).collect()[0]
+    n = len(xs)
+    s = sum(
+        (xs[j] > xs[i]) - (xs[j] < xs[i])
+        for i, j in itertools.combinations(range(n), 2)
+    )
+    ties = Counter(xs)
+    var = (n * (n - 1) * (2 * n + 5)
+           - sum(t * (t - 1) * (2 * t + 5) for t in ties.values())) / 18
+    z = ((s - 1) / math.sqrt(var) if s > 0
+         else (s + 1) / math.sqrt(var) if s < 0 else 0.0)
+    slopes = sorted(
+        (xs[j] - xs[i]) * 10**6 // (j - i) if (xs[j] - xs[i]) >= 0
+        else -((xs[i] - xs[j]) * 10**6 // (j - i))
+        for i, j in itertools.combinations(range(n), 2)
+    )
+    sen = slopes[(len(slopes) + 1) // 2 - 1] / 1e6
+    assert r.s == s
+    assert r.z == pytest.approx(z, abs=1e-6)
+    assert r.sen_slope == pytest.approx(sen, abs=1e-6)
+
+
+def test_mann_kendall_flat_series(spark):
+    """All values equal: S = 0, z NULL (zero variance), sen 0."""
+    from aws_datalake_spark.operators.stats import mann_kendall
+
+    rows = [("g", i, 7) for i in range(6)]
+    df = spark.createDataFrame(rows, "g string, t long, x long")
+    r = mann_kendall(df, "g", "t", F.col("x")).collect()[0]
+    assert r.s == 0 and r.z is None and r.sen_slope == 0.0
+
+
+# ---------------------------------------------------------------------------
+# kcore_peel
+# ---------------------------------------------------------------------------
+
+
+def test_kcore_peels_tail_keeps_clique(spark):
+    """K4 clique + a pendant path: 3-core = exactly the clique, and
+    the cascade (removing the path tip exposes the next node) must
+    propagate across rounds."""
+    from aws_datalake_spark.operators.graph import kcore_peel
+
+    clique = [("a", "b"), ("a", "c"), ("a", "d"),
+              ("b", "c"), ("b", "d"), ("c", "d")]
+    path = [("d", "e"), ("e", "f"), ("f", "g")]
+    df = spark.createDataFrame(clique + path, "s string, d string")
+    out = {r.node: r for r in kcore_peel(df, k=3, rounds=4).collect()}
+    assert set(out) == {"a", "b", "c", "d"}
+    assert all(r.degree == 3 and r.converged for r in out.values())
+
+
+def test_kcore_insufficient_rounds_reports_not_converged(spark):
+    """A long pendant chain needs one round per link: with rounds=1
+    the survivors still contain degree<k nodes -> converged False."""
+    from aws_datalake_spark.operators.graph import kcore_peel
+
+    # 2-core test: a triangle with a chain of 3 hanging off it
+    tri = [("a", "b"), ("b", "c"), ("a", "c")]
+    chain = [("c", "x1"), ("x1", "x2"), ("x2", "x3")]
+    df = spark.createDataFrame(tri + chain, "s string, d string")
+    short = kcore_peel(df, k=2, rounds=1).collect()
+    assert any(not r.converged for r in short)
+    full = {r.node for r in kcore_peel(df, k=2, rounds=4).collect()}
+    assert full == {"a", "b", "c"}
+
+
+def test_kcore_empty_result(spark):
+    from aws_datalake_spark.operators.graph import kcore_peel
+
+    df = spark.createDataFrame([("a", "b"), ("b", "c")], "s string, d string")
+    assert kcore_peel(df, k=3, rounds=3).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# label_propagation
+# ---------------------------------------------------------------------------
+
+
+def test_lpa_two_cliques_with_bridge(spark):
+    """Two triangles joined by one bridge edge: each triangle
+    converges to its min member label; the bridge does not merge
+    them (unlike connected components)."""
+    from aws_datalake_spark.operators.graph import label_propagation
+
+    t1 = [(1, 2), (1, 3), (2, 3)]
+    t2 = [(7, 8), (7, 9), (8, 9)]
+    bridge = [(3, 7)]
+    df = spark.createDataFrame(t1 + t2 + bridge, "s long, d long")
+    got = {r.node: r.label
+           for r in label_propagation(df, iterations=4).collect()}
+    assert got[1] == got[2] == got[3]
+    assert got[7] == got[8] == got[9]
+    assert got[1] != got[7]
+
+
+def test_lpa_deterministic_across_runs(spark):
+    from aws_datalake_spark.operators.graph import label_propagation
+
+    edges = [(i, (i * 3 + 1) % 17) for i in range(17)]
+    edges = [(min(a, b), max(a, b)) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "s long, d long").distinct()
+    a = sorted((r.node, r.label)
+               for r in label_propagation(df, iterations=3).collect())
+    b = sorted((r.node, r.label)
+               for r in label_propagation(df, iterations=3).collect())
+    assert a == b
+
+
+def test_lpa_matches_python_sync_reference(spark):
+    """Node-for-node equality with a plain-Python synchronous LPA
+    using the same min-label tie-break."""
+    import random
+    from collections import Counter
+
+    from aws_datalake_spark.operators.graph import label_propagation
+
+    rng = random.Random(23)
+    edges = {tuple(sorted((rng.randrange(12), rng.randrange(12))))
+             for _ in range(20)}
+    edges = {(a, b) for a, b in edges if a != b}
+    nbrs = {}
+    for a, b in edges:
+        nbrs.setdefault(a, []).append(b)
+        nbrs.setdefault(b, []).append(a)
+    lab = {n: n for n in nbrs}
+    for _ in range(3):
+        new = {}
+        for n in nbrs:
+            c = Counter(lab[m] for m in nbrs[n])
+            best = max(c.values())
+            new[n] = min(l for l, v in c.items() if v == best)
+        lab = new
+    df = spark.createDataFrame(sorted(edges), "s long, d long")
+    got = {r.node: r.label
+           for r in label_propagation(df, iterations=3).collect()}
+    assert got == lab
