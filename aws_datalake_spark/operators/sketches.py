@@ -468,3 +468,94 @@ def kmv_estimate(
         )
     )
     return agg.select(*gcols, "n_kept", est.alias("n_distinct_est"))
+
+
+def ams_f2_report(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    num_sketches: int = 8,
+    seed: str = "ams",
+) -> DataFrame:
+    """AMS second-frequency-moment sketch vs exact truth, per group:
+    ``(group, f2_true, ams_estimate, rel_err)`` — the
+    Alon–Matias–Szegedy (STOC'96) tug-of-war estimator, the
+    classical mergeable sketch for self-join size / skew estimation,
+    shipped WITH its own accuracy harness (the lsh_recall_curve
+    pattern: the estimator and its ground truth in one plan).
+
+    Each of K sketches assigns item w a deterministic ±1 sign
+    (hash60-seeded — both engines compute the identical bit), keeps
+    X_k = Σ_w sign_k(w)·c_w, and estimates F2 as mean_k X_k². Every
+    value here is an exact integer (signs, counts, X_k, X_k², Σ);
+    only the final mean and rel-err divides are rounded doubles —
+    hash-identical cross-engine.
+
+    SCALE: one (group, item) count collapses the corpus; the K-way
+    replication happens on the counts frame (explode of a K-literal
+    array), and sketch state is K longs per group — the mergeable-
+    bounded-state discipline of every sketch in this module.
+    """
+    from aws_datalake_spark.operators.text import hash60
+
+    counts = (
+        df.select(F.col(group_col).alias("__g"), F.col(item_col).alias("__w"))
+        .groupBy("__g", "__w")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    truth = counts.groupBy("__g").agg(
+        F.sum(F.col("__c").cast("decimal(38,0)") * F.col("__c")).alias("__f2")
+    )
+    ks = F.array(*[F.lit(i) for i in range(num_sketches)])
+    signed = counts.select(
+        "__g",
+        "__c",
+        F.explode(ks).alias("__k"),
+        "__w",
+    ).select(
+        "__g",
+        "__k",
+        (
+            (
+                F.lit(1)
+                - F.lit(2)
+                * (
+                    hash60(
+                        F.concat(
+                            F.lit(seed),
+                            F.col("__k").cast("string"),
+                            F.lit("|"),
+                            F.col("__w"),
+                        )
+                    )
+                    % 2
+                )
+            )
+            * F.col("__c")
+        ).alias("__sc"),
+    )
+    sk = signed.groupBy("__g", "__k").agg(F.sum("__sc").alias("__x"))
+    est = sk.groupBy("__g").agg(
+        F.sum(F.col("__x").cast("decimal(38,0)") * F.col("__x")).alias(
+            "__sx2"
+        ),
+        F.count(F.lit(1)).alias("__kcnt"),
+    )
+    j = truth.join(est, "__g")
+    ams = F.round(
+        F.col("__sx2").cast("double") / F.col("__kcnt").cast("double"), 6
+    )
+    rel = F.round(
+        F.abs(
+            F.col("__sx2").cast("double") / F.col("__kcnt").cast("double")
+            - F.col("__f2").cast("double")
+        )
+        / F.col("__f2").cast("double"),
+        6,
+    )
+    return j.select(
+        F.col("__g").alias(group_col),
+        F.col("__f2").cast("long").alias("f2_true"),
+        ams.alias("ams_estimate"),
+        F.when(F.col("__f2") > 0, rel).alias("rel_err"),
+    )

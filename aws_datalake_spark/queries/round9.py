@@ -1219,3 +1219,258 @@ def q_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(edges, iterations=_LPA_ITERS).select(
         F.col("node").alias("part"), F.col("label").cast("long").alias("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-truss peeling
+# ---------------------------------------------------------------------------
+
+_KT_K, _KT_ROUNDS, _KT_MINSUP = 3, 3, 2
+
+
+def _ktruss_oracle() -> str:
+    def support_ctes(r: int, src: str) -> list[str]:
+        return [f"""d{r} AS MATERIALIZED (
+      SELECT node, COUNT(*) AS degree FROM (
+        SELECT s AS node FROM {src} UNION ALL SELECT d FROM {src}
+      ) GROUP BY 1
+    )""", f"""o{r} AS MATERIALIZED (
+      SELECT CASE WHEN (ds.degree, e.s) < (dd.degree, e.d)
+                  THEN e.s ELSE e.d END AS u,
+             CASE WHEN (ds.degree, e.s) < (dd.degree, e.d)
+                  THEN e.d ELSE e.s END AS v
+      FROM {src} e JOIN d{r} ds ON ds.node = e.s
+                   JOIN d{r} dd ON dd.node = e.d
+    )""", f"""tri{r} AS MATERIALIZED (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM o{r} e1
+      JOIN o{r} e2 ON e1.u = e2.u AND e1.v < e2.v
+      JOIN (SELECT LEAST(u, v) AS lo, GREATEST(u, v) AS hi FROM o{r}) e3
+        ON e3.lo = e1.v AND e3.hi = e2.v
+    )""", f"""sup{r} AS MATERIALIZED (
+      SELECT s, d, CAST(COUNT(*) AS BIGINT) AS support FROM (
+        SELECT LEAST(a, b) AS s, GREATEST(a, b) AS d FROM tri{r}
+        UNION ALL SELECT LEAST(a, c), GREATEST(a, c) FROM tri{r}
+        UNION ALL SELECT LEAST(b, c), GREATEST(b, c) FROM tri{r}
+      ) GROUP BY 1, 2
+    )"""]
+
+    ctes = [f"""lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS MATERIALIZED (
+      SELECT a.l_partkey AS s, b.l_partkey AS d
+      FROM lp a JOIN lp b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= {_KT_MINSUP}
+    )"""]
+    for r in range(_KT_ROUNDS):
+        ctes += support_ctes(r, f"e{r}")
+        ctes.append(f"""e{r + 1} AS MATERIALIZED (
+      SELECT e.s, e.d FROM e{r} e JOIN sup{r} USING (s, d)
+      WHERE support >= {_KT_K - 2}
+    )""")
+    rf = _KT_ROUNDS
+    ctes += support_ctes(rf, f"e{rf}")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+    fin AS (
+      SELECT e.s, e.d, COALESCE(sup{rf}.support, 0) AS support
+      FROM e{rf} e LEFT JOIN sup{rf} USING (s, d)
+    ),
+    bad AS (
+      SELECT COALESCE(SUM(CASE WHEN support < {_KT_K - 2} THEN 1 ELSE 0 END),
+                      0) AS nbad
+      FROM fin
+    )
+    SELECT fin.s AS part_a, fin.d AS part_b, fin.support,
+           bad.nbad = 0 AS converged
+    FROM fin, bad
+    """
+    )
+
+
+@query("q_graph_ktruss", oracle=_ktruss_oracle())
+def q_graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-truss backbone of the part co-order graph
+    (operators/graph.py:ktruss_peel): edges kept only while in ≥ 1
+    triangle — the EDGE-level density gate, stricter than k-core.
+    3 fixed peeling rounds, each one degree-ordered m^1.5 triangle
+    enumeration + an edge filter; final supports recomputed on the
+    survivors with a result-derived convergence certificate. Exact
+    integer supports hash-match a chained-CTE oracle."""
+    from aws_datalake_spark.operators.graph import (
+        cooccurrence_edges,
+        ktruss_peel,
+    )
+
+    li = t(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(
+        li, "l_orderkey", "l_partkey", min_support=_KT_MINSUP
+    )
+    return ktruss_peel(edges, k=_KT_K, rounds=_KT_ROUNDS).select(
+        F.col("s").alias("part_a"),
+        F.col("d").alias("part_b"),
+        "support",
+        "converged",
+    )
+
+
+# ---------------------------------------------------------------------------
+# AMS F2 sketch + accuracy harness
+# ---------------------------------------------------------------------------
+
+_AMS_K = 8
+_AMS_H60 = "('0x' || substr(md5('ams' || CAST(k AS VARCHAR) || '|' || w), 1, 15))::BIGINT"
+
+
+@query(
+    "q_ams_f2",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source AS g, w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT source,
+                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+            FROM documents)
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT g, SUM(CAST(c AS HUGEINT) * c) AS f2 FROM counts GROUP BY 1
+    ),
+    signed AS (
+      SELECT g, k, (1 - 2 * ({_AMS_H60} % 2)) * c AS sc
+      FROM counts CROSS JOIN (SELECT unnest(range(0, {_AMS_K})) AS k)
+    ),
+    sk AS (SELECT g, k, SUM(sc) AS x FROM signed GROUP BY 1, 2),
+    est AS (
+      SELECT g, SUM(CAST(x AS HUGEINT) * x) AS sx2,
+             CAST(COUNT(*) AS BIGINT) AS kc
+      FROM sk GROUP BY 1
+    )
+    SELECT truth.g AS source, CAST(truth.f2 AS BIGINT) AS f2_true,
+           ROUND(CAST(est.sx2 AS DOUBLE) / CAST(est.kc AS DOUBLE), 6)
+             AS ams_estimate,
+           CASE WHEN truth.f2 > 0 THEN
+             ROUND(ABS(CAST(est.sx2 AS DOUBLE) / CAST(est.kc AS DOUBLE)
+                       - CAST(truth.f2 AS DOUBLE))
+                   / CAST(truth.f2 AS DOUBLE), 6)
+           END AS rel_err
+    FROM truth JOIN est USING (g)
+    """,
+)
+def q_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS tug-of-war F2 sketch vs exact truth on per-source token
+    frequencies (operators/sketches.py:ams_f2_report): 8
+    deterministic ±1 sketches, exact-integer sketch state, mean-of-
+    squares estimate with its relative error against Σc² — the
+    sketch AND its accuracy harness in one plan (self-join size /
+    skew estimation at 100 TB keeps K longs per group)."""
+    from aws_datalake_spark.operators.sketches import ams_f2_report
+    from aws_datalake_spark.operators.text import tokens_ws
+
+    toks = t(spark, sf_dir, "documents").select(
+        "source", F.explode(tokens_ws(F.col("text"))).alias("w")
+    )
+    return ams_f2_report(toks, "source", "w", num_sketches=_AMS_K).select(
+        F.col("source"), "f2_true", "ams_estimate", "rel_err"
+    )
+
+
+# ---------------------------------------------------------------------------
+# personalized PageRank
+# ---------------------------------------------------------------------------
+
+_PPR_ITERS, _PPR_SCALE = 5, 10**12
+
+
+def _ppr_oracle() -> str:
+    steps = []
+    for i in range(_PPR_ITERS):
+        prev = "it0" if i == 0 else f"it{i}"
+        steps.append(f"""
+    it{i + 1} AS (
+      SELECT n.node,
+             CASE WHEN n.node IN (SELECT node FROM seeds)
+                  THEN (SELECT base FROM params) ELSE 0 END
+               + COALESCE(CAST(SUM((r.rank * 85) // (100 * o.outdeg))
+                               AS BIGINT), 0) AS rank
+      FROM nodes n
+      LEFT JOIN edges e ON e.dst = n.node
+      LEFT JOIN {prev} r ON r.node = e.src
+      LEFT JOIN outdeg o ON o.node = e.src
+      GROUP BY n.node
+    )""")
+    return f"""
+    WITH raw AS (
+      SELECT DISTINCT 'S' || CAST(l.l_suppkey AS VARCHAR) AS src,
+             'C' || CAST(o.o_custkey AS VARCHAR) AS dst
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (SELECT src, dst FROM raw),
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM edges
+        UNION ALL SELECT dst AS node FROM edges)
+    ),
+    seeds AS (
+      SELECT DISTINCT 'S' || CAST(s_suppkey AS VARCHAR) AS node
+      FROM supplier WHERE s_suppkey % 5 = 0
+    ),
+    sg AS (SELECT node FROM nodes WHERE node IN (SELECT node FROM seeds)),
+    outdeg AS (
+      SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS outdeg
+      FROM edges GROUP BY 1
+    ),
+    params AS (
+      SELECT (15 * {_PPR_SCALE}) // (100 * COUNT(*)) AS base,
+             {_PPR_SCALE} // COUNT(*) AS init
+      FROM sg
+    ),
+    it0 AS (
+      SELECT n.node,
+             CASE WHEN n.node IN (SELECT node FROM sg)
+                  THEN CAST((SELECT init FROM params) AS BIGINT)
+                  ELSE 0 END AS rank
+      FROM nodes n
+    ),{",".join(steps)}
+    SELECT node, CAST(rank AS BIGINT) AS rank_scaled FROM it{_PPR_ITERS}
+    """
+
+
+@query("q_graph_ppr", oracle=_ppr_oracle())
+def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from a seed supplier pool (every fifth
+    supplier key — non-empty at every fixture scale) over the
+    supplier→customer graph (operators/graph.py:
+    personalized_pagerank): restart mass only on the seed suppliers,
+    so ranks measure reach FROM that pool — topic-sensitive
+    centrality, exact scaled-integer, 5-level chained-CTE oracle.
+    Same Pregel shape and lineage discipline as q_graph_pagerank."""
+    from aws_datalake_spark.operators.graph import personalized_pagerank
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+    seeds = (
+        t(spark, sf_dir, "supplier")
+        .where(F.col("s_suppkey") % 5 == 0)
+        .select(
+            F.concat(F.lit("S"), F.col("s_suppkey").cast("string")).alias(
+                "node"
+            )
+        )
+    )
+    return personalized_pagerank(
+        edges, seeds, iterations=_PPR_ITERS, scale=_PPR_SCALE
+    )

@@ -212,6 +212,9 @@ HEADLINE = [
     "q_mann_kendall",
     "q_graph_kcore",
     "q_graph_communities",
+    "q_graph_ktruss",
+    "q_ams_f2",
+    "q_graph_ppr",
 ]
 
 

@@ -911,3 +911,135 @@ def test_lpa_matches_python_sync_reference(spark):
     got = {r.node: r.label
            for r in label_propagation(df, iterations=3).collect()}
     assert got == lab
+
+
+# ---------------------------------------------------------------------------
+# ktruss_peel
+# ---------------------------------------------------------------------------
+
+
+def test_ktruss_keeps_clique_drops_tail(spark):
+    """K4 + pendant triangle chain: the 4-truss is exactly the K4
+    (every K4 edge sits in 2 triangles); a lone triangle (support 1
+    per edge) is peeled."""
+    from aws_datalake_spark.operators.graph import ktruss_peel
+
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"),
+          ("b", "c"), ("b", "d"), ("c", "d")]
+    lone = [("x", "y"), ("x", "z"), ("y", "z"), ("d", "x")]
+    df = spark.createDataFrame(k4 + lone, "s string, d string")
+    out = ktruss_peel(df, k=4, rounds=3).collect()
+    got = {(r.s, r.d) for r in out}
+    assert got == set(k4)
+    assert all(r.support == 2 and r.converged for r in out)
+
+
+def test_ktruss_cascade_needs_rounds(spark):
+    """Peeling cascades: removing the weakest edge can drop a
+    neighbor below threshold only in the NEXT round."""
+    from aws_datalake_spark.operators.graph import ktruss_peel
+
+    # two triangles sharing edge (b,c): each outer edge support 1,
+    # shared edge support 2. 4-truss: drop outer edges round 1 ->
+    # shared edge loses all triangles -> dropped round 2.
+    df = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "d")],
+        "s string, d string",
+    )
+    assert ktruss_peel(df, k=4, rounds=3).count() == 0
+    one = ktruss_peel(df, k=4, rounds=1).collect()
+    assert len(one) == 1 and not one[0].converged
+
+
+# ---------------------------------------------------------------------------
+# ams_f2_report
+# ---------------------------------------------------------------------------
+
+
+def test_ams_f2_truth_and_unbiasedness_shape(spark):
+    from aws_datalake_spark.operators.sketches import ams_f2_report
+
+    rows = [("g", f"w{i % 5}") for i in range(50)]
+    df = spark.createDataFrame(rows, "g string, w string")
+    r = ams_f2_report(df, "g", "w", num_sketches=8).collect()[0]
+    assert r.f2_true == 5 * 10 * 10
+    assert r.ams_estimate > 0
+    assert r.rel_err is not None and r.rel_err >= 0
+
+
+def test_ams_f2_single_item_exact(spark):
+    """One distinct item: every sketch is ±c, X² = c² exactly ->
+    zero error regardless of signs."""
+    from aws_datalake_spark.operators.sketches import ams_f2_report
+
+    df = spark.createDataFrame([("g", "only")] * 7, "g string, w string")
+    r = ams_f2_report(df, "g", "w", num_sketches=4).collect()[0]
+    assert r.f2_true == 49 and r.ams_estimate == 49.0 and r.rel_err == 0.0
+
+
+def test_ams_f2_deterministic(spark):
+    from aws_datalake_spark.operators.sketches import ams_f2_report
+
+    rows = [("g", f"w{i % 13}") for i in range(100)]
+    df = spark.createDataFrame(rows, "g string, w string")
+    a = ams_f2_report(df, "g", "w").collect()[0]
+    b = ams_f2_report(df, "g", "w").collect()[0]
+    assert a.ams_estimate == b.ams_estimate
+
+
+# ---------------------------------------------------------------------------
+# personalized_pagerank
+# ---------------------------------------------------------------------------
+
+
+def test_ppr_mass_concentrates_near_seeds(spark):
+    """Two disjoint S->C stars; seeding only star 1's supplier gives
+    star 2's customers zero rank."""
+    from aws_datalake_spark.operators.graph import personalized_pagerank
+
+    edges = [("s1", f"c{i}") for i in range(3)] + [
+        ("s2", f"d{i}") for i in range(3)
+    ]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    seeds = spark.createDataFrame([("s1",)], "node string")
+    got = {r.node: r.rank_scaled
+           for r in personalized_pagerank(e, seeds, iterations=3).collect()}
+    assert got["s1"] > 0
+    assert all(got[f"c{i}"] > 0 for i in range(3))
+    assert all(got[f"d{i}"] == 0 for i in range(3)) and got["s2"] == 0
+
+
+def test_ppr_matches_python_integer_reference(spark):
+    from aws_datalake_spark.operators.graph import personalized_pagerank
+
+    edges = {("a", "x"), ("a", "y"), ("b", "y"), ("x", "b")}
+    scale, iters = 10**9, 4
+    nodes = sorted({n for e in edges for n in e})
+    seeds = ["a"]
+    outdeg = {}
+    for s, d in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    init = scale // len(seeds)
+    base = 15 * scale // (100 * len(seeds))
+    rank = {n: (init if n in seeds else 0) for n in nodes}
+    for _ in range(iters):
+        new = {n: (base if n in seeds else 0) for n in nodes}
+        for s, d in edges:
+            new[d] += (rank[s] * 85) // (100 * outdeg[s])
+        rank = new
+    e = spark.createDataFrame(sorted(edges), "src string, dst string")
+    sdf = spark.createDataFrame([(s,) for s in seeds], "node string")
+    got = {r.node: r.rank_scaled for r in personalized_pagerank(
+        e, sdf, iterations=iters, scale=scale).collect()}
+    assert got == rank
+
+
+def test_ppr_requires_seed_in_graph(spark):
+    import pytest as _pytest
+
+    from aws_datalake_spark.operators.graph import personalized_pagerank
+
+    e = spark.createDataFrame([("a", "b")], "src string, dst string")
+    seeds = spark.createDataFrame([("zz",)], "node string")
+    with _pytest.raises(ValueError):
+        personalized_pagerank(e, seeds)
