@@ -211,3 +211,117 @@ def kmeans_assign_exact(
     return vectors.select(
         id_col, _argmin_cell(vec_col, centroids).alias("centroid_id")
     )
+
+
+def davies_bouldin_exact(
+    vectors: DataFrame,
+    centroids: list[list[int]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10**6,
+) -> DataFrame:
+    """Davies–Bouldin cluster-quality index over an exact-integer
+    k-means fit (squared-distance variant): per cluster
+    ``(cid, n, s_mean, r_max, db_index)`` where S_i is the mean
+    SQUARED distance of members to their centroid (the sqrt-free
+    scatter — exact rational), M_ij the squared centroid distance
+    (exact int), R_i = max_{j≠i} (S_i+S_j)/M_ij, and the index the
+    mean of the R_i. Lower = tighter, better-separated clusters —
+    the eval harness that says whether llm_kmeans_cells' k fits.
+
+    DETERMINISM: member scatter sums accumulate in DECIMAL(38,0)
+    (the assignment's argmin distance IS least() of the k literal
+    folds — no recompute drift); pair ratios are mirrored IEEE
+    divides; the final mean folds the k R_i in a PINNED order
+    (cumulative window by cid — the kruskal_wallis device).
+    ``s_mean`` is reported in natural units (÷ scale², the
+    representability discipline). Duplicate centroids (M = 0) are
+    excluded from R like every standard implementation.
+
+    SCALE: assignment + scatter is ONE shuffle-free projection and
+    one k-row aggregate over the corpus; everything after is k²-row
+    arithmetic on literal frames.
+    """
+    d2s = [_d2_to_literal(vec_col, c) for c in centroids]
+    d2min = d2s[0] if len(d2s) == 1 else F.least(*d2s)
+    per = vectors.select(
+        _argmin_cell(vec_col, centroids).alias("cid"),
+        d2min.alias("__d2"),
+    )
+    s = per.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("__d2").cast("decimal(38,0)")).alias("__sd"),
+    )
+    spark = vectors.sparkSession
+    pair_rows = []
+    for i, ci in enumerate(centroids):
+        for j, cj in enumerate(centroids):
+            if i != j:
+                m = sum((a - b) * (a - b) for a, b in zip(ci, cj))
+                pair_rows.append((i, j, m))
+    pairs = spark.createDataFrame(pair_rows, "i long, j long, m long")
+    si = s.select(
+        F.col("cid").alias("i"),
+        F.col("n").alias("__ni"),
+        F.col("__sd").alias("__sdi"),
+    )
+    sj = s.select(
+        F.col("cid").alias("j"),
+        F.col("n").alias("__nj"),
+        F.col("__sd").alias("__sdj"),
+    )
+    ratios = (
+        pairs.where(F.col("m") > 0)
+        .join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .select(
+            F.col("i").alias("cid"),
+            (
+                (
+                    F.col("__sdi").cast("double")
+                    / F.col("__ni").cast("double")
+                    + F.col("__sdj").cast("double")
+                    / F.col("__nj").cast("double")
+                )
+                / F.col("m").cast("double")
+            ).alias("__ratio"),
+        )
+    )
+    r = ratios.groupBy("cid").agg(F.max("__ratio").alias("__rmax"))
+    from pyspark.sql import Window
+
+    wg = Window.orderBy("cid")
+    db = (
+        r.select(
+            F.sum("__rmax")
+            .over(wg.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("__srm"),
+            F.row_number().over(wg).alias("__rn"),
+            F.count(F.lit(1))
+            .over(
+                wg.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            .alias("__k"),
+        )
+        .where(F.col("__rn") == F.col("__k"))
+        .select(
+            (F.col("__srm") / F.col("__k").cast("double")).alias("__db")
+        )
+    )
+    unit = F.lit(float(scale) * float(scale))
+    return (
+        s.join(r, "cid")
+        .crossJoin(F.broadcast(db))
+        .select(
+            "cid",
+            "n",
+            F.round(
+                F.col("__sd").cast("double") / F.col("n").cast("double") / unit,
+                6,
+            ).alias("s_mean"),
+            F.round(F.col("__rmax"), 6).alias("r_max"),
+            F.round(F.col("__db"), 6).alias("db_index"),
+        )
+    )

@@ -281,13 +281,10 @@ def llm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_exact_oracle(k: int = 8, iters: int = 3, dim: int = 64) -> str:
-    """Chained-CTE DuckDB twin of the exact-integer Lloyd iteration
-    (the integer-PageRank technique, VERDICT r06 item 2): fixed
-    iteration count unrolls to ``iters`` CTE pairs (assign → update);
-    trunc-division centroid updates (DuckDB ``//`` and Spark ``DIV``
-    share trunc-toward-zero semantics) keep every centroid an exact
-    integer both engines agree on."""
+def _kmeans_ctes(k: int = 8, iters: int = 3, dim: int = 64) -> tuple[list, str]:
+    """The Lloyd-iteration CTE list + the d2 expression, shared by
+    _kmeans_exact_oracle (assignments) and q_cluster_db_index's
+    oracle (round9.py) which scores the fitted clustering."""
     d2 = (
         "list_sum(list_transform(range(0,%d), "
         "i -> (v[i+1]-c[i+1])*(v[i+1]-c[i+1])))" % dim
@@ -315,6 +312,17 @@ def _kmeans_exact_oracle(k: int = 8, iters: int = 3, dim: int = 64) -> str:
             f"c{it + 1} AS (SELECT c{it}.cid, COALESCE(u{it}.c, c{it}.c) AS c "
             f"FROM c{it} LEFT JOIN u{it} USING (cid))"
         )
+    return ctes, d2
+
+
+def _kmeans_exact_oracle(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    """Chained-CTE DuckDB twin of the exact-integer Lloyd iteration
+    (the integer-PageRank technique, VERDICT r06 item 2): fixed
+    iteration count unrolls to ``iters`` CTE pairs (assign → update);
+    trunc-division centroid updates (DuckDB ``//`` and Spark ``DIV``
+    share trunc-toward-zero semantics) keep every centroid an exact
+    integer both engines agree on."""
+    ctes, d2 = _kmeans_ctes(k, iters, dim)
     return (
         "WITH " + ",\n".join(ctes) + f"\n"
         f"SELECT vec_id, cid AS centroid_id FROM ("

@@ -1474,3 +1474,89 @@ def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return personalized_pagerank(
         edges, seeds, iterations=_PPR_ITERS, scale=_PPR_SCALE
     )
+
+
+# ---------------------------------------------------------------------------
+# Davies–Bouldin cluster-quality index
+# ---------------------------------------------------------------------------
+
+_DB_K, _DB_ITERS, _DB_DIM = 8, 3, 64
+
+
+def _db_index_oracle() -> str:
+    from aws_datalake_spark.queries.llm_similarity import _kmeans_ctes
+
+    ctes, d2 = _kmeans_ctes(_DB_K, _DB_ITERS, _DB_DIM)
+    cN = f"c{_DB_ITERS}"
+    md2 = (
+        "list_sum(list_transform(range(0,%d), "
+        "x -> (a.c[x+1]-b.c[x+1])*(a.c[x+1]-b.c[x+1])))" % _DB_DIM
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+    a AS (
+      SELECT vec_id, cid, d2 FROM (
+        SELECT e.vec_id, {cN}.cid, {d2} AS d2,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {d2}, {cN}.cid) AS rn
+        FROM e, {cN}
+      ) WHERE rn = 1
+    ),
+    s AS (
+      SELECT cid, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(d2 AS HUGEINT)) AS sd
+      FROM a GROUP BY 1
+    ),
+    mm AS (
+      SELECT a.cid AS i, b.cid AS j, {md2} AS m
+      FROM {cN} a, {cN} b WHERE a.cid <> b.cid
+    ),
+    ratios AS (
+      SELECT mm.i AS cid,
+             (CAST(si.sd AS DOUBLE) / CAST(si.n AS DOUBLE)
+              + CAST(sj.sd AS DOUBLE) / CAST(sj.n AS DOUBLE))
+               / CAST(mm.m AS DOUBLE) AS ratio
+      FROM mm JOIN s si ON si.cid = mm.i JOIN s sj ON sj.cid = mm.j
+      WHERE mm.m > 0
+    ),
+    r AS (SELECT cid, MAX(ratio) AS rmax FROM ratios GROUP BY 1),
+    folded AS (
+      SELECT SUM(rmax) OVER (ORDER BY cid ROWS UNBOUNDED PRECEDING) AS srm,
+             ROW_NUMBER() OVER (ORDER BY cid) AS rn,
+             COUNT(*) OVER () AS kk
+      FROM r
+    ),
+    db AS (SELECT srm / CAST(kk AS DOUBLE) AS dbi FROM folded WHERE rn = kk)
+    SELECT s.cid, s.n,
+           ROUND(CAST(s.sd AS DOUBLE) / CAST(s.n AS DOUBLE)
+                 / 1000000000000.0, 6) AS s_mean,
+           ROUND(r.rmax, 6) AS r_max,
+           ROUND(db.dbi, 6) AS db_index
+    FROM s JOIN r USING (cid), db
+    """
+    )
+
+
+@query("llm_cluster_db_index", oracle=_db_index_oracle())
+def llm_cluster_db_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Davies–Bouldin index over the exact-integer k-means fit
+    (operators/clustering.py:davies_bouldin_exact): sqrt-free
+    squared-distance variant — exact DECIMAL scatter sums, literal
+    centroid-pair distances, mirrored IEEE ratios, and a PINNED-order
+    fold for the final mean — the clustering-quality eval harness
+    beside llm_kmeans_cells (lower = tighter/better-separated; the
+    number that says whether k fits)."""
+    from aws_datalake_spark.operators.clustering import (
+        davies_bouldin_exact,
+        kmeans_fit_exact,
+        quantize_vectors_int,
+    )
+    from aws_datalake_spark.queries.llm_similarity import _emb_double
+
+    e = quantize_vectors_int(
+        _emb_double(spark, sf_dir).select("vec_id", "embedding")
+    )
+    cents = kmeans_fit_exact(e, k=_DB_K, max_iter=_DB_ITERS)
+    return davies_bouldin_exact(e, cents)

@@ -215,6 +215,7 @@ HEADLINE = [
     "q_graph_ktruss",
     "q_ams_f2",
     "q_graph_ppr",
+    "llm_cluster_db_index",
 ]
 
 

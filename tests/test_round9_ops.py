@@ -1043,3 +1043,78 @@ def test_ppr_requires_seed_in_graph(spark):
     seeds = spark.createDataFrame([("zz",)], "node string")
     with _pytest.raises(ValueError):
         personalized_pagerank(e, seeds)
+
+
+# ---------------------------------------------------------------------------
+# davies_bouldin_exact
+# ---------------------------------------------------------------------------
+
+
+def test_db_index_tight_vs_loose_clusters(spark):
+    """Two well-separated tight blobs score a much lower DB index
+    than the same points pushed together."""
+    from aws_datalake_spark.operators.clustering import davies_bouldin_exact
+
+    def blob(center, n, spread):
+        return [[center + (i % 3) * spread, center - (i % 2) * spread]
+                for i in range(n)]
+
+    tight = blob(0, 6, 1) + blob(1000, 6, 1)
+    cents_tight = [[0, 0], [1000, 1000]]
+    rows = [(i, [int(a), int(b)]) for i, (a, b) in enumerate(tight)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<long>")
+    out = davies_bouldin_exact(df, cents_tight, scale=1).collect()
+    assert all(r.db_index < 0.01 for r in out)
+
+    loose = blob(0, 6, 40) + blob(100, 6, 40)
+    cents_loose = [[0, 0], [100, 100]]
+    rows2 = [(i, [int(a), int(b)]) for i, (a, b) in enumerate(loose)]
+    df2 = spark.createDataFrame(rows2, "vec_id long, embedding array<long>")
+    out2 = davies_bouldin_exact(df2, cents_loose, scale=1).collect()
+    assert out2[0].db_index > out[0].db_index * 10
+
+
+def test_db_index_matches_python_reference(spark):
+    import random
+
+    from aws_datalake_spark.operators.clustering import davies_bouldin_exact
+
+    rng = random.Random(7)
+    cents = [[0, 0], [50, 0], [0, 50]]
+    pts = []
+    for c in cents:
+        pts += [[c[0] + rng.randrange(-5, 6), c[1] + rng.randrange(-5, 6)]
+                for _ in range(10)]
+    rows = [(i, p) for i, p in enumerate(pts)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<long>")
+    got = {r.cid: r for r in davies_bouldin_exact(df, cents, scale=1).collect()}
+    # python reference (squared-distance variant, argmin assignment)
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+    assign = {}
+    for i, p in enumerate(pts):
+        ds = [(d2(p, c), ci) for ci, c in enumerate(cents)]
+        assign.setdefault(min(ds)[1], []).append(p)
+    S = {ci: sum(d2(p, cents[ci]) for p in ps) / len(ps)
+         for ci, ps in assign.items()}
+    R = {}
+    for i in S:
+        R[i] = max((S[i] + S[j]) / d2(cents[i], cents[j])
+                   for j in S if j != i)
+    dbi = sum(R.values()) / len(R)
+    for ci in S:
+        assert got[ci].s_mean == pytest.approx(S[ci], abs=1e-6)
+        assert got[ci].r_max == pytest.approx(R[ci], abs=1e-6)
+        assert got[ci].db_index == pytest.approx(dbi, abs=1e-6)
+
+
+def test_db_index_duplicate_centroid_excluded(spark):
+    """A duplicate centroid pair (M = 0) must not produce inf — it is
+    excluded from R like standard implementations."""
+    from aws_datalake_spark.operators.clustering import davies_bouldin_exact
+
+    rows = [(0, [0, 0]), (1, [1, 0]), (2, [100, 100]), (3, [101, 100])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<long>")
+    cents = [[0, 0], [0, 0], [100, 100]]
+    out = davies_bouldin_exact(df, cents, scale=1).collect()
+    assert all(r.r_max is not None and r.r_max < float("inf") for r in out)
