@@ -776,8 +776,9 @@ def ks_two_sample(
         F.col("__nb").cast("long").alias("n_b"),
         F.col("__dnum").cast("long").alias("d_num"),
         den.cast("long").alias("d_den"),
-        F.round(
-            F.col("__dnum").cast("double") / den.cast("double"), 6
+        F.when(
+            den > 0,
+            F.round(F.col("__dnum").cast("double") / den.cast("double"), 6),
         ).alias("d"),
     )
 

@@ -1162,7 +1162,13 @@ def rake_keywords(
         F.col(id_col).alias("__id"),
         F.posexplode(tokens_ws(F.col(text_col))).alias("__pos", "__w"),
     )
-    is_stop = F.col("__w").isin(list(stopwords)) | (F.length("__w") == 0)
+    # empty stopword list: Column.isin() with zero args raises (the
+    # blocklist_features lesson) — degrade to the empty-token boundary
+    is_stop = (
+        (F.col("__w").isin(list(stopwords)) | (F.length("__w") == 0))
+        if stopwords
+        else (F.length("__w") == 0)
+    )
     w_doc = Window.partitionBy("__id").orderBy("__pos")
     marked = toks.select(
         "__id",
