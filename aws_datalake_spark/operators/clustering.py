@@ -248,9 +248,15 @@ def davies_bouldin_exact(
         _argmin_cell(vec_col, centroids).alias("cid"),
         d2min.alias("__d2"),
     )
-    s = per.groupBy("cid").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("__d2").cast("decimal(38,0)")).alias("__sd"),
+    from aws_datalake_spark.operators.dedup_cluster import _truncate
+
+    # the scatter frame feeds si, sj, and the output join — without a
+    # cut the corpus-wide scatter pass re-executes three times
+    s = _truncate(
+        per.groupBy("cid").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("__d2").cast("decimal(38,0)")).alias("__sd"),
+        )
     )
     spark = vectors.sparkSession
     pair_rows = []

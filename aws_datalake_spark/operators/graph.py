@@ -476,7 +476,7 @@ def kcore_peel(
             e.join(keep.withColumnRenamed("node", "__s"), "__s", "left_semi")
             .join(keep.withColumnRenamed("node", "__d"), "__d", "left_semi")
         )
-    final = _degrees(e)
+    final = _truncate(_degrees(e))
     not_done = final.agg(
         F.sum((F.col("degree") < k).cast("int")).alias("__bad")
     )
@@ -629,7 +629,9 @@ def ktruss_peel(
             .where(F.col("support") >= k - 2)
             .select("s", "d")
         )
-    final = _edge_support(e)
+    # final is consumed by the certificate aggregate AND the output —
+    # without a cut the triangle enumeration runs twice
+    final = _truncate(_edge_support(e))
     bad = final.agg(
         F.sum((F.col("support") < k - 2).cast("int")).alias("__bad")
     )

@@ -49,6 +49,12 @@ def association_pairs(
     map-side; the item-count frame (|items| rows) and the one-row N
     frame broadcast — no second corpus shuffle.
     """
+    # m feeds N, the item counts, and both pair-join sides — but it is
+    # corpus-membership-scale, so a checkpoint would write ~the fact
+    # table (ADVICE-r06 novelty lesson). The four consumers share the
+    # identical distinct subplan, so AQE exchange reuse executes the
+    # scan+join+distinct once; bounded DOWNSTREAM frames are what get
+    # cut in this codebase, not corpus-scale ones.
     m = df.select(
         F.col(context_col).alias("__ctx"), F.col(item_col).alias("__item")
     ).distinct()

@@ -498,7 +498,10 @@ def ams_f2_report(
     """
     from aws_datalake_spark.operators.text import hash60
 
-    counts = (
+    from aws_datalake_spark.operators.dedup_cluster import _truncate
+
+    # counts feeds the truth aggregate AND the K-way sketch replication
+    counts = _truncate(
         df.select(F.col(group_col).alias("__g"), F.col(item_col).alias("__w"))
         .groupBy("__g", "__w")
         .agg(F.count(F.lit(1)).alias("__c"))

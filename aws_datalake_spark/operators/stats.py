@@ -538,10 +538,15 @@ def cusum_report(
     """
     from pyspark.sql.window import Window
 
-    per = df.select(
-        F.col(group_col).alias("__g"),
-        F.col(order_col).alias("__o"),
-        F.col(count_col).cast("long").alias("__x"),
+    from aws_datalake_spark.operators.dedup_cluster import _truncate
+
+    # per feeds totals AND the deviation join (PERF §26)
+    per = _truncate(
+        df.select(
+            F.col(group_col).alias("__g"),
+            F.col(order_col).alias("__o"),
+            F.col(count_col).cast("long").alias("__x"),
+        )
     )
     totals = per.groupBy("__g").agg(
         F.count(F.lit(1)).alias("__ng"), F.sum("__x").alias("__tg")
@@ -661,7 +666,11 @@ def tvd_drift(
     frames cross-joined, never corpus rows. tvd itself is one
     correctly-rounded divide of exact integers.
     """
-    cell = (
+    from aws_datalake_spark.operators.dedup_cluster import _truncate
+
+    # cell feeds both marginals, the total, and the grid's left join —
+    # four consumers of the corpus-collapsing aggregate (PERF §26)
+    cell = _truncate(
         df.groupBy(F.col(group_col).alias("__g"), F.col(cat_col).alias("__c"))
         .agg(F.count(F.lit(1)).alias("__ngc"))
     )
@@ -739,6 +748,9 @@ def ks_two_sample(
             F.sum(1 - F.col("__ia")).alias("__cb"),
         )
     )
+    from aws_datalake_spark.operators.dedup_cluster import _truncate
+
+    per_v = _truncate(per_v)  # feeds the cumulative window AND totals
     w = (
         Window.partitionBy(*gcols)
         .orderBy("__v")
@@ -810,12 +822,16 @@ def kruskal_wallis(
     from pyspark.sql import Window
 
     v = value_int.cast("long")
-    gv = (
+    from aws_datalake_spark.operators.dedup_cluster import _truncate
+
+    # gv feeds per_v and the rank join; per_v feeds ranked and ties —
+    # cut both (PERF §26 multi-consumer rule)
+    gv = _truncate(
         df.select(F.col(group_col).alias("__g"), v.alias("__v"))
         .groupBy("__g", "__v")
         .agg(F.count(F.lit(1)).alias("__cgv"))
     )
-    per_v = gv.groupBy("__v").agg(F.sum("__cgv").alias("__cv"))
+    per_v = _truncate(gv.groupBy("__v").agg(F.sum("__cgv").alias("__cv")))
     w = Window.orderBy("__v")
     ranked = per_v.select(
         "__v",
@@ -905,10 +921,18 @@ def mann_kendall(
     """
     from pyspark.sql import Window
 
-    per = df.select(
-        F.col(group_col).alias("__g"),
-        F.col(order_col).cast("long").alias("__t"),
-        value_int.cast("long").alias("__x"),
+    from aws_datalake_spark.operators.dedup_cluster import _truncate
+
+    # the series frame feeds FOUR consumers (both pair-join sides,
+    # n_agg, tie_term) and the caller's lineage is typically a
+    # multi-join aggregate — materialize ONCE (the PageRank edge-frame
+    # lesson, PERF §26; measured 5× at sf1 on q_mann_kendall)
+    per = _truncate(
+        df.select(
+            F.col(group_col).alias("__g"),
+            F.col(order_col).cast("long").alias("__t"),
+            value_int.cast("long").alias("__x"),
+        )
     )
     a, b = per.alias("a"), per.alias("b")
     pairs = a.join(
@@ -923,6 +947,7 @@ def mann_kendall(
             f"((b.__x - a.__x) * {slope_scale}L) div (b.__t - a.__t)"
         ).alias("__sl"),
     )
+    pairs = _truncate(pairs)  # consumed by sen AND s_agg
     w = Window.partitionBy("__g")
     sen = (
         pairs.withColumn(

@@ -1179,9 +1179,15 @@ def rake_keywords(
     )
     members = marked.where(~F.col("__stop")).drop("__stop")
     w_ph = Window.partitionBy("__id", "__ph")
-    occ = members.withColumn("__plen", F.count(F.lit(1)).over(w_ph)).where(
-        F.col("__plen") <= max_phrase_len
-    )
+    # occ feeds the word stats AND the phrase scorer, but it is
+    # CORPUS-TOKEN-scale with string payloads: checkpointing it writes
+    # ~the tokenized corpus (the ADVICE-r06 novelty lesson — the
+    # checkpoint becomes the bottleneck at 100 TB). The two consumers
+    # share identical subplans, so AQE exchange reuse already executes
+    # the tokenize+window lineage once; no cut here on purpose.
+    occ = members.withColumn(
+        "__plen", F.count(F.lit(1)).over(w_ph)
+    ).where(F.col("__plen") <= max_phrase_len)
     wstats = occ.groupBy("__w").agg(
         F.count(F.lit(1)).alias("__freq"),
         F.sum("__plen").alias("__deg"),

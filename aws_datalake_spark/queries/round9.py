@@ -742,7 +742,10 @@ def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_merges_batched(docs, num_merges=_BPE_K).orderBy("merge_rank").collect()
     )
     merges = [tuple(r.pair.split(" ", 1)) for r in merges_rows]
-    tok = (
+    from aws_datalake_spark.operators.dedup_cluster import _truncate
+
+    # tok feeds the distinct-word frame AND the final join (PERF §26)
+    tok = _truncate(
         docs.select(
             "source", F.explode(tokens_ws(F.col("text"))).alias("w")
         )
