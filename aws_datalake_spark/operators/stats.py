@@ -996,3 +996,112 @@ def mann_kendall(
             F.col("__sen").cast("double") / F.lit(float(slope_scale)), 6
         ).alias("sen_slope"),
     )
+
+
+def rolling_ols(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    y_int: Column,
+    window_rows: int = 30,
+    y_scale: int = 0,
+) -> DataFrame:
+    """Rolling-window OLS trend per group: for every bucket of an
+    already-aggregated series (one row per (group, t, y), t integral,
+    y integral) the slope over the TRAILING ``window_rows`` buckets —
+    "is this series accelerating right now", the windowed complement
+    to ols_by_group's whole-series fit:
+    ``(group, t, n_window, slope)``.
+
+    EXACTNESS: the five regression moments are WINDOW sums of exact
+    integers over the trailing frame (order-independent within the
+    frame because integer addition commutes), combined with the same
+    DECIMAL(38,0) first-order algebra as ols_by_group and one
+    correctly-rounded divide; ``y_scale`` divides slope into natural
+    units before ROUND(·,6) (the representability discipline).
+
+    SCALE: ONE key-partitioned window pass over the aggregated series
+    frame (never raw events) computing all five sums in the same
+    frame spec — Spark evaluates them in a single WindowExec.
+    """
+    from pyspark.sql import Window
+
+    per = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(order_col).cast("long").alias("__t"),
+        y_int.cast("long").alias("__y"),
+    )
+    w = (
+        Window.partitionBy("__g")
+        .orderBy("__t")
+        .rowsBetween(-(window_rows - 1), Window.currentRow)
+    )
+    x = _dec(F.col("__t"))
+    y = _dec(F.col("__y"))
+    agg = per.select(
+        "__g",
+        "__t",
+        F.count(F.lit(1)).over(w).alias("__n"),
+        F.sum(x).over(w).alias("__sx"),
+        F.sum(y).over(w).alias("__sy"),
+        F.sum(x * x).over(w).alias("__sxx"),
+        F.sum(x * y).over(w).alias("__sxy"),
+    )
+    n = _dec(F.col("__n"))
+    num = (n * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast("double")
+    den = (n * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast("double")
+    slope = F.when(
+        den > 0.0, F.round(num / den / F.lit(float(10**y_scale)), 6)
+    )
+    return agg.select(
+        F.col("__g").alias(group_col),
+        F.col("__t").alias(order_col),
+        F.col("__n").alias("n_window"),
+        slope.alias("slope"),
+    )
+
+
+def simpson_diversity(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+) -> DataFrame:
+    """Unbiased Gini–Simpson diversity per group:
+    ``(group, n, n_types, simpson)`` with
+    D = 1 − Σ n_i(n_i−1) / (N(N−1)) — the probability two draws
+    WITHOUT replacement differ. The log-free diversity measure
+    (Shannon entropy needs ln — never bit-identical cross-engine);
+    low D = the collapse signal (templated sources, synthetic loops),
+    complementing type-token ratios with an abundance-weighted view.
+
+    EXACTNESS: Σ n_i(n_i−1) and N(N−1) are exact DECIMAL(38,0)
+    integers; one correctly-rounded divide. Groups with N < 2 yield
+    NULL.
+
+    SCALE: one (group, item) aggregate collapses the corpus, one
+    group aggregate collapses the items — both map-combinable.
+    """
+    counts = (
+        df.select(F.col(group_col).alias("__g"), F.col(item_col).alias("__w"))
+        .groupBy("__g", "__w")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    g = counts.groupBy("__g").agg(
+        F.sum("__c").alias("__n"),
+        F.count(F.lit(1)).alias("__t"),
+        F.sum(_dec(F.col("__c")) * _dec(F.col("__c") - 1)).alias("__ss"),
+    )
+    n = _dec(F.col("__n"))
+    den = n * (n - _dec(F.lit(1)))
+    simpson = F.when(
+        F.col("__n") >= 2,
+        F.round(
+            F.lit(1.0) - F.col("__ss").cast("double") / den.cast("double"), 6
+        ),
+    )
+    return g.select(
+        F.col("__g").alias(group_col),
+        F.col("__n").alias("n"),
+        F.col("__t").alias("n_types"),
+        simpson.alias("simpson"),
+    )

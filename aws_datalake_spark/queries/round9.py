@@ -1563,3 +1563,107 @@ def llm_cluster_db_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cents = kmeans_fit_exact(e, k=_DB_K, max_iter=_DB_ITERS)
     return davies_bouldin_exact(e, cents)
+
+
+# ---------------------------------------------------------------------------
+# rolling-window OLS trend
+# ---------------------------------------------------------------------------
+
+_ROLL_W = 30
+
+
+@query(
+    "q_rolling_regression",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type AS g,
+             CAST(date_diff('day', DATE '2024-01-01',
+                            CAST(ts AS DATE)) AS BIGINT) AS t,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT g, t,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n,
+             SUM(CAST(t AS HUGEINT)) OVER w AS sx,
+             SUM(CAST(y AS HUGEINT)) OVER w AS sy,
+             SUM(CAST(t AS HUGEINT) * t) OVER w AS sxx,
+             SUM(CAST(t AS HUGEINT) * y) OVER w AS sxy
+      FROM daily
+      WINDOW w AS (PARTITION BY g ORDER BY t
+                   ROWS BETWEEN {_ROLL_W - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT g AS event_type, t, n AS n_window,
+           CASE WHEN CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+                     > 0.0 THEN
+             ROUND(CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+                   / CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+                   / 1.0, 6)
+           END AS slope
+    FROM agg
+    """,
+)
+def q_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 30-bucket OLS slope of daily event volume per type
+    (operators/stats.py:rolling_ols): "is this stream accelerating
+    RIGHT NOW" — all five regression moments as exact-integer window
+    sums in ONE key-partitioned WindowExec over the (type, day)
+    aggregate, then the ols_by_group decimal algebra per row."""
+    from aws_datalake_spark.operators.stats import rolling_ols
+
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type"),
+            F.datediff(
+                F.to_date("ts"), F.lit("2024-01-01").cast("date")
+            ).cast("long").alias("t"),
+        )
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    return rolling_ols(
+        daily, "event_type", "t", F.col("y"), window_rows=_ROLL_W
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gini–Simpson diversity
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "llm_simpson_diversity",
+    oracle="""
+    WITH counts AS (
+      SELECT source AS g, w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT source,
+                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+            FROM documents)
+      GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT g, SUM(c) AS n, CAST(COUNT(*) AS BIGINT) AS t,
+             SUM(CAST(c AS HUGEINT) * (c - 1)) AS ss
+      FROM counts GROUP BY 1
+    )
+    SELECT g AS source, CAST(n AS BIGINT) AS n, t AS n_types,
+           CASE WHEN n >= 2 THEN
+             ROUND(1.0 - CAST(ss AS DOUBLE)
+                   / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE), 6)
+           END AS simpson
+    FROM g
+    """,
+)
+def llm_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbiased Gini–Simpson token diversity per source
+    (operators/stats.py:simpson_diversity): the log-free
+    abundance-weighted collapse detector beside the type-token
+    ratios of llm_diversity_by_source — two map-combinable
+    aggregates, exact DECIMAL(38,0) integers, one rounded divide."""
+    from aws_datalake_spark.operators.stats import simpson_diversity
+    from aws_datalake_spark.operators.text import tokens_ws
+
+    toks = t(spark, sf_dir, "documents").select(
+        "source", F.explode(tokens_ws(F.col("text"))).alias("w")
+    )
+    return simpson_diversity(toks, "source", "w")

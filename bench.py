@@ -216,6 +216,8 @@ HEADLINE = [
     "q_ams_f2",
     "q_graph_ppr",
     "llm_cluster_db_index",
+    "q_rolling_regression",
+    "llm_simpson_diversity",
 ]
 
 

@@ -1118,3 +1118,78 @@ def test_db_index_duplicate_centroid_excluded(spark):
     cents = [[0, 0], [0, 0], [100, 100]]
     out = davies_bouldin_exact(df, cents, scale=1).collect()
     assert all(r.r_max is not None and r.r_max < float("inf") for r in out)
+
+
+# ---------------------------------------------------------------------------
+# rolling_ols
+# ---------------------------------------------------------------------------
+
+
+def test_rolling_ols_exact_line_and_window_bound(spark):
+    from aws_datalake_spark.operators.stats import rolling_ols
+
+    rows = [("g", i, 5 * i + 3) for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, t long, y long")
+    out = {r.t: r for r in rolling_ols(df, "g", "t", F.col("y"),
+                                       window_rows=4).collect()}
+    assert out[0].n_window == 1 and out[0].slope is None  # den = 0
+    assert out[3].n_window == 4 and out[3].slope == 5.0
+    assert out[9].n_window == 4 and out[9].slope == 5.0
+
+
+def test_rolling_ols_matches_numpy_per_window(spark):
+    import numpy as np
+
+    from aws_datalake_spark.operators.stats import rolling_ols
+
+    rng = np.random.RandomState(3)
+    ys = rng.randint(0, 100, size=20)
+    rows = [("g", i, int(y)) for i, y in enumerate(ys)]
+    df = spark.createDataFrame(rows, "g string, t long, y long")
+    got = {r.t: r.slope for r in rolling_ols(
+        df, "g", "t", F.col("y"), window_rows=5).collect()}
+    for t_end in range(4, 20):
+        xs = np.arange(t_end - 4, t_end + 1)
+        yw = ys[t_end - 4:t_end + 1]
+        slope = np.polyfit(xs, yw, 1)[0]
+        assert got[t_end] == pytest.approx(slope, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# simpson_diversity
+# ---------------------------------------------------------------------------
+
+
+def test_simpson_extremes(spark):
+    from aws_datalake_spark.operators.stats import simpson_diversity
+
+    rows = [("mono", "x")] * 10 + [(f"uniq", f"w{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, w string")
+    got = {r.g: r for r in simpson_diversity(df, "g", "w").collect()}
+    assert got["mono"].simpson == 0.0        # two draws always equal
+    assert got["uniq"].simpson == 1.0        # two draws never equal
+    assert got["uniq"].n_types == 10
+
+
+def test_simpson_matches_formula(spark):
+    from collections import Counter
+    import random
+
+    from aws_datalake_spark.operators.stats import simpson_diversity
+
+    rng = random.Random(4)
+    items = [f"w{rng.randrange(6)}" for _ in range(200)]
+    df = spark.createDataFrame([("g", w) for w in items], "g string, w string")
+    r = simpson_diversity(df, "g", "w").collect()[0]
+    c = Counter(items)
+    n = len(items)
+    d = 1 - sum(v * (v - 1) for v in c.values()) / (n * (n - 1))
+    assert r.simpson == pytest.approx(d, abs=1e-6)
+
+
+def test_simpson_single_row_null(spark):
+    from aws_datalake_spark.operators.stats import simpson_diversity
+
+    df = spark.createDataFrame([("g", "x")], "g string, w string")
+    r = simpson_diversity(df, "g", "w").collect()[0]
+    assert r.simpson is None
