@@ -1667,3 +1667,315 @@ def llm_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", F.explode(tokens_ws(F.col("text"))).alias("w")
     )
     return simpson_diversity(toks, "source", "w")
+
+
+# ---------------------------------------------------------------------------
+# decile lift / gains table
+# ---------------------------------------------------------------------------
+
+_LIFT_PRICE = 200000.0
+
+
+@query(
+    "q_decile_lift",
+    oracle=f"""
+    WITH resp AS (
+      SELECT c.c_custkey,
+             CAST(ROUND(c.c_acctbal * 100.0) AS BIGINT) AS score,
+             CASE WHEN EXISTS (
+               SELECT 1 FROM orders o
+               WHERE o.o_custkey = c.c_custkey
+                 AND o.o_totalprice > {_LIFT_PRICE}
+             ) THEN 1 ELSE 0 END AS responder
+      FROM customer c
+    ),
+    ranked AS (
+      SELECT score, responder,
+             ROW_NUMBER() OVER (ORDER BY score DESC, c_custkey) AS rn,
+             COUNT(*) OVER () AS n
+      FROM resp
+    ),
+    dec AS (
+      SELECT ((rn - 1) * 10) // n + 1 AS decile, responder, n FROM ranked
+    ),
+    per AS (
+      SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(responder) AS BIGINT) AS responders
+      FROM dec GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_customers) AS BIGINT) AS nt,
+             CAST(SUM(responders) AS BIGINT) AS rt
+      FROM per
+    )
+    SELECT per.decile, per.n_customers, per.responders,
+           ROUND(CAST(per.responders AS DOUBLE)
+                 / CAST(per.n_customers AS DOUBLE), 6) AS response_rate,
+           CASE WHEN tot.rt > 0 THEN
+             ROUND(CAST(per.responders AS DOUBLE)
+                   / CAST(per.n_customers AS DOUBLE)
+                   / (CAST(tot.rt AS DOUBLE) / CAST(tot.nt AS DOUBLE)), 6)
+           END AS lift
+    FROM per, tot
+    """,
+)
+def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift / gains table: customers ranked by balance cents
+    (deterministic custkey tiebreak), deciles via the exact integer
+    formula ((rn−1)·10) div n + 1 — NO ntile (its tie behavior is
+    engine-defined), response = placed a large order, lift = decile
+    rate over the overall rate in a fixed IEEE order. The ranking
+    window runs over the customer dimension (bounded), the responder
+    flag is one semi-join, totals broadcast."""
+    from pyspark.sql import Window
+
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100.0, 0).cast("long").alias("score"),
+    )
+    o = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > _LIFT_PRICE)
+        .select("o_custkey")
+        .distinct()
+    )
+    resp = c.join(
+        o.withColumnRenamed("o_custkey", "c_custkey").withColumn(
+            "__r", F.lit(1)
+        ),
+        "c_custkey",
+        "left",
+    ).select(
+        "c_custkey", "score", F.coalesce(F.col("__r"), F.lit(0)).alias("responder")
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("c_custkey"))
+    ranked = resp.select(
+        "responder",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    per = (
+        ranked.select(
+            F.expr("((rn - 1) * 10) div n + 1").alias("decile"), "responder"
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("responder").alias("responders"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_customers").alias("nt"), F.sum("responders").alias("rt")
+    )
+    rate = F.col("responders").cast("double") / F.col("n_customers").cast(
+        "double"
+    )
+    overall = F.col("rt").cast("double") / F.col("nt").cast("double")
+    return per.crossJoin(F.broadcast(tot)).select(
+        "decile",
+        "n_customers",
+        "responders",
+        F.round(rate, 6).alias("response_rate"),
+        F.when(F.col("rt") > 0, F.round(rate / overall, 6)).alias("lift"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ABC / Pareto classification
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_abc_pareto",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100.0)
+                      AS BIGINT)) AS cents
+      FROM lineitem GROUP BY 1
+    ),
+    ranked AS (
+      SELECT l_partkey, cents,
+             SUM(CAST(cents AS HUGEINT))
+               OVER (ORDER BY cents DESC, l_partkey
+                     ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(CAST(cents AS HUGEINT)) OVER () AS total
+      FROM rev
+    ),
+    classed AS (
+      SELECT l_partkey, cents,
+             CASE WHEN cum * 100 <= total * 80 THEN 'A'
+                  WHEN cum * 100 <= total * 95 THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM ranked
+    )
+    SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents
+    FROM classed GROUP BY 1
+    """,
+)
+def q_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto inventory classification: parts ranked by revenue
+    cents, class boundaries decided in EXACT integers
+    (cum·100 ≤ total·80 — no float share ever computed), summarized
+    per class. The cumulative window runs over the parts aggregate
+    (bounded), never lineitem rows."""
+    from pyspark.sql import Window
+
+    rev = (
+        t(spark, sf_dir, "lineitem")
+        .select(
+            "l_partkey",
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0,
+                0,
+            )
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    w = Window.orderBy(F.desc("cents"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    classed = rev.select(
+        "cents",
+        F.when(
+            dec(F.sum("cents").over(w)) * 100 <= dec(F.sum("cents").over(wt)) * 80,
+            F.lit("A"),
+        )
+        .when(
+            dec(F.sum("cents").over(w)) * 100 <= dec(F.sum("cents").over(wt)) * 95,
+            F.lit("B"),
+        )
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("cents").alias("revenue_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wald–Wolfowitz runs test
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_runs_test",
+    oracle="""
+    WITH per AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS nd, CAST(SUM(x) AS HUGEINT) AS tx
+      FROM per
+    ),
+    signed AS (
+      SELECT day, CASE WHEN tot.nd * per.x > tot.tx THEN 1 ELSE 0 END AS s
+      FROM per, tot
+    ),
+    runs AS (
+      SELECT s,
+             CASE WHEN LAG(s) OVER (ORDER BY day) IS NULL
+                       OR LAG(s) OVER (ORDER BY day) <> s
+                  THEN 1 ELSE 0 END AS brk
+      FROM signed
+    ),
+    agg AS (
+      SELECT CAST(SUM(brk) AS BIGINT) AS r,
+             CAST(SUM(s) AS BIGINT) AS n1,
+             CAST(SUM(1 - s) AS BIGINT) AS n2
+      FROM runs
+    )
+    SELECT r, n1, n2,
+           CASE WHEN n1 > 0 AND n2 > 0 AND (n1 + n2) > 1
+                 AND 2.0 * n1 * n2 * (2.0 * n1 * n2 - (n1 + n2))
+                     / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)
+                        * (CAST(n1 + n2 AS DOUBLE) - 1.0)) > 0.0 THEN
+             ROUND((CAST(r AS DOUBLE)
+                    - (2.0 * n1 * n2 / CAST(n1 + n2 AS DOUBLE) + 1.0))
+                   / SQRT(2.0 * n1 * n2 * (2.0 * n1 * n2 - (n1 + n2))
+                          / (CAST(n1 + n2 AS DOUBLE)
+                             * CAST(n1 + n2 AS DOUBLE)
+                             * (CAST(n1 + n2 AS DOUBLE) - 1.0))), 6)
+           END AS z
+    FROM agg
+    """,
+)
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test on daily event volume (above/below
+    the MEAN, decided in exact integers n·x > T — the log-free
+    randomness check: too few runs = trending/clustered, too many =
+    oscillating). Runs counted by the LAG-break idiom over the
+    (day,) aggregate; z uses the standard normal approximation with
+    mirrored IEEE ops."""
+    from pyspark.sql import Window
+    from aws_datalake_spark.operators.dedup_cluster import _truncate
+
+    per = _truncate(
+        t(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("nd"),
+        F.sum("x").cast("decimal(38,0)").alias("tx"),
+    )
+    signed = per.crossJoin(F.broadcast(tot)).select(
+        "day",
+        F.when(
+            F.col("nd") * F.col("x").cast("decimal(38,0)") > F.col("tx"),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("s"),
+    )
+    w = Window.orderBy("day")
+    runs = signed.select(
+        "s",
+        F.when(
+            F.lag("s").over(w).isNull() | (F.lag("s").over(w) != F.col("s")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("brk"),
+    )
+    agg = runs.agg(
+        F.sum("brk").alias("r"),
+        F.sum("s").alias("n1"),
+        F.sum(1 - F.col("s")).alias("n2"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = n1d + n2d
+    var = (
+        F.lit(2.0) * n1d * n2d * (F.lit(2.0) * n1d * n2d - (F.col("n1") + F.col("n2")))
+        / (nd * nd * (nd - F.lit(1.0)))
+    )
+    z = F.when(
+        (F.col("n1") > 0) & (F.col("n2") > 0) & ((F.col("n1") + F.col("n2")) > 1)
+        & (var > 0.0),
+        F.round(
+            (F.col("r").cast("double") - (F.lit(2.0) * n1d * n2d / nd + F.lit(1.0)))
+            / F.sqrt(var),
+            6,
+        ),
+    )
+    return agg.select(
+        F.col("r").cast("long").alias("r"),
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        z.alias("z"),
+    )

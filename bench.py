@@ -218,6 +218,9 @@ HEADLINE = [
     "llm_cluster_db_index",
     "q_rolling_regression",
     "llm_simpson_diversity",
+    "q_decile_lift",
+    "q_abc_pareto",
+    "q_runs_test",
 ]
 
 

