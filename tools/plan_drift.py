@@ -41,7 +41,8 @@ def _norm(s: str) -> str:
     s = re.sub(r"\b([a-z]+)_\d+", r"\1_N", s)  # lambda vars: x_12, y_34
     # run-varying scratch file names (txn-table data files carry UUIDs)
     s = re.sub(r"data/[0-9a-f]{32}/[\w.-]+\.parquet", "data/U/F.parquet", s)
-    return s
+    # the file's LAST section absorbs EOF blank lines — not a plan diff
+    return s.rstrip("\n")
 
 
 def _bench(rev: str) -> dict[str, float]:
