@@ -520,6 +520,10 @@ def t_closeness_audit(
     ``(qi…, n, emd_num, emd_den, emd, violates)`` with
     emd = emd_num/emd_den and violates ⇔ emd > t (compared in exact
     integers: emd_num·den > num·emd_den — no float in the gate).
+    num/den are exact decimal-integer STRINGS: n_g·N·(m−1) exceeds
+    2^63 at corpus scale and a long cast would wrap silently
+    (ADVICE r07); the float ``emd`` and the exact ``violates`` gate
+    are unaffected.
 
     SCALE: one (QI, value) aggregate collapses the corpus; the dense
     QI×value grid comes from the two bounded marginal frames (missing
@@ -574,8 +578,11 @@ def t_closeness_audit(
     return out.select(
         *qi_cols,
         F.col("__ng").alias("n"),
-        F.col("__num").cast("long").alias("emd_num"),
-        den.cast("long").alias("emd_den"),
+        # exact decimal STRINGS, not long (ADVICE r07): n_g·N·(m−1)
+        # exceeds 2^63 at corpus scale; the non-ANSI long cast wraps
+        # to NULL silently while the gate itself stays exact
+        F.col("__num").cast("string").alias("emd_num"),
+        den.cast("string").alias("emd_den"),
         F.round(F.col("__num").cast("double") / den.cast("double"), 6).alias(
             "emd"
         ),

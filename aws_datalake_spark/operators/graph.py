@@ -361,6 +361,8 @@ def hits_fixed_point(
     """
     from aws_datalake_spark.operators.dedup_cluster import _truncate
 
+    if iterations < 1:  # auth is built inside the loop (ADVICE r07)
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
     e = _truncate(
         edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
     )
@@ -620,8 +622,19 @@ def ktruss_peel(
     """
     from aws_datalake_spark.operators.dedup_cluster import _truncate
 
+    # Canonicalize on entry (ADVICE r07): _edge_support assumes distinct
+    # s < d edges — a reversed or duplicated edge would silently get
+    # support 0 on the join-back and be peeled away. least/greatest +
+    # distinct (self-loops dropped: never in a triangle) makes the
+    # precondition a guarantee; one cheap exchange next to the m^1.5
+    # wedge work.
     e = _truncate(
-        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("s"),
+            F.greatest(F.col(src), F.col(dst)).alias("d"),
+        )
+        .where(F.col("s") < F.col("d"))
+        .distinct()
     )
     for _ in range(rounds):
         e = _truncate(

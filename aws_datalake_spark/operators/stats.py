@@ -649,7 +649,9 @@ def tvd_drift(
 ) -> DataFrame:
     """Per-group distribution drift vs the global mix as EXACT
     total-variation distance: ``(group, n, tvd_num, tvd_den, tvd)``
-    where TVD(p_g, q) = ½ Σ_c |p_g(c) − q(c)| — the log-free drift
+    (num/den are exact decimal-integer STRINGS — int64 would wrap at
+    corpus scale, ADVICE r07) where
+    TVD(p_g, q) = ½ Σ_c |p_g(c) − q(c)| — the log-free drift
     metric (PSI and KL need transcendentals; TVD is a quotient of
     integers). Putting both mixes over the common denominator
     n_g·N gives
@@ -695,11 +697,15 @@ def tvd_drift(
         F.sum("__term").alias("__num")
     )
     den = _dec(F.lit(2)) * _dec(F.col("__ng")) * _dec(F.col("__nn"))
+    # certificate columns as exact decimal STRINGS (ADVICE r07): the
+    # long cast wraps to NULL past 2^63 in non-ANSI mode while the
+    # HUGEINT oracle stays exact; decimal(38,0)->string is exact and
+    # hash-stable at any scale (the relational_ext total_s device)
     return out.select(
         F.col("__g").alias(group_col),
         F.col("__ng").alias("n"),
-        F.col("__num").cast("long").alias("tvd_num"),
-        den.cast("long").alias("tvd_den"),
+        F.col("__num").cast("string").alias("tvd_num"),
+        den.cast("string").alias("tvd_den"),
         F.round(F.col("__num").cast("double") / den.cast("double"), 6).alias(
             "tvd"
         ),
@@ -724,7 +730,9 @@ def ks_two_sample(
     EXACTNESS: over the common denominator n_a·n_b,
     D = max_v |cum_a(v)·n_b − cum_b(v)·n_a| / (n_a·n_b) — every term
     an exact DECIMAL(38,0) product of exact counts; d_num/d_den are
-    returned alongside the one correctly-rounded divide.
+    returned alongside the one correctly-rounded divide, as exact
+    decimal-integer STRINGS (n_a·n_b can exceed 2^63 at corpus scale
+    and a long cast would wrap to NULL silently — ADVICE r07).
 
     SCALE: the corpus collapses to one row per DISTINCT value
     (bounded by the value DOMAIN, the exact_auc discipline) before
@@ -786,8 +794,11 @@ def ks_two_sample(
         *gcols,
         F.col("__na").cast("long").alias("n_a"),
         F.col("__nb").cast("long").alias("n_b"),
-        F.col("__dnum").cast("long").alias("d_num"),
-        den.cast("long").alias("d_den"),
+        # exact decimal STRINGS, not long (ADVICE r07): n_a·n_b can
+        # exceed 2^63 at corpus scale and the non-ANSI long cast wraps
+        # to NULL silently; string is exact at any magnitude
+        F.col("__dnum").cast("string").alias("d_num"),
+        den.cast("string").alias("d_den"),
         F.when(
             den > 0,
             F.round(F.col("__dnum").cast("double") / den.cast("double"), 6),
@@ -943,8 +954,15 @@ def mann_kendall(
         F.signum((F.col("b.__x") - F.col("a.__x")).cast("double"))
         .cast("long")
         .alias("__sgn"),
+        # scale in DECIMAL(38,0) BEFORE the integral divide: Δx·scale in
+        # int64 wraps silently past 2^63 (ADVICE r07) while the DuckDB
+        # twin's HUGEINT stays exact; the decimal product matches it at
+        # any magnitude. The divide itself returns long — the SLOPE must
+        # fit int64 (|Δx·scale/Δt| < 2^63), a far weaker bound than the
+        # product's.
         F.expr(
-            f"((b.__x - a.__x) * {slope_scale}L) div (b.__t - a.__t)"
+            f"((CAST(b.__x AS DECIMAL(38,0)) - CAST(a.__x AS DECIMAL(38,0)))"
+            f" * {slope_scale}) div (b.__t - a.__t)"
         ).alias("__sl"),
     )
     pairs = _truncate(pairs)  # consumed by sen AND s_agg

@@ -644,8 +644,8 @@ def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM grid GROUP BY 1, 2, 3
     )
     SELECT day, CAST(ng AS BIGINT) AS n,
-           CAST(num AS BIGINT) AS tvd_num,
-           CAST(2 * ng * nn AS BIGINT) AS tvd_den,
+           CAST(num AS VARCHAR) AS tvd_num,
+           CAST(CAST(2 AS HUGEINT) * ng * nn AS VARCHAR) AS tvd_den,
            ROUND(CAST(num AS DOUBLE) / CAST(2 * ng * nn AS DOUBLE), 6)
              AS tvd
     FROM agg
@@ -806,8 +806,8 @@ def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cum, tot
     )
     SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
-           CAST(dnum AS BIGINT) AS d_num,
-           CAST(CAST(na AS HUGEINT) * nb AS BIGINT) AS d_den,
+           CAST(dnum AS VARCHAR) AS d_num,
+           CAST(CAST(na AS HUGEINT) * nb AS VARCHAR) AS d_den,
            ROUND(CAST(dnum AS DOUBLE)
                  / CAST(CAST(na AS HUGEINT) * nb AS DOUBLE), 6) AS d
     FROM d
@@ -952,8 +952,8 @@ def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cum GROUP BY 1, 2, 3, 4
     )
     SELECT c_nationkey, CAST(ng AS BIGINT) AS n,
-           CAST(num AS BIGINT) AS emd_num,
-           CAST(ng * nn * (m - 1) AS BIGINT) AS emd_den,
+           CAST(num AS VARCHAR) AS emd_num,
+           CAST(CAST(ng AS HUGEINT) * nn * (m - 1) AS VARCHAR) AS emd_den,
            ROUND(CAST(num AS DOUBLE)
                  / CAST(ng * nn * (m - 1) AS DOUBLE), 6) AS emd,
            num * 4 > CAST(1 AS HUGEINT) * ng * nn * (m - 1) AS violates

@@ -499,7 +499,7 @@ def test_tvd_identical_mix_is_zero(spark):
     rows = [(g, c) for g in ("g1", "g2") for c in ("x", "y") for _ in range(5)]
     df = spark.createDataFrame(rows, "g string, c string")
     out = tvd_drift(df, "g", "c").collect()
-    assert all(r.tvd == 0.0 and r.tvd_num == 0 for r in out)
+    assert all(r.tvd == 0.0 and r.tvd_num == "0" for r in out)
 
 
 def test_tvd_disjoint_mix_and_missing_cells(spark):
@@ -512,7 +512,7 @@ def test_tvd_disjoint_mix_and_missing_cells(spark):
     out = {r.g: r for r in tvd_drift(df, "g", "c").collect()}
     for g in ("g1", "g2"):
         assert out[g].tvd == 0.5
-        assert out[g].tvd_num * 2 == out[g].tvd_den
+        assert int(out[g].tvd_num) * 2 == int(out[g].tvd_den)
 
 
 def test_tvd_matches_python_reference(spark):
@@ -577,7 +577,7 @@ def test_ks_identical_samples_zero(spark):
     rows = [("a", v) for v in (1, 2, 3, 4)] + [("b", v) for v in (1, 2, 3, 4)]
     df = spark.createDataFrame(rows, "g string, v long")
     r = ks_two_sample(df, "g", F.col("v"), "a", "b").collect()[0]
-    assert (r.n_a, r.n_b, r.d_num, r.d) == (4, 4, 0, 0.0)
+    assert (r.n_a, r.n_b, r.d_num, r.d) == (4, 4, "0", 0.0)
 
 
 def test_ks_matches_scipy_convention(spark):
@@ -600,7 +600,7 @@ def test_ks_matches_scipy_convention(spark):
         for v in vals
     )
     assert r.d == pytest.approx(d, abs=1e-6)
-    assert r.d_num / r.d_den == pytest.approx(d, abs=1e-12)
+    assert int(r.d_num) / int(r.d_den) == pytest.approx(d, abs=1e-12)
 
 
 def test_ks_disjoint_supports_is_one(spark):
