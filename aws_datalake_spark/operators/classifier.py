@@ -22,15 +22,18 @@ Determinism: given fixed data and iteration count, every step is the
 same float arithmetic in the same order (aggregation of per-bucket
 gradient sums uses exact scaled-long accumulation, so partial-agg
 order cannot perturb the result) — retrains reproduce bit-for-bit.
-Sigmoid is transcendental, so there is no cross-engine SQL oracle;
-the registry query is rows-only by design (like llm_kmeans_cells).
+The float sigmoid is transcendental, so the FLOAT path has no
+cross-engine SQL oracle; since r08 the registry query runs the
+exact-integer twin below (fixed-point weights + piecewise-literal
+sigmoid — the integer-PageRank technique), which hash-matches a
+chained-CTE DuckDB oracle for the full train→score pipeline.
 """
 
 from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _SCALE = 10**6
@@ -157,6 +160,172 @@ def score_quality(
                 "quality_score"
             ),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact-integer twin (hash-certifiable): fixed-point logistic regression
+# ---------------------------------------------------------------------------
+#
+# The float trainer above is the production path; it has no cross-engine
+# oracle because the sigmoid is transcendental. The twin below applies the
+# integer-PageRank / exact-kmeans technique (VERDICT r07 item 2) to the
+# SAME algorithm: features quantized to (cnt·10^6) div tot, weights kept
+# as scaled int64, and the sigmoid replaced by a PIECEWISE-LINEAR table
+# whose knots are shared literals — every intermediate is an exact
+# integer both engines (Spark `div`, DuckDB `//`, both trunc-toward-zero)
+# compute identically, so the full 10-iteration training run plus the
+# final corpus scoring hash-matches a chained-CTE DuckDB twin.
+
+X_SCALE = 10**6  # feature fixed-point: (cnt·X_SCALE) div tot
+S_SCALE = 10**6  # sigmoid output fixed-point: s ∈ [0, S_SCALE]
+
+
+def _sigmoid_knots(
+    lo: float = -8.0, hi: float = 8.0, step: float = 0.25
+) -> list[tuple[int, int]]:
+    """(z_scaled, sigmoid_scaled) literal knots, z at S_SCALE. Built
+    once at import from Python floats — the VALUES become shared
+    literals in both engines' expressions, so float provenance cannot
+    diverge them."""
+    n = int(round((hi - lo) / step))
+    return [
+        (
+            int(round((lo + i * step) * S_SCALE)),
+            int(round(S_SCALE / (1.0 + math.exp(-(lo + i * step))))),
+        )
+        for i in range(n + 1)
+    ]
+
+
+def sigmoid_case_sql(zq: str, idiv: str) -> str:
+    """Piecewise-LINEAR integer sigmoid as one CASE expression over a
+    scaled-integer column ``zq`` (scale S_SCALE). ``idiv`` is the
+    engine's integral-divide operator: ``div`` (Spark) or ``//``
+    (DuckDB) — both truncate toward zero. Within each interval
+    s = v_i + ((zq − x_i)·Δv) idiv Δx with every term an int64-safe
+    integer, so both engines produce the same integer for any zq."""
+    knots = _sigmoid_knots()
+    parts = [f"WHEN {zq} <= {knots[0][0]} THEN {knots[0][1]}"]
+    for (x0, v0), (x1, v1) in zip(knots, knots[1:]):
+        parts.append(
+            f"WHEN {zq} < {x1} THEN "
+            f"{v0} + (({zq} - {x0}) * {v1 - v0}) {idiv} {x1 - x0}"
+        )
+    return "CASE " + " ".join(parts) + f" ELSE {knots[-1][1]} END"
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Trunc-toward-zero integer division (Python ``//`` floors)."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def hashed_features_exact(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """(id, bucket, xs) — L1-normalized hashed unigram features as
+    exact scaled integers: xs = (cnt·X_SCALE) div Σcnt."""
+    feats = hashed_features(df, text_col, id_col, n_buckets)
+    norm = feats.groupBy(id_col).agg(F.sum("cnt").alias("__tot"))
+    return feats.join(norm, id_col).select(
+        id_col,
+        "bucket",
+        F.expr(f"(cnt * {X_SCALE}L) div __tot").alias("xs"),
+    )
+
+
+def _weights_df_int(spark, weights: list[int]) -> DataFrame:
+    return spark.createDataFrame(
+        [(i, int(w)) for i, w in enumerate(weights)], "bucket long, w long"
+    )
+
+
+def _zq_agg() -> Column:
+    """Σ xs·w at combined scale 10^12 (exact DECIMAL — a long sum
+    could wrap where the oracle's HUGEINT doesn't), descaled to
+    S_SCALE by one integral divide."""
+    return F.expr(
+        f"SUM(CAST(xs AS DECIMAL(38,0)) * w) div {X_SCALE}"
+    ).alias("__zq")
+
+
+def train_quality_classifier_exact(
+    labeled: DataFrame,
+    label_col: str = "label",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    iters: int = 10,
+) -> list[int]:
+    """Fixed-point full-batch logistic regression (lr = 1/2, no L2):
+    returns integer weights at scale S_SCALE after exactly ``iters``
+    steps. Per iteration: one broadcast join (64-row weight frame) +
+    one per-doc agg + one per-bucket gradient agg — identical shuffle
+    shape to the float trainer; the only driver state is the 64-int
+    weight vector. Every intermediate matches the chained-CTE DuckDB
+    twin bit-for-bit (see queries/llm_text.py:_quality_exact_oracle)."""
+    spark = labeled.sparkSession
+    sig = sigmoid_case_sql("__zq", "div")
+    x = hashed_features_exact(labeled, text_col, id_col, n_buckets).join(
+        labeled.select(id_col, F.col(label_col).alias("y")), id_col
+    )
+    x = x.localCheckpoint(eager=True)  # reused 2× per iteration
+    n_docs = labeled.count()
+    weights = [0] * n_buckets
+    for _ in range(iters):
+        wdf = F.broadcast(_weights_df_int(spark, weights))
+        err = (
+            x.join(wdf, "bucket")
+            .groupBy(id_col, "y")
+            .agg(_zq_agg())
+            .select(
+                id_col,
+                (F.expr(sig) - F.col("y") * F.lit(S_SCALE)).alias("__err"),
+            )
+        )
+        grad_rows = (
+            x.join(err, id_col)
+            .groupBy("bucket")
+            .agg(
+                F.sum(
+                    F.col("xs").cast("decimal(38,0)") * F.col("__err")
+                ).alias("g")
+            )
+            .collect()
+        )
+        grad = {r["bucket"]: int(r["g"]) for r in grad_rows}
+        # w ← w − g/(2·n·X_SCALE): descale the 10^12 gradient to
+        # S_SCALE, average over docs, lr = 1/2 — trunc-toward-zero to
+        # match both engines' integral divide
+        den = 2 * n_docs * X_SCALE
+        weights = [
+            w - _tdiv(grad.get(b, 0), den) for b, w in enumerate(weights)
+        ]
+    return weights
+
+
+def score_quality_exact(
+    df: DataFrame,
+    weights: list[int],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, q_score_scaled) — the integer sigmoid of the weighted
+    feature sum at scale S_SCALE; one broadcast join + one agg, text
+    reduced to (id, bucket, xs) before any exchange."""
+    spark = df.sparkSession
+    sig = sigmoid_case_sql("__zq", "div")
+    x = hashed_features_exact(df, text_col, id_col, len(weights))
+    wdf = F.broadcast(_weights_df_int(spark, weights))
+    return (
+        x.join(wdf, "bucket")
+        .groupBy(id_col)
+        .agg(_zq_agg())
+        .select(id_col, F.expr(sig).cast("long").alias("q_score_scaled"))
     )
 
 

@@ -178,7 +178,10 @@ _R5_PRIORITY = (
 # this round would sort (family 2) ahead of the pinned q_* tail and
 # could displace e.g. q_benford_digits out of slot <= 49.
 _R6_PRIORITY = (
-    # rows-only by design — re-run each window, never hash-green
+    # the round-6 rows-only five — all five have since gained exact
+    # oracles (kmeans/PQ/BPE in r07; HLL bounded-error + fixed-point
+    # logistic in r08) and graduate to hash checks automatically via
+    # _rows_only_certified()'s oracle test
     "st_distinct_users_hll", "llm_bpe_merges", "llm_quality_classifier",
     "llm_kmeans_cells", "llm_ann_pq_topk",
     # 32 never-windowed round-5-session additions (VERDICT r05 list)

