@@ -591,3 +591,49 @@ def t_closeness_audit(
             > dec(F.lit(t_threshold_num)) * den
         ).alias("violates"),
     )
+
+
+def freshness_audit(
+    df: DataFrame,
+    ts_col: str,
+    group_col: str,
+    sla_seconds: int = 86400,
+) -> DataFrame:
+    """Per-source freshness/staleness audit — the ingest-observability
+    counterpart of the DQ expectation checks: ``(group, n, last_ts,
+    lag_seconds, fresh)`` where lag is each group's latest event vs
+    the lake-wide latest (the "now" proxy that needs no wall clock,
+    so the audit is deterministic and oracle-checkable) and
+    fresh ⇔ lag ≤ sla_seconds. A feed whose connector silently died
+    shows up as a stale group long before volume metrics move.
+
+    SCALE: one map-combinable (group, max/count) aggregate collapses
+    the corpus; the global max is a broadcast scalar over the bounded
+    group frame. Exact integer second arithmetic.
+    """
+    per = df.groupBy(F.col(group_col).alias("__g")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.col(ts_col)).alias("last_ts"),
+    )
+    glob = per.agg(F.max("last_ts").alias("__gmax"))
+    # exact integer MICROSECONDS (unix_micros ≡ DuckDB epoch_us):
+    # second-granularity unix_timestamp would truncate engine-
+    # dependently on sub-second data
+    lag_us = F.unix_micros(F.col("__gmax")) - F.unix_micros(
+        F.col("last_ts")
+    )
+    return (
+        per.crossJoin(F.broadcast(glob))
+        .withColumn("__lag_us", lag_us)
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("n").cast("long").alias("n"),
+            "last_ts",
+            F.expr("__lag_us div 1000000").alias("lag_seconds"),
+            (
+                # multiply in PYTHON: lit(3600)*lit(1000000) is an
+                # int32 product and overflows under ANSI
+                F.col("__lag_us") <= F.lit(int(sla_seconds) * 1_000_000)
+            ).alias("fresh"),
+        )
+    )

@@ -743,3 +743,139 @@ def personalized_pagerank(
             )
         )
     return rank.select("node", F.col("rank").alias("rank_scaled"))
+
+
+def degree_assortativity(
+    edges: DataFrame, src: str = "s", dst: str = "d"
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002): the Pearson
+    correlation of endpoint degrees over all edge ends — one row
+    ``(m_edges, r)``. Positive r = hubs attach to hubs (social
+    cores); negative = hub-and-spoke (dependency graphs). Assumes
+    distinct undirected edges (canonical s < d).
+
+    EXACTNESS: over the symmetrized end list (each edge contributes
+    (deg_s,deg_d) AND (deg_d,deg_s)) the x and y marginals coincide,
+    so r = (M·Σxy − Sx²)/(M·Σx² − Sx²) with M = 2m and every sum an
+    exact DECIMAL(38,0) of int64 per-row products (degrees ≤ 2^31
+    leave headroom); one correctly-rounded divide.
+
+    SCALE: one degree aggregate + two broadcast-sized joins of the
+    edge list against the degree table + one map-combinable moment
+    aggregate. No windows, no iteration.
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    deg = (
+        e.select(F.col("s").alias("node"))
+        .unionByName(e.select(F.col("d").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    ends = (
+        e.join(deg.withColumnRenamed("node", "s"), "s")
+        .withColumnRenamed("deg", "__dx")
+        .join(
+            deg.select(F.col("node").alias("d"), F.col("deg").alias("__dy")),
+            "d",
+        )
+    )
+    # symmetrize via moment algebra instead of a 2× union: over both
+    # orientations Σx = Σy = Σ(dx+dy), Σx² = Σy² = Σ(dx²+dy²),
+    # Σxy = 2Σ dx·dy, M = 2m
+    agg = ends.agg(
+        F.count(F.lit(1)).alias("__m"),
+        F.sum(dec(F.col("__dx")) + dec(F.col("__dy"))).alias("__sx"),
+        F.sum(
+            dec(F.col("__dx")) * dec(F.col("__dx"))
+            + dec(F.col("__dy")) * dec(F.col("__dy"))
+        ).alias("__sxx"),
+        F.sum(dec(F.col("__dx")) * dec(F.col("__dy"))).alias("__sxy"),
+    )
+    m2 = dec(F.col("__m")) * dec(F.lit(2))
+    num = (m2 * dec(F.lit(2)) * F.col("__sxy") - F.col("__sx") * F.col("__sx"))
+    den = (m2 * F.col("__sxx") - F.col("__sx") * F.col("__sx"))
+    return agg.select(
+        F.col("__m").cast("long").alias("m_edges"),
+        F.when(
+            den.cast("double") > 0.0,
+            F.round(num.cast("double") / den.cast("double"), 6),
+        ).alias("r"),
+    )
+
+
+def common_neighbor_candidates(
+    edges: DataFrame,
+    k: int = 50,
+    max_degree: int = 1000,
+    src: str = "s",
+    dst: str = "d",
+) -> DataFrame:
+    """Link prediction by common-neighbor count: the top-``k``
+    NON-adjacent pairs ranked by shared neighbors, with the Jaccard
+    overlap of their neighborhoods: ``(u, v, cn, deg_u, deg_v,
+    jaccard)`` — "which parts are never co-ordered but share the most
+    co-order partners" (recommendation candidates, missing-edge
+    detection). Assumes distinct canonical (s < d) edges.
+
+    EXACTNESS: cn and degrees are exact integers; jaccard =
+    cn/(deg_u + deg_v − cn) is one correctly-rounded divide; the
+    top-k tie order is pinned by (cn DESC, u, v).
+
+    SCALE: wedges route through the MIDDLE node, so one hub of degree
+    h yields h²/2 candidate pairs — ``max_degree`` caps the routing
+    nodes (the max_df device from dedup: drop middles above the cap,
+    docstring-documented approximation standard in link prediction at
+    scale); the wedge join is then Σ min(deg, cap)² over middles,
+    and the anti-join + top-k bound the output.
+    """
+    from pyspark.sql import Window
+
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    adj = e.unionByName(
+        e.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    ).select(F.col("s").alias("node"), F.col("d").alias("nbr"))
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    mid = adj.join(
+        deg.where(F.col("deg") <= max_degree), "node"
+    ).select("node", "nbr")
+    a, b = mid.alias("a"), mid.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.node") == F.col("b.node"))
+            & (F.col("a.nbr") < F.col("b.nbr")),
+        )
+        .groupBy(F.col("a.nbr").alias("u"), F.col("b.nbr").alias("v"))
+        .agg(F.count(F.lit(1)).alias("cn"))
+        .join(
+            e.select(F.col("s").alias("u"), F.col("d").alias("v")),
+            ["u", "v"],
+            "left_anti",
+        )
+    )
+    ranked = (
+        cand.join(deg.select(F.col("node").alias("u"),
+                             F.col("deg").alias("deg_u")), "u")
+        .join(deg.select(F.col("node").alias("v"),
+                         F.col("deg").alias("deg_v")), "v")
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.orderBy(F.desc("cn"), F.asc("u"), F.asc("v"))
+            ),
+        )
+        .where(F.col("__rk") <= k)
+    )
+    return ranked.select(
+        "u",
+        "v",
+        F.col("cn").cast("long").alias("cn"),
+        F.col("deg_u").cast("long").alias("deg_u"),
+        F.col("deg_v").cast("long").alias("deg_v"),
+        F.round(
+            F.col("cn").cast("double")
+            / (F.col("deg_u") + F.col("deg_v") - F.col("cn")).cast("double"),
+            6,
+        ).alias("jaccard"),
+    )

@@ -1123,3 +1123,379 @@ def simpson_diversity(
         F.col("__t").alias("n_types"),
         simpson.alias("simpson"),
     )
+
+
+def _avg_rank2(df: DataFrame, gcols: list[str], val: str, out: str) -> DataFrame:
+    """Per-group DOUBLED average rank of ``val``: ``(g…, val, out)``
+    with out = 2·cum − cnt + 1 (cum = inclusive cumulative count over
+    the sorted per-group DISTINCT-value domain) — the exact integer
+    form of the tie-averaged rank (avg rank of a tie block is
+    (first+last)/2, a half-integer; doubling keeps it integral). The
+    window runs over the collapsed value DOMAIN, never corpus rows
+    (the exact_auc discipline)."""
+    from pyspark.sql import Window
+
+    per_v = df.groupBy(*gcols, val).agg(F.count(F.lit(1)).alias("__c"))
+    w = (
+        Window.partitionBy(*gcols)
+        .orderBy(val)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per_v.select(
+        *gcols,
+        val,
+        (
+            F.lit(2) * F.sum("__c").over(w) - F.col("__c") + F.lit(1)
+        ).alias(out),
+    )
+
+
+def spearman_rho(
+    df: DataFrame,
+    x_int: Column,
+    y_int: Column,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Spearman rank correlation per group: ``(by…, n, rho)`` —
+    Pearson over tie-AVERAGED ranks, the standard tie-corrected
+    Spearman (monotone association robust to outliers and monotone
+    transforms; the complement to q_correlation_exact's linear
+    Pearson). ``x_int``/``y_int`` must be integral (fixed-point
+    upstream).
+
+    EXACTNESS: doubled average ranks are exact integers (2·cum −
+    cnt + 1 over the per-group distinct-value domain); Pearson on
+    them reuses :func:`exact_corr`'s exact DECIMAL(38,0) moments —
+    doubling cancels in the correlation. Only the final cast / sqrt /
+    divide are IEEE, mirrored by the oracle.
+
+    SCALE: two domain-collapsing aggregates + two partitioned windows
+    over the collapsed domains + two joins back + one map-combinable
+    moment aggregate. Caller bound (exact_corr's contract): per-row
+    rank products 4n² must fit int64 → n per group ≤ ~1.5e9; beyond
+    that pre-bucket values upstream.
+    """
+    gcols = list(by or [])
+    base = df.select(
+        *gcols, x_int.cast("long").alias("__x"), y_int.cast("long").alias("__y")
+    )
+    rx = _avg_rank2(base, gcols, "__x", "__rx2")
+    ry = _avg_rank2(base, gcols, "__y", "__ry2")
+    ranked = base.join(rx, [*gcols, "__x"]).join(ry, [*gcols, "__y"])
+    out = exact_corr(ranked, F.col("__rx2"), F.col("__ry2"), by=gcols)
+    return out.select(*gcols, "n", F.col("corr").alias("rho"))
+
+
+def kendall_tau_b(
+    df: DataFrame,
+    group_col: str,
+    x_int: Column,
+    y_int: Column,
+) -> DataFrame:
+    """Kendall's τ-b per group over an already-AGGREGATED series (one
+    row per observation, x/y integral): ``(group, n, concordant,
+    discordant, tau_b)`` — the ordinal association test whose tie
+    correction Spearman lacks; τ-b = (C − D)/√((n0 − n1)(n0 − n2))
+    with n0 = n(n−1)/2, n1/n2 = Σ t(t−1)/2 over x/y tie blocks.
+
+    EXACTNESS: C − D = Σ sign(Δx)·sign(Δy) over unordered pairs and
+    all tie counts are exact integers (DECIMAL(38,0) combination);
+    the one sqrt/divide at the end is mirrored IEEE.
+
+    SCALE: the pair join is |T|²/2 per group ON THE AGGREGATED series
+    (the mann_kendall discipline — bucket upstream so |T| is months /
+    days, never corpus rows); tie counts come from two domain-sized
+    aggregates.
+    """
+    from aws_datalake_spark.operators.dedup_cluster import _truncate
+    from pyspark.sql import Window
+
+    per = _truncate(
+        df.select(
+            F.col(group_col).alias("__g"),
+            x_int.cast("long").alias("__x"),
+            y_int.cast("long").alias("__y"),
+        ).withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("__g").orderBy("__x", "__y")
+            ),
+        )
+    )
+    a, b = per.alias("a"), per.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.__g") == F.col("b.__g"))
+        & (F.col("a.__rn") < F.col("b.__rn")),
+    ).select(
+        F.col("a.__g").alias("__g"),
+        (
+            F.signum((F.col("b.__x") - F.col("a.__x")).cast("double"))
+            * F.signum((F.col("b.__y") - F.col("a.__y")).cast("double"))
+        ).cast("long").alias("__cd"),
+    )
+    s_agg = pairs.groupBy("__g").agg(
+        F.sum(F.when(F.col("__cd") == 1, 1).otherwise(0)).alias("__c"),
+        F.sum(F.when(F.col("__cd") == -1, 1).otherwise(0)).alias("__d"),
+    )
+    n_agg = per.groupBy("__g").agg(F.count(F.lit(1)).alias("__n"))
+
+    def _tie_pairs(col: str, alias: str) -> DataFrame:
+        return (
+            per.groupBy("__g", col)
+            .agg(F.count(F.lit(1)).alias("__t"))
+            .groupBy("__g")
+            .agg(
+                F.sum(
+                    _dec(F.col("__t")) * _dec(F.col("__t") - 1)
+                ).alias(alias)
+            )
+        )
+
+    tx = _tie_pairs("__x", "__tx2")  # 2·n1
+    ty = _tie_pairs("__y", "__ty2")  # 2·n2
+    j = n_agg.join(s_agg, "__g").join(tx, "__g").join(ty, "__g")
+    n = _dec(F.col("__n"))
+    n0_2 = n * (n - _dec(F.lit(1)))  # 2·n0
+    den = (
+        F.sqrt((n0_2 - F.col("__tx2")).cast("double"))
+        * F.sqrt((n0_2 - F.col("__ty2")).cast("double"))
+    )
+    num = F.lit(2.0) * (F.col("__c") - F.col("__d")).cast("double")
+    return j.select(
+        F.col("__g").alias(group_col),
+        F.col("__n").cast("long").alias("n"),
+        F.col("__c").cast("long").alias("concordant"),
+        F.col("__d").cast("long").alias("discordant"),
+        F.when(den > 0.0, num / den).alias("tau_b"),
+    )
+
+
+def cramers_v(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """χ² test of independence + Cramér's V effect size over the
+    ``a_col`` × ``b_col`` contingency grid: one row ``(n, n_rows,
+    n_cols, chi2, v)`` — "are these two categoricals associated, and
+    how strongly" (0 = independent, 1 = determined), the categorical
+    complement to exact_corr.
+
+    EXACTNESS: each cell term is ((n_ab·N − r_a·c_b)²)/(N·r_a·c_b)
+    with numerator/denominator exact DECIMAL(38,0) products (χ² =
+    Σ(O−E)²/E put over the common denominator N; MISSING cells
+    contribute r_a·c_b/N² via the dense grid); the per-cell divide is
+    one correctly-rounded IEEE op, and the sum of cell doubles folds
+    in PINNED (a,b) order via a cumulative window over the grid (the
+    kruskal_wallis device), so even IEEE addition order matches the
+    oracle. V = √(χ²/(N·min(R−1,C−1))).
+
+    SCALE: one (a,b) aggregate collapses the corpus; everything after
+    is grid-sized (|A|×|B| rows, cross-joined bounded marginals).
+    """
+    from pyspark.sql import Window
+
+    from aws_datalake_spark.operators.dedup_cluster import _truncate
+
+    cell = _truncate(
+        df.groupBy(F.col(a_col).alias("__a"), F.col(b_col).alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__nab"))
+    )
+    per_a = cell.groupBy("__a").agg(F.sum("__nab").alias("__ra"))
+    per_b = cell.groupBy("__b").agg(F.sum("__nab").alias("__cb"))
+    tot = cell.agg(
+        F.sum("__nab").alias("__nn"),
+        F.count_distinct("__a").alias("__r"),
+        F.count_distinct("__b").alias("__c"),
+    )
+    grid = (
+        per_a.crossJoin(F.broadcast(per_b))
+        .join(cell, ["__a", "__b"], "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    dev = (
+        _dec(F.coalesce(F.col("__nab"), F.lit(0))) * _dec(F.col("__nn"))
+        - _dec(F.col("__ra")) * _dec(F.col("__cb"))
+    )
+    term = (dev * dev).cast("double") / (
+        _dec(F.col("__nn")) * _dec(F.col("__ra")) * _dec(F.col("__cb"))
+    ).cast("double")
+    w = Window.orderBy("__a", "__b")
+    folded = grid.select(
+        "__nn",
+        "__r",
+        "__c",
+        F.sum(term).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("__chi2"),
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(
+            w.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("__k"),
+    ).where(F.col("__rn") == F.col("__k"))
+    mindim = F.least(F.col("__r") - 1, F.col("__c") - 1)
+    return folded.select(
+        F.col("__nn").cast("long").alias("n"),
+        F.col("__r").cast("long").alias("n_rows"),
+        F.col("__c").cast("long").alias("n_cols"),
+        F.round(F.col("__chi2"), 6).alias("chi2"),
+        F.when(
+            mindim > 0,
+            F.round(
+                F.sqrt(
+                    F.col("__chi2")
+                    / (F.col("__nn") * mindim).cast("double")
+                ),
+                6,
+            ),
+        ).alias("v"),
+    )
+
+
+def autocorrelation(
+    series: DataFrame,
+    order_col: str,
+    value_int: Column,
+    max_lag: int = 3,
+) -> DataFrame:
+    """Sample autocorrelation of an already-AGGREGATED series at lags
+    1..max_lag: ``(lag, n, acf)`` with the standard full-series-mean
+    convention acf(k) = Σ_{t≤n−k}(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)² —
+    the seasonality/memory readout (does yesterday predict today).
+
+    EXACTNESS: multiplied through by n², every term is an exact
+    DECIMAL(38,0) integer: n²·num_k = n²P_k − n·S1·(A_k+B_k) +
+    (n−k)·S1², n·den = n·(n·S2 − S1²), with P_k the lag-k product sum
+    (LEAD window), A_k/B_k the series sums minus the last/first k
+    values. One correctly-rounded divide per lag.
+
+    SCALE: the caller aggregates the corpus to the series first (one
+    row per t — days/months, bounded domain); the LEAD/row windows
+    run over that bounded frame only (documented unpartitioned-window
+    class, PERF §19).
+    """
+    from pyspark.sql import Window
+
+    from aws_datalake_spark.operators.dedup_cluster import _truncate
+
+    per = _truncate(
+        series.select(
+            F.col(order_col).alias("__t"),
+            value_int.cast("long").alias("__x"),
+        ).withColumn(
+            "__rn", F.row_number().over(Window.orderBy("__t"))
+        )
+    )
+    base = per.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(_dec(F.col("__x"))).alias("__s1"),
+        F.sum(_dec(F.col("__x")) * _dec(F.col("__x"))).alias("__s2"),
+    )
+    w = Window.orderBy("__rn")
+    rows = []
+    for k in range(1, max_lag + 1):
+        pk = per.select(
+            (_dec(F.col("__x")) * _dec(F.lead("__x", k).over(w)))
+            .alias("__p")
+        ).agg(F.sum("__p").alias("__pk"))
+        head = per.where(F.col("__rn") <= k).agg(
+            F.sum(_dec(F.col("__x"))).alias("__head")
+        )
+        tail_ = per.crossJoin(F.broadcast(base.select("__n"))).where(
+            F.col("__rn") > F.col("__n") - k
+        ).agg(F.sum(_dec(F.col("__x"))).alias("__tail"))
+        j = (
+            base.crossJoin(F.broadcast(pk))
+            .crossJoin(F.broadcast(head))
+            .crossJoin(F.broadcast(tail_))
+        )
+        n, s1, s2 = (
+            _dec(F.col("__n")),
+            F.col("__s1"),
+            F.col("__s2"),
+        )
+        a_k = s1 - F.col("__tail")
+        b_k = s1 - F.col("__head")
+        num = (
+            n * n * F.col("__pk")
+            - n * s1 * (a_k + b_k)
+            + (n - _dec(F.lit(k))) * s1 * s1
+        )
+        den = n * (n * s2 - s1 * s1)
+        rows.append(
+            j.select(
+                F.lit(k).alias("lag"),
+                F.col("__n").cast("long").alias("n"),
+                F.when(
+                    den.cast("double") > 0.0,
+                    F.round(num.cast("double") / den.cast("double"), 6),
+                ).alias("acf"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    ts_col: str,
+    value_int: Column,
+    tiebreak_col: str,
+    bucket: str = "day",
+) -> DataFrame:
+    """Time-weighted average per bucket (TWAP): each observation's
+    value is held until the NEXT observation in the same bucket and
+    weighted by that holding duration — the irregular-sampling mean
+    (a value sampled once an hour must not count like one sampled
+    every second). ``(bucket, n_obs, held_seconds, twa)`` with
+    twa = Σ vᵢ·Δtᵢ / Σ Δtᵢ over intra-bucket gaps (the last
+    observation holds zero seconds — the integral runs first→last).
+
+    EXACTNESS: value_int is fixed-point, Δt exact integer
+    MICROSECONDS (unix_micros ≡ DuckDB epoch_us — second-granularity
+    conversions truncate engine-dependently on sub-second data); both
+    sums are exact DECIMAL(38,0); one correctly-rounded divide (the
+    µs unit cancels in the ratio).
+    ``tiebreak_col`` pins the order of equal timestamps — WHICH of
+    two same-instant values holds the following interval changes the
+    sums, so the order must be total and engine-independent.
+
+    SCALE: one LEAD window partitioned by bucket (parallel across
+    buckets, corpus never in one partition) + one map-combinable
+    aggregate.
+    """
+    from pyspark.sql import Window
+
+    b = F.date_trunc(bucket, F.col(ts_col)).alias("__b")
+    base = df.select(
+        b,
+        F.unix_micros(F.col(ts_col)).alias("__us"),
+        value_int.cast("long").alias("__v"),
+        F.col(tiebreak_col).alias("__tb"),
+    )
+    w = Window.partitionBy("__b").orderBy("__us", "__tb")
+    gaps = base.select(
+        "__b",
+        "__v",
+        (F.lead("__us", 1).over(w) - F.col("__us")).alias("__dt"),
+    )
+    agg = gaps.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(_dec(F.col("__v")) * _dec(F.col("__dt"))).alias("__num"),
+        F.sum(_dec(F.col("__dt"))).alias("__den"),
+    )
+    return agg.select(
+        F.col("__b").alias(bucket),
+        F.col("n_obs").cast("long").alias("n_obs"),
+        F.expr(
+            "CAST(coalesce(__den, 0) div 1000000 AS BIGINT)"
+        ).alias("held_seconds"),
+        F.when(
+            F.col("__den") > 0,
+            F.round(
+                F.col("__num").cast("double") / F.col("__den").cast("double"),
+                6,
+            ),
+        ).alias("twa"),
+    )

@@ -221,6 +221,15 @@ HEADLINE = [
     "q_decile_lift",
     "q_abc_pareto",
     "q_runs_test",
+    # driver-round r08 batch (at birth)
+    "q_spearman_corr",
+    "q_kendall_tau",
+    "q_cramers_v",
+    "q_autocorr",
+    "q_graph_common_neighbors",
+    "q_graph_assortativity",
+    "st_watermark_freshness",
+    "st_time_weighted_avg",
 ]
 
 

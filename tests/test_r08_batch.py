@@ -1,0 +1,267 @@
+"""Unit tests for the driver-round-r08 operator batch: rank
+statistics (Spearman, Kendall), categorical association (Cramér's V),
+autocorrelation, TWAP, freshness audit, and the two new graph
+readouts — each checked against an independent pure-Python/numpy
+reference on small inputs."""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _avg_ranks(vals):
+    """Tie-averaged ranks (1-based), the textbook definition."""
+    s = sorted(range(len(vals)), key=lambda i: vals[i])
+    ranks = [0.0] * len(vals)
+    i = 0
+    while i < len(s):
+        j = i
+        while j + 1 < len(s) and vals[s[j + 1]] == vals[s[i]]:
+            j += 1
+        avg = (i + j) / 2 + 1
+        for k in range(i, j + 1):
+            ranks[s[k]] = avg
+        i = j + 1
+    return ranks
+
+
+def _pearson(xs, ys):
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    num = sum((a - mx) * (b - my) for a, b in zip(xs, ys))
+    dx = math.sqrt(sum((a - mx) ** 2 for a in xs))
+    dy = math.sqrt(sum((b - my) ** 2 for b in ys))
+    return num / (dx * dy)
+
+
+def test_spearman_matches_reference_with_ties(spark):
+    from aws_datalake_spark.operators.stats import spearman_rho
+
+    xs = [1, 2, 2, 3, 3, 3, 10, 9, 8, 1]
+    ys = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3]
+    df = spark.createDataFrame(
+        [("g", x, y) for x, y in zip(xs, ys)], "g string, x long, y long"
+    )
+    r = spearman_rho(df, F.col("x"), F.col("y"), by=["g"]).collect()[0]
+    want = _pearson(_avg_ranks(xs), _avg_ranks(ys))
+    assert r.n == 10
+    assert r.rho == pytest.approx(want, abs=1e-12)
+
+
+def test_spearman_perfect_monotone_is_one(spark):
+    from aws_datalake_spark.operators.stats import spearman_rho
+
+    df = spark.createDataFrame(
+        [("g", i, i * i) for i in range(1, 9)], "g string, x long, y long"
+    )
+    r = spearman_rho(df, F.col("x"), F.col("y"), by=["g"]).collect()[0]
+    assert r.rho == pytest.approx(1.0, abs=1e-12)
+
+
+def _kendall_ref(xs, ys):
+    n = len(xs)
+    c = d = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            s = (xs[j] - xs[i]) * (ys[j] - ys[i])
+            if s > 0:
+                c += 1
+            elif s < 0:
+                d += 1
+    from collections import Counter
+
+    n0 = n * (n - 1) / 2
+    n1 = sum(t * (t - 1) / 2 for t in Counter(xs).values())
+    n2 = sum(t * (t - 1) / 2 for t in Counter(ys).values())
+    return c, d, (c - d) / math.sqrt((n0 - n1) * (n0 - n2))
+
+
+def test_kendall_tau_b_matches_reference(spark):
+    from aws_datalake_spark.operators.stats import kendall_tau_b
+
+    xs = [12, 2, 1, 12, 2, 7, 7, 3]
+    ys = [1, 4, 7, 1, 0, 8, 8, 3]
+    df = spark.createDataFrame(
+        [("g", x, y) for x, y in zip(xs, ys)], "g string, x long, y long"
+    )
+    r = kendall_tau_b(df, "g", F.col("x"), F.col("y")).collect()[0]
+    c, d, tau = _kendall_ref(xs, ys)
+    assert (r.concordant, r.discordant) == (c, d)
+    assert r.tau_b == pytest.approx(tau, abs=1e-12)
+
+
+def test_kendall_reversed_is_minus_one(spark):
+    from aws_datalake_spark.operators.stats import kendall_tau_b
+
+    df = spark.createDataFrame(
+        [("g", i, 10 - i) for i in range(10)], "g string, x long, y long"
+    )
+    r = kendall_tau_b(df, "g", F.col("x"), F.col("y")).collect()[0]
+    assert r.tau_b == pytest.approx(-1.0, abs=1e-12)
+
+
+def test_cramers_v_matches_reference(spark):
+    from aws_datalake_spark.operators.stats import cramers_v
+
+    # 2x2: strong association
+    rows = (
+        [("a", "x")] * 40 + [("a", "y")] * 10
+        + [("b", "x")] * 10 + [("b", "y")] * 40
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cramers_v(df, "a", "b").collect()[0]
+    # textbook chi2 for this table
+    n = 100
+    chi2 = 0.0
+    counts = {("a", "x"): 40, ("a", "y"): 10, ("b", "x"): 10, ("b", "y"): 40}
+    for (ra, cb), o in counts.items():
+        e = 50 * 50 / n
+        chi2 += (o - e) ** 2 / e
+    assert r.n == 100 and r.n_rows == 2 and r.n_cols == 2
+    assert r.chi2 == pytest.approx(chi2, abs=1e-6)
+    assert r.v == pytest.approx(math.sqrt(chi2 / n), abs=1e-6)
+
+
+def test_cramers_v_independent_is_zero(spark):
+    from aws_datalake_spark.operators.stats import cramers_v
+
+    rows = [(a, b) for a in ("p", "q") for b in ("x", "y", "z")
+            for _ in range(7)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cramers_v(df, "a", "b").collect()[0]
+    assert r.chi2 == 0.0 and r.v == 0.0
+
+
+def test_autocorrelation_matches_numpy(spark):
+    import numpy as np
+
+    from aws_datalake_spark.operators.stats import autocorrelation
+
+    rng = np.random.RandomState(7)
+    x = np.cumsum(rng.randint(-5, 6, size=60)) + 100
+    df = spark.createDataFrame(
+        [(i, int(v)) for i, v in enumerate(x)], "t long, x long"
+    )
+    got = {r.lag: r.acf
+           for r in autocorrelation(df, "t", F.col("x"), max_lag=3).collect()}
+    xb = x - x.mean()
+    den = float((xb * xb).sum())
+    for k in (1, 2, 3):
+        want = float((xb[:-k] * xb[k:]).sum()) / den
+        assert got[k] == pytest.approx(want, abs=1e-6), k
+
+
+def test_time_weighted_avg_hand_case(spark):
+    from aws_datalake_spark.operators.stats import time_weighted_avg
+
+    rows = [
+        # value 100 held 10s, value 200 held 30s, last holds nothing
+        (1, datetime(2024, 1, 1, 0, 0, 0), 1.00),
+        (2, datetime(2024, 1, 1, 0, 0, 10), 2.00),
+        (3, datetime(2024, 1, 1, 0, 0, 40), 9.99),
+        # second day: single event -> NULL twa
+        (4, datetime(2024, 1, 2, 12, 0, 0), 5.00),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+    out = {r.day.day: r for r in time_weighted_avg(
+        df, "ts", F.round(F.col("value") * 100, 0), "event_id"
+    ).collect()}
+    d1 = out[1]
+    assert d1.n_obs == 3 and d1.held_seconds == 40
+    assert d1.twa == pytest.approx((100 * 10 + 200 * 30) / 40, abs=1e-6)
+    d2 = out[2]
+    assert d2.n_obs == 1 and d2.held_seconds == 0 and d2.twa is None
+
+
+def test_time_weighted_avg_equal_ts_tiebreak(spark):
+    """Two same-instant events: the LOWER event_id holds the zero-
+    length interval, the higher one holds to the next event —
+    deterministic either way, but the sums must be stable."""
+    from aws_datalake_spark.operators.stats import time_weighted_avg
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0, 0), 1.00),
+        (2, datetime(2024, 1, 1, 0, 0, 0), 3.00),
+        (3, datetime(2024, 1, 1, 0, 0, 20), 0.00),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+    r = time_weighted_avg(
+        df, "ts", F.round(F.col("value") * 100, 0), "event_id"
+    ).collect()[0]
+    assert r.held_seconds == 20
+    assert r.twa == pytest.approx(300.0, abs=1e-9)  # id 2 holds all 20s
+
+
+def test_freshness_audit(spark):
+    from aws_datalake_spark.operators.dq import freshness_audit
+
+    rows = [
+        ("live", datetime(2024, 1, 10, 12, 0, 0)),
+        ("live", datetime(2024, 1, 10, 11, 0, 0)),
+        ("stale", datetime(2024, 1, 9, 12, 0, 0)),
+    ]
+    df = spark.createDataFrame(rows, "src string, ts timestamp")
+    out = {r.src: r for r in
+           freshness_audit(df, "ts", "src", sla_seconds=3600).collect()}
+    assert out["live"].lag_seconds == 0 and out["live"].fresh
+    assert out["stale"].lag_seconds == 86400 and not out["stale"].fresh
+    assert out["live"].n == 2
+
+
+def test_degree_assortativity_star_is_minus_one(spark):
+    from aws_datalake_spark.operators.graph import degree_assortativity
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], "s long, d long"
+    )
+    r = degree_assortativity(star).collect()[0]
+    assert r.m_edges == 4
+    assert r.r == pytest.approx(-1.0, abs=1e-9)
+
+
+def test_degree_assortativity_regular_graph_degenerate(spark):
+    """A cycle is degree-regular: zero variance -> NULL r."""
+    from aws_datalake_spark.operators.graph import degree_assortativity
+
+    cyc = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (0, 3)], "s long, d long"
+    )
+    r = degree_assortativity(cyc).collect()[0]
+    assert r.r is None
+
+
+def test_common_neighbors_square(spark):
+    """4-cycle: the two diagonals are the only non-adjacent pairs,
+    each sharing both neighbors -> cn=2, jaccard=1."""
+    from aws_datalake_spark.operators.graph import common_neighbor_candidates
+
+    sq = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4)], "s long, d long"
+    )
+    out = sorted((r.u, r.v, r.cn, r.jaccard)
+                 for r in common_neighbor_candidates(sq, k=10).collect())
+    assert out == [(1, 3, 2, 1.0), (2, 4, 2, 1.0)]
+
+
+def test_common_neighbors_excludes_adjacent_and_caps(spark):
+    from aws_datalake_spark.operators.graph import common_neighbor_candidates
+
+    # triangle + pendant: (1,2),(2,3),(1,3),(3,4)
+    g = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "s long, d long"
+    )
+    out = {(r.u, r.v): r for r in
+           common_neighbor_candidates(g, k=10).collect()}
+    # adjacent pairs never appear; (1,4) and (2,4) share neighbor 3
+    assert set(out) == {(1, 4), (2, 4)}
+    assert out[(1, 4)].cn == 1
+    # degree cap: only middles with deg <= 2 route wedges (nodes 1, 2);
+    # their wedge pairs (2,3) and (1,3) are existing edges, so the
+    # anti-join leaves nothing — the cap dropped the (1,4)/(2,4)
+    # candidates that needed the deg-3 middle
+    capped = common_neighbor_candidates(g, k=10, max_degree=2).collect()
+    assert capped == []
