@@ -639,3 +639,83 @@ def exact_quantile_by_group(
         .filter(F.col("__rn") == F.col("__k") + 1)
         .select(F.col("__g").alias(group_col), F.col("v").alias("quantile"))
     )
+
+
+def precision_recall_at_deciles(
+    scored: DataFrame,
+    score_col: str,
+    pos_col: str,
+) -> DataFrame:
+    """Precision/recall/F1 at the ten decile cuts of a score ranking:
+    ``(decile, k, tp, precision, recall, f1)`` where each cut is the
+    FIRST score boundary whose descending-cumulative count covers
+    decile·N/10 rows (cuts land on score-domain boundaries, so ties
+    never straddle a threshold and the curve is deterministic).
+
+    EXACTNESS: per-score (n, positives) counts collapse the corpus;
+    cumulative k/tp are exact integers over the sorted score DOMAIN;
+    precision = tp/k, recall = tp/P, and F1 = 2tp/(k + P) are each
+    ONE correctly-rounded divide of exact integers (F1 simplifies to
+    an exact rational because P·R/(P+R) shares the tp factor).
+
+    SCALE: one map-combinable (score → n, pos) aggregate; the
+    cumulative window runs over the score domain (the exact_auc
+    discipline), never corpus rows; the decile probe is a broadcast
+    10-row cross join.
+    """
+    from pyspark.sql import Window
+
+    dom = scored.groupBy(F.col(score_col).alias("__s")).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col(pos_col).cast("long")).alias("__np"),
+    )
+    w = Window.orderBy(F.desc("__s"))
+    cum = dom.select(
+        F.sum("__n")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("__k"),
+        F.sum("__np")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("__tp"),
+        F.sum("__n")
+        .over(
+            w.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("__total"),
+        F.sum("__np")
+        .over(
+            w.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("__pos"),
+    )
+    deciles = scored.sparkSession.range(1, 11).select(
+        F.col("id").alias("decile")
+    )
+    hit = cum.crossJoin(F.broadcast(deciles)).where(
+        F.col("__k") * 10 >= F.col("decile") * F.col("__total")
+    )
+    agg = hit.groupBy("decile").agg(
+        F.min("__k").alias("k"),
+        F.min_by("__tp", "__k").alias("tp"),
+        F.min("__pos").alias("__p"),
+    )
+    return agg.select(
+        "decile",
+        F.col("k").cast("long").alias("k"),
+        F.col("tp").cast("long").alias("tp"),
+        F.round(
+            F.col("tp").cast("double") / F.col("k").cast("double"), 6
+        ).alias("precision"),
+        F.round(
+            F.col("tp").cast("double") / F.col("__p").cast("double"), 6
+        ).alias("recall"),
+        F.round(
+            F.lit(2.0) * F.col("tp").cast("double")
+            / (F.col("k") + F.col("__p")).cast("double"),
+            6,
+        ).alias("f1"),
+    )

@@ -1499,3 +1499,52 @@ def time_weighted_avg(
             ),
         ).alias("twa"),
     )
+
+
+def ewma_truncated(
+    series: DataFrame,
+    order_col: str,
+    value_int: Column,
+    window: int = 20,
+) -> DataFrame:
+    """Exponentially-weighted moving average with α = 1/2, truncated
+    at ``window`` lags: ``(order, value, ewma)`` — the float-free
+    EWMA. The sequential s_t = αx_t + (1−α)s_{t−1} recurrence is
+    order-dependent and never cross-engine exact; truncating the
+    geometric tail turns it into per-row algebra: weights are exact
+    powers of two (2^(w−1−j) for lag j), the weighted sum and the
+    included-weight total are exact DECIMAL integers, and only the
+    final divide is IEEE. The dropped tail mass is 2^−window of the
+    signal (~1e-6 at w=20 — below any 6-dp readout). Rows earlier
+    than ``window`` normalize by the weights actually present.
+
+    SCALE: the caller pre-aggregates to the bounded series; the
+    ``window`` LAG expressions share ONE pass over one ordered window
+    (documented unpartitioned-window class for global series — use a
+    partition column upstream for per-key smoothing).
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(order_col)
+    num = None
+    den = None
+    for j in range(window):
+        wt = 2 ** (window - 1 - j)
+        lagx = F.lag("__x", j).over(w)
+        nt = F.coalesce(_dec(lagx), _dec(F.lit(0))) * _dec(F.lit(wt))
+        dt = F.when(lagx.isNotNull(), _dec(F.lit(wt))).otherwise(
+            _dec(F.lit(0))
+        )
+        num = nt if num is None else num + nt
+        den = dt if den is None else den + dt
+    base = series.select(
+        F.col(order_col), value_int.cast("long").alias("__x")
+    )
+    # UNROUNDED divide: exact integers through one correctly-rounded
+    # IEEE op is bit-identical cross-engine; rounding to 6 dp would
+    # re-introduce the engines' different round-half paths
+    return base.select(
+        order_col,
+        F.col("__x").alias("value"),
+        (num.cast("double") / den.cast("double")).alias("ewma"),
+    )

@@ -2,17 +2,22 @@
 counter per VERDICT r07 item 8; the older round5-round9 modules keep
 the builder's internal numbering).
 
-Eight operators extending the statistics / graph / observability
-surface, all exact-arithmetic and hash-certifiable:
+Eleven operators extending the statistics / graph / eval /
+observability surface, all exact-arithmetic and hash-certifiable:
 
 * rank statistics: Spearman ρ (tie-averaged ranks), Kendall τ-b
   (concordance with tie correction);
 * categorical association: χ² + Cramér's V over a contingency grid;
 * time series: sample autocorrelation (lags 1-3), time-weighted
-  average over irregular samples;
+  average over irregular samples, truncated exact-integer EWMA;
 * graph: common-neighbor link prediction (capped wedge join), degree
   assortativity (Newman r);
+* model eval: k-NN embedding classification accuracy, precision/
+  recall/F1 curve at decile cuts;
 * ingest observability: per-source freshness/staleness audit.
+
+(The batch's two TPC-H completions, q04/q06, live in
+relational_tpch.py with the other canonical numbers.)
 """
 
 from __future__ import annotations
@@ -493,4 +498,238 @@ def st_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100, 0),
         tiebreak_col="event_id",
         bucket="day",
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-NN label eval (embedding-space classification accuracy)
+# ---------------------------------------------------------------------------
+
+_KNN_K = 5
+_KNN_NQ = 100
+
+
+def _knn_eval_oracle() -> str:
+    from aws_datalake_spark.queries.llm_similarity import _cos
+
+    cos = _cos("q.v", "c.v")
+    return f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+               FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id < {_KNN_NQ}),
+    c AS (SELECT * FROM e WHERE vec_id >= {_KNN_NQ}),
+    ranked AS (
+      SELECT qid, tlabel, nlabel FROM (
+        SELECT q.vec_id AS qid, q.label AS tlabel, c.label AS nlabel,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {cos} DESC, c.vec_id) AS rk
+        FROM q, c
+      ) WHERE rk <= {_KNN_K}
+    ),
+    votes AS (
+      SELECT qid, tlabel, nlabel, COUNT(*) AS cnt
+      FROM ranked GROUP BY 1, 2, 3
+    ),
+    pred AS (
+      SELECT qid, tlabel, nlabel AS plabel FROM (
+        SELECT votes.*, ROW_NUMBER() OVER (PARTITION BY qid
+                        ORDER BY cnt DESC, nlabel) AS rn
+        FROM votes
+      ) WHERE rn = 1
+    )
+    SELECT tlabel AS label, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN plabel = tlabel THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           ROUND(CAST(SUM(CASE WHEN plabel = tlabel THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS accuracy
+    FROM pred GROUP BY 1
+    """
+
+
+@query("llm_knn_eval", oracle=_knn_eval_oracle())
+def llm_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label classification accuracy over the embedding space
+    (operators/similarity.py:cosine_topk + majority vote): hold out
+    the first 100 vectors, predict each one's label from its 5
+    nearest train-set neighbors (deterministic vote tiebreak: count
+    DESC, label ASC), report per-class accuracy — the standard "are
+    these embeddings any good" eval. Queries broadcast; the corpus
+    never shuffles; the vote is a bounded per-query aggregate."""
+    from pyspark.sql import Window
+
+    from aws_datalake_spark.operators.similarity import cosine_topk
+    from aws_datalake_spark.queries.llm_similarity import _emb_double
+
+    e = _emb_double(spark, sf_dir)
+    queries = e.where(F.col("vec_id") < _KNN_NQ).select(
+        F.col("vec_id").alias("query_id"), "label", "embedding"
+    )
+    corpus = e.where(F.col("vec_id") >= _KNN_NQ)
+    topk = cosine_topk(
+        corpus, queries.select("query_id", "embedding"), k=_KNN_K
+    )
+    votes = (
+        topk.join(
+            corpus.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("nlabel"),
+            ),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "nlabel")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cnt"), F.asc("nlabel")
+    )
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("query_id", F.col("nlabel").alias("plabel"))
+    )
+    joined = pred.join(
+        queries.select("query_id", F.col("label").alias("tlabel")),
+        "query_id",
+    )
+    return joined.groupBy(F.col("tlabel").alias("label")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (F.col("plabel") == F.col("tlabel")).cast("long")
+        ).alias("n_correct"),
+        F.round(
+            F.sum((F.col("plabel") == F.col("tlabel")).cast("long"))
+            .cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("accuracy"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# precision/recall curve at decile cuts
+# ---------------------------------------------------------------------------
+
+_PR_STOPS = "('the', 'and', 'of', 'to', 'a')"
+
+
+@query(
+    "llm_pr_curve",
+    oracle=f"""
+    WITH scored AS (
+      SELECT len(list_filter(string_split(text, ' '),
+                             w -> w IN {_PR_STOPS})) AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM documents
+    ),
+    dom AS (
+      SELECT score, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(pos) AS BIGINT) AS np
+      FROM scored GROUP BY 1
+    ),
+    cum AS (
+      SELECT score,
+             SUM(n) OVER (ORDER BY score DESC
+                          ROWS UNBOUNDED PRECEDING) AS k,
+             SUM(np) OVER (ORDER BY score DESC
+                           ROWS UNBOUNDED PRECEDING) AS tp,
+             SUM(n) OVER () AS total, SUM(np) OVER () AS pos_total
+      FROM dom
+    ),
+    deciles AS (SELECT unnest(range(1, 11)) AS decile)
+    SELECT decile, CAST(MIN(k) AS BIGINT) AS k,
+           CAST(MIN_BY(tp, k) AS BIGINT) AS tp,
+           ROUND(CAST(MIN_BY(tp, k) AS DOUBLE)
+                 / CAST(MIN(k) AS DOUBLE), 6) AS precision,
+           ROUND(CAST(MIN_BY(tp, k) AS DOUBLE)
+                 / CAST(MIN(pos_total) AS DOUBLE), 6) AS recall,
+           ROUND(2.0 * CAST(MIN_BY(tp, k) AS DOUBLE)
+                 / CAST(MIN(k) + MIN(pos_total) AS DOUBLE), 6) AS f1
+    FROM cum, deciles
+    WHERE k * 10 >= decile * total
+    GROUP BY decile
+    """,
+)
+def llm_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/F1 at decile cuts of a ranked corpus
+    (operators/order_stats.py:precision_recall_at_deciles): rank
+    documents by an integer quality score (here: English stopword
+    hits — the pluggable ranking column), cut at the first score
+    boundary covering each decile of the corpus, and report exact-
+    rational P/R/F1 against the lang='en' labels — the threshold-
+    picking readout behind every quality-filter decision
+    (llm_quality_auc gives ONE number; this gives the curve).
+    Cumulations run over the collapsed score DOMAIN, never doc
+    rows."""
+    from aws_datalake_spark.operators.order_stats import (
+        precision_recall_at_deciles,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    scored = docs.select(
+        F.expr(
+            f"size(filter(split(text, ' '), w -> w IN {_PR_STOPS}))"
+        ).alias("score"),
+        (F.col("lang") == "en").cast("int").alias("pos"),
+    )
+    return precision_recall_at_deciles(scored, "score", "pos")
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing (truncated exact-integer exponential weights)
+# ---------------------------------------------------------------------------
+
+_EWMA_W = 20
+
+
+def _ewma_oracle(window: int = _EWMA_W) -> str:
+    num_terms = " + ".join(
+        f"COALESCE(CAST(LAG(x, {j}) OVER (ORDER BY d) AS HUGEINT), 0)"
+        f" * {2 ** (window - 1 - j)}"
+        for j in range(window)
+    )
+    den_terms = " + ".join(
+        f"CASE WHEN LAG(x, {j}) OVER (ORDER BY d) IS NOT NULL"
+        f" THEN {2 ** (window - 1 - j)} ELSE 0 END"
+        for j in range(window)
+    )
+    return f"""
+    WITH s AS (
+      SELECT o_orderdate AS d,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS x
+      FROM orders GROUP BY 1
+    ),
+    w AS (SELECT d, x, {num_terms} AS num, CAST({den_terms} AS HUGEINT)
+                 AS den FROM s)
+    SELECT d AS day, CAST(x AS BIGINT) AS revenue_cents,
+           CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS ewma_cents
+    FROM w
+    """
+
+
+@query("q_ewma_smoothing", oracle=_ewma_oracle())
+def q_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily revenue with
+    α = 1/2, truncated at 20 lags (weight 2^-21 ≈ 5e-7 — below the
+    6-dp output precision, so truncation is exact at the reported
+    rounding): weights are exact powers of two, the weighted sum and
+    the included-weight total are exact DECIMAL integers, and only
+    the final divide is IEEE — the float-free EWMA (a sequential
+    s_t = αx + (1−α)s_{t−1} recurrence is order-dependent and
+    engine-divergent; the truncated window form is algebra). Early
+    days normalize by the weights actually present. LAG windows run
+    over the bounded daily series."""
+    from aws_datalake_spark.operators.stats import ewma_truncated
+
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        ).alias("x")
+    )
+    out = ewma_truncated(daily, "d", F.col("x"), window=_EWMA_W)
+    return out.select(
+        F.col("d").alias("day"),
+        F.col("value").alias("revenue_cents"),
+        F.col("ewma").alias("ewma_cents"),
     )

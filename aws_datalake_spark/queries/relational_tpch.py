@@ -1,9 +1,11 @@
 """Remaining classic TPC-H query shapes, adapted to the fixture schema.
 
 The reference has no general query engine (SURVEY.md §2.5 note);
-``relational.py`` covers Q1/Q3/Q5/Q6/Q4/Q17 shapes. This module adds
-the rest — ALL 22 canonical decision-support patterns are now
-present. No partsupp/shipmode/commitdate columns exist, so Q12/Q21/
+``relational.py`` covers Q1/Q3/Q5 and the q17 shape lives in
+``relational_ext.py``. This module adds the rest — since r08 every
+one of the 22 canonical numbers has a qNN-named implementation
+(Q4/Q6 added last: the EXISTS-to-semi-join priority check and the
+multi-range-predicate scan aggregate). No partsupp/shipmode/commitdate columns exist, so Q12/Q21/
 Q22 are adapted and Q2/Q9/Q11/Q16/Q20 run against a synthetic
 partsupp (distinct shipped part-supplier pairs; see the section
 comment below):
@@ -812,4 +814,84 @@ def q20_excess_inventory_suppliers(spark: SparkSession, sf_dir: str) -> DataFram
             "left_semi",
         )
         .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+# --- Q4: order priority checking (r08: the last two canonical numbers
+# get their qNN-named forms; the fixture lacks commitdate/receiptdate,
+# so "late" is adapted to shipped > 60 days after the order date) ------
+
+
+@query(
+    "q04_order_priority",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order priority checking), adapted: quarterly orders
+    with at least one lineitem shipped more than 60 days after the
+    order date, counted per priority — the EXISTS-to-semi-join shape.
+    Plan: the date filter prunes orders BEFORE the semi-join, the
+    fact side carries only (orderkey, shipdate), one shuffle each
+    side, and the priority rollup is map-combinable."""
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+# --- Q6: forecasting revenue change -----------------------------------
+
+
+@query(
+    "q06_forecast_revenue",
+    oracle=f"""
+    SELECT {o_dsum("l_extendedprice * l_discount")} AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): the canonical
+    multi-range-predicate scan-aggregate — revenue that would have
+    been earned by dropping mid-band discounts on small quantities.
+    No joins; the whole query is one scan whose THREE range filters
+    must all reach PushedFilters and whose aggregate is one
+    map-combined row per task."""
+    li = t(spark, sf_dir, "lineitem")
+    f = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
     )

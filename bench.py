@@ -230,6 +230,11 @@ HEADLINE = [
     "q_graph_assortativity",
     "st_watermark_freshness",
     "st_time_weighted_avg",
+    "q04_order_priority",
+    "q06_forecast_revenue",
+    "llm_knn_eval",
+    "llm_pr_curve",
+    "q_ewma_smoothing",
 ]
 
 

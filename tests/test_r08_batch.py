@@ -265,3 +265,81 @@ def test_common_neighbors_excludes_adjacent_and_caps(spark):
     # candidates that needed the deg-3 middle
     capped = common_neighbor_candidates(g, k=10, max_degree=2).collect()
     assert capped == []
+
+
+# --- batch 2: PR curve, EWMA ---------------------------------------------
+
+
+def test_pr_curve_perfect_separation(spark):
+    """Scores perfectly separate labels: precision stays 1.0 until
+    the positives are exhausted, recall hits 1.0 there, and the
+    deciles cover k = N/10 ... N."""
+    from aws_datalake_spark.operators.order_stats import (
+        precision_recall_at_deciles,
+    )
+
+    rows = [(100 + i, 1) for i in range(30)] + [(i, 0) for i in range(70)]
+    df = spark.createDataFrame(rows, "score long, pos int")
+    out = {r.decile: r for r in
+           precision_recall_at_deciles(df, "score", "pos").collect()}
+    assert len(out) == 10
+    assert out[1].k == 10 and out[1].tp == 10 and out[1].precision == 1.0
+    assert out[3].recall == 1.0  # all 30 positives found at k=30
+    assert out[10].k == 100 and out[10].recall == 1.0
+    assert out[10].precision == pytest.approx(0.3, abs=1e-9)
+    # F1 is the exact rational 2tp/(k+P)
+    assert out[3].f1 == pytest.approx(2 * 30 / (30 + 30), abs=1e-9)
+
+
+def test_pr_curve_cuts_on_score_boundaries(spark):
+    """Ties never straddle a cut: with one massive tie block the
+    first covering boundary is the whole block."""
+    from aws_datalake_spark.operators.order_stats import (
+        precision_recall_at_deciles,
+    )
+
+    rows = [(5, 1)] * 50 + [(1, 0)] * 50
+    df = spark.createDataFrame(rows, "score long, pos int")
+    out = {r.decile: r for r in
+           precision_recall_at_deciles(df, "score", "pos").collect()}
+    for d in range(1, 6):  # deciles 1-5 all cut at the block edge
+        assert out[d].k == 50 and out[d].tp == 50
+
+
+def test_ewma_constant_series_is_identity(spark):
+    """EWMA of a constant series equals the constant at every row
+    (including the ramp-up rows that normalize by partial weights)."""
+    from aws_datalake_spark.operators.stats import ewma_truncated
+
+    df = spark.createDataFrame([(i, 700) for i in range(30)],
+                               "t long, x long")
+    out = ewma_truncated(df, "t", F.col("x")).collect()
+    assert len(out) == 30
+    assert all(r.ewma == 700.0 for r in out)
+
+
+def test_ewma_matches_python_reference(spark):
+    """Truncated-window EWMA against a direct python evaluation of
+    the same weight algebra."""
+    from aws_datalake_spark.operators.stats import ewma_truncated
+
+    xs = [100, 200, 50, 400, 0, 300, 250, 75]
+    df = spark.createDataFrame(list(enumerate(xs)), "t long, x long")
+    got = {r.t: r.ewma for r in
+           ewma_truncated(df, "t", F.col("x"), window=4).collect()}
+    for t in range(len(xs)):
+        terms = [(xs[t - j], 2 ** (3 - j)) for j in range(4) if t - j >= 0]
+        want = sum(v * w for v, w in terms) / sum(w for _, w in terms)
+        assert got[t] == pytest.approx(want, abs=1e-12), t
+
+
+def test_knn_eval_labels_consistent(spark, sf_dir):
+    """Registered query sanity on the fixture: per-class counts sum
+    to the 100 held-out queries and accuracy is a valid rational."""
+    from aws_datalake_spark.queries import all_queries
+
+    out = all_queries()["llm_knn_eval"](spark, sf_dir).collect()
+    assert sum(r.n for r in out) == 100
+    for r in out:
+        assert 0 <= r.n_correct <= r.n
+        assert r.accuracy == pytest.approx(r.n_correct / r.n, abs=1e-6)
