@@ -611,9 +611,15 @@ def freshness_audit(
     the corpus; the global max is a broadcast scalar over the bounded
     group frame. Exact integer second arithmetic.
     """
-    per = df.groupBy(F.col(group_col).alias("__g")).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.max(F.col(ts_col)).alias("last_ts"),
+    from aws_datalake_spark.operators.dedup_cluster import _truncate
+
+    # the bounded per-group frame feeds TWO consumers (the global max
+    # and the output) — materialize once or the corpus scan re-runs
+    per = _truncate(
+        df.groupBy(F.col(group_col).alias("__g")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(F.col(ts_col)).alias("last_ts"),
+        )
     )
     glob = per.agg(F.max("last_ts").alias("__gmax"))
     # exact integer MICROSECONDS (unix_micros ≡ DuckDB epoch_us):

@@ -727,3 +727,125 @@ def test_welch_pairs_join_runs_on_aggregated_frames(spark):
     plan = _plan(welch_ttest_pairs(c, "c_mktsegment", F.col("v")))
     assert "SortMergeJoin" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+# --- driver-round r08 batch ----------------------------------------------
+
+
+def test_q06_all_three_range_filters_pushed(spark):
+    from aws_datalake_spark.queries.relational_tpch import (
+        q06_forecast_revenue,
+    )
+
+    plan = _formatted(q06_forecast_revenue(spark, SF_SMOKE))
+    pushed = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "l_shipdate" in pushed
+    assert "GreaterThanOrEqual(l_discount" in pushed
+    assert "LessThan(l_quantity" in pushed
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in read_schema  # q06 needs no keys at all
+
+
+def test_q04_semi_join_not_nested_loop(spark):
+    from aws_datalake_spark.queries.relational_tpch import (
+        q04_order_priority,
+    )
+
+    plan = _plan(q04_order_priority(spark, SF_SMOKE))
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the order-date filter prunes BEFORE the join: it must reach the
+    # orders scan as a pushed filter
+    fplan = _formatted(q04_order_priority(spark, SF_SMOKE))
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in fplan
+
+
+def test_spearman_rank_windows_partitioned_by_group(spark):
+    from aws_datalake_spark.queries.r08_batch import q_spearman_corr
+
+    plan = _plan(q_spearman_corr(spark, SF_SMOKE))
+    # every rank window is partitioned (by the group key, which
+    # Catalyst resolves back to l_returnflag) — no corpus-wide
+    # single-partition window
+    wins = [
+        l for l in plan.splitlines()
+        if "Window" in l and "windowspecdefinition" in l
+    ]
+    assert wins
+    for line in wins:
+        assert "l_returnflag" in line, line
+
+
+def test_kendall_pair_join_on_aggregated_series(spark):
+    from aws_datalake_spark.queries.r08_batch import q_kendall_tau
+
+    plan = _plan(q_kendall_tau(spark, SF_SMOKE))
+    # the |T|^2 pair join must join aggregated frames, not order rows:
+    # both sides of the self-join sit above hash aggregates
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_common_neighbors_no_cartesian_and_caps_middles(spark):
+    from aws_datalake_spark.queries.r08_batch import (
+        q_graph_common_neighbors,
+    )
+
+    plan = _plan(q_graph_common_neighbors(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the degree cap filter exists (deg <= max_degree)
+    assert "deg" in plan
+
+
+def test_knn_eval_corpus_never_shuffles_before_scoring(spark):
+    from aws_datalake_spark.queries.r08_batch import llm_knn_eval
+
+    plan = _plan(llm_knn_eval(spark, SF_SMOKE))
+    # queries broadcast against the corpus (inner broadcast join from
+    # cosine_topk); corpus-side exchange only AFTER scoring (top-k
+    # window + vote aggregates)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_freshness_global_max_is_broadcast_scalar(spark):
+    from aws_datalake_spark.queries.r08_batch import st_watermark_freshness
+
+    plan = _plan(st_watermark_freshness(spark, SF_SMOKE))
+    # the lake-wide max joins back as a broadcast of a 1-row aggregate
+    # over the MATERIALIZED per-group frame — events is scanned once,
+    # not once per consumer
+    assert "BroadcastNestedLoopJoin" in plan  # scalar crossJoin
+    assert plan.count("FileScan parquet") <= 1
+
+
+def test_twap_window_partitioned_by_day(spark):
+    from aws_datalake_spark.queries.r08_batch import st_time_weighted_avg
+
+    plan = _plan(st_time_weighted_avg(spark, SF_SMOKE))
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "__b" in line, line  # LEAD partitioned by bucket
+
+
+def test_pr_curve_windows_over_score_domain(spark):
+    from aws_datalake_spark.queries.r08_batch import llm_pr_curve
+
+    plan = _plan(llm_pr_curve(spark, SF_SMOKE))
+    # the cumulative window consumes the (score -> counts) aggregate:
+    # a HashAggregate must sit below the Window exchange
+    assert "HashAggregate" in plan
+    # decile probe is a broadcast of the 10-row range
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_assortativity_single_moment_aggregate(spark):
+    from aws_datalake_spark.queries.r08_batch import q_graph_assortativity
+
+    plan = _plan(q_graph_assortativity(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    # final moments reduce in one partial+final aggregate pair over
+    # the joined ends frame
+    assert "HashAggregate" in plan
