@@ -719,3 +719,74 @@ def precision_recall_at_deciles(
             6,
         ).alias("f1"),
     )
+
+
+def lorenz_curve(
+    df: DataFrame,
+    value_int: Column,
+    n_points: int = 10,
+) -> DataFrame:
+    """Lorenz curve at ``n_points`` population cuts: subjects sorted
+    by value ASCENDING, each cut reports the cumulative share of the
+    total held by the bottom fraction — ``(point, n_cum, value_cum,
+    share)`` (point i ≈ bottom i/n_points of subjects). The
+    concentration CURVE behind the Gini number (q_shard_skew_gini)
+    and the ABC classes (q_abc_pareto): "the bottom 80% of customers
+    hold 31% of revenue".
+
+    EXACTNESS: cuts land on value-DOMAIN boundaries (first cumulative
+    count covering i·N/points — ties never straddle a cut); n_cum /
+    value_cum are exact integers; share is one correctly-rounded
+    divide.
+
+    SCALE: one (value → count) aggregate collapses the corpus; the
+    cumulative window runs over the value domain; the cut probe is a
+    broadcast n_points-row cross join.
+    """
+    from pyspark.sql import Window
+
+    dom = df.select(value_int.cast("long").alias("__v")).groupBy(
+        "__v"
+    ).agg(F.count(F.lit(1)).alias("__n"))
+    w = Window.orderBy("__v")
+    cum = dom.select(
+        F.sum("__n")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("__k"),
+        F.sum(F.col("__v").cast("decimal(38,0)") * F.col("__n"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("__vc"),
+        F.sum("__n")
+        .over(
+            w.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("__total"),
+        F.sum(F.col("__v").cast("decimal(38,0)") * F.col("__n"))
+        .over(
+            w.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("__vtotal"),
+    )
+    pts = df.sparkSession.range(1, n_points + 1).select(
+        F.col("id").alias("point")
+    )
+    hit = cum.crossJoin(F.broadcast(pts)).where(
+        F.col("__k") * n_points >= F.col("point") * F.col("__total")
+    )
+    agg = hit.groupBy("point").agg(
+        F.min("__k").alias("n_cum"),
+        F.min_by("__vc", "__k").alias("__vcum"),
+        F.min("__vtotal").alias("__vt"),
+    )
+    return agg.select(
+        "point",
+        F.col("n_cum").cast("long").alias("n_cum"),
+        F.col("__vcum").cast("long").alias("value_cum"),
+        (
+            F.col("__vcum").cast("double") / F.col("__vt").cast("double")
+        ).alias("share"),
+    )

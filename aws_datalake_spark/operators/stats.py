@@ -1548,3 +1548,129 @@ def ewma_truncated(
         F.col("__x").alias("value"),
         (num.cast("double") / den.cast("double")).alias("ewma"),
     )
+
+
+def kaplan_meier(
+    durations: DataFrame,
+    duration_col: str,
+    observed_col: str,
+) -> DataFrame:
+    """Kaplan–Meier survival estimate over right-censored durations
+    (one row per subject; ``observed`` = 1 when the terminal event
+    was seen, 0 when censored): ``(t, n_risk, d_events, survival)``
+    for every time with at least one event, survival =
+    Π_{u≤t} (1 − d_u/n_u) — the churn/retention curve done
+    correctly (a plain histogram of lifetimes is biased by the
+    still-alive subjects; KM credits censored subjects to every risk
+    set they survive through).
+
+    EXACTNESS: d_t and the at-risk counts n_t are exact integers
+    (n_t = N − #durations < t via one cumulative window over the
+    duration DOMAIN); each factor is ONE correctly-rounded divide,
+    and the running product folds in PINNED ascending-t order via an
+    ordered-list reduce — the same sequential-fold device as the
+    oracle's list_reduce, so the IEEE product matches bit-for-bit.
+
+    SCALE: the subject table collapses to the duration domain in one
+    aggregate; every window runs over that bounded domain. The fold
+    list is domain-sized (distinct durations), not subject-sized.
+    """
+    from pyspark.sql import Window
+
+    dom = durations.groupBy(
+        F.col(duration_col).cast("long").alias("__t")
+    ).agg(
+        F.count(F.lit(1)).alias("__m"),
+        F.sum(F.col(observed_col).cast("long")).alias("__d"),
+    )
+    w = Window.orderBy("__t")
+    cum = dom.select(
+        "__t",
+        "__d",
+        (
+            F.sum("__m").over(
+                w.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            - F.coalesce(
+                F.sum("__m").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            )
+        ).alias("__n_risk"),
+    )
+    factor = F.lit(1.0) - F.col("__d").cast("double") / F.col(
+        "__n_risk"
+    ).cast("double")
+    folded = cum.select(
+        "__t",
+        "__d",
+        "__n_risk",
+        F.aggregate(
+            F.collect_list(factor).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+            F.lit(1.0),
+            lambda acc, x: acc * x,
+        ).alias("__s"),
+    )
+    return folded.where(F.col("__d") > 0).select(
+        F.col("__t").alias("t"),
+        F.col("__n_risk").cast("long").alias("n_risk"),
+        F.col("__d").cast("long").alias("d_events"),
+        F.col("__s").alias("survival"),
+    )
+
+
+def two_proportion_ztest(
+    df: DataFrame,
+    group_col: str,
+    success_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Two-proportion z-test (pooled): ``(n_a, x_a, n_b, x_b, p_a,
+    p_b, z)`` — the A/B conversion-rate readout (Welch answers
+    means; this answers rates). ``success_col`` is 0/1 per subject.
+
+    EXACTNESS: the four counts are exact integers; p_a, p_b, the
+    pooled rate, and z are a fixed mirrored IEEE expression tree over
+    those integers — bit-identical cross-engine, no rounding applied
+    (the exact counts are the certificate).
+
+    SCALE: one conditional-count aggregate; the corpus collapses to
+    one row.
+    """
+    s = F.col(success_col).cast("long")
+    agg = df.where(F.col(group_col).isin([group_a, group_b])).agg(
+        F.sum(
+            F.when(F.col(group_col) == group_a, 1).otherwise(0)
+        ).alias("__na"),
+        F.sum(F.when(F.col(group_col) == group_a, s).otherwise(0)).alias(
+            "__xa"
+        ),
+        F.sum(
+            F.when(F.col(group_col) == group_b, 1).otherwise(0)
+        ).alias("__nb"),
+        F.sum(F.when(F.col(group_col) == group_b, s).otherwise(0)).alias(
+            "__xb"
+        ),
+    )
+    na, xa = F.col("__na").cast("double"), F.col("__xa").cast("double")
+    nb, xb = F.col("__nb").cast("double"), F.col("__xb").cast("double")
+    pa, pb = xa / na, xb / nb
+    pool = (xa + xb) / (na + nb)
+    se = F.sqrt(
+        pool * (F.lit(1.0) - pool) * (F.lit(1.0) / na + F.lit(1.0) / nb)
+    )
+    return agg.select(
+        F.col("__na").alias("n_a"),
+        F.col("__xa").alias("x_a"),
+        F.col("__nb").alias("n_b"),
+        F.col("__xb").alias("x_b"),
+        pa.alias("p_a"),
+        pb.alias("p_b"),
+        F.when(se > 0.0, (pa - pb) / se).alias("z"),
+    )

@@ -2,8 +2,12 @@
 counter per VERDICT r07 item 8; the older round5-round9 modules keep
 the builder's internal numbering).
 
-Eleven operators extending the statistics / graph / eval /
+Fifteen operators extending the statistics / graph / eval /
 observability surface, all exact-arithmetic and hash-certifiable:
+
+* survival & business analytics: Kaplan–Meier session survival
+  (pinned-order fold product), two-proportion z-test, Lorenz
+  concentration curve, cohort LTV triangle;
 
 * rank statistics: Spearman ρ (tie-averaged ranks), Kendall τ-b
   (concordance with tie correction);
@@ -732,4 +736,344 @@ def q_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").alias("day"),
         F.col("value").alias("revenue_cents"),
         F.col("ewma").alias("ewma_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan–Meier survival (churn curve with right-censoring)
+# ---------------------------------------------------------------------------
+
+_KM_GAP_US = 30 * 60_000_000  # 30-minute session gap
+_KM_CENSOR_US = 3_600_000_000  # still-open horizon: 1 hour
+
+
+@query(
+    "q_kaplan_meier",
+    oracle=f"""
+    WITH g AS (SELECT MAX(ts) AS gmax FROM events),
+    marked AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id)
+                    > {_KM_GAP_US} THEN 1 ELSE 0 END AS brk
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, us,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    ),
+    subj AS (
+      SELECT (MAX(us) - MIN(us)) // 60000000 AS dur,
+             CASE WHEN MAX(us) <= epoch_us(MIN(g.gmax))
+                       - {_KM_CENSOR_US}
+                  THEN 1 ELSE 0 END AS obs
+      FROM sess, g GROUP BY user_id, sid
+    ),
+    dom AS (
+      SELECT dur AS t, CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(obs) AS BIGINT) AS d
+      FROM subj GROUP BY 1
+    ),
+    risk AS (
+      SELECT t, d,
+             SUM(m) OVER () - COALESCE(SUM(m) OVER (
+               ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS n_risk
+      FROM dom
+    ),
+    cum AS (
+      SELECT t, d, n_risk,
+             list(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+               OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS fs
+      FROM risk
+    )
+    SELECT t, CAST(n_risk AS BIGINT) AS n_risk, d AS d_events,
+           list_reduce(fs, (p, q) -> p * q) AS survival
+    FROM cum WHERE d > 0
+    """,
+)
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier SESSION-duration survival
+    (operators/stats.py:kaplan_meier): sessions cut at 30-minute
+    inactivity gaps (exact-µs lag compare, event_id tiebreak),
+    duration in whole minutes; sessions still open within an hour of
+    the lake's latest event are right-CENSORED — they leave the risk
+    sets without counting as ended, the bias a naive duration
+    histogram gets wrong. Running survival product folds in pinned
+    ascending-t order (ordered-list reduce, the mirrored-fold
+    device), so the IEEE product hash-matches."""
+    from pyspark.sql import Window
+
+    from aws_datalake_spark.operators.stats import kaplan_meier
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("__us"),
+        "event_id",
+    )
+    wo = Window.partitionBy("user_id").orderBy("__us", "event_id")
+    marked = ev.select(
+        "user_id",
+        "__us",
+        (
+            (F.col("__us") - F.lag("__us", 1).over(wo))
+            > F.lit(_KM_GAP_US)
+        )
+        .cast("int")
+        .alias("__brk"),
+    )
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy("__us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = marked.select(
+        "user_id",
+        "__us",
+        F.coalesce(F.sum("__brk").over(wc), F.lit(0)).alias("__sid"),
+    )
+    gmax = t(spark, sf_dir, "events").agg(
+        F.unix_micros(F.max("ts")).alias("__gus")
+    )
+    subj = (
+        sess.groupBy("user_id", "__sid")
+        .agg(F.min("__us").alias("__f"), F.max("__us").alias("__l"))
+        .crossJoin(F.broadcast(gmax))
+        .select(
+            F.expr("(__l - __f) div 60000000").alias("dur"),
+            (F.col("__l") <= F.col("__gus") - F.lit(_KM_CENSOR_US))
+            .cast("int")
+            .alias("obs"),
+        )
+    )
+    return kaplan_meier(subj, "dur", "obs")
+
+
+# ---------------------------------------------------------------------------
+# two-proportion z-test (A/B conversion rates)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_ab_test_proportions",
+    oracle="""
+    WITH conv AS (
+      SELECT c.c_custkey, c.c_mktsegment,
+             CASE WHEN EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_custkey = c.c_custkey
+                                 AND o.o_orderpriority = '1-URGENT')
+                  THEN 1 ELSE 0 END AS s
+      FROM customer c
+      WHERE c.c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
+    ),
+    agg AS (
+      SELECT SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END)
+               AS na,
+             SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN s ELSE 0 END)
+               AS xa,
+             SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END)
+               AS nb,
+             SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN s ELSE 0 END)
+               AS xb
+      FROM conv
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(xa AS BIGINT) AS x_a,
+           CAST(nb AS BIGINT) AS n_b, CAST(xb AS BIGINT) AS x_b,
+           CAST(xa AS DOUBLE) / CAST(na AS DOUBLE) AS p_a,
+           CAST(xb AS DOUBLE) / CAST(nb AS DOUBLE) AS p_b,
+           CASE WHEN SQRT(
+                  (CAST(xa + xb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+                  * (1.0 - CAST(xa + xb AS DOUBLE)
+                           / CAST(na + nb AS DOUBLE))
+                  * (1.0 / CAST(na AS DOUBLE)
+                     + 1.0 / CAST(nb AS DOUBLE))) > 0.0
+                THEN (CAST(xa AS DOUBLE) / CAST(na AS DOUBLE)
+                      - CAST(xb AS DOUBLE) / CAST(nb AS DOUBLE))
+                     / SQRT(
+                  (CAST(xa + xb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+                  * (1.0 - CAST(xa + xb AS DOUBLE)
+                           / CAST(na + nb AS DOUBLE))
+                  * (1.0 / CAST(na AS DOUBLE)
+                     + 1.0 / CAST(nb AS DOUBLE)))
+           END AS z
+    FROM agg
+    """,
+)
+def q_ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on urgent-order conversion between two
+    customer segments (operators/stats.py:two_proportion_ztest): do
+    AUTOMOBILE customers place urgent orders at a different RATE than
+    BUILDING — the A/B readout for rates beside q_welch_ttest's
+    means. Exact integer counts are the certificate; the z statistic
+    is a fixed mirrored IEEE tree over them."""
+    from aws_datalake_spark.operators.stats import two_proportion_ztest
+
+    c = t(spark, sf_dir, "customer")
+    urgent = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .withColumn("__u", F.lit(1))
+    )
+    conv = (
+        c.where(F.col("c_mktsegment").isin(["AUTOMOBILE", "BUILDING"]))
+        .join(urgent, "c_custkey", "left")
+        .select(
+            "c_mktsegment",
+            F.coalesce(F.col("__u"), F.lit(0)).alias("s"),
+        )
+    )
+    return two_proportion_ztest(
+        conv, "c_mktsegment", "s", "AUTOMOBILE", "BUILDING"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lorenz concentration curve
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_lorenz_curve",
+    oracle="""
+    WITH rev AS (
+      SELECT c.c_custkey,
+             COALESCE(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)),
+                      0) AS v
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1
+    ),
+    dom AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS n FROM rev GROUP BY 1),
+    cum AS (
+      SELECT v,
+             SUM(n) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS k,
+             SUM(CAST(v AS HUGEINT) * n) OVER (ORDER BY v
+               ROWS UNBOUNDED PRECEDING) AS vc,
+             SUM(n) OVER () AS total,
+             SUM(CAST(v AS HUGEINT) * n) OVER () AS vt
+      FROM dom
+    ),
+    pts AS (SELECT unnest(range(1, 11)) AS point)
+    SELECT point, CAST(MIN(k) AS BIGINT) AS n_cum,
+           CAST(MIN_BY(vc, k) AS BIGINT) AS value_cum,
+           CAST(MIN_BY(vc, k) AS DOUBLE) / CAST(MIN(vt) AS DOUBLE)
+             AS share
+    FROM cum, pts WHERE k * 10 >= point * total
+    GROUP BY point
+    """,
+)
+def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of customer revenue concentration
+    (operators/order_stats.py:lorenz_curve): the cumulative revenue
+    share of the bottom 10%, 20%, … of customers (no-order customers
+    included at zero) — the concentration CURVE behind
+    q_shard_skew_gini's number and q_abc_pareto's classes. Cuts land
+    on revenue-domain boundaries; exact integer cumulations."""
+    from aws_datalake_spark.operators.order_stats import lorenz_curve
+
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    rev = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100, 0).cast("long")
+                ),
+                F.lit(0),
+            ).alias("v")
+        )
+    )
+    return lorenz_curve(rev, F.col("v"))
+
+
+# ---------------------------------------------------------------------------
+# cohort LTV (cumulative revenue per user by cohort age)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_cohort_ltv",
+    oracle="""
+    WITH first_ev AS (
+      SELECT user_id,
+             CAST(EXTRACT(year FROM MIN(ts)) * 12
+                  + EXTRACT(month FROM MIN(ts)) AS BIGINT) AS cohort
+      FROM events GROUP BY 1
+    ),
+    sizes AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_users
+              FROM first_ev GROUP BY 1),
+    monthly AS (
+      SELECT f.cohort,
+             CAST(EXTRACT(year FROM e.ts) * 12
+                  + EXTRACT(month FROM e.ts) AS BIGINT) - f.cohort
+               AS age,
+             SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS rev
+      FROM events e JOIN first_ev f ON e.user_id = f.user_id
+      WHERE e.event_type = 'purchase'
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT cohort, age,
+             SUM(rev) OVER (PARTITION BY cohort ORDER BY age
+                            ROWS UNBOUNDED PRECEDING) AS cum_rev
+      FROM monthly
+    )
+    SELECT c.cohort, c.age, s.n_users,
+           CAST(c.cum_rev AS BIGINT) AS cum_rev_cents,
+           CAST(c.cum_rev AS DOUBLE) / CAST(s.n_users AS DOUBLE)
+             AS ltv_cents
+    FROM cum c JOIN sizes s ON c.cohort = s.cohort
+    """,
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime value: users grouped by first-seen month,
+    purchase revenue accumulated by cohort age (months since
+    joining), normalized per cohort member — the LTV triangle next
+    to q_cohort_retention's activity triangle. Exact integer
+    cumulations partitioned by cohort; one divide per cell."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    midx = lambda c: (F.year(c) * 12 + F.month(c)).cast("long")  # noqa: E731
+    first_ev = ev.groupBy("user_id").agg(
+        midx(F.min("ts")).alias("cohort")
+    )
+    sizes = first_ev.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    monthly = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(first_ev, "user_id")
+        .groupBy(
+            "cohort",
+            (midx(F.col("ts")) - F.col("cohort")).alias("age"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("value") * 100, 0).cast("long")
+            ).alias("rev")
+        )
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = monthly.select(
+        "cohort", "age", F.sum("rev").over(w).alias("cum_rev")
+    )
+    return cum.join(sizes, "cohort").select(
+        "cohort",
+        "age",
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("cum_rev").cast("long").alias("cum_rev_cents"),
+        (
+            F.col("cum_rev").cast("double")
+            / F.col("n_users").cast("double")
+        ).alias("ltv_cents"),
     )

@@ -235,6 +235,10 @@ HEADLINE = [
     "llm_knn_eval",
     "llm_pr_curve",
     "q_ewma_smoothing",
+    "q_kaplan_meier",
+    "q_ab_test_proportions",
+    "q_lorenz_curve",
+    "q_cohort_ltv",
 ]
 
 

@@ -343,3 +343,80 @@ def test_knn_eval_labels_consistent(spark, sf_dir):
     for r in out:
         assert 0 <= r.n_correct <= r.n
         assert r.accuracy == pytest.approx(r.n_correct / r.n, abs=1e-6)
+
+
+# --- batch 3: survival, proportions, Lorenz ---------------------------------
+
+
+def test_kaplan_meier_textbook_case(spark):
+    """Classic small example: durations (6,6,6,7,10) observed and
+    (6+,9+,10+,11+) censored — the Kaplan & Meier (1958) values."""
+    from aws_datalake_spark.operators.stats import kaplan_meier
+
+    rows = [(6, 1), (6, 1), (6, 1), (6, 0), (7, 1), (9, 0), (10, 1),
+            (10, 0), (11, 0)]
+    df = spark.createDataFrame(rows, "dur long, obs int")
+    out = {r.t: r for r in kaplan_meier(df, "dur", "obs").collect()}
+    assert set(out) == {6, 7, 10}
+    assert out[6].n_risk == 9 and out[6].d_events == 3
+    assert out[6].survival == pytest.approx(6 / 9 * 1.0, abs=1e-12)
+    assert out[7].n_risk == 5
+    assert out[7].survival == pytest.approx((6 / 9) * (4 / 5), abs=1e-12)
+    assert out[10].n_risk == 3
+    assert out[10].survival == pytest.approx(
+        (6 / 9) * (4 / 5) * (2 / 3), abs=1e-12
+    )
+
+
+def test_kaplan_meier_all_censored_is_empty(spark):
+    from aws_datalake_spark.operators.stats import kaplan_meier
+
+    df = spark.createDataFrame([(5, 0), (8, 0)], "dur long, obs int")
+    assert kaplan_meier(df, "dur", "obs").collect() == []
+
+
+def test_two_proportion_ztest_reference(spark):
+    import math
+
+    from aws_datalake_spark.operators.stats import two_proportion_ztest
+
+    rows = [("A", 1)] * 40 + [("A", 0)] * 60 + [("B", 1)] * 25 + [("B", 0)] * 75
+    df = spark.createDataFrame(rows, "g string, s int")
+    r = two_proportion_ztest(df, "g", "s", "A", "B").collect()[0]
+    assert (r.n_a, r.x_a, r.n_b, r.x_b) == (100, 40, 100, 25)
+    pool = 65 / 200
+    want = (0.40 - 0.25) / math.sqrt(pool * (1 - pool) * (2 / 100))
+    assert r.z == pytest.approx(want, abs=1e-12)
+
+
+def test_two_proportion_equal_rates_z_zero(spark):
+    from aws_datalake_spark.operators.stats import two_proportion_ztest
+
+    rows = [("A", i % 2) for i in range(50)] + [("B", i % 2) for i in range(50)]
+    df = spark.createDataFrame(rows, "g string, s int")
+    r = two_proportion_ztest(df, "g", "s", "A", "B").collect()[0]
+    assert r.z == pytest.approx(0.0, abs=1e-12)
+
+
+def test_lorenz_uniform_is_diagonal(spark):
+    from aws_datalake_spark.operators.order_stats import lorenz_curve
+
+    df = spark.createDataFrame([(i, 7) for i in range(100)],
+                               "id long, v long")
+    out = {r.point: r for r in lorenz_curve(df, F.col("v")).collect()}
+    # all values equal -> one domain row covers every cut at k=N
+    for p in range(1, 11):
+        assert out[p].n_cum == 100 and out[p].share == 1.0
+
+
+def test_lorenz_concentrated_tail(spark):
+    """90 subjects hold 0, 10 hold everything: bottom 90% share = 0,
+    the last decile jumps to 1."""
+    from aws_datalake_spark.operators.order_stats import lorenz_curve
+
+    rows = [(i, 0) for i in range(90)] + [(90 + i, 100) for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    out = {r.point: r for r in lorenz_curve(df, F.col("v")).collect()}
+    for p in range(1, 10):
+        assert out[p].n_cum == 90 and out[p].share == 0.0
+    assert out[10].n_cum == 100 and out[10].share == 1.0
