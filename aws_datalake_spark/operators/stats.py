@@ -1674,3 +1674,204 @@ def two_proportion_ztest(
         pb.alias("p_b"),
         F.when(se > 0.0, (pa - pb) / se).alias("z"),
     )
+
+
+def mcnemar_test(
+    df: DataFrame,
+    before_col: str,
+    after_col: str,
+) -> DataFrame:
+    """McNemar's paired-proportion test: ``(n, n_both, n_neither,
+    n_flip_10, n_flip_01, chi2)`` over paired binary outcomes (same subject measured
+    twice) — "did behavior CHANGE", which the two-sample z-test
+    cannot answer because the samples aren't independent. Only the
+    discordant cells matter: χ² = (b − c)²/(b + c) with b = 1→0 and
+    c = 0→1 flips.
+
+    EXACTNESS: the four cells are exact conditional counts; χ² is
+    ONE correctly-rounded divide of exact integers.
+
+    SCALE: one conditional-count aggregate; the corpus collapses to
+    one row.
+    """
+    bf = F.col(before_col).cast("int")
+    af = F.col(after_col).cast("int")
+    agg = df.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(((bf == 1) & (af == 1)).cast("long")).alias("__both"),
+        F.sum(((bf == 0) & (af == 0)).cast("long")).alias("__nei"),
+        F.sum(((bf == 1) & (af == 0)).cast("long")).alias("__b"),
+        F.sum(((bf == 0) & (af == 1)).cast("long")).alias("__c"),
+    )
+    num = _dec(F.col("__b") - F.col("__c")) * _dec(
+        F.col("__b") - F.col("__c")
+    )
+    den = F.col("__b") + F.col("__c")
+    # n_both/n_neither (not both/neither: BOTH is a SQL reserved word
+    # and would force quoting in every oracle twin)
+    return agg.select(
+        F.col("__n").alias("n"),
+        F.col("__both").alias("n_both"),
+        F.col("__nei").alias("n_neither"),
+        F.col("__b").alias("n_flip_10"),
+        F.col("__c").alias("n_flip_01"),
+        F.when(
+            den > 0, num.cast("double") / den.cast("double")
+        ).alias("chi2"),
+    )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    rater_a_col: str,
+    rater_b_col: str,
+) -> DataFrame:
+    """Cohen's κ inter-rater agreement over two categorical labelers:
+    ``(n, po_num, pe_num_s, kappa)`` with κ = (p_o − p_e)/(1 − p_e) —
+    chance-corrected agreement (raw % agreement rewards majority-
+    class spam; κ doesn't). The workhorse for validating heuristic
+    labelers against each other or against gold labels.
+
+    EXACTNESS: over common denominators, κ = (n·Σ_k n_kk − Σ_k
+    a_k·b_k) / (n² − Σ_k a_k·b_k) — numerator and denominator are
+    exact DECIMAL(38,0) (a_k/b_k = marginal counts), certified as
+    exact decimal strings; κ itself is one correctly-rounded divide.
+
+    SCALE: one (a, b) contingency aggregate collapses the corpus;
+    marginals derive from it; everything after is grid-sized.
+    """
+    from aws_datalake_spark.operators.dedup_cluster import _truncate
+
+    cell = _truncate(
+        df.groupBy(
+            F.col(rater_a_col).alias("__a"), F.col(rater_b_col).alias("__b")
+        ).agg(F.count(F.lit(1)).alias("__nab"))
+    )
+    diag = cell.where(F.col("__a") == F.col("__b")).agg(
+        F.coalesce(F.sum("__nab"), F.lit(0)).alias("__agree")
+    )
+    ma = cell.groupBy("__a").agg(F.sum("__nab").alias("__ka"))
+    mb = cell.groupBy("__b").agg(F.sum("__nab").alias("__kb"))
+    pe = (
+        ma.join(mb, ma.__a == mb.__b)
+        .agg(
+            F.coalesce(
+                F.sum(_dec(F.col("__ka")) * _dec(F.col("__kb"))), F.lit(0)
+            ).alias("__pe_num")
+        )
+    )
+    tot = cell.agg(F.sum("__nab").alias("__n"))
+    j = tot.crossJoin(F.broadcast(diag)).crossJoin(F.broadcast(pe))
+    n = _dec(F.col("__n"))
+    num = n * _dec(F.col("__agree")) - F.col("__pe_num")
+    den = n * n - F.col("__pe_num")
+    return j.select(
+        F.col("__n").cast("long").alias("n"),
+        F.col("__agree").cast("long").alias("n_agree"),
+        F.col("__pe_num").cast("string").alias("pe_num_s"),
+        F.when(
+            den.cast("double") > 0.0,
+            num.cast("double") / den.cast("double"),
+        ).alias("kappa"),
+    )
+
+
+def bootstrap_mean_ci(
+    series: DataFrame,
+    order_col: str,
+    value_int: Column,
+    b_reps: int = 100,
+    lo_permille: int = 25,
+    hi_permille: int = 975,
+    seed: str = "boot",
+    mean_scale: int = 10**6,
+) -> DataFrame:
+    """Deterministic bootstrap confidence interval for the mean of a
+    BOUNDED series: ``(b_reps, n, mean_scaled, ci_lo_scaled,
+    ci_hi_scaled)`` (scaled by ``mean_scale``) — the
+    distribution-free CI (no normality assumption, unlike the t
+    interval). Resampling is a PURE FUNCTION of (seed, replicate,
+    draw): draw i of replicate b takes the row at
+    hash60(seed‖b‖i) mod n — no RNG state, so retries are idempotent
+    and a SQL twin computes the identical resamples.
+
+    EXACTNESS: each replicate mean is the exact integer
+    (Σx·scale) div n; the CI bounds are exact ORDER STATISTICS of the
+    B means (ascending, positions ⌈B·lo/1000⌉ and ⌈B·hi/1000⌉) — no
+    float anywhere.
+
+    SCALE: the caller pre-aggregates the corpus to the series (days,
+    months — bounded); the resample grid is B×|series| rows of two
+    ints, one hash join back to values, one map-combinable per-
+    replicate aggregate. B means reach the final order-statistic
+    window; nothing corpus-sized moves.
+    """
+    from pyspark.sql import Window
+
+    from aws_datalake_spark.operators.dedup_cluster import _truncate
+    from aws_datalake_spark.operators.text import hash60
+
+    per = _truncate(
+        series.select(
+            F.col(order_col).alias("__t"),
+            value_int.cast("long").alias("__x"),
+        ).withColumn("__rn", F.row_number().over(Window.orderBy("__t")))
+    )
+    nrow = per.agg(F.count(F.lit(1)).alias("__n"))
+    reps = series.sparkSession.range(1, b_reps + 1).select(
+        F.col("id").alias("__b")
+    )
+    grid = (
+        reps.crossJoin(per.select(F.col("__rn").alias("__i")))
+        .crossJoin(F.broadcast(nrow))
+        .select(
+            "__b",
+            (
+                hash60(
+                    F.concat_ws("_", F.col("__b"), F.col("__i")), seed
+                )
+                % F.col("__n")
+                + F.lit(1)
+            ).alias("__idx"),
+        )
+    )
+    means = (
+        grid.join(per.select("__rn", "__x"), grid.__idx == per.__rn)
+        .groupBy("__b")
+        .agg(
+            F.expr(
+                f"SUM(CAST(__x AS DECIMAL(38,0))) * {mean_scale}"
+                f" div COUNT(*)"
+            ).alias("__m")
+        )
+    )
+    w = Window.orderBy("__m")
+    k_lo = (b_reps * lo_permille + 999) // 1000
+    k_hi = (b_reps * hi_permille + 999) // 1000
+    ranked = means.select(
+        "__m", F.row_number().over(w).alias("__k")
+    )
+    lo = ranked.where(F.col("__k") == k_lo).select(
+        F.col("__m").alias("ci_lo_scaled")
+    )
+    hi = ranked.where(F.col("__k") == k_hi).select(
+        F.col("__m").alias("ci_hi_scaled")
+    )
+    point = per.agg(
+        F.expr(
+            f"SUM(CAST(__x AS DECIMAL(38,0))) * {mean_scale}"
+            f" div COUNT(*)"
+        ).alias("mean_scaled")
+    )
+    return (
+        nrow.crossJoin(F.broadcast(point))
+        .crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            F.lit(b_reps).cast("long").alias("b_reps"),
+            F.col("__n").cast("long").alias("n"),
+            "mean_scaled",
+            "ci_lo_scaled",
+            "ci_hi_scaled",
+        )
+    )

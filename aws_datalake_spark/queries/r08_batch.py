@@ -1077,3 +1077,341 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_users").cast("double")
         ).alias("ltv_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# McNemar paired test: did customers' urgent-order behavior change
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_mcnemar_change",
+    oracle="""
+    WITH flags AS (
+      SELECT c.c_custkey,
+             MAX(CASE WHEN o.o_orderdate >= TIMESTAMP '1996-01-01'
+                       AND o.o_orderdate < TIMESTAMP '1997-01-01'
+                      THEN 1 ELSE 0 END) AS before_f,
+             MAX(CASE WHEN o.o_orderdate >= TIMESTAMP '1997-01-01'
+                       AND o.o_orderdate < TIMESTAMP '1998-01-01'
+                      THEN 1 ELSE 0 END) AS after_f
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN before_f = 1 AND after_f = 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+             CAST(SUM(CASE WHEN before_f = 0 AND after_f = 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_neither,
+             CAST(SUM(CASE WHEN before_f = 1 AND after_f = 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_flip_10,
+             CAST(SUM(CASE WHEN before_f = 0 AND after_f = 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_flip_01
+      FROM flags
+    )
+    SELECT n, n_both, n_neither, n_flip_10, n_flip_01,
+           CASE WHEN n_flip_10 + n_flip_01 > 0
+                THEN CAST(CAST(n_flip_10 - n_flip_01 AS HUGEINT)
+                          * (n_flip_10 - n_flip_01) AS DOUBLE)
+                     / CAST(n_flip_10 + n_flip_01 AS DOUBLE)
+           END AS chi2
+    FROM agg
+    """,
+)
+def q_mcnemar_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test on customer activity across two years
+    (operators/stats.py:mcnemar_test): each customer is its own
+    control — did the POPULATION's ordering behavior change 1996→1997,
+    driven only by the discordant flip counts (the two-proportion
+    z-test would be wrong here: the samples are the same people).
+    One conditional aggregate per side; exact counts certify."""
+    from aws_datalake_spark.operators.stats import mcnemar_test
+
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    y = lambda a, b: (  # noqa: E731
+        (F.col("o_orderdate") >= F.lit(a).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(b).cast("timestamp"))
+    ).cast("int")
+    flags = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(
+            F.coalesce(
+                F.max(y("1996-01-01", "1997-01-01")), F.lit(0)
+            ).alias("before_f"),
+            F.coalesce(
+                F.max(y("1997-01-01", "1998-01-01")), F.lit(0)
+            ).alias("after_f"),
+        )
+    )
+    return mcnemar_test(flags, "before_f", "after_f")
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa: heuristic labeler agreement
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_cohens_kappa",
+    oracle=f"""
+    WITH rated AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS ra,
+             CASE WHEN len(list_filter(string_split(text, ' '),
+                    w -> w IN {_PR_STOPS})) >= 2 THEN 1 ELSE 0 END AS rb
+      FROM documents
+    ),
+    cell AS (SELECT ra, rb, CAST(COUNT(*) AS BIGINT) AS nab
+             FROM rated GROUP BY 1, 2),
+    diag AS (SELECT COALESCE(SUM(nab), 0) AS agree FROM cell
+             WHERE ra = rb),
+    ma AS (SELECT ra, SUM(nab) AS ka FROM cell GROUP BY 1),
+    mb AS (SELECT rb, SUM(nab) AS kb FROM cell GROUP BY 1),
+    pe AS (SELECT COALESCE(SUM(CAST(ka AS HUGEINT) * kb), 0) AS pe_num
+           FROM ma JOIN mb ON ma.ra = mb.rb),
+    tot AS (SELECT SUM(nab) AS n FROM cell)
+    SELECT CAST(tot.n AS BIGINT) AS n,
+           CAST(diag.agree AS BIGINT) AS n_agree,
+           CAST(pe.pe_num AS VARCHAR) AS pe_num_s,
+           CASE WHEN CAST(CAST(tot.n AS HUGEINT) * tot.n - pe.pe_num
+                          AS DOUBLE) > 0.0
+                THEN CAST(CAST(tot.n AS HUGEINT) * diag.agree
+                          - pe.pe_num AS DOUBLE)
+                     / CAST(CAST(tot.n AS HUGEINT) * tot.n - pe.pe_num
+                            AS DOUBLE)
+           END AS kappa
+    FROM tot, diag, pe
+    """,
+)
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's κ between two heuristic English labelers
+    (operators/stats.py:cohens_kappa): the lang tag vs a stopword-
+    count rule — chance-corrected agreement, the metric for "is my
+    cheap labeler actually consistent with the reference" (raw %
+    agreement rewards majority-class guessing). Exact common-
+    denominator form; pe certified as an exact decimal string."""
+    from aws_datalake_spark.operators.stats import cohens_kappa
+
+    docs = t(spark, sf_dir, "documents")
+    rated = docs.select(
+        (F.col("lang") == "en").cast("int").alias("ra"),
+        (
+            F.expr(
+                f"size(filter(split(text, ' '), w -> w IN {_PR_STOPS}))"
+            )
+            >= 2
+        )
+        .cast("int")
+        .alias("rb"),
+    )
+    return cohens_kappa(rated, "ra", "rb")
+
+
+# ---------------------------------------------------------------------------
+# deterministic bootstrap CI for the daily-revenue mean
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 100
+
+
+@query(
+    "q_bootstrap_ci",
+    oracle=f"""
+    WITH s AS (
+      SELECT o_orderdate AS d,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS x
+      FROM orders GROUP BY 1
+    ),
+    p AS (SELECT ROW_NUMBER() OVER (ORDER BY d) AS rn, x FROM s),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM p),
+    grid AS (
+      SELECT b.range AS b,
+             ('0x' || substr(md5('boot' || CAST(b.range AS VARCHAR)
+                || '_' || CAST(p.rn AS VARCHAR)), 1, 15))::BIGINT
+               % nn.n + 1 AS idx
+      FROM range(1, {_BOOT_B + 1}) b, p, nn
+    ),
+    means AS (
+      SELECT g.b,
+             SUM(CAST(p.x AS HUGEINT)) * 1000000 // COUNT(*) AS m
+      FROM grid g JOIN p ON p.rn = g.idx GROUP BY 1
+    ),
+    ranked AS (SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS k FROM means),
+    pt AS (SELECT SUM(CAST(x AS HUGEINT)) * 1000000 // COUNT(*)
+                    AS mean_scaled FROM p)
+    SELECT CAST({_BOOT_B} AS BIGINT) AS b_reps, nn.n,
+           CAST(pt.mean_scaled AS BIGINT) AS mean_scaled,
+           CAST((SELECT m FROM ranked WHERE k = {(_BOOT_B * 25 + 999) // 1000})
+             AS BIGINT) AS ci_lo_scaled,
+           CAST((SELECT m FROM ranked WHERE k = {(_BOOT_B * 975 + 999) // 1000})
+             AS BIGINT) AS ci_hi_scaled
+    FROM nn, pt
+    """,
+)
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic bootstrap 95% CI for the mean daily revenue
+    (operators/stats.py:bootstrap_mean_ci): 100 hash-indexed
+    resamples of the bounded daily series — draw i of replicate b is
+    a pure function of (seed, b, i), so the distribution-free CI is
+    reproducible, retry-safe, and SQL-twinnable. Replicate means and
+    the CI order statistics are exact integers; no RNG, no float."""
+    from aws_datalake_spark.operators.stats import bootstrap_mean_ci
+
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        ).alias("x")
+    )
+    return bootstrap_mean_ci(daily, "d", F.col("x"), b_reps=_BOOT_B)
+
+
+# ---------------------------------------------------------------------------
+# k-fold cross-validation split report
+# ---------------------------------------------------------------------------
+
+_CV_K = 5
+
+
+@query(
+    "llm_crossval_split",
+    oracle=f"""
+    SELECT ('0x' || substr(md5('cv' || CAST(doc_id AS VARCHAR)), 1, 15))
+             ::BIGINT % {_CV_K} AS fold,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_en,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(CAST(n_chars AS HUGEINT)) * 1000000 // COUNT(*)
+                AS BIGINT) AS mean_chars_scaled
+    FROM documents GROUP BY 1
+    """,
+)
+def llm_crossval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment + per-fold
+    balance report: fold = hash60('cv'‖doc_id) mod 5 — a pure
+    function of the id (idempotent retries, identical across
+    engines/runs, the train_test_split discipline extended to k
+    folds), with the class-balance and length stats that tell you
+    whether the folds are exchangeable. One map-combinable
+    aggregate."""
+    from aws_datalake_spark.operators.text import hash60
+
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(
+            (hash60(F.col("doc_id").cast("string"), "cv") % _CV_K).alias(
+                "fold"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("lang") == "en").cast("long")).alias("n_en"),
+            F.sum("n_chars").alias("total_chars"),
+            F.expr(
+                "SUM(CAST(n_chars AS DECIMAL(38,0))) * 1000000"
+                " div COUNT(*)"
+            ).alias("mean_chars_scaled"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shapley-value marketing attribution
+# ---------------------------------------------------------------------------
+
+_SHAP_CHANNELS = ["click", "error", "signup", "view"]
+
+
+def _shapley_oracle() -> str:
+    from aws_datalake_spark.operators.attribution import coalition_table
+
+    rows = ", ".join(
+        f"('{ch}', {m0}, {m1}, {wn}, {wd})"
+        for ch, m0, m1, wn, wd in coalition_table(_SHAP_CHANNELS)
+    )
+    bits = " ".join(
+        f"WHEN '{ch}' THEN {1 << i}"
+        for i, ch in enumerate(_SHAP_CHANNELS)
+    )
+    return f"""
+    WITH conv AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS c
+      FROM events GROUP BY 1
+    ),
+    expo AS (
+      SELECT DISTINCT user_id, event_type FROM events
+      WHERE event_type <> 'purchase'
+    ),
+    pu AS (
+      SELECT e.user_id,
+             BIT_OR(CASE e.event_type {bits} ELSE 0 END) AS mask,
+             MAX(conv.c) AS c
+      FROM expo e JOIN conv ON e.user_id = conv.user_id
+      GROUP BY 1
+    ),
+    v AS (
+      SELECT mask, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(c) AS BIGINT) AS nc
+      FROM pu GROUP BY 1
+    ),
+    coal AS (SELECT * FROM (VALUES {rows})
+             AS t(channel, m0, m1, wn, wd)),
+    terms AS (
+      SELECT coal.channel, coal.m0,
+             (CAST(coal.wn AS DOUBLE) / CAST(coal.wd AS DOUBLE))
+             * (COALESCE(CAST(v1.nc AS DOUBLE) / CAST(v1.n AS DOUBLE),
+                         0.0)
+                - COALESCE(CAST(v0.nc AS DOUBLE) / CAST(v0.n AS DOUBLE),
+                           0.0)) AS term
+      FROM coal
+      LEFT JOIN v v0 ON v0.mask = coal.m0
+      LEFT JOIN v v1 ON v1.mask = coal.m1
+    ),
+    folded AS (
+      SELECT channel,
+             SUM(term) OVER (PARTITION BY channel ORDER BY m0
+                             ROWS UNBOUNDED PRECEDING) AS phi,
+             ROW_NUMBER() OVER (PARTITION BY channel ORDER BY m0) AS rn,
+             COUNT(*) OVER (PARTITION BY channel) AS k
+      FROM terms
+    )
+    SELECT channel, phi FROM folded WHERE rn = k
+    """
+
+
+@query("q_shapley_attribution", oracle=_shapley_oracle())
+def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapley-value attribution of purchase conversion across the
+    four touch channels (operators/attribution.py): each channel's
+    average marginal lift over all coalitions of the other channels —
+    the fair-division upgrade over first/last-touch
+    (q_attribution_first_last). The corpus collapses to ≤ 2^4
+    exposure-set rows; the coalition enumeration is a literal table
+    with exact rational Shapley weights; unobserved subsets
+    contribute v = 0 (the standard empirical convention); φ folds in
+    pinned subset order so the IEEE sum hash-matches. Users with no
+    non-purchase touches are out of scope (no channel to credit)."""
+    from aws_datalake_spark.operators.attribution import (
+        shapley_attribution,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    conv = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias(
+            "converted"
+        )
+    )
+    expo = (
+        ev.where(F.col("event_type") != "purchase")
+        .select("user_id", "event_type")
+        .distinct()
+        .join(conv, "user_id")
+    )
+    return shapley_attribution(
+        expo, "user_id", "event_type", "converted", _SHAP_CHANNELS
+    )

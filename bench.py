@@ -239,6 +239,11 @@ HEADLINE = [
     "q_ab_test_proportions",
     "q_lorenz_curve",
     "q_cohort_ltv",
+    "q_mcnemar_change",
+    "q_cohens_kappa",
+    "q_bootstrap_ci",
+    "llm_crossval_split",
+    "q_shapley_attribution",
 ]
 
 

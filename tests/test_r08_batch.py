@@ -420,3 +420,118 @@ def test_lorenz_concentrated_tail(spark):
     for p in range(1, 10):
         assert out[p].n_cum == 90 and out[p].share == 0.0
     assert out[10].n_cum == 100 and out[10].share == 1.0
+
+
+# --- batch 4: McNemar, kappa, bootstrap -----------------------------------
+
+
+def test_mcnemar_reference(spark):
+    from aws_datalake_spark.operators.stats import mcnemar_test
+
+    rows = ([(1, 1)] * 20 + [(0, 0)] * 30 + [(1, 0)] * 12 + [(0, 1)] * 4)
+    df = spark.createDataFrame(rows, "before_f int, after_f int")
+    r = mcnemar_test(df, "before_f", "after_f").collect()[0]
+    assert (r.n, r.n_both, r.n_neither, r.n_flip_10, r.n_flip_01) == (
+        66, 20, 30, 12, 4)
+    assert r.chi2 == pytest.approx((12 - 4) ** 2 / 16, abs=1e-12)
+
+
+def test_mcnemar_no_discordant_is_null(spark):
+    from aws_datalake_spark.operators.stats import mcnemar_test
+
+    df = spark.createDataFrame([(1, 1), (0, 0)], "before_f int, after_f int")
+    assert mcnemar_test(df, "before_f", "after_f").collect()[0].chi2 is None
+
+
+def test_cohens_kappa_reference(spark):
+    """Textbook 2x2: a=20 agree-yes, d=15 agree-no, b=5, c=10 —
+    kappa = (po-pe)/(1-pe)."""
+    from aws_datalake_spark.operators.stats import cohens_kappa
+
+    rows = ([(1, 1)] * 20 + [(0, 0)] * 15 + [(1, 0)] * 5 + [(0, 1)] * 10)
+    df = spark.createDataFrame(rows, "ra int, rb int")
+    r = cohens_kappa(df, "ra", "rb").collect()[0]
+    n = 50
+    po = 35 / n
+    pe = (25 / n) * (30 / n) + (25 / n) * (20 / n)
+    assert r.n == 50 and r.n_agree == 35
+    assert int(r.pe_num_s) == 25 * 30 + 25 * 20
+    assert r.kappa == pytest.approx((po - pe) / (1 - pe), abs=1e-12)
+
+
+def test_cohens_kappa_perfect_agreement(spark):
+    from aws_datalake_spark.operators.stats import cohens_kappa
+
+    df = spark.createDataFrame([(i % 3, i % 3) for i in range(30)],
+                               "ra int, rb int")
+    assert cohens_kappa(df, "ra", "rb").collect()[0].kappa == 1.0
+
+
+def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
+    from aws_datalake_spark.operators.stats import bootstrap_mean_ci
+
+    df = spark.createDataFrame(
+        [(i, 1000 + (i * 37) % 200) for i in range(80)], "t long, x long"
+    )
+    a = bootstrap_mean_ci(df, "t", F.col("x"), b_reps=50).collect()[0]
+    b = bootstrap_mean_ci(df, "t", F.col("x"), b_reps=50).collect()[0]
+    assert a == b  # pure function of (seed, b, i)
+    assert a.ci_lo_scaled <= a.mean_scaled <= a.ci_hi_scaled
+    assert a.n == 80 and a.b_reps == 50
+    # CI is tight around the true mean for this low-variance series
+    assert (a.ci_hi_scaled - a.ci_lo_scaled) / 1e6 < 60
+
+
+# --- batch 5: Shapley attribution ------------------------------------------
+
+
+def test_shapley_hand_case_and_efficiency(spark):
+    """2 channels: v(A)=.6, v(B)=.2, v(AB)=.8 -> phi_A=.6, phi_B=.2;
+    efficiency: phi sums to v(grand coalition)."""
+    from aws_datalake_spark.operators.attribution import (
+        shapley_attribution,
+    )
+
+    rows = []
+    uid = 0
+    for chans, n, conv in ((["A"], 10, 6), (["B"], 10, 2),
+                           (["A", "B"], 10, 8)):
+        for i in range(n):
+            for ch in chans:
+                rows.append((uid, ch, 1 if i < conv else 0))
+            uid += 1
+    df = spark.createDataFrame(rows, "u long, ch string, conv int")
+    out = {r.channel: r.phi for r in
+           shapley_attribution(df, "u", "ch", "conv", ["A", "B"]).collect()}
+    assert out["A"] == pytest.approx(0.6, abs=1e-12)
+    assert out["B"] == pytest.approx(0.2, abs=1e-12)
+    assert out["A"] + out["B"] == pytest.approx(0.8, abs=1e-12)
+
+
+def test_shapley_symmetric_channels_equal_credit(spark):
+    from aws_datalake_spark.operators.attribution import (
+        shapley_attribution,
+    )
+
+    rows = []
+    for u in range(20):
+        rows.append((u, "A", 1 if u < 10 else 0))
+        rows.append((u, "B", 1 if u < 10 else 0))
+    df = spark.createDataFrame(rows, "u long, ch string, conv int")
+    out = {r.channel: r.phi for r in
+           shapley_attribution(df, "u", "ch", "conv", ["A", "B"]).collect()}
+    assert out["A"] == pytest.approx(out["B"], abs=1e-12)
+
+
+def test_coalition_table_weights_sum_to_one(spark):
+    """For each channel the Shapley weights over subsets sum to 1."""
+    from collections import defaultdict
+
+    from aws_datalake_spark.operators.attribution import coalition_table
+
+    sums = defaultdict(lambda: (0, 1))
+    for ch, _, _, wn, wd in coalition_table(["a", "b", "c", "d"]):
+        n, d = sums[ch]
+        sums[ch] = (n * wd + wn * d, d * wd)
+    for ch, (n, d) in sums.items():
+        assert n == d, ch
