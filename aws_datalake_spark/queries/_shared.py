@@ -22,6 +22,17 @@ Scale must cover the expression's true decimal digits: money columns
 carry 2, so a three-factor product like price*(1-disc)*(1+tax)
 carries 6 — rounding at a smaller scale lands on half-boundaries
 where engines' rounding of intermediate decimals could diverge.
+
+ROUND-ON-OUTPUT caveat (r08, found on q_ewma_smoothing): rounding an
+ARBITRARY double quotient to 6 dp is itself engine-divergent when
+x·10^6 lands within an ulp of a .5 boundary — Spark rounds via
+BigDecimal on the double's exact binary expansion, DuckDB via a
+float multiply-and-nearbyint, and one boundary hit in ~2400 rows
+flipped the 6th decimal. The safe forms are (a) values that are
+already k-dp-representable (the dsum family: scaled-int inputs make
+the pre-round value exact) and (b) NO rounding at all — a divide of
+exactly-reproducible operands is one correctly-rounded IEEE op and
+hash-matches unrounded. For new quotient outputs prefer (b).
 """
 
 from __future__ import annotations

@@ -849,3 +849,55 @@ def test_assortativity_single_moment_aggregate(spark):
     # final moments reduce in one partial+final aggregate pair over
     # the joined ends frame
     assert "HashAggregate" in plan
+
+
+def test_kaplan_meier_windows_bounded(spark):
+    from aws_datalake_spark.queries.r08_batch import q_kaplan_meier
+
+    plan = _plan(q_kaplan_meier(spark, SF_SMOKE))
+    # sessionization windows are user-partitioned; the survival fold
+    # runs AFTER the duration-domain aggregate (HashAggregate below
+    # the unpartitioned domain window), so no corpus-wide single
+    # partition carries raw events
+    assert "CartesianProduct" not in plan
+    user_windows = [
+        l for l in plan.splitlines()
+        if "windowspecdefinition(user_id" in l
+    ]
+    assert user_windows, "sessionization must partition by user"
+
+
+def test_bootstrap_grid_carries_two_ints(spark):
+    from aws_datalake_spark.queries.r08_batch import q_bootstrap_ci
+
+    plan = _plan(q_bootstrap_ci(spark, SF_SMOKE))
+    # the replicate grid joins back to the series on the hash index —
+    # an equi hash join, never a nested loop over the grid
+    assert "CartesianProduct" not in plan
+    # orders parquet is scanned for the series build only
+    assert plan.count("FileScan parquet") <= 2
+
+
+def test_shapley_collapses_before_coalitions(spark):
+    from aws_datalake_spark.queries.r08_batch import q_shapley_attribution
+
+    plan = _plan(q_shapley_attribution(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    # the coalition join sides are the mask aggregate (bounded) and
+    # the literal local table — both broadcastable
+    assert "BroadcastHashJoin" in plan
+
+
+def test_lorenz_and_ltv_windows_are_domain_sized(spark):
+    from aws_datalake_spark.queries.r08_batch import (
+        q_cohort_ltv,
+        q_lorenz_curve,
+    )
+
+    lp = _plan(q_lorenz_curve(spark, SF_SMOKE))
+    # cumulations consume the (value -> count) aggregate
+    assert "HashAggregate" in lp
+    cp = _plan(q_cohort_ltv(spark, SF_SMOKE))
+    for line in cp.splitlines():
+        if "windowspecdefinition" in line:
+            assert "cohort" in line, line  # partitioned by cohort
