@@ -33,6 +33,18 @@ already k-dp-representable (the dsum family: scaled-int inputs make
 the pre-round value exact) and (b) NO rounding at all — a divide of
 exactly-reproducible operands is one correctly-rounded IEEE op and
 hash-matches unrounded. For new quotient outputs prefer (b).
+
+PINNED-ORDER FLOAT FOLD caveat (r08, found on q_laspeyres_index): a
+cumulative window SUM over doubles is only sequentially-associated up
+to DuckDB's vector size — partitions past ~2048 rows get chunk-tree
+association and diverge from Spark's streaming frame (measured 3e-15
+at ~2000 terms). The windowed fold (kruskal/cramers/shapley class)
+is safe for SMALL folds (<= a few hundred terms); for domain-sized
+folds use the ORDERED-LIST reduce instead — Spark
+``aggregate(transform(array_sort(collect_list(struct(key, term))),
+s -> s.term), 0d, (a, x) -> a + x)`` mirrors DuckDB
+``list_reduce(list(term ORDER BY key), (p, q) -> p + q)`` as a true
+left fold at any size (the Kaplan-Meier / Laspeyres device).
 """
 
 from __future__ import annotations

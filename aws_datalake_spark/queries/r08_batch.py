@@ -1415,3 +1415,252 @@ def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shapley_attribution(
         expo, "user_id", "event_type", "converted", _SHAP_CHANNELS
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_rfm_segments",
+    oracle="""
+    WITH g AS (SELECT MAX(o_orderdate) AS gmax FROM orders),
+    rfm AS (
+      SELECT o.o_custkey,
+             date_diff('day', CAST(MAX(o.o_orderdate) AS DATE),
+                       CAST(MIN(g.gmax) AS DATE)) AS r,
+             CAST(COUNT(*) AS BIGINT) AS f,
+             SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS m
+      FROM orders o, g GROUP BY 1
+    ),
+    coded AS (
+      SELECT ((ROW_NUMBER() OVER (ORDER BY r, o_custkey) - 1) * 4)
+               // (COUNT(*) OVER ()) + 1 AS r_code,
+             ((ROW_NUMBER() OVER (ORDER BY f, o_custkey) - 1) * 4)
+               // (COUNT(*) OVER ()) + 1 AS f_code,
+             ((ROW_NUMBER() OVER (ORDER BY m, o_custkey) - 1) * 4)
+               // (COUNT(*) OVER ()) + 1 AS m_code,
+             m
+      FROM rfm
+    )
+    SELECT CAST(r_code AS BIGINT) AS r_code,
+           CAST(f_code AS BIGINT) AS f_code,
+           CAST(m_code AS BIGINT) AS m_code,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(m AS HUGEINT)) * 1000000 // COUNT(*) AS BIGINT)
+             AS avg_m_scaled
+    FROM coded GROUP BY 1, 2, 3
+    """,
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation of ordering customers: recency (days since
+    last order vs the lake's latest), frequency (order count),
+    monetary (total cents), each quartile-coded with the exact
+    integer formula ((rn−1)·4) div n + 1 (the q_decile_lift device —
+    no engine-defined ntile tie behavior; ties broken by custkey in
+    both engines), then segment sizes and exact average spend per
+    (R,F,M) cell — the classic marketing segmentation grid (codes
+    are rank-ascending: R1 = most recent is at rank... lowest days;
+    F4/M4 = heaviest). Windows run over the customer-level aggregate
+    (the bounded dimension), never order rows."""
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    gmax = o.agg(F.max("o_orderdate").alias("__gmax"))
+    rfm = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("__last"),
+            F.count(F.lit(1)).alias("f"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ).alias("m"),
+        )
+        .crossJoin(F.broadcast(gmax))
+        .select(
+            "o_custkey",
+            F.datediff(F.to_date("__gmax"), F.to_date("__last")).alias(
+                "r"
+            ),
+            "f",
+            "m",
+        )
+    )
+
+    def code(col: str) -> F.Column:
+        w = Window.orderBy(col, "o_custkey")
+        n = Window.partitionBy()
+        return (
+            F.expr(
+                f"((row_number() OVER (ORDER BY {col}, o_custkey) - 1)"
+                f" * 4) div (count(*) OVER ()) + 1"
+            )
+        ).alias(f"{col}_code")
+
+    coded = rfm.select(
+        code("r"), code("f"), code("m"), F.col("m").alias("__m")
+    )
+    return coded.groupBy("r_code", "f_code", "m_code").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.expr(
+            "CAST(SUM(CAST(__m AS DECIMAL(38,0))) * 1000000"
+            " div COUNT(*) AS BIGINT)"
+        ).alias("avg_m_scaled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Laspeyres price index by year
+# ---------------------------------------------------------------------------
+
+_PI_BASE = 1996
+
+
+@query(
+    "q_laspeyres_index",
+    oracle=f"""
+    WITH py AS (
+      SELECT l_partkey,
+             CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS y,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS c,
+             SUM(CAST(l_quantity AS BIGINT)) AS q
+      FROM lineitem GROUP BY 1, 2
+    ),
+    base AS (SELECT l_partkey, c AS c0, q AS q0 FROM py
+             WHERE y = {_PI_BASE}),
+    j AS (
+      SELECT py.y, py.l_partkey,
+             CAST(CAST(py.c AS HUGEINT) * base.q0 AS DOUBLE)
+               / CAST(py.q AS DOUBLE) AS num_term,
+             base.c0
+      FROM py JOIN base ON py.l_partkey = base.l_partkey
+    ),
+    folded AS (
+      SELECT y, CAST(COUNT(*) AS BIGINT) AS k,
+             list_reduce(list(num_term ORDER BY l_partkey),
+                         (p, q) -> p + q) AS num,
+             SUM(CAST(c0 AS HUGEINT)) AS den
+      FROM j GROUP BY y
+    )
+    SELECT y AS year, k AS n_parts,
+           num / CAST(den AS DOUBLE) AS laspeyres
+    FROM folded
+    """,
+)
+def q_laspeyres_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres price index per ship year vs the 1996 base basket:
+    L_t = Σ_p p_t(p)·q₀(p) / Σ_p p₀(p)·q₀(p) over parts traded in
+    both years — "how much would the 1996 basket cost at year-t
+    prices" (the CPI construction). Per-part unit prices are exact
+    rationals (cents/quantity); each numerator term is one
+    correctly-rounded divide of an exact DECIMAL product, folded in
+    PINNED partkey order; the denominator telescopes to the exact
+    integer Σc₀. The corpus collapses in one (part, year) aggregate;
+    everything after is part-domain-sized."""
+    from pyspark.sql import Window
+
+    from aws_datalake_spark.operators.dedup_cluster import _truncate
+
+    li = t(spark, sf_dir, "lineitem")
+    py = _truncate(
+        li.groupBy(
+            "l_partkey",
+            F.year("l_shipdate").cast("long").alias("y"),
+        ).agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+            ).alias("c"),
+            F.sum(F.col("l_quantity").cast("long")).alias("q"),
+        )
+    )
+    base = py.where(F.col("y") == _PI_BASE).select(
+        "l_partkey", F.col("c").alias("c0"), F.col("q").alias("q0")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    j = py.join(base, "l_partkey").select(
+        "y",
+        "l_partkey",
+        (
+            (dec(F.col("c")) * dec(F.col("q0"))).cast("double")
+            / F.col("q").cast("double")
+        ).alias("num_term"),
+        "c0",
+    )
+    # the numerator folds via ORDERED-LIST reduce, not a window SUM:
+    # cumulative float window sums proved association-order-divergent
+    # at this list size (3e-15 at sf0.01 — DuckDB's windowed
+    # aggregation does not guarantee the left fold the list form does)
+    folded = j.groupBy("y").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("l_partkey", "num_term"))
+                ),
+                lambda st: st.num_term,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("num"),
+        F.sum(dec(F.col("c0"))).alias("den"),
+    )
+    return folded.select(
+        F.col("y").alias("year"),
+        F.col("k").cast("long").alias("n_parts"),
+        (F.col("num") / F.col("den").cast("double")).alias("laspeyres"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# new vs returning users by month
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "st_new_vs_returning",
+    oracle="""
+    WITH fm AS (
+      SELECT user_id,
+             MIN(CAST(EXTRACT(year FROM ts) * 12
+                      + EXTRACT(month FROM ts) AS BIGINT)) AS first_m
+      FROM events GROUP BY 1
+    ),
+    act AS (
+      SELECT DISTINCT user_id,
+             CAST(EXTRACT(year FROM ts) * 12
+                  + EXTRACT(month FROM ts) AS BIGINT) AS m
+      FROM events
+    )
+    SELECT act.m AS month_idx,
+           CAST(COUNT(*) AS BIGINT) AS active_users,
+           CAST(SUM(CASE WHEN act.m = fm.first_m THEN 1 ELSE 0 END)
+                AS BIGINT) AS new_users,
+           CAST(SUM(CASE WHEN act.m > fm.first_m THEN 1 ELSE 0 END)
+                AS BIGINT) AS returning_users
+    FROM act JOIN fm ON act.user_id = fm.user_id
+    GROUP BY 1
+    """,
+)
+def st_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly new-vs-returning user split: a user is NEW in their
+    first-seen month and RETURNING in every later active month — the
+    growth-accounting readout beside q_cohort_retention's triangle.
+    One per-user min, one distinct activity set, exact counts."""
+    ev = t(spark, sf_dir, "events")
+    midx = (F.year("ts") * 12 + F.month("ts")).cast("long")
+    fm = ev.groupBy("user_id").agg(F.min(midx).alias("first_m"))
+    act = ev.select("user_id", midx.alias("m")).distinct()
+    return (
+        act.join(fm, "user_id")
+        .groupBy(F.col("m").alias("month_idx"))
+        .agg(
+            F.count(F.lit(1)).alias("active_users"),
+            F.sum(
+                (F.col("m") == F.col("first_m")).cast("long")
+            ).alias("new_users"),
+            F.sum(
+                (F.col("m") > F.col("first_m")).cast("long")
+            ).alias("returning_users"),
+        )
+    )

@@ -244,6 +244,9 @@ HEADLINE = [
     "q_bootstrap_ci",
     "llm_crossval_split",
     "q_shapley_attribution",
+    "q_rfm_segments",
+    "q_laspeyres_index",
+    "st_new_vs_returning",
 ]
 
 

@@ -535,3 +535,51 @@ def test_coalition_table_weights_sum_to_one(spark):
         sums[ch] = (n * wd + wn * d, d * wd)
     for ch, (n, d) in sums.items():
         assert n == d, ch
+
+
+# --- batch 6: RFM, Laspeyres, new-vs-returning ------------------------------
+
+
+def test_rfm_codes_partition_customers(spark, sf_dir):
+    from aws_datalake_spark.queries import all_queries
+
+    out = all_queries()["q_rfm_segments"](spark, sf_dir).collect()
+    total = sum(r.n_customers for r in out)
+    # every ordering customer lands in exactly one cell; codes in 1-4
+    for r in out:
+        assert 1 <= r.r_code <= 4 and 1 <= r.f_code <= 4 \
+            and 1 <= r.m_code <= 4
+        assert r.avg_m_scaled > 0
+    # quartile marginals are near-equal quarters of the total
+    from collections import Counter
+    for dim in ("r_code", "f_code", "m_code"):
+        marg = Counter()
+        for r in out:
+            marg[getattr(r, dim)] += r.n_customers
+        assert set(marg) == {1, 2, 3, 4}
+        assert max(marg.values()) - min(marg.values()) <= 1, (dim, marg)
+    assert total == sum(marg.values())
+
+
+def test_laspeyres_base_year_is_one(spark, sf_dir):
+    from aws_datalake_spark.queries import all_queries
+
+    out = {r.year: r for r in
+           all_queries()["q_laspeyres_index"](spark, sf_dir).collect()}
+    assert out[1996].laspeyres == pytest.approx(1.0, abs=1e-12)
+    for r in out.values():
+        assert r.laspeyres > 0 and r.n_parts > 0
+
+
+def test_new_vs_returning_first_month_all_new(spark, sf_dir):
+    from aws_datalake_spark.queries import all_queries
+
+    out = sorted(
+        all_queries()["st_new_vs_returning"](spark, sf_dir).collect(),
+        key=lambda r: r.month_idx,
+    )
+    first = out[0]
+    assert first.new_users == first.active_users
+    assert first.returning_users == 0
+    for r in out:
+        assert r.new_users + r.returning_users == r.active_users
