@@ -710,13 +710,22 @@ def precision_recall_at_deciles(
         F.round(
             F.col("tp").cast("double") / F.col("k").cast("double"), 6
         ).alias("precision"),
-        F.round(
-            F.col("tp").cast("double") / F.col("__p").cast("double"), 6
+        # NULL recall/F1 when there are no positives at all (ANSI
+        # divide-by-zero guard; k >= 1 always, __p can be 0)
+        F.when(
+            F.col("__p") > 0,
+            F.round(
+                F.col("tp").cast("double") / F.col("__p").cast("double"),
+                6,
+            ),
         ).alias("recall"),
-        F.round(
-            F.lit(2.0) * F.col("tp").cast("double")
-            / (F.col("k") + F.col("__p")).cast("double"),
-            6,
+        F.when(
+            F.col("k") + F.col("__p") > 0,
+            F.round(
+                F.lit(2.0) * F.col("tp").cast("double")
+                / (F.col("k") + F.col("__p")).cast("double"),
+                6,
+            ),
         ).alias("f1"),
     )
 
@@ -786,7 +795,9 @@ def lorenz_curve(
         "point",
         F.col("n_cum").cast("long").alias("n_cum"),
         F.col("__vcum").cast("long").alias("value_cum"),
-        (
-            F.col("__vcum").cast("double") / F.col("__vt").cast("double")
+        # NULL share when the total is zero (ANSI divide-by-zero guard)
+        F.when(
+            F.col("__vt") > 0,
+            F.col("__vcum").cast("double") / F.col("__vt").cast("double"),
         ).alias("share"),
     )

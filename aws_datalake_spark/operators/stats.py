@@ -1665,14 +1665,15 @@ def two_proportion_ztest(
     se = F.sqrt(
         pool * (F.lit(1.0) - pool) * (F.lit(1.0) / na + F.lit(1.0) / nb)
     )
+    both = (F.col("__na") > 0) & (F.col("__nb") > 0)  # ANSI /0 guard
     return agg.select(
         F.col("__na").alias("n_a"),
         F.col("__xa").alias("x_a"),
         F.col("__nb").alias("n_b"),
         F.col("__xb").alias("x_b"),
-        pa.alias("p_a"),
-        pb.alias("p_b"),
-        F.when(se > 0.0, (pa - pb) / se).alias("z"),
+        F.when(F.col("__na") > 0, pa).alias("p_a"),
+        F.when(F.col("__nb") > 0, pb).alias("p_b"),
+        F.when(both & (se > 0.0), (pa - pb) / se).alias("z"),
     )
 
 

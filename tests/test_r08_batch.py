@@ -583,3 +583,168 @@ def test_new_vs_returning_first_month_all_new(spark, sf_dir):
     assert first.returning_users == 0
     for r in out:
         assert r.new_users + r.returning_users == r.active_users
+
+
+# --- degenerate-input sweep over the r08 operator batch ---------------------
+
+
+def test_spearman_zero_variance_is_null(spark):
+    from aws_datalake_spark.operators.stats import spearman_rho
+
+    df = spark.createDataFrame([("g", 5, i) for i in range(6)],
+                               "g string, x long, y long")
+    assert spearman_rho(df, F.col("x"), F.col("y"),
+                        by=["g"]).collect()[0].rho is None
+
+
+def test_kendall_single_observation_group_drops(spark):
+    """A 1-row group has no pairs: it is absent from the output (the
+    inner join against the pair aggregate), not a NULL row — the
+    caller's signal that tau is undefined there."""
+    from aws_datalake_spark.operators.stats import kendall_tau_b
+
+    rows = [("solo", 1, 1)] + [("ok", v, v) for v in range(4)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    out = {r.g: r for r in
+           kendall_tau_b(df, "g", F.col("x"), F.col("y")).collect()}
+    assert set(out) == {"ok"}
+    assert out["ok"].tau_b == pytest.approx(1.0, abs=1e-12)
+
+
+def test_cramers_v_single_category_null_v(spark):
+    from aws_datalake_spark.operators.stats import cramers_v
+
+    df = spark.createDataFrame([("only", b) for b in "xyzxyz"],
+                               "a string, b string")
+    r = cramers_v(df, "a", "b").collect()[0]
+    assert r.n_rows == 1 and r.v is None and r.chi2 == 0.0
+
+
+def test_autocorr_series_shorter_than_lag(spark):
+    from aws_datalake_spark.operators.stats import autocorrelation
+
+    df = spark.createDataFrame([(0, 5), (1, 9)], "t long, x long")
+    out = {r.lag: r.acf
+           for r in autocorrelation(df, "t", F.col("x"), max_lag=3).collect()}
+    assert out[1] is not None  # one lag-1 pair exists
+    assert out[2] is None and out[3] is None  # no pairs -> NULL
+
+
+def test_lorenz_all_zero_values(spark):
+    """Total value 0: shares are NULL (0/0), counts still populate."""
+    from aws_datalake_spark.operators.order_stats import lorenz_curve
+
+    df = spark.createDataFrame([(i, 0) for i in range(20)],
+                               "id long, v long")
+    out = lorenz_curve(df, F.col("v")).collect()
+    assert len(out) == 10
+    for r in out:
+        assert r.n_cum == 20 and r.value_cum == 0
+        assert r.share is None or math.isnan(r.share)
+
+
+def test_bootstrap_empty_series_returns_empty(spark):
+    from aws_datalake_spark.operators.stats import bootstrap_mean_ci
+
+    df = spark.createDataFrame([], "t long, x long")
+    assert bootstrap_mean_ci(df, "t", F.col("x"), b_reps=5).collect() == []
+
+
+def test_ewma_empty_series(spark):
+    from aws_datalake_spark.operators.stats import ewma_truncated
+
+    df = spark.createDataFrame([], "t long, x long")
+    assert ewma_truncated(df, "t", F.col("x")).collect() == []
+
+
+def test_freshness_single_group(spark):
+    from datetime import datetime as dt
+
+    from aws_datalake_spark.operators.dq import freshness_audit
+
+    df = spark.createDataFrame([("s", dt(2024, 1, 1))],
+                               "src string, ts timestamp")
+    r = freshness_audit(df, "ts", "src").collect()[0]
+    assert r.lag_seconds == 0 and r.fresh
+
+
+def test_assortativity_single_edge(spark):
+    """One edge: both endpoints degree 1 -> zero variance -> NULL."""
+    from aws_datalake_spark.operators.graph import degree_assortativity
+
+    df = spark.createDataFrame([(1, 2)], "s long, d long")
+    r = degree_assortativity(df).collect()[0]
+    assert r.m_edges == 1 and r.r is None
+
+
+def test_common_neighbors_empty_graph(spark):
+    from aws_datalake_spark.operators.graph import common_neighbor_candidates
+
+    df = spark.createDataFrame([], "s long, d long")
+    assert common_neighbor_candidates(df).collect() == []
+
+
+def test_pr_curve_all_one_class(spark):
+    """All positives: precision 1 everywhere, recall reaches 1."""
+    from aws_datalake_spark.operators.order_stats import (
+        precision_recall_at_deciles,
+    )
+
+    df = spark.createDataFrame([(i % 7, 1) for i in range(70)],
+                               "score long, pos int")
+    out = {r.decile: r for r in
+           precision_recall_at_deciles(df, "score", "pos").collect()}
+    assert all(r.precision == 1.0 for r in out.values())
+    assert out[10].recall == 1.0
+
+
+def test_shapley_no_conversions_all_zero(spark):
+    from aws_datalake_spark.operators.attribution import (
+        shapley_attribution,
+    )
+
+    rows = [(u, ch, 0) for u in range(10) for ch in ("A", "B")]
+    df = spark.createDataFrame(rows, "u long, ch string, conv int")
+    out = shapley_attribution(df, "u", "ch", "conv", ["A", "B"]).collect()
+    assert all(r.phi == 0.0 for r in out)
+
+
+def test_mcnemar_empty_input(spark):
+    from aws_datalake_spark.operators.stats import mcnemar_test
+
+    df = spark.createDataFrame([], "before_f int, after_f int")
+    r = mcnemar_test(df, "before_f", "after_f").collect()[0]
+    assert r.n == 0 and r.chi2 is None
+
+
+def test_kappa_one_rater_constant(spark):
+    """Rater B constant: pe = n*n... kappa degenerates to NULL or a
+    defined value; assert no crash and n_agree consistent."""
+    from aws_datalake_spark.operators.stats import cohens_kappa
+
+    rows = [(i % 2, 1) for i in range(10)]
+    df = spark.createDataFrame(rows, "ra int, rb int")
+    r = cohens_kappa(df, "ra", "rb").collect()[0]
+    assert r.n == 10 and r.n_agree == 5
+    # pe_num = n * (marginal product) = 10*5... den = 100-50=50 > 0
+    assert r.kappa == pytest.approx((10 * 5 - 50) / (100 - 50), abs=1e-12)
+
+
+def test_two_proportion_missing_group_nulls(spark):
+    from aws_datalake_spark.operators.stats import two_proportion_ztest
+
+    df = spark.createDataFrame([("A", 1), ("A", 0)], "g string, s int")
+    r = two_proportion_ztest(df, "g", "s", "A", "B").collect()[0]
+    assert r.n_b == 0 and r.p_b is None and r.z is None
+
+
+def test_pr_curve_no_positives_null_recall(spark):
+    from aws_datalake_spark.operators.order_stats import (
+        precision_recall_at_deciles,
+    )
+
+    df = spark.createDataFrame([(i % 5, 0) for i in range(50)],
+                               "score long, pos int")
+    out = precision_recall_at_deciles(df, "score", "pos").collect()
+    assert all(r.recall is None for r in out)
+    assert all(r.precision == 0.0 for r in out)
