@@ -1876,3 +1876,76 @@ def bootstrap_mean_ci(
             "ci_hi_scaled",
         )
     )
+
+
+def granger_f(
+    series: DataFrame,
+    order_col: str,
+    x_int: Column,
+    y_int: Column,
+) -> DataFrame:
+    """Granger-causality F statistic (lag-1): does y help predict x
+    beyond x's own past — ``(n, f_stat, rss_restricted,
+    rss_unrestricted)`` comparing x_t ~ x_{t−1} against
+    x_t ~ x_{t−1} + y_{t−1} on an already-AGGREGATED series (the
+    forecasting-lineage question behind "does order volume LEAD
+    revenue").
+
+    EXACTNESS: both OLS fits reduce to closed forms over nine exact
+    DECIMAL(38,0) moment sums (multiplied through by N so means never
+    become floats): RSS_R·N = A − B²/C and RSS_U·N = A − (B²·V + D²·C
+    − 2BDE)/(CV − E²) with A..E,V the centered cross-moments; the F
+    ratio is a fixed mirrored IEEE tree over those (the N factors
+    cancel). F = (RSS_R − RSS_U)·(n−3)/RSS_U for the single added
+    regressor.
+
+    SCALE: one LAG window over the bounded series + ONE map-
+    combinable nine-sum aggregate; the corpus never appears (the
+    caller aggregates first).
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy("__t")
+    base = series.select(
+        F.col(order_col).alias("__t"),
+        x_int.cast("long").alias("__x"),
+        y_int.cast("long").alias("__y"),
+    )
+    lagged = base.select(
+        F.col("__x").alias("__z"),
+        F.lag("__x", 1).over(w).alias("__w"),
+        F.lag("__y", 1).over(w).alias("__v"),
+    ).where(F.col("__w").isNotNull() & F.col("__v").isNotNull())
+    agg = lagged.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(_dec(F.col("__z"))).alias("__sz"),
+        F.sum(_dec(F.col("__z")) * _dec(F.col("__z"))).alias("__szz"),
+        F.sum(_dec(F.col("__w"))).alias("__sw"),
+        F.sum(_dec(F.col("__w")) * _dec(F.col("__w"))).alias("__sww"),
+        F.sum(_dec(F.col("__v"))).alias("__sv"),
+        F.sum(_dec(F.col("__v")) * _dec(F.col("__v"))).alias("__svv"),
+        F.sum(_dec(F.col("__w")) * _dec(F.col("__z"))).alias("__swz"),
+        F.sum(_dec(F.col("__v")) * _dec(F.col("__z"))).alias("__svz"),
+        F.sum(_dec(F.col("__w")) * _dec(F.col("__v"))).alias("__swv"),
+    )
+    n = _dec(F.col("__n"))
+    a = (n * F.col("__szz") - F.col("__sz") * F.col("__sz")).cast("double")
+    c = (n * F.col("__sww") - F.col("__sw") * F.col("__sw")).cast("double")
+    b = (n * F.col("__swz") - F.col("__sw") * F.col("__sz")).cast("double")
+    d = (n * F.col("__svz") - F.col("__sv") * F.col("__sz")).cast("double")
+    v = (n * F.col("__svv") - F.col("__sv") * F.col("__sv")).cast("double")
+    e = (n * F.col("__swv") - F.col("__sw") * F.col("__sv")).cast("double")
+    rssr = a - (b * b) / c
+    det = c * v - e * e
+    rssu = a - ((b * b) * v + (d * d) * c - F.lit(2.0) * b * d * e) / det
+    ok = (c > 0.0) & (det > 0.0)
+    f_stat = F.when(
+        ok & (rssu > 0.0),
+        (rssr - rssu) * (F.col("__n") - 3).cast("double") / rssu,
+    )
+    return agg.select(
+        F.col("__n").cast("long").alias("n"),
+        f_stat.alias("f_stat"),
+        F.when(ok, rssr).alias("rss_restricted"),
+        F.when(ok, rssu).alias("rss_unrestricted"),
+    )

@@ -1664,3 +1664,87 @@ def st_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("returning_users"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Granger causality: does order volume lead revenue
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_granger_causality",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderdate AS d,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS x,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    lagged AS (
+      SELECT x AS z,
+             LAG(x) OVER (ORDER BY d) AS w,
+             LAG(y) OVER (ORDER BY d) AS v
+      FROM s
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(CAST(z AS HUGEINT)) AS sz,
+             SUM(CAST(z AS HUGEINT) * z) AS szz,
+             SUM(CAST(w AS HUGEINT)) AS sw,
+             SUM(CAST(w AS HUGEINT) * w) AS sww,
+             SUM(CAST(v AS HUGEINT)) AS sv,
+             SUM(CAST(v AS HUGEINT) * v) AS svv,
+             SUM(CAST(w AS HUGEINT) * z) AS swz,
+             SUM(CAST(v AS HUGEINT) * z) AS svz,
+             SUM(CAST(w AS HUGEINT) * v) AS swv
+      FROM lagged WHERE w IS NOT NULL AND v IS NOT NULL
+    ),
+    t AS (
+      SELECT CAST(n AS BIGINT) AS n,
+             CAST(n * szz - sz * sz AS DOUBLE) AS a,
+             CAST(n * sww - sw * sw AS DOUBLE) AS c,
+             CAST(n * swz - sw * sz AS DOUBLE) AS b,
+             CAST(n * svz - sv * sz AS DOUBLE) AS d,
+             CAST(n * svv - sv * sv AS DOUBLE) AS v2,
+             CAST(n * swv - sw * sv AS DOUBLE) AS e
+      FROM m
+    )
+    SELECT n,
+           CASE WHEN c > 0.0 AND (c * v2 - e * e) > 0.0
+                 AND (a - ((b * b) * v2 + (d * d) * c - 2.0 * b * d * e)
+                          / (c * v2 - e * e)) > 0.0
+                THEN ((a - (b * b) / c)
+                      - (a - ((b * b) * v2 + (d * d) * c
+                              - 2.0 * b * d * e) / (c * v2 - e * e)))
+                     * CAST(n - 3 AS DOUBLE)
+                     / (a - ((b * b) * v2 + (d * d) * c
+                             - 2.0 * b * d * e) / (c * v2 - e * e))
+           END AS f_stat,
+           CASE WHEN c > 0.0 AND (c * v2 - e * e) > 0.0
+                THEN a - (b * b) / c END AS rss_restricted,
+           CASE WHEN c > 0.0 AND (c * v2 - e * e) > 0.0
+                THEN a - ((b * b) * v2 + (d * d) * c - 2.0 * b * d * e)
+                         / (c * v2 - e * e)
+           END AS rss_unrestricted
+    FROM t
+    """,
+)
+def q_granger_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger-causality F test on the daily series
+    (operators/stats.py:granger_f): does yesterday's ORDER COUNT
+    improve today's revenue forecast beyond yesterday's revenue —
+    lag-1 restricted vs unrestricted OLS, both reduced to closed
+    forms over nine exact DECIMAL moment sums (multiplied through by
+    N so the means never become floats), the F ratio a fixed mirrored
+    IEEE tree. One LAG window over the bounded daily series + one
+    nine-sum aggregate."""
+    from aws_datalake_spark.operators.stats import granger_f
+
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        ).alias("x"),
+        F.count(F.lit(1)).alias("y"),
+    )
+    return granger_f(daily, "d", F.col("x"), F.col("y"))

@@ -247,6 +247,7 @@ HEADLINE = [
     "q_rfm_segments",
     "q_laspeyres_index",
     "st_new_vs_returning",
+    "q_granger_causality",
 ]
 
 

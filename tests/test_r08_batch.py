@@ -748,3 +748,63 @@ def test_pr_curve_no_positives_null_recall(spark):
     out = precision_recall_at_deciles(df, "score", "pos").collect()
     assert all(r.recall is None for r in out)
     assert all(r.precision == 0.0 for r in out)
+
+
+def test_granger_y_is_lagged_x_high_f(spark):
+    """y_t = x_t exactly: y_{t-1} then equals x_{t-1}... make y the
+    LEAD of x so y_{t-1} = x_t — a perfect predictor, F explodes;
+    and an independent-noise y gives a small F."""
+    import numpy as np
+
+    from aws_datalake_spark.operators.stats import granger_f
+
+    rng = np.random.RandomState(3)
+    x = np.cumsum(rng.randint(-9, 10, size=120)) + 500
+    # predictive y: y_t = x_{t+1} + noise (lag-1 of y nearly equals
+    # today's x; exact equality would drive RSS_U to float-zero and
+    # the singular-fit guard correctly NULLs F)
+    y_pred = np.append(x[1:], x[-1]) + rng.randint(-2, 3, size=120)
+    rows = [(i, int(x[i]), int(y_pred[i])) for i in range(120)]
+    df = spark.createDataFrame(rows, "t long, x long, y long")
+    strong = granger_f(df, "t", F.col("x"), F.col("y")).collect()[0]
+    assert strong.f_stat is not None and strong.f_stat > 100.0
+    assert strong.rss_unrestricted < strong.rss_restricted
+
+    y_noise = rng.randint(0, 100, size=120)
+    rows2 = [(i, int(x[i]), int(y_noise[i])) for i in range(120)]
+    df2 = spark.createDataFrame(rows2, "t long, x long, y long")
+    weak = granger_f(df2, "t", F.col("x"), F.col("y")).collect()[0]
+    assert weak.f_stat is not None and weak.f_stat < strong.f_stat
+
+
+def test_granger_matches_numpy_ols(spark):
+    """F against a direct numpy lstsq computation."""
+    import numpy as np
+
+    from aws_datalake_spark.operators.stats import granger_f
+
+    rng = np.random.RandomState(11)
+    x = np.cumsum(rng.randint(-5, 6, size=80)) + 200
+    y = np.cumsum(rng.randint(-3, 4, size=80)) + 50
+    df = spark.createDataFrame(
+        [(i, int(x[i]), int(y[i])) for i in range(80)],
+        "t long, x long, y long",
+    )
+    got = granger_f(df, "t", F.col("x"), F.col("y")).collect()[0]
+    z, w, v = x[1:].astype(float), x[:-1].astype(float), y[:-1].astype(float)
+    n = len(z)
+
+    def rss(cols):
+        A = np.column_stack([np.ones(n)] + cols)
+        beta, *_ = np.linalg.lstsq(A, z, rcond=None)
+        r = z - A @ beta
+        return float(r @ r)
+
+    rss_r, rss_u = rss([w]), rss([w, v])
+    want_f = (rss_r - rss_u) * (n - 3) / rss_u
+    assert got.n == n
+    assert got.f_stat == pytest.approx(want_f, rel=1e-6)
+    # rss columns are N-scaled: compare ratios instead of magnitudes
+    assert got.rss_restricted / got.rss_unrestricted == pytest.approx(
+        rss_r / rss_u, rel=1e-9
+    )
