@@ -854,9 +854,21 @@ def common_neighbor_candidates(
             "left_anti",
         )
     )
+    # Per-u partial top-k BEFORE the global single-partition window
+    # (ADVICE r08): the global order restricted to a fixed u is
+    # (cn DESC, v), so each u can contribute at most its per-u top-k
+    # to the global top-k — the parallel partitioned window prunes the
+    # unbounded candidate set down to ≤ k rows per u, and only that
+    # bounded frame funnels through the one-partition ranking.
+    pruned = cand.withColumn(
+        "__pk",
+        F.row_number().over(
+            Window.partitionBy("u").orderBy(F.desc("cn"), F.asc("v"))
+        ),
+    ).where(F.col("__pk") <= k).drop("__pk")
     ranked = (
-        cand.join(deg.select(F.col("node").alias("u"),
-                             F.col("deg").alias("deg_u")), "u")
+        pruned.join(deg.select(F.col("node").alias("u"),
+                               F.col("deg").alias("deg_u")), "u")
         .join(deg.select(F.col("node").alias("v"),
                          F.col("deg").alias("deg_v")), "v")
         .withColumn(

@@ -1254,7 +1254,14 @@ def kendall_tau_b(
 
     tx = _tie_pairs("__x", "__tx2")  # 2·n1
     ty = _tie_pairs("__y", "__ty2")  # 2·n2
-    j = n_agg.join(s_agg, "__g").join(tx, "__g").join(ty, "__g")
+    # LEFT join: an n=1 group has no pairs (no s_agg row) but must
+    # still surface as (n=1, 0, 0, NULL tau_b), not vanish (ADVICE r08)
+    j = (
+        n_agg.join(s_agg, "__g", "left")
+        .na.fill({"__c": 0, "__d": 0})
+        .join(tx, "__g")
+        .join(ty, "__g")
+    )
     n = _dec(F.col("__n"))
     n0_2 = n * (n - _dec(F.lit(1)))  # 2·n0
     den = (

@@ -145,15 +145,16 @@ _MONTHLY = """
             FROM per GROUP BY 1, 2) GROUP BY 1
     )
     SELECT n.g AS segment, CAST(n.n AS BIGINT) AS n,
-           CAST(s.c AS BIGINT) AS concordant,
-           CAST(s.d AS BIGINT) AS discordant,
+           CAST(COALESCE(s.c, 0) AS BIGINT) AS concordant,
+           CAST(COALESCE(s.d, 0) AS BIGINT) AS discordant,
            CASE WHEN SQRT(CAST(n.n * (n.n - 1) - tx.tx2 AS DOUBLE))
                      * SQRT(CAST(n.n * (n.n - 1) - ty.ty2 AS DOUBLE)) > 0.0
-                THEN 2.0 * CAST(s.c - s.d AS DOUBLE)
+                THEN 2.0 * CAST(COALESCE(s.c, 0) - COALESCE(s.d, 0)
+                                AS DOUBLE)
                      / (SQRT(CAST(n.n * (n.n - 1) - tx.tx2 AS DOUBLE))
                         * SQRT(CAST(n.n * (n.n - 1) - ty.ty2 AS DOUBLE)))
            END AS tau_b
-    FROM n JOIN s USING (g) JOIN tx USING (g) JOIN ty USING (g)
+    FROM n LEFT JOIN s USING (g) JOIN tx USING (g) JOIN ty USING (g)
     """,
 )
 def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -752,7 +753,7 @@ _KM_CENSOR_US = 3_600_000_000  # still-open horizon: 1 hour
     oracle=f"""
     WITH g AS (SELECT MAX(ts) AS gmax FROM events),
     marked AS (
-      SELECT user_id, epoch_us(ts) AS us,
+      SELECT user_id, epoch_us(ts) AS us, event_id,
              CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
                     PARTITION BY user_id ORDER BY ts, event_id)
                     > {_KM_GAP_US} THEN 1 ELSE 0 END AS brk
@@ -760,7 +761,7 @@ _KM_CENSOR_US = 3_600_000_000  # still-open horizon: 1 hour
     ),
     sess AS (
       SELECT user_id, us,
-             SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
                             ROWS UNBOUNDED PRECEDING) AS sid
       FROM marked
     ),
@@ -817,6 +818,7 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     marked = ev.select(
         "user_id",
         "__us",
+        "event_id",
         (
             (F.col("__us") - F.lag("__us", 1).over(wo))
             > F.lit(_KM_GAP_US)
@@ -826,7 +828,7 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wc = (
         Window.partitionBy("user_id")
-        .orderBy("__us")
+        .orderBy("__us", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     sess = marked.select(
@@ -881,9 +883,11 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(na AS BIGINT) AS n_a, CAST(xa AS BIGINT) AS x_a,
            CAST(nb AS BIGINT) AS n_b, CAST(xb AS BIGINT) AS x_b,
-           CAST(xa AS DOUBLE) / CAST(na AS DOUBLE) AS p_a,
-           CAST(xb AS DOUBLE) / CAST(nb AS DOUBLE) AS p_b,
-           CASE WHEN SQRT(
+           CASE WHEN na > 0
+                THEN CAST(xa AS DOUBLE) / CAST(na AS DOUBLE) END AS p_a,
+           CASE WHEN nb > 0
+                THEN CAST(xb AS DOUBLE) / CAST(nb AS DOUBLE) END AS p_b,
+           CASE WHEN na > 0 AND nb > 0 AND SQRT(
                   (CAST(xa + xb AS DOUBLE) / CAST(na + nb AS DOUBLE))
                   * (1.0 - CAST(xa + xb AS DOUBLE)
                            / CAST(na + nb AS DOUBLE))

@@ -598,16 +598,17 @@ def test_spearman_zero_variance_is_null(spark):
 
 
 def test_kendall_single_observation_group_drops(spark):
-    """A 1-row group has no pairs: it is absent from the output (the
-    inner join against the pair aggregate), not a NULL row — the
-    caller's signal that tau is undefined there."""
+    """A 1-row group has no pairs: since ADVICE r08 it SURFACES as
+    (n=1, 0, 0, NULL tau_b) — tau undefined but the group visible —
+    instead of vanishing through the old inner join."""
     from aws_datalake_spark.operators.stats import kendall_tau_b
 
     rows = [("solo", 1, 1)] + [("ok", v, v) for v in range(4)]
     df = spark.createDataFrame(rows, "g string, x long, y long")
     out = {r.g: r for r in
            kendall_tau_b(df, "g", F.col("x"), F.col("y")).collect()}
-    assert set(out) == {"ok"}
+    assert set(out) == {"ok", "solo"}
+    assert out["solo"].n == 1 and out["solo"].tau_b is None
     assert out["ok"].tau_b == pytest.approx(1.0, abs=1e-12)
 
 
