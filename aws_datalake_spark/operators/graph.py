@@ -891,3 +891,59 @@ def common_neighbor_candidates(
             6,
         ).alias("jaccard"),
     )
+
+
+def bfs_layers(
+    edges: DataFrame,
+    max_hops: int = 4,
+    src: str = "s",
+    dst: str = "d",
+) -> DataFrame:
+    """Breadth-first hop distances from the MINIMUM node id (a pinned,
+    data-derived source): ``(hop, n_nodes)`` for hops 0..max_hops —
+    the reachability/diameter probe ("how much of the graph is within
+    h hops of the anchor"). Unreached nodes are absent.
+
+    EXACTNESS: frontier iteration with an anti-join against the
+    visited set computes MIN-hop exactly (a node enters at its first
+    reachable level and never re-enters); all integers.
+
+    SCALE: per hop one join of the frontier with the bidirectional
+    adjacency list + one distinct + one anti-join — each distributed
+    on the node key, no global structure; lineage cut per hop so the
+    plan stays O(1) deep. The hop cap bounds total work at
+    max_hops · |E| regardless of graph shape.
+    """
+    from aws_datalake_spark.operators.dedup_cluster import _truncate
+
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    bi = _truncate(
+        e.unionByName(
+            e.select(F.col("d").alias("s"), F.col("s").alias("d"))
+        ).distinct()
+    )
+    source = bi.agg(F.min("s").alias("node"))
+    visited = _truncate(
+        source.select("node", F.lit(0).cast("int").alias("hop"))
+    )
+    frontier = visited
+    for h in range(1, max_hops + 1):
+        nxt = (
+            bi.join(
+                frontier.select(F.col("node").alias("s")).hint("broadcast")
+                if h <= 2
+                else frontier.select(F.col("node").alias("s")),
+                "s",
+            )
+            .select(F.col("d").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(h).cast("int").alias("hop"))
+        )
+        frontier = _truncate(nxt)
+        visited = _truncate(visited.unionByName(frontier))
+    return (
+        visited.groupBy("hop")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .select(F.col("hop").cast("int").alias("hop"), "n_nodes")
+    )

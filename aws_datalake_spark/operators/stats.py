@@ -1956,3 +1956,366 @@ def granger_f(
         F.when(ok, rssr).alias("rss_restricted"),
         F.when(ok, rssu).alias("rss_unrestricted"),
     )
+
+
+def anova_oneway(
+    df: DataFrame,
+    group_col: str,
+    x_int: Column,
+) -> DataFrame:
+    """One-way ANOVA F across k groups: one row ``(k, n, ss_between,
+    ss_within, f_stat)`` — the parametric sibling of kruskal_wallis
+    ("do these k segments have the same MEAN", assuming equal
+    variances). ``x_int`` must be integral (pre-scale to cents).
+
+    EXACTNESS: per-group n, Σx, Σx² accumulate in DECIMAL(38,0); the
+    per-group float terms S_g²/n_g fold in PINNED group order (the
+    kruskal_wallis cumulative-window device — k rows, far below the
+    vector-size caveat), and SSB/SSW/F are a fixed mirrored IEEE
+    tree over those exact aggregates.
+
+    SCALE: one groupBy collapses the corpus; everything after is
+    k-row arithmetic.
+    """
+    from pyspark.sql import Window
+
+    x = x_int.cast("long")
+    per_g = df.groupBy(F.col(group_col).alias("__g")).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(_dec(x)).alias("__s"),
+        F.sum(_dec(x) * _dec(x)).alias("__q"),
+    )
+    term = (F.col("__s") * F.col("__s")).cast("double") / F.col(
+        "__n"
+    ).cast("double")
+    wg = Window.orderBy("__g")
+    folded = per_g.select(
+        F.sum(term)
+        .over(wg.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("__ssg"),
+        F.sum("__n")
+        .over(wg.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("__ncum"),
+        F.sum("__s")
+        .over(wg.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("__scum"),
+        F.sum("__q")
+        .over(wg.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("__qcum"),
+        F.row_number().over(wg).alias("__rn"),
+        F.count(F.lit(1))
+        .over(
+            wg.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("__k"),
+    ).where(F.col("__rn") == F.col("__k"))
+    n_d = F.col("__ncum").cast("double")
+    k_d = F.col("__k").cast("double")
+    ssb = (
+        F.col("__ssg")
+        - (F.col("__scum") * F.col("__scum")).cast("double") / n_d
+    )
+    ssw = F.col("__qcum").cast("double") - F.col("__ssg")
+    ok = (
+        (F.col("__k") > 1)
+        & (F.col("__ncum") > F.col("__k"))
+        & (ssw > 0.0)
+    )
+    f_stat = F.when(
+        ok,
+        (ssb / (k_d - F.lit(1.0))) / (ssw / (n_d - k_d)),
+    )
+    return folded.select(
+        F.col("__k").cast("long").alias("k"),
+        F.col("__ncum").cast("long").alias("n"),
+        ssb.alias("ss_between"),
+        ssw.alias("ss_within"),
+        f_stat.alias("f_stat"),
+    )
+
+
+def jarque_bera(
+    df: DataFrame,
+    group_col: str,
+    x_int: Column,
+) -> DataFrame:
+    """Jarque–Bera normality test per group from exact raw moments:
+    ``(group, n, skewness, kurtosis, jb)`` — "is this column's
+    distribution remotely normal" (JB ~ χ²₂ under H₀; large JB =
+    skewed and/or heavy-tailed). ``x_int`` must be integral and
+    SMALL enough that Σx⁴ fits DECIMAL(38,0) (|x| ≤ ~3000 at 10⁹
+    rows; quantities yes, cents no — pre-bucket wide columns).
+
+    EXACTNESS: Σx..Σx⁴ accumulate exactly in DECIMAL(38,0); central
+    moments, skewness = m₃/(m₂√m₂), kurtosis = m₄/m₂², and
+    JB = n/6·(S² + (K−3)²/4) are one fixed mirrored IEEE tree over
+    the exact moment casts (+ · / √ only — no POWER, whose libm
+    differs across engines).
+
+    SCALE: one groupBy collapses the corpus.
+    """
+    x = x_int.cast("long")
+    d = _dec(x)
+    agg = df.groupBy(F.col(group_col).alias("__g")).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(d).alias("__s1"),
+        F.sum(d * d).alias("__s2"),
+        F.sum(d * d * d).alias("__s3"),
+        F.sum(d * d * d * d).alias("__s4"),
+    )
+    n_d = F.col("__n").cast("double")
+    s1 = F.col("__s1").cast("double")
+    s2 = F.col("__s2").cast("double")
+    s3 = F.col("__s3").cast("double")
+    s4 = F.col("__s4").cast("double")
+    m1 = s1 / n_d
+    m2 = s2 / n_d - m1 * m1
+    m3 = s3 / n_d - F.lit(3.0) * m1 * (s2 / n_d) + F.lit(2.0) * m1 * m1 * m1
+    m4 = (
+        s4 / n_d
+        - F.lit(4.0) * m1 * (s3 / n_d)
+        + F.lit(6.0) * (m1 * m1) * (s2 / n_d)
+        - F.lit(3.0) * (m1 * m1 * m1 * m1)
+    )
+    skew = m3 / (m2 * F.sqrt(m2))
+    kurt = m4 / (m2 * m2)
+    jb = (n_d / F.lit(6.0)) * (
+        skew * skew
+        + (kurt - F.lit(3.0)) * (kurt - F.lit(3.0)) / F.lit(4.0)
+    )
+    ok = m2 > 0.0
+    return agg.select(
+        F.col("__g").alias(group_col),
+        F.col("__n").cast("long").alias("n"),
+        F.when(ok, skew).alias("skewness"),
+        F.when(ok, kurt).alias("kurtosis"),
+        F.when(ok, jb).alias("jb"),
+    )
+
+
+def durbin_watson(
+    df: DataFrame,
+    t_int: Column,
+    y_int: Column,
+) -> DataFrame:
+    """Durbin–Watson autocorrelation diagnostic on the residuals of
+    the OLS line y ~ t: one row ``(n, slope, dw)`` — "did the trend
+    fit leave serially-correlated errors" (DW ≈ 2 none, → 0 positive,
+    → 4 negative). ``t_int``/``y_int`` must be integral (period
+    index; cents).
+
+    EXACTNESS: OLS slope/intercept come from exact DECIMAL(38,0)
+    moments via a fixed mirrored IEEE tree; each residual is the
+    same mirrored per-row expression; Σe² and Σ(Δe)² fold via the
+    ORDERED-LIST reduce in PINNED t order (the Kaplan–Meier /
+    Laspeyres device — measured here: DuckDB's cumulative window SUM
+    over doubles departs from the strict left fold at ~64 rows, far
+    below the previously-documented ~2048 vector bound, so windowed
+    float folds are reserved for k-row group frames only); DW is one
+    final divide.
+
+    SCALE: callers aggregate the corpus to a period-domain series
+    first (the mann_kendall discipline); the window runs over
+    periods, never corpus rows.
+    """
+    from pyspark.sql import Window
+
+    tt = t_int.cast("long")
+    yy = y_int.cast("long")
+    ser = df.select(tt.alias("__t"), yy.alias("__y"))
+    mom = ser.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(_dec(F.col("__t"))).alias("__st"),
+        F.sum(_dec(F.col("__t")) * _dec(F.col("__t"))).alias("__stt"),
+        F.sum(_dec(F.col("__y"))).alias("__sy"),
+        F.sum(_dec(F.col("__t")) * _dec(F.col("__y"))).alias("__sty"),
+    )
+    nn = _dec(F.col("__n"))
+    num_b = (nn * F.col("__sty") - F.col("__st") * F.col("__sy")).cast(
+        "double"
+    )
+    den_b = (nn * F.col("__stt") - F.col("__st") * F.col("__st")).cast(
+        "double"
+    )
+    params = mom.select(
+        F.col("__n"),
+        (num_b / den_b).alias("__b"),
+        (
+            (
+                F.col("__sy").cast("double")
+                - (num_b / den_b) * F.col("__st").cast("double")
+            )
+            / F.col("__n").cast("double")
+        ).alias("__a"),
+    )
+    e = F.col("__y").cast("double") - (
+        F.col("__a") + F.col("__b") * F.col("__t").cast("double")
+    )
+    wo = Window.orderBy("__t")
+    resid = ser.crossJoin(F.broadcast(params)).select(
+        "__t",
+        "__n",
+        "__b",
+        e.alias("__e"),
+    )
+    diffd = resid.select(
+        "__t",
+        "__n",
+        "__b",
+        "__e",
+        (F.col("__e") - F.lag("__e", 1).over(wo)).alias("__d"),
+    )
+    terms = diffd.select(
+        "__t",
+        "__n",
+        "__b",
+        (F.col("__e") * F.col("__e")).alias("__se"),
+        F.coalesce(F.col("__d") * F.col("__d"), F.lit(0.0)).alias("__sd"),
+    )
+
+    def _fold(col: str) -> Column:
+        return F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__t", col))),
+                lambda st: st[col],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    folded = terms.groupBy("__n", "__b").agg(
+        _fold("__se").alias("__den"), _fold("__sd").alias("__num")
+    )
+    return folded.select(
+        F.col("__n").cast("long").alias("n"),
+        F.col("__b").alias("slope"),
+        F.when(
+            F.col("__den") > 0.0, F.col("__num") / F.col("__den")
+        ).alias("dw"),
+    )
+
+
+def hhi_concentration(
+    df: DataFrame,
+    group_col: str,
+    unit_col: str,
+    value_int: Column,
+) -> DataFrame:
+    """Herfindahl–Hirschman concentration index per group:
+    ``(group, n_units, hhi, effective_units)`` — "how concentrated is
+    this market" (HHI = Σ share², 1/k when k equal units → 1.0 for a
+    monopoly; effective_units = 1/HHI is the equivalent equal-share
+    count). ``value_int`` must be integral (cents).
+
+    EXACTNESS: per-unit totals v_i and the group total are exact
+    int64 (caller keeps |v_i| and Σv_i under 2^53 — cents through
+    ~sf 10³; the Σv² / (Σv)² one-divide form is NOT used because
+    casting >2^53 wide integers to double is not correctly rounded
+    in DuckDB); each share v_i/Σv is one correctly-rounded divide of
+    exactly-representable doubles, and Σ share² folds via the
+    ORDERED-LIST reduce in pinned unit order.
+
+    SCALE: one (group, unit) aggregate collapses the corpus; the
+    group total is a unit-domain window sum and the fold collects
+    one list per group — bounded by the units-per-group domain
+    (suppliers per nation), never corpus rows.
+    """
+    from pyspark.sql import Window
+
+    per_u = df.groupBy(
+        F.col(group_col).alias("__g"), F.col(unit_col).alias("__u")
+    ).agg(F.sum(value_int.cast("long")).alias("__v"))
+    wg = Window.partitionBy("__g")
+    shares = per_u.select(
+        "__g",
+        "__u",
+        (
+            F.col("__v").cast("double")
+            / F.sum("__v").over(wg).cast("double")
+        ).alias("__sh"),
+        F.sum("__v").over(wg).alias("__tot"),
+    )
+    agg = shares.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("__k"),
+        F.min("__tot").alias("__tot"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("__u", (F.col("__sh") * F.col("__sh")).alias("__t2"))
+                    )
+                ),
+                lambda st: st["__t2"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("__hhi"),
+    )
+    ok = F.col("__tot") > 0
+    return agg.select(
+        F.col("__g").alias(group_col),
+        F.col("__k").cast("long").alias("n_units"),
+        F.when(ok, F.col("__hhi")).alias("hhi"),
+        F.when(ok, F.lit(1.0) / F.col("__hhi")).alias("effective_units"),
+    )
+
+
+def cohens_d(
+    df: DataFrame,
+    group_col: str,
+    x_int: Column,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Cohen's d effect size between two groups: one row ``(n_a, n_b,
+    mean_a, mean_b, d)`` — "HOW DIFFERENT are the means in
+    pooled-standard-deviation units" (the magnitude readout beside
+    welch_ttest's significance; 0.2 small / 0.5 medium / 0.8 large).
+    ``x_int`` must be integral (cents).
+
+    EXACTNESS: both groups' n, Σx, Σx² are exact DECIMAL(38,0);
+    means, pooled variance ((n_a−1)s_a² + (n_b−1)s_b²)/(n_a+n_b−2),
+    and d are a fixed mirrored IEEE tree over the exact casts.
+
+    SCALE: one conditional aggregate; the corpus collapses to a row.
+    """
+    x = x_int.cast("long")
+    in_a = F.col(group_col) == group_a
+    in_b = F.col(group_col) == group_b
+    agg = df.where(in_a | in_b).agg(
+        F.sum(in_a.cast("long")).alias("__na"),
+        F.sum(F.when(in_a, _dec(x)).otherwise(_dec(F.lit(0)))).alias("__sa"),
+        F.sum(F.when(in_a, _dec(x) * _dec(x)).otherwise(_dec(F.lit(0)))).alias(
+            "__qa"
+        ),
+        F.sum(in_b.cast("long")).alias("__nb"),
+        F.sum(F.when(in_b, _dec(x)).otherwise(_dec(F.lit(0)))).alias("__sb"),
+        F.sum(F.when(in_b, _dec(x) * _dec(x)).otherwise(_dec(F.lit(0)))).alias(
+            "__qb"
+        ),
+    )
+    na_d, nb_d = F.col("__na").cast("double"), F.col("__nb").cast("double")
+    ma = F.col("__sa").cast("double") / na_d
+    mb = F.col("__sb").cast("double") / nb_d
+    va = (
+        F.col("__qa").cast("double")
+        - (F.col("__sa") * F.col("__sa")).cast("double") / na_d
+    ) / (na_d - F.lit(1.0))
+    vb = (
+        F.col("__qb").cast("double")
+        - (F.col("__sb") * F.col("__sb")).cast("double") / nb_d
+    ) / (nb_d - F.lit(1.0))
+    pooled = F.sqrt(
+        ((na_d - F.lit(1.0)) * va + (nb_d - F.lit(1.0)) * vb)
+        / (na_d + nb_d - F.lit(2.0))
+    )
+    ok = (F.col("__na") > 1) & (F.col("__nb") > 1)
+    return agg.select(
+        F.col("__na").alias("n_a"),
+        F.col("__nb").alias("n_b"),
+        F.when(F.col("__na") > 0, ma).alias("mean_a"),
+        F.when(F.col("__nb") > 0, mb).alias("mean_b"),
+        F.when(ok & (pooled > 0.0), (ma - mb) / pooled).alias("d"),
+    )
