@@ -767,3 +767,650 @@ def q_vwap_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("vwap"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# grid-bucketed spatial radius join
+# ---------------------------------------------------------------------------
+
+_GRID_CELL = 150
+_GRID_R2 = 150 * 150
+
+
+@query(
+    "q_spatial_grid_join",
+    oracle=f"""
+    WITH c AS (
+      SELECT c_custkey,
+             (c_custkey * 7919) % 10000 AS xc,
+             (c_custkey * 104729) % 10000 AS yc
+      FROM customer
+    ),
+    offs AS (
+      SELECT dx, dy
+      FROM (VALUES (-1), (0), (1)) o(dx), (VALUES (-1), (0), (1)) p(dy)
+    ),
+    c9 AS (
+      SELECT c_custkey, xc, yc,
+             CAST(FLOOR(xc / {_GRID_CELL}) AS BIGINT) + dx AS cx,
+             CAST(FLOOR(yc / {_GRID_CELL}) AS BIGINT) + dy AS cy
+      FROM c, offs
+    ),
+    s AS (
+      SELECT s_suppkey, s_nationkey,
+             (s_suppkey * 7919 + 3571) % 10000 AS xs,
+             (s_suppkey * 104729 + 9973) % 10000 AS ys
+      FROM supplier
+    ),
+    sc AS (
+      SELECT s_suppkey, s_nationkey, xs, ys,
+             CAST(FLOOR(xs / {_GRID_CELL}) AS BIGINT) AS cx,
+             CAST(FLOOR(ys / {_GRID_CELL}) AS BIGINT) AS cy
+      FROM s
+    ),
+    pairs AS (
+      SELECT c9.c_custkey, sc.s_suppkey, sc.s_nationkey
+      FROM c9 JOIN sc USING (cx, cy)
+      WHERE (xc - xs) * (xc - xs) + (yc - ys) * (yc - ys) <= {_GRID_R2}
+    )
+    SELECT n.n_name, COUNT(*) AS n_pairs,
+           CAST(COUNT(DISTINCT s_suppkey) AS BIGINT) AS n_suppliers,
+           CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_customers
+    FROM pairs JOIN nation n ON pairs.s_nationkey = n.n_nationkey
+    GROUP BY 1
+    """,
+)
+def q_spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed radius join (the geohash / S2-cell pattern):
+    customers and suppliers get deterministic synthetic coordinates
+    (pure integer arithmetic on their keys — reproducible in any
+    engine, unlike hash-derived), the SMALLER side (customers here
+    per pair semantics; cells are the scale lever) is replicated to
+    its 3×3 neighbor cells with cell size ≥ radius, suppliers join
+    on their HOME cell only — so every within-radius pair matches in
+    exactly one cell and the join never goes quadratic: work is
+    Σ_cell |c_cell|·|s_cell|, not |C|·|S|. Per-nation pair counts;
+    all exact integers."""
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 7919) % 10000).alias("xc"),
+        ((F.col("c_custkey") * 104729) % 10000).alias("yc"),
+    )
+    offs = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
+        "dx long, dy long",
+    )
+    c9 = c.crossJoin(F.broadcast(offs)).select(
+        "c_custkey",
+        "xc",
+        "yc",
+        (F.floor(F.col("xc") / _GRID_CELL) + F.col("dx")).alias("cx"),
+        (F.floor(F.col("yc") / _GRID_CELL) + F.col("dy")).alias("cy"),
+    )
+    s = t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_nationkey",
+        ((F.col("s_suppkey") * 7919 + 3571) % 10000).alias("xs"),
+        ((F.col("s_suppkey") * 104729 + 9973) % 10000).alias("ys"),
+    )
+    sc = s.select(
+        "s_suppkey",
+        "s_nationkey",
+        "xs",
+        "ys",
+        F.floor(F.col("xs") / _GRID_CELL).alias("cx"),
+        F.floor(F.col("ys") / _GRID_CELL).alias("cy"),
+    )
+    pairs = c9.join(F.broadcast(sc), ["cx", "cy"]).where(
+        (F.col("xc") - F.col("xs")) * (F.col("xc") - F.col("xs"))
+        + (F.col("yc") - F.col("ys")) * (F.col("yc") - F.col("ys"))
+        <= _GRID_R2
+    )
+    n = t(spark, sf_dir, "nation")
+    agg = pairs.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("s_suppkey").alias("n_suppliers"),
+        F.countDistinct("c_custkey").alias("n_customers"),
+    )
+    return agg.join(
+        F.broadcast(n.select("n_nationkey", "n_name")),
+        agg.s_nationkey == F.col("n_nationkey"),
+    ).select("n_name", "n_pairs", "n_suppliers", "n_customers")
+
+
+# ---------------------------------------------------------------------------
+# type-token ratio (lexical diversity) rollup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "llm_ttr_diversity",
+    oracle="""
+    WITH per AS (
+      SELECT source,
+             CAST(len(list_distinct(string_split(text, ' ')))
+                  AS BIGINT) AS n_types,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_types) AS BIGINT) AS sum_types,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(SUM(n_types) AS DOUBLE) / CAST(SUM(n_tokens) AS DOUBLE)
+             AS pooled_ttr
+    FROM per GROUP BY 1
+    """,
+)
+def llm_ttr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio per source (pooled): distinct-token count
+    over token count — the lexical-diversity screen (template/spam
+    sources score low; TTR complements llm_simpson_diversity's
+    concentration view with a per-document vocabulary view). Exact
+    integer counts; ONE divide per source row."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    per = d.select(
+        "source",
+        F.size(F.array_distinct(toks)).cast("long").alias("n_types"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_types").alias("sum_types"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        (
+            F.sum("n_types").cast("double")
+            / F.sum("n_tokens").cast("double")
+        ).alias("pooled_ttr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# threshold-sweep confusion matrix
+# ---------------------------------------------------------------------------
+
+_CONF_THRESHOLDS = (100000, 200000, 300000, 400000)
+
+
+@query(
+    "q_confusion_thresholds",
+    oracle=f"""
+    WITH th AS (
+      SELECT CAST(threshold AS BIGINT) AS threshold
+      FROM (VALUES {", ".join(f"({v})" for v in _CONF_THRESHOLDS)})
+           v(threshold)
+    ),
+    lab AS (
+      SELECT o_totalprice AS score,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+               AS y
+      FROM orders
+    ),
+    cells AS (
+      SELECT th.threshold,
+             SUM(CASE WHEN score >= threshold AND y = 1
+                      THEN 1 ELSE 0 END) AS tp,
+             SUM(CASE WHEN score >= threshold AND y = 0
+                      THEN 1 ELSE 0 END) AS fp,
+             SUM(CASE WHEN score < threshold AND y = 1
+                      THEN 1 ELSE 0 END) AS fn,
+             SUM(CASE WHEN score < threshold AND y = 0
+                      THEN 1 ELSE 0 END) AS tn
+      FROM lab, th GROUP BY 1
+    )
+    SELECT threshold, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+           CASE WHEN tp + fp > 0 THEN
+             CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END
+             AS precision,
+           CASE WHEN tp + fn > 0 THEN
+             CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall
+    FROM cells
+    """,
+)
+def q_confusion_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix swept over four decision thresholds of a
+    score (order value) against a binary outcome (urgent priority):
+    tp/fp/fn/tn plus precision/recall per threshold — the operating-
+    point picker that llm_pr_curve's decile cuts don't give when the
+    thresholds are business-fixed. One scan fans each row into the
+    four cells per threshold via a tiny broadcast cross join; exact
+    counts, guarded divides."""
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("score"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("y"),
+    )
+    th = spark.createDataFrame(
+        [(v,) for v in _CONF_THRESHOLDS], "threshold long"
+    )
+    cells = o.crossJoin(F.broadcast(th)).groupBy("threshold").agg(
+        F.sum(
+            ((F.col("score") >= F.col("threshold")) & (F.col("y") == 1))
+            .cast("long")
+        ).alias("tp"),
+        F.sum(
+            ((F.col("score") >= F.col("threshold")) & (F.col("y") == 0))
+            .cast("long")
+        ).alias("fp"),
+        F.sum(
+            ((F.col("score") < F.col("threshold")) & (F.col("y") == 1))
+            .cast("long")
+        ).alias("fn"),
+        F.sum(
+            ((F.col("score") < F.col("threshold")) & (F.col("y") == 0))
+            .cast("long")
+        ).alias("tn"),
+    )
+    return cells.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            F.col("tp").cast("double")
+            / (F.col("tp") + F.col("fp")).cast("double"),
+        ).alias("precision"),
+        F.when(
+            F.col("tp") + F.col("fn") > 0,
+            F.col("tp").cast("double")
+            / (F.col("tp") + F.col("fn")).cast("double"),
+        ).alias("recall"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brier score + reliability (calibration) bins
+# ---------------------------------------------------------------------------
+
+_CAL_STOPS = "('the', 'and', 'of', 'to', 'a')"
+
+
+@query(
+    "llm_brier_calibration",
+    oracle=f"""
+    WITH scored AS (
+      SELECT (1000 * len(list_filter(string_split(text, ' '),
+                                     w -> w IN {_CAL_STOPS})))
+               // len(string_split(text, ' ')) AS p_milli,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    )
+    SELECT p_milli // 100 AS bin, COUNT(*) AS n,
+           CAST(SUM(p_milli) AS DOUBLE) / 1000.0
+             / CAST(COUNT(*) AS DOUBLE) AS mean_pred,
+           CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS frac_pos,
+           CAST(SUM((p_milli - 1000 * y) * (p_milli - 1000 * y))
+                AS DOUBLE) / 1000000.0 / CAST(COUNT(*) AS DOUBLE)
+             AS brier
+    FROM scored GROUP BY 1
+    """,
+)
+def llm_brier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability (calibration) bins + per-bin Brier score for an
+    integer-exact milli-probability classifier (stopword-ratio →
+    "is this English"): bin by predicted probability decile, report
+    mean prediction vs realized positive rate (the reliability
+    diagram) and the Brier mean-squared error. The score is
+    (1000·stopwords) div tokens — an exact INTEGER in both engines
+    (no float rounding anywhere), so (p − y)²·10⁶ sums exactly in
+    int64 and every output is exact-over-exact divides."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    stops = ["the", "and", "of", "to", "a"]
+    scored = d.select(
+        F.size(F.filter(toks, lambda w: w.isin(stops))).alias("stop"),
+        F.size(toks).alias("tok"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    ).selectExpr("(1000 * stop) DIV tok AS p_milli", "y")
+    return (
+        scored.selectExpr("p_milli DIV 100 AS bin", "p_milli", "y")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum("p_milli").cast("double")
+                / F.lit(1000.0)
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mean_pred"),
+            (
+                F.sum("y").cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("frac_pos"),
+            (
+                F.sum(
+                    (F.col("p_milli") - 1000 * F.col("y"))
+                    * (F.col("p_milli") - 1000 * F.col("y"))
+                ).cast("double")
+                / F.lit(1000000.0)
+                / F.count(F.lit(1)).cast("double")
+            ).alias("brier"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MRR@k and MAP@k retrieval eval over the embedding space
+# ---------------------------------------------------------------------------
+
+_EV_NQ = 100
+_EV_K = 10
+
+
+def _ev_ranked_sql() -> str:
+    """Shared CTE prefix: cosine top-k per held-out query with the
+    ground-truth (same-label) flag — the llm_knn_eval device."""
+    from aws_datalake_spark.queries.llm_similarity import _cos
+
+    cos = _cos("q.v", "c.v")
+    return f"""
+    e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+          FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id < {_EV_NQ}),
+    c AS (SELECT * FROM e WHERE vec_id >= {_EV_NQ}),
+    top AS (
+      SELECT qid, tlabel, nlabel, rk FROM (
+        SELECT q.vec_id AS qid, q.label AS tlabel, c.label AS nlabel,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {cos} DESC, c.vec_id) AS rk
+        FROM q, c
+      ) WHERE rk <= {_EV_K}
+    )"""
+
+
+@query(
+    "llm_mrr_eval",
+    oracle=f"""
+    WITH {_ev_ranked_sql()},
+    fr AS (
+      SELECT qid, CAST(MIN(rk) AS BIGINT) AS fr FROM top
+      WHERE nlabel = tlabel GROUP BY 1
+    ),
+    per_q AS (
+      SELECT q.vec_id AS qid, q.label AS tlabel,
+             COALESCE(fr.fr, 0) AS fr0
+      FROM q LEFT JOIN fr ON q.vec_id = fr.qid
+    ),
+    counts AS (
+      SELECT tlabel, fr0, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM per_q GROUP BY 1, 2
+    ),
+    folded AS (
+      SELECT tlabel, CAST(SUM(cnt) AS BIGINT) AS n,
+             list_reduce(list(CASE WHEN fr0 > 0 THEN
+                                CAST(cnt AS DOUBLE)
+                                * (1.0 / CAST(fr0 AS DOUBLE))
+                              ELSE 0.0 END ORDER BY fr0),
+                         (p, q) -> p + q) AS s
+      FROM counts GROUP BY 1
+    )
+    SELECT tlabel AS label, n AS n_queries,
+           s / CAST(n AS DOUBLE) AS mrr
+    FROM folded
+    """,
+)
+def llm_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean reciprocal rank of the first same-label neighbor in the
+    cosine top-10, per label (operators/similarity.py:cosine_topk):
+    the "how fast does retrieval find something relevant" eval
+    beside llm_knn_eval's majority-vote accuracy. Queries with no
+    relevant hit in the window contribute 0. The reciprocal ranks
+    take only k+1 distinct values, so MRR folds over the tiny
+    (label, first-rank) count grid in pinned rank order — exact
+    counts, one divide per term, one per label."""
+    from pyspark.sql import Window
+
+    from aws_datalake_spark.operators.similarity import cosine_topk
+    from aws_datalake_spark.queries.llm_similarity import _emb_double
+
+    e = _emb_double(spark, sf_dir)
+    queries = e.where(F.col("vec_id") < _EV_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("tlabel"),
+        "embedding",
+    )
+    corpus = e.where(F.col("vec_id") >= _EV_NQ)
+    topk = cosine_topk(
+        corpus, queries.select("query_id", "embedding"), k=_EV_K
+    )
+    rel = (
+        topk.join(
+            corpus.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("nlabel"),
+            ),
+            "neighbor_id",
+        )
+        .join(queries.select("query_id", "tlabel"), "query_id")
+        .where(F.col("nlabel") == F.col("tlabel"))
+    )
+    fr = rel.groupBy("query_id").agg(
+        F.min("rank").cast("long").alias("fr")
+    )
+    per_q = queries.select("query_id", "tlabel").join(
+        fr, "query_id", "left"
+    ).select("tlabel", F.coalesce(F.col("fr"), F.lit(0)).alias("fr0"))
+    counts = per_q.groupBy("tlabel", "fr0").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    term = F.when(
+        F.col("fr0") > 0,
+        F.col("cnt").cast("double")
+        * (F.lit(1.0) / F.col("fr0").cast("double")),
+    ).otherwise(F.lit(0.0))
+    folded = (
+        counts.select("tlabel", "fr0", "cnt", term.alias("term"))
+        .groupBy("tlabel")
+        .agg(
+            F.sum("cnt").alias("n"),
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("fr0", "term"))),
+                    lambda st: st["term"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("s"),
+        )
+    )
+    return folded.select(
+        F.col("tlabel").alias("label"),
+        F.col("n").alias("n_queries"),
+        (F.col("s") / F.col("n").cast("double")).alias("mrr"),
+    )
+
+
+@query(
+    "llm_map_eval",
+    oracle=f"""
+    WITH {_ev_ranked_sql()},
+    flagged AS (
+      SELECT qid, tlabel, rk,
+             CASE WHEN nlabel = tlabel THEN 1 ELSE 0 END AS rel
+      FROM top
+    ),
+    cum AS (
+      SELECT qid, tlabel, rk, rel,
+             SUM(rel) OVER (PARTITION BY qid ORDER BY rk
+                            ROWS UNBOUNDED PRECEDING) AS cr
+      FROM flagged
+    ),
+    apq AS (
+      SELECT qid, tlabel,
+             list_reduce(list(CASE WHEN rel = 1 THEN
+                                CAST(cr AS DOUBLE) / CAST(rk AS DOUBLE)
+                              ELSE 0.0 END ORDER BY rk),
+                         (p, q) -> p + q) AS ap_num
+      FROM cum GROUP BY 1, 2
+    ),
+    rlab AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS r FROM c GROUP BY 1
+    ),
+    scored AS (
+      SELECT apq.qid, apq.tlabel,
+             CASE WHEN LEAST(rlab.r, {_EV_K}) > 0 THEN
+               apq.ap_num / CAST(LEAST(rlab.r, {_EV_K}) AS DOUBLE)
+             ELSE 0.0 END AS ap
+      FROM apq JOIN rlab ON apq.tlabel = rlab.label
+    )
+    SELECT tlabel AS label, CAST(COUNT(*) AS BIGINT) AS n_queries,
+           list_reduce(list(ap ORDER BY qid), (p, q) -> p + q)
+             / CAST(COUNT(*) AS DOUBLE) AS map10
+    FROM scored GROUP BY 1
+    """,
+)
+def llm_map_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean average precision at 10 per label over the embedding
+    space (operators/similarity.py:cosine_topk): AP rewards putting
+    ALL relevant neighbors early, not just the first (MRR) or the
+    majority (kNN accuracy) — the standard ranking-quality eval
+    triple is completed by this query. AP@10 = Σ_{{rel hits}} P@i /
+    min(R, 10) with R the label's corpus frequency; precision terms
+    are exact-count divides folded in pinned rank order per query,
+    and the per-label mean folds in pinned query order (both
+    ordered-list reduces)."""
+    from pyspark.sql import Window
+
+    from aws_datalake_spark.operators.similarity import cosine_topk
+    from aws_datalake_spark.queries.llm_similarity import _emb_double
+
+    e = _emb_double(spark, sf_dir)
+    queries = e.where(F.col("vec_id") < _EV_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("tlabel"),
+        "embedding",
+    )
+    corpus = e.where(F.col("vec_id") >= _EV_NQ)
+    topk = cosine_topk(
+        corpus, queries.select("query_id", "embedding"), k=_EV_K
+    )
+    flagged = (
+        topk.join(
+            corpus.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("nlabel"),
+            ),
+            "neighbor_id",
+        )
+        .join(queries.select("query_id", "tlabel"), "query_id")
+        .select(
+            "query_id",
+            "tlabel",
+            "rank",
+            (F.col("nlabel") == F.col("tlabel")).cast("int").alias("rel"),
+        )
+    )
+    wq = (
+        Window.partitionBy("query_id")
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = flagged.select(
+        "query_id",
+        "tlabel",
+        "rank",
+        "rel",
+        F.sum("rel").over(wq).alias("cr"),
+    )
+    p_at = F.when(
+        F.col("rel") == 1,
+        F.col("cr").cast("double") / F.col("rank").cast("double"),
+    ).otherwise(F.lit(0.0))
+    apq = (
+        cum.select("query_id", "tlabel", "rank", p_at.alias("p_at"))
+        .groupBy("query_id", "tlabel")
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rank", "p_at"))),
+                    lambda st: st["p_at"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("ap_num")
+        )
+    )
+    rlab = corpus.groupBy(F.col("label").alias("tlabel")).agg(
+        F.count(F.lit(1)).alias("r")
+    )
+    denom = F.least(F.col("r"), F.lit(_EV_K))
+    scored = apq.join(F.broadcast(rlab), "tlabel").select(
+        "query_id",
+        "tlabel",
+        F.when(
+            denom > 0, F.col("ap_num") / denom.cast("double")
+        ).otherwise(F.lit(0.0)).alias("ap"),
+    )
+    return scored.groupBy("tlabel").agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        (
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("query_id", "ap"))),
+                    lambda st: st["ap"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.count(F.lit(1)).cast("double")
+        ).alias("map10"),
+    ).select(
+        F.col("tlabel").alias("label"), "n_queries", "map10"
+    )
+
+
+# ---------------------------------------------------------------------------
+# BFS hop layers from a pinned anchor
+# ---------------------------------------------------------------------------
+
+_BFS_EDGE_SQL = """
+      SELECT a.item AS s, b.item AS d
+      FROM (SELECT DISTINCT l_orderkey AS ctx, l_partkey AS item
+            FROM lineitem) a
+      JOIN (SELECT DISTINCT l_orderkey AS ctx, l_partkey AS item
+            FROM lineitem) b
+        ON a.ctx = b.ctx AND a.item < b.item
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+"""
+
+_BFS_HOPS = 4
+
+
+@query(
+    "q_graph_bfs_layers",
+    oracle=f"""
+    WITH RECURSIVE e AS ({_BFS_EDGE_SQL}),
+    bi AS (SELECT s, d FROM e UNION SELECT d, s FROM e),
+    src AS (SELECT MIN(s) AS v FROM bi),
+    walk(node, hop) AS (
+      SELECT v, 0 FROM src
+      UNION
+      SELECT bi.d, walk.hop + 1
+      FROM walk JOIN bi ON bi.s = walk.node
+      WHERE walk.hop < {_BFS_HOPS}
+    ),
+    dist AS (
+      SELECT node, CAST(MIN(hop) AS INTEGER) AS hop
+      FROM walk GROUP BY 1
+    )
+    SELECT hop, COUNT(*) AS n_nodes FROM dist GROUP BY 1
+    """,
+)
+def q_graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop-distance layers from the minimum part node over the
+    co-order graph (operators/graph.py:bfs_layers): how many parts
+    are 1, 2, 3, 4 co-order hops from the anchor — the reachability/
+    small-world probe beside PageRank's centrality view. Frontier
+    iteration with per-hop anti-joins computes min-hop exactly and
+    distributes on the node key (the oracle's recursive CTE would
+    enumerate paths — fine for the twin, quadratic at scale; the
+    frontier form is the production shape). Lineage cut per hop."""
+    from aws_datalake_spark.operators.graph import (
+        bfs_layers,
+        cooccurrence_edges,
+    )
+
+    li = t(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", min_support=2)
+    return bfs_layers(edges, max_hops=_BFS_HOPS)
