@@ -2319,3 +2319,99 @@ def cohens_d(
         F.when(F.col("__nb") > 0, mb).alias("mean_b"),
         F.when(ok & (pooled > 0.0), (ma - mb) / pooled).alias("d"),
     )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    value_int: Column,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) test between two groups:
+    one row ``(n_a, n_b, u2, ties_t, z)`` — the nonparametric
+    two-sample location test (kruskal_wallis restricted to k=2 gives
+    H = z²; U is the convention two-sample tooling expects). ``u2``
+    is the DOUBLED U statistic 2U_a = 2R_a − n_a(n_a+1), an exact
+    integer via the doubled-rank device (exact_auc/kruskal lineage);
+    z uses the tie-corrected normal approximation WITHOUT continuity
+    correction: z = (2U − n_a·n_b·... ) — precisely
+    (u2 − n_a·n_b) / (2·√var), var = (n_a·n_b/12)·((n+1) − T/(n(n−1))),
+    a fixed mirrored IEEE tree over exact integers.
+
+    SCALE: one (group, value) aggregate collapses the corpus; the
+    rank window runs over the pooled DISTINCT-value domain.
+    """
+    from pyspark.sql import Window
+
+    from aws_datalake_spark.operators.dedup_cluster import _truncate
+
+    v = value_int.cast("long")
+    base = df.where(F.col(group_col).isin([group_a, group_b])).select(
+        F.col(group_col).alias("__g"), v.alias("__v")
+    )
+    gv = _truncate(
+        base.groupBy("__g", "__v").agg(F.count(F.lit(1)).alias("__cgv"))
+    )
+    per_v = _truncate(gv.groupBy("__v").agg(F.sum("__cgv").alias("__cv")))
+    w = Window.orderBy("__v")
+    ranked = per_v.select(
+        "__v",
+        "__cv",
+        (
+            _dec(F.lit(2))
+            * _dec(
+                F.coalesce(
+                    F.sum("__cv").over(
+                        w.rowsBetween(Window.unboundedPreceding, -1)
+                    ),
+                    F.lit(0),
+                )
+            )
+            + _dec(F.col("__cv"))
+            + _dec(F.lit(1))
+        ).alias("__dr"),
+    )
+    per_g = (
+        gv.join(ranked, "__v")
+        .groupBy("__g")
+        .agg(
+            F.sum("__cgv").alias("__n"),
+            F.sum(_dec(F.col("__cgv")) * F.col("__dr")).alias("__d"),
+        )
+    )
+    piv = per_g.groupBy().agg(
+        F.sum(F.when(F.col("__g") == group_a, F.col("__n"))).alias("__na"),
+        F.sum(F.when(F.col("__g") == group_a, F.col("__d"))).alias("__da"),
+        F.sum(F.when(F.col("__g") == group_b, F.col("__n"))).alias("__nb"),
+    )
+    ties = per_v.agg(
+        F.sum(
+            _dec(F.col("__cv")) * _dec(F.col("__cv")) * _dec(F.col("__cv"))
+            - _dec(F.col("__cv"))
+        ).alias("__t")
+    )
+    j = piv.crossJoin(F.broadcast(ties))
+    u2 = (
+        F.col("__da")
+        - _dec(F.col("__na")) * _dec(F.col("__na") + 1)
+    )
+    na_d = F.col("__na").cast("double")
+    nb_d = F.col("__nb").cast("double")
+    n_d = (F.col("__na") + F.col("__nb")).cast("double")
+    var_u = (na_d * nb_d / F.lit(12.0)) * (
+        (n_d + F.lit(1.0))
+        - F.col("__t").cast("double") / (n_d * (n_d - F.lit(1.0)))
+    )
+    z = (u2.cast("double") - na_d * nb_d) / (
+        F.lit(2.0) * F.sqrt(var_u)
+    )
+    return j.select(
+        F.col("__na").cast("long").alias("n_a"),
+        F.col("__nb").cast("long").alias("n_b"),
+        u2.cast("long").alias("u2"),
+        F.col("__t").cast("long").alias("ties_t"),
+        F.when(
+            (F.col("__na") > 0) & (F.col("__nb") > 0) & (var_u > 0.0), z
+        ).alias("z"),
+    )

@@ -1414,3 +1414,358 @@ def q_graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", min_support=2)
     return bfs_layers(edges, max_hops=_BFS_HOPS)
+
+
+# ---------------------------------------------------------------------------
+# Mann–Whitney U rank-sum test
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_mann_whitney_u",
+    oracle="""
+    WITH v AS (
+      SELECT c_mktsegment AS g,
+             CAST(ROUND(c_acctbal * 100.0) AS BIGINT) AS val
+      FROM customer
+      WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
+    ),
+    gv AS (
+      SELECT g, val, CAST(COUNT(*) AS BIGINT) AS cgv
+      FROM v GROUP BY 1, 2
+    ),
+    pv AS (SELECT val, SUM(cgv) AS cv FROM gv GROUP BY 1),
+    ranked AS (
+      SELECT val, cv,
+             2 * COALESCE(SUM(cv) OVER (ORDER BY val
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) + cv + 1 AS dr
+      FROM pv
+    ),
+    per_g AS (
+      SELECT gv.g, SUM(gv.cgv) AS n,
+             SUM(CAST(gv.cgv AS HUGEINT) * ranked.dr) AS d
+      FROM gv JOIN ranked USING (val) GROUP BY 1
+    ),
+    piv AS (
+      SELECT SUM(CASE WHEN g = 'AUTOMOBILE' THEN n END) AS na,
+             SUM(CASE WHEN g = 'AUTOMOBILE' THEN d END) AS da,
+             SUM(CASE WHEN g = 'BUILDING' THEN n END) AS nb
+      FROM per_g
+    ),
+    ties AS (
+      SELECT SUM(CAST(cv AS HUGEINT) * cv * cv - cv) AS t FROM pv
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CAST(da - CAST(na AS HUGEINT) * (na + 1) AS BIGINT) AS u2,
+           CAST(t AS BIGINT) AS ties_t,
+           CASE WHEN na > 0 AND nb > 0 AND
+                     (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0)
+                     * ((CAST(na + nb AS DOUBLE) + 1.0)
+                        - CAST(t AS DOUBLE)
+                          / (CAST(na + nb AS DOUBLE)
+                             * (CAST(na + nb AS DOUBLE) - 1.0))) > 0.0
+           THEN
+             (CAST(da - CAST(na AS HUGEINT) * (na + 1) AS DOUBLE)
+              - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+             / (2.0 * SQRT(
+                 (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0)
+                 * ((CAST(na + nb AS DOUBLE) + 1.0)
+                    - CAST(t AS DOUBLE)
+                      / (CAST(na + nb AS DOUBLE)
+                         * (CAST(na + nb AS DOUBLE) - 1.0)))))
+           END AS z
+    FROM piv, ties
+    """,
+)
+def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U between AUTOMOBILE and BUILDING balances
+    (operators/stats.py:mann_whitney_u): the nonparametric
+    two-sample location test with the doubled-rank exact-integer U
+    certificate (2U = 2R − n(n+1)) and the tie-corrected normal z —
+    completing the two-sample family beside Welch (means), KS
+    (distributions) and Kruskal–Wallis (k groups)."""
+    from aws_datalake_spark.operators.stats import mann_whitney_u
+
+    c = t(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100.0, 0).cast("long").alias("cents"),
+    )
+    return mann_whitney_u(
+        c, "c_mktsegment", F.col("cents"), "AUTOMOBILE", "BUILDING"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wilson score interval for conversion rates
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_wilson_ci",
+    oracle="""
+    WITH conv AS (
+      SELECT c.c_mktsegment AS segment, c.c_custkey,
+             CASE WHEN EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_custkey = c.c_custkey
+                                 AND o.o_orderpriority = '1-URGENT')
+                  THEN 1 ELSE 0 END AS s
+      FROM customer c
+    ),
+    agg AS (
+      SELECT segment, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(s) AS BIGINT) AS x
+      FROM conv GROUP BY 1
+    ),
+    e AS (
+      SELECT segment, n, x,
+             CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+             CAST(n AS DOUBLE) AS nd
+      FROM agg WHERE n > 0
+    ),
+    w AS (
+      SELECT *,
+             1.0 + (1.96 * 1.96) / nd AS denom,
+             p + (1.96 * 1.96) / (2.0 * nd) AS center,
+             1.96 * SQRT(p * (1.0 - p) / nd
+                         + (1.96 * 1.96) / (4.0 * (nd * nd))) AS half
+      FROM e
+    )
+    SELECT segment, n, x AS conversions, p,
+           (center - half) / denom AS wilson_lo,
+           (center + half) / denom AS wilson_hi
+    FROM w
+    """,
+)
+def q_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson 95% score interval for the urgent-order conversion
+    rate per segment: the interval that stays inside [0,1] and
+    behaves at small n where the naive Wald interval collapses —
+    the uncertainty companion to q_ab_test_proportions' point test.
+    Exact integer (n, x) per segment; the interval is a fixed
+    mirrored IEEE tree (the 1.96 literal parses to the same double
+    in both engines)."""
+    c = t(spark, sf_dir, "customer")
+    urgent = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .withColumn("__u", F.lit(1))
+    )
+    conv = c.join(urgent, "c_custkey", "left").select(
+        F.col("c_mktsegment").alias("segment"),
+        F.coalesce(F.col("__u"), F.lit(0)).alias("s"),
+    )
+    agg = conv.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("s").cast("long").alias("x")
+    ).where(F.col("n") > 0)
+    nd = F.col("n").cast("double")
+    p = F.col("x").cast("double") / nd
+    z = F.lit(1.96)
+    denom = F.lit(1.0) + (z * z) / nd
+    center = p + (z * z) / (F.lit(2.0) * nd)
+    half = z * F.sqrt(
+        p * (F.lit(1.0) - p) / nd + (z * z) / (F.lit(4.0) * (nd * nd))
+    )
+    return agg.select(
+        "segment",
+        "n",
+        F.col("x").alias("conversions"),
+        p.alias("p"),
+        ((center - half) / denom).alias("wilson_lo"),
+        ((center + half) / denom).alias("wilson_hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# odds ratio / relative risk (2×2 association)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_odds_ratio",
+    oracle="""
+    WITH conv AS (
+      SELECT c.c_mktsegment AS g,
+             CASE WHEN EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_custkey = c.c_custkey
+                                 AND o.o_orderpriority = '1-URGENT')
+                  THEN 1 ELSE 0 END AS s
+      FROM customer c
+      WHERE c.c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
+    ),
+    cells AS (
+      SELECT SUM(CASE WHEN g = 'AUTOMOBILE' AND s = 1
+                      THEN 1 ELSE 0 END) AS a,
+             SUM(CASE WHEN g = 'AUTOMOBILE' AND s = 0
+                      THEN 1 ELSE 0 END) AS b,
+             SUM(CASE WHEN g = 'BUILDING' AND s = 1
+                      THEN 1 ELSE 0 END) AS c,
+             SUM(CASE WHEN g = 'BUILDING' AND s = 0
+                      THEN 1 ELSE 0 END) AS d
+      FROM conv
+    )
+    SELECT CAST(a AS BIGINT) AS n_exp_pos, CAST(b AS BIGINT) AS n_exp_neg,
+           CAST(c AS BIGINT) AS n_ctl_pos, CAST(d AS BIGINT) AS n_ctl_neg,
+           CASE WHEN b > 0 AND c > 0 THEN
+             CAST(CAST(a AS HUGEINT) * d AS DOUBLE)
+             / CAST(CAST(b AS HUGEINT) * c AS DOUBLE) END AS odds_ratio,
+           CASE WHEN a + b > 0 AND c + d > 0 AND c > 0 THEN
+             (CAST(a AS DOUBLE) / CAST(a + b AS DOUBLE))
+             / (CAST(c AS DOUBLE) / CAST(c + d AS DOUBLE))
+           END AS relative_risk
+    FROM cells
+    """,
+)
+def q_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Odds ratio and relative risk for urgent-order conversion,
+    AUTOMOBILE (exposed) vs BUILDING (control): the 2×2 epidemiology
+    readout beside the z-test's significance — OR = ad/bc is one
+    correctly-rounded divide of exact DECIMAL cross products, RR a
+    mirrored two-divide tree. Exact cells are the certificate."""
+    c = t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment").isin(["AUTOMOBILE", "BUILDING"])
+    )
+    urgent = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .withColumn("__u", F.lit(1))
+    )
+    conv = c.join(urgent, "c_custkey", "left").select(
+        F.col("c_mktsegment").alias("g"),
+        F.coalesce(F.col("__u"), F.lit(0)).alias("s"),
+    )
+    cells = conv.agg(
+        F.sum(((F.col("g") == "AUTOMOBILE") & (F.col("s") == 1)).cast("long")).alias("a"),
+        F.sum(((F.col("g") == "AUTOMOBILE") & (F.col("s") == 0)).cast("long")).alias("b"),
+        F.sum(((F.col("g") == "BUILDING") & (F.col("s") == 1)).cast("long")).alias("c"),
+        F.sum(((F.col("g") == "BUILDING") & (F.col("s") == 0)).cast("long")).alias("d"),
+    )
+    dec = lambda col: F.col(col).cast("decimal(38,0)")  # noqa: E731
+    orr = (dec("a") * dec("d")).cast("double") / (
+        dec("b") * dec("c")
+    ).cast("double")
+    rr = (
+        F.col("a").cast("double") / (F.col("a") + F.col("b")).cast("double")
+    ) / (
+        F.col("c").cast("double") / (F.col("c") + F.col("d")).cast("double")
+    )
+    return cells.select(
+        F.col("a").alias("n_exp_pos"),
+        F.col("b").alias("n_exp_neg"),
+        F.col("c").alias("n_ctl_pos"),
+        F.col("d").alias("n_ctl_neg"),
+        F.when((F.col("b") > 0) & (F.col("c") > 0), orr).alias("odds_ratio"),
+        F.when(
+            (F.col("a") + F.col("b") > 0)
+            & (F.col("c") + F.col("d") > 0)
+            & (F.col("c") > 0),
+            rr,
+        ).alias("relative_risk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# resource-allocation link prediction
+# ---------------------------------------------------------------------------
+
+_RA_K = 50
+_RA_MAXDEG = 1000
+
+
+@query(
+    "q_graph_resource_allocation",
+    oracle=f"""
+    WITH e AS ({_BFS_EDGE_SQL}),
+    bi AS (
+      SELECT s AS node, d AS nbr FROM e
+      UNION ALL SELECT d, s FROM e
+    ),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM bi GROUP BY 1
+    ),
+    mid AS (
+      SELECT bi.node, bi.nbr, deg.deg
+      FROM bi JOIN deg USING (node) WHERE deg.deg <= {_RA_MAXDEG}
+    ),
+    wed AS (
+      SELECT a.nbr AS u, b.nbr AS v, a.node AS m,
+             1.0 / CAST(a.deg AS DOUBLE) AS term
+      FROM mid a JOIN mid b ON a.node = b.node AND a.nbr < b.nbr
+    ),
+    cand AS (
+      SELECT u, v, CAST(COUNT(*) AS BIGINT) AS cn,
+             list_reduce(list(term ORDER BY m), (p, q) -> p + q) AS ra
+      FROM wed GROUP BY 1, 2
+    ),
+    nonadj AS (
+      SELECT cand.u, cand.v, cand.cn, cand.ra
+      FROM cand LEFT JOIN e ON cand.u = e.s AND cand.v = e.d
+      WHERE e.s IS NULL
+    ),
+    pruned AS (
+      SELECT u, v, cn, ra FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY u
+                                     ORDER BY ra DESC, v) AS pk
+        FROM nonadj
+      ) WHERE pk <= {_RA_K}
+    ),
+    ranked AS (
+      SELECT u, v, cn, ra,
+             ROW_NUMBER() OVER (ORDER BY ra DESC, u, v) AS rk
+      FROM pruned
+    )
+    SELECT u, v, cn, ra FROM ranked WHERE rk <= {_RA_K}
+    """,
+)
+def q_graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource-allocation link prediction over the part co-order
+    graph (operators/graph.py:resource_allocation_candidates):
+    common neighbors weighted by 1/degree — the index that raw
+    common-neighbor counts (q_graph_common_neighbors) get wrong for
+    hub-heavy graphs, since a promiscuous middle carries almost no
+    signal. RA folds in pinned middle order so the float ranking is
+    bit-identical cross-engine; per-u partial top-k bounds the
+    global ranking window."""
+    from aws_datalake_spark.operators.graph import (
+        cooccurrence_edges,
+        resource_allocation_candidates,
+    )
+
+    li = t(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", min_support=2)
+    return resource_allocation_candidates(
+        edges, k=_RA_K, max_degree=_RA_MAXDEG
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17 by canonical number
+# ---------------------------------------------------------------------------
+
+
+def _q17_alias():
+    from aws_datalake_spark.queries.registry import all_oracles
+    from aws_datalake_spark.queries.relational_ext import (
+        q_small_quantity_revenue,
+    )
+
+    @query(
+        "q17_small_quantity_revenue",
+        oracle=all_oracles()["q_small_quantity_revenue"],
+    )
+    def q17_small_quantity_revenue(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """TPC-H Q17 under its canonical number — the same
+        correlated-scalar-subquery shape registered as
+        q_small_quantity_revenue since round 1 (decorrelated
+        aggregate self-join, broadcast part dim); aliased so all 22
+        canonical TPC-H numbers resolve as qNN names."""
+        return q_small_quantity_revenue(spark, sf_dir)
+
+
+_q17_alias()
