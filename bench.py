@@ -248,6 +248,28 @@ HEADLINE = [
     "q_laspeyres_index",
     "st_new_vs_returning",
     "q_granger_causality",
+    # driver-round r09 batch (at birth)
+    "q_anova_f",
+    "q_brown_forsythe",
+    "q_jarque_bera",
+    "q_durbin_watson",
+    "q_point_biserial",
+    "q_cohens_d",
+    "q_hhi_concentration",
+    "q_paasche_fisher",
+    "q_max_drawdown",
+    "q_vwap_brand",
+    "q_spatial_grid_join",
+    "llm_ttr_diversity",
+    "q_confusion_thresholds",
+    "llm_brier_calibration",
+    "llm_mrr_eval",
+    "llm_map_eval",
+    "q_graph_bfs_layers",
+    "q_mann_whitney_u",
+    "q_wilson_ci",
+    "q_odds_ratio",
+    "q_graph_resource_allocation",
 ]
 
 

