@@ -2415,3 +2415,226 @@ def mann_whitney_u(
             (F.col("__na") > 0) & (F.col("__nb") > 0) & (var_u > 0.0), z
         ).alias("z"),
     )
+
+
+def wilcoxon_signed_rank(
+    df: DataFrame,
+    x1_int: Column,
+    x2_int: Column,
+) -> DataFrame:
+    """Wilcoxon signed-rank test on paired integral measurements:
+    one row ``(n_pairs, n_nonzero, w2_plus, ties_t, z)`` — the
+    paired nonparametric location test (mann_whitney_u answers
+    independent samples; this answers before/after on the SAME
+    subjects). Zero differences drop per the standard treatment.
+
+    EXACTNESS: ``w2_plus`` is the DOUBLED positive-rank sum
+    Σ_{d>0} 2·avgrank(|d|), an exact integer via the doubled-rank
+    device; z uses the tie-corrected normal approximation
+    z = (2W⁺ − n(n+1)/2·...): precisely
+    (w2 − n(n+1)/2) / (2·√(n(n+1)(2n+1)/24 − T/48)), a fixed
+    mirrored IEEE tree over exact integers (no continuity
+    correction).
+
+    SCALE: one (sign, |d|) aggregate collapses the pair table; the
+    rank window runs over the distinct-|d| domain.
+    """
+    from pyspark.sql import Window
+
+    from aws_datalake_spark.operators.dedup_cluster import _truncate
+
+    d = (x2_int.cast("long") - x1_int.cast("long")).alias("__dv")
+    base = df.select(d)
+    n_pairs = base.agg(F.count(F.lit(1)).alias("__np"))
+    nz = base.where(F.col("__dv") != 0).select(
+        F.signum(F.col("__dv").cast("double")).cast("int").alias("__sg"),
+        F.abs(F.col("__dv")).alias("__ad"),
+    )
+    gv = _truncate(
+        nz.groupBy("__sg", "__ad").agg(F.count(F.lit(1)).alias("__cgv"))
+    )
+    per_v = _truncate(gv.groupBy("__ad").agg(F.sum("__cgv").alias("__cv")))
+    w = Window.orderBy("__ad")
+    ranked = per_v.select(
+        "__ad",
+        "__cv",
+        (
+            _dec(F.lit(2))
+            * _dec(
+                F.coalesce(
+                    F.sum("__cv").over(
+                        w.rowsBetween(Window.unboundedPreceding, -1)
+                    ),
+                    F.lit(0),
+                )
+            )
+            + _dec(F.col("__cv"))
+            + _dec(F.lit(1))
+        ).alias("__dr"),
+    )
+    agg = (
+        gv.join(ranked, "__ad")
+        .groupBy()
+        .agg(
+            F.sum("__cgv").alias("__n"),
+            F.sum(
+                F.when(
+                    F.col("__sg") == 1, _dec(F.col("__cgv")) * F.col("__dr")
+                ).otherwise(_dec(F.lit(0)))
+            ).alias("__w2"),
+        )
+    )
+    ties = per_v.agg(
+        F.sum(
+            _dec(F.col("__cv")) * _dec(F.col("__cv")) * _dec(F.col("__cv"))
+            - _dec(F.col("__cv"))
+        ).alias("__t")
+    )
+    j = agg.crossJoin(F.broadcast(ties)).crossJoin(F.broadcast(n_pairs))
+    n_d = F.col("__n").cast("double")
+    var_w = n_d * (n_d + F.lit(1.0)) * (
+        F.lit(2.0) * n_d + F.lit(1.0)
+    ) / F.lit(24.0) - F.col("__t").cast("double") / F.lit(48.0)
+    z = (
+        F.col("__w2").cast("double")
+        - n_d * (n_d + F.lit(1.0)) / F.lit(2.0)
+    ) / (F.lit(2.0) * F.sqrt(var_w))
+    return j.select(
+        F.col("__np").alias("n_pairs"),
+        F.col("__n").cast("long").alias("n_nonzero"),
+        F.col("__w2").cast("long").alias("w2_plus"),
+        F.col("__t").cast("long").alias("ties_t"),
+        F.when((F.col("__n") > 0) & (var_w > 0.0), z).alias("z"),
+    )
+
+
+def cochran_q(
+    df: DataFrame,
+    subject_col: str,
+    treatment_col: str,
+    success_col: str,
+) -> DataFrame:
+    """Cochran's Q test over a subjects × k-treatments binary grid:
+    one row ``(n_subjects, k, q)`` — "did the success RATE change
+    across the k repeated conditions" (the k-sample McNemar; k=2
+    reduces to it). Missing (subject, treatment) cells are treated
+    as 0.
+
+    EXACTNESS: Q = (k−1)·(k·ΣC_j² − N²) / (k·N − ΣR_i²) where C_j =
+    treatment totals, R_i = subject totals, N = ΣC = ΣR — numerator
+    and denominator are exact DECIMAL(38,0) integers and Q is ONE
+    correctly-rounded divide.
+
+    SCALE: two bounded aggregates (per subject, per treatment) over
+    the one-pass pivot; the treatment domain is k.
+    """
+    s = F.col(success_col).cast("long")
+    base = df.select(
+        F.col(subject_col).alias("__i"),
+        F.col(treatment_col).alias("__j"),
+        s.alias("__s"),
+    )
+    per_i = base.groupBy("__i").agg(F.sum("__s").alias("__r"))
+    per_j = base.groupBy("__j").agg(F.sum("__s").alias("__c"))
+    ri = per_i.agg(
+        F.count(F.lit(1)).alias("__ns"),
+        F.sum(_dec(F.col("__r"))).alias("__sr"),
+        F.sum(_dec(F.col("__r")) * _dec(F.col("__r"))).alias("__sr2"),
+    )
+    cj = per_j.agg(
+        F.count(F.lit(1)).alias("__k"),
+        F.sum(_dec(F.col("__c")) * _dec(F.col("__c"))).alias("__sc2"),
+    )
+    j = ri.crossJoin(F.broadcast(cj))
+    kk = _dec(F.col("__k"))
+    num = (kk - _dec(F.lit(1))) * (
+        kk * F.col("__sc2") - F.col("__sr") * F.col("__sr")
+    )
+    den = kk * F.col("__sr") - F.col("__sr2")
+    return j.select(
+        F.col("__ns").alias("n_subjects"),
+        F.col("__k").cast("long").alias("k"),
+        F.when(
+            den.cast("double") > 0.0,
+            num.cast("double") / den.cast("double"),
+        ).alias("q"),
+    )
+
+
+def wasserstein_1(
+    df: DataFrame,
+    group_col: str,
+    value_int: Column,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Wasserstein-1 (earth mover's) distance between two groups'
+    distributions over an integral value domain: one row ``(n_a,
+    n_b, w1_num, w1_den, w1)`` — "how much probability mass must
+    move, and how far" (the magnitude-aware drift measure; TVD
+    counts mismatch, W1 also weighs the distance moved).
+
+    EXACTNESS: over the sorted distinct-value domain, W1 =
+    Σ_v |F_a(v) − F_b(v)|·Δv with the CDF difference put over the
+    common denominator n_a·n_b: each term |cum_a·n_b − cum_b·n_a|·Δv
+    is an exact DECIMAL integer. ``w1_num``/``w1_den`` are the exact
+    certificate (strings — past 2^63 a long cast wraps); w1 is one
+    correctly-rounded divide.
+
+    SCALE: one (group, value) aggregate collapses the corpus; the
+    CDF window runs over the distinct-value domain.
+    """
+    from pyspark.sql import Window
+
+    from aws_datalake_spark.operators.dedup_cluster import _truncate
+
+    v = value_int.cast("long")
+    base = df.where(F.col(group_col).isin([group_a, group_b])).select(
+        F.col(group_col).alias("__g"), v.alias("__v")
+    )
+    per_v = _truncate(
+        base.groupBy("__v").agg(
+            F.sum((F.col("__g") == group_a).cast("long")).alias("__ca"),
+            F.sum((F.col("__g") == group_b).cast("long")).alias("__cb"),
+        )
+    )
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_v.select(
+        "__v",
+        F.sum("__ca").over(w).alias("__fa"),
+        F.sum("__cb").over(w).alias("__fb"),
+        (
+            F.lead("__v", 1).over(Window.orderBy("__v")) - F.col("__v")
+        ).alias("__dv"),
+    )
+    tot = per_v.agg(
+        F.sum("__ca").alias("__na"), F.sum("__cb").alias("__nb")
+    )
+    terms = cum.crossJoin(F.broadcast(tot)).where(
+        F.col("__dv").isNotNull()
+    ).select(
+        (
+            F.abs(
+                _dec(F.col("__fa")) * _dec(F.col("__nb"))
+                - _dec(F.col("__fb")) * _dec(F.col("__na"))
+            )
+            * _dec(F.col("__dv"))
+        ).alias("__term"),
+    )
+    # aggregate WITHOUT a group key then rejoin totals: a
+    # single-distinct-value domain (no Δv rows) must still yield the
+    # one W1 = 0 row, not an empty frame
+    agg = terms.agg(
+        F.coalesce(F.sum("__term"), _dec(F.lit(0))).alias("__num")
+    ).crossJoin(F.broadcast(tot))
+    den = _dec(F.col("__na")) * _dec(F.col("__nb"))
+    return agg.select(
+        F.col("__na").alias("n_a"),
+        F.col("__nb").alias("n_b"),
+        F.col("__num").cast("string").alias("w1_num"),
+        den.cast("string").alias("w1_den"),
+        F.when(
+            den.cast("double") > 0.0,
+            F.col("__num").cast("double") / den.cast("double"),
+        ).alias("w1"),
+    )

@@ -1769,3 +1769,445 @@ def _q17_alias():
 
 
 _q17_alias()
+
+
+# ---------------------------------------------------------------------------
+# Wilcoxon signed-rank (paired before/after)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_wilcoxon_signed_rank",
+    oracle="""
+    WITH pair AS (
+      SELECT o_custkey,
+             SUM(CASE WHEN EXTRACT(year FROM o_orderdate) IN (1995, 1996)
+                      THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                      ELSE 0 END) AS x1,
+             SUM(CASE WHEN EXTRACT(year FROM o_orderdate) IN (1997, 1998)
+                      THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                      ELSE 0 END) AS x2
+      FROM orders GROUP BY 1
+    ),
+    np AS (SELECT CAST(COUNT(*) AS BIGINT) AS npairs FROM pair),
+    nz AS (
+      SELECT CASE WHEN x2 - x1 > 0 THEN 1 ELSE -1 END AS sg,
+             ABS(x2 - x1) AS ad
+      FROM pair WHERE x2 - x1 <> 0
+    ),
+    gv AS (SELECT sg, ad, CAST(COUNT(*) AS BIGINT) AS cgv
+           FROM nz GROUP BY 1, 2),
+    pv AS (SELECT ad, SUM(cgv) AS cv FROM gv GROUP BY 1),
+    ranked AS (
+      SELECT ad, cv,
+             2 * COALESCE(SUM(cv) OVER (ORDER BY ad
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) + cv + 1 AS dr
+      FROM pv
+    ),
+    agg AS (
+      SELECT SUM(gv.cgv) AS n,
+             SUM(CASE WHEN gv.sg = 1
+                      THEN CAST(gv.cgv AS HUGEINT) * ranked.dr
+                      ELSE 0 END) AS w2
+      FROM gv JOIN ranked USING (ad)
+    ),
+    ties AS (
+      SELECT SUM(CAST(cv AS HUGEINT) * cv * cv - cv) AS t FROM pv
+    )
+    SELECT np.npairs AS n_pairs, CAST(n AS BIGINT) AS n_nonzero,
+           CAST(w2 AS BIGINT) AS w2_plus, CAST(t AS BIGINT) AS ties_t,
+           CASE WHEN n > 0 AND
+                     CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+                     * (2.0 * CAST(n AS DOUBLE) + 1.0) / 24.0
+                     - CAST(t AS DOUBLE) / 48.0 > 0.0 THEN
+             (CAST(w2 AS DOUBLE)
+              - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 2.0)
+             / (2.0 * SQRT(
+                 CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+                 * (2.0 * CAST(n AS DOUBLE) + 1.0) / 24.0
+                 - CAST(t AS DOUBLE) / 48.0))
+           END AS z
+    FROM agg, ties, np
+    """,
+)
+def q_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank on paired per-customer spend, 1995-96 vs
+    1997-98 (operators/stats.py:wilcoxon_signed_rank): did the SAME
+    customers spend more in the later window — the paired complement
+    to q_mann_whitney_u. Doubled-rank exact-integer 2W⁺ certificate;
+    tie-corrected normal z as a mirrored IEEE tree."""
+    from aws_datalake_spark.operators.stats import wilcoxon_signed_rank
+
+    o = t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    pair = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.when(F.year("o_orderdate").isin([1995, 1996]), cents).otherwise(
+                F.lit(0)
+            )
+        ).alias("x1"),
+        F.sum(
+            F.when(F.year("o_orderdate").isin([1997, 1998]), cents).otherwise(
+                F.lit(0)
+            )
+        ).alias("x2"),
+    )
+    return wilcoxon_signed_rank(pair, F.col("x1"), F.col("x2"))
+
+
+# ---------------------------------------------------------------------------
+# Cochran's Q (k repeated binary measures)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_cochran_q",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey,
+             MAX(CASE WHEN EXTRACT(year FROM o_orderdate) = 1995
+                      THEN 1 ELSE 0 END) AS s95,
+             MAX(CASE WHEN EXTRACT(year FROM o_orderdate) = 1996
+                      THEN 1 ELSE 0 END) AS s96,
+             MAX(CASE WHEN EXTRACT(year FROM o_orderdate) = 1997
+                      THEN 1 ELSE 0 END) AS s97
+      FROM orders GROUP BY 1
+    ),
+    cells AS (
+      SELECT o_custkey AS i, '1995' AS yr, s95 AS s FROM per
+      UNION ALL
+      SELECT o_custkey, '1996', s96 FROM per
+      UNION ALL
+      SELECT o_custkey, '1997', s97 FROM per
+    ),
+    per_i AS (SELECT i, SUM(s) AS r FROM cells GROUP BY 1),
+    per_j AS (SELECT yr, SUM(s) AS c FROM cells GROUP BY 1),
+    ri AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS ns,
+             SUM(CAST(r AS HUGEINT)) AS sr,
+             SUM(CAST(r AS HUGEINT) * r) AS sr2
+      FROM per_i
+    ),
+    cj AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             SUM(CAST(c AS HUGEINT) * c) AS sc2
+      FROM per_j
+    )
+    SELECT ns AS n_subjects, k,
+           CASE WHEN CAST(k * sr - sr2 AS DOUBLE) > 0.0 THEN
+             CAST((k - 1) * (k * sc2 - sr * sr) AS DOUBLE)
+             / CAST(k * sr - sr2 AS DOUBLE)
+           END AS q
+    FROM ri, cj
+    """,
+)
+def q_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q across three repeated binary measures — did each
+    customer order in 1995 / 1996 / 1997 (operators/stats.py:
+    cochran_q): the k-sample McNemar ("did participation RATE change
+    across years on the same subjects"). Exact DECIMAL numerator and
+    denominator; Q is one correctly-rounded divide."""
+    from aws_datalake_spark.operators.stats import cochran_q
+
+    o = t(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        *[
+            F.max(
+                (F.year("o_orderdate") == y).cast("long")
+            ).alias(f"s{str(y)[2:]}")
+            for y in (1995, 1996, 1997)
+        ]
+    )
+    cells = per.selectExpr(
+        "o_custkey",
+        "stack(3, '1995', s95, '1996', s96, '1997', s97) AS (yr, s)",
+    )
+    return cochran_q(cells, "o_custkey", "yr", "s")
+
+
+# ---------------------------------------------------------------------------
+# Wasserstein-1 drift
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_wasserstein_drift",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS g,
+             CAST(l_quantity AS BIGINT) AS val
+      FROM lineitem
+      WHERE EXTRACT(year FROM l_shipdate) IN (1995, 1998)
+    ),
+    pv AS (
+      SELECT val,
+             CAST(SUM(CASE WHEN g = 1995 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN g = 1998 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cb
+      FROM v GROUP BY 1
+    ),
+    cum AS (
+      SELECT val,
+             SUM(ca) OVER (ORDER BY val ROWS UNBOUNDED PRECEDING) AS fa,
+             SUM(cb) OVER (ORDER BY val ROWS UNBOUNDED PRECEDING) AS fb,
+             LEAD(val) OVER (ORDER BY val) - val AS dv
+      FROM pv
+    ),
+    tot AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS na,
+             CAST(SUM(cb) AS BIGINT) AS nb
+      FROM pv
+    ),
+    terms AS (
+      SELECT ABS(CAST(fa AS HUGEINT) * nb - CAST(fb AS HUGEINT) * na)
+               * dv AS term
+      FROM cum, tot WHERE dv IS NOT NULL
+    ),
+    agg AS (
+      SELECT COALESCE(SUM(term), 0::HUGEINT) AS num FROM terms
+    )
+    SELECT na AS n_a, nb AS n_b,
+           CAST(num AS VARCHAR) AS w1_num,
+           CAST(CAST(na AS HUGEINT) * nb AS VARCHAR) AS w1_den,
+           CASE WHEN CAST(CAST(na AS HUGEINT) * nb AS DOUBLE) > 0.0 THEN
+             CAST(num AS DOUBLE)
+             / CAST(CAST(na AS HUGEINT) * nb AS DOUBLE)
+           END AS w1
+    FROM agg, tot
+    """,
+)
+def q_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wasserstein-1 distance between the 1995 and 1998 quantity
+    distributions (operators/stats.py:wasserstein_1): the
+    magnitude-aware drift measure — q_tvd_drift counts mismatched
+    mass, W1 also weighs HOW FAR it moved (Σ|F₁−F₂|·Δv over the
+    sorted value domain). Exact DECIMAL numerator/denominator
+    certificate strings; w1 is one correctly-rounded divide."""
+    from aws_datalake_spark.operators.stats import wasserstein_1
+
+    li = t(spark, sf_dir, "lineitem").where(
+        F.year("l_shipdate").isin([1995, 1998])
+    ).select(
+        F.year("l_shipdate").cast("long").alias("g"),
+        F.col("l_quantity").cast("long").alias("val"),
+    )
+    return wasserstein_1(li, "g", F.col("val"), 1995, 1998)
+
+
+# ---------------------------------------------------------------------------
+# Holt linear (double-exponential) smoothing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_holt_linear",
+    oracle="""
+    WITH ser AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) * 12
+                  + EXTRACT(month FROM o_orderdate) AS BIGINT) AS m,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS y
+      FROM orders GROUP BY 1
+    ),
+    lst AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             list(list_value(CAST(y AS DOUBLE), CAST(0.0 AS DOUBLE))
+                  ORDER BY m) AS els
+      FROM ser
+    ),
+    fold AS (
+      SELECT n,
+             list_reduce(els, (acc, x) -> list_value(
+               0.5 * x[1] + 0.5 * (acc[1] + acc[2]),
+               0.5 * ((0.5 * x[1] + 0.5 * (acc[1] + acc[2])) - acc[1])
+                 + 0.5 * acc[2])) AS st
+      FROM lst
+    )
+    SELECT n, st[1] AS level, st[2] AS trend,
+           st[1] + 3.0 * st[2] AS forecast_3
+    FROM fold
+    """,
+)
+def q_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear (double-exponential) smoothing of monthly revenue
+    with α=β=0.5: level + trend state folded over the pinned month
+    order, final state and the 3-months-ahead forecast — the
+    trend-aware sibling of q_ewma_smoothing. The 2-vector state
+    rides the ordered-list reduce as a DOUBLE[] accumulator (both
+    engines fold left with the FIRST element [y₁, 0] as init), so
+    the recursion — inherently order-dependent — is bit-identical
+    cross-engine. The corpus collapses to the month series in one
+    aggregate."""
+    ser = (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("long")
+            .alias("m")
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ).alias("y")
+        )
+    )
+    lst = ser.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("m"),
+                        F.array(
+                            F.col("y").cast("double"), F.lit(0.0)
+                        ).alias("el"),
+                    )
+                )
+            ),
+            lambda st: st["el"],
+        ).alias("els"),
+    )
+
+    def _merge(acc, x):
+        lvl = F.lit(0.5) * F.element_at(x, 1) + F.lit(0.5) * (
+            F.element_at(acc, 1) + F.element_at(acc, 2)
+        )
+        tr = F.lit(0.5) * (
+            (
+                F.lit(0.5) * F.element_at(x, 1)
+                + F.lit(0.5)
+                * (F.element_at(acc, 1) + F.element_at(acc, 2))
+            )
+            - F.element_at(acc, 1)
+        ) + F.lit(0.5) * F.element_at(acc, 2)
+        return F.array(lvl, tr)
+
+    fold = lst.select(
+        "n",
+        F.aggregate(
+            F.slice(F.col("els"), 2, F.size(F.col("els")) - 1),
+            F.element_at(F.col("els"), 1),
+            _merge,
+        ).alias("st"),
+    )
+    return fold.select(
+        "n",
+        F.element_at(F.col("st"), 1).alias("level"),
+        F.element_at(F.col("st"), 2).alias("trend"),
+        (
+            F.element_at(F.col("st"), 1)
+            + F.lit(3.0) * F.element_at(F.col("st"), 2)
+        ).alias("forecast_3"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# classical seasonal decomposition (additive, monthly)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_seasonal_decompose",
+    oracle="""
+    WITH ser AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) * 12
+                  + EXTRACT(month FROM o_orderdate) AS BIGINT) AS m,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    tr AS (
+      SELECT m, y,
+             LAG(y, 6) OVER (ORDER BY m)
+               + 2 * SUM(y) OVER (ORDER BY m ROWS BETWEEN 5 PRECEDING
+                                  AND 5 FOLLOWING)
+               + LEAD(y, 6) OVER (ORDER BY m) AS cma24
+      FROM ser
+    ),
+    det AS (
+      SELECT m, y, cma24, m % 12 AS moy,
+             24 * y - cma24 AS detr24
+      FROM tr
+    ),
+    szn AS (
+      SELECT moy, CAST(COUNT(detr24) AS BIGINT) AS cnt,
+             SUM(detr24) AS sd
+      FROM det WHERE detr24 IS NOT NULL GROUP BY 1
+    )
+    SELECT det.m AS month_index, det.y AS revenue_cents,
+           CAST(det.cma24 AS DOUBLE) / 24.0 AS trend,
+           (CAST(szn.sd AS DOUBLE) / CAST(szn.cnt AS DOUBLE)) / 24.0
+             AS seasonal,
+           CASE WHEN det.cma24 IS NOT NULL THEN
+             CAST(det.y AS DOUBLE)
+             - CAST(det.cma24 AS DOUBLE) / 24.0
+             - (CAST(szn.sd AS DOUBLE) / CAST(szn.cnt AS DOUBLE)) / 24.0
+           END AS remainder
+    FROM det JOIN szn ON det.moy = szn.moy
+    """,
+)
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of monthly revenue:
+    trend = centered 12-month moving average (half-weight endpoints,
+    kept EXACT by working at ×24: cma24 = y₋₆ + 2Σ±5 + y₊₆ is an
+    integer window), seasonal = per-calendar-month mean of the ×24
+    detrended series (month-mean variant, not recentered), remainder
+    = the rest. Every window is an INTEGER window (order-free);
+    the only floats are three mirrored divides per row. The corpus
+    collapses to the ~84-month series in one aggregate; edge months
+    (first/last 6) carry NULL trend/remainder by construction."""
+    from pyspark.sql import Window
+
+    ser = (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("long")
+            .alias("m")
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ).alias("y")
+        )
+    )
+    wo = Window.orderBy("m")
+    tr = ser.select(
+        "m",
+        "y",
+        (
+            F.lag("y", 6).over(wo)
+            + 2 * F.sum("y").over(wo.rowsBetween(-5, 5))
+            + F.lead("y", 6).over(wo)
+        ).alias("cma24"),
+    )
+    det = tr.select(
+        "m",
+        "y",
+        "cma24",
+        (F.col("m") % 12).alias("moy"),
+        (24 * F.col("y") - F.col("cma24")).alias("detr24"),
+    )
+    szn = (
+        det.where(F.col("detr24").isNotNull())
+        .groupBy("moy")
+        .agg(
+            F.count("detr24").alias("cnt"),
+            F.sum("detr24").alias("sd"),
+        )
+    )
+    seasonal = (
+        F.col("sd").cast("double") / F.col("cnt").cast("double")
+    ) / F.lit(24.0)
+    trend = F.col("cma24").cast("double") / F.lit(24.0)
+    return det.join(F.broadcast(szn), "moy").select(
+        F.col("m").alias("month_index"),
+        F.col("y").alias("revenue_cents"),
+        trend.alias("trend"),
+        seasonal.alias("seasonal"),
+        F.when(
+            F.col("cma24").isNotNull(),
+            F.col("y").cast("double") - trend - seasonal,
+        ).alias("remainder"),
+    )

@@ -270,6 +270,11 @@ HEADLINE = [
     "q_wilson_ci",
     "q_odds_ratio",
     "q_graph_resource_allocation",
+    "q_wilcoxon_signed_rank",
+    "q_cochran_q",
+    "q_wasserstein_drift",
+    "q_holt_linear",
+    "q_seasonal_decompose",
 ]
 
 

@@ -373,3 +373,155 @@ def test_brier_calibration_bins(spark, sf_dir):
         assert 0.0 <= r.brier <= 1.0
         # mean_pred must sit inside its decile bin
         assert r.bin * 0.1 <= r.mean_pred < r.bin * 0.1 + 0.1 + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Wilcoxon signed-rank
+# ---------------------------------------------------------------------------
+
+
+def test_wilcoxon_signed_rank_matches_textbook(spark):
+    from aws_datalake_spark.operators.stats import wilcoxon_signed_rank
+
+    # diffs: +2, -1, +3, +3, 0 (dropped) -> |d| ranks: 1->1,
+    # 2->2, 3->avg(3,4)=3.5 ; W+ = 2 + 3.5 + 3.5 = 9
+    rows = [(10, 12), (10, 9), (10, 13), (20, 23), (7, 7)]
+    df = spark.createDataFrame(rows, "x1 long, x2 long")
+    r = wilcoxon_signed_rank(df, F.col("x1"), F.col("x2")).collect()[0]
+    assert r.n_pairs == 5 and r.n_nonzero == 4
+    assert r.w2_plus == 18  # doubled W+
+    assert r.ties_t == 6  # one tie group of 2: 2^3-2
+    n = 4
+    var = n * (n + 1) * (2 * n + 1) / 24 - 6 / 48
+    assert r.z == pytest.approx((18 - n * (n + 1) / 2) / (2 * math.sqrt(var)), rel=1e-12)
+
+
+def test_wilcoxon_all_zero_diffs(spark):
+    from aws_datalake_spark.operators.stats import wilcoxon_signed_rank
+
+    df = spark.createDataFrame([(5, 5), (7, 7)], "x1 long, x2 long")
+    rows = wilcoxon_signed_rank(df, F.col("x1"), F.col("x2")).collect()
+    # no nonzero diffs: the aggregate side is empty -> no row or a
+    # row with n_nonzero null; either way no crash and no z
+    assert all(r.z is None for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# Cochran's Q
+# ---------------------------------------------------------------------------
+
+
+def test_cochran_q_matches_textbook(spark):
+    from aws_datalake_spark.operators.stats import cochran_q
+
+    # 4 subjects x 3 treatments binary grid
+    grid = {
+        "s1": (1, 1, 0),
+        "s2": (1, 0, 0),
+        "s3": (1, 1, 1),
+        "s4": (0, 1, 0),
+    }
+    rows = [
+        (s, f"t{j}", v)
+        for s, vs in grid.items()
+        for j, v in enumerate(vs)
+    ]
+    df = spark.createDataFrame(rows, "i string, j string, s long")
+    r = cochran_q(df, "i", "j", "s").collect()[0]
+    k = 3
+    cj = [sum(grid[s][j] for s in grid) for j in range(k)]
+    ri = [sum(vs) for vs in grid.values()]
+    n = sum(cj)
+    q = (k - 1) * (k * sum(c * c for c in cj) - n * n) / (
+        k * n - sum(r_ * r_ for r_ in ri)
+    )
+    assert r.n_subjects == 4 and r.k == 3
+    assert r.q == pytest.approx(q, rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Wasserstein-1
+# ---------------------------------------------------------------------------
+
+
+def test_wasserstein_matches_scipy_formula(spark):
+    from aws_datalake_spark.operators.stats import wasserstein_1
+
+    av, bv = [1, 1, 2, 4], [2, 3, 3, 5]
+    rows = [("a", v) for v in av] + [("b", v) for v in bv]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = wasserstein_1(df, "g", F.col("v"), "a", "b").collect()[0]
+
+    # reference: integral of |F_a - F_b| over the value line
+    def cdf(vals, x):
+        return sum(1 for v in vals if v <= x) / len(vals)
+
+    ref = sum(
+        abs(cdf(av, x) - cdf(bv, x)) for x in range(1, 5)
+    )  # unit steps between 1..5
+    assert r.n_a == 4 and r.n_b == 4
+    assert r.w1 == pytest.approx(ref, rel=1e-12)
+    assert int(r.w1_num) / int(r.w1_den) == pytest.approx(r.w1, rel=1e-12)
+
+
+def test_wasserstein_identical_distributions_zero(spark):
+    from aws_datalake_spark.operators.stats import wasserstein_1
+
+    rows = [("a", v) for v in (1, 2, 3)] + [("b", v) for v in (1, 2, 3)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = wasserstein_1(df, "g", F.col("v"), "a", "b").collect()[0]
+    assert r.w1 == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Holt linear
+# ---------------------------------------------------------------------------
+
+
+def test_holt_linear_matches_python_recursion(spark, sf_dir):
+    """The Spark fold must reproduce the plain-Python Holt recursion
+    on the actual monthly series, bit-for-bit."""
+    import duckdb
+    import __spark_entry__ as entry
+
+    ser = duckdb.sql(
+        f"""SELECT CAST(EXTRACT(year FROM o_orderdate) * 12
+                 + EXTRACT(month FROM o_orderdate) AS BIGINT) AS m,
+                 CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS y
+           FROM '{sf_dir}/orders.parquet' GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    lvl, tr = float(ser[0][1]), 0.0
+    for _, y in ser[1:]:
+        nl = 0.5 * float(y) + 0.5 * (lvl + tr)
+        tr = 0.5 * (nl - lvl) + 0.5 * tr
+        lvl = nl
+    r = entry.queries()["q_holt_linear"](
+        spark._jsparkSession and spark, sf_dir
+    ).collect()[0]
+    assert r.n == len(ser)
+    assert r.level == lvl and r.trend == tr  # exact: same IEEE fold
+    assert r.forecast_3 == lvl + 3.0 * tr
+
+
+# ---------------------------------------------------------------------------
+# seasonal decomposition invariants
+# ---------------------------------------------------------------------------
+
+
+def test_seasonal_decompose_identity_and_edges(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["q_seasonal_decompose"](spark, sf_dir).collect()
+    rows.sort(key=lambda r: r.month_index)
+    assert len(rows) >= 24
+    # first and last 6 months: no trend
+    for r in rows[:6] + rows[-6:]:
+        assert r.remainder is None
+    # interior months: y = trend + seasonal + remainder (exact
+    # reconstruction up to the two divides' rounding)
+    for r in rows[7:-7]:
+        assert r.trend is not None
+        assert float(r.revenue_cents) == pytest.approx(
+            r.trend + r.seasonal + r.remainder, rel=1e-12
+        )
