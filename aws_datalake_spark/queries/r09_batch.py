@@ -2211,3 +2211,366 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("y").cast("double") - trend - seasonal,
         ).alias("remainder"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Friedman test (k related samples, complete blocks)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_friedman_test",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey,
+             SUM(CASE WHEN EXTRACT(year FROM o_orderdate) = 1995
+                      THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                      ELSE 0 END) AS x1,
+             SUM(CASE WHEN EXTRACT(year FROM o_orderdate) = 1996
+                      THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                      ELSE 0 END) AS x2,
+             SUM(CASE WHEN EXTRACT(year FROM o_orderdate) = 1997
+                      THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                      ELSE 0 END) AS x3
+      FROM orders GROUP BY 1
+    ),
+    dr AS (
+      SELECT
+        2 * (CASE WHEN x2 < x1 THEN 1 ELSE 0 END
+             + CASE WHEN x3 < x1 THEN 1 ELSE 0 END)
+          + (CASE WHEN x2 = x1 THEN 1 ELSE 0 END
+             + CASE WHEN x3 = x1 THEN 1 ELSE 0 END) + 2 AS d1,
+        2 * (CASE WHEN x1 < x2 THEN 1 ELSE 0 END
+             + CASE WHEN x3 < x2 THEN 1 ELSE 0 END)
+          + (CASE WHEN x1 = x2 THEN 1 ELSE 0 END
+             + CASE WHEN x3 = x2 THEN 1 ELSE 0 END) + 2 AS d2,
+        2 * (CASE WHEN x1 < x3 THEN 1 ELSE 0 END
+             + CASE WHEN x2 < x3 THEN 1 ELSE 0 END)
+          + (CASE WHEN x1 = x3 THEN 1 ELSE 0 END
+             + CASE WHEN x2 = x3 THEN 1 ELSE 0 END) + 2 AS d3
+      FROM per
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(d1 AS HUGEINT)) AS r1,
+             SUM(CAST(d2 AS HUGEINT)) AS r2,
+             SUM(CAST(d3 AS HUGEINT)) AS r3
+      FROM dr
+    )
+    SELECT n, 3 AS k,
+           CASE WHEN n > 0 THEN
+             3.0 * (CAST(r1 * r1 AS DOUBLE) + CAST(r2 * r2 AS DOUBLE)
+                    + CAST(r3 * r3 AS DOUBLE))
+             / (CAST(n AS DOUBLE) * 3.0 * 4.0)
+             - 3.0 * CAST(n AS DOUBLE) * 4.0
+           END AS chi2
+    FROM agg
+    """,
+)
+def q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test across three repeated yearly spend measures on
+    the same customers (complete blocks; missing years spend 0):
+    "did the ranking of years differ consistently across customers"
+    — the k-sample sibling of q_wilcoxon_signed_rank, rank-based
+    where q_cochran_q is binary. Within-block tie-averaged ranks are
+    computed ARITHMETICALLY for k=3 (doubled: 2·less + ties + 2 —
+    no window at all), the per-year doubled rank sums are exact
+    DECIMAL integers, and χ²_F = 12·ΣR_j²/(nk(k+1)) − 3n(k+1)
+    (= 3·ΣR2_j²/(n·k·(k+1)) − 3n(k+1) in doubled form) is a
+    mirrored IEEE tree. One scan, one aggregate."""
+    o = t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    per = o.groupBy("o_custkey").agg(
+        *[
+            F.sum(
+                F.when(F.year("o_orderdate") == y, cents).otherwise(F.lit(0))
+            ).alias(f"x{i + 1}")
+            for i, y in enumerate((1995, 1996, 1997))
+        ]
+    )
+
+    def _dr(j: int):
+        others = [i for i in (1, 2, 3) if i != j]
+        less = sum(
+            (F.col(f"x{i}") < F.col(f"x{j}")).cast("long") for i in others
+        )
+        tie = sum(
+            (F.col(f"x{i}") == F.col(f"x{j}")).cast("long") for i in others
+        )
+        return (2 * less + tie + 2).alias(f"d{j}")
+
+    dr = per.select(_dr(1), _dr(2), _dr(3))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = dr.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("d1"))).alias("r1"),
+        F.sum(dec(F.col("d2"))).alias("r2"),
+        F.sum(dec(F.col("d3"))).alias("r3"),
+    )
+    n_d = F.col("n").cast("double")
+    chi2 = (
+        F.lit(3.0)
+        * (
+            (F.col("r1") * F.col("r1")).cast("double")
+            + (F.col("r2") * F.col("r2")).cast("double")
+            + (F.col("r3") * F.col("r3")).cast("double")
+        )
+        / (n_d * F.lit(3.0) * F.lit(4.0))
+        - F.lit(3.0) * n_d * F.lit(4.0)
+    )
+    return agg.select(
+        F.col("n"),
+        F.lit(3).cast("int").alias("k"),
+        F.when(F.col("n") > 0, chi2).alias("chi2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# partial correlation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_partial_correlation",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y,
+             CAST(ROUND(l_discount * 100) AS BIGINT) AS z
+      FROM lineitem
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(z AS HUGEINT)) AS sz,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(y AS HUGEINT) * y) AS syy,
+             SUM(CAST(z AS HUGEINT) * z) AS szz,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             SUM(CAST(x AS HUGEINT) * z) AS sxz,
+             SUM(CAST(y AS HUGEINT) * z) AS syz
+      FROM v
+    ),
+    r AS (
+      SELECT n,
+             CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+               / (SQRT(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE))
+                  * SQRT(CAST(CAST(n AS HUGEINT) * syy - sy * sy
+                              AS DOUBLE))) AS rxy,
+             CAST(CAST(n AS HUGEINT) * sxz - sx * sz AS DOUBLE)
+               / (SQRT(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE))
+                  * SQRT(CAST(CAST(n AS HUGEINT) * szz - sz * sz
+                              AS DOUBLE))) AS rxz,
+             CAST(CAST(n AS HUGEINT) * syz - sy * sz AS DOUBLE)
+               / (SQRT(CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE))
+                  * SQRT(CAST(CAST(n AS HUGEINT) * szz - sz * sz
+                              AS DOUBLE))) AS ryz
+      FROM m
+    )
+    SELECT n, rxy AS r_xy, rxz AS r_xz, ryz AS r_yz,
+           CASE WHEN (1.0 - rxz * rxz) > 0.0 AND (1.0 - ryz * ryz) > 0.0
+                THEN (rxy - rxz * ryz)
+                     / (SQRT(1.0 - rxz * rxz) * SQRT(1.0 - ryz * ryz))
+           END AS partial_xy_z
+    FROM r
+    """,
+)
+def q_partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial correlation of quantity and line revenue CONTROLLING
+    for discount: r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²))
+    — "is the qty↔revenue association real or discount-mediated",
+    the three-variable step beyond q_correlation_matrix. All nine
+    moment sums are exact DECIMAL integers from ONE aggregate; the
+    three Pearsons and the partial are a fixed mirrored IEEE tree."""
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("y"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("z"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("z"))).alias("sz"),
+        F.sum(dec(F.col("x")) * dec(F.col("x"))).alias("sxx"),
+        F.sum(dec(F.col("y")) * dec(F.col("y"))).alias("syy"),
+        F.sum(dec(F.col("z")) * dec(F.col("z"))).alias("szz"),
+        F.sum(dec(F.col("x")) * dec(F.col("y"))).alias("sxy"),
+        F.sum(dec(F.col("x")) * dec(F.col("z"))).alias("sxz"),
+        F.sum(dec(F.col("y")) * dec(F.col("z"))).alias("syz"),
+    )
+    n = dec(F.col("n"))
+
+    def _r(sab, sa, sb, saa, sbb):
+        return (n * F.col(sab) - F.col(sa) * F.col(sb)).cast("double") / (
+            F.sqrt(
+                (n * F.col(saa) - F.col(sa) * F.col(sa)).cast("double")
+            )
+            * F.sqrt(
+                (n * F.col(sbb) - F.col(sb) * F.col(sb)).cast("double")
+            )
+        )
+
+    rxy = _r("sxy", "sx", "sy", "sxx", "syy")
+    rxz = _r("sxz", "sx", "sz", "sxx", "szz")
+    ryz = _r("syz", "sy", "sz", "syy", "szz")
+    r = m.select(
+        "n", rxy.alias("rxy"), rxz.alias("rxz"), ryz.alias("ryz")
+    )
+    ok = (
+        (F.lit(1.0) - F.col("rxz") * F.col("rxz")) > 0.0
+    ) & ((F.lit(1.0) - F.col("ryz") * F.col("ryz")) > 0.0)
+    partial = (F.col("rxy") - F.col("rxz") * F.col("ryz")) / (
+        F.sqrt(F.lit(1.0) - F.col("rxz") * F.col("rxz"))
+        * F.sqrt(F.lit(1.0) - F.col("ryz") * F.col("ryz"))
+    )
+    return r.select(
+        "n",
+        F.col("rxy").alias("r_xy"),
+        F.col("rxz").alias("r_xz"),
+        F.col("ryz").alias("r_yz"),
+        F.when(ok, partial).alias("partial_xy_z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# monthly churn (growth accounting, the loss side)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_churn_rate",
+    oracle="""
+    WITH um AS (
+      SELECT DISTINCT user_id,
+             CAST((CAST(ts AS DATE) - DATE '1970-01-01') // 7
+                  AS BIGINT) AS m
+      FROM events
+    ),
+    prev AS (SELECT user_id, m + 1 AS m FROM um),
+    act AS (SELECT m, CAST(COUNT(*) AS BIGINT) AS active_prev
+            FROM prev GROUP BY 1),
+    ret AS (
+      SELECT prev.m, CAST(COUNT(*) AS BIGINT) AS retained
+      FROM prev JOIN um ON prev.user_id = um.user_id AND prev.m = um.m
+      GROUP BY 1
+    ),
+    mon AS (SELECT DISTINCT m FROM um)
+    SELECT act.m AS week_index, act.active_prev,
+           COALESCE(ret.retained, 0) AS retained,
+           act.active_prev - COALESCE(ret.retained, 0) AS churned,
+           CAST(act.active_prev - COALESCE(ret.retained, 0) AS DOUBLE)
+             / CAST(act.active_prev AS DOUBLE) AS churn_rate
+    FROM act JOIN mon ON act.m = mon.m
+    LEFT JOIN ret ON act.m = ret.m
+    """,
+)
+def q_churn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly churn from the events stream: of last week's active
+    users, how many did NOT return this week — the loss side of
+    st_new_vs_returning's growth accounting (weekly buckets: the
+    fixture's event stream spans ~one month). The ghost week after
+    the lake's end is excluded by joining back to observed weeks.
+    Exact distinct-user counts; one divide."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(
+            F.unix_date(F.col("ts").cast("date")) / F.lit(7)
+        ).cast("long").alias("m"),
+    ).distinct()
+    prev = ev.select("user_id", (F.col("m") + 1).alias("m"))
+    act = prev.groupBy("m").agg(F.count(F.lit(1)).alias("active_prev"))
+    ret = prev.join(ev, ["user_id", "m"]).groupBy("m").agg(
+        F.count(F.lit(1)).alias("retained")
+    )
+    mon = ev.select("m").distinct()
+    out = (
+        act.join(mon, "m")
+        .join(ret, "m", "left")
+        .select(
+            F.col("m").alias("week_index"),
+            "active_prev",
+            F.coalesce(F.col("retained"), F.lit(0)).alias("retained"),
+            (
+                F.col("active_prev") - F.coalesce(F.col("retained"), F.lit(0))
+            ).alias("churned"),
+            (
+                (
+                    F.col("active_prev")
+                    - F.coalesce(F.col("retained"), F.lit(0))
+                ).cast("double")
+                / F.col("active_prev").cast("double")
+            ).alias("churn_rate"),
+        )
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# DAU/MAU stickiness
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dau_mau_stickiness",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d,
+             CAST((CAST(ts AS DATE) - DATE '1970-01-01') // 7
+                  AS BIGINT) AS m
+      FROM events
+    ),
+    daily AS (
+      SELECT m, d, CAST(COUNT(*) AS BIGINT) AS dau
+      FROM du GROUP BY 1, 2
+    ),
+    per_m AS (
+      SELECT m, CAST(SUM(dau) AS BIGINT) AS dau_sum,
+             CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM daily GROUP BY 1
+    ),
+    mau AS (
+      SELECT m, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+      FROM du GROUP BY 1
+    )
+    SELECT per_m.m AS week_index, per_m.n_days, per_m.dau_sum,
+           mau.mau,
+           CAST(per_m.dau_sum AS DOUBLE) / CAST(per_m.n_days AS DOUBLE)
+             / CAST(mau.mau AS DOUBLE) AS stickiness
+    FROM per_m JOIN mau ON per_m.m = mau.m
+    """,
+)
+def q_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per week: average daily active users over
+    weekly active users — "of the people who show up at all, how
+    many show up daily" (1.0 = everyone, every day; weekly buckets
+    because the fixture's event stream spans ~one month). Exact
+    distinct counts; two mirrored divides. One (user, day) distinct
+    collapses the corpus; everything after is day/week-domain
+    sized."""
+    du = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("date").alias("d"),
+        F.floor(
+            F.unix_date(F.col("ts").cast("date")) / F.lit(7)
+        ).cast("long").alias("m"),
+    ).distinct()
+    daily = du.groupBy("m", "d").agg(F.count(F.lit(1)).alias("dau"))
+    per_m = daily.groupBy("m").agg(
+        F.sum("dau").alias("dau_sum"), F.count(F.lit(1)).alias("n_days")
+    )
+    mau = du.groupBy("m").agg(
+        F.countDistinct("user_id").alias("mau")
+    )
+    return per_m.join(mau, "m").select(
+        F.col("m").alias("week_index"),
+        "n_days",
+        "dau_sum",
+        "mau",
+        (
+            F.col("dau_sum").cast("double")
+            / F.col("n_days").cast("double")
+            / F.col("mau").cast("double")
+        ).alias("stickiness"),
+    )

@@ -275,6 +275,10 @@ HEADLINE = [
     "q_wasserstein_drift",
     "q_holt_linear",
     "q_seasonal_decompose",
+    "q_friedman_test",
+    "q_partial_correlation",
+    "q_churn_rate",
+    "q_dau_mau_stickiness",
 ]
 
 

@@ -525,3 +525,94 @@ def test_seasonal_decompose_identity_and_edges(spark, sf_dir):
         assert float(r.revenue_cents) == pytest.approx(
             r.trend + r.seasonal + r.remainder, rel=1e-12
         )
+
+
+# ---------------------------------------------------------------------------
+# Friedman test
+# ---------------------------------------------------------------------------
+
+
+def test_friedman_matches_textbook(spark):
+    """Arithmetic within-block ranks vs the textbook Friedman χ² on
+    a hand grid (with one tied block)."""
+    import __spark_entry__  # noqa: F401  (registers queries)
+    from pyspark.sql import functions as F  # noqa: F811
+
+    # blocks of (x1, x2, x3)
+    blocks = [(1, 2, 3), (2, 2, 5), (9, 4, 1), (3, 6, 8)]
+
+    def ranks(row):
+        out = []
+        for j in range(3):
+            less = sum(1 for i in range(3) if row[i] < row[j])
+            tie = sum(1 for i in range(3) if i != j and row[i] == row[j])
+            out.append(less + (tie + 2) / 2)  # avg rank
+        return out
+
+    rj = [sum(ranks(b)[j] for b in blocks) for j in range(3)]
+    n, k = len(blocks), 3
+    chi2 = 12.0 * sum(r * r for r in rj) / (n * k * (k + 1)) - 3 * n * (k + 1)
+
+    # replicate the query's arithmetic-rank device on this grid
+    df = spark.createDataFrame(blocks, "x1 long, x2 long, x3 long")
+
+    def _dr(j):
+        others = [i for i in (1, 2, 3) if i != j]
+        less = sum((F.col(f"x{i}") < F.col(f"x{j}")).cast("long") for i in others)
+        tie = sum((F.col(f"x{i}") == F.col(f"x{j}")).cast("long") for i in others)
+        return (2 * less + tie + 2).alias(f"d{j}")
+
+    agg = df.select(_dr(1), _dr(2), _dr(3)).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("d1").alias("r1"),
+        F.sum("d2").alias("r2"),
+        F.sum("d3").alias("r3"),
+    ).collect()[0]
+    assert [agg.r1 / 2, agg.r2 / 2, agg.r3 / 2] == rj
+    got = 3.0 * (agg.r1**2 + agg.r2**2 + agg.r3**2) / (agg.n * 3.0 * 4.0) - 3.0 * agg.n * 4.0
+    assert got == pytest.approx(chi2, rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# partial correlation
+# ---------------------------------------------------------------------------
+
+
+def test_partial_correlation_zeroes_out_mediated_link(spark, sf_dir):
+    """On data where y = z exactly, r_xy.z must be ~the residual
+    association; sanity: output within [-1, 1] and consistent with
+    the direct Pearson identity."""
+    import __spark_entry__ as entry
+
+    r = entry.queries()["q_partial_correlation"](spark, sf_dir).collect()[0]
+    for v in (r.r_xy, r.r_xz, r.r_yz, r.partial_xy_z):
+        assert v is None or -1.0 <= v <= 1.0
+    expected = (r.r_xy - r.r_xz * r.r_yz) / (
+        math.sqrt(1 - r.r_xz**2) * math.sqrt(1 - r.r_yz**2)
+    )
+    assert r.partial_xy_z == pytest.approx(expected, rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# churn / stickiness invariants
+# ---------------------------------------------------------------------------
+
+
+def test_churn_identity_and_bounds(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["q_churn_rate"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.retained + r.churned == r.active_prev
+        assert 0.0 <= r.churn_rate <= 1.0
+
+
+def test_stickiness_bounds(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["q_dau_mau_stickiness"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r.stickiness <= 1.0
+        assert r.mau <= r.dau_sum  # every MAU member has >= 1 active day
