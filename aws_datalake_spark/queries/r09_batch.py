@@ -2574,3 +2574,54 @@ def q_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("mau").cast("double")
         ).alias("stickiness"),
     )
+
+
+# ---------------------------------------------------------------------------
+# rank-function surface: ntile / percent_rank / cume_dist
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_window_ntile_cume",
+    oracle="""
+    WITH ranked AS (
+      SELECT c_mktsegment AS segment, c_custkey,
+             NTILE(4) OVER w AS quartile,
+             PERCENT_RANK() OVER w AS pct_rank,
+             CUME_DIST() OVER w AS cume
+      FROM customer
+      WINDOW w AS (PARTITION BY c_mktsegment
+                   ORDER BY CAST(ROUND(c_acctbal * 100) AS BIGINT),
+                            c_custkey)
+    )
+    SELECT segment, CAST(quartile AS INTEGER) AS quartile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(pct_rank) AS min_pct_rank, MAX(cume) AS max_cume
+    FROM ranked GROUP BY 1, 2
+    """,
+)
+def q_window_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining rank-function surface in one query: NTILE(4)
+    bucket sizes per segment with PERCENT_RANK / CUME_DIST extrema —
+    quartile assignment plus the two normalized-rank functions the
+    q_window_rank_stats family doesn't cover. The total window order
+    is pinned by (balance cents, custkey) so bucket boundaries are
+    deterministic; percent_rank = (rank−1)/(n−1) and cume_dist =
+    rank/n are exact-count divides in both engines."""
+    from pyspark.sql import Window
+
+    c = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.round(F.col("c_acctbal") * 100, 0).cast("long"), F.col("c_custkey")
+    )
+    ranked = c.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+    return ranked.groupBy("segment", "quartile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("pct_rank").alias("min_pct_rank"),
+        F.max("cume").alias("max_cume"),
+    )

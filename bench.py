@@ -279,6 +279,7 @@ HEADLINE = [
     "q_partial_correlation",
     "q_churn_rate",
     "q_dau_mau_stickiness",
+    "q_window_ntile_cume",
 ]
 
 
