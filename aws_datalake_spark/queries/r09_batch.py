@@ -1188,8 +1188,11 @@ def llm_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     fr = rel.groupBy("query_id").agg(
         F.min("rank").cast("long").alias("fr")
     )
+    # fr is bounded by the query-set size (<= _EV_NQ rows): broadcast
+    # the outer join's build side — Catalyst's stats can't see the
+    # bound through the aggregate and picks SMJ otherwise
     per_q = queries.select("query_id", "tlabel").join(
-        fr, "query_id", "left"
+        F.broadcast(fr), "query_id", "left"
     ).select("tlabel", F.coalesce(F.col("fr"), F.lit(0)).alias("fr0"))
     counts = per_q.groupBy("tlabel", "fr0").agg(
         F.count(F.lit(1)).alias("cnt")
@@ -2083,11 +2086,17 @@ def q_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) + F.lit(0.5) * F.element_at(acc, 2)
         return F.array(lvl, tr)
 
+    # try_element_at + clamped slice length: an EMPTY series must
+    # yield a NULL state row, not an ANSI out-of-bounds error
     fold = lst.select(
         "n",
         F.aggregate(
-            F.slice(F.col("els"), 2, F.size(F.col("els")) - 1),
-            F.element_at(F.col("els"), 1),
+            F.slice(
+                F.col("els"),
+                2,
+                F.greatest(F.size(F.col("els")) - 1, F.lit(0)),
+            ),
+            F.try_element_at(F.col("els"), F.lit(1)),
             _merge,
         ).alias("st"),
     )

@@ -35,6 +35,19 @@ EMPTY_SAFE_QUERIES = [
     "llm_sequence_packing",
     "ref_scd2_merge",
     "ref_snapshot_diff",
+    # r09 additions that collapse to zero rows on an empty lake
+    "q_max_drawdown",
+    "q_churn_rate",
+    "q_seasonal_decompose",
+    "q_anova_f",
+]
+
+# r09 scalar-report queries: they survive an empty lake by emitting
+# ONE all-NULL summary row (the Holt fold crashed outright under
+# ANSI element_at/slice before the try_element_at + clamp fix)
+EMPTY_SCALAR_QUERIES = [
+    "q_holt_linear",
+    "q_wasserstein_drift",
 ]
 
 
@@ -53,6 +66,14 @@ def test_query_survives_empty_lake(spark, empty_sf_dir, name):
 
     df = all_queries()[name](spark, empty_sf_dir)
     assert df.count() == 0
+
+
+@pytest.mark.parametrize("name", EMPTY_SCALAR_QUERIES)
+def test_scalar_query_survives_empty_lake(spark, empty_sf_dir, name):
+    from aws_datalake_spark.queries import all_queries
+
+    rows = all_queries()[name](spark, empty_sf_dir).collect()
+    assert len(rows) <= 1  # one NULL-state summary row or nothing
 
 
 def test_dq_audit_on_empty_batch_reports_zero_counts(spark, empty_sf_dir):
