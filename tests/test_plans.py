@@ -966,6 +966,9 @@ def test_mrr_corpus_never_shuffles_before_scoring(spark):
 
     plan = _plan(llm_mrr_eval(spark, SF_SMOKE))
     assert "windowspecdefinition(query_id" in plan
+    # the bounded first-relevant frame broadcasts into the left join
+    # (Catalyst picked SMJ through the aggregate before the hint)
+    assert "SortMergeJoin" not in plan
 
 
 def test_brown_forsythe_median_window_partitioned(spark):
