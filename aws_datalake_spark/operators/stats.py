@@ -2638,3 +2638,181 @@ def wasserstein_1(
             F.col("__num").cast("double") / den.cast("double"),
         ).alias("w1"),
     )
+
+
+def nelson_aalen(
+    durations: DataFrame,
+    duration_col: str,
+    observed_col: str,
+) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard estimate over right-censored
+    durations: ``(t, n_risk, d_events, cum_hazard, var_hazard)`` for
+    every time with at least one event, H(t) = Σ_{u≤t} d_u/n_u with
+    the standard variance Σ d_u/n_u² — the hazard-scale companion to
+    :func:`kaplan_meier` (KM multiplies survival factors; NA adds
+    hazard increments, the better-behaved quantity for small risk
+    sets and the input to hazard-ratio eyeballing).
+
+    EXACTNESS: the same exact risk-set frame as kaplan_meier; each
+    increment is one (or two) correctly-rounded divides, and both
+    running sums fold in PINNED ascending-t order via the
+    cumulative-collect_list ordered reduce — the KM device — so the
+    IEEE sums hash-match.
+
+    SCALE: identical to kaplan_meier — the subject table collapses
+    to the duration domain in one aggregate.
+    """
+    from pyspark.sql import Window
+
+    dom = durations.groupBy(
+        F.col(duration_col).cast("long").alias("__t")
+    ).agg(
+        F.count(F.lit(1)).alias("__m"),
+        F.sum(F.col(observed_col).cast("long")).alias("__d"),
+    )
+    w = Window.orderBy("__t")
+    cum = dom.select(
+        "__t",
+        "__d",
+        (
+            F.sum("__m").over(
+                w.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            - F.coalesce(
+                F.sum("__m").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            )
+        ).alias("__n_risk"),
+    )
+    nr = F.col("__n_risk").cast("double")
+    inc = F.col("__d").cast("double") / nr
+    inc2 = F.col("__d").cast("double") / (nr * nr)
+
+    def _runfold(term):
+        return F.aggregate(
+            F.collect_list(term).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    folded = cum.select(
+        "__t",
+        "__d",
+        "__n_risk",
+        _runfold(inc).alias("__h"),
+        _runfold(inc2).alias("__v"),
+    )
+    return folded.where(F.col("__d") > 0).select(
+        F.col("__t").alias("t"),
+        F.col("__n_risk").cast("long").alias("n_risk"),
+        F.col("__d").cast("long").alias("d_events"),
+        F.col("__h").alias("cum_hazard"),
+        F.col("__v").alias("var_hazard"),
+    )
+
+
+def logrank_test(
+    durations: DataFrame,
+    group_col: str,
+    duration_col: str,
+    observed_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Two-group log-rank test over right-censored durations: one row
+    ``(n_a, n_b, observed_a, expected_a, z, chi2)`` — "do these two
+    cohorts have the same survival curve" (the hypothesis test the
+    KM PLOT only suggests). At each event time t: O_A += d_At,
+    E_A += d_t·n_At/n_t, V += d_t·(n_At/n_t)·(1−n_At/n_t)·(n_t−d_t)/
+    (n_t−1); z = (O_A−E_A)/√V.
+
+    EXACTNESS: per-time at-risk and event counts are exact integers
+    (cumulative integer windows over the duration domain); each E/V
+    term is a fixed mirrored IEEE tree, and the three accumulations
+    fold in PINNED ascending-t order via ordered-list reduces. O_A
+    is an exact integer certificate.
+
+    SCALE: one (group × duration) aggregate collapses the subjects;
+    every window and fold runs over the duration domain.
+    """
+    from pyspark.sql import Window
+
+    base = durations.where(
+        F.col(group_col).isin([group_a, group_b])
+    ).select(
+        (F.col(group_col) == group_a).cast("int").alias("__ga"),
+        F.col(duration_col).cast("long").alias("__t"),
+        F.col(observed_col).cast("long").alias("__o"),
+    )
+    dom = base.groupBy("__t").agg(
+        F.count(F.lit(1)).alias("__m"),
+        F.sum("__o").alias("__d"),
+        F.sum(F.col("__ga")).alias("__ma"),
+        F.sum(F.col("__ga") * F.col("__o")).alias("__da"),
+    )
+    w = Window.orderBy("__t")
+
+    def _atrisk(mcol: str):
+        return F.sum(mcol).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ) - F.coalesce(
+            F.sum(mcol).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        )
+
+    cum = dom.select(
+        "__t",
+        "__d",
+        "__da",
+        _atrisk("__m").alias("__n"),
+        _atrisk("__ma").alias("__na"),
+    )
+    n_d = F.col("__n").cast("double")
+    na_d = F.col("__na").cast("double")
+    d_d = F.col("__d").cast("double")
+    e_term = d_d * na_d / n_d
+    v_term = F.when(
+        F.col("__n") > 1,
+        d_d
+        * (na_d / n_d)
+        * (F.lit(1.0) - na_d / n_d)
+        * ((n_d - d_d) / (n_d - F.lit(1.0))),
+    ).otherwise(F.lit(0.0))
+
+    def _fold(term):
+        return F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("__t"), term.alias("__x")))),
+                lambda st: st["__x"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    totals = base.groupBy().agg(
+        F.sum("__ga").alias("__tna"),
+        F.sum(F.lit(1) - F.col("__ga")).alias("__tnb"),
+    )
+    agg = cum.where(F.col("__d") > 0).groupBy().agg(
+        F.sum("__da").alias("__oa"),
+        _fold(e_term).alias("__ea"),
+        _fold(v_term).alias("__v"),
+    )
+    j = agg.crossJoin(F.broadcast(totals))
+    z = (F.col("__oa").cast("double") - F.col("__ea")) / F.sqrt(
+        F.col("__v")
+    )
+    return j.select(
+        F.col("__tna").cast("long").alias("n_a"),
+        F.col("__tnb").cast("long").alias("n_b"),
+        F.col("__oa").cast("long").alias("observed_a"),
+        F.col("__ea").alias("expected_a"),
+        F.when(F.col("__v") > 0.0, z).alias("z"),
+        F.when(F.col("__v") > 0.0, z * z).alias("chi2"),
+    )

@@ -2634,3 +2634,366 @@ def q_window_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("pct_rank").alias("min_pct_rank"),
         F.max("cume").alias("max_cume"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Nelson–Aalen cumulative hazard (survival family completion)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_nelson_aalen",
+    oracle="""
+    WITH g AS (SELECT MAX(ts) AS gmax FROM events),
+    marked AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id)
+                    > 1800000000 THEN 1 ELSE 0 END AS brk
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, us,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    ),
+    subj AS (
+      SELECT (MAX(us) - MIN(us)) // 60000000 AS dur,
+             CASE WHEN MAX(us) <= epoch_us(MIN(g.gmax)) - 3600000000
+                  THEN 1 ELSE 0 END AS obs
+      FROM sess, g GROUP BY user_id, sid
+    ),
+    dom AS (
+      SELECT dur AS t, CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(obs) AS BIGINT) AS d
+      FROM subj GROUP BY 1
+    ),
+    risk AS (
+      SELECT t, d,
+             SUM(m) OVER () - COALESCE(SUM(m) OVER (
+               ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS n_risk
+      FROM dom
+    ),
+    cum AS (
+      SELECT t, d, n_risk,
+             list(CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+               OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS hs,
+             list(CAST(d AS DOUBLE) / (CAST(n_risk AS DOUBLE)
+                                       * CAST(n_risk AS DOUBLE)))
+               OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS vs
+      FROM risk
+    )
+    SELECT t, CAST(n_risk AS BIGINT) AS n_risk, d AS d_events,
+           list_reduce(hs, (p, q) -> p + q) AS cum_hazard,
+           list_reduce(vs, (p, q) -> p + q) AS var_hazard
+    FROM cum WHERE d > 0
+    """,
+)
+def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson–Aalen cumulative hazard of session durations
+    (operators/stats.py:nelson_aalen) — the hazard-scale companion
+    to q_kaplan_meier on the SAME sessionization (30-min gaps,
+    1-hour right-censoring, event_id-pinned ties): H(t) = Σ d/n with
+    variance Σ d/n², both folding in pinned ascending-t order via
+    the cumulative-collect_list reduce (the KM device)."""
+    from pyspark.sql import Window
+
+    from aws_datalake_spark.operators.stats import nelson_aalen
+    from aws_datalake_spark.queries.r08_batch import (
+        _KM_CENSOR_US,
+        _KM_GAP_US,
+    )
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("__us"),
+        "event_id",
+    )
+    wo = Window.partitionBy("user_id").orderBy("__us", "event_id")
+    marked = ev.select(
+        "user_id",
+        "__us",
+        "event_id",
+        (
+            (F.col("__us") - F.lag("__us", 1).over(wo))
+            > F.lit(_KM_GAP_US)
+        )
+        .cast("int")
+        .alias("__brk"),
+    )
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy("__us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = marked.select(
+        "user_id",
+        "__us",
+        F.coalesce(F.sum("__brk").over(wc), F.lit(0)).alias("__sid"),
+    )
+    gmax = t(spark, sf_dir, "events").agg(
+        F.unix_micros(F.max("ts")).alias("__gus")
+    )
+    subj = (
+        sess.groupBy("user_id", "__sid")
+        .agg(F.min("__us").alias("__f"), F.max("__us").alias("__l"))
+        .crossJoin(F.broadcast(gmax))
+        .select(
+            F.expr("(__l - __f) div 60000000").alias("dur"),
+            (F.col("__l") <= F.col("__gus") - F.lit(_KM_CENSOR_US))
+            .cast("int")
+            .alias("obs"),
+        )
+    )
+    return nelson_aalen(subj, "dur", "obs")
+
+
+# ---------------------------------------------------------------------------
+# two-group log-rank test
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_logrank",
+    oracle="""
+    WITH lake AS (SELECT CAST(MAX(o_orderdate) AS DATE) AS mxd
+                  FROM orders),
+    subj AS (
+      SELECT c.c_mktsegment AS g,
+             CAST(CAST(MAX(o.o_orderdate) AS DATE)
+                  - CAST(MIN(o.o_orderdate) AS DATE) AS BIGINT) AS dur,
+             CASE WHEN CAST(MAX(o.o_orderdate) AS DATE)
+                       <= (SELECT mxd FROM lake) - 90
+                  THEN 1 ELSE 0 END AS obs
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
+      GROUP BY c.c_custkey, c.c_mktsegment
+    ),
+    dom AS (
+      SELECT dur AS t, CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(obs) AS BIGINT) AS d,
+             CAST(SUM(CASE WHEN g = 'AUTOMOBILE' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ma,
+             CAST(SUM(CASE WHEN g = 'AUTOMOBILE' THEN obs ELSE 0 END)
+                  AS BIGINT) AS da
+      FROM subj GROUP BY 1
+    ),
+    cum AS (
+      SELECT t, d, da,
+             SUM(m) OVER () - COALESCE(SUM(m) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n,
+             SUM(ma) OVER () - COALESCE(SUM(ma) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS na
+      FROM dom
+    ),
+    terms AS (
+      SELECT t, d, da, n, na,
+             CAST(d AS DOUBLE) * CAST(na AS DOUBLE) / CAST(n AS DOUBLE)
+               AS e_term,
+             CASE WHEN n > 1 THEN
+               CAST(d AS DOUBLE) * (CAST(na AS DOUBLE) / CAST(n AS DOUBLE))
+               * (1.0 - CAST(na AS DOUBLE) / CAST(n AS DOUBLE))
+               * ((CAST(n AS DOUBLE) - CAST(d AS DOUBLE))
+                  / (CAST(n AS DOUBLE) - 1.0))
+             ELSE 0.0 END AS v_term
+      FROM cum WHERE d > 0
+    ),
+    agg AS (
+      SELECT CAST(SUM(da) AS BIGINT) AS oa,
+             list_reduce(list(e_term ORDER BY t), (p, q) -> p + q) AS ea,
+             list_reduce(list(v_term ORDER BY t), (p, q) -> p + q) AS v
+      FROM terms
+    ),
+    tot AS (
+      SELECT CAST(SUM(CASE WHEN g = 'AUTOMOBILE' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS tna,
+             CAST(SUM(CASE WHEN g = 'BUILDING' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS tnb
+      FROM subj
+    )
+    SELECT tna AS n_a, tnb AS n_b, oa AS observed_a, ea AS expected_a,
+           CASE WHEN v > 0.0 THEN
+             (CAST(oa AS DOUBLE) - ea) / SQRT(v) END AS z,
+           CASE WHEN v > 0.0 THEN
+             ((CAST(oa AS DOUBLE) - ea) / SQRT(v))
+             * ((CAST(oa AS DOUBLE) - ea) / SQRT(v)) END AS chi2
+    FROM agg, tot
+    """,
+)
+def q_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-group log-rank test on customer order-span lifetimes,
+    AUTOMOBILE vs BUILDING (operators/stats.py:logrank_test):
+    lifetime = days from first to last order, right-censored when
+    the last order falls within 90 days of the lake's end — "do the
+    two segments retain differently", the hypothesis test behind a
+    KM plot comparison. O_A is an exact integer certificate; E and V
+    fold in pinned event-time order."""
+    from aws_datalake_spark.operators.stats import logrank_test
+
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    lake = o.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("mxd")
+    )
+    subj = (
+        o.join(
+            F.broadcast(
+                c.select("c_custkey", "c_mktsegment").where(
+                    F.col("c_mktsegment").isin(["AUTOMOBILE", "BUILDING"])
+                )
+            ),
+            o.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("__mx"),
+            F.min(F.col("o_orderdate").cast("date")).alias("__mn"),
+        )
+        .crossJoin(F.broadcast(lake))
+        .select(
+            F.col("c_mktsegment").alias("g"),
+            F.datediff(F.col("__mx"), F.col("__mn"))
+            .cast("long")
+            .alias("dur"),
+            (F.col("__mx") <= F.date_sub(F.col("mxd"), 90))
+            .cast("int")
+            .alias("obs"),
+        )
+    )
+    return logrank_test(subj, "g", "dur", "obs", "AUTOMOBILE", "BUILDING")
+
+
+# ---------------------------------------------------------------------------
+# Holt walk-forward backtest (forecast accuracy)
+# ---------------------------------------------------------------------------
+
+_BT_H = 6
+
+
+@query(
+    "q_forecast_backtest",
+    oracle=f"""
+    WITH ser AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) * 12
+                  + EXTRACT(month FROM o_orderdate) AS BIGINT) AS m,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    cutoff AS (SELECT MAX(m) - {_BT_H} AS c FROM ser),
+    lst AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             list(list_value(CAST(y AS DOUBLE), CAST(0.0 AS DOUBLE))
+                  ORDER BY m) AS els
+      FROM ser, cutoff WHERE m <= cutoff.c
+    ),
+    fold AS (
+      SELECT n,
+             list_reduce(els, (acc, x) -> list_value(
+               0.5 * x[1] + 0.5 * (acc[1] + acc[2]),
+               0.5 * ((0.5 * x[1] + 0.5 * (acc[1] + acc[2])) - acc[1])
+                 + 0.5 * acc[2])) AS st
+      FROM lst
+    )
+    SELECT CAST(ser.m - cutoff.c AS BIGINT) AS h,
+           ser.y AS actual_cents,
+           fold.st[1] + CAST(ser.m - cutoff.c AS DOUBLE) * fold.st[2]
+             AS forecast,
+           ABS(CAST(ser.y AS DOUBLE)
+               - (fold.st[1] + CAST(ser.m - cutoff.c AS DOUBLE)
+                  * fold.st[2])) AS abs_err,
+           ABS(CAST(ser.y AS DOUBLE)
+               - (fold.st[1] + CAST(ser.m - cutoff.c AS DOUBLE)
+                  * fold.st[2])) / CAST(ser.y AS DOUBLE) AS ape
+    FROM ser, cutoff, fold WHERE ser.m > cutoff.c
+    """,
+)
+def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-forward forecast backtest: fit Holt(0.5, 0.5) on all but
+    the last {h} months, forecast each held-out horizon, report
+    actual vs forecast with absolute and percentage errors — the
+    eval loop that turns q_holt_linear from a smoother into a
+    forecasting claim. The fold state is the bit-identical Holt
+    device; errors are mirrored per-row trees over the exact
+    held-out integers. One aggregate collapses the corpus."""
+    ser = (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("long")
+            .alias("m")
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ).alias("y")
+        )
+    )
+    cutoff = ser.agg((F.max("m") - F.lit(_BT_H)).alias("c"))
+    train = ser.crossJoin(F.broadcast(cutoff)).where(
+        F.col("m") <= F.col("c")
+    )
+    lst = train.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("m"),
+                        F.array(
+                            F.col("y").cast("double"), F.lit(0.0)
+                        ).alias("el"),
+                    )
+                )
+            ),
+            lambda st: st["el"],
+        ).alias("els"),
+    )
+
+    def _merge(acc, x):
+        lvl = F.lit(0.5) * F.element_at(x, 1) + F.lit(0.5) * (
+            F.element_at(acc, 1) + F.element_at(acc, 2)
+        )
+        tr = F.lit(0.5) * (
+            (
+                F.lit(0.5) * F.element_at(x, 1)
+                + F.lit(0.5)
+                * (F.element_at(acc, 1) + F.element_at(acc, 2))
+            )
+            - F.element_at(acc, 1)
+        ) + F.lit(0.5) * F.element_at(acc, 2)
+        return F.array(lvl, tr)
+
+    fold = lst.select(
+        F.aggregate(
+            F.slice(
+                F.col("els"),
+                2,
+                F.greatest(F.size(F.col("els")) - 1, F.lit(0)),
+            ),
+            F.try_element_at(F.col("els"), F.lit(1)),
+            _merge,
+        ).alias("st"),
+    )
+    held = ser.crossJoin(F.broadcast(cutoff)).where(
+        F.col("m") > F.col("c")
+    )
+    out = held.crossJoin(F.broadcast(fold))
+    h = (F.col("m") - F.col("c")).cast("long")
+    fc = F.element_at(F.col("st"), 1) + h.cast("double") * F.element_at(
+        F.col("st"), 2
+    )
+    return out.select(
+        h.alias("h"),
+        F.col("y").alias("actual_cents"),
+        fc.alias("forecast"),
+        F.abs(F.col("y").cast("double") - fc).alias("abs_err"),
+        (
+            F.abs(F.col("y").cast("double") - fc)
+            / F.col("y").cast("double")
+        ).alias("ape"),
+    )

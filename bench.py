@@ -280,6 +280,9 @@ HEADLINE = [
     "q_churn_rate",
     "q_dau_mau_stickiness",
     "q_window_ntile_cume",
+    "q_nelson_aalen",
+    "q_logrank",
+    "q_forecast_backtest",
 ]
 
 

@@ -616,3 +616,93 @@ def test_stickiness_bounds(spark, sf_dir):
     for r in rows:
         assert 0.0 < r.stickiness <= 1.0
         assert r.mau <= r.dau_sum  # every MAU member has >= 1 active day
+
+
+# ---------------------------------------------------------------------------
+# Nelson–Aalen / log-rank
+# ---------------------------------------------------------------------------
+
+
+def test_nelson_aalen_matches_textbook(spark):
+    from aws_datalake_spark.operators.stats import nelson_aalen
+
+    # durations (obs): 1+, 2+, 2, 3(censored), 4+  ("+" = event)
+    rows = [(1, 1), (2, 1), (2, 1), (3, 0), (4, 1)]
+    df = spark.createDataFrame(rows, "dur long, obs int")
+    out = {r.t: r for r in nelson_aalen(df, "dur", "obs").collect()}
+    # t=1: d=1, n=5 -> H=1/5 ; t=2: d=2, n=4 -> H=1/5+2/4 ;
+    # t=4: d=1, n=1 -> H=1/5+2/4+1
+    assert out[1].cum_hazard == pytest.approx(0.2)
+    assert out[2].cum_hazard == pytest.approx(0.2 + 0.5)
+    assert out[4].cum_hazard == pytest.approx(0.2 + 0.5 + 1.0)
+    assert 3 not in out  # censoring-only time emits no row
+    assert out[2].var_hazard == pytest.approx(1 / 25 + 2 / 16)
+
+
+def test_logrank_identical_groups_z_near_zero(spark):
+    from aws_datalake_spark.operators.stats import logrank_test
+
+    rows = [("a", d, 1) for d in (1, 2, 3, 4)] + [
+        ("b", d, 1) for d in (1, 2, 3, 4)
+    ]
+    df = spark.createDataFrame(rows, "g string, dur long, obs int")
+    r = logrank_test(df, "g", "dur", "obs", "a", "b").collect()[0]
+    assert r.n_a == 4 and r.n_b == 4
+    assert r.observed_a == 4
+    assert r.expected_a == pytest.approx(4.0)
+    assert r.z == pytest.approx(0.0, abs=1e-12)
+
+
+def test_logrank_separated_groups_large_chi2(spark):
+    from aws_datalake_spark.operators.stats import logrank_test
+
+    # group a dies early, group b late: strongly separated curves
+    rows = [("a", d, 1) for d in (1, 1, 2, 2)] + [
+        ("b", d, 1) for d in (8, 9, 10, 11)
+    ]
+    df = spark.createDataFrame(rows, "g string, dur long, obs int")
+    r = logrank_test(df, "g", "dur", "obs", "a", "b").collect()[0]
+    assert r.observed_a == 4
+    assert r.expected_a < 2.5
+    assert r.chi2 > 3.84  # significant at 5%
+
+
+def test_logrank_matches_lifelines_formula(spark):
+    """Hand-computed O/E/V on a small mixed-censoring case."""
+    from aws_datalake_spark.operators.stats import logrank_test
+
+    rows = [
+        ("a", 1, 1), ("a", 2, 0), ("a", 3, 1),
+        ("b", 1, 1), ("b", 2, 1), ("b", 4, 1),
+    ]
+    df = spark.createDataFrame(rows, "g string, dur long, obs int")
+    r = logrank_test(df, "g", "dur", "obs", "a", "b").collect()[0]
+    # event times: t=1 (d=2, n=6, na=3), t=2 (d=1 [b], n=4, na=2),
+    # t=3 (d=1 [a], n=2, na=1), t=4 (d=1, n=1, na=0)
+    e = 2 * 3 / 6 + 1 * 2 / 4 + 1 * 1 / 2 + 0.0
+    v = (
+        2 * (3 / 6) * (1 - 3 / 6) * ((6 - 2) / 5)
+        + 1 * (2 / 4) * (1 - 2 / 4) * (3 / 3)
+        + 1 * (1 / 2) * (1 - 1 / 2) * (1 / 1)
+        + 0.0
+    )
+    assert r.observed_a == 2
+    assert r.expected_a == pytest.approx(e, rel=1e-12)
+    assert r.z == pytest.approx((2 - e) / math.sqrt(v), rel=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# forecast backtest invariants
+# ---------------------------------------------------------------------------
+
+
+def test_forecast_backtest_horizons_and_errors(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["q_forecast_backtest"](spark, sf_dir).collect()
+    assert sorted(r.h for r in rows) == [1, 2, 3, 4, 5, 6]
+    for r in rows:
+        assert r.abs_err == pytest.approx(
+            abs(float(r.actual_cents) - r.forecast), rel=1e-12
+        )
+        assert r.ape >= 0.0
