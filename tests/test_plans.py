@@ -999,3 +999,39 @@ def test_resource_allocation_preprune_window_partitioned(spark):
 
     plan = _plan(q_graph_resource_allocation(spark, SF_SMOKE))
     assert "windowspecdefinition(u" in plan  # per-u pre-prune present
+
+
+def test_holt_single_aggregate_no_window(spark):
+    """The Holt fold collapses the month series in one ungrouped
+    aggregate — no window at all (the fold rides collect_list)."""
+    from aws_datalake_spark.queries.r09_batch import q_holt_linear
+
+    plan = _plan(q_holt_linear(spark, SF_SMOKE))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_logrank_windows_run_on_duration_domain(spark):
+    """q_logrank: the at-risk windows sit ABOVE the duration-domain
+    aggregate (dom), never on subject rows — the plan aggregates
+    (HashAggregate on dur) before any Window node."""
+    from aws_datalake_spark.queries.r09_batch import q_logrank
+
+    plan = _plan(q_logrank(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # dims broadcast
+
+
+def test_seasonal_decompose_broadcast_month_means(spark):
+    from aws_datalake_spark.queries.r09_batch import q_seasonal_decompose
+
+    plan = _plan(q_seasonal_decompose(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_forecast_backtest_no_sort_merge(spark):
+    from aws_datalake_spark.queries.r09_batch import q_forecast_backtest
+
+    plan = _plan(q_forecast_backtest(spark, SF_SMOKE))
+    assert "SortMergeJoin" not in plan  # cutoff + fold broadcast

@@ -706,3 +706,79 @@ def test_forecast_backtest_horizons_and_errors(spark, sf_dir):
             abs(float(r.actual_cents) - r.forecast), rel=1e-12
         )
         assert r.ape >= 0.0
+
+
+# ---------------------------------------------------------------------------
+# degenerate-input sweep (r09 operators)
+# ---------------------------------------------------------------------------
+
+
+def test_friedman_constant_blocks_chi2_zero(spark):
+    """All-tied blocks: every rank is the average 2 -> chi2 exactly
+    0 (the 12/(nk(k+1))·ΣR² term equals 3n(k+1))."""
+    import __spark_entry__  # noqa: F401
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    df = spark.createDataFrame([(5, 5, 5)] * 3, "x1 long, x2 long, x3 long")
+
+    def _dr(j):
+        others = [i for i in (1, 2, 3) if i != j]
+        less = sum((F.col(f"x{i}") < F.col(f"x{j}")).cast("long") for i in others)
+        tie = sum((F.col(f"x{i}") == F.col(f"x{j}")).cast("long") for i in others)
+        return (2 * less + tie + 2).alias(f"d{j}")
+
+    agg = df.select(_dr(1), _dr(2), _dr(3)).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("d1").alias("r1"),
+        F.sum("d2").alias("r2"),
+        F.sum("d3").alias("r3"),
+    ).collect()[0]
+    chi2 = 3.0 * (agg.r1**2 + agg.r2**2 + agg.r3**2) / (agg.n * 12.0) - 12.0 * agg.n
+    assert chi2 == pytest.approx(0.0, abs=1e-9)
+
+
+def test_durbin_watson_two_points_degenerate(spark):
+    """n=2: the line fits exactly, residuals 0, DW undefined (0/0)
+    -> NULL, not a crash."""
+    from aws_datalake_spark.operators.stats import durbin_watson
+
+    df = spark.createDataFrame([(0, 1), (1, 3)], "t long, y long")
+    r = durbin_watson(df, F.col("t"), F.col("y")).collect()[0]
+    assert r.n == 2 and r.slope == pytest.approx(2.0)
+    assert r.dw is None
+
+
+def test_bfs_layers_isolated_single_edge(spark):
+    from aws_datalake_spark.operators.graph import bfs_layers
+
+    e = spark.createDataFrame([(7, 9)], "s long, d long")
+    out = {r.hop: r.n_nodes for r in bfs_layers(e, max_hops=4).collect()}
+    assert out == {0: 1, 1: 1}
+
+
+def test_nelson_aalen_all_censored_empty(spark):
+    from aws_datalake_spark.operators.stats import nelson_aalen
+
+    df = spark.createDataFrame([(3, 0), (5, 0)], "dur long, obs int")
+    assert nelson_aalen(df, "dur", "obs").where("d_events > 0").count() == 0
+
+
+def test_logrank_no_events_null_z(spark):
+    from aws_datalake_spark.operators.stats import logrank_test
+
+    rows = [("a", 1, 0), ("b", 2, 0)]
+    df = spark.createDataFrame(rows, "g string, dur long, obs int")
+    r = logrank_test(df, "g", "dur", "obs", "a", "b").collect()[0]
+    assert r.observed_a in (0, None)
+    assert r.z is None
+
+
+def test_cochran_q_constant_rows_zero_denominator(spark):
+    """Every subject all-1: k*N == ΣR², denominator 0 -> NULL q."""
+    from aws_datalake_spark.operators.stats import cochran_q
+
+    rows = [(s, t_, 1) for s in ("a", "b") for t_ in ("x", "y", "z")]
+    df = spark.createDataFrame(rows, "i string, j string, s long")
+    r = cochran_q(df, "i", "j", "s").collect()[0]
+    assert r.q is None
