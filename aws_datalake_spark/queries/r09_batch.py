@@ -2997,3 +2997,168 @@ def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("y").cast("double")
         ).alias("ape"),
     )
+
+
+# ---------------------------------------------------------------------------
+# restricted mean survival time (area under the KM curve)
+# ---------------------------------------------------------------------------
+
+_RMST_TAU = 60
+
+
+@query(
+    "q_rmst",
+    oracle=f"""
+    WITH g AS (SELECT MAX(ts) AS gmax FROM events),
+    marked AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id)
+                    > 1800000000 THEN 1 ELSE 0 END AS brk
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, us,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    ),
+    subj AS (
+      SELECT (MAX(us) - MIN(us)) // 60000000 AS dur,
+             CASE WHEN MAX(us) <= epoch_us(MIN(g.gmax)) - 3600000000
+                  THEN 1 ELSE 0 END AS obs
+      FROM sess, g GROUP BY user_id, sid
+    ),
+    dom AS (
+      SELECT dur AS t, CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(obs) AS BIGINT) AS d
+      FROM subj GROUP BY 1
+    ),
+    risk AS (
+      SELECT t, d,
+             SUM(m) OVER () - COALESCE(SUM(m) OVER (
+               ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS n_risk
+      FROM dom
+    ),
+    cum AS (
+      SELECT t, d, n_risk,
+             list(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+               OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS fs
+      FROM risk
+    ),
+    km AS (
+      SELECT t, list_reduce(fs, (p, q) -> p * q) AS survival
+      FROM cum WHERE d > 0
+    ),
+    seg AS (
+      SELECT t, survival,
+             COALESCE(LAG(survival) OVER (ORDER BY t), 1.0) AS prev_s,
+             COALESCE(LAG(t) OVER (ORDER BY t), 0) AS prev_t,
+             LEAD(t) OVER (ORDER BY t) AS nxt
+      FROM km
+    ),
+    terms AS (
+      SELECT t,
+             prev_s * CAST(LEAST(t, {_RMST_TAU})
+                           - LEAST(prev_t, {_RMST_TAU}) AS DOUBLE)
+             + CASE WHEN nxt IS NULL THEN
+                 survival * CAST({_RMST_TAU} - LEAST(t, {_RMST_TAU})
+                                 AS DOUBLE)
+               ELSE 0.0 END AS term
+      FROM seg
+    )
+    SELECT CAST({_RMST_TAU} AS BIGINT) AS tau,
+           CAST(COUNT(*) AS BIGINT) AS n_event_times,
+           list_reduce(list(term ORDER BY t), (p, q) -> p + q) AS rmst
+    FROM terms
+    """,
+)
+def q_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time at τ=60 minutes over the KM
+    session-survival curve: the area under the step curve — "the
+    expected session minutes within the first hour", the one-number
+    summary a survival CURVE doesn't give (and the estimand of
+    choice when hazards aren't proportional). Segment areas are
+    prev-survival × exact integer widths (τ-clamped), folded in
+    pinned event-time order; survival values are the bit-identical
+    KM folds, so the area matches cross-engine."""
+    from pyspark.sql import Window
+
+    from aws_datalake_spark.operators.stats import kaplan_meier
+    from aws_datalake_spark.queries.r08_batch import (
+        _KM_CENSOR_US,
+        _KM_GAP_US,
+    )
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("__us"),
+        "event_id",
+    )
+    wo = Window.partitionBy("user_id").orderBy("__us", "event_id")
+    marked = ev.select(
+        "user_id",
+        "__us",
+        "event_id",
+        (
+            (F.col("__us") - F.lag("__us", 1).over(wo))
+            > F.lit(_KM_GAP_US)
+        )
+        .cast("int")
+        .alias("__brk"),
+    )
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy("__us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = marked.select(
+        "user_id",
+        "__us",
+        F.coalesce(F.sum("__brk").over(wc), F.lit(0)).alias("__sid"),
+    )
+    gmax = t(spark, sf_dir, "events").agg(
+        F.unix_micros(F.max("ts")).alias("__gus")
+    )
+    subj = (
+        sess.groupBy("user_id", "__sid")
+        .agg(F.min("__us").alias("__f"), F.max("__us").alias("__l"))
+        .crossJoin(F.broadcast(gmax))
+        .select(
+            F.expr("(__l - __f) div 60000000").alias("dur"),
+            (F.col("__l") <= F.col("__gus") - F.lit(_KM_CENSOR_US))
+            .cast("int")
+            .alias("obs"),
+        )
+    )
+    km = kaplan_meier(subj, "dur", "obs")
+    w = Window.orderBy("t")
+    seg = km.select(
+        "t",
+        "survival",
+        F.lag("survival", 1, 1.0).over(w).alias("prev_s"),
+        F.lag("t", 1, 0).over(w).alias("prev_t"),
+        F.lead("t", 1).over(w).alias("nxt"),
+    )
+    tau = F.lit(_RMST_TAU)
+    term = F.col("prev_s") * (
+        F.least(F.col("t"), tau) - F.least(F.col("prev_t"), tau)
+    ).cast("double") + F.when(
+        F.col("nxt").isNull(),
+        F.col("survival")
+        * (tau - F.least(F.col("t"), tau)).cast("double"),
+    ).otherwise(F.lit(0.0))
+    terms = seg.select("t", term.alias("term"))
+    return terms.agg(
+        F.lit(_RMST_TAU).cast("long").alias("tau"),
+        F.count(F.lit(1)).alias("n_event_times"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("t", "term"))),
+                lambda st: st["term"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("rmst"),
+    )

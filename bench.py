@@ -283,6 +283,7 @@ HEADLINE = [
     "q_nelson_aalen",
     "q_logrank",
     "q_forecast_backtest",
+    "q_rmst",
 ]
 
 

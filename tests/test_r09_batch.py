@@ -782,3 +782,103 @@ def test_cochran_q_constant_rows_zero_denominator(spark):
     df = spark.createDataFrame(rows, "i string, j string, s long")
     r = cochran_q(df, "i", "j", "s").collect()[0]
     assert r.q is None
+
+
+# ---------------------------------------------------------------------------
+# cross-operator consistency identities
+# ---------------------------------------------------------------------------
+
+
+def test_mann_whitney_complement_identity(spark):
+    """U_a + U_b = n_a·n_b (doubled: u2_a + u2_b = 2·n_a·n_b) for
+    any data — the rank-sum bookkeeping identity."""
+    from aws_datalake_spark.operators.stats import mann_whitney_u
+
+    rows = [("a", v) for v in (1, 5, 5, 9, 12)] + [
+        ("b", v) for v in (2, 5, 7)
+    ]
+    df = spark.createDataFrame(rows, "g string, x long")
+    ra = mann_whitney_u(df, "g", F.col("x"), "a", "b").collect()[0]
+    rb = mann_whitney_u(df, "g", F.col("x"), "b", "a").collect()[0]
+    assert ra.u2 + rb.u2 == 2 * ra.n_a * ra.n_b
+    assert rb.z == pytest.approx(-ra.z, rel=1e-12)
+
+
+def test_wasserstein_symmetry(spark):
+    from aws_datalake_spark.operators.stats import wasserstein_1
+
+    rows = [("a", v) for v in (1, 4, 4, 9)] + [
+        ("b", v) for v in (2, 3, 8)
+    ]
+    df = spark.createDataFrame(rows, "g string, v long")
+    ab = wasserstein_1(df, "g", F.col("v"), "a", "b").collect()[0]
+    ba = wasserstein_1(df, "g", F.col("v"), "b", "a").collect()[0]
+    assert ab.w1 == ba.w1 and ab.w1_num == ba.w1_num
+
+
+def test_cochran_k2_equals_mcnemar_chi2(spark):
+    """Cochran's Q with k=2 treatments IS McNemar's χ² = (b−c)²/(b+c)
+    (without continuity correction) — cross-operator identity."""
+    from aws_datalake_spark.operators.stats import cochran_q, mcnemar_test
+
+    pairs = [(1, 1), (1, 0), (1, 0), (0, 1), (0, 0), (1, 0), (0, 0)]
+    cells = [
+        (f"s{i}", t_, v)
+        for i, (x, y) in enumerate(pairs)
+        for t_, v in (("before", x), ("after", y))
+    ]
+    cdf = spark.createDataFrame(cells, "i string, j string, s long")
+    q = cochran_q(cdf, "i", "j", "s").collect()[0]
+    mdf = spark.createDataFrame(pairs, "before int, after int")
+    m = mcnemar_test(mdf, "before", "after").collect()[0]
+    assert q.q == pytest.approx(m.chi2, rel=1e-12)
+
+
+def test_logrank_antisymmetric_in_groups(spark):
+    from aws_datalake_spark.operators.stats import logrank_test
+
+    rows = [("a", 1, 1), ("a", 4, 0), ("b", 2, 1), ("b", 3, 1)]
+    df = spark.createDataFrame(rows, "g string, dur long, obs int")
+    ab = logrank_test(df, "g", "dur", "obs", "a", "b").collect()[0]
+    ba = logrank_test(df, "g", "dur", "obs", "b", "a").collect()[0]
+    assert ab.z == pytest.approx(-ba.z, rel=1e-9)
+    assert ab.chi2 == pytest.approx(ba.chi2, rel=1e-9)
+
+
+def test_rmst_textbook_area(spark):
+    """RMST = area under the KM step curve, clamped at tau — checked
+    against a hand-computed case via the same device the query
+    uses (kaplan_meier + segment fold)."""
+    from pyspark.sql import Window
+
+    from aws_datalake_spark.operators.stats import kaplan_meier
+
+    # events at t=2 (1 of 4) and t=5 (1 of 2), censored at 3, 8
+    rows = [(2, 1), (3, 0), (5, 1), (8, 0)]
+    df = spark.createDataFrame(rows, "dur long, obs int")
+    km = kaplan_meier(df, "dur", "obs")
+    w = Window.orderBy("t")
+    tau = F.lit(6)
+    seg = km.select(
+        "t",
+        "survival",
+        F.lag("survival", 1, 1.0).over(w).alias("prev_s"),
+        F.lag("t", 1, 0).over(w).alias("prev_t"),
+        F.lead("t", 1).over(w).alias("nxt"),
+    )
+    term = F.col("prev_s") * (
+        F.least(F.col("t"), tau) - F.least(F.col("prev_t"), tau)
+    ).cast("double") + F.when(
+        F.col("nxt").isNull(),
+        F.col("survival") * (tau - F.least(F.col("t"), tau)).cast("double"),
+    ).otherwise(F.lit(0.0))
+    got = seg.agg(F.sum(term)).collect()[0][0]
+    # S=1 on [0,2), S=0.75 on [2,5), S=0.375 on [5,6]
+    assert got == pytest.approx(2 * 1.0 + 3 * 0.75 + 1 * 0.375, rel=1e-12)
+
+
+def test_rmst_bounded_by_tau(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    r = entry.queries()["q_rmst"](spark, sf_dir).collect()[0]
+    assert 0.0 < r.rmst <= r.tau
