@@ -374,3 +374,138 @@ def test_exact_corr_matches_float_formula(spark_global, rows):
             math.sqrt(vx) * math.sqrt(vy)
         )
         assert got == pytest.approx(want, rel=1e-9, abs=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# r09 statistics operators vs naive references
+# ---------------------------------------------------------------------------
+
+_groups2 = st.lists(
+    st.tuples(st.sampled_from(["a", "b"]), st.integers(-50, 50)),
+    min_size=4,
+    max_size=30,
+).filter(
+    lambda rows: len({g for g, _ in rows}) == 2
+    and all(
+        sum(1 for g, _ in rows if g == x) >= 2 for x in ("a", "b")
+    )
+)
+
+
+@given(rows=_groups2)
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_mann_whitney_u_matches_pair_counting(spark_global, rows):
+    from aws_datalake_spark.operators.stats import mann_whitney_u
+
+    df = spark_global.createDataFrame(rows, "g string, x long")
+    r = mann_whitney_u(df, "g", F.col("x"), "a", "b").collect()[0]
+    av = [v for g, v in rows if g == "a"]
+    bv = [v for g, v in rows if g == "b"]
+    u2 = sum(
+        2 if a > b else (1 if a == b else 0) for a in av for b in bv
+    )
+    assert r.u2 == u2
+    assert r.n_a == len(av) and r.n_b == len(bv)
+
+
+@given(rows=_groups2)
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_wasserstein_matches_cdf_integral(spark_global, rows):
+    from aws_datalake_spark.operators.stats import wasserstein_1
+
+    df = spark_global.createDataFrame(rows, "g string, x long")
+    r = wasserstein_1(df, "g", F.col("x"), "a", "b").collect()[0]
+    av = sorted(v for g, v in rows if g == "a")
+    bv = sorted(v for g, v in rows if g == "b")
+
+    def cdf(vals, x):
+        return sum(1 for v in vals if v <= x) / len(vals)
+
+    lo, hi = min(av + bv), max(av + bv)
+    ref = sum(abs(cdf(av, x) - cdf(bv, x)) for x in range(lo, hi))
+    assert r.w1 == pytest.approx(ref, rel=1e-9, abs=1e-12)
+
+
+@given(rows=_groups2)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_anova_matches_textbook_random(spark_global, rows):
+    from aws_datalake_spark.operators.stats import anova_oneway
+
+    df = spark_global.createDataFrame(rows, "g string, x long")
+    r = anova_oneway(df, "g", F.col("x")).collect()[0]
+    groups = {}
+    for g, v in rows:
+        groups.setdefault(g, []).append(v)
+    allv = [v for vs in groups.values() for v in vs]
+    n, k = len(allv), len(groups)
+    gm = sum(allv) / n
+    ssb = sum(
+        len(vs) * (sum(vs) / len(vs) - gm) ** 2 for vs in groups.values()
+    )
+    ssw = sum(
+        (v - sum(vs) / len(vs)) ** 2
+        for vs in groups.values()
+        for v in vs
+    )
+    assert r.ss_between == pytest.approx(ssb, rel=1e-9, abs=1e-6)
+    assert r.ss_within == pytest.approx(ssw, rel=1e-9, abs=1e-6)
+    if r.f_stat is not None:
+        assert r.f_stat == pytest.approx(
+            (ssb / (k - 1)) / (ssw / (n - k)), rel=1e-9
+        )
+    else:
+        assert ssw == pytest.approx(0.0, abs=1e-9)
+
+
+_units = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(1, 1000)),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(rows=_units)
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_hhi_bounds_and_reference(spark_global, rows):
+    from aws_datalake_spark.operators.stats import hhi_concentration
+
+    df = spark_global.createDataFrame(
+        [("m", f"u{u}", v) for u, v in rows], "g string, u string, v long"
+    )
+    r = hhi_concentration(df, "g", "u", F.col("v")).collect()[0]
+    per = {}
+    for u, v in rows:
+        per[u] = per.get(u, 0) + v
+    tot = sum(per.values())
+    ref = sum((v / tot) ** 2 for v in per.values())
+    assert r.hhi == pytest.approx(ref, rel=1e-9)
+    assert 1.0 / len(per) - 1e-9 <= r.hhi <= 1.0 + 1e-9
+
+
+_survival = st.lists(
+    st.tuples(st.integers(1, 12), st.integers(0, 1)),
+    min_size=2,
+    max_size=20,
+).filter(lambda rows: any(o == 1 for _, o in rows))
+
+
+@given(rows=_survival)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_nelson_aalen_matches_naive(spark_global, rows):
+    from aws_datalake_spark.operators.stats import nelson_aalen
+
+    df = spark_global.createDataFrame(rows, "dur long, obs int")
+    got = {
+        r.t: (r.n_risk, r.d_events, r.cum_hazard)
+        for r in nelson_aalen(df, "dur", "obs").collect()
+    }
+    times = sorted({t for t, _ in rows})
+    h = 0.0
+    for t in times:
+        n_risk = sum(1 for d, _ in rows if d >= t)
+        d_ev = sum(1 for d, o in rows if d == t and o == 1)
+        h += d_ev / n_risk
+        if d_ev > 0:
+            nr, de, ch = got[t]
+            assert (nr, de) == (n_risk, d_ev)
+            assert ch == pytest.approx(h, rel=1e-12)
