@@ -2816,3 +2816,75 @@ def logrank_test(
         F.when(F.col("__v") > 0.0, z).alias("z"),
         F.when(F.col("__v") > 0.0, z * z).alias("chi2"),
     )
+
+
+def kaplan_meier_by_group(
+    durations: DataFrame,
+    group_col: str,
+    duration_col: str,
+    observed_col: str,
+) -> DataFrame:
+    """Per-group Kaplan–Meier curves: ``(group, t, n_risk, d_events,
+    survival)`` — the stratified view behind a log-rank comparison
+    (logrank_test answers "are the curves different"; this returns
+    the curves). Same exactness contract as :func:`kaplan_meier`
+    with every window/fold PARTITIONED by the group key — risk sets
+    are exact integers per group and the survival product folds in
+    pinned ascending-t order within each partition.
+
+    SCALE: one (group, duration) aggregate collapses the subjects;
+    all windows run partitioned over each group's duration domain —
+    no single-partition funnel (unlike the global variant, which is
+    domain-bounded but unpartitioned).
+    """
+    from pyspark.sql import Window
+
+    dom = durations.groupBy(
+        F.col(group_col).alias("__g"),
+        F.col(duration_col).cast("long").alias("__t"),
+    ).agg(
+        F.count(F.lit(1)).alias("__m"),
+        F.sum(F.col(observed_col).cast("long")).alias("__d"),
+    )
+    w = Window.partitionBy("__g").orderBy("__t")
+    cum = dom.select(
+        "__g",
+        "__t",
+        "__d",
+        (
+            F.sum("__m").over(
+                w.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            - F.coalesce(
+                F.sum("__m").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            )
+        ).alias("__n_risk"),
+    )
+    factor = F.lit(1.0) - F.col("__d").cast("double") / F.col(
+        "__n_risk"
+    ).cast("double")
+    folded = cum.select(
+        "__g",
+        "__t",
+        "__d",
+        "__n_risk",
+        F.aggregate(
+            F.collect_list(factor).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+            F.lit(1.0),
+            lambda acc, x: acc * x,
+        ).alias("__s"),
+    )
+    return folded.where(F.col("__d") > 0).select(
+        F.col("__g").alias(group_col),
+        F.col("__t").alias("t"),
+        F.col("__n_risk").cast("long").alias("n_risk"),
+        F.col("__d").cast("long").alias("d_events"),
+        F.col("__s").alias("survival"),
+    )

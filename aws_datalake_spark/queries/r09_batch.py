@@ -3162,3 +3162,147 @@ def q_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         ).alias("rmst"),
     )
+
+
+# ---------------------------------------------------------------------------
+# per-segment Kaplan–Meier curves (the plot behind q_logrank)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_km_by_segment",
+    oracle="""
+    WITH lake AS (SELECT CAST(MAX(o_orderdate) AS DATE) AS mxd
+                  FROM orders),
+    subj AS (
+      SELECT c.c_mktsegment AS g,
+             CAST(CAST(MAX(o.o_orderdate) AS DATE)
+                  - CAST(MIN(o.o_orderdate) AS DATE) AS BIGINT) AS dur,
+             CASE WHEN CAST(MAX(o.o_orderdate) AS DATE)
+                       <= (SELECT mxd FROM lake) - 90
+                  THEN 1 ELSE 0 END AS obs
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
+      GROUP BY c.c_custkey, c.c_mktsegment
+    ),
+    dom AS (
+      SELECT g, dur AS t, CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(obs) AS BIGINT) AS d
+      FROM subj GROUP BY 1, 2
+    ),
+    risk AS (
+      SELECT g, t, d,
+             SUM(m) OVER (PARTITION BY g)
+               - COALESCE(SUM(m) OVER (PARTITION BY g ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM dom
+    ),
+    cum AS (
+      SELECT g, t, d, n_risk,
+             list(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+               OVER (PARTITION BY g ORDER BY t
+                     ROWS UNBOUNDED PRECEDING) AS fs
+      FROM risk
+    )
+    SELECT g AS segment, t, CAST(n_risk AS BIGINT) AS n_risk,
+           d AS d_events,
+           list_reduce(fs, (p, q) -> p * q) AS survival
+    FROM cum WHERE d > 0
+    """,
+)
+def q_km_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier customer-lifetime curves per segment
+    (operators/stats.py:kaplan_meier_by_group) on the exact cohorts
+    q_logrank tests — the stratified retention PLOT beside the
+    hypothesis test. Per-group risk sets are exact integers and the
+    survival products fold in pinned order WITHIN each group
+    partition (no single-partition funnel)."""
+    from aws_datalake_spark.operators.stats import kaplan_meier_by_group
+
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    lake = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("mxd"))
+    subj = (
+        o.join(
+            F.broadcast(
+                c.select("c_custkey", "c_mktsegment").where(
+                    F.col("c_mktsegment").isin(["AUTOMOBILE", "BUILDING"])
+                )
+            ),
+            o.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("__mx"),
+            F.min(F.col("o_orderdate").cast("date")).alias("__mn"),
+        )
+        .crossJoin(F.broadcast(lake))
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.datediff(F.col("__mx"), F.col("__mn"))
+            .cast("long")
+            .alias("dur"),
+            (F.col("__mx") <= F.date_sub(F.col("mxd"), 90))
+            .cast("int")
+            .alias("obs"),
+        )
+    )
+    return kaplan_meier_by_group(subj, "segment", "dur", "obs")
+
+
+# ---------------------------------------------------------------------------
+# two-count Poisson rate test
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_poisson_rate_test",
+    oracle="""
+    WITH k AS (
+      SELECT SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS k1,
+             SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+               AS k2
+      FROM events
+    )
+    SELECT CAST(k1 AS BIGINT) AS n_purchase,
+           CAST(k2 AS BIGINT) AS n_error,
+           CASE WHEN k1 + k2 > 0 THEN
+             (CAST(k1 AS DOUBLE) - CAST(k2 AS DOUBLE))
+             / SQRT(CAST(k1 AS DOUBLE) + CAST(k2 AS DOUBLE))
+           END AS z,
+           CASE WHEN k1 + k2 > 0 THEN
+             CAST(k1 AS DOUBLE) / CAST(k1 + k2 AS DOUBLE)
+           END AS p_purchase
+    FROM k
+    """,
+)
+def q_poisson_rate_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-count Poisson rate test over a shared observation window:
+    are purchases and errors arriving at the same rate — the
+    conditional (binomial) test z = (k₁−k₂)/√(k₁+k₂), the standard
+    incident-rate comparison when both streams share the exposure
+    (same lake, same window). Exact counts are the certificate; z
+    and the conditional proportion are one mirrored IEEE tree. One
+    conditional-count aggregate collapses the corpus."""
+    ev = t(spark, sf_dir, "events")
+    k = ev.agg(
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("k1"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("k2"),
+    )
+    ok = F.col("k1") + F.col("k2") > 0
+    return k.select(
+        F.col("k1").alias("n_purchase"),
+        F.col("k2").alias("n_error"),
+        F.when(
+            ok,
+            (F.col("k1").cast("double") - F.col("k2").cast("double"))
+            / F.sqrt(F.col("k1").cast("double") + F.col("k2").cast("double")),
+        ).alias("z"),
+        F.when(
+            ok,
+            F.col("k1").cast("double")
+            / (F.col("k1") + F.col("k2")).cast("double"),
+        ).alias("p_purchase"),
+    )

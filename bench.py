@@ -284,6 +284,8 @@ HEADLINE = [
     "q_logrank",
     "q_forecast_backtest",
     "q_rmst",
+    "q_km_by_segment",
+    "q_poisson_rate_test",
 ]
 
 

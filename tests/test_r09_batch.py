@@ -882,3 +882,50 @@ def test_rmst_bounded_by_tau(spark, sf_dir):
 
     r = entry.queries()["q_rmst"](spark, sf_dir).collect()[0]
     assert 0.0 < r.rmst <= r.tau
+
+
+def test_km_by_group_matches_global_on_single_group(spark):
+    """With one group the stratified estimator must equal the global
+    kaplan_meier bit-for-bit."""
+    from aws_datalake_spark.operators.stats import (
+        kaplan_meier,
+        kaplan_meier_by_group,
+    )
+
+    rows = [(2, 1), (3, 0), (5, 1), (8, 0), (8, 1)]
+    df = spark.createDataFrame(rows, "dur long, obs int").withColumn(
+        "g", F.lit("only")
+    )
+    glob = {
+        (r.t): (r.n_risk, r.d_events, r.survival)
+        for r in kaplan_meier(df, "dur", "obs").collect()
+    }
+    strat = {
+        (r.t): (r.n_risk, r.d_events, r.survival)
+        for r in kaplan_meier_by_group(df, "g", "dur", "obs").collect()
+    }
+    assert glob == strat
+
+
+def test_km_by_group_partitions_are_independent(spark):
+    from aws_datalake_spark.operators.stats import kaplan_meier_by_group
+
+    rows = [("a", 1, 1), ("a", 2, 1), ("b", 1, 1), ("b", 9, 0)]
+    df = spark.createDataFrame(rows, "g string, dur long, obs int")
+    out = {
+        (r.g, r.t): (r.n_risk, r.survival)
+        for r in kaplan_meier_by_group(df, "g", "dur", "obs").collect()
+    }
+    assert out[("a", 1)] == (2, 0.5)
+    assert out[("a", 2)][1] == pytest.approx(0.0)
+    assert out[("b", 1)] == (2, 0.5)
+    assert ("b", 9) not in out  # censored-only time
+
+
+def test_poisson_rate_equal_counts_z_zero(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    r = entry.queries()["q_poisson_rate_test"](spark, sf_dir).collect()[0]
+    assert r.n_purchase > 0 and r.n_error > 0
+    assert abs(r.z) < 5.0  # same generator -> rates close
+    assert 0.0 < r.p_purchase < 1.0
