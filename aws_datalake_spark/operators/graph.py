@@ -898,6 +898,7 @@ def bfs_layers(
     max_hops: int = 4,
     src: str = "s",
     dst: str = "d",
+    broadcast_max: int = 100_000,
 ) -> DataFrame:
     """Breadth-first hop distances from the MINIMUM node id (a pinned,
     data-derived source): ``(hop, n_nodes)`` for hops 0..max_hops —
@@ -912,7 +913,13 @@ def bfs_layers(
     adjacency list + one distinct + one anti-join — each distributed
     on the node key, no global structure; lineage cut per hop so the
     plan stays O(1) deep. The hop cap bounds total work at
-    max_hops · |E| regardless of graph shape.
+    max_hops · |E| regardless of graph shape. The frontier side of
+    the expansion join broadcasts only while its COUNTED size stays
+    ≤ ``broadcast_max`` (the count is a local scan of the
+    just-checkpointed frontier, not a recompute) — on a dense graph
+    whose hop-2 frontier is already most of the node set the join
+    falls back to a shuffle instead of shipping it to every executor
+    (ADVICE r09: the previous fixed hop≤2 hint was size-blind).
     """
     from aws_datalake_spark.operators.dedup_cluster import _truncate
 
@@ -927,12 +934,13 @@ def bfs_layers(
         source.select("node", F.lit(0).cast("int").alias("hop"))
     )
     frontier = visited
+    frontier_n = 1  # single pinned source
     for h in range(1, max_hops + 1):
+        sel = frontier.select(F.col("node").alias("s"))
         nxt = (
             bi.join(
-                frontier.select(F.col("node").alias("s")).hint("broadcast")
-                if h <= 2
-                else frontier.select(F.col("node").alias("s")),
+                sel.hint("broadcast") if frontier_n <= broadcast_max
+                else sel,
                 "s",
             )
             .select(F.col("d").alias("node"))
@@ -941,6 +949,7 @@ def bfs_layers(
             .select("node", F.lit(h).cast("int").alias("hop"))
         )
         frontier = _truncate(nxt)
+        frontier_n = frontier.count()
         visited = _truncate(visited.unionByName(frontier))
     return (
         visited.groupBy("hop")

@@ -1969,16 +1969,17 @@ def anova_oneway(
     variances). ``x_int`` must be integral (pre-scale to cents).
 
     EXACTNESS: per-group n, Σx, Σx² accumulate in DECIMAL(38,0); the
-    per-group float terms S_g²/n_g fold in PINNED group order (the
-    kruskal_wallis cumulative-window device — k rows, far below the
-    vector-size caveat), and SSB/SSW/F are a fixed mirrored IEEE
-    tree over those exact aggregates.
+    per-group float terms S_g²/n_g fold in PINNED group order via the
+    ORDERED-LIST reduce (the durbin_watson device — a true left fold
+    at ANY k, immune to DuckDB's ~64-row windowed-float-sum chunk
+    association; ADVICE r09 flagged the previous cumulative-window
+    fold as silently k-bounded), and SSB/SSW/F are a fixed mirrored
+    IEEE tree over those exact aggregates.
 
     SCALE: one groupBy collapses the corpus; everything after is
-    k-row arithmetic.
+    k-row arithmetic in a single k-row final aggregate (no
+    single-partition window).
     """
-    from pyspark.sql import Window
-
     x = x_int.cast("long")
     per_g = df.groupBy(F.col(group_col).alias("__g")).agg(
         F.count(F.lit(1)).alias("__n"),
@@ -1988,29 +1989,22 @@ def anova_oneway(
     term = (F.col("__s") * F.col("__s")).cast("double") / F.col(
         "__n"
     ).cast("double")
-    wg = Window.orderBy("__g")
     folded = per_g.select(
-        F.sum(term)
-        .over(wg.rowsBetween(Window.unboundedPreceding, 0))
-        .alias("__ssg"),
-        F.sum("__n")
-        .over(wg.rowsBetween(Window.unboundedPreceding, 0))
-        .alias("__ncum"),
-        F.sum("__s")
-        .over(wg.rowsBetween(Window.unboundedPreceding, 0))
-        .alias("__scum"),
-        F.sum("__q")
-        .over(wg.rowsBetween(Window.unboundedPreceding, 0))
-        .alias("__qcum"),
-        F.row_number().over(wg).alias("__rn"),
-        F.count(F.lit(1))
-        .over(
-            wg.rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        )
-        .alias("__k"),
-    ).where(F.col("__rn") == F.col("__k"))
+        "__g", "__n", "__s", "__q", term.alias("__t")
+    ).agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__g", "__t"))),
+                lambda st: st["__t"],
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("__ssg"),
+        F.sum("__n").alias("__ncum"),
+        F.sum("__s").alias("__scum"),
+        F.sum("__q").alias("__qcum"),
+        F.count(F.lit(1)).alias("__k"),
+    )
     n_d = F.col("__ncum").cast("double")
     k_d = F.col("__k").cast("double")
     ssb = (

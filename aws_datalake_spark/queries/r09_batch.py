@@ -60,16 +60,13 @@ from aws_datalake_spark.queries.registry import query
       FROM v GROUP BY 1
     ),
     folded AS (
-      SELECT SUM(CAST(s * s AS DOUBLE) / CAST(n AS DOUBLE))
-               OVER (ORDER BY g ROWS UNBOUNDED PRECEDING) AS ssg,
-             SUM(n) OVER (ORDER BY g ROWS UNBOUNDED PRECEDING) AS ncum,
-             SUM(s) OVER (ORDER BY g ROWS UNBOUNDED PRECEDING) AS scum,
-             SUM(q) OVER (ORDER BY g ROWS UNBOUNDED PRECEDING) AS qcum,
-             ROW_NUMBER() OVER (ORDER BY g) AS rn,
-             COUNT(*) OVER () AS k
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             SUM(n) AS ncum, SUM(s) AS scum, SUM(q) AS qcum,
+             list_reduce(list(CAST(s * s AS DOUBLE) / CAST(n AS DOUBLE)
+                              ORDER BY g), (p, q) -> p + q) AS ssg
       FROM per_g
     )
-    SELECT CAST(k AS BIGINT) AS k, CAST(ncum AS BIGINT) AS n,
+    SELECT k, CAST(ncum AS BIGINT) AS n,
            ssg - CAST(scum * scum AS DOUBLE) / CAST(ncum AS DOUBLE)
              AS ss_between,
            CAST(qcum AS DOUBLE) - ssg AS ss_within,
@@ -80,7 +77,7 @@ from aws_datalake_spark.queries.registry import query
              / ((CAST(qcum AS DOUBLE) - ssg)
                 / (CAST(ncum AS DOUBLE) - CAST(k AS DOUBLE)))
            END AS f_stat
-    FROM folded WHERE rn = k
+    FROM folded
     """,
 )
 def q_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -88,7 +85,8 @@ def q_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents (operators/stats.py:anova_oneway): the PARAMETRIC sibling
     of q_kruskal_wallis on the same column — equal-means test from
     exact DECIMAL moments, per-group S²/n terms folded in pinned
-    group order (the kruskal device), F one mirrored IEEE tree."""
+    group order (ordered-list reduce, k-unbounded per ADVICE r09),
+    F one mirrored IEEE tree."""
     from aws_datalake_spark.operators.stats import anova_oneway
 
     c = t(spark, sf_dir, "customer").select(
@@ -128,16 +126,13 @@ def q_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM z GROUP BY 1
     ),
     folded AS (
-      SELECT SUM(CAST(s * s AS DOUBLE) / CAST(n AS DOUBLE))
-               OVER (ORDER BY g ROWS UNBOUNDED PRECEDING) AS ssg,
-             SUM(n) OVER (ORDER BY g ROWS UNBOUNDED PRECEDING) AS ncum,
-             SUM(s) OVER (ORDER BY g ROWS UNBOUNDED PRECEDING) AS scum,
-             SUM(q) OVER (ORDER BY g ROWS UNBOUNDED PRECEDING) AS qcum,
-             ROW_NUMBER() OVER (ORDER BY g) AS rn,
-             COUNT(*) OVER () AS k
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             SUM(n) AS ncum, SUM(s) AS scum, SUM(q) AS qcum,
+             list_reduce(list(CAST(s * s AS DOUBLE) / CAST(n AS DOUBLE)
+                              ORDER BY g), (p, q) -> p + q) AS ssg
       FROM per_g
     )
-    SELECT CAST(k AS BIGINT) AS k, CAST(ncum AS BIGINT) AS n,
+    SELECT k, CAST(ncum AS BIGINT) AS n,
            ssg - CAST(scum * scum AS DOUBLE) / CAST(ncum AS DOUBLE)
              AS ss_between,
            CAST(qcum AS DOUBLE) - ssg AS ss_within,
@@ -148,7 +143,7 @@ def q_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
              / ((CAST(qcum AS DOUBLE) - ssg)
                 / (CAST(ncum AS DOUBLE) - CAST(k AS DOUBLE)))
            END AS f_stat
-    FROM folded WHERE rn = k
+    FROM folded
     """,
 )
 def q_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -493,10 +488,14 @@ def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supplier revenue concentration per nation
     (operators/stats.py:hhi_concentration): HHI = Σ share² over each
     nation's suppliers with the effective-supplier count 1/HHI —
-    "is this market one hub or a level field". Exact DECIMAL
-    Σv²/(Σv)²; two correctly-rounded divides; the corpus collapses
-    in one (nation, supplier) aggregate and the nation dim
-    broadcasts."""
+    "is this market one hub or a level field". Per-supplier shares
+    are one correctly-rounded divide each of exact integer cents
+    over the exact group total, and HHI folds Σ share² in pinned
+    supplier order (ordered-list reduce — NOT the one-divide
+    Σv²/(Σv)² form, whose >2^53 squared totals cast to double
+    non-correctly-rounded in DuckDB; see the operator's comment).
+    The corpus collapses in one (nation, supplier) aggregate and
+    the nation dim broadcasts."""
     from aws_datalake_spark.operators.stats import hhi_concentration
 
     li = t(spark, sf_dir, "lineitem")
@@ -2444,35 +2443,35 @@ def q_partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# monthly churn (growth accounting, the loss side)
+# weekly churn (growth accounting, the loss side)
 # ---------------------------------------------------------------------------
 
 
 @query(
     "q_churn_rate",
     oracle="""
-    WITH um AS (
+    WITH uw AS (
       SELECT DISTINCT user_id,
              CAST((CAST(ts AS DATE) - DATE '1970-01-01') // 7
-                  AS BIGINT) AS m
+                  AS BIGINT) AS w
       FROM events
     ),
-    prev AS (SELECT user_id, m + 1 AS m FROM um),
-    act AS (SELECT m, CAST(COUNT(*) AS BIGINT) AS active_prev
+    prev AS (SELECT user_id, w + 1 AS w FROM uw),
+    act AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS active_prev
             FROM prev GROUP BY 1),
     ret AS (
-      SELECT prev.m, CAST(COUNT(*) AS BIGINT) AS retained
-      FROM prev JOIN um ON prev.user_id = um.user_id AND prev.m = um.m
+      SELECT prev.w, CAST(COUNT(*) AS BIGINT) AS retained
+      FROM prev JOIN uw ON prev.user_id = uw.user_id AND prev.w = uw.w
       GROUP BY 1
     ),
-    mon AS (SELECT DISTINCT m FROM um)
-    SELECT act.m AS week_index, act.active_prev,
+    wk AS (SELECT DISTINCT w FROM uw)
+    SELECT act.w AS week_index, act.active_prev,
            COALESCE(ret.retained, 0) AS retained,
            act.active_prev - COALESCE(ret.retained, 0) AS churned,
            CAST(act.active_prev - COALESCE(ret.retained, 0) AS DOUBLE)
              / CAST(act.active_prev AS DOUBLE) AS churn_rate
-    FROM act JOIN mon ON act.m = mon.m
-    LEFT JOIN ret ON act.m = ret.m
+    FROM act JOIN wk ON act.w = wk.w
+    LEFT JOIN ret ON act.w = ret.w
     """,
 )
 def q_churn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2486,19 +2485,19 @@ def q_churn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.floor(
             F.unix_date(F.col("ts").cast("date")) / F.lit(7)
-        ).cast("long").alias("m"),
+        ).cast("long").alias("w"),
     ).distinct()
-    prev = ev.select("user_id", (F.col("m") + 1).alias("m"))
-    act = prev.groupBy("m").agg(F.count(F.lit(1)).alias("active_prev"))
-    ret = prev.join(ev, ["user_id", "m"]).groupBy("m").agg(
+    prev = ev.select("user_id", (F.col("w") + 1).alias("w"))
+    act = prev.groupBy("w").agg(F.count(F.lit(1)).alias("active_prev"))
+    ret = prev.join(ev, ["user_id", "w"]).groupBy("w").agg(
         F.count(F.lit(1)).alias("retained")
     )
-    mon = ev.select("m").distinct()
+    wk = ev.select("w").distinct()
     out = (
-        act.join(mon, "m")
-        .join(ret, "m", "left")
+        act.join(wk, "w")
+        .join(ret, "w", "left")
         .select(
-            F.col("m").alias("week_index"),
+            F.col("w").alias("week_index"),
             "active_prev",
             F.coalesce(F.col("retained"), F.lit(0)).alias("retained"),
             (
@@ -3070,7 +3069,9 @@ _RMST_TAU = 60
     )
     SELECT CAST({_RMST_TAU} AS BIGINT) AS tau,
            CAST(COUNT(*) AS BIGINT) AS n_event_times,
-           list_reduce(list(term ORDER BY t), (p, q) -> p + q) AS rmst
+           CASE WHEN COUNT(*) = 0 THEN CAST({_RMST_TAU} AS DOUBLE)
+                ELSE list_reduce(list(term ORDER BY t), (p, q) -> p + q)
+           END AS rmst
     FROM terms
     """,
 )
@@ -3082,7 +3083,11 @@ def q_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
     choice when hazards aren't proportional). Segment areas are
     prev-survival × exact integer widths (τ-clamped), folded in
     pinned event-time order; survival values are the bit-identical
-    KM folds, so the area matches cross-engine."""
+    KM folds, so the area matches cross-engine. With ZERO event
+    times (every session censored, or an empty lake) the KM curve
+    never steps, survival stays 1 on [0, τ], and RMST is exactly τ —
+    guarded explicitly on both engines (ADVICE r09: the unguarded
+    fold read 0.0 on Spark and NULL on DuckDB)."""
     from pyspark.sql import Window
 
     from aws_datalake_spark.operators.stats import kaplan_meier
@@ -3153,13 +3158,17 @@ def q_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.agg(
         F.lit(_RMST_TAU).cast("long").alias("tau"),
         F.count(F.lit(1)).alias("n_event_times"),
-        F.aggregate(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("t", "term"))),
-                lambda st: st["term"],
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        F.when(
+            F.count(F.lit(1)) == 0, F.lit(float(_RMST_TAU))
+        ).otherwise(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("t", "term"))),
+                    lambda st: st["term"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
         ).alias("rmst"),
     )
 
