@@ -276,3 +276,286 @@ def embed_media_chunks(chunks: DataFrame, dim: int = 64) -> DataFrame:
     return chunks.select("asset_id", "chunk_idx", "chunk").mapInPandas(
         batches, "asset_id long, chunk_idx int, embedding array<float>"
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hash (DCT over the byte-grid) — VERDICT r09 item 4
+# ---------------------------------------------------------------------------
+#
+# A pure-expression pHash: sample 64 bytes stride-evenly across the
+# payload into an 8×8 grid, apply the separable orthonormal 2-D
+# DCT-II (basis shipped as 64 shared double literals), threshold the
+# 63 AC coefficients against the upper-median coefficient, and pack
+# the bits into one 63-bit long. Every arithmetic step is a pinned
+# left fold or a single IEEE op mirrored verbatim by the DuckDB twin
+# (`phash63_duckdb_sql`), so the hash — and therefore the banded
+# near-dup pair set — matches bit-for-bit cross-engine.
+#
+# This is the "graduate the encoder stub one notch" step: the DCT is
+# real; only the byte-grid stands in for decoded luma pixels. A real
+# deployment swaps the strided byte sampler for a PIL `Image.open →
+# grayscale → resize(8, 8)` and the DCT/threshold/banding pipeline —
+# the part that shuffles — is unchanged.
+#
+# 100 TB notes: the hash is a narrow scan-side projection (payload
+# bytes never reach a shuffle — only the 63-bit long does), and the
+# banded self-join buckets on 16-bit slice values exactly like
+# dedup.simhash_neardup_pairs (hamming ≤ 3 detection is EXACT by
+# pigeonhole over 4 slices).
+
+import math
+
+
+def _phash_dct_matrix() -> list[float]:
+    """Orthonormal 8×8 DCT-II basis, row-major M[u*8+x]."""
+    out = []
+    for u in range(8):
+        a = math.sqrt(1.0 / 8.0) if u == 0 else 0.5
+        for x in range(8):
+            out.append(a * math.cos((2 * x + 1) * u * math.pi / 16.0))
+    return out
+
+
+PHASH_DCT = _phash_dct_matrix()
+
+
+def _let(val, body):
+    """Let-binding for Spark expressions: evaluate ``val`` ONCE and
+    bind it to a lambda variable inside ``body`` — encoded as
+    ``element_at(transform(array(val), body), 1)``. Lambda variables
+    are bound to evaluated values, so ``body`` may reference the
+    binding any number of times at zero re-evaluation cost. This is
+    the load-bearing device for multi-stage per-row pipelines:
+    Catalyst's CollapseProject inlines staged withColumns into every
+    downstream reference, and HOF lambdas defeat subexpression
+    elimination — a staged 8×8 DCT re-evaluated the hex-decode per
+    coefficient reference (~2 s/row measured). With let-bindings the
+    whole hash is ONE linear-cost expression."""
+    return F.element_at(F.transform(F.array(val), body), 1)
+
+
+def with_phash63(
+    df: DataFrame, payload_col: str, out_col: str = "ph"
+) -> DataFrame:
+    """Add a 63-bit perceptual-hash column computed JVM-side with
+    higher-order functions (no Python UDF): hex-decode → strided
+    8×8 byte grid → separable orthonormal DCT-II (PHASH_DCT literal
+    basis) → 63 AC bits vs the upper-median coefficient, packed into
+    one long. Every stage is let-bound (see :func:`_let`) so the
+    expression evaluates each stage exactly once per row. Rows with
+    empty payloads get NULL."""
+    hx_expr = F.hex(F.col(payload_col))  # uppercase hex, 2 chars/byte
+    marr = F.array(*[F.lit(v) for v in PHASH_DCT])
+
+    def pipeline(hx):
+        # nibble values: ascii 48-57 → 0-9, 65-70 → 10-15
+        nibs_expr = F.transform(
+            F.sequence(F.lit(1), F.length(hx)),
+            lambda i: (
+                lambda a: F.when(a >= 65, a - 55).otherwise(a - 48)
+            )(F.ascii(F.substr(hx, i, F.lit(1)))),
+        )
+        return _let(nibs_expr, lambda nibs: _grid_stage(nibs))
+
+    def _grid_stage(nibs):
+        nb = (F.size(nibs) / F.lit(2)).cast("int")
+
+        # 8×8 grid: strided byte sample idx(k) = (k*nb) // 64
+        def byte_at(k):
+            idx = F.floor((k * nb) / F.lit(64)).cast("int")
+            return (
+                F.lit(16)
+                * F.element_at(nibs, (F.lit(2) * idx + 1).cast("int"))
+                + F.element_at(nibs, (F.lit(2) * idx + 2).cast("int"))
+            ).cast("double")
+
+        grid_expr = F.transform(F.sequence(F.lit(0), F.lit(63)), byte_at)
+        return _let(grid_expr, _row_stage)
+
+    def _row_stage(g):
+        # separable DCT: R[8x+v] = Σ_y M[v*8+y]*g[8x+y] (left fold)
+        def row_pass(j):
+            x = F.floor(j / F.lit(8)).cast("int")
+            v = F.pmod(j, F.lit(8)).cast("int")
+            return F.aggregate(
+                F.sequence(F.lit(0), F.lit(7)),
+                F.lit(0.0),
+                lambda acc, y: acc
+                + F.element_at(marr, (v * 8 + y + 1).cast("int"))
+                * F.element_at(g, (x * 8 + y + 1).cast("int")),
+            )
+
+        r_expr = F.transform(F.sequence(F.lit(0), F.lit(63)), row_pass)
+        return _let(r_expr, _col_stage)
+
+    def _col_stage(r):
+        # C[8u+v] = Σ_x M[u*8+x] * R[8x+v] (left fold, x asc)
+        def col_pass(j):
+            u = F.floor(j / F.lit(8)).cast("int")
+            v = F.pmod(j, F.lit(8)).cast("int")
+            return F.aggregate(
+                F.sequence(F.lit(0), F.lit(7)),
+                F.lit(0.0),
+                lambda acc, x: acc
+                + F.element_at(marr, (u * 8 + x + 1).cast("int"))
+                * F.element_at(r, (x * 8 + v + 1).cast("int")),
+            )
+
+        c_expr = F.transform(F.sequence(F.lit(0), F.lit(63)), col_pass)
+        return _let(c_expr, _pack_stage)
+
+    def _pack_stage(c):
+        # upper median of the 64 coefficients, bound once
+        return _let(
+            F.element_at(F.array_sort(c), 33),
+            lambda med: F.aggregate(
+                # pack bits 1..63 (AC coeffs), MSB-first: acc*2 + bit
+                F.sequence(F.lit(63), F.lit(1), F.lit(-1)),
+                F.lit(0).cast("long"),
+                lambda acc, j: acc * F.lit(2).cast("long")
+                + F.when(
+                    F.element_at(c, (j + 1).cast("int")) > med, 1
+                )
+                .otherwise(0)
+                .cast("long"),
+            ),
+        )
+
+    return df.withColumn(
+        out_col,
+        F.when(F.length(F.col(payload_col)) > 0, pipeline(hx_expr)),
+    )
+
+
+def phash63_duckdb_cte(src_sql: str) -> str:
+    """The DuckDB twin of :func:`phash63` as a WITH-clause fragment.
+    ``src_sql`` must yield ``(asset_id, h)`` with ``h`` the
+    uppercase-hex string of the payload (non-empty). Produces CTEs
+    ``psrc → pnib → pgrid → prow → pcol → pmed → phash`` where
+    ``phash`` is ``(asset_id, ph)``. Shares the PHASH_DCT literals;
+    every fold is the same pinned left fold ([0.0] is prepended
+    because DuckDB's list_reduce seeds from the first element)."""
+    # e-notation forces each element to parse as DOUBLE — a bare
+    # decimal list literal is unified to ONE DECIMAL(p,s) type and
+    # 1-ulp-rounds elements that need more scale than the unified type
+    marr = "[" + ", ".join(f"{v:.17e}" for v in PHASH_DCT) + "]"
+    return f"""
+    psrc AS ({src_sql}),
+    pnib AS (
+      SELECT asset_id, len(h) // 2 AS nb,
+             list_transform(range(1, len(h) + 1), i ->
+               CASE WHEN ascii(substr(h, CAST(i AS INT), 1)) >= 65
+                    THEN ascii(substr(h, CAST(i AS INT), 1)) - 55
+                    ELSE ascii(substr(h, CAST(i AS INT), 1)) - 48
+               END) AS nibs
+      FROM psrc
+    ),
+    pgrid AS (
+      SELECT asset_id,
+             list_transform(range(0, 64), k -> CAST(
+               16 * nibs[CAST(2 * ((k * nb) // 64) + 1 AS INT)]
+               + nibs[CAST(2 * ((k * nb) // 64) + 2 AS INT)] AS DOUBLE))
+               AS g
+      FROM pnib
+    ),
+    prow AS (
+      SELECT asset_id,
+             list_transform(range(0, 64), j -> list_reduce(
+               [0.0] || list_transform(range(0, 8), y ->
+                 ({marr})[CAST((j % 8) * 8 + y + 1 AS INT)]
+                 * g[CAST((j // 8) * 8 + y + 1 AS INT)]),
+               (p, q) -> p + q)) AS r
+      FROM pgrid
+    ),
+    pcol AS (
+      SELECT asset_id,
+             list_transform(range(0, 64), j -> list_reduce(
+               [0.0] || list_transform(range(0, 8), x ->
+                 ({marr})[CAST((j // 8) * 8 + x + 1 AS INT)]
+                 * r[CAST(x * 8 + (j % 8) + 1 AS INT)]),
+               (p, q) -> p + q)) AS c
+      FROM prow
+    ),
+    pmed AS (SELECT asset_id, c, list_sort(c)[33] AS med FROM pcol),
+    phash AS (
+      SELECT asset_id,
+             list_reduce([CAST(0 AS BIGINT)] ||
+               list_transform(range(63, 0, -1), j ->
+                 CAST(CASE WHEN c[CAST(j + 1 AS INT)] > med
+                      THEN 1 ELSE 0 END AS BIGINT)),
+               (p, q) -> p * 2 + q) AS ph
+      FROM pmed
+    )"""
+
+
+def phash_neardup_pairs(
+    hashed: DataFrame,
+    id_col: str = "asset_id",
+    hash_col: str = "ph",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup asset pairs by pHash hamming distance, candidate-
+    limited by banding the 63-bit hash into four 16-bit slices
+    (pigeonhole: two hashes within hamming 3 agree on at least one
+    slice, so detection at ``max_hamming`` ≤ 3 is EXACT — the
+    dedup.simhash_neardup_pairs device). Returns
+    ``(asset_a, asset_b, hamming)``.
+
+    SCALE: the self-join buckets on (slice_id, 16-bit slice value) —
+    65 536 buckets per slice spread the corpus; only (id, hash) longs
+    shuffle, never payload bytes.
+
+    The lineage cut below is DELIBERATE: the slice explode references
+    the hash column 5× and the self-join doubles that, and Catalyst
+    pushes projections through a mere Repartition — without a hard
+    barrier CollapseProject inlines the ~10^3-node staged DCT
+    expression into every reference and the re-exploded tree stalls
+    codegen for minutes even at sf0.001. Checkpointing the tiny
+    (id, 63-bit hash) frame materializes the hash exactly once (the
+    per-hop bfs_layers device); each join side then reads 16-byte
+    rows."""
+    from aws_datalake_spark.operators.dedup_cluster import _truncate
+
+    hashed = _truncate(hashed.select(id_col, hash_col))
+    slices = hashed.select(
+        id_col,
+        hash_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("slice_id"),
+                        F.shiftright(F.col(hash_col), i * 16)
+                        .bitwiseAND(F.lit(65535))
+                        .alias("slice_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("sl"),
+    ).select(id_col, hash_col, "sl.slice_id", "sl.slice_val")
+    a = slices.select(
+        F.col(id_col).alias("asset_a"),
+        F.col(hash_col).alias("__ha"),
+        "slice_id",
+        "slice_val",
+    )
+    b = slices.select(
+        F.col(id_col).alias("asset_b"),
+        F.col(hash_col).alias("__hb"),
+        "slice_id",
+        "slice_val",
+    )
+    return (
+        a.join(b, ["slice_id", "slice_val"])
+        .filter(F.col("asset_a") < F.col("asset_b"))
+        .select(
+            "asset_a",
+            "asset_b",
+            F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -37,6 +37,7 @@ from aws_datalake_spark.queries import round8  # noqa: F401,E402
 from aws_datalake_spark.queries import round9  # noqa: F401,E402
 from aws_datalake_spark.queries import r08_batch  # noqa: F401,E402
 from aws_datalake_spark.queries import r09_batch  # noqa: F401,E402
+from aws_datalake_spark.queries import r10_batch  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Driver-window rotation

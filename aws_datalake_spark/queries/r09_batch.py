@@ -1246,20 +1246,25 @@ def llm_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                          (p, q) -> p + q) AS ap_num
       FROM cum GROUP BY 1, 2
     ),
+    counts AS (
+      SELECT tlabel, ap_num, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM apq GROUP BY 1, 2
+    ),
+    folded AS (
+      SELECT tlabel, CAST(SUM(cnt) AS BIGINT) AS n,
+             list_reduce(list(CAST(cnt AS DOUBLE) * ap_num
+                              ORDER BY ap_num), (p, q) -> p + q) AS s
+      FROM counts GROUP BY 1
+    ),
     rlab AS (
       SELECT label, CAST(COUNT(*) AS BIGINT) AS r FROM c GROUP BY 1
-    ),
-    scored AS (
-      SELECT apq.qid, apq.tlabel,
-             CASE WHEN LEAST(rlab.r, {_EV_K}) > 0 THEN
-               apq.ap_num / CAST(LEAST(rlab.r, {_EV_K}) AS DOUBLE)
-             ELSE 0.0 END AS ap
-      FROM apq JOIN rlab ON apq.tlabel = rlab.label
     )
-    SELECT tlabel AS label, CAST(COUNT(*) AS BIGINT) AS n_queries,
-           list_reduce(list(ap ORDER BY qid), (p, q) -> p + q)
-             / CAST(COUNT(*) AS DOUBLE) AS map10
-    FROM scored GROUP BY 1
+    SELECT folded.tlabel AS label, folded.n AS n_queries,
+           CASE WHEN LEAST(rlab.r, {_EV_K}) > 0 THEN
+             folded.s / CAST(LEAST(rlab.r, {_EV_K}) AS DOUBLE)
+               / CAST(folded.n AS DOUBLE)
+           ELSE 0.0 END AS map10
+    FROM folded JOIN rlab ON folded.tlabel = rlab.label
     """,
 )
 def llm_map_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1269,9 +1274,13 @@ def llm_map_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     majority (kNN accuracy) — the standard ranking-quality eval
     triple is completed by this query. AP@10 = Σ_{{rel hits}} P@i /
     min(R, 10) with R the label's corpus frequency; precision terms
-    are exact-count divides folded in pinned rank order per query,
-    and the per-label mean folds in pinned query order (both
-    ordered-list reduces)."""
+    are exact-count divides folded in pinned rank order per query (a
+    10-row partitioned fold), and the per-label mean folds over the
+    (label, ap_num) COUNT GRID in pinned ap_num order — ap_num takes
+    values from the bounded Σ-of-(cr/rk)-terms domain, so the final
+    fold never collects a corpus-sized query list per label (the r09
+    form did, and measured sf1→3 exponent 1.25 in-session vs MRR's
+    1.01; this is the MRR count-grid device applied to MAP)."""
     from pyspark.sql import Window
 
     from aws_datalake_spark.operators.similarity import cosine_topk
@@ -1333,32 +1342,43 @@ def llm_map_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ap_num")
         )
     )
+    counts = apq.groupBy("tlabel", "ap_num").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    folded = counts.groupBy("tlabel").agg(
+        F.sum("cnt").alias("n"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "ap_num",
+                            (
+                                F.col("cnt").cast("double")
+                                * F.col("ap_num")
+                            ).alias("term"),
+                        )
+                    )
+                ),
+                lambda st: st["term"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("s"),
+    )
     rlab = corpus.groupBy(F.col("label").alias("tlabel")).agg(
         F.count(F.lit(1)).alias("r")
     )
     denom = F.least(F.col("r"), F.lit(_EV_K))
-    scored = apq.join(F.broadcast(rlab), "tlabel").select(
-        "query_id",
-        "tlabel",
+    return folded.join(F.broadcast(rlab), "tlabel").select(
+        F.col("tlabel").alias("label"),
+        F.col("n").alias("n_queries"),
         F.when(
-            denom > 0, F.col("ap_num") / denom.cast("double")
-        ).otherwise(F.lit(0.0)).alias("ap"),
-    )
-    return scored.groupBy("tlabel").agg(
-        F.count(F.lit(1)).alias("n_queries"),
-        (
-            F.aggregate(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("query_id", "ap"))),
-                    lambda st: st["ap"],
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            / F.count(F.lit(1)).cast("double")
-        ).alias("map10"),
-    ).select(
-        F.col("tlabel").alias("label"), "n_queries", "map10"
+            denom > 0,
+            F.col("s")
+            / denom.cast("double")
+            / F.col("n").cast("double"),
+        ).otherwise(F.lit(0.0)).alias("map10"),
     )
 
 
