@@ -227,3 +227,201 @@ def test_map_engine_has_no_per_label_query_list(spark):
     src = inspect.getsource(r09_batch.llm_map_eval)
     assert 'F.struct(\n                            "ap_num",' in src
     assert '"query_id", "ap"' not in src
+
+
+# ---------------------------------------------------------------------------
+# r10 stats/ops family — invariants and textbook checks
+# ---------------------------------------------------------------------------
+
+
+def test_adamic_adar_star_graph(spark):
+    """K1,4 star through middle 0: every non-adjacent pair (i, j)
+    among the leaves shares exactly middle 0 with degree 4 → AA =
+    1/ln(4), bit-equal to the shared literal table entry."""
+    from aws_datalake_spark.operators.graph import adamic_adar_candidates
+
+    e = spark.createDataFrame([(0, i) for i in range(1, 5)], "s long, d long")
+    rows = adamic_adar_candidates(e, k=10).collect()
+    assert [(r.u, r.v, r.cn) for r in rows] == [
+        (1, 2, 1), (1, 3, 1), (1, 4, 1), (2, 3, 1), (2, 4, 1), (3, 4, 1)
+    ]
+    expect = 1.0 / math.log(4)
+    for r in rows:
+        assert r.aa == expect
+
+
+def test_theil_sen_known_series(spark, tmp_path):
+    """Slope recovered exactly on a clean linear weekly series built
+    as a tiny orders lake."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aws_datalake_spark.queries.r10_batch import q_theil_sen
+
+    # one order per week, totalprice = 7.00 + 3.50/week (cents slope
+    # 350/week)
+    dates, prices = [], []
+    base = pd.Timestamp("1995-01-02")
+    for wk in range(10):
+        dates.append((base + pd.Timedelta(weeks=wk)).date())
+        prices.append(7.0 + 3.5 * wk)
+    df = pd.DataFrame({"o_orderdate": dates, "o_totalprice": prices})
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "orders.parquet"))
+    r = q_theil_sen(spark, str(tmp_path)).collect()[0]
+    assert r.n_weeks == 10 and r.n_pairs == 45
+    assert r.theil_sen_slope == 350.0
+
+
+def test_cliffs_delta_disjoint_groups_is_one(spark, tmp_path):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aws_datalake_spark.queries.r10_batch import q_cliffs_delta
+
+    df = pd.DataFrame(
+        {
+            "l_returnflag": ["A"] * 3 + ["R"] * 3,
+            "l_quantity": [10.0, 11.0, 12.0, 1.0, 2.0, 3.0],
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(df), str(tmp_path / "lineitem.parquet")
+    )
+    r = q_cliffs_delta(spark, str(tmp_path)).collect()[0]
+    assert (r.n_a, r.n_r, r.gt, r.lt) == (3, 3, 9, 0)
+    assert r.cliffs_delta == 1.0
+
+
+def test_acf_guards_constant_series(spark, tmp_path):
+    """A constant series has zero variance — every acf must be NULL
+    (the den > 0 guard), not NaN."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aws_datalake_spark.queries.r10_batch import q_acf_lags
+
+    base = pd.Timestamp("1995-01-02")
+    df = pd.DataFrame(
+        {
+            "o_orderdate": [(base + pd.Timedelta(days=i)).date() for i in range(30)],
+            "o_totalprice": [5.0] * 30,
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "orders.parquet"))
+    rows = q_acf_lags(spark, str(tmp_path)).collect()
+    assert len(rows) == 7
+    assert all(r.acf is None for r in rows)
+
+
+def test_cooks_distance_planted_outlier_ranks_first(spark, tmp_path):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aws_datalake_spark.queries.r10_batch import q_cooks_distance
+
+    base = pd.Timestamp("1995-01-02")
+    vals = [10.0 + 0.5 * i for i in range(40)]
+    vals[39] = 500.0  # planted end-point spike: high residual AND leverage
+    df = pd.DataFrame(
+        {
+            "o_orderdate": [(base + pd.Timedelta(days=i)).date() for i in range(40)],
+            "o_totalprice": vals,
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "orders.parquet"))
+    rows = q_cooks_distance(spark, str(tmp_path)).collect()
+    assert rows[0].day == df["o_orderdate"][39]
+    assert rows[0].cooks_d > 10 * rows[1].cooks_d
+
+
+def test_spc_imr_flags_planted_spike(spark, tmp_path):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aws_datalake_spark.queries.r10_batch import q_spc_imr_chart
+
+    base = pd.Timestamp("1995-01-02")
+    vals = [100.0 + (i % 3) for i in range(30)]
+    vals[15] = 1000.0
+    df = pd.DataFrame(
+        {
+            "o_orderdate": [(base + pd.Timedelta(days=i)).date() for i in range(30)],
+            "o_totalprice": vals,
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "orders.parquet"))
+    r = q_spc_imr_chart(spark, str(tmp_path)).collect()[0]
+    assert r.n == 30
+    assert r.n_out_of_control >= 1
+    assert r.lcl < r.xbar < r.ucl
+
+
+def test_trimmed_mean_hand_data(spark, tmp_path):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aws_datalake_spark.queries.r10_batch import q_trimmed_mean
+
+    # 10 values 0..9 dollars; 10% trim drops min and max -> mean of
+    # 1..8 dollars = 450 cents
+    df = pd.DataFrame(
+        {
+            "c_mktsegment": ["S"] * 10,
+            "c_acctbal": [float(i) for i in range(10)],
+            "c_custkey": list(range(10)),
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "customer.parquet"))
+    r = q_trimmed_mean(spark, str(tmp_path)).collect()[0]
+    assert (r.n_total, r.n_kept) == (10, 8)
+    assert r.trimmed_mean_cents == 450.0
+
+
+def test_yule_walker_bounds(spark):
+    from aws_datalake_spark.queries.r10_batch import q_yule_walker_ar2
+
+    r = q_yule_walker_ar2(spark, SF_SMOKE).collect()[0]
+    if r.phi1 is not None:
+        # stationarity region for AR(2): |phi2| < 1, phi1 + phi2 < 1
+        assert abs(r.phi2) < 1.0
+        assert r.phi1 + r.phi2 < 1.0
+
+
+def test_mood_median_and_bp_sane(spark):
+    from aws_datalake_spark.queries.r10_batch import (
+        q_breusch_pagan,
+        q_mood_median,
+    )
+
+    m = q_mood_median(spark, SF_SMOKE).collect()[0]
+    assert m.k == 3 and m.chi2 >= 0.0
+    assert 1 <= m.pooled_median <= 50
+    b = q_breusch_pagan(spark, SF_SMOKE).collect()[0]
+    assert b.bp_stat is None or b.bp_stat >= 0.0
+
+
+def test_atkinson_bounds_and_equality_case(spark):
+    from aws_datalake_spark.queries.r10_batch import q_atkinson_index
+
+    rows = q_atkinson_index(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        if r.atkinson_half is not None:
+            assert -1e-12 <= r.atkinson_half < 1.0
+
+
+def test_script_mix_ratios_sum_sane(spark):
+    from aws_datalake_spark.queries.r10_batch import llm_script_mix
+
+    rows = llm_script_mix(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        for c in ("alpha_ratio", "digit_ratio", "ws_ratio", "nonascii_ratio"):
+            assert 0.0 <= getattr(r, c) <= 1.0
+        assert 0 <= r.n_mixed_script <= r.n_docs
