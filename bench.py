@@ -286,6 +286,26 @@ HEADLINE = [
     "q_rmst",
     "q_km_by_segment",
     "q_poisson_rate_test",
+    # round-10 additions (keep HEADLINE at HEAD)
+    "llm_ndcg_eval",
+    "llm_media_phash_neardup",
+    "q_theil_sen",
+    "q_cliffs_delta",
+    "q_grubbs_outlier",
+    "q_mood_median",
+    "q_atkinson_index",
+    "q_acf_lags",
+    "q_yule_walker_ar2",
+    "q_cooks_distance",
+    "q_breusch_pagan",
+    "q_graph_adamic_adar",
+    "q_spc_imr_chart",
+    "q_process_capability",
+    "q_arc_elasticity",
+    "q_trimmed_mean",
+    "st_top_n_per_window",
+    "st_dedup_late_events",
+    "llm_script_mix",
 ]
 
 

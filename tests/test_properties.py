@@ -509,3 +509,81 @@ def test_nelson_aalen_matches_naive(spark_global, rows):
             nr, de, ch = got[t]
             assert (nr, de) == (n_risk, d_ev)
             assert ch == pytest.approx(h, rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# r10: Cliff's delta + Adamic-Adar property checks
+# ---------------------------------------------------------------------------
+
+_cliffs_rows = st.lists(
+    st.tuples(st.sampled_from(["A", "R"]), st.integers(1, 20)),
+    min_size=4,
+    max_size=40,
+).filter(
+    lambda rs: len({g for g, _ in rs}) == 2
+)
+
+
+@given(rows=_cliffs_rows)
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_cliffs_delta_matches_bruteforce(spark_global, tmp_path_factory, rows):
+    """The domain-counting formulation must equal the O(n²) pair
+    definition δ = (#(x>y) − #(x<y))/(n_a·n_r) exactly."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aws_datalake_spark.queries.r10_batch import q_cliffs_delta
+
+    root = tmp_path_factory.mktemp("cliffs")
+    df = pd.DataFrame(
+        {
+            "l_returnflag": [g for g, _ in rows],
+            "l_quantity": [float(v) for _, v in rows],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df), str(root / "lineitem.parquet"))
+    r = q_cliffs_delta(spark_global, str(root)).collect()[0]
+    av = [v for g, v in rows if g == "A"]
+    rv = [v for g, v in rows if g == "R"]
+    gt = sum(1 for a in av for b in rv if a > b)
+    lt = sum(1 for a in av for b in rv if a < b)
+    assert (r.gt, r.lt) == (gt, lt)
+    assert r.cliffs_delta == (gt - lt) / (len(av) * len(rv))
+
+
+_aa_edges = st.lists(
+    st.tuples(st.integers(0, 8), st.integers(0, 8)).filter(
+        lambda e: e[0] != e[1]
+    ),
+    min_size=2,
+    max_size=20,
+)
+
+
+@given(edges=_aa_edges)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_adamic_adar_matches_bruteforce(spark_global, edges):
+    """AA over random small graphs equals the brute-force definition
+    (pinned middle-order fold) for every returned pair."""
+    import math
+
+    from aws_datalake_spark.operators.graph import adamic_adar_candidates
+
+    canon = sorted({(min(a, b), max(a, b)) for a, b in edges})
+    e = spark_global.createDataFrame(canon, "s long, d long")
+    got = adamic_adar_candidates(e, k=100).collect()
+    # brute force
+    adj: dict[int, set[int]] = {}
+    for s, d in canon:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    deg = {n: len(v) for n, v in adj.items()}
+    for r in got:
+        mids = sorted(adj[r.u] & adj[r.v])
+        assert (r.u, r.v) not in [(a, b) for a, b in canon]
+        assert r.cn == len(mids)
+        acc = 0.0
+        for m in mids:
+            acc += 1.0 / math.log(deg[m])
+        assert r.aa == acc
