@@ -1035,3 +1035,78 @@ def test_forecast_backtest_no_sort_merge(spark):
 
     plan = _plan(q_forecast_backtest(spark, SF_SMOKE))
     assert "SortMergeJoin" not in plan  # cutoff + fold broadcast
+
+
+# ---------------------------------------------------------------------------
+# r10 plan gates
+# ---------------------------------------------------------------------------
+
+
+def test_phash_payload_never_shuffles(spark):
+    """The banded self-join must read the checkpointed (id, hash)
+    frame — payload/hex/DCT work happens scan-side before the cut,
+    so no Exchange carries binary columns."""
+    from aws_datalake_spark.queries.r10_batch import (
+        llm_media_phash_neardup,
+    )
+
+    plan = _plan(llm_media_phash_neardup(spark, SF_SMOKE))
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "payload" not in line and "text" not in line
+
+
+def test_ndcg_rlab_broadcasts(spark):
+    from aws_datalake_spark.queries.r10_batch import llm_ndcg_eval
+
+    plan = _plan(llm_ndcg_eval(spark, SF_SMOKE))
+    assert "windowspecdefinition(query_id" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_trimmed_mean_windows_partitioned_by_segment(spark):
+    from aws_datalake_spark.queries.r10_batch import q_trimmed_mean
+
+    plan = _plan(q_trimmed_mean(spark, SF_SMOKE))
+    wins = [
+        l for l in plan.splitlines() if "windowspecdefinition(g" in l
+    ]
+    assert wins
+    # no unpartitioned window anywhere in this query
+    assert "windowspecdefinition(x" not in plan
+
+
+def test_acf_single_lag_window_pass(spark):
+    """All 7 lags must ride ONE Window node (not 7)."""
+    from aws_datalake_spark.queries.r10_batch import q_acf_lags
+
+    plan = _plan(q_acf_lags(spark, SF_SMOKE))
+    assert plan.count("Window") <= 2  # one logical window (+AQE echo)
+
+
+def test_adamic_adar_weight_table_broadcasts(spark):
+    from aws_datalake_spark.queries.r10_batch import q_graph_adamic_adar
+
+    plan = _plan(q_graph_adamic_adar(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_top_n_per_window_rank_partitioned(spark):
+    from aws_datalake_spark.queries.r10_batch import st_top_n_per_window
+
+    plan = _plan(st_top_n_per_window(spark, SF_SMOKE))
+    wins = [
+        l
+        for l in plan.splitlines()
+        if "windowspecdefinition(window_start" in l
+    ]
+    assert wins
+
+
+def test_script_mix_single_scan_no_window(spark):
+    from aws_datalake_spark.queries.r10_batch import llm_script_mix
+
+    plan = _plan(llm_script_mix(spark, SF_SMOKE))
+    assert "Window" not in plan
+    assert plan.count("Scan parquet") <= 1
