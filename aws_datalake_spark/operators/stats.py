@@ -2004,7 +2004,7 @@ def anova_oneway(
         F.sum("__s").alias("__scum"),
         F.sum("__q").alias("__qcum"),
         F.count(F.lit(1)).alias("__k"),
-    )
+    ).where(F.col("__k") > 0)  # empty lake → zero rows, not one NULL row
     n_d = F.col("__ncum").cast("double")
     k_d = F.col("__k").cast("double")
     ssb = (

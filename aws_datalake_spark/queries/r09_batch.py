@@ -64,7 +64,7 @@ from aws_datalake_spark.queries.registry import query
              SUM(n) AS ncum, SUM(s) AS scum, SUM(q) AS qcum,
              list_reduce(list(CAST(s * s AS DOUBLE) / CAST(n AS DOUBLE)
                               ORDER BY g), (p, q) -> p + q) AS ssg
-      FROM per_g
+      FROM per_g HAVING COUNT(*) > 0
     )
     SELECT k, CAST(ncum AS BIGINT) AS n,
            ssg - CAST(scum * scum AS DOUBLE) / CAST(ncum AS DOUBLE)
@@ -130,7 +130,7 @@ def q_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(n) AS ncum, SUM(s) AS scum, SUM(q) AS qcum,
              list_reduce(list(CAST(s * s AS DOUBLE) / CAST(n AS DOUBLE)
                               ORDER BY g), (p, q) -> p + q) AS ssg
-      FROM per_g
+      FROM per_g HAVING COUNT(*) > 0
     )
     SELECT k, CAST(ncum AS BIGINT) AS n,
            ssg - CAST(scum * scum AS DOUBLE) / CAST(ncum AS DOUBLE)
