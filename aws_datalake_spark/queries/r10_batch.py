@@ -1860,3 +1860,513 @@ def llm_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("nonascii_ratio"),
         F.sum(mixed).alias("n_mixed_script"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford chi-square GOF (statistic over the existing literal table)
+# ---------------------------------------------------------------------------
+
+
+def _benford_chi2_oracle() -> str:
+    from aws_datalake_spark.queries.round6 import _BENFORD
+
+    vals = ", ".join(
+        f"({i + 1}, {v!r})" for i, v in enumerate(_BENFORD)
+    )
+    return f"""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ),
+    c AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1
+    ),
+    exp AS (SELECT * FROM (VALUES {vals}) AS t(digit, p)),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c),
+    terms AS (
+      SELECT exp.digit,
+             COALESCE(c.n, 0) AS n,
+             CAST(tot.total AS DOUBLE) * CAST(exp.p AS DOUBLE) AS e
+      FROM exp LEFT JOIN c USING (digit), tot
+    )
+    SELECT CAST((SELECT total FROM tot) AS BIGINT) AS n,
+           list_reduce(list(
+             (CAST(n AS DOUBLE) - e) * (CAST(n AS DOUBLE) - e) / e
+             ORDER BY digit), (p, q) -> p + q) AS chi2,
+           list_reduce(list(
+             ABS(CAST(n AS DOUBLE)
+                 / CAST((SELECT total FROM tot) AS DOUBLE)
+                 - CAST(e AS DOUBLE)
+                   / CAST((SELECT total FROM tot) AS DOUBLE))
+             ORDER BY digit), (p, q) -> p + q) / 9.0 AS mad
+    FROM terms
+    """
+
+
+@query("q_benford_chi2", oracle=_benford_chi2_oracle())
+def q_benford_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square goodness-of-fit of order-total first digits against
+    Benford's law plus the mean-absolute-deviation conformity score —
+    the one-number verdicts on top of q_benford_digits' per-digit
+    table (χ² ~ χ²₈ under conformity; MAD < 0.006 is Nigrini's
+    'close conformity' band). Same shared log10 literal table; all 9
+    digits enter via the expected-side left join (absent digits
+    contribute their full N·p term); χ²/MAD fold in pinned digit
+    order."""
+    from aws_datalake_spark.queries.round6 import _BENFORD
+
+    o = t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("long")
+        .cast("string"),
+        1,
+        1,
+    ).cast("long")
+    c = o.groupBy(digit.alias("digit")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # exp is the LEFT side of the left join — broadcasting the
+    # probe side is unsupported (Spark hint warning); the 9-digit
+    # counts frame broadcasts as the build side on its own
+    exp = o.sparkSession.createDataFrame(
+        [(i + 1, v) for i, v in enumerate(_BENFORD)],
+        "digit long, p double",
+    )
+    tot = c.agg(F.sum("n").alias("total"))
+    terms = (
+        exp.join(F.broadcast(c), "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            (F.col("total").cast("double") * F.col("p")).alias("e"),
+            "total",
+        )
+    )
+    chi_term = (
+        (F.col("n").cast("double") - F.col("e"))
+        * (F.col("n").cast("double") - F.col("e"))
+        / F.col("e")
+    )
+    mad_term = F.abs(
+        F.col("n").cast("double") / F.col("total").cast("double")
+        - F.col("e").cast("double") / F.col("total").cast("double")
+    )
+    def _fold9(expr, alias):
+        return F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("digit", expr.alias("t")))
+                ),
+                lambda st: st["t"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias(alias)
+
+    return terms.agg(
+        F.min("total").cast("long").alias("n"),
+        _fold9(chi_term, "chi2"),
+        (_fold9(mad_term, "__mad") / F.lit(9.0)).alias("mad"),
+    ).select("n", "chi2", "mad")
+
+
+# ---------------------------------------------------------------------------
+# Welch's heteroskedastic one-way ANOVA + Games-Howell pairwise
+# ---------------------------------------------------------------------------
+
+_WELCH_MOMENTS_SQL = """
+    v AS (
+      SELECT c_mktsegment AS g,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS x
+      FROM customer
+    ),
+    per_g AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(x AS HUGEINT)) AS s,
+             SUM(CAST(x AS HUGEINT) * x) AS q
+      FROM v GROUP BY 1 HAVING COUNT(*) > 1
+    ),
+    mom AS (
+      SELECT g, n,
+             CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+             (CAST(q AS DOUBLE)
+              - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                * CAST(s AS DOUBLE)) / CAST(n - 1 AS DOUBLE) AS var
+      FROM per_g
+    )"""
+
+
+@query(
+    "q_welch_anova",
+    oracle=f"""
+    WITH {_WELCH_MOMENTS_SQL},
+    wg AS (
+      SELECT g, n, m, var,
+             CAST(n AS DOUBLE) / var AS w
+      FROM mom WHERE var > 0.0
+    ),
+    s1 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             list_reduce(list(w ORDER BY g), (p, q) -> p + q) AS ww,
+             list_reduce(list(w * m ORDER BY g), (p, q) -> p + q) AS wm
+      FROM wg
+    ),
+    s2 AS (
+      SELECT s1.k, s1.ww,
+             list_reduce(list(
+               wg.w * (wg.m - s1.wm / s1.ww) * (wg.m - s1.wm / s1.ww)
+               ORDER BY wg.g), (p, q) -> p + q) AS a,
+             list_reduce(list(
+               (1.0 - wg.w / s1.ww) * (1.0 - wg.w / s1.ww)
+                 / CAST(wg.n - 1 AS DOUBLE)
+               ORDER BY wg.g), (p, q) -> p + q) AS b
+      FROM wg, s1 GROUP BY s1.k, s1.ww
+    )
+    SELECT k,
+           CASE WHEN k > 1 THEN
+             (a / CAST(k - 1 AS DOUBLE))
+             / (1.0 + (2.0 * CAST(k - 2 AS DOUBLE)
+                       / (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0))
+                      * b)
+           END AS f_star
+    FROM s2
+    """,
+)
+def q_welch_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's heteroskedastic one-way ANOVA on balance cents across
+    segments: the equal-means test that does NOT assume equal
+    variances — the robust default when q_brown_forsythe rejects
+    (classic q_anova_f is anti-conservative under variance
+    heterogeneity). Per-group exact moments → precision weights
+    w=n/s²; the two weighted folds run in pinned group order and F*
+    is one mirrored tree."""
+    from aws_datalake_spark.operators.stats import _dec
+
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("g"),
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("x"),
+    )
+    per_g = (
+        c.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec(F.col("x"))).alias("s"),
+            F.sum(_dec(F.col("x")) * _dec(F.col("x"))).alias("q"),
+        )
+        .where(F.col("n") > 1)
+    )
+    m = F.col("s").cast("double") / F.col("n").cast("double")
+    var = (
+        F.col("q").cast("double") - m * F.col("s").cast("double")
+    ) / (F.col("n") - 1).cast("double")
+    wg = per_g.select(
+        "g", "n", m.alias("m"), var.alias("var")
+    ).where(F.col("var") > 0.0).select(
+        "g", "n", "m", "var",
+        (F.col("n").cast("double") / F.col("var")).alias("w"),
+    )
+
+    def _foldg(df, expr, alias):
+        return F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("g", expr.alias("t")))
+                ),
+                lambda st: st["t"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias(alias)
+
+    s1 = wg.agg(
+        F.count(F.lit(1)).alias("k"),
+        _foldg(wg, F.col("w"), "ww"),
+        _foldg(wg, F.col("w") * F.col("m"), "wm"),
+    )
+    j = wg.crossJoin(F.broadcast(s1))
+    mw = F.col("wm") / F.col("ww")
+    a_term = F.col("w") * (F.col("m") - mw) * (F.col("m") - mw)
+    b_term = (
+        (F.lit(1.0) - F.col("w") / F.col("ww"))
+        * (F.lit(1.0) - F.col("w") / F.col("ww"))
+        / (F.col("n") - 1).cast("double")
+    )
+    s2 = j.groupBy("k", "ww").agg(
+        _foldg(j, a_term, "a"),
+        _foldg(j, b_term, "b"),
+    )
+    k_d = F.col("k").cast("double")
+    return s2.select(
+        F.col("k").cast("long").alias("k"),
+        F.when(
+            F.col("k") > 1,
+            (F.col("a") / (k_d - F.lit(1.0)))
+            / (
+                F.lit(1.0)
+                + (F.lit(2.0) * (k_d - F.lit(2.0)) / (k_d * k_d - F.lit(1.0)))
+                * F.col("b")
+            ),
+        ).alias("f_star"),
+    )
+
+
+@query(
+    "q_games_howell_pairs",
+    oracle=f"""
+    WITH {_WELCH_MOMENTS_SQL}
+    SELECT a.g AS seg_a, b.g AS seg_b,
+           a.m - b.m AS mean_diff,
+           (a.m - b.m) / SQRT(a.var / CAST(a.n AS DOUBLE)
+                              + b.var / CAST(b.n AS DOUBLE)) AS t_stat,
+           ((a.var / CAST(a.n AS DOUBLE) + b.var / CAST(b.n AS DOUBLE))
+            * (a.var / CAST(a.n AS DOUBLE) + b.var / CAST(b.n AS DOUBLE)))
+           / ((a.var / CAST(a.n AS DOUBLE))
+              * (a.var / CAST(a.n AS DOUBLE))
+              / CAST(a.n - 1 AS DOUBLE)
+              + (b.var / CAST(b.n AS DOUBLE))
+                * (b.var / CAST(b.n AS DOUBLE))
+                / CAST(b.n - 1 AS DOUBLE)) AS welch_df
+    FROM mom a JOIN mom b ON a.g < b.g
+    WHERE a.var > 0.0 AND b.var > 0.0
+    """,
+)
+def q_games_howell_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Games–Howell pairwise statistics across all segment pairs:
+    Welch t and Welch–Satterthwaite df per pair — the post-hoc that
+    belongs after q_welch_anova rejects ("WHICH segments differ",
+    without equal-variance or equal-n assumptions). Pure per-pair
+    IEEE trees over the per-group exact moments; the k×k pair join
+    is a broadcast of a k-row frame."""
+    from aws_datalake_spark.operators.stats import _dec
+
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("g"),
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("x"),
+    )
+    per_g = (
+        c.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec(F.col("x"))).alias("s"),
+            F.sum(_dec(F.col("x")) * _dec(F.col("x"))).alias("q"),
+        )
+        .where(F.col("n") > 1)
+    )
+    m = F.col("s").cast("double") / F.col("n").cast("double")
+    var = (
+        F.col("q").cast("double") - m * F.col("s").cast("double")
+    ) / (F.col("n") - 1).cast("double")
+    mom = per_g.select("g", "n", m.alias("m"), var.alias("var"))
+    a, b = mom.alias("a"), F.broadcast(mom.alias("b"))
+    j = a.join(b, F.col("a.g") < F.col("b.g")).where(
+        (F.col("a.var") > 0.0) & (F.col("b.var") > 0.0)
+    )
+    se2a = F.col("a.var") / F.col("a.n").cast("double")
+    se2b = F.col("b.var") / F.col("b.n").cast("double")
+    return j.select(
+        F.col("a.g").alias("seg_a"),
+        F.col("b.g").alias("seg_b"),
+        (F.col("a.m") - F.col("b.m")).alias("mean_diff"),
+        ((F.col("a.m") - F.col("b.m")) / F.sqrt(se2a + se2b)).alias(
+            "t_stat"
+        ),
+        (
+            ((se2a + se2b) * (se2a + se2b))
+            / (
+                se2a * se2a / (F.col("a.n") - 1).cast("double")
+                + se2b * se2b / (F.col("b.n") - 1).cast("double")
+            )
+        ).alias("welch_df"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal/trend strength (FPP) over the q_seasonal_decompose frame
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_seasonal_strength",
+    oracle="""
+    WITH ser AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) * 12
+                  + EXTRACT(month FROM o_orderdate) AS BIGINT) AS m,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    tr AS (
+      SELECT m, y,
+             LAG(y, 6) OVER (ORDER BY m)
+               + 2 * SUM(y) OVER (ORDER BY m ROWS BETWEEN 5 PRECEDING
+                                  AND 5 FOLLOWING)
+               + LEAD(y, 6) OVER (ORDER BY m) AS cma24
+      FROM ser
+    ),
+    det AS (
+      SELECT m, y, cma24, m % 12 AS moy, 24 * y - cma24 AS detr24
+      FROM tr
+    ),
+    szn AS (
+      SELECT moy, CAST(COUNT(detr24) AS BIGINT) AS cnt,
+             SUM(detr24) AS sd
+      FROM det WHERE detr24 IS NOT NULL GROUP BY 1
+    ),
+    comp AS (
+      SELECT det.m,
+             CAST(det.cma24 AS DOUBLE) / 24.0 AS trend,
+             (CAST(szn.sd AS DOUBLE) / CAST(szn.cnt AS DOUBLE)) / 24.0
+               AS seasonal,
+             CAST(det.y AS DOUBLE)
+               - CAST(det.cma24 AS DOUBLE) / 24.0
+               - (CAST(szn.sd AS DOUBLE) / CAST(szn.cnt AS DOUBLE))
+                 / 24.0 AS rem
+      FROM det JOIN szn ON det.moy = szn.moy
+      WHERE det.cma24 IS NOT NULL
+    ),
+    folds AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             list_reduce(list(rem ORDER BY m), (p, q) -> p + q) AS sr,
+             list_reduce(list(rem * rem ORDER BY m),
+                         (p, q) -> p + q) AS srr,
+             list_reduce(list(seasonal + rem ORDER BY m),
+                         (p, q) -> p + q) AS ss,
+             list_reduce(list((seasonal + rem) * (seasonal + rem)
+                              ORDER BY m), (p, q) -> p + q) AS sss,
+             list_reduce(list(trend + rem ORDER BY m),
+                         (p, q) -> p + q) AS st,
+             list_reduce(list((trend + rem) * (trend + rem)
+                              ORDER BY m), (p, q) -> p + q) AS stt
+      FROM comp
+    )
+    SELECT n,
+           CASE WHEN sss / CAST(n AS DOUBLE)
+                     - (ss / CAST(n AS DOUBLE))
+                       * (ss / CAST(n AS DOUBLE)) > 0.0 THEN
+             GREATEST(0.0, 1.0 -
+               (srr / CAST(n AS DOUBLE)
+                - (sr / CAST(n AS DOUBLE)) * (sr / CAST(n AS DOUBLE)))
+               / (sss / CAST(n AS DOUBLE)
+                  - (ss / CAST(n AS DOUBLE))
+                    * (ss / CAST(n AS DOUBLE))))
+           END AS seasonal_strength,
+           CASE WHEN stt / CAST(n AS DOUBLE)
+                     - (st / CAST(n AS DOUBLE))
+                       * (st / CAST(n AS DOUBLE)) > 0.0 THEN
+             GREATEST(0.0, 1.0 -
+               (srr / CAST(n AS DOUBLE)
+                - (sr / CAST(n AS DOUBLE)) * (sr / CAST(n AS DOUBLE)))
+               / (stt / CAST(n AS DOUBLE)
+                  - (st / CAST(n AS DOUBLE))
+                    * (st / CAST(n AS DOUBLE))))
+           END AS trend_strength
+    FROM folds
+    """,
+)
+def q_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal and trend STRENGTH (Hyndman FPP: 1 −
+    Var(remainder)/Var(component + remainder), floored at 0) over
+    the exact q_seasonal_decompose frame — the one-number "is this
+    series seasonal / trending enough to model" gate that decides
+    between q_holt_linear and a seasonal model. Components are the
+    bit-identical decomposition doubles; the six moment folds run in
+    pinned month order over the calendar-bounded frame; strengths
+    are one mirrored tree."""
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    ser = o.groupBy(
+        (
+            F.year(F.col("o_orderdate").cast("date")) * 12
+            + F.month(F.col("o_orderdate").cast("date"))
+        ).cast("long").alias("m")
+    ).agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        ).alias("y")
+    )
+    wm = Window.orderBy("m")
+    tr = ser.select(
+        "m",
+        "y",
+        (
+            F.lag("y", 6).over(wm)
+            + F.lit(2) * F.sum("y").over(wm.rowsBetween(-5, 5))
+            + F.lead("y", 6).over(wm)
+        ).alias("cma24"),
+    )
+    det = tr.select(
+        "m",
+        "y",
+        "cma24",
+        F.pmod(F.col("m"), F.lit(12)).alias("moy"),
+        (F.lit(24) * F.col("y") - F.col("cma24")).alias("detr24"),
+    )
+    szn = (
+        det.where(F.col("detr24").isNotNull())
+        .groupBy("moy")
+        .agg(
+            F.count("detr24").alias("cnt"),
+            F.sum("detr24").alias("sd"),
+        )
+    )
+    seasonal = (
+        F.col("sd").cast("double") / F.col("cnt").cast("double")
+    ) / F.lit(24.0)
+    comp = (
+        det.join(F.broadcast(szn), "moy")
+        .where(F.col("cma24").isNotNull())
+        .select(
+            "m",
+            (F.col("cma24").cast("double") / F.lit(24.0)).alias("trend"),
+            seasonal.alias("seasonal"),
+            (
+                F.col("y").cast("double")
+                - F.col("cma24").cast("double") / F.lit(24.0)
+                - seasonal
+            ).alias("rem"),
+        )
+    )
+
+    def _foldm(expr, alias):
+        return F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("m", expr.alias("t")))
+                ),
+                lambda st: st["t"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias(alias)
+
+    r = F.col("rem")
+    sr_ = F.col("seasonal") + F.col("rem")
+    tr_ = F.col("trend") + F.col("rem")
+    folds = comp.agg(
+        F.count(F.lit(1)).alias("n"),
+        _foldm(r, "sr"),
+        _foldm(r * r, "srr"),
+        _foldm(sr_, "ss"),
+        _foldm(sr_ * sr_, "sss"),
+        _foldm(tr_, "st"),
+        _foldm(tr_ * tr_, "stt"),
+    )
+    n_d = F.col("n").cast("double")
+    var_r = F.col("srr") / n_d - (F.col("sr") / n_d) * (F.col("sr") / n_d)
+    var_s = F.col("sss") / n_d - (F.col("ss") / n_d) * (F.col("ss") / n_d)
+    var_t = F.col("stt") / n_d - (F.col("st") / n_d) * (F.col("st") / n_d)
+    return folds.select(
+        F.col("n").cast("long").alias("n"),
+        F.when(
+            var_s > 0.0,
+            F.greatest(F.lit(0.0), F.lit(1.0) - var_r / var_s),
+        ).alias("seasonal_strength"),
+        F.when(
+            var_t > 0.0,
+            F.greatest(F.lit(0.0), F.lit(1.0) - var_r / var_t),
+        ).alias("trend_strength"),
+    )

@@ -306,6 +306,10 @@ HEADLINE = [
     "st_top_n_per_window",
     "st_dedup_late_events",
     "llm_script_mix",
+    "q_benford_chi2",
+    "q_welch_anova",
+    "q_games_howell_pairs",
+    "q_seasonal_strength",
 ]
 
 

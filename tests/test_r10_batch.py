@@ -425,3 +425,89 @@ def test_script_mix_ratios_sum_sane(spark):
         for c in ("alpha_ratio", "digit_ratio", "ws_ratio", "nonascii_ratio"):
             assert 0.0 <= getattr(r, c) <= 1.0
         assert 0 <= r.n_mixed_script <= r.n_docs
+
+
+# ---------------------------------------------------------------------------
+# r10 batch 2: Welch family, Benford chi2, seasonal strength
+# ---------------------------------------------------------------------------
+
+
+def test_welch_anova_agrees_with_classic_under_homoskedasticity(spark, tmp_path):
+    """With equal group variances and equal n, Welch's F* ≈ classic
+    F (they coincide asymptotically; on balanced exact data the two
+    are close)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aws_datalake_spark.queries.r10_batch import q_welch_anova
+
+    rows = []
+    for gi, base in enumerate([10.0, 12.0, 14.0]):
+        for j in range(20):
+            rows.append((f"G{gi}", base + (j % 5)))
+    df = pd.DataFrame(
+        {
+            "c_mktsegment": [g for g, _ in rows],
+            "c_acctbal": [v for _, v in rows],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "customer.parquet"))
+    r = q_welch_anova(spark, str(tmp_path)).collect()[0]
+    assert r.k == 3
+    # classic F on this data (textbook):
+    import statistics
+
+    groups = {}
+    for g, v in rows:
+        groups.setdefault(g, []).append(v * 100)
+    k, n = 3, 60
+    gm = statistics.mean([v for vs in groups.values() for v in vs])
+    ssb = sum(len(vs) * (statistics.mean(vs) - gm) ** 2 for vs in groups.values())
+    ssw = sum((v - statistics.mean(vs)) ** 2 for vs in groups.values() for v in vs)
+    f_classic = (ssb / (k - 1)) / (ssw / (n - k))
+    assert r.f_star == pytest.approx(f_classic, rel=0.05)
+
+
+def test_games_howell_antisymmetric_pairs(spark):
+    from aws_datalake_spark.queries.r10_batch import q_games_howell_pairs
+
+    rows = q_games_howell_pairs(spark, SF_SMOKE).collect()
+    assert len(rows) == 10  # C(5,2)
+    for r in rows:
+        assert r.seg_a < r.seg_b
+        assert r.welch_df > 1.0
+        # t and mean_diff share sign
+        assert (r.t_stat >= 0) == (r.mean_diff >= 0)
+
+
+def test_benford_chi2_includes_absent_digits(spark, tmp_path):
+    """Orders whose totals all start with 1 → digits 2..9 absent;
+    each must still contribute its full N·p term."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aws_datalake_spark.queries.r10_batch import q_benford_chi2
+    from aws_datalake_spark.queries.round6 import _BENFORD
+
+    df = pd.DataFrame({"o_totalprice": [1.0, 10.5, 150.0, 19.99]})
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "orders.parquet"))
+    r = q_benford_chi2(spark, str(tmp_path)).collect()[0]
+    assert r.n == 4
+    # reference: O_1 = 4, O_d = 0 otherwise
+    chi = 0.0
+    for i, p in enumerate(_BENFORD):
+        e = 4.0 * p
+        o = 4.0 if i == 0 else 0.0
+        chi += (o - e) * (o - e) / e
+    assert r.chi2 == pytest.approx(chi, rel=1e-12)
+
+
+def test_seasonal_strength_bounds(spark):
+    from aws_datalake_spark.queries.r10_batch import q_seasonal_strength
+
+    r = q_seasonal_strength(spark, SF_SMOKE).collect()[0]
+    for v in (r.seasonal_strength, r.trend_strength):
+        if v is not None:
+            assert 0.0 <= v <= 1.0
