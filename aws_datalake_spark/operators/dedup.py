@@ -85,6 +85,70 @@ def with_shingles(
     return toks_df.select(id_col, shingles("__toks", n).alias(out))
 
 
+def with_hashed_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n: int = 3, out: str = "__sh",
+) -> DataFrame:
+    """(id, distinct int64 shingle array): xxhash64 over the n token
+    columns DIRECTLY — no gram string is ever materialized, and the
+    distinct pass dedups 8-byte longs instead of strings. Set
+    semantics are identical to hashing the distinct gram strings
+    (whitespace tokens cannot contain the joiner, so the string form
+    was injective too; collisions ~|grams|²/2^65). For consumers that
+    only need set cardinalities/intersections (jaccard, containment),
+    never the gram text."""
+    from aws_datalake_spark.operators.text import spread
+
+    base = spread(df.select(id_col, text_col))
+    toks_df = base.select(id_col, tokens_ws(F.col(text_col)).alias("__toks"))
+    toks = F.col("__toks")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    grams = F.transform(
+        idx,
+        lambda i: F.xxhash64(*[F.element_at(toks, i + j + 1) for j in range(n)]),
+    )
+    arr = F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+    return toks_df.select(id_col, arr.alias(out))
+
+
+def _capped_candidates(
+    sh: DataFrame, max_df: int, a_name: str, b_name: str, ordered: bool
+) -> DataFrame:
+    """Candidate pairs from grams with document frequency ≤ max_df,
+    WITHOUT a postings self-join: after the freq filter each gram's
+    posting list is ≤ max_df ids, so pairs expand in-memory per gram
+    (≤ K²/2 structs) from one collect_list whose groupBy reuses the
+    freq join's hash partitioning — one exchange replaces the two
+    self-join exchanges. ``ordered=False`` emits each {a,b} once with
+    a < b (jaccard); ``ordered=True`` emits both orientations
+    (containment)."""
+    freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("__f"))
+    rare = sh.join(freq.where(F.col("__f") <= int(max_df)), "s")
+    groups = rare.groupBy("s").agg(F.collect_list("__id").alias("__ids"))
+    ids = F.col("__ids")
+    pred = (lambda p: p["a"] != p["b"]) if ordered else (lambda p: p["a"] < p["b"])
+    pair_arr = F.filter(
+        F.flatten(
+            F.transform(
+                ids,
+                lambda x: F.transform(
+                    ids, lambda y: F.struct(x.alias("a"), y.alias("b"))
+                ),
+            )
+        ),
+        pred,
+    )
+    return (
+        groups.select(F.explode(pair_arr).alias("__p"))
+        .select(
+            F.col("__p.a").alias(a_name), F.col("__p.b").alias(b_name)
+        )
+        .dropDuplicates([a_name, b_name])
+    )
+
+
 def minhash_signature(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     num_hashes: int = 8, shingle_n: int = 3,
@@ -254,24 +318,22 @@ def ngram_jaccard_pairs(
 
     # materialized once: both explode sides and the prefix path read
     # the same shingle table, and the explode does not re-evaluate
-    # the shingle transform per gram (see source_overlap note)
+    # the shingle transform per gram (see source_overlap note).
+    # Shingles are int64 xxhash64 values from birth
+    # (with_hashed_shingles): no gram string is ever built, and the
+    # postings aggregates, candidate generation and array_intersect
+    # verification all move 8-byte longs — jaccard depends only on
+    # set cardinalities, which an injective-in-practice hash
+    # preserves (collision odds ~|grams|²/2^65).
     sh_arr = _truncate(
-        with_shingles(df, text_col, id_col, shingle_n).select(
+        with_hashed_shingles(df, text_col, id_col, shingle_n).select(
             F.col(id_col).alias("__id"), F.col("__sh")
         )
     )
     if max_df is not None:
         sh = sh_arr.select("__id", F.explode("__sh").alias("s"))
-        freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("__f"))
-        rare = sh.join(freq.where(F.col("__f") <= int(max_df)), "s").select(
-            "__id", "s"
-        )
-        cand = (
-            rare.select(F.col("__id").alias("id_a"), "s")
-            .join(rare.select(F.col("__id").alias("id_b"), "s"), "s")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-            .dropDuplicates(["id_a", "id_b"])
+        cand = _capped_candidates(
+            sh, int(max_df), "id_a", "id_b", ordered=False
         )
         sets_a = sh_arr.select(
             F.col("__id").alias("id_a"),
@@ -299,7 +361,9 @@ def ngram_jaccard_pairs(
         )
     if not prefix_filter:
         sh = sh_arr.select("__id", F.explode("__sh").alias("s"))
-        sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("n_sh"))
+        # arrays are distinct sets: |S| is the stored array length —
+        # no second explode+aggregate pass
+        sizes = sh_arr.select("__id", F.size("__sh").alias("n_sh"))
         a = sh.select(F.col("__id").alias("id_a"), "s")
         b = sh.select(F.col("__id").alias("id_b"), "s")
         common = (
@@ -893,27 +957,22 @@ def containment_pairs(
     ~|grams|²/2^61, negligible below billions of distinct grams).
     """
     from aws_datalake_spark.operators.dedup_cluster import _truncate
-    from aws_datalake_spark.operators.text import hash60
 
+    # int64 xxhash64 shingles from birth (with_hashed_shingles,
+    # replacing the md5-based hash60 transform): the hash never
+    # leaves the engine (outputs carry only counts/sizes), so the
+    # cheap codegen'd hash does the same job without building a gram
+    # string or paying md5 + hex-conv per gram.
     sh_arr = _truncate(
-        with_shingles(df, text_col, id_col, shingle_n).select(
-            F.col(id_col).alias("__id"),
-            F.transform("__sh", lambda s: hash60(s)).alias("__sh"),
+        with_hashed_shingles(df, text_col, id_col, shingle_n).select(
+            F.col(id_col).alias("__id"), F.col("__sh")
         )
     )
     sizes = sh_arr.select("__id", F.size("__sh").alias("n_sh"))
     if max_df is not None:
         sh = sh_arr.select("__id", F.explode("__sh").alias("s"))
-        freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("__f"))
-        rare = sh.join(freq.where(F.col("__f") <= int(max_df)), "s").select(
-            "__id", "s"
-        )
-        cand = (
-            rare.select(F.col("__id").alias("id_sub"), "s")
-            .join(rare.select(F.col("__id").alias("id_sup"), "s"), "s")
-            .filter(F.col("id_sub") != F.col("id_sup"))
-            .select("id_sub", "id_sup")
-            .dropDuplicates(["id_sub", "id_sup"])
+        cand = _capped_candidates(
+            sh, int(max_df), "id_sub", "id_sup", ordered=True
         )
         cand = cand.join(
             sh_arr.select(F.col("__id").alias("id_sub"), F.col("__sh").alias("__sa")),
