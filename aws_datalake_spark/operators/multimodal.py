@@ -348,25 +348,26 @@ def with_phash63(
     marr = F.array(*[F.lit(v) for v in PHASH_DCT])
 
     def pipeline(hx):
-        # nibble values: ascii 48-57 → 0-9, 65-70 → 10-15
-        nibs_expr = F.transform(
-            F.sequence(F.lit(1), F.length(hx)),
-            lambda i: (
-                lambda a: F.when(a >= 65, a - 55).otherwise(a - 48)
-            )(F.ascii(F.substr(hx, i, F.lit(1)))),
-        )
-        return _let(nibs_expr, lambda nibs: _grid_stage(nibs))
+        # bind the hex string once; the grid stage reads only the 128
+        # chars it samples — decoding EVERY nibble first (the r10
+        # mid-build form) paid O(payload bytes) interpreted lambda
+        # evals per row for 64 used bytes
+        return _let(hx, _grid_stage)
 
-    def _grid_stage(nibs):
-        nb = (F.size(nibs) / F.lit(2)).cast("int")
+    def _grid_stage(h):
+        nb = (F.length(h) / F.lit(2)).cast("int")
+
+        # nibble values: ascii 48-57 → 0-9, 65-70 → 10-15
+        def nib(pos):
+            a = F.ascii(F.substr(h, pos.cast("int"), F.lit(1)))
+            return F.when(a >= 65, a - 55).otherwise(a - 48)
 
         # 8×8 grid: strided byte sample idx(k) = (k*nb) // 64
         def byte_at(k):
             idx = F.floor((k * nb) / F.lit(64)).cast("int")
             return (
-                F.lit(16)
-                * F.element_at(nibs, (F.lit(2) * idx + 1).cast("int"))
-                + F.element_at(nibs, (F.lit(2) * idx + 2).cast("int"))
+                F.lit(16) * nib(F.lit(2) * idx + 1)
+                + nib(F.lit(2) * idx + 2)
             ).cast("double")
 
         grid_expr = F.transform(F.sequence(F.lit(0), F.lit(63)), byte_at)
