@@ -104,3 +104,31 @@ def o_davg(expr: str, scale: int = 6) -> str:
         f"CAST(SUM(CAST(ROUND(({expr}) * {m}.0) AS BIGINT)) AS DOUBLE) / {m}.0"
         f" / CAST(COUNT({expr}) AS DOUBLE)"
     )
+
+
+def sc_edges_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct supplier→customer fulfillment edges with INT64 node
+    ids (2·suppkey = supplier, 2·custkey+1 = customer — disjoint and
+    bijective to the oracles' 'S…'/'C…' labels). The distinct and
+    every downstream power-iteration join/aggregate move 8-byte longs
+    instead of strings; :func:`render_sc_node` recovers the label in
+    the readout projection, so query output is byte-identical to the
+    string-keyed form."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("l_suppkey") * 2).alias("src"),
+            (F.col("o_custkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def render_sc_node(c: Column) -> Column:
+    """Int node id from :func:`sc_edges_int` → the oracle's label."""
+    half = F.shiftright(c, 1).cast("string")
+    return F.when(
+        c % 2 == 0, F.concat(F.lit("S"), half)
+    ).otherwise(F.concat(F.lit("C"), half))

@@ -365,20 +365,18 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the Pregel pattern as DataFrame ops); lineage is cut per step.
     The only driver value is the node count (one bounded scalar)."""
     from aws_datalake_spark.operators.graph import pagerank_fixed_point
+    from aws_datalake_spark.queries._shared import render_sc_node, sc_edges_int
 
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    edges = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .select(
-            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("src"),
-            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("dst"),
-        )
-        .distinct()
+    # int64 node ids end-to-end (2·suppkey / 2·custkey+1): the edge
+    # distinct and every power-step join/aggregate move longs; the
+    # oracle's 'S…'/'C…' labels are rendered only in this readout
+    # projection, so output is byte-identical to the string-keyed form
+    ranks = pagerank_fixed_point(
+        sc_edges_int(spark, sf_dir), iterations=_PR_ITERS, scale=_PR_SCALE
     )
-    return pagerank_fixed_point(
-        edges, iterations=_PR_ITERS, scale=_PR_SCALE
-    ).select("node", "rank_scaled")
+    return ranks.select(
+        render_sc_node(F.col("node")).alias("node"), "rank_scaled"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -91,23 +91,19 @@ def q_graph_pagerank_conserving(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σ rank_scaled stays ≈ scale (VERDICT r05 item 6; conservation is
     asserted in tests/test_round7_ops.py)."""
     from aws_datalake_spark.operators.graph import pagerank_fixed_point
+    from aws_datalake_spark.queries._shared import render_sc_node, sc_edges_int
 
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    edges = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .select(
-            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("src"),
-            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("dst"),
-        )
-        .distinct()
-    )
-    return pagerank_fixed_point(
-        edges,
+    # int64 node ids end-to-end; labels rendered in the readout only
+    # (see q_graph_pagerank)
+    ranks = pagerank_fixed_point(
+        sc_edges_int(spark, sf_dir),
         iterations=_PR_ITERS,
         scale=_PR_SCALE,
         redistribute_dangling=True,
-    ).select("node", "rank_scaled")
+    )
+    return ranks.select(
+        render_sc_node(F.col("node")).alias("node"), "rank_scaled"
+    )
 
 
 _TOKS = "regexp_split_to_array(trim(text), '\\s+')"

@@ -1450,32 +1450,21 @@ def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     centrality, exact scaled-integer, 5-level chained-CTE oracle.
     Same Pregel shape and lineage discipline as q_graph_pagerank."""
     from aws_datalake_spark.operators.graph import personalized_pagerank
+    from aws_datalake_spark.queries._shared import render_sc_node, sc_edges_int
 
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    edges = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .select(
-            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias(
-                "src"
-            ),
-            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias(
-                "dst"
-            ),
-        )
-        .distinct()
-    )
+    # int64 node ids end-to-end; labels rendered in the readout only
+    # (see q_graph_pagerank)
     seeds = (
         t(spark, sf_dir, "supplier")
         .where(F.col("s_suppkey") % 5 == 0)
-        .select(
-            F.concat(F.lit("S"), F.col("s_suppkey").cast("string")).alias(
-                "node"
-            )
-        )
+        .select((F.col("s_suppkey") * 2).alias("node"))
     )
-    return personalized_pagerank(
-        edges, seeds, iterations=_PPR_ITERS, scale=_PPR_SCALE
+    ranks = personalized_pagerank(
+        sc_edges_int(spark, sf_dir), seeds,
+        iterations=_PPR_ITERS, scale=_PPR_SCALE,
+    )
+    return ranks.select(
+        render_sc_node(F.col("node")).alias("node"), "rank_scaled"
     )
 
 
