@@ -641,6 +641,173 @@ def exact_quantile_by_group(
     )
 
 
+def exact_quantiles_by_group(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    qs: tuple,
+    n_bins: int = 256,
+    direct_threshold: int = 50_000,
+    max_rounds: int = 8,
+) -> DataFrame:
+    """Exact lower-discrete quantiles PER GROUP for ALL of ``qs`` —
+    ``(group_col, __qi, quantile)`` with ``__qi`` the index into
+    ``qs`` — sharing ONE histogram scan per narrowing round across
+    every (group, q) edge (callers that need two quantiles of the
+    same frame previously paid two full narrowing passes).
+
+    Mechanics: each (group, q) edge keeps a driver-side CHAIN of
+    (lo, width, target-bin) triples — its narrowing history. A row
+    belongs to an edge iff it reproduces every chain step under the
+    SAME clamped-floor arithmetic the histogram used (so bucket
+    membership cannot drift on boundary values, exactly as in
+    :func:`exact_quantile_by_group`), which also keeps edges of one
+    group independent after their ranges diverge. Per round: one
+    scan exploding each row's active-edge memberships (≤ |edges|
+    cheap predicates per row) → groupBy(edge, bin) histogram →
+    driver advances each edge one bucket. The finish pass ranks each
+    edge's surviving slice with one per-edge window — survivors
+    only, never the input. Same exactness contract as
+    :func:`exact_quantile_by_group` (narrowing is purely an
+    optimization; the cap hands degenerate edges to the exact
+    finish)."""
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(
+                f"exact_quantiles_by_group: q must be in [0, 1], got {q!r}"
+            )
+    base = df.select(
+        F.col(group_col).alias("__g"), F.col(col).alias("v")
+    ).where(F.col("v").isNotNull())
+    g_rows = (
+        base.groupBy("__g")
+        .agg(
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+            F.count("v").alias("n"),
+        )
+        .collect()
+    )
+    if not g_rows:
+        return (
+            df.select(
+                F.col(group_col),
+                F.lit(0).alias("__qi"),
+                F.col(col).alias("quantile"),
+            ).limit(0)
+        )
+    edges: dict = {}
+    for r in g_rows:
+        for i, q in enumerate(qs):
+            edges[(r["__g"], i)] = {
+                "lo": float(r["lo"]), "hi": float(r["hi"]), "n": r["n"],
+                "k": int(q * (r["n"] - 1)), "chain": [],
+            }
+
+    def _bin(lo: float, width: float):
+        return F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(n_bins - 1),
+                F.floor((F.col("v") - F.lit(lo)) / F.lit(width)).cast("int"),
+            ),
+        )
+
+    def _member(g, chain):
+        pred = F.col("__g") == F.lit(g)
+        for lo_j, w_j, t_j in chain:
+            pred = pred & (_bin(lo_j, w_j) == F.lit(t_j))
+        return pred
+
+    eids = {key: i for i, key in enumerate(edges)}
+    for _ in range(max_rounds):
+        active = {
+            key: s for key, s in edges.items()
+            if s["n"] > direct_threshold and s["lo"] < s["hi"]
+        }
+        if not active:
+            break
+        memb_cols = []
+        for key, s in active.items():
+            width = (s["hi"] - s["lo"]) / n_bins
+            memb_cols.append(
+                F.when(
+                    _member(key[0], s["chain"]),
+                    F.struct(
+                        F.lit(eids[key]).alias("e"),
+                        _bin(s["lo"], width).alias("b"),
+                    ),
+                )
+            )
+        hist = (
+            base.select(F.explode(F.array(*memb_cols)).alias("x"))
+            .where(F.col("x").isNotNull())
+            .groupBy(F.col("x.e").alias("e"), F.col("x.b").alias("b"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        counts: dict = {}
+        for r in hist:
+            counts.setdefault(r["e"], {})[r["b"]] = r["c"]
+        for key, s in active.items():
+            cs = counts.get(eids[key], {})
+            acc, target = 0, n_bins - 1
+            for b in range(n_bins):
+                c = cs.get(b, 0)
+                if acc + c > s["k"]:
+                    target = b
+                    break
+                acc += c
+            width = (s["hi"] - s["lo"]) / n_bins
+            s["chain"].append((s["lo"], width, target))
+            s["lo"] = s["lo"] + target * width
+            s["hi"] = s["lo"] + width
+            s["n"] = cs.get(target, 0)
+            s["k"] = s["k"] - acc
+    # finish: one pass ranking every edge's surviving slice
+    from pyspark.sql import Window
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    fin_cols = [
+        F.when(_member(key[0], s["chain"]), F.lit(eids[key]))
+        for key, s in edges.items()
+    ]
+    slices = base.select(
+        "v", F.explode(F.array(*fin_cols)).alias("__e")
+    ).where(F.col("__e").isNotNull())
+    k_tbl = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(eids[key], s["k"]) for key, s in edges.items()],
+            StructType([
+                StructField("__e", IntegerType()),
+                StructField("__k", LongType()),
+            ]),
+        )
+    )
+    id_tbl = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(eids[key], key[0], key[1]) for key in edges],
+            StructType([
+                StructField("__e", IntegerType()),
+                StructField("__g", base.schema["__g"].dataType),
+                StructField("__qi", IntegerType()),
+            ]),
+        )
+    )
+    w = Window.partitionBy("__e").orderBy("v")
+    return (
+        slices.withColumn("__rn", F.row_number().over(w))
+        .join(k_tbl, "__e")
+        .filter(F.col("__rn") == F.col("__k") + 1)
+        .join(id_tbl, "__e")
+        .select(
+            F.col("__g").alias(group_col),
+            "__qi",
+            F.col("v").alias("quantile"),
+        )
+    )
+
+
 def precision_recall_at_deciles(
     scored: DataFrame,
     score_col: str,

@@ -1238,16 +1238,31 @@ def q_conversion_time_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_timestamp("first_purchase") - F.unix_timestamp("first_view")
         ).alias("delay_sec"),
     )
-    med = exact_quantile_by_group(
-        delays, "cohort_day", "delay_sec", 0.5, direct_threshold=1000
-    ).withColumnRenamed("quantile", "median_delay_sec")
-    p90 = exact_quantile_by_group(
-        delays, "cohort_day", "delay_sec", 0.9, direct_threshold=1000
-    ).withColumnRenamed("quantile", "p90_delay_sec")
+    # materialize the multi-join delay frame once: the quantile
+    # narrowing and the count aggregate otherwise re-execute the
+    # fv/fp join lineage per consuming pass; median and p90 share
+    # one narrowing scan per round (exact_quantiles_by_group)
+    from aws_datalake_spark.operators.dedup_cluster import _truncate
+    from aws_datalake_spark.operators.order_stats import (
+        exact_quantiles_by_group,
+    )
+
+    delays = _truncate(delays)
+    qt = exact_quantiles_by_group(
+        delays, "cohort_day", "delay_sec", (0.5, 0.9), direct_threshold=1000
+    )
+    both = qt.groupBy("cohort_day").agg(
+        F.max(F.when(F.col("__qi") == 0, F.col("quantile"))).alias(
+            "median_delay_sec"
+        ),
+        F.max(F.when(F.col("__qi") == 1, F.col("quantile"))).alias(
+            "p90_delay_sec"
+        ),
+    )
     n = delays.groupBy("cohort_day").agg(
         F.count(F.lit(1)).cast("long").alias("n_converted")
     )
-    return n.join(med, "cohort_day").join(p90, "cohort_day").select(
+    return n.join(both, "cohort_day").select(
         "cohort_day", "n_converted", "median_delay_sec", "p90_delay_sec"
     )
 
@@ -1375,18 +1390,23 @@ def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean is a double quotient of exact integers. Two narrowing
     passes + one clip-aggregate scan; the broadcast quantile table
     is |groups|-sized."""
-    from aws_datalake_spark.operators.order_stats import exact_quantile_by_group
+    from aws_datalake_spark.operators.order_stats import (
+        exact_quantiles_by_group,
+    )
 
     li = t(spark, sf_dir, "lineitem")
     m = li.select(
         F.col("l_returnflag").alias("g"),
         F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("v"),
     )
-    p05 = exact_quantile_by_group(m, "g", "v", 0.05, direct_threshold=20000)
-    p95 = exact_quantile_by_group(m, "g", "v", 0.95, direct_threshold=20000)
+    # p05 and p95 share one narrowing scan per round instead of two
+    # independent narrowing passes over the same frame
+    qt = exact_quantiles_by_group(m, "g", "v", (0.05, 0.95),
+                                  direct_threshold=20000)
     qs = F.broadcast(
-        p05.withColumnRenamed("quantile", "p05").join(
-            p95.withColumnRenamed("quantile", "p95"), "g"
+        qt.groupBy("g").agg(
+            F.max(F.when(F.col("__qi") == 0, F.col("quantile"))).alias("p05"),
+            F.max(F.when(F.col("__qi") == 1, F.col("quantile"))).alias("p95"),
         )
     )
     clipped = F.least(F.greatest(F.col("v"), F.col("p05")), F.col("p95"))

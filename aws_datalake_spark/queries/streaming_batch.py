@@ -333,41 +333,47 @@ def st_gap_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = ev.groupBy(
         "user_id", F.date_trunc("hour", F.col("ts")).alias("hour")
     ).agg(dsum("value", "hourly_value"))
-    span = hourly.groupBy("user_id").agg(
-        F.min("hour").alias("h0"), F.max("hour").alias("h1")
-    )
-    grid = span.select(
+    # Consecutive-observation pairs instead of grid ⋈ observations +
+    # two ignore-null directional windows: every grid hour between
+    # obs (h, v) and the next obs (nh, nv) has exactly pv=v, ps=sec(h),
+    # nv=nv, ns=sec(nh) under the original windows, and the observed
+    # hour itself lerps with fraction 0 → v. One lead() window and an
+    # explode replace the span aggregate, the (user_id, hour) join
+    # (which also re-executed the hourly lineage) and both
+    # unbounded-frame window passes — the lerp expression and operands
+    # are IDENTICAL, so every output double is bit-equal.
+    w = Window.partitionBy("user_id").orderBy("hour")
+    pairs = hourly.select(
         "user_id",
-        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("hour"),
+        "hour",
+        "hourly_value",
+        F.lead("hour").over(w).alias("nh"),
+        F.lead("hourly_value").over(w).alias("nv"),
     )
-    j = (
-        grid.join(hourly, ["user_id", "hour"], "left")
-        .withColumn("sec", F.unix_timestamp("hour"))
+    g = pairs.select(
+        "user_id",
+        "hour",
+        "hourly_value",
+        "nh",
+        "nv",
+        F.explode(
+            F.expr(
+                "sequence(hour, coalesce(nh - interval 1 hour, hour),"
+                " interval 1 hour)"
+            )
+        ).alias("ghour"),
     )
-    back = (
-        Window.partitionBy("user_id")
-        .orderBy("hour")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    frac = (F.unix_timestamp("ghour") - F.unix_timestamp("hour")).cast(
+        "double"
+    ) / (F.unix_timestamp("nh") - F.unix_timestamp("hour")).cast("double")
+    interp = F.when(
+        F.col("ghour") == F.col("hour"), F.col("hourly_value")
+    ).otherwise(
+        F.col("hourly_value") + (F.col("nv") - F.col("hourly_value")) * frac
     )
-    fwd = (
-        Window.partitionBy("user_id")
-        .orderBy("hour")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    return g.select(
+        "user_id", F.col("ghour").alias("hour"), interp.alias("value_interp")
     )
-    obs_sec = F.when(F.col("hourly_value").isNotNull(), F.col("sec"))
-    w = (
-        j.withColumn("pv", F.last("hourly_value", ignorenulls=True).over(back))
-        .withColumn("ps", F.last(obs_sec, ignorenulls=True).over(back))
-        .withColumn("nv", F.first("hourly_value", ignorenulls=True).over(fwd))
-        .withColumn("ns", F.first(obs_sec, ignorenulls=True).over(fwd))
-    )
-    frac = (F.col("sec") - F.col("ps")).cast("double") / (
-        F.col("ns") - F.col("ps")
-    ).cast("double")
-    interp = F.when(F.col("ns") == F.col("ps"), F.col("pv")).otherwise(
-        F.col("pv") + (F.col("nv") - F.col("pv")) * frac
-    )
-    return w.select("user_id", "hour", interp.alias("value_interp"))
 
 
 @query(
