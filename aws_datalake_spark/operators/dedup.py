@@ -204,10 +204,20 @@ def minhash_lsh_pairs(
     # materialized shingles are corpus-sized — localCheckpoint spills
     # to executor-local disk (or reliable checkpoint when a dir is
     # set), the standard recompute-vs-store trade for a 3× scan win.
-    sh_base = _truncate(with_shingles(df, text_col, id_col, shingle_n))
+    # The stored arrays are the 60-bit hash60 VALUES, not the gram
+    # strings: the oracle-pinned md5 is computed exactly once per
+    # gram here, the signature pass folds over longs, and the exact
+    # verification intersects long sets (same cardinalities as the
+    # string sets — 60-bit collisions ~|pair grams|²/2^61).
+    sh_base = _truncate(
+        with_shingles(df, text_col, id_col, shingle_n).select(
+            id_col,
+            F.transform(F.col("__sh"), lambda s: hash60(s)).alias("__sh"),
+        )
+    )
     base = sh_base.select(
         id_col,
-        F.transform(F.col("__sh"), lambda s: hash60(s) % F.lit(M31)).alias("__hs"),
+        F.transform(F.col("__sh"), lambda h: h % F.lit(M31)).alias("__hs"),
     )
     sig_cols = []
     for k in range(num_hashes):
