@@ -61,12 +61,27 @@ def decontaminate(
     column) → one (id, n_shingles) count shuffle. The broadcast join
     means contamination checking is scan-bound at any corpus size.
     """
+    from aws_datalake_spark.operators.dedup import with_hashed_shingles
     from aws_datalake_spark.operators.dedup_cluster import _truncate
 
-    ev = F.broadcast(eval_ngram_set(eval_df, text_col, n).withColumn("__hit", F.lit(1)))
+    # both sides reduce to int64 xxhash64 token-n-gram values
+    # (with_hashed_shingles): the broadcast set holds 8-byte keys, the
+    # checkpoint stores long arrays, and the probe joins longs — the
+    # overlap COUNT is what the output needs, which an
+    # injective-in-practice hash preserves
+    ev = F.broadcast(
+        with_hashed_shingles(
+            eval_df, text_col=text_col, id_col=eval_df.columns[0], n=n
+        )
+        .select(F.explode("__sh").alias("__g"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
     # materialized so the explode_outer does not re-evaluate the
     # shingle transform per gram (see dedup.source_overlap note)
-    sh = _truncate(with_shingles(corpus, text_col=text_col, id_col=id_col, n=n))
+    sh = _truncate(
+        with_hashed_shingles(corpus, text_col=text_col, id_col=id_col, n=n)
+    )
     exploded = sh.select(
         id_col,
         F.size("__sh").alias("n_shingles"),
@@ -118,24 +133,58 @@ def duplicate_chunks(
     from aws_datalake_spark.operators.dedup_cluster import _truncate
     from aws_datalake_spark.operators.text import spread
 
-    # gram array materialized ONCE before the explode (PERF §21:
-    # Generate re-evaluates inlined interpreted transforms per
-    # OUTPUT element) — both passes re-read the checkpoint instead
-    # of re-tokenizing
-    toks = spread(df.select(id_col, text_col)).select(
-        id_col, tokens_ws(F.col(text_col)).alias("__toks")
+    # token array materialized ONCE before the explodes (PERF §21:
+    # Generate re-evaluates inlined interpreted transforms per OUTPUT
+    # element). The checkpoint stores TOKENS, not k-gram strings — the
+    # gram-string form was k× the text bytes through checkpoint
+    # write+read. Pass 1 never builds a string at all: it hashes the
+    # k token columns directly (xxhash64(t_i..t_{i+k-1}), the
+    # with_hashed_shingles device) and shuffles only (hash, id).
+    toks_arr = _truncate(
+        spread(df.select(id_col, text_col)).select(
+            id_col, tokens_ws(F.col(text_col)).alias("__toks")
+        )
     )
-    grams_arr = _truncate(toks.select(id_col, ngrams("__toks", k).alias("__gr")))
-    grams = grams_arr.select(id_col, F.explode("__gr").alias("chunk"))
+    toks = F.col("__toks")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(-1)))
+    hash_arr = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            idx,
+            lambda i: F.xxhash64(
+                *[F.element_at(toks, i + j + 1) for j in range(k)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
     dup_hashes = (
-        grams.select(id_col, F.xxhash64("chunk").alias("__h"))
+        toks_arr.select(id_col, F.explode(hash_arr).alias("__h"))
         .groupBy("__h")
         .agg(F.countDistinct(id_col).cast("int").alias("__nd"))
         .filter(F.col("__nd") >= min_docs)
         .select("__h")
     )
+    # pass 2: grams with their tuple-hash, broadcast semi-filter on
+    # the hash, exact final count BY TEXT (a hash collision can only
+    # add a candidate the exact count then filters out)
+    gram_structs = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            idx,
+            lambda i: F.struct(
+                F.xxhash64(
+                    *[F.element_at(toks, i + j + 1) for j in range(k)]
+                ).alias("h"),
+                F.concat_ws(
+                    " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
+                ).alias("chunk"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<h:bigint,chunk:string>>"))
+    grams = toks_arr.select(
+        id_col, F.explode(gram_structs).alias("__g")
+    ).select(id_col, F.col("__g.h").alias("__gh"), F.col("__g.chunk").alias("chunk"))
     candidates = grams.join(
-        F.broadcast(dup_hashes), F.xxhash64("chunk") == F.col("__h")
+        F.broadcast(dup_hashes), grams["__gh"] == F.col("__h")
     )
     return (
         candidates.groupBy("chunk")
