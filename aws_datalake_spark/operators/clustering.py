@@ -168,34 +168,41 @@ def kmeans_fit_exact(
         .collect()
     )
     centroids = [[int(x) for x in r.v] for r in init]
+    dim = len(centroids[0])
     for _ in range(max_iter):
         assigned = vectors.select(
             _argmin_cell(vec_col, centroids).alias("__cid"), F.col(vec_col)
         )
+        # per-component sums as dim aggregate COLUMNS in one pass —
+        # the posexplode form materialized dim× the row count through
+        # a Generate before the same aggregate (same exact
+        # DECIMAL(38,0) sums, so centroids are bit-identical)
         stats = (
-            assigned.select("__cid", F.posexplode(vec_col).alias("pos", "x"))
-            .groupBy("__cid", "pos")
+            assigned.groupBy("__cid")
             .agg(
-                F.sum(F.col("x").cast("decimal(38,0)")).alias("s"),
                 F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(
+                        F.element_at(F.col(vec_col), p + 1).cast(
+                            "decimal(38,0)"
+                        )
+                    ).alias(f"s{p}")
+                    for p in range(dim)
+                ],
             )
             .collect()
         )
         new = [list(c) for c in centroids]  # empty cells keep position
-        by_cell: dict[int, list[tuple[int, int]]] = {}
         for r in stats:
-            s, n = int(r.s), int(r.n)
-            # trunc-toward-zero division (Python // floors on negatives)
-            q = abs(s) // n
-            # bracket access: Row.__getattr__ rejects dunder-prefixed names
-            by_cell.setdefault(int(r["__cid"]), []).append(
-                (r.pos, q if s >= 0 else -q)
-            )
-        for cell, comps in by_cell.items():
-            vec = list(new[cell])
-            for pos, val in comps:
-                vec[pos] = val
-            new[cell] = vec
+            n = int(r.n)
+            vec = list(new[int(r["__cid"])])
+            for pos in range(dim):
+                s = int(r[f"s{pos}"])
+                # trunc-toward-zero division (Python // floors on
+                # negatives)
+                q = abs(s) // n
+                vec[pos] = q if s >= 0 else -q
+            new[int(r["__cid"])] = vec
         centroids = new
     return centroids
 
@@ -242,11 +249,21 @@ def davies_bouldin_exact(
     one k-row aggregate over the corpus; everything after is k²-row
     arithmetic on literal frames.
     """
-    d2s = [_d2_to_literal(vec_col, c) for c in centroids]
-    d2min = d2s[0] if len(d2s) == 1 else F.least(*d2s)
-    per = vectors.select(
-        _argmin_cell(vec_col, centroids).alias("cid"),
-        d2min.alias("__d2"),
+    # ONE least() over the k (d2, cid) structs yields both the
+    # assignment and its distance — evaluating _argmin_cell and a
+    # separate least(d2s) paid the k distance folds twice per row.
+    # Two-stage projection: the struct is a bound attribute referenced
+    # twice, which stops CollapseProject from re-inlining the folds.
+    structs = [
+        F.struct(
+            _d2_to_literal(vec_col, c).alias("d2"),
+            F.lit(i).cast("long").alias("cid"),
+        )
+        for i, c in enumerate(centroids)
+    ]
+    picked = structs[0] if len(structs) == 1 else F.least(*structs)
+    per = vectors.select(picked.alias("__p")).select(
+        F.col("__p.cid").alias("cid"), F.col("__p.d2").alias("__d2")
     )
     from aws_datalake_spark.operators.dedup_cluster import _truncate
 

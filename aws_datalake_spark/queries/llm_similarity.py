@@ -349,7 +349,15 @@ def llm_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantize_vectors_int,
     )
 
-    e = quantize_vectors_int(_emb_double(spark, sf_dir).select("vec_id", "embedding"))
+    from aws_datalake_spark.operators.dedup_cluster import _truncate
+
+    # materialized once: the quantize transform otherwise re-executes
+    # per Lloyd iteration and again in the final assignment
+    e = _truncate(
+        quantize_vectors_int(
+            _emb_double(spark, sf_dir).select("vec_id", "embedding")
+        )
+    )
     cents = kmeans_fit_exact(e, k=8, max_iter=3)
     return kmeans_assign_exact(e, cents)
 

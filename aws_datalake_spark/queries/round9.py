@@ -1547,8 +1547,15 @@ def llm_cluster_db_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from aws_datalake_spark.queries.llm_similarity import _emb_double
 
-    e = quantize_vectors_int(
-        _emb_double(spark, sf_dir).select("vec_id", "embedding")
+    from aws_datalake_spark.operators.dedup_cluster import _truncate
+
+    # materialized once: the quantize transform over the parquet read
+    # otherwise re-executes per k-means iteration (init + 3 updates)
+    # and again for the DB-index scatter pass
+    e = _truncate(
+        quantize_vectors_int(
+            _emb_double(spark, sf_dir).select("vec_id", "embedding")
+        )
     )
     cents = kmeans_fit_exact(e, k=_DB_K, max_iter=_DB_ITERS)
     return davies_bouldin_exact(e, cents)
