@@ -114,7 +114,17 @@ def quantize_vectors_int(
 
 def _d2_to_literal(vec_col: str, centroid: list[int]) -> "F.Column":
     """Exact squared euclidean distance of an array<long> column to a
-    literal integer centroid, as a single JVM fold (no shuffle)."""
+    literal integer centroid, as a single JVM fold (no shuffle).
+
+    MEASURED anti-case (r11): unrolling this to flat element_at
+    arithmetic (k·dim ≈ 512 expression nodes inside a least() of k
+    structs) made llm_cluster_db_index 4.4x SLOWER same-session
+    (5.7 → 25.1 s): every Lloyd iteration plans a FRESH query (new
+    centroid literals), so the giant trees pay catalyst
+    canonicalization + codegen compilation per iteration per run,
+    and at bench scale planning dominates the per-row fold cost the
+    unroll was meant to remove. The fold keeps the tree one literal
+    array + one aggregate node per centroid."""
     lit = F.array(*[F.lit(int(c)) for c in centroid])
     return F.aggregate(
         F.zip_with(F.col(vec_col), lit, lambda x, y: (x - y) * (x - y)),
@@ -173,36 +183,57 @@ def kmeans_fit_exact(
         assigned = vectors.select(
             _argmin_cell(vec_col, centroids).alias("__cid"), F.col(vec_col)
         )
-        # per-component sums as dim aggregate COLUMNS in one pass —
-        # the posexplode form materialized dim× the row count through
-        # a Generate before the same aggregate (same exact
-        # DECIMAL(38,0) sums, so centroids are bit-identical)
-        stats = (
-            assigned.groupBy("__cid")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                *[
-                    F.sum(
-                        F.element_at(F.col(vec_col), p + 1).cast(
-                            "decimal(38,0)"
-                        )
-                    ).alias(f"s{p}")
-                    for p in range(dim)
-                ],
+        if dim <= 256:
+            # per-component sums as dim aggregate COLUMNS in one pass —
+            # the posexplode form materialized dim× the row count
+            # through a Generate before the same aggregate (same exact
+            # DECIMAL(38,0) sums, so centroids are bit-identical).
+            # Bounded: one aggregate row per cell is k×dim decimals —
+            # fine to 256 dims; beyond that the wide row + codegen'd
+            # update projection degrade, so fall back to the narrow
+            # (cid, pos, x) triple aggregate below.
+            stats = (
+                assigned.groupBy("__cid")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    *[
+                        F.sum(
+                            F.element_at(F.col(vec_col), p + 1).cast(
+                                "decimal(38,0)"
+                            )
+                        ).alias(f"s{p}")
+                        for p in range(dim)
+                    ],
+                )
+                .collect()
             )
-            .collect()
-        )
+            comp = {
+                (int(r["__cid"]), pos): (int(r[f"s{pos}"]), int(r.n))
+                for r in stats
+                for pos in range(dim)
+            }
+        else:
+            stats = (
+                assigned.select(
+                    "__cid", F.posexplode(vec_col).alias("pos", "x")
+                )
+                .groupBy("__cid", "pos")
+                .agg(
+                    F.sum(F.col("x").cast("decimal(38,0)")).alias("s"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .collect()
+            )
+            comp = {
+                (int(r["__cid"]), int(r.pos)): (int(r.s), int(r.n))
+                for r in stats
+            }
         new = [list(c) for c in centroids]  # empty cells keep position
-        for r in stats:
-            n = int(r.n)
-            vec = list(new[int(r["__cid"])])
-            for pos in range(dim):
-                s = int(r[f"s{pos}"])
-                # trunc-toward-zero division (Python // floors on
-                # negatives)
-                q = abs(s) // n
-                vec[pos] = q if s >= 0 else -q
-            new[int(r["__cid"])] = vec
+        for (cid, pos), (s, n) in comp.items():
+            # trunc-toward-zero division (Python // floors on
+            # negatives)
+            q = abs(s) // n
+            new[cid][pos] = q if s >= 0 else -q
         centroids = new
     return centroids
 

@@ -113,22 +113,40 @@ def with_hashed_shingles(
     return toks_df.select(id_col, arr.alias(out))
 
 
-def _capped_candidates(
-    sh: DataFrame, max_df: int, a_name: str, b_name: str, ordered: bool
+def _capped_pair_counts(
+    sh: DataFrame, max_df: int, a_name: str, b_name: str, ordered: bool = False
 ) -> DataFrame:
-    """Candidate pairs from grams with document frequency ≤ max_df,
+    """CANONICAL (a < b) candidate pairs WITH their exact shared-gram
+    count ``(a, b, n_common)``, never touching the full shingle
+    arrays. n_common is symmetric, so directional consumers
+    (containment) derive both orientations from the one canonical row
+    downstream instead of doubling the count work here (``ordered``
+    is kept only as an explicit mirror for callers that cannot).
+
+    Candidates come from grams with document frequency ≤ max_df,
     WITHOUT a postings self-join: after the freq filter each gram's
     posting list is ≤ max_df ids, so pairs expand in-memory per gram
     (≤ K²/2 structs) from one collect_list whose groupBy reuses the
     freq join's hash partitioning — one exchange replaces the two
-    self-join exchanges. ``ordered=False`` emits each {a,b} once with
-    a < b (jaccard); ``ordered=True`` emits both orientations
-    (containment)."""
+    self-join exchanges.
+
+    Exact verification WITHOUT shipping both full shingle arrays
+    through the candidate join (the r10 plan broadcast the whole
+    (id, array<long>) table twice): rare and hot grams partition the
+    gram domain, so |S_a ∩ S_b| = shared-rare + shared-hot. The
+    shared-RARE count per pair falls out of the pair expansion
+    itself (a pair surfaces once per shared rare gram — groupBy
+    count instead of dropDuplicates, same exchange); shared-HOT
+    grams (df > max_df — few distinct by construction) are counted
+    by probing only the CANDIDATES' hot postings with narrow
+    (id, gram-hash) rows."""
     freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("__f"))
     rare = sh.join(freq.where(F.col("__f") <= int(max_df)), "s")
     groups = rare.groupBy("s").agg(F.collect_list("__id").alias("__ids"))
     ids = F.col("__ids")
-    pred = (lambda p: p["a"] != p["b"]) if ordered else (lambda p: p["a"] < p["b"])
+    # counts are computed ONCE on canonical a < b pairs (n_common is
+    # symmetric); the ordered form mirrors afterwards — halves the
+    # expansion rows, the dedup exchange, and the hot-probe volume
     pair_arr = F.filter(
         F.flatten(
             F.transform(
@@ -138,15 +156,49 @@ def _capped_candidates(
                 ),
             )
         ),
-        pred,
+        lambda p: p["a"] < p["b"],
     )
-    return (
+    from aws_datalake_spark.operators.dedup_cluster import _truncate
+
+    # cand feeds the hot-gram probe AND the final left join — cut it,
+    # or the whole expansion/dedup pipeline runs twice (bounded:
+    # ≤ Σ_gram K²/2 pairs by construction)
+    cand = _truncate(
         groups.select(F.explode(pair_arr).alias("__p"))
         .select(
             F.col("__p.a").alias(a_name), F.col("__p.b").alias(b_name)
         )
-        .dropDuplicates([a_name, b_name])
+        .groupBy(a_name, b_name)
+        .agg(F.count(F.lit(1)).alias("__c_rare"))
     )
+    hot = sh.join(freq.where(F.col("__f") > int(max_df)), "s").select(
+        "__id", "s"
+    )
+    c_hot = (
+        cand.select(a_name, b_name)
+        .join(hot.withColumnRenamed("__id", a_name), a_name)
+        .join(hot.select(F.col("__id").alias(b_name), "s"), [b_name, "s"])
+        .groupBy(a_name, b_name)
+        .agg(F.count(F.lit(1)).alias("__c_hot"))
+    )
+    out = cand.join(c_hot, [a_name, b_name], "left").select(
+        a_name,
+        b_name,
+        (
+            F.col("__c_rare") + F.coalesce(F.col("__c_hot"), F.lit(0))
+        ).alias("n_common"),
+    )
+    if ordered:
+        # cut before mirroring: the union reads the counts twice
+        out = _truncate(out)
+        out = out.unionByName(
+            out.select(
+                F.col(b_name).alias(a_name),
+                F.col(a_name).alias(b_name),
+                "n_common",
+            )
+        )
+    return out
 
 
 def minhash_signature(
@@ -342,21 +394,22 @@ def ngram_jaccard_pairs(
     )
     if max_df is not None:
         sh = sh_arr.select("__id", F.explode("__sh").alias("s"))
-        cand = _capped_candidates(
+        # exact n_common per candidate from narrow postings (rare
+        # count from the pair expansion + hot-gram probe); only the
+        # (id, n) size table joins back — the full shingle arrays
+        # never cross a join
+        cand = _capped_pair_counts(
             sh, int(max_df), "id_a", "id_b", ordered=False
         )
-        sets_a = sh_arr.select(
-            F.col("__id").alias("id_a"),
-            F.col("__sh").alias("__sa"),
-            F.size("__sh").alias("n_a"),
+        sizes = sh_arr.select("__id", F.size("__sh").alias("n_sh"))
+        cand = cand.join(
+            sizes.select(F.col("__id").alias("id_a"), F.col("n_sh").alias("n_a")),
+            "id_a",
+        ).join(
+            sizes.select(F.col("__id").alias("id_b"), F.col("n_sh").alias("n_b")),
+            "id_b",
         )
-        sets_b = sh_arr.select(
-            F.col("__id").alias("id_b"),
-            F.col("__sh").alias("__sb"),
-            F.size("__sh").alias("n_b"),
-        )
-        cand = cand.join(sets_a, "id_a").join(sets_b, "id_b")
-        n_common = F.size(F.array_intersect("__sa", "__sb"))
+        n_common = F.col("n_common")
         return (
             cand.withColumn(
                 "jaccard",
@@ -981,23 +1034,40 @@ def containment_pairs(
     sizes = sh_arr.select("__id", F.size("__sh").alias("n_sh"))
     if max_df is not None:
         sh = sh_arr.select("__id", F.explode("__sh").alias("s"))
-        cand = _capped_candidates(
-            sh, int(max_df), "id_sub", "id_sup", ordered=True
+        # exact n_common from narrow postings (rare + hot counts),
+        # computed ONCE per canonical a<b pair (n_common is
+        # symmetric); both orientations explode from the one scored
+        # row — no array joins, no mirrored second count pass
+        cand = _capped_pair_counts(
+            sh, int(max_df), "__ca", "__cb", ordered=False
         )
-        cand = cand.join(
-            sh_arr.select(F.col("__id").alias("id_sub"), F.col("__sh").alias("__sa")),
-            "id_sub",
+        both = cand.join(
+            sizes.select(F.col("__id").alias("__ca"), F.col("n_sh").alias("__na")),
+            "__ca",
         ).join(
-            sh_arr.select(F.col("__id").alias("id_sup"), F.col("__sh").alias("__sb")),
-            "id_sup",
+            sizes.select(F.col("__id").alias("__cb"), F.col("n_sh").alias("__nb")),
+            "__cb",
+        ).select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("__ca").alias("id_sub"),
+                        F.col("__cb").alias("id_sup"),
+                        F.col("__na").alias("n_sub"),
+                        F.col("__nb").alias("n_sup"),
+                        F.col("n_common").alias("n_common"),
+                    ),
+                    F.struct(
+                        F.col("__cb").alias("id_sub"),
+                        F.col("__ca").alias("id_sup"),
+                        F.col("__nb").alias("n_sub"),
+                        F.col("__na").alias("n_sup"),
+                        F.col("n_common").alias("n_common"),
+                    ),
+                )
+            ).alias("__o")
         )
-        scored = cand.select(
-            "id_sub",
-            "id_sup",
-            F.size("__sa").alias("n_sub"),
-            F.size("__sb").alias("n_sup"),
-            F.size(F.array_intersect("__sa", "__sb")).alias("n_common"),
-        )
+        scored = both.select("__o.*")
     else:
         sh = sh_arr.select("__id", F.explode("__sh").alias("s"))
         common = (

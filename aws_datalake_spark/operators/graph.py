@@ -98,7 +98,12 @@ def triangle_counts(edges: DataFrame, src: str = "s", dst: str = "d") -> DataFra
     from aws_datalake_spark.operators.dedup_cluster import _truncate
 
     e = _truncate(edges.select(F.col(src).alias("s"), F.col(dst).alias("d")))
-    deg = (
+    # deg feeds the orientation (twice) and the final join-back; the
+    # oriented edge set feeds both wedge sides and the closing probe —
+    # cut both, or the degree aggregate re-executes 4x and the
+    # orientation joins 3x (the r10 plan showed 100 Exchange refs
+    # from exactly this duplication)
+    deg = _truncate(
         e.select(F.col("s").alias("node"))
         .unionByName(e.select(F.col("d").alias("node")))
         .groupBy("node")
@@ -111,9 +116,11 @@ def triangle_counts(edges: DataFrame, src: str = "s", dst: str = "d") -> DataFra
     fwd = (F.col("__degs") < F.col("__degd")) | (
         (F.col("__degs") == F.col("__degd")) & (F.col("s") < F.col("d"))
     )
-    o = ordered.select(
-        F.when(fwd, F.col("s")).otherwise(F.col("d")).alias("u"),
-        F.when(fwd, F.col("d")).otherwise(F.col("s")).alias("v"),
+    o = _truncate(
+        ordered.select(
+            F.when(fwd, F.col("s")).otherwise(F.col("d")).alias("u"),
+            F.when(fwd, F.col("d")).otherwise(F.col("s")).alias("v"),
+        )
     )
     e1 = o.alias("e1")
     e2 = o.alias("e2")
@@ -555,7 +562,13 @@ def _edge_support(e: DataFrame) -> DataFrame:
     Degree-ordered orientation keeps the wedge join m^1.5 total
     (the triangle_counts bound); each triangle then credits its
     three edges via one explode + count."""
-    deg = (
+    from aws_datalake_spark.operators.dedup_cluster import _truncate
+
+    # deg is read twice by the orientation; the oriented set feeds
+    # both wedge sides and the closing probe — cut both so each
+    # support pass runs the degree aggregate and orientation joins
+    # ONCE (ktruss calls this per peel round)
+    deg = _truncate(
         e.select(F.col("s").alias("node"))
         .unionByName(e.select(F.col("d").alias("node")))
         .groupBy("node")
@@ -567,9 +580,11 @@ def _edge_support(e: DataFrame) -> DataFrame:
     fwd = (F.col("__degs") < F.col("__degd")) | (
         (F.col("__degs") == F.col("__degd")) & (F.col("s") < F.col("d"))
     )
-    o = ordered.select(
-        F.when(fwd, F.col("s")).otherwise(F.col("d")).alias("u"),
-        F.when(fwd, F.col("d")).otherwise(F.col("s")).alias("v"),
+    o = _truncate(
+        ordered.select(
+            F.when(fwd, F.col("s")).otherwise(F.col("d")).alias("u"),
+            F.when(fwd, F.col("d")).otherwise(F.col("s")).alias("v"),
+        )
     )
     e1, e2 = o.alias("e1"), o.alias("e2")
     wedges = e1.join(
@@ -778,7 +793,11 @@ def degree_assortativity(
     edge list against the degree table + one map-combinable moment
     aggregate. No windows, no iteration.
     """
-    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    from aws_datalake_spark.operators.dedup_cluster import _truncate
+
+    # e is read by the degree aggregate (2x via the union) and the
+    # ends join — cut it so an expensive upstream builder runs once
+    e = _truncate(edges.select(F.col(src).alias("s"), F.col(dst).alias("d")))
     deg = (
         e.select(F.col("s").alias("node"))
         .unionByName(e.select(F.col("d").alias("node")))
@@ -845,14 +864,24 @@ def common_neighbor_candidates(
     """
     from pyspark.sql import Window
 
-    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    from aws_datalake_spark.operators.dedup_cluster import _truncate
+
+    # e feeds adj (twice via the union), the anti-join, and — through
+    # adj — deg and mid; without a cut an expensive upstream edge
+    # builder (the co-occurrence self-join) re-executes per reference
+    # (the r10 plan held 122 Exchange refs from this). deg and mid
+    # are cut too: deg is read by the mid filter and both endpoint
+    # joins, mid by both wedge sides.
+    e = _truncate(edges.select(F.col(src).alias("s"), F.col(dst).alias("d")))
     adj = e.unionByName(
         e.select(F.col("d").alias("s"), F.col("s").alias("d"))
     ).select(F.col("s").alias("node"), F.col("d").alias("nbr"))
-    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
-    mid = adj.join(
-        deg.where(F.col("deg") <= max_degree), "node"
-    ).select("node", "nbr")
+    deg = _truncate(adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+    mid = _truncate(
+        adj.join(
+            deg.where(F.col("deg") <= max_degree), "node"
+        ).select("node", "nbr")
+    )
     a, b = mid.alias("a"), mid.alias("b")
     cand = (
         a.join(
@@ -999,14 +1028,20 @@ def resource_allocation_candidates(
     """
     from pyspark.sql import Window
 
-    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    from aws_datalake_spark.operators.dedup_cluster import _truncate
+
+    # same duplication cuts as common_neighbor_candidates: e feeds
+    # adj (2x) + the anti-join, mid feeds both wedge sides
+    e = _truncate(edges.select(F.col(src).alias("s"), F.col(dst).alias("d")))
     adj = e.unionByName(
         e.select(F.col("d").alias("s"), F.col("s").alias("d"))
     ).select(F.col("s").alias("node"), F.col("d").alias("nbr"))
     deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
-    mid = adj.join(
-        deg.where(F.col("deg") <= max_degree), "node"
-    ).select("node", "nbr", "deg")
+    mid = _truncate(
+        adj.join(
+            deg.where(F.col("deg") <= max_degree), "node"
+        ).select("node", "nbr", "deg")
+    )
     a, b = mid.alias("a"), mid.alias("b")
     wedges = a.join(
         b,
@@ -1087,12 +1122,15 @@ def adamic_adar_candidates(
         [(d, 1.0 / math.log(d)) for d in range(2, max_degree + 1)],
         "deg long, w double",
     )
-    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    from aws_datalake_spark.operators.dedup_cluster import _truncate
+
+    # same duplication cuts as common_neighbor_candidates
+    e = _truncate(edges.select(F.col(src).alias("s"), F.col(dst).alias("d")))
     adj = e.unionByName(
         e.select(F.col("d").alias("s"), F.col("s").alias("d"))
     ).select(F.col("s").alias("node"), F.col("d").alias("nbr"))
     deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
-    mid = (
+    mid = _truncate(
         adj.join(deg.where(F.col("deg") <= max_degree), "node")
         # middles adjacent to both endpoints have deg >= 2, so the
         # 1/ln(1) pole is unreachable; the join enforces it anyway

@@ -21,9 +21,38 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 
-def dot(a: Column, b: Column) -> Column:
+def _dot_sql(a_name: str, b_name: str, dim: int) -> str:
+    """SQL text of the unrolled dot product — a left-associated
+    0.0D + Σ element_at chain, the exact IEEE op sequence of the
+    sequential fold (0.0+t₁ == t₁ except on an all-(-0.0) row, which
+    no norm/cosine consumer can distinguish after division)."""
+    terms = " + ".join(
+        f"element_at({a_name}, {p}) * element_at({b_name}, {p})"
+        for p in range(1, dim + 1)
+    )
+    return f"(0.0D + {terms})"
+
+
+def dot(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
     """Sequential left-to-right fold — same op order as a scalar
-    loop, so engines agree bit-for-bit."""
+    loop, so engines agree bit-for-bit.
+
+    With ``dim`` (caller GUARANTEES both arrays have exactly that
+    length — true for every embedding fixture path, dim 64; a shorter
+    row would yield NULL instead of a partial sum) ``a``/``b`` must be
+    COLUMN NAMES and the fold unrolls to flat multiply-adds with the
+    fold's own 0.0 seed — the identical IEEE op sequence, so results
+    stay bit-for-bit, but whole-stage-codegen'd instead of the
+    CodegenFallback interpreted lambda walk (2·dim lambda evals per
+    pair, the dominant cost of every O(pairs) cosine stage). The
+    unroll is built as ONE F.expr string — constructing dim Column
+    objects individually costs ~ms-per-node driver py4j round trips
+    PER QUERY CALL (the hyperplane_signature lesson, PERF §23; the
+    Column-built form measured 0.26x on llm_cosine_topk)."""
+    if dim is not None:
+        if not isinstance(a, str) or not isinstance(b, str):
+            raise TypeError("dot(..., dim=) requires column NAMES")
+        return F.expr(_dot_sql(a, b, dim))
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0).cast("double"),
@@ -31,12 +60,30 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def l2_norm(a: Column) -> Column:
+def l2_norm(a: Column | str, dim: int | None = None) -> Column:
+    if dim is not None:
+        if not isinstance(a, str):
+            raise TypeError("l2_norm(..., dim=) requires a column NAME")
+        return F.expr(f"SQRT({_dot_sql(a, a, dim)})")
     return F.sqrt(dot(a, a))
 
 
-def cosine(a: Column, b: Column) -> Column:
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+    if dim is not None:
+        return dot(a, b, dim) / (l2_norm(a, dim) * l2_norm(b, dim))
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def _norm_of(name: str, dim: int | None) -> Column:
+    return l2_norm(name, dim) if dim is not None else l2_norm(F.col(name))
+
+
+def _dot_of(a_name: str, b_name: str, dim: int | None) -> Column:
+    return (
+        dot(a_name, b_name, dim)
+        if dim is not None
+        else dot(F.col(a_name), F.col(b_name))
+    )
 
 
 def _cosine_pandas() -> Column:
@@ -69,6 +116,7 @@ def cosine_topk(
     query_id_col: str = "query_id",
     use_pandas: bool = False,
     band: tuple[float, float] | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Brute-force exact top-k by cosine. ``queries`` broadcasts;
     ranking uses row_number with id tiebreak for determinism.
@@ -82,14 +130,15 @@ def cosine_topk(
     # folding per pair; see cosine_neardup_pairs)
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("__qvec")
-    ).withColumn("__nq", l2_norm(F.col("__qvec")))
+    ).withColumn("__nq", _norm_of("__qvec", dim))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
-    ).withColumn("__nc", l2_norm(F.col("__cvec")))
+    ).withColumn("__nc", _norm_of("__cvec", dim))
     score = (
         _cosine_pandas()(F.col("__qvec"), F.col("__cvec"))
         if use_pandas
-        else dot(F.col("__qvec"), F.col("__cvec")) / (F.col("__nq") * F.col("__nc"))
+        else _dot_of("__qvec", "__cvec", dim)
+        / (F.col("__nq") * F.col("__nc"))
     )
     scored = c.join(F.broadcast(q)).filter(F.col("neighbor_id") != F.col(query_id_col)).select(
         query_id_col,
@@ -116,6 +165,7 @@ def cosine_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bucket_col: Column | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs: all pairs with cosine ≥ threshold.
     With ``bucket_col`` (e.g. an LSH signature or a label) the join
@@ -133,21 +183,21 @@ def cosine_neardup_pairs(
         )
         a = base.select(
             F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "__bucket"
-        ).withColumn("__na", l2_norm(F.col("va")))
+        ).withColumn("__na", _norm_of("va", dim))
         b = base.select(
             F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "__bucket"
-        ).withColumn("__nb", l2_norm(F.col("vb")))
+        ).withColumn("__nb", _norm_of("vb", dim))
         pairs = a.join(b, "__bucket").filter(F.col("id_a") < F.col("id_b"))
     else:
         base = corpus.select(F.col(id_col), F.col(vec_col))
         a = base.select(
             F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
-        ).withColumn("__na", l2_norm(F.col("va")))
+        ).withColumn("__na", _norm_of("va", dim))
         b = base.select(
             F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
-        ).withColumn("__nb", l2_norm(F.col("vb")))
+        ).withColumn("__nb", _norm_of("vb", dim))
         pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-    cos = dot(F.col("va"), F.col("vb")) / (F.col("__na") * F.col("__nb"))
+    cos = _dot_of("va", "vb", dim) / (F.col("__na") * F.col("__nb"))
     return (
         pairs.select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
@@ -162,6 +212,7 @@ def assign_cells(
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
     centroid_vec_col: str = "cvec",
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF cell assignment: each vector gets its ``n_probe`` nearest
     centroids by cosine (deterministic centroid_id tiebreak).
@@ -194,15 +245,15 @@ def assign_cells(
     corpus stored partitionBy(cell); the broadcast-join form keeps
     the oracle bit-exact at test scale."""
     c = centroids.select(centroid_id_col, centroid_vec_col).withColumn(
-        "__cn", l2_norm(F.col(centroid_vec_col))
+        "__cn", _norm_of(centroid_vec_col, dim)
     )
     base = vectors.select(id_col, vec_col)
     par = vectors.sparkSession.sparkContext.defaultParallelism
-    v = base.withColumn("__vn", l2_norm(F.col(vec_col)))
+    v = base.withColumn("__vn", _norm_of(vec_col, dim))
     if v.rdd.getNumPartitions() < par:
         v = v.repartition(par)
     ccos = (
-        dot(F.col(vec_col), F.col(centroid_vec_col))
+        _dot_of(vec_col, centroid_vec_col, dim)
         / (F.col("__vn") * F.col("__cn"))
     ).alias("__ccos")
     scored = v.join(F.broadcast(c)).select(id_col, centroid_id_col, ccos)
@@ -236,6 +287,7 @@ def ann_ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     band: tuple[float, float] | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors live in their single
     nearest-centroid cell; each query probes its ``n_probe`` nearest
@@ -248,21 +300,21 @@ def ann_ivf_topk(
     before ranking — hard-negative mining at ANN cost: informative
     similars only, near-dups excluded (same contract as
     :func:`cosine_topk`)."""
-    c_cells = assign_cells(corpus, centroids, 1, id_col, vec_col).select(
+    c_cells = assign_cells(corpus, centroids, 1, id_col, vec_col, dim=dim).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"), "centroid_id"
     )
-    q_cells = assign_cells(queries, centroids, n_probe, query_id_col, vec_col).select(
+    q_cells = assign_cells(queries, centroids, n_probe, query_id_col, vec_col, dim=dim).select(
         query_id_col, F.col(vec_col).alias("__qvec"), "centroid_id"
     )
-    c_cells = c_cells.withColumn("__nc", l2_norm(F.col("__cvec")))
-    q_cells = q_cells.withColumn("__nq", l2_norm(F.col("__qvec")))
+    c_cells = c_cells.withColumn("__nc", _norm_of("__cvec", dim))
+    q_cells = q_cells.withColumn("__nq", _norm_of("__qvec", dim))
     scored = c_cells.join(F.broadcast(q_cells), "centroid_id").filter(
         F.col("neighbor_id") != F.col(query_id_col)
     ).select(
         query_id_col,
         "neighbor_id",
         (
-            dot(F.col("__qvec"), F.col("__cvec"))
+            _dot_of("__qvec", "__cvec", dim)
             / (F.col("__nq") * F.col("__nc"))
         ).alias("cos"),
     )
@@ -361,15 +413,15 @@ def ann_lsh_topk(
     sig = hyperplane_signature(F.col(vec_col), dim, num_planes)
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"), sig.alias("__sig"))
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"), sig.alias("__sig"))
-    c = c.withColumn("__nc", l2_norm(F.col("__cvec")))
-    q = q.withColumn("__nq", l2_norm(F.col("__qvec")))
+    c = c.withColumn("__nc", _norm_of("__cvec", dim))
+    q = q.withColumn("__nq", _norm_of("__qvec", dim))
     scored = c.join(F.broadcast(q), "__sig").filter(
         F.col("neighbor_id") != F.col(query_id_col)
     ).select(
         query_id_col,
         "neighbor_id",
         (
-            dot(F.col("__qvec"), F.col("__cvec"))
+            _dot_of("__qvec", "__cvec", dim)
             / (F.col("__nq") * F.col("__nc"))
         ).alias("cos"),
     )
@@ -507,6 +559,7 @@ def mutual_nearest_neighbors(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str = "label",
+    dim: int | None = None,
 ) -> DataFrame:
     """Mutual-nearest-neighbor pairs within blocks — the embedding-
     alignment / bitext-mining primitive (two items pair only when
@@ -525,7 +578,7 @@ def mutual_nearest_neighbors(
         F.col(block_col).alias("__blk"),
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__vec"),
-    ).withColumn("__n", l2_norm(F.col("__vec")))
+    ).withColumn("__n", _norm_of("__vec", dim))
     a = v.select(
         "__blk", F.col("__id").alias("id_a"),
         F.col("__vec").alias("__va"), F.col("__n").alias("__na"),
@@ -539,7 +592,7 @@ def mutual_nearest_neighbors(
         .where(F.col("id_a") != F.col("id_b"))
         .select(
             "id_a", "id_b",
-            (dot(F.col("__va"), F.col("__vb"))
+            (_dot_of("__va", "__vb", dim)
              / (F.col("__na") * F.col("__nb"))).alias("cos"),
         )
     )
@@ -564,6 +617,7 @@ def mutual_nearest_neighbors_gemm(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str = "label",
+    dim: int | None = None,
 ) -> DataFrame:
     """:func:`mutual_nearest_neighbors` with the per-block top-1
     search done by ONE numpy GEMM per block (`applyInPandas`) instead
@@ -615,15 +669,26 @@ def mutual_nearest_neighbors_gemm(
             best[s:e] = S.argmax(axis=1)
         return pd.DataFrame({"id_a": ids, "id_b": ids[best]})
 
-    v = df.select(
-        F.col(block_col).alias("__blk"),
-        F.col(id_col).alias("__id"),
-        F.col(vec_col).alias("__vec"),
+    from aws_datalake_spark.operators.dedup_cluster import _truncate
+
+    # v feeds the GEMM pass and BOTH re-score sides; without a cut the
+    # upstream projection (e.g. the 20 literal-plane dot products of
+    # the bucketed caller, plus the scan) re-executes three times
+    v = _truncate(
+        df.select(
+            F.col(block_col).alias("__blk"),
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__vec"),
+        )
     )
     cand = v.groupBy("__blk").applyInPandas(_top1, "id_a long, id_b long")
     # exact sequential-fold re-score of the N winning pairs only
-    side = v.select(F.col("__id"), F.col("__vec"), l2_norm(F.col("__vec")).alias("__n"))
-    scored = (
+    side = v.select(
+        F.col("__id"), F.col("__vec"), _norm_of("__vec", dim).alias("__n")
+    )
+    # scored feeds the mutuality self-join twice (itself + the
+    # reversed side); cut it so the exact re-score fold runs once
+    scored = _truncate(
         cand.join(
             side.select(
                 F.col("__id").alias("id_a"),
@@ -640,7 +705,7 @@ def mutual_nearest_neighbors_gemm(
         )
         .select(
             "id_a", "id_b",
-            (dot(F.col("__va"), F.col("__vb"))
+            (_dot_of("__va", "__vb", dim)
              / (F.col("__na") * F.col("__nb"))).alias("cos"),
         )
     )

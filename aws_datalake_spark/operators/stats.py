@@ -1314,7 +1314,11 @@ def cramers_v(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
     )
     grid = (
         per_a.crossJoin(F.broadcast(per_b))
-        .join(cell, ["__a", "__b"], "left")
+        # cell is grid-bounded (|A|×|B| observed combos) but sits
+        # behind a checkpoint whose size the planner doesn't know —
+        # without the hint this 125-row join planned as a full
+        # sort-merge (two exchanges + sorts)
+        .join(F.broadcast(cell), ["__a", "__b"], "left")
         .crossJoin(F.broadcast(tot))
     )
     dev = (

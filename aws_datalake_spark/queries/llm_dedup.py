@@ -674,9 +674,16 @@ def llm_lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("decile"),
         F.coalesce("__found", F.lit(0)).alias("found"),
     )
-    curve = marked.groupBy("decile").agg(
-        F.count(F.lit(1)).alias("n_true"),
-        F.sum("found").cast("long").alias("n_found"),
+    from aws_datalake_spark.operators.dedup_cluster import _truncate
+
+    # the ≤10-row curve feeds both the output union and the overall
+    # aggregate — cut it, or the whole truth⋈lsh eval join (and the
+    # two pair pipelines above their internal checkpoints) runs twice
+    curve = _truncate(
+        marked.groupBy("decile").agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.sum("found").cast("long").alias("n_found"),
+        )
     )
     overall = curve.agg(
         F.sum("n_true").alias("__t"), F.sum("n_found").alias("__f")

@@ -1192,7 +1192,7 @@ def llm_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
         mutual_nearest_neighbors_gemm,
     )
 
-    return mutual_nearest_neighbors_gemm(_emb_double(spark, sf_dir))
+    return mutual_nearest_neighbors_gemm(_emb_double(spark, sf_dir), dim=64)
 
 
 # ---------------------------------------------------------------------------
@@ -1278,4 +1278,4 @@ def llm_mutual_nn_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # GEMM top-1 per bucket + exact re-score: same results as the
     # join form (equality pinned at sf0.01/0.1/1), ~10x the
     # throughput — PERF §23
-    return mutual_nearest_neighbors_gemm(bucketed, block_col="__bucket")
+    return mutual_nearest_neighbors_gemm(bucketed, block_col="__bucket", dim=64)

@@ -277,68 +277,87 @@ def mv_refresh(spark: SparkSession, mv_root: str) -> dict:
         return {"mode": "full", "dirty_groups": -1, "src_version": head}
 
     dirty = dirty.cache()
-    # one job: dirty count + key bounds for stats pruning together
+    # one job: dirty count + per-key bounds (stats pruning for the
+    # source scan AND the merge's touched-file selection — the merge
+    # no longer runs its own bounds-collect job)
     stats_row = dirty.agg(
         F.count(F.lit(1)).alias("n"),
-        F.min(group_cols[0]).alias("lo"),
-        F.max(group_cols[0]).alias("hi"),
+        *[
+            f
+            for i, c in enumerate(group_cols)
+            for f in (F.min(c).alias(f"lo_{i}"), F.max(c).alias(f"hi_{i}"))
+        ],
     ).collect()[0]
     n_dirty = int(stats_row["n"])
     if n_dirty == 0:
+        dirty.unpersist()
         tt._commit(mv_root, "mv-refresh", [], [], extra={"mv": new_meta})
         return {"mode": "incremental", "dirty_groups": 0, "src_version": head}
 
+    key_bounds = {
+        c: (stats_row[f"lo_{i}"], stats_row[f"hi_{i}"])
+        for i, c in enumerate(group_cols)
+    }
     # stats-pruned current-snapshot scan restricted to dirty keys
     prune = None
-    if len(group_cols) == 1 and stats_row["lo"] is not None and not isinstance(
-        stats_row["lo"], (list, dict)
+    if len(group_cols) == 1 and stats_row["lo_0"] is not None and not isinstance(
+        stats_row["lo_0"], (list, dict)
     ):
-        lo, hi = stats_row["lo"], stats_row["hi"]
+        lo, hi = stats_row["lo_0"], stats_row["hi_0"]
         lo = lo.isoformat() if hasattr(lo, "isoformat") else lo
         hi = hi.isoformat() if hasattr(hi, "isoformat") else hi
         prune = {group_cols[0]: (lo, hi)}
     cur = tt.read(spark, src_root, prune=prune)
-    fresh = _compute(
-        cur.join(F.broadcast(dirty), group_cols, "left_semi"),
-        group_cols, aggs,
-    ).cache()
-    # groups whose every row vanished must leave the MV
-    gone = dirty.join(fresh.select(*group_cols), group_cols, "left_anti")
-    gone_rows = gone.collect()  # bounded by the dirty set, not the table
-    if len(gone_rows) < n_dirty:  # some dirty group still has rows
-        tt.merge_upsert(spark, mv_root, fresh, keys=group_cols)
-    fresh.unpersist()
-    if gone_rows:
+    from aws_datalake_spark.operators.dedup_cluster import _truncate
 
-        def lit(v):
-            # SQL-literal rendering that survives quotes, NULLs, and
-            # temporal types — group keys are user data, not SQL
-            if v is None:
-                return None
-            if isinstance(v, str):
-                return "'" + v.replace("'", "''") + "'"
-            if isinstance(v, bool):
-                return "TRUE" if v else "FALSE"
-            if hasattr(v, "isoformat"):
-                return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
-            return repr(v)
-
-        def one(r):
-            parts = []
-            for c in group_cols:
-                rendered = lit(r[c])
-                parts.append(
-                    f"{c} IS NULL" if rendered is None else f"{c} = {rendered}"
-                )
-            return "(" + " AND ".join(parts) + ")"
-
-        tt.delete_where(spark, mv_root, " OR ".join(one(r) for r in gone_rows))
+    # materialized ONCE (eager checkpoint): feeds the live-group count
+    # and the merge rewrite without recompute — replaces the old
+    # cache → anti-join collect → merge → delete_where chain (four
+    # driver-paced jobs + two commits) with one compute job and one
+    # merged rewrite/commit
+    fresh = _truncate(
+        _compute(
+            cur.join(F.broadcast(dirty), group_cols, "left_semi"),
+            group_cols, aggs,
+        )
+    )
+    n_live = fresh.count()  # trivial on the checkpointed aggregate
+    if n_live:
+        # anti_keys=dirty: groups whose every source row vanished are
+        # dropped in the SAME file rewrite that upserts the fresh
+        # aggregates — no separate gone-group collect or delete commit
+        tt.merge_upsert(
+            spark, mv_root, fresh, keys=group_cols,
+            anti_keys=dirty, bounds=key_bounds,
+        )
+    else:
+        # every dirty group vanished: pure keyed delete — rewrite the
+        # bounds-overlapping MV files without the dirty keys, dropping
+        # files that empty out entirely (delete_where semantics)
+        snap_mv = tt.snapshot(mv_root)
+        candidates = sorted(
+            rel for rel, add in snap_mv["files"].items()
+            if all(
+                tt._stats_overlap(add, c, *key_bounds[c])
+                for c in group_cols
+            )
+        )
+        if candidates:
+            surv = tt._read_files(
+                spark, mv_root, snap_mv["files"], candidates,
+                eq_deletes=snap_mv.get("eq_deletes"),
+            ).join(F.broadcast(dirty), group_cols, "left_anti")
+            add_actions = (
+                tt._write_data(surv, mv_root)
+                if surv.limit(1).count() else []
+            )
+            tt._commit(mv_root, "delete", add_actions, candidates)
     tt._commit(mv_root, "mv-refresh", [], [], extra={"mv": new_meta})
     dirty.unpersist()
     return {
         "mode": "incremental",
         "dirty_groups": n_dirty,
-        "gone_groups": len(gone_rows),
+        "gone_groups": n_dirty - n_live,
         "changed_files_read": n_files,
         "src_version": head,
     }

@@ -721,11 +721,21 @@ def merge_upsert(
     updates: DataFrame,
     keys: list[str],
     max_attempts: int = 8,
+    anti_keys: DataFrame | None = None,
+    bounds: dict | None = None,
 ) -> dict:
     """Keyed upsert with FILE-LEVEL pruning: only files whose key
     ranges intersect the updates' key range are rewritten (matched
     rows replaced, new keys appended); every other file survives the
     commit untouched. Returns {"version", "rewritten", "untouched"}.
+
+    ``anti_keys`` (optional) widens the rewrite's removal set: rows
+    whose key matches ``anti_keys`` are dropped from the touched
+    files even when ``updates`` does not re-add them — an upsert and
+    a keyed delete in ONE rewrite/commit (the MV refresh's
+    dirty-group apply). Must be a superset of the update keys.
+    ``bounds`` (optional, ``{key: (lo, hi)}`` over the removal set)
+    skips the bounds-collect job when the caller already knows them.
 
     This is the scale gap called out in delta_io.upsert's fallback:
     flat parquet must rewrite the world, a logged table rewrites
@@ -737,12 +747,24 @@ def merge_upsert(
     if _has_column_ops(root):
         mapping = table_mapping(root)
         updates = _to_physical(updates, mapping)
+        if anti_keys is not None:
+            anti_keys = _to_physical(anti_keys, mapping)
+        if bounds is not None:
+            bounds = {mapping.get(k, k): v for k, v in bounds.items()}
         keys = [mapping.get(k, k) for k in keys]
-    bounds = updates.agg(
-        *[f for k in keys for f in (
-            F.min(k).alias(f"lo_{k}"), F.max(k).alias(f"hi_{k}"),
-        )]
-    ).collect()[0]
+    removal = anti_keys if anti_keys is not None else updates
+    if bounds is not None:
+        bounds = {
+            f"{side}_{k}": bounds[k][i]
+            for k in keys
+            for i, side in enumerate(("lo", "hi"))
+        }
+    else:
+        bounds = removal.agg(
+            *[f for k in keys for f in (
+                F.min(k).alias(f"lo_{k}"), F.max(k).alias(f"hi_{k}"),
+            )]
+        ).collect()[0]
     for _ in range(max_attempts):
         snap = snapshot(root)
         touched, untouched = [], []
@@ -755,7 +777,7 @@ def merge_upsert(
         if touched:
             cur = _read_files(spark, root, snap["files"], sorted(touched),
                               eq_deletes=snap.get("eq_deletes"))
-            kept = cur.join(updates.select(*keys), keys, "left_anti")
+            kept = cur.join(removal.select(*keys), keys, "left_anti")
             merged = kept.unionByName(updates, allowMissingColumns=True)
         else:
             merged = updates

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from collections import Counter
 
 
@@ -96,6 +98,7 @@ def test_bpe_encode_applies_merges_in_order(spark):
     assert out["newest"] == (["n", "ewest"], 2)
 
 
+@pytest.mark.slow
 def test_batched_merges_match_sequential(spark):
     """The batched trainer must produce the EXACT sequential merge
     table — including on adversarial corpora (self-pairs, chained

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from aws_datalake_spark.operators.clustering import kmeans_assign, kmeans_fit
@@ -46,6 +48,7 @@ def test_kmeans_deterministic(spark):
 # --- quality classifier (fastText-style LR over hashed features) --------------
 
 
+@pytest.mark.slow
 def test_quality_classifier_separates_and_is_deterministic(spark):
     from aws_datalake_spark.operators.classifier import (
         sanity_auc,

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from aws_datalake_spark.operators.packing import global_exclusive_cumsum, pack_sequences
@@ -294,6 +296,7 @@ def test_token_budget_plan_integral_div_past_2_53(spark):
         assert rows[src].epochs_x1000 == (expect_budget * 1000) // avail, src
 
 
+@pytest.mark.slow
 def test_exact_quantiles_shared_pass_parity_and_scan_count(spark):
     """VERDICT r03 item 3: one histogram scan per narrowing round
     serves ALL quantiles; results match the per-quantile

@@ -1084,9 +1084,15 @@ def test_acf_single_lag_window_pass(spark):
     assert plan.count("Window") <= 2  # one logical window (+AQE echo)
 
 
-def test_adamic_adar_weight_table_broadcasts(spark):
+def test_adamic_adar_weight_table_broadcasts(spark, monkeypatch):
     from aws_datalake_spark.queries.r10_batch import q_graph_adamic_adar
 
+    # the weight join sits below an eager checkpoint since the r11
+    # duplication cut — disable truncation so the full logical plan
+    # (including the ln-weight dim join) is visible to the assertion
+    import aws_datalake_spark.operators.dedup_cluster as dc
+
+    monkeypatch.setattr(dc, "_truncate", lambda df: df)
     plan = _plan(q_graph_adamic_adar(spark, SF_SMOKE))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan

@@ -26,6 +26,7 @@ events = st.lists(
 )
 
 
+@pytest.mark.slow
 @given(left=events, right=events)
 @settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
 def test_asof_join_matches_naive(spark_global, left, right):
@@ -57,6 +58,7 @@ def test_asof_join_matches_naive(spark_global, left, right):
     st.tuples(st.integers(0, 3), st.integers(0, 500), st.integers(0, 180)),
     min_size=0, max_size=15,
 ))
+@pytest.mark.slow
 @settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
 def test_bucketed_range_join_matches_naive(spark_global, points, intervals):
     spark = spark_global
@@ -131,6 +133,7 @@ rows_kv = st.lists(
 )
 
 
+@pytest.mark.slow
 @given(old=rows_kv, new=rows_kv)
 @settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
 def test_snapshot_diff_matches_set_algebra(spark_global, old, new):
@@ -201,6 +204,7 @@ def test_exact_quantiles_multi_matches_sorted_list(spark_global, vals):
     rows=st.lists(st.integers(0, 8), min_size=1, max_size=200),
     support=st.sampled_from([0.1, 0.25, 0.4]),
 )
+@pytest.mark.slow
 @settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
 def test_heavy_hitters_matches_exact_groupby(spark_global, rows, support):
     from collections import Counter
@@ -232,6 +236,7 @@ txn_ops = st.lists(
 )
 
 
+@pytest.mark.slow
 @given(ops=txn_ops)
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
 def test_txn_table_matches_dict_model(spark_global, tmp_path_factory, ops):
@@ -561,6 +566,7 @@ _aa_edges = st.lists(
 )
 
 
+@pytest.mark.slow
 @given(edges=_aa_edges)
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
 def test_adamic_adar_matches_bruteforce(spark_global, edges):

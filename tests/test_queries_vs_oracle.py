@@ -16,7 +16,30 @@ def con():
     return duckdb_con(SF_SMOKE)
 
 
-@pytest.mark.parametrize("name", sorted(all_queries()))
+# The handful of queries whose sf0.001 oracle check alone costs 10-50s
+# (iterative fits, bucketed NN, partitioned-layout writes). Marked
+# `slow` so the driver's time-budgeted pytest gate skips them — they
+# stay covered by the driver's own correctness harness and the
+# round-end full-registry check_correctness run.
+_SLOW_ORACLE = {
+    "llm_semantic_dedup_keep",
+    "llm_mutual_nn_bucketed",
+    "q_graph_hits",
+    "llm_embedding_neardup",
+    "ref_partitioned_layout",
+    "ref_paginated_keyed",
+    "ref_txn_hidden_partitioning",
+}
+
+
+def _mark_slow(names):
+    return [
+        pytest.param(n, marks=pytest.mark.slow) if n in _SLOW_ORACLE else n
+        for n in names
+    ]
+
+
+@pytest.mark.parametrize("name", _mark_slow(sorted(all_queries())))
 def test_query_matches_oracle(spark, con, name):
     fn = all_queries()[name]
     oracle = all_oracles().get(name)
@@ -26,7 +49,7 @@ def test_query_matches_oracle(spark, con, name):
         assert r.n_rows >= 0
 
 
-@pytest.mark.parametrize("name", sorted(all_oracles()))
+@pytest.mark.parametrize("name", _mark_slow(sorted(all_oracles())))
 def test_oracle_types_not_hash_hostile(con, name):
     """Round-2 driver root cause: DuckDB types integer SUM() as
     HUGEINT (int128) and exact arithmetic as DECIMAL, but the

@@ -804,7 +804,7 @@ def test_mutual_nn_gemm_matches_join_form(spark):
     assert a == b and a
 
 
-def test_mutual_nn_gemm_plan_has_no_pair_window(spark, sf_dir):
+def test_mutual_nn_gemm_plan_has_no_pair_window(spark, sf_dir, monkeypatch):
     """PERF §23 plan gate: the production mutual-NN must run the
     per-block top-1 as a grouped Arrow GEMM (FlatMapGroupsInPandas),
     with NO pair-exploding window (the join form's Window over
@@ -813,6 +813,12 @@ def test_mutual_nn_gemm_plan_has_no_pair_window(spark, sf_dir):
     `aggregate(zip_with` below the grouping)."""
     from aws_datalake_spark.queries.llm_similarity import llm_mutual_nn_bucketed
 
+    # the GEMM + re-score stages sit below eager checkpoints since the
+    # r11 duplication cut — disable truncation so the whole plan is
+    # visible to the assertions
+    import aws_datalake_spark.operators.dedup_cluster as dc
+
+    monkeypatch.setattr(dc, "_truncate", lambda df: df)
     out = llm_mutual_nn_bucketed(spark, sf_dir)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapGroupsInPandas" in plan

@@ -77,6 +77,7 @@ def test_sigmoid_case_monotone_and_accurate():
         assert abs(s / 1e6 - true) < 2e-3
 
 
+@pytest.mark.slow
 def test_exact_classifier_separates_and_is_deterministic(spark):
     from aws_datalake_spark.operators.classifier import (
         score_quality_exact,

@@ -279,6 +279,7 @@ def test_schema_enforcement_and_evolution(tmp_path, spark):
     assert tt.table_schema(root) == [["a", "bigint"]]
 
 
+@pytest.mark.slow
 def test_txn_datasource_batch_and_stream(tmp_path, spark):
     """The txn table as a registered Spark DataSource: batch snapshot
     scan (one partition per file, time travel via option) and a
@@ -794,6 +795,7 @@ def test_typed_cdf_eq_reappend_orders_correctly(table, spark):
 # --------------------------------------------- constraints + ts time travel
 
 
+@pytest.mark.slow
 def test_check_constraints_refuse_bad_batches(table, spark):
     tt.add_constraint(table, "price_positive", "price > 0")
     tt.add_constraint(table, "k_not_null", "k IS NOT NULL")
